@@ -1,0 +1,156 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** A polygon: exterior ring + interior rings (holes), packed coords. */
+final case class Poly(exterior: Array[Double], holes: Seq[Array[Double]])
+
+/** Ring-hierarchy assembly, mirroring the reference's semantics:
+  *  - contours: classify by doubled-shoelace sign, assign each hole to the
+  *    FIRST (insertion-order) polygon whose exterior contains it
+  *    (/root/reference/src/contourbuilder.rs:176-219);
+  *  - isobands: adjacent-dedup, drop rings with <=3 points, stable-sort by
+  *    u64-truncated |area|, even-odd enclosure depth, holes to first
+  *    containing exterior, then reverse (contourbuilder.rs:231-341).
+  *
+  * A bbox prefilter accelerates the O(n^2) containment joins: if a ring's
+  * first vertex lies strictly outside a candidate's bbox, `Geom.contains`
+  * is guaranteed to return -1 (its first verdict is "outside"), so skipping
+  * the candidate is exactly equivalent and preserves first-match order.
+  */
+object Assembly {
+
+  /** Affine grid placement p*step + origin, applied only when non-identity
+    * (contourbuilder.rs:140-147). Mutates in place.
+    */
+  def applyAffine(pts: Array[Double], xStep: Double, yStep: Double,
+                  xOrigin: Double, yOrigin: Double): Unit = {
+    var i = 0
+    while (i < pts.length) {
+      pts(i) = pts(i) * xStep + xOrigin
+      pts(i + 1) = pts(i + 1) * yStep + yOrigin
+      i += 2
+    }
+  }
+
+  @inline def isIdentityAffine(xStep: Double, yStep: Double,
+                               xOrigin: Double, yOrigin: Double): Boolean =
+    xOrigin == 0.0 && yOrigin == 0.0 && xStep == 1.0 && yStep == 1.0
+
+  /** Remove consecutive duplicate points (Vec::dedup semantics — only
+    * adjacent exactly-equal points collapse; contourbuilder.rs:255).
+    */
+  def dedupAdjacent(pts: Array[Double]): Array[Double] = {
+    if (pts.length <= 2) return pts
+    val out = new ArrayBuffer[Double](pts.length)
+    out += pts(0)
+    out += pts(1)
+    var i = 2
+    while (i < pts.length) {
+      val x = pts(i); val y = pts(i + 1)
+      if (!(x == out(out.length - 2) && y == out(out.length - 1))) {
+        out += x
+        out += y
+      }
+      i += 2
+    }
+    if (out.length == pts.length) pts else out.toArray
+  }
+
+  /** Contour assembly: rings must already be in sweep-closure order with
+    * smoothing and affine applied. Exterior polygons keep closure order;
+    * each hole goes to the first polygon (in that order) whose exterior
+    * contains it (contains != -1, i.e. inside OR on boundary); unmatched
+    * holes are silently dropped (contourbuilder.rs:199-213).
+    */
+  def assembleContour(rings: Seq[Array[Double]]): Seq[Poly] = {
+    val exteriors = new ArrayBuffer[Array[Double]]()
+    val extHoles = new ArrayBuffer[ArrayBuffer[Array[Double]]]()
+    val holes = new ArrayBuffer[Array[Double]]()
+    rings.foreach { ring =>
+      if (Geom.area2(ring) > 0.0) {
+        exteriors += ring
+        extHoles += new ArrayBuffer[Array[Double]]()
+      } else holes += ring
+    }
+    if (holes.nonEmpty) {
+      val boxes = exteriors.map(Geom.bbox)
+      holes.foreach { hole =>
+        val hx = hole(0); val hy = hole(1)
+        var i = 0
+        var done = false
+        while (i < exteriors.length && !done) {
+          val b = boxes(i)
+          if (hx >= b(0) && hx <= b(2) && hy >= b(1) && hy <= b(3) &&
+              Geom.contains(exteriors(i), hole) != -1) {
+            extHoles(i) += hole
+            done = true
+          }
+          i += 1
+        }
+      }
+    }
+    exteriors.indices.map(i => Poly(exteriors(i), extHoles(i).toSeq)).toSeq
+  }
+
+  /** Isoband assembly for one band. `rings` must be the concatenation
+    * lower-threshold rings ++ upper-threshold rings, each set in closure
+    * order, already deduped/affined/len-filtered. Output polygon order =
+    * descending truncated |area| (ascending stable sort + reverse), as the
+    * reference (contourbuilder.rs:286-338).
+    */
+  def assembleBand(rings: Seq[Array[Double]]): Seq[Poly] = {
+    val sorted = rings.sortBy(r => math.abs(Geom.area2(r)).toLong) // stable
+    val n = sorted.length
+    val boxes = sorted.map(Geom.bbox)
+    val enclosedBy = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val ring = sorted(i)
+      val hx = ring(0); val hy = ring(1)
+      var cnt = 0
+      var j = 0
+      while (j < n) {
+        if (j != i) {
+          val b = boxes(j)
+          if (hx >= b(0) && hx <= b(2) && hy >= b(1) && hy <= b(3) &&
+              Geom.contains(sorted(j), ring) != -1) cnt += 1
+        }
+        j += 1
+      }
+      enclosedBy(i) = cnt
+      i += 1
+    }
+    val exteriors = new ArrayBuffer[Array[Double]]()
+    val extHoles = new ArrayBuffer[ArrayBuffer[Array[Double]]]()
+    val interiors = new ArrayBuffer[Array[Double]]()
+    i = 0
+    while (i < n) {
+      if (enclosedBy(i) % 2 == 0) {
+        exteriors += sorted(i)
+        extHoles += new ArrayBuffer[Array[Double]]()
+      } else interiors += sorted(i)
+      i += 1
+    }
+    if (interiors.nonEmpty) {
+      val eboxes = exteriors.map(Geom.bbox)
+      interiors.foreach { hole =>
+        val hx = hole(0); val hy = hole(1)
+        var k = 0
+        var done = false
+        while (k < exteriors.length && !done) {
+          val b = eboxes(k)
+          if (hx >= b(0) && hx <= b(2) && hy >= b(1) && hy <= b(3) &&
+              Geom.contains(exteriors(k), hole) != -1) {
+            extHoles(k) += hole
+            done = true
+          }
+          k += 1
+        }
+      }
+    }
+    exteriors.indices.reverseIterator
+      .map(i => Poly(exteriors(i), extHoles(i).toSeq))
+      .toSeq
+  }
+}
