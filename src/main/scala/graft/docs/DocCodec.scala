@@ -1,0 +1,117 @@
+package graft.docs
+
+import graft.model.{Doc, Span, TileRow}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.Base64
+
+/** Codec between the interleaved text+media document table
+  * (doc_id, spans: array<struct<kind,text,media_ref,offset>>) and decoded
+  * raster tiles. One document per tile; each doc interleaves a text metadata
+  * span with exactly one media span whose media_ref embeds the tile raster:
+  *
+  *   raster://{gridId}/{tileY}/{tileX}?gdx&gdy&sx0&sy0&tw&th&vw&vh&d=<base64 f64 LE>
+  *
+  * The codec never reorders or mutates existing spans; engine outputs are
+  * appended as NEW text spans with fresh offsets (span-sequence invariant).
+  */
+object DocCodec {
+
+  def encodeValues(values: Array[Double]): String = {
+    val bb = ByteBuffer.allocate(values.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.asDoubleBuffer().put(values)
+    Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  def decodeValues(b64: String): Array[Double] = {
+    val bytes = Base64.getDecoder.decode(b64)
+    val out = new Array[Double](bytes.length / 8)
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asDoubleBuffer().get(out)
+    out
+  }
+
+  def mediaRef(t: TileRow): String =
+    s"raster://${t.gridId}/${t.tileY}/${t.tileX}?gdx=${t.gdx}&gdy=${t.gdy}" +
+      s"&sx0=${t.sx0}&sy0=${t.sy0}&tw=${t.tw}&th=${t.th}&vw=${t.vw}&vh=${t.vh}" +
+      s"&d=${encodeValues(t.values)}"
+
+  def tileToDoc(t: TileRow): Doc = {
+    val meta = s"""{"grid":"${t.gridId}","tile":[${t.tileX},${t.tileY}],""" +
+      s""""w":${t.tw},"h":${t.th},"gdx":${t.gdx},"gdy":${t.gdy}}"""
+    Doc(s"g${t.gridId}-t${t.tileY}_${t.tileX}",
+      Seq(Span("text", meta, "", 0), Span("media", "", mediaRef(t), 1)))
+  }
+
+  def docToTiles(d: Doc): Iterator[TileRow] =
+    d.spans.iterator.filter(s => s.kind == "media" && s.media_ref.startsWith("raster://"))
+      .map(s => parseMediaRef(s.media_ref))
+
+  def parseMediaRef(ref: String): TileRow = {
+    val body = ref.stripPrefix("raster://")
+    val qIx = body.indexOf('?')
+    val path = body.substring(0, qIx).split('/')
+    val q = body.substring(qIx + 1).split('&').map { kv =>
+      val i = kv.indexOf('=')
+      kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
+    TileRow(path(0), path(2).toInt, path(1).toInt,
+      q("sx0").toInt, q("sy0").toInt, q("tw").toInt, q("th").toInt,
+      q("vw").toInt, q("vh").toInt, q("gdx").toInt, q("gdy").toInt,
+      decodeValues(q("d")))
+  }
+
+  def encode(tiles: Dataset[TileRow])(implicit spark: SparkSession): Dataset[Doc] = {
+    import spark.implicits._
+    tiles.map(tileToDoc)
+  }
+
+  def decode(docs: Dataset[Doc])(implicit spark: SparkSession): Dataset[TileRow] = {
+    import spark.implicits._
+    docs.flatMap(docToTiles)
+  }
+
+  /** Append GeoJSON features as new text spans on every doc of the grid,
+    * after the existing spans, in the given deterministic order. Existing
+    * spans are untouched (the per-row span-sequence invariant).
+    */
+  def appendFeatures(docs: Dataset[Doc], features: Dataset[(String, Seq[String])])
+                    (implicit spark: SparkSession): Dataset[Doc] = {
+    import spark.implicits._
+    val byGrid = features.withColumnRenamed("_1", "gridId").withColumnRenamed("_2", "feats")
+    docs.toDF().withColumn("gridId",
+        org.apache.spark.sql.functions.regexp_extract(
+          org.apache.spark.sql.functions.col("doc_id"), "^g(.*)-t\\d+_\\d+$", 1))
+      .join(byGrid, Seq("gridId"), "left")
+      .as[(String, String, Seq[Span], Option[Seq[String]])]
+      .map { case (_, docId, spans, feats) =>
+        val base = spans.map(_.offset).foldLeft(-1)(math.max) + 1
+        val extra = feats.getOrElse(Nil).zipWithIndex.map { case (f, i) =>
+          Span("text", f, "", base + i)
+        }
+        Doc(docId, spans ++ extra)
+      }
+  }
+
+  /** Span-sequence invariant: every original doc's span sequence must be an
+    * exact prefix (kind, text, media_ref, offset order) of the output doc's.
+    * Returns violations (empty == invariant holds).
+    */
+  def spanInvariantViolations(before: Dataset[Doc], after: Dataset[Doc])
+                             (implicit spark: SparkSession): Dataset[String] = {
+    import spark.implicits._
+    before.joinWith(after, before("doc_id") === after("doc_id"), "full_outer")
+      .flatMap { case (b, a) =>
+        if (b == null) Some(s"unexpected doc ${a.doc_id}")
+        else if (a == null) Some(s"missing doc ${b.doc_id}")
+        else {
+          val bs = b.spans
+          val as = a.spans.take(bs.length)
+          if (bs != as) Some(s"span prefix mutated for ${b.doc_id}")
+          else if (a.spans.map(_.offset) != a.spans.map(_.offset).sorted)
+            Some(s"span offsets not increasing for ${a.doc_id}")
+          else None
+        }
+      }
+  }
+}

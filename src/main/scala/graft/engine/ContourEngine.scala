@@ -1,0 +1,234 @@
+package graft.engine
+
+import graft.core._
+import graft.model._
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.mutable.ArrayBuffer
+
+/** The distributed contour pipeline over typed Datasets:
+  *
+  *   tiles --flatMap (narrow)--> per-(tile, threshold) marching-squares
+  *   kernel (closed rings + open boundary fragments)
+  *   --O(log tiles) hash-partitioned shuffle rounds keyed by hierarchical
+  *   2^l x 2^l spatial blocks--> cross-tile ring closure
+  *   --shuffle by (gridId, threshold)--> assembly reducer (closure-order
+  *   sort, affine, hole nesting / even-odd bands).
+  *
+  * Scale notes: the kernel stage is embarrassingly parallel and dominates
+  * cost; shuffled bytes are only contour boundary fragments (proportional to
+  * isoline length crossing tile borders, not raster size). Each merge round
+  * halves the number of open blocks; fragments per group are bounded by the
+  * block perimeter. AQE coalesces the small later rounds.
+  *
+  * Output rings are byte-identical to the reference's single-threaded
+  * output (order and rotation included) — see Stitcher/FragmentMerge.
+  */
+final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
+  import spark.implicits._
+
+  private val thresholds: Array[Double] = cfg.thresholds.toArray
+
+  /** Narrow stage: run the tile kernel for every threshold; emit closed
+    * rings, open fragments, and one marker row per tile with ti = -1
+    * (drives backfill of empty results).
+    */
+  def kernelRows(tiles: Dataset[TileRow]): Dataset[RingFragRow] = {
+    val smooth = cfg.smooth
+    val ts = thresholds
+    tiles.flatMap { t =>
+      val spec = Tiling.TileSpec(t.tileX, t.tileY, t.sx0, t.sy0, t.tw, t.th,
+        t.sx0, t.sy0, t.vw, t.vh,
+        if (t.sx0 == 0) -1 else t.sx0, t.sx0 + t.tw - 1,
+        if (t.sy0 == 0) -1 else t.sy0, t.sy0 + t.th - 1)
+      val marker = Iterator.single(
+        RingFragRow(t.gridId, -1, closed = true, t.tileX, t.tileY, 0L, 0L, 0L, 0, Array.empty))
+      marker ++ ts.indices.iterator.flatMap { ti =>
+        val out = Tiling.tileKernel(t.values, spec, t.gdx, t.gdy, ts(ti), smooth)
+        out.rings.iterator.map(r =>
+          RingFragRow(t.gridId, ti, closed = true, 0, 0, 0L, 0L, r.maxKey, 0, r.pts)) ++
+          out.frags.iterator.map(f =>
+            RingFragRow(t.gridId, ti, closed = false, t.tileX, t.tileY,
+              f.startKey, f.endKey, f.maxKey, f.anchorPos, f.pts))
+      }
+    }
+  }
+
+  /** Iterative boundary-stitch fixpoint: level l groups open fragments by
+    * (grid, threshold, tileX >> l, tileY >> l) and merges within the block.
+    * `maxTileCoord` bounds the number of rounds; the final round merges
+    * globally per (grid, threshold), so every ring must close there.
+    */
+  def closedRings(kernelOut0: Dataset[RingFragRow], maxTileCoord: Int): Dataset[RingFragRow] = {
+    val kernelOut = kernelOut0.persist(StorageLevel.MEMORY_AND_DISK)
+    val closedParts = ArrayBuffer[Dataset[RingFragRow]](kernelOut.filter(_.closed))
+    var open = kernelOut.filter(!_.closed)
+    val levels = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxTileCoord)))
+    var l = 1
+    while (l <= levels) {
+      val isFinal = l == levels
+      val shift = l
+      val merged = open
+        .groupByKey(r => (r.gridId, r.ti, r.bx >> shift, r.by >> shift))
+        .flatMapGroups { (key: (String, Int, Int, Int), it: Iterator[RingFragRow]) =>
+          val (gid, ti, bx, by) = key
+          val frags = it.map(r => OpenFrag(r.pts, r.startKey, r.endKey, r.maxKey, r.anchorPos)).toSeq
+          val res = FragmentMerge.merge(frags)
+          if (isFinal && res.open.nonEmpty)
+            throw new IllegalStateException(
+              s"${res.open.length} fragments failed to close for grid=$gid ti=$ti")
+          res.rings.iterator.map(cr =>
+            RingFragRow(gid, ti, closed = true, 0, 0, 0L, 0L, cr.maxKey, 0, cr.pts)) ++
+            res.open.iterator.map(f =>
+              RingFragRow(gid, ti, closed = false, bx, by, f.startKey, f.endKey, f.maxKey, f.anchorPos, f.pts))
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      closedParts += merged.filter(_.closed)
+      open = merged.filter(!_.closed)
+      l += 1
+    }
+    closedParts.reduce(_ union _)
+  }
+
+  private def maxTileCoordOf(kernelOut: Dataset[RingFragRow]): Int = {
+    import org.apache.spark.sql.functions._
+    val row = kernelOut.filter(_.ti == -1).toDF()
+      .agg(max(greatest(col("bx"), col("by")))).head()
+    if (row.isNullAt(0)) 0 else row.getInt(0)
+  }
+
+  private def closedOf(tiles: Dataset[TileRow], hint: Option[Int])
+      : (Dataset[RingFragRow], Dataset[RingFragRow]) = {
+    val ko = kernelRows(tiles)
+    (ko, closedRings(ko, hint.getOrElse(maxTileCoordOf(ko))))
+  }
+
+  /** Contour polygons — the reference's `contours()` distributed. */
+  def contours(tiles: Dataset[TileRow], maxTileCoordHint: Option[Int] = None): Dataset[ContourRow] = {
+    val (ko, closed) = closedOf(tiles, maxTileCoordHint)
+    val ts = thresholds
+    val (xs, ys, xo, yo) = (cfg.xStep, cfg.yStep, cfg.xOrigin, cfg.yOrigin)
+    val ident = cfg.isIdentityAffine
+    val assembled = closed.filter(_.ti >= 0)
+      .groupByKey(r => (r.gridId, r.ti))
+      .mapGroups { (key: (String, Int), it: Iterator[RingFragRow]) =>
+        val (gid, ti) = key
+        val rings = it.toArray.sortBy(_.maxKey).map { r =>
+          if (!ident) Assembly.applyAffine(r.pts, xs, ys, xo, yo)
+          r.pts
+        }
+        val polys = Assembly.assembleContour(rings.toSeq)
+        ContourRow(gid, ts(ti), polys.map(p => PolyRow(p.exterior.toSeq, p.holes.map(_.toSeq))))
+      }
+    val missing = missingKeys(ko, thresholds.length,
+      assembled.map(c => (c.gridId, ts.indexOf(c.threshold))))
+      .map { case (g, ti) => ContourRow(g, ts(ti), Nil) }
+    assembled.union(missing)
+  }
+
+  /** Isolines — the reference's `lines()` distributed. */
+  def lines(tiles: Dataset[TileRow], maxTileCoordHint: Option[Int] = None): Dataset[LineRow] = {
+    val (ko, closed) = closedOf(tiles, maxTileCoordHint)
+    val ts = thresholds
+    val (xs, ys, xo, yo) = (cfg.xStep, cfg.yStep, cfg.xOrigin, cfg.yOrigin)
+    val ident = cfg.isIdentityAffine
+    val assembled = closed.filter(_.ti >= 0)
+      .groupByKey(r => (r.gridId, r.ti))
+      .mapGroups { (key: (String, Int), it: Iterator[RingFragRow]) =>
+        val (gid, ti) = key
+        val rings = it.toArray.sortBy(_.maxKey).map { r =>
+          if (!ident) Assembly.applyAffine(r.pts, xs, ys, xo, yo)
+          r.pts.toSeq
+        }
+        LineRow(gid, ts(ti), rings.toSeq)
+      }
+    val missing = missingKeys(ko, thresholds.length,
+      assembled.map(l => (l.gridId, ts.indexOf(l.threshold))))
+      .map { case (g, ti) => LineRow(g, ts(ti), Nil) }
+    assembled.union(missing)
+  }
+
+  /** Raw rings in grid coordinates — the reference's `contour_rings`
+    * (no smoothing or affine regardless of cfg).
+    */
+  def contourRings(tiles: Dataset[TileRow], maxTileCoordHint: Option[Int] = None): Dataset[RingsRow] = {
+    val raw = new ContourEngine(spark, cfg.copy(smooth = false,
+      xOrigin = 0, yOrigin = 0, xStep = 1, yStep = 1))
+    val (ko, closed) = raw.closedOf(tiles, maxTileCoordHint)
+    val ts = thresholds
+    val assembled = closed.filter(_.ti >= 0)
+      .groupByKey(r => (r.gridId, r.ti))
+      .mapGroups { (key: (String, Int), it: Iterator[RingFragRow]) =>
+        RingsRow(key._1, ts(key._2), it.toArray.sortBy(_.maxKey).map(_.pts.toSeq).toSeq)
+      }
+    val missing = missingKeys(ko, thresholds.length,
+      assembled.map(r => (r.gridId, ts.indexOf(r.threshold))))
+      .map { case (g, ti) => RingsRow(g, ts(ti), Nil) }
+    assembled.union(missing)
+  }
+
+  /** Isobands — the reference's `isobands()` distributed: each threshold's
+    * rings are computed once and feed both adjacent bands (as upper/lower);
+    * per band: dedup -> affine -> filter len>3 -> even-odd assembly.
+    */
+  def isobands(tiles: Dataset[TileRow], maxTileCoordHint: Option[Int] = None): Dataset[BandRow] = {
+    require(thresholds.length >= 2, "Unexpected: isobands needs >= 2 thresholds")
+    val (ko, closed) = closedOf(tiles, maxTileCoordHint)
+    val n = thresholds.length
+    val ts = thresholds
+    val (xs, ys, xo, yo) = (cfg.xStep, cfg.yStep, cfg.xOrigin, cfg.yOrigin)
+    val ident = cfg.isIdentityAffine
+    // (gridId, band, role 0=lower/1=upper, maxKey, pts)
+    val bandRings = closed.filter(_.ti >= 0).flatMap { r =>
+      val out = new ArrayBuffer[(String, Int, Int, Long, Array[Double])](2)
+      if (r.ti < n - 1) out += ((r.gridId, r.ti, 0, r.maxKey, r.pts))
+      if (r.ti > 0) out += ((r.gridId, r.ti - 1, 1, r.maxKey, r.pts))
+      out
+    }
+    val assembled = bandRings
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (String, Int), it: Iterator[(String, Int, Int, Long, Array[Double])]) =>
+        val (gid, band) = key
+        val rings = it.toArray.sortBy(r => (r._3, r._4))
+          .iterator
+          .map { r =>
+            val deduped = Assembly.dedupAdjacent(
+              if (r._3 == 0) r._5 else r._5.clone()) // pts may be shared across 2 bands
+            if (!ident) Assembly.applyAffine(deduped, xs, ys, xo, yo)
+            deduped
+          }
+          .filter(_.length / 2 > 3)
+          .toSeq
+        BandRow(gid, ts(band), ts(band + 1),
+          Assembly.assembleBand(rings).map(p => PolyRow(p.exterior.toSeq, p.holes.map(_.toSeq))))
+      }
+    val missing = missingKeys(ko, n - 1,
+      assembled.map(b => (b.gridId, ts.indexOf(b.minV))))
+      .map { case (g, b) => BandRow(g, ts(b), ts(b + 1), Nil) }
+    assembled.union(missing)
+  }
+
+  /** (grid, index) combos that produced no rings — the reference emits an
+    * empty geometry for them.
+    */
+  private def missingKeys(kernelOut: Dataset[RingFragRow], nPerGrid: Int,
+                          present: Dataset[(String, Int)]): Dataset[(String, Int)] = {
+    val expected = kernelOut.filter(_.ti == -1).map(_.gridId).distinct()
+      .flatMap(g => (0 until nPerGrid).map(ti => (g, ti)))
+    expected.except(present)
+  }
+
+  /** GeoJSON features per grid, ordered by threshold — for appending to the
+    * document table as new text spans.
+    */
+  def contourFeatures(contours: Dataset[ContourRow]): Dataset[(String, Seq[String])] = {
+    contours.groupByKey(_.gridId).mapGroups { (gid: String, it: Iterator[ContourRow]) =>
+      val feats = it.toArray.sortBy(_.threshold).map { c =>
+        GeoJson.contourFeature(ContourResult(c.threshold,
+          c.polygons.map(p => Poly(p.exterior.toArray, p.holes.map(_.toArray)))))
+      }
+      (gid, feats.toSeq)
+    }
+  }
+}
