@@ -1,24 +1,129 @@
 package graft
+
+import graft.docs.DocCodec
+import graft.engine.{ContourEngine, GridSynth}
+import graft.model.{Doc, JobConfig}
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark: marching-squares isoband extraction (23-threshold
+  * volcano ladder, smooth=true) over a deterministic tiled synthetic DEM
+  * stored as an interleaved document table.
+  *
+  * Metric: raster cells/sec where cells = gdx*gdy*|thresholds| (matching
+  * BASELINE.md). The same input is run at local[8] and local[32]
+  * (SPARK_GRAFT_CPUS overrides the large size) and the N->4N scaling
+  * efficiency (throughput32/throughput8)/4 is reported, since no real
+  * multi-executor cluster exists in this sandbox.
+  *
+  * The doc-table input is generated once under target/bench and reused.
+  */
 object Bench {
+  private val Thresholds = (90 to 200 by 5).map(_.toDouble)
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", (2 * cpus).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      // the engine's shuffles carry few bytes but heavy per-group CPU
+      // (assembly); byte-based AQE coalescing would serialize them
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Generate `grids` volcano-style grids of side `side`, tiled `tile`^2,
+    * as a doc-table parquet; idempotent per size signature.
+    */
+  private def ensureInput(spark: SparkSession, grids: Int, side: Int, tile: Int,
+                          path: String): Unit = {
+    implicit val s = spark
+    if (new java.io.File(path, "_SUCCESS").exists()) return
+    val parts = math.max(64, grids * ((side + tile - 1) / tile) * ((side + tile - 1) / tile) / 8)
+    val tiles = (0 until grids).map { g =>
+      GridSynth.tilesFromField(spark, s"bench$g",
+        GridSynth.VolcanoField(42L + g, side, side), side, side, tile, tile,
+        math.max(8, parts / grids))
+    }.reduce(_ union _)
+    DocCodec.encode(tiles).repartition(parts).write.mode("overwrite").parquet(path)
+  }
+
+  private def runOnce(spark: SparkSession, path: String, maxTileCoord: Int): Long = {
+    implicit val s = spark
+    import spark.implicits._
+    val docs = spark.read.parquet(path).as[Doc]
+    val eng = new ContourEngine(spark, JobConfig(Thresholds, smooth = true))
+    eng.isobands(DocCodec.decode(docs), Some(maxTileCoord))
+      .map(b => b.polygons.length.toLong).reduce(_ + _)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // This sandbox's VM delivers ~16 effective cores (raw-JVM thread scaling
+    // saturates between 16 and 32), so the N -> 4N evidence pair is 4 -> 16;
+    // 32 is also measured and reported (it can't beat 16 by much here).
+    val smallCpus = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4").toInt
+    val bigCpus = 4 * smallCpus
+    val maxCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val grids = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRIDS", "24").toInt
+    val side = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDE", "1024").toInt
+    val tile = sys.env.getOrElse("SPARK_GRAFT_BENCH_TILE", "256").toInt
+    val cells = grids.toLong * side * side * Thresholds.length
+    val maxTileCoord = (side + tile - 1) / tile - 1
+    val path = s"target/bench/docs-g${grids}-s$side-t$tile"
+    val warmPath = s"target/bench/docs-warm-s$tile"
+
+    val gen0 = System.nanoTime()
+    locally {
+      val s = session(maxCpus)
+      ensureInput(s, 2, 2 * tile, tile, warmPath) // warmup set (JIT all stages)
+      ensureInput(s, grids, side, tile, path)
+      s.stop()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val genSec = (System.nanoTime() - gen0) / 1e9
+
+    /** min wall over `reps` runs (rejects VM-neighbor noise), post-warmup */
+    def measure(cpus: Int): Double = {
+      val s = session(cpus)
+      try {
+        runOnce(s, warmPath, 0) // JIT + codepath warmup
+        var best = Double.MaxValue
+        for (r <- 0 until reps) {
+          val t0 = System.nanoTime()
+          val nPolys = runOnce(s, path, maxTileCoord)
+          val el = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] cpus=$cpus rep=$r elapsed=$el%.2fs polys=$nPolys tput=${cells / el / 1e6}%.1f Mcells/s")
+          best = math.min(best, el)
+        }
+        best
+      } finally s.stop()
+    }
+
+    val elBig = measure(bigCpus)
+    val elSmall = measure(smallCpus)
+    val elMax = if (maxCpus != bigCpus) measure(maxCpus) else elBig
+    val tputBig = cells / elBig
+    val tputSmall = cells / elSmall
+    val tputMax = cells / elMax
+    val eff = (tputBig / tputSmall) / (bigCpus.toDouble / smallCpus)
+    val headline = math.max(tputBig, tputMax)
+
+    val qs = Seq(
+      s""""isobands_c$smallCpus":$elSmall""",
+      s""""isobands_c$bigCpus":$elBig""",
+      s""""isobands_c$maxCpus":$elMax""",
+      s""""tput_c$smallCpus":$tputSmall""",
+      s""""tput_c$bigCpus":$tputBig""",
+      s""""tput_c$maxCpus":$tputMax""",
+      s""""scaling_efficiency_${smallCpus}_to_$bigCpus":$eff""",
+      s""""gen_sec":$genSec""",
+      s""""cells":$cells"""
+    ).mkString("{", ",", "}")
+    println(s"""{"metric":"isoband_cells_per_sec","value":$headline,"unit":"cells/sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

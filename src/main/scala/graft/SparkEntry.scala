@@ -1,13 +1,242 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{Cases, GeoJson, MarchingSquares, Poly, ContourResult, Tiling}
+import graft.docs.DocCodec
+import graft.engine.ContourEngine
+import graft.model._
+import graft.queries.{EventsGrid, TrainingOps}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per operator family, each paired
+  * (where SQL-expressible) with a DuckDB oracle over the same parquet
+  * tables. Contour queries run the full distributed pipeline over a grid
+  * derived deterministically from events.parquet (see EventsGrid), so the
+  * oracle can recompute cell cases / segment totals in pure SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def engine(spark: SparkSession, smooth: Boolean = true) =
+    new ContourEngine(spark, JobConfig(EventsGrid.Thresholds, smooth = smooth))
+
+  /** events grid -> interleaved doc table -> decode (codec always on path) */
+  private def eventTiles(spark: SparkSession, dir: String): Dataset[TileRow] = {
+    implicit val s = spark
+    DocCodec.decode(DocCodec.encode(EventsGrid.tiles(spark, dir)))
+  }
+
+  private def thresholdsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    EventsGrid.Thresholds.toDF("threshold")
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val tiles = eventTiles(spark, "/root/testdata/sf0.001")
+    engine(spark).contours(tiles).toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- threshold classification: count of samples >= t (oracle: SQL) ----
+    "q_threshold_class" -> ((spark, dir) => {
+      import spark.implicits._
+      val tiles = eventTiles(spark, dir)
+      val ts = EventsGrid.Thresholds
+      val counts = tiles.flatMap { t =>
+        // owned samples only (exclude halo)
+        ts.iterator.map { th =>
+          var n = 0L
+          var r = 0
+          while (r < t.th) {
+            var c = 0
+            while (c < t.tw) {
+              if (t.values(r * t.vw + c) >= th) n += 1
+              c += 1
+            }
+            r += 1
+          }
+          (th, n)
+        }
+      }.toDF("threshold", "n_partial")
+      counts.groupBy("threshold").agg(sum("n_partial").as("n"))
+        .join(thresholdsDf(spark), Seq("threshold"), "right")
+        .na.fill(0L, Seq("n"))
+        .select(col("threshold"), col("n").cast("long").as("n"))
+        .orderBy("threshold")
+    }),
+
+    // ---- marching-squares cell-case histogram incl. virtual border ----
+    "q_cell_case_hist" -> ((spark, dir) => {
+      import spark.implicits._
+      val tiles = eventTiles(spark, dir)
+      val ts = EventsGrid.Thresholds
+      tiles.flatMap { t =>
+        val s = Tiling.TileSpec(t.tileX, t.tileY, t.sx0, t.sy0, t.tw, t.th,
+          t.sx0, t.sy0, t.vw, t.vh,
+          if (t.sx0 == 0) -1 else t.sx0, t.sx0 + t.tw - 1,
+          if (t.sy0 == 0) -1 else t.sy0, t.sy0 + t.th - 1)
+        ts.iterator.flatMap { th =>
+          val hist = MarchingSquares.caseHistogram(t.values, t.vw, t.vh, t.sx0, t.sy0,
+            t.gdx, t.gdy, s.cx0, s.cx1, s.cy0, s.cy1, th)
+          hist.iterator.zipWithIndex.filter(_._1 > 0L).map { case (n, c) => (th, c, n) }
+        }
+      }.toDF("threshold", "case_idx", "n_partial")
+        .groupBy("threshold", "case_idx")
+        .agg(sum("n_partial").cast("long").as("n"))
+        .select(col("threshold"), col("case_idx").cast("long").as("case_idx"), col("n"))
+        .orderBy("threshold", "case_idx")
+    }),
+
+    // ---- segment conservation: total stitched ring segments per threshold
+    //      (engine: sum over closed rings of nPts-1; oracle: per-case segment
+    //      counts summed in SQL) ----
+    "q_segment_count" -> ((spark, dir) => {
+      import spark.implicits._
+      val tiles = eventTiles(spark, dir)
+      val eng = engine(spark, smooth = false)
+      val ko = eng.kernelRows(tiles)
+      val closed = eng.closedRings(ko, 32)
+      val ts = EventsGrid.Thresholds
+      closed.filter(r => r.ti >= 0)
+        .map(r => (ts(r.ti), r.pts.length.toLong / 2 - 1))
+        .toDF("threshold", "segs")
+        .groupBy("threshold").agg(sum("segs").as("segments"))
+        .join(thresholdsDf(spark), Seq("threshold"), "right")
+        .na.fill(0L, Seq("segments"))
+        .select(col("threshold"), col("segments").cast("long").as("segments"))
+        .orderBy("threshold")
+    }),
+
+    // ---- full contour pipeline: per-threshold structural stats ----
+    "q_contours_stats" -> ((spark, dir) => {
+      import spark.implicits._
+      engine(spark).contours(eventTiles(spark, dir))
+        .map { c =>
+          val nPolys = c.polygons.length.toLong
+          val nHoles = c.polygons.map(_.holes.length.toLong).sum
+          val nPts = c.polygons.map(p => p.exterior.length / 2 +
+            p.holes.map(_.length / 2).sum).sum.toLong
+          (c.threshold, nPolys, nHoles, nPts)
+        }
+        .toDF("threshold", "n_polygons", "n_holes", "n_points")
+        .orderBy("threshold")
+    }),
+
+    // ---- isolines stats ----
+    "q_lines_stats" -> ((spark, dir) => {
+      import spark.implicits._
+      engine(spark).lines(eventTiles(spark, dir))
+        .map(l => (l.threshold, l.lines.length.toLong,
+          l.lines.map(_.length / 2).sum.toLong))
+        .toDF("threshold", "n_lines", "n_points")
+        .orderBy("threshold")
+    }),
+
+    // ---- isobands stats ----
+    "q_isobands_stats" -> ((spark, dir) => {
+      import spark.implicits._
+      engine(spark).isobands(eventTiles(spark, dir))
+        .map(b => (b.minV, b.maxV, b.polygons.length.toLong,
+          b.polygons.map(_.holes.length.toLong).sum))
+        .toDF("min_v", "max_v", "n_polygons", "n_holes")
+        .orderBy("min_v")
+    }),
+
+    // ---- raw contour_rings (grid coords, no smoothing) ----
+    "q_contour_rings_stats" -> ((spark, dir) => {
+      import spark.implicits._
+      engine(spark).contourRings(eventTiles(spark, dir))
+        .map(r => (r.threshold, r.rings.length.toLong,
+          r.rings.map(_.length / 2).sum.toLong))
+        .toDF("threshold", "n_rings", "n_points")
+        .orderBy("threshold")
+    }),
+
+    // ---- GeoJSON emission (deterministic serialization golden) ----
+    "q_geojson" -> ((spark, dir) => {
+      import spark.implicits._
+      val cts = engine(spark).contours(eventTiles(spark, dir))
+      cts.map { c =>
+        val feat = GeoJson.contourFeature(ContourResult(c.threshold,
+          c.polygons.map(p => Poly(p.exterior.toArray, p.holes.map(_.toArray)))))
+        (c.threshold, feat.length.toLong,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(feat.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      }.toDF("threshold", "json_len", "json_md5")
+        .orderBy("threshold")
+    }),
+
+    // ---- span-sequence invariant through append ----
+    "q_span_invariant" -> ((spark, dir) => {
+      implicit val s = spark
+      import spark.implicits._
+      val docs = DocCodec.encode(EventsGrid.tiles(spark, dir))
+      val eng = engine(spark)
+      val cts = eng.contours(DocCodec.decode(docs))
+      val out = DocCodec.appendFeatures(docs, eng.contourFeatures(cts))
+      val nViolations = DocCodec.spanInvariantViolations(docs, out).count()
+      val nDocs = out.count()
+      Seq((nDocs, nViolations, nViolations == 0)).toDF("n_docs", "n_violations", "ok")
+    }),
+
+    // ---- training-data ops over documents/embeddings ----
+    "q_doc_exact_dup" -> TrainingOps.exactDup,
+    "q_doc_token_stats" -> TrainingOps.tokenStats,
+    "q_doc_quality" -> TrainingOps.qualityScore,
+    "q_doc_lang_id" -> TrainingOps.langId,
+    "q_doc_minhash" -> TrainingOps.minhashSignatures,
+    "q_doc_minhash_pairs" -> TrainingOps.minhashDupPairs,
+    "q_doc_simhash" -> TrainingOps.simhash,
+    "q_doc_fingerprint" -> TrainingOps.fingerprint,
+    "q_ann_topk" -> TrainingOps.annTopK,
+    "q_ann_ivf_topk" -> TrainingOps.annIvfTopK
+  )
+
+  /** DuckDB-equivalent SQL per query (omit => weaker rows-only check). */
+  def oracleSql: Map[String, String] = Map(
+    "q_threshold_class" ->
+      """WITH ts(threshold) AS (VALUES (25.0),(50.0),(75.0),(100.0))
+        |SELECT threshold,
+        |       (SELECT count(*) FROM events WHERE value >= threshold)::BIGINT AS n
+        |FROM ts ORDER BY threshold""".stripMargin,
+
+    "q_cell_case_hist" ->
+      """WITH dims AS (SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events),
+        |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+        |cells AS (
+        |  SELECT t.threshold, cx.cx, cy.cy,
+        |    COALESCE((b0.v >= t.threshold)::INT, 0) AS b0,
+        |    COALESCE((b1.v >= t.threshold)::INT, 0) AS b1,
+        |    COALESCE((b2.v >= t.threshold)::INT, 0) AS b2,
+        |    COALESCE((b3.v >= t.threshold)::INT, 0) AS b3
+        |  FROM (SELECT unnest(range(-1, (SELECT w FROM dims)))::INT AS cx) cx
+        |  CROSS JOIN (SELECT unnest(range(-1, (SELECT h FROM dims)))::INT AS cy) cy
+        |  CROSS JOIN (VALUES (25.0),(50.0),(75.0),(100.0)) t(threshold)
+        |  LEFT JOIN g b0 ON b0.x = cx.cx     AND b0.y = cy.cy + 1
+        |  LEFT JOIN g b1 ON b1.x = cx.cx + 1 AND b1.y = cy.cy + 1
+        |  LEFT JOIN g b2 ON b2.x = cx.cx + 1 AND b2.y = cy.cy
+        |  LEFT JOIN g b3 ON b3.x = cx.cx     AND b3.y = cy.cy)
+        |SELECT threshold, (b0 + 2*b1 + 4*b2 + 8*b3)::BIGINT AS case_idx, count(*)::BIGINT AS n
+        |FROM cells GROUP BY 1, 2 HAVING count(*) > 0 ORDER BY 1, 2""".stripMargin,
+
+    "q_segment_count" ->
+      """WITH dims AS (SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events),
+        |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+        |cells AS (
+        |  SELECT t.threshold,
+        |    COALESCE((b0.v >= t.threshold)::INT, 0)
+        |      + 2 * COALESCE((b1.v >= t.threshold)::INT, 0)
+        |      + 4 * COALESCE((b2.v >= t.threshold)::INT, 0)
+        |      + 8 * COALESCE((b3.v >= t.threshold)::INT, 0) AS c
+        |  FROM (SELECT unnest(range(-1, (SELECT w FROM dims)))::INT AS cx) cx
+        |  CROSS JOIN (SELECT unnest(range(-1, (SELECT h FROM dims)))::INT AS cy) cy
+        |  CROSS JOIN (VALUES (25.0),(50.0),(75.0),(100.0)) t(threshold)
+        |  LEFT JOIN g b0 ON b0.x = cx.cx     AND b0.y = cy.cy + 1
+        |  LEFT JOIN g b1 ON b1.x = cx.cx + 1 AND b1.y = cy.cy + 1
+        |  LEFT JOIN g b2 ON b2.x = cx.cx + 1 AND b2.y = cy.cy
+        |  LEFT JOIN g b3 ON b3.x = cx.cx     AND b3.y = cy.cy)
+        |SELECT threshold,
+        |  sum(CASE WHEN c IN (0, 15) THEN 0 WHEN c IN (5, 10) THEN 2 ELSE 1 END)::BIGINT AS segments
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin
+  ) ++ TrainingOps.oracleSql
 }

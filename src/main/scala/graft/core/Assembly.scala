@@ -75,16 +75,19 @@ object Assembly {
     }
     if (holes.nonEmpty) {
       val boxes = exteriors.map(Geom.bbox)
+      val idx = new Array[RingIndex](exteriors.length)
       holes.foreach { hole =>
         val hx = hole(0); val hy = hole(1)
         var i = 0
         var done = false
         while (i < exteriors.length && !done) {
           val b = boxes(i)
-          if (hx >= b(0) && hx <= b(2) && hy >= b(1) && hy <= b(3) &&
-              Geom.contains(exteriors(i), hole) != -1) {
-            extHoles(i) += hole
-            done = true
+          if (hx >= b(0) && hx <= b(2) && hy >= b(1) && hy <= b(3)) {
+            if (idx(i) == null) idx(i) = new RingIndex(exteriors(i))
+            if (idx(i).containsRing(hole) != -1) {
+              extHoles(i) += hole
+              done = true
+            }
           }
           i += 1
         }
@@ -103,6 +106,11 @@ object Assembly {
     val sorted = rings.sortBy(r => math.abs(Geom.area2(r)).toLong) // stable
     val n = sorted.length
     val boxes = sorted.map(Geom.bbox)
+    val idx = new Array[RingIndex](n)
+    @inline def indexOf(j: Int): RingIndex = {
+      if (idx(j) == null) idx(j) = new RingIndex(sorted(j))
+      idx(j)
+    }
     val enclosedBy = new Array[Int](n)
     var i = 0
     while (i < n) {
@@ -114,7 +122,7 @@ object Assembly {
         if (j != i) {
           val b = boxes(j)
           if (hx >= b(0) && hx <= b(2) && hy >= b(1) && hy <= b(3) &&
-              Geom.contains(sorted(j), ring) != -1) cnt += 1
+              indexOf(j).containsRing(ring) != -1) cnt += 1
         }
         j += 1
       }
@@ -134,16 +142,19 @@ object Assembly {
     }
     if (interiors.nonEmpty) {
       val eboxes = exteriors.map(Geom.bbox)
+      val eidx = new Array[RingIndex](exteriors.length)
       interiors.foreach { hole =>
         val hx = hole(0); val hy = hole(1)
         var k = 0
         var done = false
         while (k < exteriors.length && !done) {
           val b = eboxes(k)
-          if (hx >= b(0) && hx <= b(2) && hy >= b(1) && hy <= b(3) &&
-              Geom.contains(exteriors(k), hole) != -1) {
-            extHoles(k) += hole
-            done = true
+          if (hx >= b(0) && hx <= b(2) && hy >= b(1) && hy <= b(3)) {
+            if (eidx(k) == null) eidx(k) = new RingIndex(exteriors(k))
+            if (eidx(k).containsRing(hole) != -1) {
+              extHoles(k) += hole
+              done = true
+            }
           }
           k += 1
         }

@@ -19,9 +19,9 @@ import scala.collection.mutable.ArrayBuffer
 object FragmentMerge {
 
   private final class MFrag(var startKey: Long, var endKey: Long,
-                            var pts: ArrayBuffer[Double],
+                            var pts: DoubleBuf,
                             var maxKey: Long, var anchorPos: Int) {
-    @inline def nPts: Int = pts.length / 2
+    @inline def nPts: Int = pts.nPts
   }
 
   final class Result(val rings: ArrayBuffer[ClosedRing],
@@ -60,7 +60,7 @@ object FragmentMerge {
             // closure: f runs ek -> ... -> sk; append in (dropping its head,
             // which duplicates f's tail vertex). Result first == last.
             val base = f.nPts
-            f.pts ++= in.pts.iterator.drop(2)
+            f.pts.appendArray(in.pts, 2)
             val (mk, ap) =
               if (in.maxKey > f.maxKey) (in.maxKey, base - 1 + in.anchorPos)
               else (f.maxKey, f.anchorPos)
@@ -68,9 +68,9 @@ object FragmentMerge {
           } else {
             byStart.remove(g.startKey) // stale; g merges into f
             val base = f.nPts
-            f.pts ++= in.pts.iterator.drop(2)
+            f.pts.appendArray(in.pts, 2)
             val baseG = f.nPts
-            f.pts ++= g.pts.iterator.drop(2)
+            f.pts.appendFrom(g.pts, 2)
             if (in.maxKey > f.maxKey) { f.maxKey = in.maxKey; f.anchorPos = base - 1 + in.anchorPos }
             if (g.maxKey > f.maxKey) { f.maxKey = g.maxKey; f.anchorPos = baseG - 1 + g.anchorPos }
             f.endKey = g.endKey
@@ -79,7 +79,7 @@ object FragmentMerge {
         } else {
           byEnd.remove(sk)
           val base = f.nPts
-          f.pts ++= in.pts.iterator.drop(2)
+          f.pts.appendArray(in.pts, 2)
           if (in.maxKey > f.maxKey) { f.maxKey = in.maxKey; f.anchorPos = base - 1 + in.anchorPos }
           f.endKey = ek
           byEnd.put(ek, f)
@@ -89,13 +89,12 @@ object FragmentMerge {
         if (h != null) {
           // prepend: in runs sk -> ek == h.start
           byStart.remove(ek)
-          val np = new ArrayBuffer[Double](in.pts.length + h.pts.length - 2)
-          np ++= in.pts
-          np ++= h.pts.iterator.drop(2)
+          val np = new DoubleBuf(in.pts.length + h.pts.len - 2)
+          np.appendArray(in.pts, 0)
+          np.appendFrom(h.pts, 2)
           val inN = in.pts.length / 2
           if (h.maxKey > in.maxKey) {
             h.anchorPos = inN - 1 + h.anchorPos
-            h.maxKey = h.maxKey
           } else {
             h.anchorPos = in.anchorPos
             h.maxKey = in.maxKey
@@ -104,8 +103,8 @@ object FragmentMerge {
           h.startKey = sk
           byStart.put(sk, h)
         } else {
-          val nf = new MFrag(sk, ek,
-            ArrayBuffer.from(in.pts), in.maxKey, in.anchorPos)
+          val nf = new MFrag(sk, ek, new DoubleBuf(in.pts.length), in.maxKey, in.anchorPos)
+          nf.pts.appendArray(in.pts, 0)
           byStart.put(sk, nf)
           byEnd.put(ek, nf)
         }

@@ -1,0 +1,113 @@
+package graft.core
+
+/** Y-bucketed segment index over one packed ring, answering the reference's
+  * `ring_contains` with EXACTLY the same result but O(candidates) per query
+  * instead of O(ring length).
+  *
+  * Correctness argument: ring_contains is order-independent — the result is
+  * 0 if ANY segment contains the point (segment_contains), else the ray-cast
+  * parity, which is a XOR over independent per-segment straddle tests. So
+  * evaluating only a candidate superset of segments that can possibly
+  * (a) straddle the query's y (needs yLo <= y <= yHi) or
+  * (b) pass segment_contains (needs y within the segment's y-range plus an
+  *     absolute slack of 1.0: for an x-dominant segment, |cross| < EPSILON
+  *     and |bx-ax| >= EPSILON bound the query's y-deviation from the segment
+  *     by EPSILON/|bx-ax| <= 1; y-dominant segments require y within range
+  *     exactly)
+  * yields bit-identical verdicts. Each segment is stored once (by
+  * floor(yLo / bw)); queries scan the bucket range that covers
+  * [y - maxSpan - 1, y + 1], so every candidate is visited exactly once.
+  */
+final class RingIndex(ring: Array[Double]) {
+  private val n = ring.length / 2
+  private val minY = {
+    var m = Double.PositiveInfinity
+    var i = 1
+    while (i < ring.length) { if (ring(i) < m) m = ring(i); i += 2 }
+    m
+  }
+  private val maxSpan = {
+    var s = 0.0
+    var j = n - 1
+    var i = 0
+    while (i < n) {
+      val d = math.abs(ring(2 * i + 1) - ring(2 * j + 1))
+      if (d > s) s = d
+      j = i
+      i += 1
+    }
+    s
+  }
+  private val bw = math.max(maxSpan, 1.0) // bucket width >= max segment y-span
+  private val nBuckets = {
+    var mx = Double.NegativeInfinity
+    var i = 1
+    while (i < ring.length) { if (ring(i) > mx) mx = ring(i); i += 2 }
+    math.max(1, (((mx - minY) / bw).toInt + 2))
+  }
+  // CSR layout: bucketStart(b) .. bucketStart(b+1) indices into segIdx
+  private val (bucketStart, segIdx) = {
+    val counts = new Array[Int](nBuckets + 1)
+    @inline def bucketOf(i: Int): Int = {
+      val j = if (i == 0) n - 1 else i - 1
+      val yLo = math.min(ring(2 * i + 1), ring(2 * j + 1))
+      math.min(nBuckets - 1, math.max(0, ((yLo - minY) / bw).toInt))
+    }
+    var i = 0
+    while (i < n) { counts(bucketOf(i) + 1) += 1; i += 1 }
+    var b = 0
+    while (b < nBuckets) { counts(b + 1) += counts(b); b += 1 }
+    val idx = new Array[Int](n)
+    val fill = new Array[Int](nBuckets)
+    i = 0
+    while (i < n) {
+      val bb = bucketOf(i)
+      idx(counts(bb) + fill(bb)) = i
+      fill(bb) += 1
+      i += 1
+    }
+    (counts, idx)
+  }
+
+  /** Exact ring_contains(ring, (x, y)) — see Geom.ringContains. */
+  def contains(x: Double, y: Double): Int = {
+    // candidate buckets: yLo in [y - maxSpan - 1, y + 1]
+    var b0 = ((y - maxSpan - 1.0 - minY) / bw).toInt - 1
+    var b1 = ((y + 1.0 - minY) / bw).toInt + 1
+    if (b0 < 0) b0 = 0
+    if (b1 >= nBuckets) b1 = nBuckets - 1
+    var result = -1
+    var b = b0
+    while (b <= b1) {
+      var k = bucketStart(b)
+      val end = bucketStart(b + 1)
+      while (k < end) {
+        val i = segIdx(k)
+        val j = if (i == 0) n - 1 else i - 1
+        val xi = ring(2 * i); val yi = ring(2 * i + 1)
+        val xj = ring(2 * j); val yj = ring(2 * j + 1)
+        if (Geom.segmentContains(xi, yi, xj, yj, x, y)) return 0
+        if (((yi > y) != (yj > y)) && (x < (xj - xi) * (y - yi) / (yj - yi) + xi)) {
+          result = -result
+        }
+        k += 1
+      }
+      b += 1
+    }
+    result
+  }
+
+  /** Exact contains(ring, hole): first non-zero verdict walking hole's
+    * vertices in order (see Geom.contains).
+    */
+  def containsRing(hole: Array[Double]): Int = {
+    val m = hole.length / 2
+    var i = 0
+    while (i < m) {
+      val c = contains(hole(2 * i), hole(2 * i + 1))
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+}

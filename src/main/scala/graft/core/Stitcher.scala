@@ -40,10 +40,10 @@ final class Stitcher(gdx: Int) {
   @inline def vertexKey(x2: Long, y2: Long): Long = x2 + y2 * keyStride
 
   private final class Frag(var startKey: Long, var endKey: Long) {
-    val pts = new ArrayBuffer[Double](8)
+    val pts = new DoubleBuf(8)
     var maxKey: Long = 0L
     var anchorPos: Int = 0
-    @inline def nPts: Int = pts.length / 2
+    @inline def nPts: Int = pts.nPts
   }
 
   // fragments keyed by their open endpoints; a vertex has globally unique
@@ -72,25 +72,20 @@ final class Stitcher(gdx: Int) {
           // ring closed: fragment runs end->...->start; append end.
           // Ring starts at the closing segment's end vertex == correct
           // rotation by construction.
-          f.pts += ex
-          f.pts += ey
-          rings += ClosedRing(f.pts.toArray, sweepKey)
+          rings += ClosedRing(f.pts.toArrayPlus(ex, ey), sweepKey)
         } else {
           // concatenate f ++ g (segment connects f.end -> g.start)
-          byEnd.remove(f.endKey) // == sk, already removed; keep for clarity
-          byStart.remove(g.startKey) // == ek, already removed
-          f.pts ++= g.pts
+          f.anchorPos = f.nPts // index of `end` (g's head) after concat
+          f.pts.appendFrom(g.pts, 0)
           f.endKey = g.endKey
           f.maxKey = sweepKey
-          f.anchorPos = (f.pts.length / 2) - (g.pts.length / 2) // index of `end` (g's head)
           byStart.put(f.startKey, f)
           byEnd.put(f.endKey, f)
         }
       } else {
         // append end to f's tail
         byEnd.remove(sk)
-        f.pts += ex
-        f.pts += ey
+        f.pts.addPt(ex, ey)
         f.endKey = ek
         f.maxKey = sweepKey
         f.anchorPos = f.nPts - 1
@@ -101,17 +96,15 @@ final class Stitcher(gdx: Int) {
       if (h != null) {
         // prepend start to h's head
         byStart.remove(ek)
-        h.pts.insertAll(0, List(sx, sy))
+        h.pts.prependPt(sx, sy)
         h.startKey = sk
         h.maxKey = sweepKey
         h.anchorPos = 1 // the segment's end vertex is now at index 1
         byStart.put(sk, h)
       } else {
         val nf = new Frag(sk, ek)
-        nf.pts += sx
-        nf.pts += sy
-        nf.pts += ex
-        nf.pts += ey
+        nf.pts.addPt(sx, sy)
+        nf.pts.addPt(ex, ey)
         nf.maxKey = sweepKey
         nf.anchorPos = 1
         byStart.put(sk, nf)

@@ -66,9 +66,42 @@ object DocCodec {
     tiles.map(tileToDoc)
   }
 
+  /** Columnar decode: explode spans, slice the (small) metadata prefix and
+    * the base64 payload with byte-level substring ops, unbase64 natively,
+    * and only then build the typed TileRow. Avoids inflating the ~1MB
+    * media_ref into UTF-16 Strings in the hot path (the payload travels as
+    * UTF8String bytes -> binary end to end).
+    */
   def decode(docs: Dataset[Doc])(implicit spark: SparkSession): Dataset[TileRow] = {
     import spark.implicits._
-    docs.flatMap(docToTiles)
+    import org.apache.spark.sql.functions._
+    val ref = col("s.media_ref")
+    docs.toDF()
+      .select(explode(col("spans")).as("s"))
+      .filter(col("s.kind") === "media" && substring(ref, 1, 9) === "raster://")
+      .select(
+        substring(ref, lit(1), instr(ref, "&d=") - 1).as("meta"),
+        unbase64(expr("substring(s.media_ref, instr(s.media_ref, '&d=') + 3)")).as("payload"))
+      .select(
+        regexp_extract(col("meta"), "^raster://([^/]+)/(\\d+)/(\\d+)\\?", 1).as("gridId"),
+        regexp_extract(col("meta"), "^raster://[^/]+/(\\d+)/", 1).cast("int").as("tileY"),
+        regexp_extract(col("meta"), "^raster://[^/]+/\\d+/(\\d+)\\?", 1).cast("int").as("tileX"),
+        regexp_extract(col("meta"), "sx0=(-?\\d+)", 1).cast("int").as("sx0"),
+        regexp_extract(col("meta"), "sy0=(-?\\d+)", 1).cast("int").as("sy0"),
+        regexp_extract(col("meta"), "tw=(\\d+)", 1).cast("int").as("tw"),
+        regexp_extract(col("meta"), "th=(\\d+)", 1).cast("int").as("th"),
+        regexp_extract(col("meta"), "vw=(\\d+)", 1).cast("int").as("vw"),
+        regexp_extract(col("meta"), "vh=(\\d+)", 1).cast("int").as("vh"),
+        regexp_extract(col("meta"), "gdx=(\\d+)", 1).cast("int").as("gdx"),
+        regexp_extract(col("meta"), "gdy=(\\d+)", 1).cast("int").as("gdy"),
+        col("payload"))
+      .as[(String, Int, Int, Int, Int, Int, Int, Int, Int, Int, Int, Array[Byte])]
+      .map { case (gridId, tileY, tileX, sx0, sy0, tw, th, vw, vh, gdx, gdy, payload) =>
+        val values = new Array[Double](payload.length / 8)
+        java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .asDoubleBuffer().get(values)
+        TileRow(gridId, tileX, tileY, sx0, sy0, tw, th, vw, vh, gdx, gdy, values)
+      }
   }
 
   /** Append GeoJSON features as new text spans on every doc of the grid,

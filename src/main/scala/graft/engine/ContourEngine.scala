@@ -62,6 +62,7 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
     */
   def closedRings(kernelOut0: Dataset[RingFragRow], maxTileCoord: Int): Dataset[RingFragRow] = {
     val kernelOut = kernelOut0.persist(StorageLevel.MEMORY_AND_DISK)
+    kernelOut.count() // eager: downstream branches must hit cache, not recompute
     val closedParts = ArrayBuffer[Dataset[RingFragRow]](kernelOut.filter(_.closed))
     var open = kernelOut.filter(!_.closed)
     val levels = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxTileCoord)))
@@ -84,6 +85,7 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
               RingFragRow(gid, ti, closed = false, bx, by, f.startKey, f.endKey, f.maxKey, f.anchorPos, f.pts))
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
+      merged.count() // eager per round: the closed/open branches share one compute
       closedParts += merged.filter(_.closed)
       open = merged.filter(!_.closed)
       l += 1
@@ -121,10 +123,16 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
         val polys = Assembly.assembleContour(rings.toSeq)
         ContourRow(gid, ts(ti), polys.map(p => PolyRow(p.exterior.toSeq, p.holes.map(_.toSeq))))
       }
-    val missing = missingKeys(ko, thresholds.length,
-      assembled.map(c => (c.gridId, ts.indexOf(c.threshold))))
+    val missing = missingKeys(ko, thresholds.length, presentKeys(closed))
       .map { case (g, ti) => ContourRow(g, ts(ti), Nil) }
     assembled.union(missing)
+  }
+
+  /** distinct (gridId, ti) of ring rows via cached columnar scan */
+  private def presentKeys(closed: Dataset[RingFragRow]): Dataset[(String, Int)] = {
+    import org.apache.spark.sql.functions.col
+    closed.toDF().filter(col("ti") >= 0).select("gridId", "ti").distinct()
+      .as[(String, Int)]
   }
 
   /** Isolines — the reference's `lines()` distributed. */
@@ -143,8 +151,7 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
         }
         LineRow(gid, ts(ti), rings.toSeq)
       }
-    val missing = missingKeys(ko, thresholds.length,
-      assembled.map(l => (l.gridId, ts.indexOf(l.threshold))))
+    val missing = missingKeys(ko, thresholds.length, presentKeys(closed))
       .map { case (g, ti) => LineRow(g, ts(ti), Nil) }
     assembled.union(missing)
   }
@@ -162,8 +169,7 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
       .mapGroups { (key: (String, Int), it: Iterator[RingFragRow]) =>
         RingsRow(key._1, ts(key._2), it.toArray.sortBy(_.maxKey).map(_.pts.toSeq).toSeq)
       }
-    val missing = missingKeys(ko, thresholds.length,
-      assembled.map(r => (r.gridId, ts.indexOf(r.threshold))))
+    val missing = missingKeys(ko, thresholds.length, presentKeys(closed))
       .map { case (g, ti) => RingsRow(g, ts(ti), Nil) }
     assembled.union(missing)
   }
@@ -204,19 +210,25 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
           Assembly.assembleBand(rings).map(p => PolyRow(p.exterior.toSeq, p.holes.map(_.toSeq))))
       }
     val missing = missingKeys(ko, n - 1,
-      assembled.map(b => (b.gridId, ts.indexOf(b.minV))))
+      bandRings.map(r => (r._1, r._2)).distinct())
       .map { case (g, b) => BandRow(g, ts(b), ts(b + 1), Nil) }
     assembled.union(missing)
   }
 
   /** (grid, index) combos that produced no rings — the reference emits an
-    * empty geometry for them.
+    * empty geometry for them. Computed driver-side: both key sets are tiny
+    * (grids x thresholds) and the inputs are cached, so this avoids the
+    * shuffle-heavy except() and a recompute of the assembly.
     */
   private def missingKeys(kernelOut: Dataset[RingFragRow], nPerGrid: Int,
                           present: Dataset[(String, Int)]): Dataset[(String, Int)] = {
-    val expected = kernelOut.filter(_.ti == -1).map(_.gridId).distinct()
-      .flatMap(g => (0 until nPerGrid).map(ti => (g, ti)))
-    expected.except(present)
+    import org.apache.spark.sql.functions.col
+    val grids = kernelOut.toDF().filter(col("ti") === -1)
+      .select("gridId").distinct().as[String].collect()
+    val have = present.collect().toSet
+    val missing = for { g <- grids.toSeq; i <- 0 until nPerGrid; if !have((g, i)) }
+      yield (g, i)
+    spark.createDataset(missing)
   }
 
   /** GeoJSON features per grid, ordered by threshold — for appending to the

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.core.Tiling
+import graft.model.TileRow
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Deterministic grid derived from the events table — the bridge between the
+  * DuckDB oracle (pure SQL over events.parquet) and the contour engine:
+  * sample (x, y) = value at x = event_id % W, y = event_id / W.
+  *
+  * The tile build is itself a distributed raster-assembly pattern: each
+  * sample point is routed to its owning tile plus any neighbor tiles whose
+  * right/bottom halo contains it, then tiles densify per group.
+  */
+object EventsGrid {
+  val W = 100
+  val Thresholds: Seq[Double] = Seq(25.0, 50.0, 75.0, 100.0)
+
+  def dims(spark: SparkSession, dir: String): (Int, Int) = {
+    val n = spark.read.parquet(s"$dir/events.parquet").count()
+    require(n % W == 0, s"events count $n not divisible by W=$W")
+    (W, (n / W).toInt)
+  }
+
+  def tiles(spark: SparkSession, dir: String,
+            tileW: Int = 50, tileH: Int = 50): Dataset[TileRow] = {
+    import spark.implicits._
+    val (w, h) = dims(spark, dir)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)]
+    val routed = ev.flatMap { case (id, v) =>
+      val x = (id % w).toInt
+      val y = (id / w).toInt
+      val tx = x / tileW
+      val ty = y / tileH
+      val out = new ArrayBuffer[(Int, Int, Int, Int, Double)](4)
+      out += ((tx, ty, x, y, v))
+      val haloL = x % tileW == 0 && tx > 0 // right-halo sample of the left tile
+      val haloT = y % tileH == 0 && ty > 0 // bottom-halo sample of the tile above
+      if (haloL) out += ((tx - 1, ty, x, y, v))
+      if (haloT) out += ((tx, ty - 1, x, y, v))
+      if (haloL && haloT) out += ((tx - 1, ty - 1, x, y, v))
+      out
+    }
+    routed.groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Int, Double)]) =>
+        val (tx, ty) = key
+        val s = Tiling.tileSpec(w, h, tileW, tileH, tx, ty)
+        val vals = new Array[Double](s.vw * s.vh)
+        it.foreach { case (_, _, x, y, v) => vals((y - s.vy0) * s.vw + (x - s.vx0)) = v }
+        TileRow("events", tx, ty, s.sx0, s.sy0, s.tw, s.th, s.vw, s.vh, w, h, vals)
+      }
+  }
+}

@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Large-scale training-data pipeline operators over the documents and
+  * embeddings tables — exact dedup, MinHash+LSH near-dup, SimHash,
+  * fingerprinting, token/quality/language stats, and ANN (brute-force +
+  * IVF-style bucketed) — built from native `functions._` (codegen'd; no
+  * UDFs in any hot path). Where an op is SQL-expressible with identical
+  * semantics in DuckDB, `oracleSql` carries the oracle.
+  */
+object TrainingOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** ASCII word tokens, lowercased — semantics shared with the DuckDB oracle
+    * (regexp_extract_all on lower()).
+    */
+  private val toks: Column = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+
+  // ---- exact dedup: hash-groupBy on content ----
+  val exactDup: (SparkSession, String) => DataFrame = (spark, dir) =>
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy("h")
+
+  // ---- token counting ----
+  val tokenStats: (SparkSession, String) => DataFrame = (spark, dir) =>
+    docs(spark, dir)
+      .withColumn("toks", toks)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        expr("aggregate(transform(toks, w -> length(w)), 0, (a, b) -> a + b)")
+          .cast("long").as("n_token_chars"))
+      .orderBy("doc_id")
+
+  // ---- quality scoring: integer-exact signals ----
+  val qualityScore: (SparkSession, String) => DataFrame = (spark, dir) =>
+    docs(spark, dir)
+      .withColumn("toks", toks)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit("[.!?]")).cast("long").as("n_sentence_punct"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digits"),
+        (size(array_distinct(col("toks"))) * 1000L / greatest(size(col("toks")), lit(1)))
+          .cast("long").as("ttr_x1000"))
+      .orderBy("doc_id")
+
+  // ---- language id: marker-token voting (heuristic; engine-only) ----
+  val langId: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val markers = Map(
+      "en" -> Seq("the", "and", "of", "fast", "table"),
+      "fr" -> Seq("le", "la", "et", "des", "une"),
+      "de" -> Seq("der", "und", "die", "nicht", "ein"),
+      "es" -> Seq("el", "y", "los", "una", "que"),
+      "zh" -> Seq("de", "shi", "le", "zai", "he"))
+    val scored = docs(spark, dir).withColumn("toks", toks)
+    val scoreCols = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      val hits = ws.map(w => size(filter(col("toks"), t => t === w))).reduce(_ + _)
+      struct(hits.cast("long").as("score"), lit(lang).as("lang"))
+    }
+    scored.select(col("doc_id"), col("lang").as("lang_given"),
+        greatest(scoreCols: _*).getField("lang").as("lang_pred"))
+      .withColumn("agree", col("lang_pred") === col("lang_given"))
+      .orderBy("doc_id")
+  }
+
+  // ---- MinHash signatures: word 3-gram shingles, 16 md5-derived hashes ----
+  private val NumHashes = 16
+
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("shingles",
+        when(size(col("toks")) < 3, array().cast("array<string>"))
+          .otherwise(expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")))
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+
+  val minhashSignatures: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val seeds = spark.range(0, NumHashes).toDF("seed")
+    shingled(spark, dir)
+      .crossJoin(broadcast(seeds))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("s")))).as("minhash"))
+      .orderBy("doc_id", "seed")
+  }
+
+  // ---- LSH near-dup pairs: 4 bands x 4 rows over the signatures ----
+  val minhashDupPairs: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val seeds = spark.range(0, NumHashes).toDF("seed")
+    val sigs = shingled(spark, dir)
+      .crossJoin(broadcast(seeds))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("s")))).as("minhash"))
+    val bands = sigs
+      .groupBy(col("doc_id"), (col("seed") / 4).cast("int").as("band"))
+      .agg(array_join(sort_array(collect_list(
+        concat(lpad(col("seed").cast("string"), 2, "0"), lit(":"), col("minhash")))), ",").as("bkey"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- SimHash (64-bit, token unigrams, md5-derived bits; engine-only) ----
+  val simhash: (SparkSession, String) => DataFrame = (spark, dir) => {
+    // per token: take the first 16 hex chars of md5(token) as a 64-bit word;
+    // simhash bit b = sign of sum over tokens of (bit set ? +1 : -1)
+    val tokenBits = docs(spark, dir)
+      .select(col("doc_id"), explode(toks).as("t"))
+      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+    val bits = (0 until 60).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = tokenBits.groupBy("doc_id").agg(bits.head, bits.tail: _*)
+    val sim = (0 until 60).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+  }
+
+  // ---- document fingerprint: md5 of whitespace-normalized lowercase text ----
+  val fingerprint: (SparkSession, String) => DataFrame = (spark, dir) =>
+    docs(spark, dir)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      .orderBy("doc_id")
+
+  // ---- ANN: brute-force cosine top-k (exact baseline) ----
+  val annTopK: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val joined = broadcast(q).crossJoin(e)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, p) -> acc + p)") /
+          (col("qn") * col("norm")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- ANN scale path: LSH sign-bucketed (IVF-style probe of one bucket) ----
+  val annIvfTopK: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val dim = 64
+    val nPlanes = 4
+    val rnd = new scala.util.Random(7)
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    val planesCol = typedLit(planes.map(_.toSeq).toSeq)
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("planes", planesCol)
+      .withColumn("bucket",
+        expr("aggregate(transform(planes, p -> if(aggregate(zip_with(p, v, (x, y) -> x * y), 0D, (acc, d) -> acc + d) >= 0D, 1, 0)), 0, (acc, b) -> acc * 2 + b)"))
+      .drop("planes")
+      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("bucket").as("qbucket"), col("norm").as("qn"))
+    val joined = broadcast(q).join(e, col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, p) -> acc + p)") /
+          (col("qn") * col("norm")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB oracles for the SQL-expressible subset. */
+  val oracleSql: Map[String, String] = Map(
+    "q_doc_exact_dup" ->
+      """SELECT md5(text) AS h, count(*)::BIGINT AS n FROM documents
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
+
+    "q_doc_token_stats" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents)
+        |SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+        |       len(list_distinct(ws))::BIGINT AS n_distinct,
+        |       COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)::BIGINT AS n_token_chars
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_doc_quality" ->
+      """WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents)
+        |SELECT doc_id, length(text)::BIGINT AS n_chars, len(ws)::BIGINT AS n_tokens,
+        |       len(regexp_extract_all(text, '[.!?]'))::BIGINT AS n_sentence_punct,
+        |       len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
+        |       (len(list_distinct(ws)) * 1000 // greatest(len(ws), 1))::BIGINT AS ttr_x1000
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_doc_minhash" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+        |seeds AS (SELECT unnest(range(0, 16)) AS seed)
+        |SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS minhash
+        |FROM sh CROSS JOIN seeds GROUP BY 1, 2 ORDER BY doc_id, seed""".stripMargin,
+
+    "q_doc_minhash_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+        |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+        |sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS minhash
+        |         FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, (seed // 4)::INT AS band,
+        |                 string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, ',' ORDER BY seed) AS bkey
+        |          FROM sigs GROUP BY 1, 2)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+        |             list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qn * nrm) AS sim
+        |      FROM q CROSS JOIN n WHERE n.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  )
+}
