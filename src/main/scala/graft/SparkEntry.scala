@@ -179,6 +179,39 @@ object SparkEntry {
       Seq((nDocs, nViolations, nViolations == 0)).toDF("n_docs", "n_violations", "ok")
     }),
 
+    // ---- point-in-polygon tag join against the engine's own contours ----
+    // Samples behave as unit pixels; the unsmoothed marching-squares curve
+    // separates PIXEL CENTERS, so the center (x+0.5, y+0.5) is inside the
+    // threshold-t MultiPolygon (even-odd over all rings) EXACTLY iff
+    // value(x, y) >= t — which is what the DuckDB oracle checks relationally.
+    "q_pip_tag" -> ((spark, dir) => {
+      import spark.implicits._
+      val cts = engine(spark, smooth = false).contours(eventTiles(spark, dir))
+      val (w, _) = EventsGrid.dims(spark, dir)
+      val points = spark.read.parquet(s"$dir/events.parquet")
+        .selectExpr("event_id", s"cast(event_id % $w as double) + 0.5 as x",
+          s"cast(event_id div $w as double) + 0.5 as y")
+        .as[(Long, Double, Double)]
+      graft.engine.SpatialOps.pipTag(spark, points, cts)
+        .orderBy("point_id", "threshold")
+    }),
+
+    // ---- kNN join against emitted contour vertices ----
+    "q_knn_vertices" -> ((spark, dir) => {
+      import spark.implicits._
+      val cts = engine(spark, smooth = false).contours(eventTiles(spark, dir))
+      val verts = graft.engine.SpatialOps.contourVertices(spark, cts)
+        .filter(col("threshold") === 50.0)
+      val (w, _) = EventsGrid.dims(spark, dir)
+      val queries = spark.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_id") < 50)
+        .selectExpr("event_id", s"cast(event_id % $w as double) + 0.25 as x",
+          s"cast(event_id div $w as double) + 0.25 as y")
+        .as[(Long, Double, Double)]
+      graft.engine.SpatialOps.knnVertices(spark, queries, verts, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- training-data ops over documents/embeddings ----
     "q_doc_exact_dup" -> TrainingOps.exactDup,
     "q_doc_token_stats" -> TrainingOps.tokenStats,
@@ -237,6 +270,11 @@ object SparkEntry {
         |  LEFT JOIN g b3 ON b3.x = cx.cx     AND b3.y = cy.cy)
         |SELECT threshold,
         |  sum(CASE WHEN c IN (0, 15) THEN 0 WHEN c IN (5, 10) THEN 2 ELSE 1 END)::BIGINT AS segments
-        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pip_tag" ->
+      """SELECT event_id AS point_id, threshold, (value >= threshold) AS inside
+        |FROM events CROSS JOIN (VALUES (25.0),(50.0),(75.0),(100.0)) t(threshold)
+        |ORDER BY point_id, threshold""".stripMargin
   ) ++ TrainingOps.oracleSql
 }

@@ -1,0 +1,124 @@
+package graft.engine
+
+import graft.core.RingIndex
+import graft.model.ContourRow
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spatial-join operators over the engine's vector outputs:
+  *
+  *  - point-in-polygon tagging: broadcast the (small) polygon set, build
+  *    RingIndexes once per partition, tag each point by even-odd depth over
+  *    ALL rings (exteriors + holes) — the scale path for large polygon sets
+  *    is the same operator behind a spatial-key partitioned join;
+  *  - kNN join against contour vertices: grid-cell bucketed join with an
+  *    expanding ring search (r = 2 cells first; unresolved queries fall back
+  *    to a brute-force pass), deterministic tie-break on (dist, x, y).
+  */
+object SpatialOps {
+
+  /** For each (id, x, y) point and each threshold: inside = odd number of
+    * containing rings of that threshold's MultiPolygon. Points on a ring
+    * boundary count as not-inside-nor-outside (verdict 0) and are excluded
+    * from the odd count, matching the reference's ring_contains.
+    */
+  /** Drop the duplicated closing point: the reference's ring_contains scans
+    * the degenerate wrap segment (first == last), which marks the whole
+    * horizontal line through the ring's first vertex as "on boundary" —
+    * harmless for the reference's hole walk, wrong for point tagging.
+    */
+  private def dropClosing(ring: Array[Double]): Array[Double] =
+    if (ring.length >= 4 &&
+        ring(0) == ring(ring.length - 2) && ring(1) == ring(ring.length - 1))
+      java.util.Arrays.copyOf(ring, ring.length - 2)
+    else ring
+
+  def pipTag(spark: SparkSession, points: Dataset[(Long, Double, Double)],
+             contours: Dataset[ContourRow]): DataFrame = {
+    import spark.implicits._
+    // polygons are the small side: collect + broadcast
+    val polys: Array[(Double, Array[Array[Double]])] = contours.collect().map { c =>
+      (c.threshold, c.polygons.flatMap(p => p.exterior.toArray +: p.holes.map(_.toArray))
+        .map(dropClosing).toArray)
+    }
+    val bc = spark.sparkContext.broadcast(polys)
+    points.mapPartitions { it =>
+      val indexed = bc.value.map { case (t, rings) =>
+        (t, rings.map(r => (graft.core.Geom.bbox(r), new RingIndex(r))))
+      }
+      it.flatMap { case (id, x, y) =>
+        indexed.iterator.map { case (t, rings) =>
+          var depth = 0
+          rings.foreach { case (bb, idx) =>
+            if (x >= bb(0) && x <= bb(2) && y >= bb(1) && y <= bb(3) &&
+                idx.contains(x, y) == 1) depth += 1
+          }
+          (id, t, depth % 2 == 1)
+        }
+      }
+    }.toDF("point_id", "threshold", "inside")
+  }
+
+  /** Vertices of every ring of a contour set, deduplicated per threshold
+    * (the closing duplicate dropped), as (threshold, vx, vy).
+    */
+  def contourVertices(spark: SparkSession, contours: Dataset[ContourRow]): DataFrame = {
+    import spark.implicits._
+    contours.flatMap { c =>
+      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
+        // drop the closing duplicate point
+        (0 until ring.length / 2 - 1).iterator.map(i => (c.threshold, ring(2 * i), ring(2 * i + 1)))
+      }
+    }.toDF("threshold", "vx", "vy")
+  }
+
+  /** kNN join: for each query point, the k nearest (vx, vy) vertices.
+    * Phase 1 buckets both sides into `cell`-sized grid cells and joins each
+    * query against the (2r+1)^2 neighborhood (r=2); queries whose kth
+    * neighbor is not provably within r*cell (or with <k candidates) are
+    * resolved exactly by a brute-force pass against the full vertex set.
+    * Returns (query_id, rank, vx, vy, dist).
+    */
+  def knnVertices(spark: SparkSession, queries: Dataset[(Long, Double, Double)],
+                  vertices: DataFrame, k: Int, cell: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    val r = 2
+    val verts = vertices.select(col("vx").cast("double"), col("vy").cast("double"))
+      .withColumn("cx", floor(col("vx") / cell).cast("int"))
+      .withColumn("cy", floor(col("vy") / cell).cast("int"))
+    val q = queries.toDF("query_id", "qx", "qy")
+    val qCells = q
+      .withColumn("dx", explode(lit((-r to r).toArray)))
+      .withColumn("dy", explode(lit((-r to r).toArray)))
+      .withColumn("cx", (floor(col("qx") / cell) + col("dx")).cast("int"))
+      .withColumn("cy", (floor(col("qy") / cell) + col("dy")).cast("int"))
+      .drop("dx", "dy")
+
+    def topK(joined: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist"), col("vx"), col("vy"))
+      joined
+        .withColumn("dist",
+          sqrt((col("vx") - col("qx")) * (col("vx") - col("qx")) +
+            (col("vy") - col("qy")) * (col("vy") - col("qy"))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+
+    // each vertex row lives in exactly one cell and each (query, cell) pair
+    // occurs once, so the join introduces no duplicates — and genuinely
+    // duplicated vertex coordinates must stay (they are distinct neighbors)
+    val phase1 = topK(qCells.join(verts, Seq("cx", "cy"))).persist()
+    // resolved: k candidates found AND kth distance <= r*cell (no closer
+    // vertex can hide outside the searched neighborhood)
+    val resolvedIds = phase1.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max(col("dist")).as("kth"))
+      .filter(col("n") === k && col("kth") <= lit(r * cell))
+      .select("query_id")
+    val resolved = phase1.join(broadcast(resolvedIds), Seq("query_id"))
+    val unresolvedQ = q.join(broadcast(resolvedIds), Seq("query_id"), "left_anti")
+    val fallback = topK(unresolvedQ.crossJoin(verts))
+    resolved.select("query_id", "rank", "vx", "vy", "dist")
+      .union(fallback.select("query_id", "rank", "vx", "vy", "dist"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.engine
+
+import graft.SparkTestSession
+import graft.core.Goldens
+import graft.model.JobConfig
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpatialOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("pipTag over unsmoothed contours == value >= t at grid samples") {
+    import spark.implicits._
+    val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
+    val tiles = GridSynth.tilesFromArray(spark, "gv", data, w, h, 16, 16)
+    val thresholds = Seq(100.0, 140.0, 170.0)
+    val cts = new ContourEngine(spark, JobConfig(thresholds, smooth = false)).contours(tiles)
+    val points = spark.createDataset(
+      (0 until w * h by 7).map(i => (i.toLong, (i % w) + 0.5, (i / w) + 0.5)))
+    val tagged = SpatialOps.pipTag(spark, points, cts)
+      .as[(Long, Double, Boolean)].collect()
+    tagged.foreach { case (id, t, inside) =>
+      assert(inside == (data(id.toInt) >= t), s"point $id t=$t")
+    }
+  }
+
+  test("pipTag handles holes (donut grid)") {
+    import spark.implicits._
+    val tiles = GridSynth.tilesFromArray(spark, "gh", Goldens.holeGrid, 10, 10, 5, 5)
+    val cts = new ContourEngine(spark, JobConfig(Seq(0.5), smooth = false)).contours(tiles)
+    val points = spark.createDataset(Seq(
+      (0L, 4.5, 5.5),  // in the hole -> outside
+      (1L, 3.25, 5.5), // in the ring material -> inside
+      (2L, 0.5, 0.5))) // far outside
+    val got = SpatialOps.pipTag(spark, points, cts)
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1).map(_._3).toSeq
+    assert(got == Seq(false, true, false))
+  }
+
+  test("knnVertices bucketed == brute force") {
+    import spark.implicits._
+    val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
+    val tiles = GridSynth.tilesFromArray(spark, "gv", data, w, h, 16, 16)
+    val cts = new ContourEngine(spark, JobConfig(Seq(120.0, 160.0), smooth = true)).contours(tiles)
+    val verts = SpatialOps.contourVertices(spark, cts)
+    val rnd = new scala.util.Random(3)
+    val queries = spark.createDataset(
+      (0 until 40).map(i => (i.toLong, rnd.nextDouble() * w, rnd.nextDouble() * h)))
+    val got = SpatialOps.knnVertices(spark, queries, verts, k = 5)
+      .select("query_id", "rank", "vx", "vy")
+      .as[(Long, Int, Double, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // brute force in memory
+    val vs = verts.select("vx", "vy").as[(Double, Double)].collect()
+    val qs = queries.collect()
+    val want = qs.flatMap { case (qid, qx, qy) =>
+      vs.map { case (vx, vy) =>
+        (qid, math.sqrt((vx - qx) * (vx - qx) + (vy - qy) * (vy - qy)), vx, vy)
+      }.sortBy(t => (t._2, t._3, t._4)).take(5).zipWithIndex
+        .map { case ((qid2, _, vx, vy), i) => (qid2, i + 1, vx, vy) }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    assert(got == want)
+  }
+}
