@@ -68,22 +68,7 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
     val levels = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxTileCoord)))
     var l = 1
     while (l <= levels) {
-      val isFinal = l == levels
-      val shift = l
-      val merged = open
-        .groupByKey(r => (r.gridId, r.ti, r.bx >> shift, r.by >> shift))
-        .flatMapGroups { (key: (String, Int, Int, Int), it: Iterator[RingFragRow]) =>
-          val (gid, ti, bx, by) = key
-          val frags = it.map(r => OpenFrag(r.pts, r.startKey, r.endKey, r.maxKey, r.anchorPos)).toSeq
-          val res = FragmentMerge.merge(frags)
-          if (isFinal && res.open.nonEmpty)
-            throw new IllegalStateException(
-              s"${res.open.length} fragments failed to close for grid=$gid ti=$ti")
-          res.rings.iterator.map(cr =>
-            RingFragRow(gid, ti, closed = true, 0, 0, 0L, 0L, cr.maxKey, 0, cr.pts)) ++
-            res.open.iterator.map(f =>
-              RingFragRow(gid, ti, closed = false, bx, by, f.startKey, f.endKey, f.maxKey, f.anchorPos, f.pts))
-        }
+      val merged = mergeOpen(open, l, l == levels)
         .persist(StorageLevel.MEMORY_AND_DISK)
       merged.count() // eager per round: the closed/open branches share one compute
       closedParts += merged.filter(_.closed)
@@ -93,6 +78,60 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
     closedParts.reduce(_ union _)
   }
 
+  /** One hierarchical merge round: group open fragments by 2^shift-tile
+    * blocks and stitch within each block.
+    */
+  private def mergeOpen(open: Dataset[RingFragRow], shift: Int,
+                        isFinal: Boolean): Dataset[RingFragRow] =
+    open.groupByKey(r => (r.gridId, r.ti,
+        graft.index.CellIndex.parent(graft.index.CellIndex.morton(r.bx, r.by), shift)))
+      .flatMapGroups { (key: (String, Int, Long), it: Iterator[RingFragRow]) =>
+        val (gid, ti, cell) = key
+        val bx = graft.index.CellIndex.mortonX(cell)
+        val by = graft.index.CellIndex.mortonY(cell)
+        val frags = it.map(r => OpenFrag(r.pts, r.startKey, r.endKey, r.maxKey, r.anchorPos)).toSeq
+        val res = FragmentMerge.merge(frags)
+        if (isFinal && res.open.nonEmpty)
+          throw new IllegalStateException(
+            s"${res.open.length} fragments failed to close for grid=$gid ti=$ti")
+        res.rings.iterator.map(cr =>
+          RingFragRow(gid, ti, closed = true, 0, 0, 0L, 0L, cr.maxKey, 0, cr.pts)) ++
+          res.open.iterator.map(f =>
+            RingFragRow(gid, ti, closed = false, bx, by, f.startKey, f.endKey, f.maxKey, f.anchorPos, f.pts))
+      }
+
+  /** Lake-checkpointed merge fixpoint: round 0 = kernel output, round l =
+    * merge level l; every round is committed as a snapshot of `lakeTable`
+    * (atomic manifest, per-partition row metrics, lineage chain), and on
+    * restart the latest completed round is read back and the fixpoint
+    * resumes after it — so a failed long job never re-runs finished rounds.
+    * Each round reads its input from the previous round's parquet, which
+    * doubles as reliable materialization on a real cluster.
+    */
+  def closedRingsCheckpointed(tiles: Dataset[TileRow], lakeTable: String,
+                              maxTileCoord: Int): Dataset[RingFragRow] = {
+    import graft.lake.Lake
+    val levels = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxTileCoord)))
+    val resume = (0 to levels).reverse.iterator
+      .map(l => (l, Lake.latestFor(spark, lakeTable, s"round-$l")))
+      .collectFirst { case (l, Some(snap)) => (l, snap) }
+    var (doneLevel, state) = resume match {
+      case Some((l, snap)) => (l, Lake.read(spark, snap).as[RingFragRow])
+      case None =>
+        val snap = Lake.commit(spark, lakeTable, kernelRows(tiles).toDF(), "round-0")
+        (0, Lake.read(spark, snap).as[RingFragRow])
+    }
+    var l = doneLevel + 1
+    while (l <= levels) {
+      val next = state.filter(_.closed)
+        .union(mergeOpen(state.filter(!_.closed), l, l == levels))
+      val snap = Lake.commit(spark, lakeTable, next.toDF(), s"round-$l")
+      state = Lake.read(spark, snap).as[RingFragRow]
+      l += 1
+    }
+    state.filter(_.closed)
+  }
+
   private def maxTileCoordOf(kernelOut: Dataset[RingFragRow]): Int = {
     import org.apache.spark.sql.functions._
     val row = kernelOut.filter(_.ti == -1).toDF()
@@ -100,15 +139,17 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
     if (row.isNullAt(0)) 0 else row.getInt(0)
   }
 
-  private def closedOf(tiles: Dataset[TileRow], hint: Option[Int])
-      : (Dataset[RingFragRow], Dataset[RingFragRow]) = {
+  private def closedOf(tiles: Dataset[TileRow], hint: Option[Int]): Dataset[RingFragRow] = {
     val ko = kernelRows(tiles)
-    (ko, closedRings(ko, hint.getOrElse(maxTileCoordOf(ko))))
+    closedRings(ko, hint.getOrElse(maxTileCoordOf(ko)))
   }
 
   /** Contour polygons — the reference's `contours()` distributed. */
-  def contours(tiles: Dataset[TileRow], maxTileCoordHint: Option[Int] = None): Dataset[ContourRow] = {
-    val (ko, closed) = closedOf(tiles, maxTileCoordHint)
+  def contours(tiles: Dataset[TileRow], maxTileCoordHint: Option[Int] = None): Dataset[ContourRow] =
+    contoursFrom(closedOf(tiles, maxTileCoordHint))
+
+  /** Assembly from closed rings + markers (post-merge state). */
+  def contoursFrom(closed: Dataset[RingFragRow]): Dataset[ContourRow] = {
     val ts = thresholds
     val (xs, ys, xo, yo) = (cfg.xStep, cfg.yStep, cfg.xOrigin, cfg.yOrigin)
     val ident = cfg.isIdentityAffine
@@ -123,7 +164,7 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
         val polys = Assembly.assembleContour(rings.toSeq)
         ContourRow(gid, ts(ti), polys.map(p => PolyRow(p.exterior.toSeq, p.holes.map(_.toSeq))))
       }
-    val missing = missingKeys(ko, thresholds.length, presentKeys(closed))
+    val missing = missingKeys(closed, thresholds.length, presentKeys(closed))
       .map { case (g, ti) => ContourRow(g, ts(ti), Nil) }
     assembled.union(missing)
   }
@@ -136,8 +177,10 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
   }
 
   /** Isolines — the reference's `lines()` distributed. */
-  def lines(tiles: Dataset[TileRow], maxTileCoordHint: Option[Int] = None): Dataset[LineRow] = {
-    val (ko, closed) = closedOf(tiles, maxTileCoordHint)
+  def lines(tiles: Dataset[TileRow], maxTileCoordHint: Option[Int] = None): Dataset[LineRow] =
+    linesFrom(closedOf(tiles, maxTileCoordHint))
+
+  def linesFrom(closed: Dataset[RingFragRow]): Dataset[LineRow] = {
     val ts = thresholds
     val (xs, ys, xo, yo) = (cfg.xStep, cfg.yStep, cfg.xOrigin, cfg.yOrigin)
     val ident = cfg.isIdentityAffine
@@ -151,7 +194,7 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
         }
         LineRow(gid, ts(ti), rings.toSeq)
       }
-    val missing = missingKeys(ko, thresholds.length, presentKeys(closed))
+    val missing = missingKeys(closed, thresholds.length, presentKeys(closed))
       .map { case (g, ti) => LineRow(g, ts(ti), Nil) }
     assembled.union(missing)
   }
@@ -162,14 +205,14 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
   def contourRings(tiles: Dataset[TileRow], maxTileCoordHint: Option[Int] = None): Dataset[RingsRow] = {
     val raw = new ContourEngine(spark, cfg.copy(smooth = false,
       xOrigin = 0, yOrigin = 0, xStep = 1, yStep = 1))
-    val (ko, closed) = raw.closedOf(tiles, maxTileCoordHint)
+    val closed = raw.closedOf(tiles, maxTileCoordHint)
     val ts = thresholds
     val assembled = closed.filter(_.ti >= 0)
       .groupByKey(r => (r.gridId, r.ti))
       .mapGroups { (key: (String, Int), it: Iterator[RingFragRow]) =>
         RingsRow(key._1, ts(key._2), it.toArray.sortBy(_.maxKey).map(_.pts.toSeq).toSeq)
       }
-    val missing = missingKeys(ko, thresholds.length, presentKeys(closed))
+    val missing = missingKeys(closed, thresholds.length, presentKeys(closed))
       .map { case (g, ti) => RingsRow(g, ts(ti), Nil) }
     assembled.union(missing)
   }
@@ -180,7 +223,10 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
     */
   def isobands(tiles: Dataset[TileRow], maxTileCoordHint: Option[Int] = None): Dataset[BandRow] = {
     require(thresholds.length >= 2, "Unexpected: isobands needs >= 2 thresholds")
-    val (ko, closed) = closedOf(tiles, maxTileCoordHint)
+    isobandsFrom(closedOf(tiles, maxTileCoordHint))
+  }
+
+  def isobandsFrom(closed: Dataset[RingFragRow]): Dataset[BandRow] = {
     val n = thresholds.length
     val ts = thresholds
     val (xs, ys, xo, yo) = (cfg.xStep, cfg.yStep, cfg.xOrigin, cfg.yOrigin)
@@ -209,7 +255,7 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
         BandRow(gid, ts(band), ts(band + 1),
           Assembly.assembleBand(rings).map(p => PolyRow(p.exterior.toSeq, p.holes.map(_.toSeq))))
       }
-    val missing = missingKeys(ko, n - 1,
+    val missing = missingKeys(closed, n - 1,
       bandRings.map(r => (r._1, r._2)).distinct())
       .map { case (g, b) => BandRow(g, ts(b), ts(b + 1), Nil) }
     assembled.union(missing)

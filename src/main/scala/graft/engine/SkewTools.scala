@@ -1,0 +1,73 @@
+package graft.engine
+
+import graft.core.MarchingSquares
+import graft.model.TileRow
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Explicit skew handling for dense-isoline tiles (pot_pop_fr-style value
+  * skew): a two-pass salted repartition of the kernel input.
+  *
+  * Pass 1 estimates per-tile kernel cost from the marching-squares case
+  * histogram at a probe threshold (segment-emitting cells ~ stitching +
+  * shuffle volume). Pass 2 orders tiles by descending weight and deals them
+  * round-robin across output partitions, so the heaviest tiles land on
+  * distinct partitions instead of wherever the input file order hashed
+  * them. The estimate rides the decode pass; the repartition is one
+  * shuffle of the tile payloads.
+  */
+object SkewTools {
+
+  /** (tile, estimated segment count at the probe threshold). */
+  def withWeights(spark: SparkSession, tiles: Dataset[TileRow],
+                  probeThreshold: Double): Dataset[(TileRow, Long)] = {
+    import spark.implicits._
+    tiles.map { t =>
+      val cx0 = if (t.sx0 == 0) -1 else t.sx0
+      val cy0 = if (t.sy0 == 0) -1 else t.sy0
+      val hist = MarchingSquares.caseHistogram(t.values, t.vw, t.vh, t.sx0, t.sy0,
+        t.gdx, t.gdy, cx0, t.sx0 + t.tw - 1, cy0, t.sy0 + t.th - 1, probeThreshold)
+      var segs = 0L
+      var c = 0
+      while (c < 16) {
+        segs += hist(c) * graft.core.Cases.segCount(c)
+        c += 1
+      }
+      (t, segs)
+    }
+  }
+
+  /** Salted rebalance: heaviest tiles spread round-robin over partitions.
+    * The global rank runs over a slim (key, weight) projection — never the
+    * tile payloads — and the slot is joined back, so the only payload
+    * movement is the final repartition.
+    */
+  def rebalance(spark: SparkSession, tiles: Dataset[TileRow],
+                probeThreshold: Double, numPartitions: Int): Dataset[TileRow] = {
+    import spark.implicits._
+    val keys = withWeights(spark, tiles, probeThreshold)
+      .map { case (t, w) => (t.gridId, t.tileX, t.tileY, w) }
+      .toDF("gridId", "tileX", "tileY", "weight")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("weight").desc)
+    val slots = keys
+      .withColumn("slot", (row_number().over(w) - 1) % numPartitions)
+      .select("gridId", "tileX", "tileY", "slot")
+    tiles.join(broadcast(slots), Seq("gridId", "tileX", "tileY"))
+      .repartition(numPartitions, col("slot"))
+      .drop("slot").as[TileRow]
+  }
+
+  /** Max/mean per-partition weight — lets callers (and tests) quantify the
+    * imbalance before/after rebalancing.
+    */
+  def partitionImbalance(spark: SparkSession, tiles: Dataset[TileRow],
+                         probeThreshold: Double): (Double, Double) = {
+    import spark.implicits._
+    val perPart = withWeights(spark, tiles, probeThreshold)
+      .map(_._2).toDF("w")
+      .groupBy(spark_partition_id().as("p")).agg(sum("w").as("w"))
+      .select("w").as[Long].collect()
+    if (perPart.isEmpty) (0.0, 0.0)
+    else (perPart.max.toDouble, perPart.sum.toDouble / perPart.length)
+  }
+}
