@@ -10,12 +10,14 @@ import org.apache.spark.sql.SparkSession
   * stored as an interleaved document table.
   *
   * Metric: raster cells/sec where cells = gdx*gdy*|thresholds| (matching
-  * BASELINE.md). The same input is run at local[8] and local[32]
-  * (SPARK_GRAFT_CPUS overrides the large size) and the N->4N scaling
-  * efficiency (throughput32/throughput8)/4 is reported, since no real
-  * multi-executor cluster exists in this sandbox.
+  * BASELINE.md). No real multi-executor cluster exists in this sandbox, so
+  * the two-cluster-size criterion is evidenced by running the same job on
+  * the same input at N and 4N local executor threads; a full scaling curve
+  * (1 -> 4 on the small input, 4 -> 16 and max on the large input) is
+  * reported because the VM itself saturates at ~16 effective cores.
   *
-  * The doc-table input is generated once under target/bench and reused.
+  * The doc-table inputs are generated once under target/bench and reused;
+  * walls are min-of-reps to reject VM-neighbor noise.
   */
 object Bench {
   private val Thresholds = (90 to 200 by 5).map(_.toDouble)
@@ -30,6 +32,8 @@ object Bench {
       // (assembly); byte-based AQE coalescing would serialize them
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
+      .config("spark.ui.showConsoleProgress", "false")
+      .config("spark.locality.wait", "0ms") // local mode: never idle a core
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -63,66 +67,72 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // This sandbox's VM delivers ~16 effective cores (raw-JVM thread scaling
-    // saturates between 16 and 32), so the N -> 4N evidence pair is 4 -> 16;
-    // 32 is also measured and reported (it can't beat 16 by much here).
-    val smallCpus = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4").toInt
-    val bigCpus = 4 * smallCpus
     val maxCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val grids = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRIDS", "24").toInt
-    val side = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDE", "1024").toInt
     val tile = sys.env.getOrElse("SPARK_GRAFT_BENCH_TILE", "256").toInt
-    val cells = grids.toLong * side * side * Thresholds.length
+    val side = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDE", "1024").toInt
+    val gridsSmall = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRIDS_SMALL", "24").toInt
+    val gridsBig = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRIDS", "144").toInt
     val maxTileCoord = (side + tile - 1) / tile - 1
-    val path = s"target/bench/docs-g${grids}-s$side-t$tile"
+    def cellsOf(g: Int): Long = g.toLong * side * side * Thresholds.length
+    def pathOf(g: Int): String = s"target/bench/docs-g$g-s$side-t$tile"
     val warmPath = s"target/bench/docs-warm-s$tile"
 
     val gen0 = System.nanoTime()
     locally {
       val s = session(maxCpus)
-      ensureInput(s, 2, 2 * tile, tile, warmPath) // warmup set (JIT all stages)
-      ensureInput(s, grids, side, tile, path)
+      ensureInput(s, 2, 2 * tile, tile, warmPath)
+      ensureInput(s, gridsSmall, side, tile, pathOf(gridsSmall))
+      ensureInput(s, gridsBig, side, tile, pathOf(gridsBig))
       s.stop()
     }
     val genSec = (System.nanoTime() - gen0) / 1e9
 
-    /** min wall over `reps` runs (rejects VM-neighbor noise), post-warmup */
-    def measure(cpus: Int): Double = {
+    /** min wall over n runs (rejects VM-neighbor noise), post-warmup */
+    def measure(cpus: Int, grids: Int, n: Int): Double = {
       val s = session(cpus)
       try {
         runOnce(s, warmPath, 0) // JIT + codepath warmup
         var best = Double.MaxValue
-        for (r <- 0 until reps) {
+        for (r <- 0 until n) {
           val t0 = System.nanoTime()
-          val nPolys = runOnce(s, path, maxTileCoord)
+          val nPolys = runOnce(s, pathOf(grids), maxTileCoord)
           val el = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench] cpus=$cpus rep=$r elapsed=$el%.2fs polys=$nPolys tput=${cells / el / 1e6}%.1f Mcells/s")
+          System.err.println(f"[bench] cpus=$cpus grids=$grids rep=$r elapsed=$el%.2fs polys=$nPolys tput=${cellsOf(grids) / el / 1e6}%.1f Mcells/s")
           best = math.min(best, el)
         }
         best
       } finally s.stop()
     }
 
-    val elBig = measure(bigCpus)
-    val elSmall = measure(smallCpus)
-    val elMax = if (maxCpus != bigCpus) measure(maxCpus) else elBig
-    val tputBig = cells / elBig
-    val tputSmall = cells / elSmall
-    val tputMax = cells / elMax
-    val eff = (tputBig / tputSmall) / (bigCpus.toDouble / smallCpus)
-    val headline = math.max(tputBig, tputMax)
+    // scaling curve: same job, same input, N vs 4N executor threads.
+    // This VM delivers ~16 effective cores (raw-JVM thread scaling
+    // saturates between 16 and 32), so pairs above 16 hit hardware, not
+    // the engine.
+    val e1 = measure(1, gridsSmall, 1)
+    val e4small = measure(4, gridsSmall, reps)
+    val e4 = measure(4, gridsBig, 1)
+    val e16 = measure(16, gridsBig, reps)
+    val eMax = if (maxCpus != 16) measure(maxCpus, gridsBig, 1) else e16
+    val tput = (g: Int, el: Double) => cellsOf(g) / el
+    val t16 = tput(gridsBig, e16)
+    val tMax = tput(gridsBig, eMax)
+    val eff14 = (tput(gridsSmall, e4small) / tput(gridsSmall, e1)) / 4.0
+    val eff416 = (t16 / tput(gridsBig, e4)) / 4.0
+    val headline = math.max(t16, tMax)
 
     val qs = Seq(
-      s""""isobands_c$smallCpus":$elSmall""",
-      s""""isobands_c$bigCpus":$elBig""",
-      s""""isobands_c$maxCpus":$elMax""",
-      s""""tput_c$smallCpus":$tputSmall""",
-      s""""tput_c$bigCpus":$tputBig""",
-      s""""tput_c$maxCpus":$tputMax""",
-      s""""scaling_efficiency_${smallCpus}_to_$bigCpus":$eff""",
+      s""""isobands_g${gridsSmall}_c1":$e1""",
+      s""""isobands_g${gridsSmall}_c4":$e4small""",
+      s""""isobands_g${gridsBig}_c4":$e4""",
+      s""""isobands_g${gridsBig}_c16":$e16""",
+      s""""isobands_g${gridsBig}_c$maxCpus":$eMax""",
+      s""""tput_c16":$t16""",
+      s""""tput_c$maxCpus":$tMax""",
+      s""""scaling_efficiency_1_to_4":$eff14""",
+      s""""scaling_efficiency_4_to_16":$eff416""",
       s""""gen_sec":$genSec""",
-      s""""cells":$cells"""
+      s""""cells":${cellsOf(gridsBig)}"""
     ).mkString("{", ",", "}")
     println(s"""{"metric":"isoband_cells_per_sec","value":$headline,"unit":"cells/sec","queries":$qs,"sf":"$sfDir"}""")
   }

@@ -65,6 +65,25 @@ object Tiling {
     out
   }
 
+  /** All thresholds in one pass over the tile (see sweepMulti); outputs are
+    * byte-identical to running tileKernel per threshold.
+    */
+  def tileKernelMulti(vals: Array[Double], s: TileSpec, gdx: Int, gdy: Int,
+                      thresholds: Array[Double], smooth: Boolean): Array[KernelOut] = {
+    val outs = MarchingSquares.sweepMulti(vals, s.vw, s.vh, s.vx0, s.vy0,
+      gdx, gdy, s.cx0, s.cx1, s.cy0, s.cy1, thresholds)
+    if (smooth) {
+      var ti = 0
+      while (ti < outs.length) {
+        val t = thresholds(ti)
+        outs(ti).rings.foreach(r => Smoother.smoothInPlace(r.pts, vals, s.vw, s.vx0, s.vy0, gdx, gdy, t))
+        outs(ti).frags.foreach(f => Smoother.smoothInPlace(f.pts, vals, s.vw, s.vx0, s.vy0, gdx, gdy, t))
+        ti += 1
+      }
+    }
+    outs
+  }
+
   /** Single-process reference implementation of the distributed plan:
     * per-tile kernels, then hierarchical 2x2-block fragment merging
     * (O(log tiles) rounds — the shuffle structure of the Spark engine),

@@ -44,8 +44,9 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
         if (t.sy0 == 0) -1 else t.sy0, t.sy0 + t.th - 1)
       val marker = Iterator.single(
         RingFragRow(t.gridId, -1, closed = true, t.tileX, t.tileY, 0L, 0L, 0L, 0, Array.empty))
+      val outs = Tiling.tileKernelMulti(t.values, spec, t.gdx, t.gdy, ts, smooth)
       marker ++ ts.indices.iterator.flatMap { ti =>
-        val out = Tiling.tileKernel(t.values, spec, t.gdx, t.gdy, ts(ti), smooth)
+        val out = outs(ti)
         out.rings.iterator.map(r =>
           RingFragRow(t.gridId, ti, closed = true, 0, 0, 0L, 0L, r.maxKey, 0, r.pts)) ++
           out.frags.iterator.map(f =>
@@ -65,10 +66,16 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
     kernelOut.count() // eager: downstream branches must hit cache, not recompute
     val closedParts = ArrayBuffer[Dataset[RingFragRow]](kernelOut.filter(_.closed))
     var open = kernelOut.filter(!_.closed)
-    val levels = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxTileCoord)))
+    // hierarchy pays off only when one grid spans many tiles; for <= 8x8
+    // tiles per grid a single global round is fewer sequential stages
+    val levels =
+      if (maxTileCoord <= 7) 1
+      else math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxTileCoord)))
     var l = 1
     while (l <= levels) {
-      val merged = mergeOpen(open, l, l == levels)
+      // the final round merges globally per (grid, threshold): shift 31
+      // zeroes every non-negative tile coordinate
+      val merged = mergeOpen(open, if (l == levels) 31 else l, l == levels)
         .persist(StorageLevel.MEMORY_AND_DISK)
       merged.count() // eager per round: the closed/open branches share one compute
       closedParts += merged.filter(_.closed)
@@ -111,7 +118,9 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
   def closedRingsCheckpointed(tiles: Dataset[TileRow], lakeTable: String,
                               maxTileCoord: Int): Dataset[RingFragRow] = {
     import graft.lake.Lake
-    val levels = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxTileCoord)))
+    val levels =
+      if (maxTileCoord <= 7) 1
+      else math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxTileCoord)))
     val resume = (0 to levels).reverse.iterator
       .map(l => (l, Lake.latestFor(spark, lakeTable, s"round-$l")))
       .collectFirst { case (l, Some(snap)) => (l, snap) }
@@ -124,7 +133,7 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
     var l = doneLevel + 1
     while (l <= levels) {
       val next = state.filter(_.closed)
-        .union(mergeOpen(state.filter(!_.closed), l, l == levels))
+        .union(mergeOpen(state.filter(!_.closed), if (l == levels) 31 else l, l == levels))
       val snap = Lake.commit(spark, lakeTable, next.toDF(), s"round-$l")
       state = Lake.read(spark, snap).as[RingFragRow]
       l += 1
@@ -164,17 +173,16 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
         val polys = Assembly.assembleContour(rings.toSeq)
         ContourRow(gid, ts(ti), polys.map(p => PolyRow(p.exterior.toSeq, p.holes.map(_.toSeq))))
       }
-    val missing = missingKeys(closed, thresholds.length, presentKeys(closed))
-      .map { case (g, ti) => ContourRow(g, ts(ti), Nil) }
-    assembled.union(missing)
+    val missing = missingRingKeys(closed).map { case (g, ti) => ContourRow(g, ts(ti), Nil) }
+    assembled.union(spark.createDataset(missing))
   }
 
-  /** distinct (gridId, ti) of ring rows via cached columnar scan */
-  private def presentKeys(closed: Dataset[RingFragRow]): Dataset[(String, Int)] = {
-    import org.apache.spark.sql.functions.col
-    closed.toDF().filter(col("ti") >= 0).select("gridId", "ti").distinct()
-      .as[(String, Int)]
-  }
+  /** ONE distinct job over the cached state: (gridId, ti) pairs including
+    * the ti = -1 markers — drives grid enumeration and backfill for every
+    * output shape without extra jobs.
+    */
+  private def stateKeys(closed: Dataset[RingFragRow]): Array[(String, Int)] =
+    closed.toDF().select("gridId", "ti").distinct().as[(String, Int)].collect()
 
   /** Isolines — the reference's `lines()` distributed. */
   def lines(tiles: Dataset[TileRow], maxTileCoordHint: Option[Int] = None): Dataset[LineRow] =
@@ -194,9 +202,8 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
         }
         LineRow(gid, ts(ti), rings.toSeq)
       }
-    val missing = missingKeys(closed, thresholds.length, presentKeys(closed))
-      .map { case (g, ti) => LineRow(g, ts(ti), Nil) }
-    assembled.union(missing)
+    val missing = missingRingKeys(closed).map { case (g, ti) => LineRow(g, ts(ti), Nil) }
+    assembled.union(spark.createDataset(missing))
   }
 
   /** Raw rings in grid coordinates — the reference's `contour_rings`
@@ -212,9 +219,8 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
       .mapGroups { (key: (String, Int), it: Iterator[RingFragRow]) =>
         RingsRow(key._1, ts(key._2), it.toArray.sortBy(_.maxKey).map(_.pts.toSeq).toSeq)
       }
-    val missing = missingKeys(closed, thresholds.length, presentKeys(closed))
-      .map { case (g, ti) => RingsRow(g, ts(ti), Nil) }
-    assembled.union(missing)
+    val missing = missingRingKeys(closed).map { case (g, ti) => RingsRow(g, ts(ti), Nil) }
+    assembled.union(spark.createDataset(missing))
   }
 
   /** Isobands — the reference's `isobands()` distributed: each threshold's
@@ -255,26 +261,26 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
         BandRow(gid, ts(band), ts(band + 1),
           Assembly.assembleBand(rings).map(p => PolyRow(p.exterior.toSeq, p.holes.map(_.toSeq))))
       }
-    val missing = missingKeys(closed, n - 1,
-      bandRings.map(r => (r._1, r._2)).distinct())
-      .map { case (g, b) => BandRow(g, ts(b), ts(b + 1), Nil) }
-    assembled.union(missing)
+    // band keys derive from ring keys driver-side: ring at ti feeds band ti
+    // (ti < n-1) and band ti-1 (ti > 0)
+    val keys = stateKeys(closed)
+    val present = keys.iterator.filter(_._2 >= 0).flatMap { case (g, ti) =>
+      Seq((g, ti), (g, ti - 1))
+    }.filter { case (_, b) => b >= 0 && b < n - 1 }.toSet
+    val grids = keys.iterator.map(_._1).distinct.toSeq
+    val missing = for { g <- grids; b <- 0 until n - 1; if !present((g, b)) }
+      yield BandRow(g, ts(b), ts(b + 1), Nil)
+    assembled.union(spark.createDataset(missing))
   }
 
-  /** (grid, index) combos that produced no rings — the reference emits an
-    * empty geometry for them. Computed driver-side: both key sets are tiny
-    * (grids x thresholds) and the inputs are cached, so this avoids the
-    * shuffle-heavy except() and a recompute of the assembly.
+  /** (grid, threshold) combos that produced no rings — the reference emits
+    * an empty geometry for them. One distinct+collect job (tiny key sets).
     */
-  private def missingKeys(kernelOut: Dataset[RingFragRow], nPerGrid: Int,
-                          present: Dataset[(String, Int)]): Dataset[(String, Int)] = {
-    import org.apache.spark.sql.functions.col
-    val grids = kernelOut.toDF().filter(col("ti") === -1)
-      .select("gridId").distinct().as[String].collect()
-    val have = present.collect().toSet
-    val missing = for { g <- grids.toSeq; i <- 0 until nPerGrid; if !have((g, i)) }
-      yield (g, i)
-    spark.createDataset(missing)
+  private def missingRingKeys(closed: Dataset[RingFragRow]): Seq[(String, Int)] = {
+    val keys = stateKeys(closed)
+    val have = keys.iterator.filter(_._2 >= 0).toSet
+    val grids = keys.iterator.map(_._1).distinct.toSeq
+    for { g <- grids; i <- thresholds.indices; if !have((g, i)) } yield (g, i)
   }
 
   /** GeoJSON features per grid, ordered by threshold — for appending to the

@@ -80,6 +80,32 @@ class TilingSpec extends AnyFunSuite {
     }
   }
 
+  test("sweepMulti == per-threshold sweep (fixtures + random + NaN)") {
+    val rnd = new scala.util.Random(13)
+    val cases = Seq(
+      { val (d, w, h) = loadFixture("/fixtures/volcano.json"); (d, w, h, (90 to 200 by 5).map(_.toDouble).toArray) },
+      { val (d, w, h) = loadFixture("/fixtures/issue18.json"); (d, w, h, Array(9.0, 10.0, 10.3)) }
+    ) ++ (0 until 25).map { _ =>
+      val w = 1 + rnd.nextInt(20); val h = 1 + rnd.nextInt(20)
+      val d = Array.fill(w * h)(if (rnd.nextInt(10) == 0) Double.NaN else rnd.nextDouble() * 3)
+      (d, w, h, Array(0.5, 1.5, 2.5, -1.0, 99.0))
+    }
+    for ((d, w, h, ts) <- cases) {
+      val multi = MarchingSquares.sweepMulti(d, w, h, 0, 0, w, h, -1, w - 1, -1, h - 1, ts)
+      ts.zipWithIndex.foreach { case (t, ti) =>
+        val single = MarchingSquares.sweep(d, w, h, 0, 0, w, h, -1, w - 1, -1, h - 1, t)
+        assert(multi(ti).rings.length == single.rings.length, s"t=$t rings")
+        multi(ti).rings.zip(single.rings).foreach { case (a, b) =>
+          assert(a.maxKey == b.maxKey && a.pts.toSeq == b.pts.toSeq, s"t=$t")
+        }
+        assert(multi(ti).frags.length == single.frags.length, s"t=$t frags")
+        multi(ti).frags.zip(single.frags).foreach { case (a, b) =>
+          assert(a == b.copy(pts = a.pts) && a.pts.toSeq == b.pts.toSeq, s"t=$t frag")
+        }
+      }
+    }
+  }
+
   test("threshold boundary: values exactly at threshold are inside") {
     val g = Array.fill(9)(0.5)
     val rings = MarchingSquares.sweepFullGrid(g, 3, 3, 0.5)

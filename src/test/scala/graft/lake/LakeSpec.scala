@@ -49,10 +49,10 @@ class LakeSpec extends AnyFunSuite {
     got.polygons.zip(Goldens.issue18Expected).foreach { case (g, e) =>
       assert(g.exterior == e.toSeq)
     }
-    // rounds 0..2 committed exactly once each + lineage intact
+    // small grids collapse to a single merge round; lineage intact
     val snaps = Lake.snapshots(spark, table)
-    assert(snaps.map(_.op) == Seq("round-0", "round-1", "round-2"))
-    assert(Lake.lineage(spark, table, snaps.last.id).length == 3)
+    assert(snaps.map(_.op) == Seq("round-0", "round-1"))
+    assert(Lake.lineage(spark, table, snaps.last.id).length == 2)
   }
 
   test("partial state: resume after deleting later rounds recomputes only them") {

@@ -15,13 +15,34 @@ class StreamingContourSpec extends AnyFunSuite {
   test("appended grids are re-contoured per micro-batch, matching batch output") {
     implicit val s = spark
     import spark.implicits._
-    val inDir = Files.createTempDirectory("stream-in").toString
+    val inDir = Files.createTempDirectory("stream-in")
     val ckpt = Files.createTempDirectory("stream-ckpt").toString
     val results = new java.util.concurrent.ConcurrentLinkedQueue[ContourRow]()
 
-    DocCodec.encode(GridSynth.tilesFromArray(spark, "gA", Goldens.simpleGrid, 10, 10, 5, 5))
-      .write.mode("append").parquet(inDir)
-    val q = StreamingContour.start(spark, inDir, ckpt, JobConfig(Seq(0.5), smooth = true)) {
+    // a grid's tiles must land atomically (the lake snapshot commit gives
+    // this in production): stage as a single file, then move into the
+    // watched dir — FileStreamSource would otherwise split one grid's
+    // multi-file write across micro-batches and the merge would (correctly)
+    // refuse to close its rings
+    def appendGrid(name: String, grid: Array[Double]): Unit = {
+      val staging = Files.createTempDirectory(s"stage-$name")
+      DocCodec.encode(GridSynth.tilesFromArray(spark, name, grid, 10, 10, 5, 5))
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val file = Files.list(staging).iterator()
+      var moved = false
+      while (file.hasNext && !moved) {
+        val p = file.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.move(p, inDir.resolve(s"$name.parquet"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          moved = true
+        }
+      }
+      assert(moved)
+    }
+
+    appendGrid("gA", Goldens.simpleGrid)
+    val q = StreamingContour.start(spark, inDir.toString, ckpt, JobConfig(Seq(0.5), smooth = true)) {
       (cts, _) => cts.collect().foreach(results.add)
     }
     try {
@@ -32,8 +53,7 @@ class StreamingContourSpec extends AnyFunSuite {
       assert(first.polygons.head.exterior == Goldens.simpleExpected.toSeq)
 
       // append a second grid -> only the new grid is contoured in batch 2
-      DocCodec.encode(GridSynth.tilesFromArray(spark, "gB", Goldens.multiGrid, 10, 10, 5, 5))
-        .write.mode("append").parquet(inDir)
+      appendGrid("gB", Goldens.multiGrid)
       q.processAllAvailable()
       assert(results.size == 2)
       assert(results.toArray(Array.empty[ContourRow]).exists(r =>
