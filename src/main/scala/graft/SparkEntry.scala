@@ -222,7 +222,8 @@ object SparkEntry {
     "q_doc_simhash" -> TrainingOps.simhash,
     "q_doc_fingerprint" -> TrainingOps.fingerprint,
     "q_ann_topk" -> TrainingOps.annTopK,
-    "q_ann_ivf_topk" -> TrainingOps.annIvfTopK
+    "q_ann_ivf_topk" -> TrainingOps.annIvfTopK,
+    "q_ann_recall" -> TrainingOps.annRecall
   )
 
   /** DuckDB-equivalent SQL per query (omit => weaker rows-only check). */

@@ -170,9 +170,15 @@ object TrainingOps {
         expr("aggregate(transform(planes, p -> if(aggregate(zip_with(p, v, (x, y) -> x * y), 0D, (acc, d) -> acc + d) >= 0D, 1, 0)), 0, (acc, b) -> acc * 2 + b)"))
       .drop("planes")
       .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    // multi-probe: the query's bucket plus every bucket at Hamming distance 1
+    // (sign-LSH neighbors often sit just across one hyperplane)
+    val probes = (0 to nPlanes).map(i => if (i == 0) 0 else 1 << (i - 1)).toArray
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("bucket").as("qbucket"), col("norm").as("qn"))
+      .withColumn("flip", explode(lit(probes)))
+      .withColumn("qbucket", expr("int(qbucket) ^ flip"))
+      .drop("flip")
     val joined = broadcast(q).join(e, col("bucket") === col("qbucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim",
@@ -183,6 +189,21 @@ object TrainingOps {
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Recall of the IVF-bucketed ANN vs the exact brute force, per query
+    * vector (recall_x100 as an exact integer) — a distributed self-check of
+    * the approximate path's quality.
+    */
+  val annRecall: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val exact = annTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = annIvfTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      .join(exact.groupBy("query_id").agg(count(lit(1)).as("k")), Seq("query_id"), "right")
+      .na.fill(0L, Seq("hits"))
+      .select(col("query_id"), (col("hits") * 100L / col("k")).cast("long").as("recall_x100"))
+      .orderBy("query_id")
   }
 
   /** DuckDB oracles for the SQL-expressible subset. */
