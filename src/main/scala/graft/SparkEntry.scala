@@ -4,7 +4,7 @@ import graft.core.{Cases, GeoJson, MarchingSquares, Poly, ContourResult, Tiling}
 import graft.docs.DocCodec
 import graft.engine.ContourEngine
 import graft.model._
-import graft.queries.{EventsGrid, TrainingOps}
+import graft.queries.{EventsGrid, MultimodalOps, TrainingOps}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -223,7 +223,20 @@ object SparkEntry {
     "q_doc_fingerprint" -> TrainingOps.fingerprint,
     "q_ann_topk" -> TrainingOps.annTopK,
     "q_ann_ivf_topk" -> TrainingOps.annIvfTopK,
-    "q_ann_recall" -> TrainingOps.annRecall
+    "q_ann_recall" -> TrainingOps.annRecall,
+
+    // ---- multimodal binary columns (deterministic fake codec; real
+    //      schema/partitioning/batch plumbing) ----
+    "q_media_meta" -> ((spark, _) => {
+      MultimodalOps.extractMeta(spark, MultimodalOps.syntheticMedia(spark, 300))
+        .toDF().orderBy("mediaId")
+    }),
+    "q_media_pipeline" -> ((spark, _) => {
+      val media = MultimodalOps.syntheticMedia(spark, 300)
+      val processed = MultimodalOps.sampleFrames(spark,
+        MultimodalOps.resizeImages(spark, media, 8, 8), 2)
+      MultimodalOps.mediaFeatures(spark, processed).orderBy("media_id")
+    })
   )
 
   /** DuckDB-equivalent SQL per query (omit => weaker rows-only check). */

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Multimodal columns: image/audio/video travel as opaque BINARY columns
+  * with typed metadata structs. The container ships no image/audio codecs,
+  * so the byte-level "decode" is a deterministic fake container format
+  * (documented below) — the Spark-side plumbing (schemas, per-partition
+  * batch processing, column pruning over the binary payloads) is real and
+  * is what these operators exercise:
+  *
+  *   IMG1 | w:int32 | h:int32 | c:int32 | pixels  (w*h*c bytes, row-major)
+  *   AUD1 | rate:int32 | samples:int32 | pcm      (samples int16 LE)
+  *   VID1 | w:int32 | h:int32 | frames:int32 | frame0 | frame1 | ...
+  *
+  * At production scale the fake parser is swapped for a real codec inside
+  * the same mapPartitions batch loop; nothing else changes.
+  */
+object MultimodalOps {
+
+  final case class MediaMeta(mediaId: Long, kind: String, width: Int, height: Int,
+                             channels: Int, sampleRate: Int, frames: Int, nBytes: Long)
+
+  private val LE = ByteOrder.LITTLE_ENDIAN
+
+  // ---- deterministic fake blobs (seeded; no external data) ----
+  def syntheticMedia(spark: SparkSession, n: Int, seed: Long = 11L): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, math.max(2, n / 64)).map { i =>
+      val rnd = new scala.util.Random(seed ^ i)
+      val blob = (i % 3) match {
+        case 0 => // image
+          val w = 8 + rnd.nextInt(24); val h = 8 + rnd.nextInt(24); val c = 3
+          val bb = ByteBuffer.allocate(16 + w * h * c).order(LE)
+          bb.put("IMG1".getBytes); bb.putInt(w); bb.putInt(h); bb.putInt(c)
+          val px = new Array[Byte](w * h * c); rnd.nextBytes(px); bb.put(px)
+          bb.array()
+        case 1 => // audio
+          val rate = 8000; val samples = 64 + rnd.nextInt(192)
+          val bb = ByteBuffer.allocate(12 + samples * 2).order(LE)
+          bb.put("AUD1".getBytes); bb.putInt(rate); bb.putInt(samples)
+          (0 until samples).foreach(k => bb.putShort((1000 * math.sin(k * 0.1 + i)).toShort))
+          bb.array()
+        case _ => // video
+          val w = 8; val h = 8; val frames = 4 + rnd.nextInt(12)
+          val bb = ByteBuffer.allocate(16 + frames * w * h).order(LE)
+          bb.put("VID1".getBytes); bb.putInt(w); bb.putInt(h); bb.putInt(frames)
+          val fr = new Array[Byte](frames * w * h); rnd.nextBytes(fr); bb.put(fr)
+          bb.array()
+      }
+      (i, blob)
+    }.toDF("media_id", "blob")
+  }
+
+  private def parseMeta(id: Long, blob: Array[Byte]): MediaMeta = {
+    val bb = ByteBuffer.wrap(blob).order(LE)
+    val magic = new String(blob, 0, 4)
+    bb.position(4)
+    magic match {
+      case "IMG1" => MediaMeta(id, "image", bb.getInt, bb.getInt, bb.getInt, 0, 1, blob.length)
+      case "AUD1" => MediaMeta(id, "audio", 0, 0, 1, bb.getInt, bb.getInt, blob.length)
+      case "VID1" => MediaMeta(id, "video", bb.getInt, bb.getInt, 1, 0, bb.getInt, blob.length)
+      case _ => MediaMeta(id, "unknown", 0, 0, 0, 0, 0, blob.length)
+    }
+  }
+
+  /** Typed metadata extraction: binary -> MediaMeta struct per row. */
+  def extractMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select("media_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) => parseMeta(id, blob) })
+  }
+
+  /** Nearest-neighbor image resize on the raw bytes (images only, others
+    * pass through untouched) — the batch shape of a real decode+resize.
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame, ow: Int, oh: Int): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        if (blob.length >= 16 && new String(blob, 0, 4) == "IMG1") {
+          val bb = ByteBuffer.wrap(blob).order(LE); bb.position(4)
+          val w = bb.getInt; val h = bb.getInt; val c = bb.getInt
+          val out = ByteBuffer.allocate(16 + ow * oh * c).order(LE)
+          out.put("IMG1".getBytes); out.putInt(ow); out.putInt(oh); out.putInt(c)
+          var y = 0
+          while (y < oh) {
+            val sy = y * h / oh
+            var x = 0
+            while (x < ow) {
+              val sx = x * w / ow
+              var ch = 0
+              while (ch < c) {
+                out.put(blob(16 + (sy * w + sx) * c + ch))
+                ch += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          (id, out.array())
+        } else (id, blob)
+      }).toDF("media_id", "blob")
+  }
+
+  /** Keep every n-th frame of video blobs (frame sampling). */
+  def sampleFrames(spark: SparkSession, media: DataFrame, everyN: Int): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        if (blob.length >= 16 && new String(blob, 0, 4) == "VID1") {
+          val bb = ByteBuffer.wrap(blob).order(LE); bb.position(4)
+          val w = bb.getInt; val h = bb.getInt; val frames = bb.getInt
+          val keep = (0 until frames by everyN).toArray
+          val out = ByteBuffer.allocate(16 + keep.length * w * h).order(LE)
+          out.put("VID1".getBytes); out.putInt(w); out.putInt(h); out.putInt(keep.length)
+          keep.foreach(f => out.put(blob, 16 + f * w * h, w * h))
+          (id, out.array())
+        } else (id, blob)
+      }).toDF("media_id", "blob")
+  }
+
+  /** Feature extraction: per-media integer-exact summary (channel byte sums
+    * for images, absolute PCM sum for audio, per-frame byte sum count for
+    * video) — the shape of an embedding/feature stage with deterministic
+    * outputs.
+    */
+  def mediaFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val meta = parseMeta(id, blob)
+        val payloadOff = meta.kind match {
+          case "image" | "video" => 16
+          case "audio" => 12
+          case _ => 0
+        }
+        var sum = 0L
+        var i = payloadOff
+        while (i < blob.length) { sum += blob(i) & 0xff; i += 1 }
+        (id, meta.kind, blob.length.toLong, sum)
+      }).toDF("media_id", "kind", "n_bytes", "byte_sum")
+  }
+}

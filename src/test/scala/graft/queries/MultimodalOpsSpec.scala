@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("metadata extraction is typed and consistent with blob sizes") {
+    import spark.implicits._
+    val media = MultimodalOps.syntheticMedia(spark, 90)
+    val metas = MultimodalOps.extractMeta(spark, media).collect()
+    assert(metas.length == 90)
+    assert(metas.map(_.kind).toSet == Set("image", "audio", "video"))
+    metas.foreach { m =>
+      m.kind match {
+        case "image" => assert(m.nBytes == 16 + m.width * m.height * m.channels)
+        case "audio" => assert(m.nBytes == 12 + m.frames * 2 && m.sampleRate == 8000)
+        case "video" => assert(m.nBytes == 16 + m.frames.toLong * m.width * m.height)
+      }
+    }
+  }
+
+  test("resize produces requested dims; non-images untouched") {
+    val media = MultimodalOps.syntheticMedia(spark, 45)
+    val resized = MultimodalOps.resizeImages(spark, media, 4, 4)
+    val metas = MultimodalOps.extractMeta(spark, resized).collect()
+    metas.filter(_.kind == "image").foreach { m =>
+      assert(m.width == 4 && m.height == 4 && m.nBytes == 16 + 4 * 4 * m.channels)
+    }
+    // audio/video blobs byte-identical to input
+    val orig = MultimodalOps.extractMeta(spark, media).collect()
+      .filter(m => m.kind != "image").map(m => m.mediaId -> m.nBytes).toMap
+    metas.filter(_.kind != "image").foreach(m => assert(orig(m.mediaId) == m.nBytes))
+  }
+
+  test("frame sampling keeps ceil(frames/n) frames, deterministic") {
+    val media = MultimodalOps.syntheticMedia(spark, 45)
+    val before = MultimodalOps.extractMeta(spark, media).collect()
+      .filter(_.kind == "video").map(m => m.mediaId -> m.frames).toMap
+    val sampled = MultimodalOps.sampleFrames(spark, media, 3)
+    MultimodalOps.extractMeta(spark, sampled).collect()
+      .filter(_.kind == "video").foreach { m =>
+        assert(m.frames == (before(m.mediaId) + 2) / 3, s"media ${m.mediaId}")
+      }
+    // repeatable: same output twice
+    val a = MultimodalOps.mediaFeatures(spark, sampled).collect().sortBy(_.getLong(0)).toSeq
+    val b = MultimodalOps.mediaFeatures(spark,
+      MultimodalOps.sampleFrames(spark, media, 3)).collect().sortBy(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("features are integer-exact and deterministic") {
+    val f = MultimodalOps.mediaFeatures(spark, MultimodalOps.syntheticMedia(spark, 30))
+      .collect().sortBy(_.getLong(0))
+    assert(f.length == 30)
+    f.foreach(r => assert(r.getLong(3) >= 0))
+  }
+}
