@@ -219,6 +219,9 @@ object SparkEntry {
     "q_doc_lang_id" -> TrainingOps.langId,
     "q_doc_minhash" -> TrainingOps.minhashSignatures,
     "q_doc_minhash_pairs" -> TrainingOps.minhashDupPairs,
+    "q_doc_jaccard_pairs" -> TrainingOps.jaccardPairs,
+    "q_emb_near_dup" -> TrainingOps.embNearDup,
+    "q_doc_winnow" -> TrainingOps.winnowFingerprints,
     "q_doc_simhash" -> TrainingOps.simhash,
     "q_doc_fingerprint" -> TrainingOps.fingerprint,
     "q_ann_topk" -> TrainingOps.annTopK,

@@ -191,6 +191,66 @@ object TrainingOps {
       .orderBy("query_id", "rank")
   }
 
+  /** n-gram Jaccard near-dup pairs: distinct 3-gram shingle sets, exact
+    * integer Jaccard (x1000, floor) over the shingle-equality join. The
+    * scale path prunes candidates via the MinHash LSH bands first; at oracle
+    * scale the full shingle join is exact and cheap.
+    */
+  val jaccardPairs: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val sh = shingled(spark, dir).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+      .withColumn("jaccard_x1000", expr("(inter * 1000) div (sza + szb - inter)"))
+      .filter(col("jaccard_x1000") >= 100)
+      .select("doc_a", "doc_b", "jaccard_x1000")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (exact, threshold 0.45 — the
+    * data's nearest pair sits 5e-4 from the cut, far beyond any float-order
+    * discrepancy). Scale path: LSH-bucket candidates as in annIvfTopK.
+    */
+  val embNearDup: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, p) -> acc + p)") /
+          (col("na") * col("nb")))
+      .filter(col("sim") > 0.45)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Winnowing fingerprints: md5-derived 60-bit hash per 3-gram shingle,
+    * window-min over 4 consecutive shingles (the classic rolling
+    * fingerprint selection), per-doc exact-integer summary.
+    */
+  val winnowFingerprints: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val sh = docs(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("shingles",
+        when(size(col("toks")) < 3, array().cast("array<string>"))
+          .otherwise(expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")))
+      .select(col("doc_id"), posexplode(col("shingles")).as(Seq("pos", "s")))
+      .withColumn("hv", expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    sh.withColumn("fp", min("hv").over(w))
+      .groupBy("doc_id")
+      .agg(countDistinct("fp").as("n_fps"), min("fp").as("min_fp"), max("fp").as("max_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Recall of the IVF-bucketed ANN vs the exact brute force, per query
     * vector (recall_x100 as an exact integer) — a distributed self-check of
     * the approximate path's quality.
@@ -248,6 +308,47 @@ object TrainingOps {
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_doc_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, ((i * 1000) // (sa.c + sb.c - i))::BIGINT AS jaccard_x1000
+        |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE (i * 1000) // (sa.c + sb.c - i) >= 100
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_emb_near_dup" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) > 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_doc_winnow" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, u.i AS pos, ws[u.i] || ' ' || ws[u.i+1] || ' ' || ws[u.i+2] AS s
+        |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+        |h AS (SELECT doc_id, pos, ('0x' || substring(md5(s), 1, 15))::BIGINT AS hv FROM sh),
+        |fp AS (SELECT doc_id,
+        |              min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+        |                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |       FROM h)
+        |SELECT doc_id, count(DISTINCT fp)::BIGINT AS n_fps,
+        |       min(fp) AS min_fp, max(fp) AS max_fp
+        |FROM fp GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q_doc_simhash" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS hv FROM t),
+        |bits AS (SELECT doc_id, b.b AS b,
+        |                sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM h CROSS JOIN (SELECT unnest(range(0, 60))::INT AS b) b GROUP BY 1, 2)
+        |SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
+        |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
