@@ -109,9 +109,9 @@ object Bench {
     // This VM delivers ~16 effective cores (raw-JVM thread scaling
     // saturates between 16 and 32), so pairs above 16 hit hardware, not
     // the engine.
-    val e1 = measure(1, gridsSmall, 1)
-    val e4small = measure(4, gridsSmall, reps)
-    val e4 = measure(4, gridsBig, 1)
+    val e1 = measure(1, gridsSmall, reps + 1)
+    val e4small = measure(4, gridsSmall, reps + 1)
+    val e4 = measure(4, gridsBig, reps)
     val e16 = measure(16, gridsBig, reps)
     val eMax = if (maxCpus != 16) measure(maxCpus, gridsBig, 1) else e16
     val tput = (g: Int, el: Double) => cellsOf(g) / el

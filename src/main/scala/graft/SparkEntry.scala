@@ -94,8 +94,7 @@ object SparkEntry {
       import spark.implicits._
       val tiles = eventTiles(spark, dir)
       val eng = engine(spark, smooth = false)
-      val ko = eng.kernelRows(tiles)
-      val closed = eng.closedRings(ko, 32)
+      val closed = eng.closedRingRows(tiles)
       val ts = EventsGrid.Thresholds
       closed.filter(r => r.ti >= 0)
         .map(r => (ts(r.ti), r.pts.length.toLong / 2 - 1))

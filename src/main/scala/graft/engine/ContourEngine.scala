@@ -148,6 +148,12 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
     if (row.isNullAt(0)) 0 else row.getInt(0)
   }
 
+  /** Kernel + merge with auto-derived round count: all closed rings (and
+    * ti = -1 markers) of the input tiles.
+    */
+  def closedRingRows(tiles: Dataset[TileRow], hint: Option[Int] = None): Dataset[RingFragRow] =
+    closedOf(tiles, hint)
+
   private def closedOf(tiles: Dataset[TileRow], hint: Option[Int]): Dataset[RingFragRow] = {
     val ko = kernelRows(tiles)
     closedRings(ko, hint.getOrElse(maxTileCoordOf(ko)))
