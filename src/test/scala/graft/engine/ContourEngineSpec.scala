@@ -165,6 +165,23 @@ class ContourEngineSpec extends AnyFunSuite {
     assert(o.forall(_.spans.length == 3))
   }
 
+  test("degenerate grid dims (1xN, Nx1, 1x1) through the pipeline") {
+    implicit val s = spark
+    val eng = new ContourEngine(spark, JobConfig(Seq(0.5), smooth = true))
+    for ((dx, dy) <- Seq((1, 8), (8, 1), (1, 1), (2, 2))) {
+      val vals = Array.tabulate(dx * dy)(i => (i % 2).toDouble)
+      val core = new graft.core.CoreContour(graft.core.ContourConfig(dx, dy, smooth = true))
+      val want = core.contours(vals, Array(0.5)).head
+      val tiles = DocCodec.decode(DocCodec.encode(
+        GridSynth.tilesFromArray(spark, s"g$dx-$dy", vals, dx, dy, math.max(1, dx / 2), math.max(1, dy / 2))))
+      val got = eng.contours(tiles).collect().head
+      assert(got.polygons.length == want.polygons.length, s"dims ${dx}x$dy")
+      got.polygons.zip(want.polygons).foreach { case (g, w) =>
+        assert(g.exterior == w.exterior.toSeq, s"dims ${dx}x$dy")
+      }
+    }
+  }
+
   test("multiple grids in one job stay independent") {
     implicit val s = spark
     val t1 = GridSynth.tilesFromArray(spark, "gA", simpleGrid, 10, 10, 5, 5)
