@@ -34,6 +34,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.ui.showConsoleProgress", "false")
       .config("spark.locality.wait", "0ms") // local mode: never idle a core
+      // doc rows carry ~1MB media_ref strings: the default 4096-row reader
+      // batch tries to reserve ~4GB contiguous (intermittent
+      // FAILED_READ_FILE: "Cannot reserve additional contiguous bytes") and
+      // wastes time on giant array-doubling copies; 32-row batches scale
+      .config("spark.sql.parquet.columnarReaderBatchSize", "32")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -24,6 +24,9 @@ object StreamingContour {
   def start(spark: SparkSession, inputPath: String, checkpointDir: String,
             cfg: JobConfig)(sink: (Dataset[ContourRow], Long) => Unit): StreamingQuery = {
     import spark.implicits._
+    // doc rows carry MB-scale media_ref strings; the default 4096-row
+    // vectorized reader batch can overflow the 2GB column vector
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "32")
     spark.readStream
       .schema(docSchema)
       .parquet(inputPath)

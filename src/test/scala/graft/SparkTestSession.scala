@@ -12,6 +12,7 @@ object SparkTestSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "64")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
