@@ -39,6 +39,8 @@ object Bench {
       // FAILED_READ_FILE: "Cannot reserve additional contiguous bytes") and
       // wastes time on giant array-doubling copies; 32-row batches scale
       .config("spark.sql.parquet.columnarReaderBatchSize", "32")
+      // finer input splits balance the decode+kernel stage across cores
+      .config("spark.sql.files.maxPartitionBytes", (32L << 20).toString)
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
