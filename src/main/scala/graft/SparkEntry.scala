@@ -211,6 +211,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- tile assignment: point -> owning tile -> hierarchical Morton
+    //      cell key (the stitch shuffle key), oracle-checked bit-for-bit ----
+    "q_tile_assignment" -> ((spark, dir) => {
+      import spark.implicits._
+      val (w, _) = EventsGrid.dims(spark, dir)
+      val tile = 50
+      spark.read.parquet(s"$dir/events.parquet")
+        .selectExpr("event_id", s"cast(event_id % $w as int) as x",
+          s"cast(event_id div $w as int) as y")
+        .as[(Long, Int, Int)]
+        .map { case (id, x, y) =>
+          val tx = x / tile
+          val ty = y / tile
+          val m = graft.index.CellIndex.morton(tx, ty)
+          (id, tx, ty, m, graft.index.CellIndex.parent(m, 2))
+        }
+        .toDF("event_id", "tile_x", "tile_y", "cell", "parent_cell_l2")
+        .orderBy("event_id")
+    }),
+
     // ---- training-data ops over documents/embeddings ----
     "q_doc_exact_dup" -> TrainingOps.exactDup,
     "q_doc_token_stats" -> TrainingOps.tokenStats,
@@ -291,6 +311,30 @@ object SparkEntry {
     "q_pip_tag" ->
       """SELECT event_id AS point_id, threshold, (value >= threshold) AS inside
         |FROM events CROSS JOIN (VALUES (25.0),(50.0),(75.0),(100.0)) t(threshold)
-        |ORDER BY point_id, threshold""".stripMargin
+        |ORDER BY point_id, threshold""".stripMargin,
+
+    "q_tile_assignment" ->
+      """WITH pts AS (SELECT event_id, ((event_id % 100) // 50)::BIGINT AS tx,
+        |                    ((event_id // 100) // 50)::BIGINT AS ty FROM events),
+        |sp AS (SELECT event_id, tx, ty,
+        |  -- Morton bit-spread of tx (even bits) and ty (odd bits), same mask
+        |  -- cascade as index.CellIndex.spread
+        |  ((((((tx & 2147483647) | ((tx & 2147483647) << 16)) & 281470681808895
+        |      | ((((tx & 2147483647) | ((tx & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695
+        |      | (((((tx & 2147483647) | ((tx & 2147483647) << 16)) & 281470681808895
+        |      | ((((tx & 2147483647) | ((tx & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095)) AS sx4,
+        |  ((((((ty & 2147483647) | ((ty & 2147483647) << 16)) & 281470681808895
+        |      | ((((ty & 2147483647) | ((ty & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695
+        |      | (((((ty & 2147483647) | ((ty & 2147483647) << 16)) & 281470681808895
+        |      | ((((ty & 2147483647) | ((ty & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095)) AS sy4
+        | FROM pts),
+        |sp2 AS (SELECT event_id, tx, ty,
+        |  (((sx4 | (sx4 << 2)) & 3689348814741910323) | (((sx4 | (sx4 << 2)) & 3689348814741910323) << 1)) & 6148914691236517205 AS sx,
+        |  (((sy4 | (sy4 << 2)) & 3689348814741910323) | (((sy4 | (sy4 << 2)) & 3689348814741910323) << 1)) & 6148914691236517205 AS sy
+        | FROM sp)
+        |SELECT event_id, tx AS tile_x, ty AS tile_y,
+        |       (sx | (sy << 1))::BIGINT AS cell,
+        |       ((sx | (sy << 1)) >> 4)::BIGINT AS parent_cell_l2
+        |FROM sp2 ORDER BY event_id""".stripMargin
   ) ++ TrainingOps.oracleSql
 }
