@@ -225,7 +225,7 @@ object SparkEntry {
           val tx = x / tile
           val ty = y / tile
           val m = graft.index.CellIndex.morton(tx, ty)
-          (id, tx, ty, m, graft.index.CellIndex.parent(m, 2))
+          (id, tx.toLong, ty.toLong, m, graft.index.CellIndex.parent(m, 2))
         }
         .toDF("event_id", "tile_x", "tile_y", "cell", "parent_cell_l2")
         .orderBy("event_id")
