@@ -123,6 +123,26 @@ object MultimodalOps {
       }).toDF("media_id", "blob")
   }
 
+  /** Decimate audio PCM by keeping every n-th sample (sample rate divided
+    * accordingly); non-audio blobs pass through untouched.
+    */
+  def resamplePcm(spark: SparkSession, media: DataFrame, everyN: Int): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        if (blob.length >= 12 && new String(blob, 0, 4) == "AUD1") {
+          val bb = ByteBuffer.wrap(blob).order(LE); bb.position(4)
+          val rate = bb.getInt; val samples = bb.getInt
+          val kept = (0 until samples by everyN).toArray
+          val out = ByteBuffer.allocate(12 + kept.length * 2).order(LE)
+          out.put("AUD1".getBytes); out.putInt(rate / everyN); out.putInt(kept.length)
+          kept.foreach(k => out.putShort(
+            ByteBuffer.wrap(blob, 12 + k * 2, 2).order(LE).getShort))
+          (id, out.array())
+        } else (id, blob)
+      }).toDF("media_id", "blob")
+  }
+
   /** Feature extraction: per-media integer-exact summary (channel byte sums
     * for images, absolute PCM sum for audio, per-frame byte sum count for
     * video) — the shape of an embedding/feature stage with deterministic

@@ -50,6 +50,23 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("audio resample halves rate and keeps every n-th sample") {
+    val media = MultimodalOps.syntheticMedia(spark, 45)
+    val before = MultimodalOps.extractMeta(spark, media).collect()
+      .filter(_.kind == "audio").map(m => m.mediaId -> m).toMap
+    val res = MultimodalOps.resamplePcm(spark, media, 2)
+    MultimodalOps.extractMeta(spark, res).collect().filter(_.kind == "audio").foreach { m =>
+      val b = before(m.mediaId)
+      assert(m.sampleRate == b.sampleRate / 2)
+      assert(m.frames == (b.frames + 1) / 2, s"media ${m.mediaId}")
+    }
+    // images/videos untouched
+    val untouchedBefore = MultimodalOps.extractMeta(spark, media).collect()
+      .filter(_.kind != "audio").map(m => m.mediaId -> m.nBytes).toMap
+    MultimodalOps.extractMeta(spark, res).collect().filter(_.kind != "audio")
+      .foreach(m => assert(untouchedBefore(m.mediaId) == m.nBytes))
+  }
+
   test("features are integer-exact and deterministic") {
     val f = MultimodalOps.mediaFeatures(spark, MultimodalOps.syntheticMedia(spark, 30))
       .collect().sortBy(_.getLong(0))
