@@ -61,9 +61,18 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
     * `maxTileCoord` bounds the number of rounds; the final round merges
     * globally per (grid, threshold), so every ring must close there.
     */
-  def closedRings(kernelOut0: Dataset[RingFragRow], maxTileCoord: Int): Dataset[RingFragRow] = {
-    val kernelOut = kernelOut0.persist(StorageLevel.MEMORY_AND_DISK)
-    kernelOut.count() // eager: downstream branches must hit cache, not recompute
+  def closedRings(kernelOut0: Dataset[RingFragRow], maxTileCoord: Int): Dataset[RingFragRow] =
+    closedRingsImpl(kernelOut0, maxTileCoord, prePersisted = false)
+
+  private def closedRingsImpl(kernelOut0: Dataset[RingFragRow], maxTileCoord: Int,
+                              prePersisted: Boolean): Dataset[RingFragRow] = {
+    val kernelOut =
+      if (prePersisted) kernelOut0
+      else {
+        val p = kernelOut0.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count() // eager: downstream branches must hit cache, not recompute
+        p
+      }
     val closedParts = ArrayBuffer[Dataset[RingFragRow]](kernelOut.filter(_.closed))
     var open = kernelOut.filter(!_.closed)
     // hierarchy pays off only when one grid spans many tiles; for <= 8x8
@@ -73,9 +82,11 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
       else math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxTileCoord)))
     var l = 1
     while (l <= levels) {
-      // the final round merges globally per (grid, threshold): shift 31
-      // zeroes every non-negative tile coordinate
-      val merged = mergeOpen(open, if (l == levels) 31 else l, l == levels)
+      // round l's input coords are already level-(l-1) block coords, so each
+      // round shifts by ONE more bit (tileX >> l overall); the final round
+      // merges globally per (grid, threshold): shift 31 zeroes every
+      // non-negative coordinate
+      val merged = mergeOpen(open, if (l == levels) 31 else 1, l == levels)
         .persist(StorageLevel.MEMORY_AND_DISK)
       merged.count() // eager per round: the closed/open branches share one compute
       closedParts += merged.filter(_.closed)
@@ -133,7 +144,7 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
     var l = doneLevel + 1
     while (l <= levels) {
       val next = state.filter(_.closed)
-        .union(mergeOpen(state.filter(!_.closed), if (l == levels) 31 else l, l == levels))
+        .union(mergeOpen(state.filter(!_.closed), if (l == levels) 31 else 1, l == levels))
       val snap = Lake.commit(spark, lakeTable, next.toDF(), s"round-$l")
       state = Lake.read(spark, snap).as[RingFragRow]
       l += 1
@@ -154,10 +165,18 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
   def closedRingRows(tiles: Dataset[TileRow], hint: Option[Int] = None): Dataset[RingFragRow] =
     closedOf(tiles, hint)
 
-  private def closedOf(tiles: Dataset[TileRow], hint: Option[Int]): Dataset[RingFragRow] = {
-    val ko = kernelRows(tiles)
-    closedRings(ko, hint.getOrElse(maxTileCoordOf(ko)))
-  }
+  /** Persist+count the kernel output ONCE, then derive the round count from
+    * the cached ti = -1 markers — the no-hint path must never evaluate the
+    * dominant decode+kernel stage twice.
+    */
+  private def closedOf(tiles: Dataset[TileRow], hint: Option[Int]): Dataset[RingFragRow] =
+    hint match {
+      case Some(m) => closedRings(kernelRows(tiles), m)
+      case None =>
+        val ko = kernelRows(tiles).persist(StorageLevel.MEMORY_AND_DISK)
+        ko.count()
+        closedRingsImpl(ko, maxTileCoordOf(ko), prePersisted = true)
+    }
 
   /** Contour polygons — the reference's `contours()` distributed. */
   def contours(tiles: Dataset[TileRow], maxTileCoordHint: Option[Int] = None): Dataset[ContourRow] =
