@@ -30,6 +30,35 @@ object SparkEntry {
     EventsGrid.Thresholds.toDF("threshold")
   }
 
+  /** Exact vertex-multiset checksum of a set of rings: every ring vertex
+    * (closing duplicate dropped) is the start of exactly one directed
+    * marching-squares segment, so (count, sum of floor(x*2^20), sum of
+    * floor(y*2^20)) over ring vertices equals the same sums over
+    * SQL-reconstructed segment-start points — exactly, because each
+    * smoothed coordinate is produced by the identical f64 formula on both
+    * sides and quantization happens per point (no float-order-dependent
+    * sums cross the compare).
+    */
+  private def ringChecksum(rings: Iterator[Seq[Double]]): (Long, Long, Long) = {
+    var n = 0L; var qx = 0L; var qy = 0L
+    rings.foreach { ring =>
+      // drop the closing duplicate — conditionally, because the reference's
+      // band-ring dedup can remove it (wrap segment collapsed by smoothing);
+      // value-wise the trailing point then equals the first anyway, so the
+      // multiset is unchanged either way
+      val m0 = ring.length
+      val m = if (m0 >= 4 && ring(0) == ring(m0 - 2) && ring(1) == ring(m0 - 1)) m0 - 2 else m0
+      var i = 0
+      while (i < m) {
+        qx += math.floor(ring(i) * 1048576.0).toLong
+        qy += math.floor(ring(i + 1) * 1048576.0).toLong
+        n += 1
+        i += 2
+      }
+    }
+    (n, qx, qy)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
     val tiles = eventTiles(spark, "/root/testdata/sf0.001")
@@ -106,48 +135,67 @@ object SparkEntry {
         .orderBy("threshold")
     }),
 
-    // ---- full contour pipeline: per-threshold structural stats ----
+    // ---- full contour pipeline (smooth=true): exact quantized vertex
+    //      checksum over assembled polygons (exteriors + holes) ----
     "q_contours_stats" -> ((spark, dir) => {
       import spark.implicits._
       engine(spark).contours(eventTiles(spark, dir))
         .map { c =>
-          val nPolys = c.polygons.length.toLong
-          val nHoles = c.polygons.map(_.holes.length.toLong).sum
-          val nPts = c.polygons.map(p => p.exterior.length / 2 +
-            p.holes.map(_.length / 2).sum).sum.toLong
-          (c.threshold, nPolys, nHoles, nPts)
+          val rings = c.polygons.iterator
+            .flatMap(p => Iterator.single(p.exterior) ++ p.holes.iterator)
+          val (n, qx, qy) = ringChecksum(rings)
+          (c.threshold, n, qx, qy)
         }
-        .toDF("threshold", "n_polygons", "n_holes", "n_points")
+        .toDF("threshold", "n_points", "qx_sum", "qy_sum")
         .orderBy("threshold")
     }),
 
-    // ---- isolines stats ----
+    // ---- isolines (smooth=true): same checksum through the lines path ----
     "q_lines_stats" -> ((spark, dir) => {
       import spark.implicits._
       engine(spark).lines(eventTiles(spark, dir))
-        .map(l => (l.threshold, l.lines.length.toLong,
-          l.lines.map(_.length / 2).sum.toLong))
-        .toDF("threshold", "n_lines", "n_points")
+        .map { l =>
+          val (n, qx, qy) = ringChecksum(l.lines.iterator)
+          (l.threshold, n, qx, qy)
+        }
+        .toDF("threshold", "n_points", "qx_sum", "qy_sum")
         .orderBy("threshold")
     }),
 
-    // ---- isobands stats ----
+    // ---- isobands (smooth=true): per-band quantized vertex checksum ----
     "q_isobands_stats" -> ((spark, dir) => {
       import spark.implicits._
       engine(spark).isobands(eventTiles(spark, dir))
-        .map(b => (b.minV, b.maxV, b.polygons.length.toLong,
-          b.polygons.map(_.holes.length.toLong).sum))
-        .toDF("min_v", "max_v", "n_polygons", "n_holes")
+        .map { b =>
+          val rings = b.polygons.iterator
+            .flatMap(p => Iterator.single(p.exterior) ++ p.holes.iterator)
+          val (n, qx, qy) = ringChecksum(rings)
+          (b.minV, b.maxV, n, qx, qy)
+        }
+        .toDF("min_v", "max_v", "n_points", "qx_sum", "qy_sum")
         .orderBy("min_v")
     }),
 
-    // ---- raw contour_rings (grid coords, no smoothing) ----
+    // ---- raw contour_rings (grid coords, no smoothing): exact integer
+    //      doubled-coordinate sums (plus a cross moment) ----
     "q_contour_rings_stats" -> ((spark, dir) => {
       import spark.implicits._
       engine(spark).contourRings(eventTiles(spark, dir))
-        .map(r => (r.threshold, r.rings.length.toLong,
-          r.rings.map(_.length / 2).sum.toLong))
-        .toDF("threshold", "n_rings", "n_points")
+        .map { r =>
+          var n = 0L; var sx = 0L; var sy = 0L; var sxy = 0L
+          r.rings.foreach { ring =>
+            val m = ring.length - 2 // drop the closing duplicate
+            var i = 0
+            while (i < m) {
+              val tx = (ring(i) * 2.0).toLong
+              val ty = (ring(i + 1) * 2.0).toLong
+              sx += tx; sy += ty; sxy += tx * ty; n += 1
+              i += 2
+            }
+          }
+          (r.threshold, n, sx, sy, sxy)
+        }
+        .toDF("threshold", "n_points", "sum_2x", "sum_2y", "sum_2x2y")
         .orderBy("threshold")
     }),
 
@@ -208,6 +256,7 @@ object SparkEntry {
           s"cast(event_id div $w as double) + 0.25 as y")
         .as[(Long, Double, Double)]
       graft.engine.SpatialOps.knnVertices(spark, queries, verts, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
 
@@ -261,8 +310,212 @@ object SparkEntry {
     })
   )
 
+  // ------------------------------------------------------------------
+  // DuckDB reconstruction of the marching-squares vertex multiset: the
+  // multiset of emitted ring vertices (each ring's closing duplicate
+  // dropped) equals the multiset of directed segment START points, which
+  // are per-case constants offset from the cell origin
+  // (/root/reference/src/isoringbuilder.rs:7-31). smoooth_linear only ever
+  // reads the two cell corners straddling the vertex's integer coordinate
+  // (/root/reference/src/contourbuilder.rs:77-103), so the smoothed
+  // coordinate is the identical f64 expression over the cells CTE's corner
+  // values; quantization (floor(coord * 2^20) as BIGINT) happens per point,
+  // so no float-order-dependent sum crosses the engine/oracle compare.
+  // ------------------------------------------------------------------
+
+  private val tsAllSql = "SELECT unnest([25.0,50.0,75.0,100.0]::DOUBLE[]) AS threshold"
+
+  /** cells (corner values + case idx, incl. the virtual border) -> directed
+    * segment starts, for the given threshold-set subquery.
+    */
+  private def startsCte(thresholdsSql: String): String =
+    s"""dims AS (SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events),
+       |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+       |cells AS (
+       |  SELECT t.threshold, cx.cx, cy.cy,
+       |    b0.v AS v0, b1.v AS v1, b2.v AS v2, b3.v AS v3,
+       |    COALESCE((b0.v >= t.threshold)::INT, 0)
+       |      + 2 * COALESCE((b1.v >= t.threshold)::INT, 0)
+       |      + 4 * COALESCE((b2.v >= t.threshold)::INT, 0)
+       |      + 8 * COALESCE((b3.v >= t.threshold)::INT, 0) AS cse
+       |  FROM (SELECT unnest(range(-1, (SELECT w FROM dims)))::INT AS cx) cx
+       |  CROSS JOIN (SELECT unnest(range(-1, (SELECT h FROM dims)))::INT AS cy) cy
+       |  CROSS JOIN ($thresholdsSql) t
+       |  LEFT JOIN g b0 ON b0.x = cx.cx     AND b0.y = cy.cy + 1
+       |  LEFT JOIN g b1 ON b1.x = cx.cx + 1 AND b1.y = cy.cy + 1
+       |  LEFT JOIN g b2 ON b2.x = cx.cx + 1 AND b2.y = cy.cy
+       |  LEFT JOIN g b3 ON b3.x = cx.cx     AND b3.y = cy.cy),
+       |segt(cse, sdx, sdy) AS (VALUES
+       |  (1,2,3),(2,3,2),(3,3,2),(4,2,1),(5,2,3),(5,2,1),(6,2,1),(7,2,1),
+       |  (8,1,2),(9,2,3),(10,1,2),(10,3,2),(11,3,2),(12,1,2),(13,2,3),(14,1,2)),
+       |starts AS (
+       |  SELECT cells.threshold, cells.cx, cells.cy, segt.sdx, segt.sdy,
+       |         cells.v0, cells.v1, cells.v2, cells.v3
+       |  FROM cells JOIN segt ON segt.cse = cells.cse)""".stripMargin
+
+  /** smoooth_linear applied to each segment start: a vertex has exactly one
+    * integer coordinate (sdx=2 xor sdy=2); the x-branch reads the two
+    * corners of row trunc(y) (row cy for sdy=1 with cy>=0, else row cy+1),
+    * the y-branch the two corners of column trunc(x); guards replicate
+    * `0 < coord < extent`. Unguarded/half coordinates stay (2c+sd)/2.
+    */
+  private val smoothPtsCte: String =
+    """pts AS (
+      |  SELECT threshold,
+      |    CASE WHEN sdx = 2 AND cx BETWEEN 0 AND (SELECT w FROM dims) - 2 THEN
+      |      (cx + 1)::DOUBLE
+      |        + (threshold - (CASE WHEN sdy = 1 AND cy >= 0 THEN v3 ELSE v0 END))
+      |        / ((CASE WHEN sdy = 1 AND cy >= 0 THEN v2 ELSE v1 END)
+      |           - (CASE WHEN sdy = 1 AND cy >= 0 THEN v3 ELSE v0 END))
+      |        - 0.5
+      |    ELSE (2 * cx + sdx)::DOUBLE / 2.0 END AS px,
+      |    CASE WHEN sdy = 2 AND cy BETWEEN 0 AND (SELECT h FROM dims) - 2 THEN
+      |      (cy + 1)::DOUBLE
+      |        + (threshold - (CASE WHEN sdx = 1 AND cx >= 0 THEN v3 ELSE v2 END))
+      |        / ((CASE WHEN sdx = 1 AND cx >= 0 THEN v0 ELSE v1 END)
+      |           - (CASE WHEN sdx = 1 AND cx >= 0 THEN v3 ELSE v2 END))
+      |        - 0.5
+      |    ELSE (2 * cy + sdy)::DOUBLE / 2.0 END AS py
+      |  FROM starts)""".stripMargin
+
+  /** Like startsCte + smoothPtsCte, but reconstructs BOTH endpoints of every
+    * directed segment (role 0 = start, role 1 = end) with the same smoothing
+    * expression — used where the reference's post-smoothing `ring.dedup()`
+    * matters (a point is dropped iff its segment's two smoothed endpoints
+    * coincide).
+    */
+  private def startsAndEndsCte(thresholdsSql: String): String =
+    s"""dims AS (SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events),
+       |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+       |cells AS (
+       |  SELECT t.threshold, cx.cx, cy.cy,
+       |    b0.v AS v0, b1.v AS v1, b2.v AS v2, b3.v AS v3,
+       |    COALESCE((b0.v >= t.threshold)::INT, 0)
+       |      + 2 * COALESCE((b1.v >= t.threshold)::INT, 0)
+       |      + 4 * COALESCE((b2.v >= t.threshold)::INT, 0)
+       |      + 8 * COALESCE((b3.v >= t.threshold)::INT, 0) AS cse
+       |  FROM (SELECT unnest(range(-1, (SELECT w FROM dims)))::INT AS cx) cx
+       |  CROSS JOIN (SELECT unnest(range(-1, (SELECT h FROM dims)))::INT AS cy) cy
+       |  CROSS JOIN ($thresholdsSql) t
+       |  LEFT JOIN g b0 ON b0.x = cx.cx     AND b0.y = cy.cy + 1
+       |  LEFT JOIN g b1 ON b1.x = cx.cx + 1 AND b1.y = cy.cy + 1
+       |  LEFT JOIN g b2 ON b2.x = cx.cx + 1 AND b2.y = cy.cy
+       |  LEFT JOIN g b3 ON b3.x = cx.cx     AND b3.y = cy.cy),
+       |segt(cse, segid, sdx, sdy, edx, edy) AS (VALUES
+       |  (1,0,2,3,1,2),(2,0,3,2,2,3),(3,0,3,2,1,2),(4,0,2,1,3,2),
+       |  (5,0,2,3,1,2),(5,1,2,1,3,2),(6,0,2,1,2,3),(7,0,2,1,1,2),
+       |  (8,0,1,2,2,1),(9,0,2,3,2,1),(10,0,1,2,2,1),(10,1,3,2,2,3),
+       |  (11,0,3,2,2,1),(12,0,1,2,3,2),(13,0,2,3,3,2),(14,0,1,2,2,3)),
+       |ep AS (
+       |  SELECT cells.threshold, cells.cx, cells.cy, segt.segid, r.role,
+       |         CASE WHEN r.role = 0 THEN segt.sdx ELSE segt.edx END AS odx,
+       |         CASE WHEN r.role = 0 THEN segt.sdy ELSE segt.edy END AS ody,
+       |         cells.v0, cells.v1, cells.v2, cells.v3
+       |  FROM cells JOIN segt ON segt.cse = cells.cse
+       |  CROSS JOIN (VALUES (0),(1)) r(role)),
+       |pts AS (
+       |  SELECT threshold, cx, cy, segid, role,
+       |    CASE WHEN odx = 2 AND cx BETWEEN 0 AND (SELECT w FROM dims) - 2 THEN
+       |      (cx + 1)::DOUBLE
+       |        + (threshold - (CASE WHEN ody = 1 AND cy >= 0 THEN v3 ELSE v0 END))
+       |        / ((CASE WHEN ody = 1 AND cy >= 0 THEN v2 ELSE v1 END)
+       |           - (CASE WHEN ody = 1 AND cy >= 0 THEN v3 ELSE v0 END))
+       |        - 0.5
+       |    ELSE (2 * cx + odx)::DOUBLE / 2.0 END AS px,
+       |    CASE WHEN ody = 2 AND cy BETWEEN 0 AND (SELECT h FROM dims) - 2 THEN
+       |      (cy + 1)::DOUBLE
+       |        + (threshold - (CASE WHEN odx = 1 AND cx >= 0 THEN v3 ELSE v2 END))
+       |        / ((CASE WHEN odx = 1 AND cx >= 0 THEN v0 ELSE v1 END)
+       |           - (CASE WHEN odx = 1 AND cx >= 0 THEN v3 ELSE v2 END))
+       |        - 0.5
+       |    ELSE (2 * cy + ody)::DOUBLE / 2.0 END AS py
+       |  FROM ep)""".stripMargin
+
+  private val smoothChecksumSql: String =
+    s"""WITH ${startsCte(tsAllSql)},
+       |$smoothPtsCte,
+       |agg AS (SELECT threshold, count(*)::BIGINT AS n_points,
+       |  SUM(floor(px * 1048576.0)::BIGINT)::BIGINT AS qx_sum,
+       |  SUM(floor(py * 1048576.0)::BIGINT)::BIGINT AS qy_sum
+       |  FROM pts GROUP BY 1)
+       |SELECT t.threshold, COALESCE(agg.n_points, 0)::BIGINT AS n_points,
+       |  COALESCE(agg.qx_sum, 0)::BIGINT AS qx_sum,
+       |  COALESCE(agg.qy_sum, 0)::BIGINT AS qy_sum
+       |FROM ($tsAllSql) t LEFT JOIN agg ON agg.threshold = t.threshold
+       |ORDER BY t.threshold""".stripMargin
+
   /** DuckDB-equivalent SQL per query (omit => weaker rows-only check). */
   def oracleSql: Map[String, String] = Map(
+    "q_contours_stats" -> smoothChecksumSql,
+    "q_lines_stats" -> smoothChecksumSql,
+
+    "q_contour_rings_stats" ->
+      s"""WITH ${startsCte(tsAllSql)},
+         |agg AS (SELECT threshold, count(*)::BIGINT AS n_points,
+         |  SUM(2 * cx + sdx)::BIGINT AS sum_2x,
+         |  SUM(2 * cy + sdy)::BIGINT AS sum_2y,
+         |  SUM((2 * cx + sdx) * (2 * cy + sdy))::BIGINT AS sum_2x2y
+         |  FROM starts GROUP BY 1)
+         |SELECT t.threshold, COALESCE(agg.n_points, 0)::BIGINT AS n_points,
+         |  COALESCE(agg.sum_2x, 0)::BIGINT AS sum_2x,
+         |  COALESCE(agg.sum_2y, 0)::BIGINT AS sum_2y,
+         |  COALESCE(agg.sum_2x2y, 0)::BIGINT AS sum_2x2y
+         |FROM ($tsAllSql) t LEFT JOIN agg ON agg.threshold = t.threshold
+         |ORDER BY t.threshold""".stripMargin,
+
+    // Band rings additionally pass the reference's `ring.dedup()` after
+    // smoothing: a point is removed exactly when its segment collapsed
+    // (smoothed start == smoothed end, which happens when the threshold
+    // exactly equals a sample value), so the kept multiset = all segment
+    // starts minus the starts of collapsed segments — both endpoints of
+    // every segment are reconstructed and compared here.
+    "q_isobands_stats" ->
+      s"""WITH ${startsAndEndsCte(tsAllSql)},
+         |segs2 AS (
+         |  SELECT s.threshold, s.px AS spx, s.py AS spy, e.px AS epx, e.py AS epy
+         |  FROM pts s JOIN pts e
+         |    ON e.threshold = s.threshold AND e.cx = s.cx AND e.cy = s.cy
+         |   AND e.segid = s.segid AND s.role = 0 AND e.role = 1),
+         |kept AS (SELECT threshold, spx AS px, spy AS py FROM segs2
+         |         WHERE NOT (spx = epx AND spy = epy)),
+         |bandmap(minv, maxv, threshold) AS (VALUES
+         |  (25.0::DOUBLE, 50.0::DOUBLE, 25.0::DOUBLE),
+         |  (25.0::DOUBLE, 50.0::DOUBLE, 50.0::DOUBLE),
+         |  (50.0::DOUBLE, 75.0::DOUBLE, 50.0::DOUBLE),
+         |  (50.0::DOUBLE, 75.0::DOUBLE, 75.0::DOUBLE),
+         |  (75.0::DOUBLE, 100.0::DOUBLE, 75.0::DOUBLE),
+         |  (75.0::DOUBLE, 100.0::DOUBLE, 100.0::DOUBLE)),
+         |agg AS (SELECT minv, maxv, count(*)::BIGINT AS n_points,
+         |  SUM(floor(px * 1048576.0)::BIGINT)::BIGINT AS qx_sum,
+         |  SUM(floor(py * 1048576.0)::BIGINT)::BIGINT AS qy_sum
+         |  FROM kept JOIN bandmap ON bandmap.threshold = kept.threshold
+         |  GROUP BY 1, 2)
+         |SELECT b.minv AS min_v, b.maxv AS max_v,
+         |  COALESCE(agg.n_points, 0)::BIGINT AS n_points,
+         |  COALESCE(agg.qx_sum, 0)::BIGINT AS qx_sum,
+         |  COALESCE(agg.qy_sum, 0)::BIGINT AS qy_sum
+         |FROM (VALUES (25.0::DOUBLE, 50.0::DOUBLE), (50.0::DOUBLE, 75.0::DOUBLE),
+         |      (75.0::DOUBLE, 100.0::DOUBLE)) b(minv, maxv)
+         |LEFT JOIN agg ON agg.minv = b.minv AND agg.maxv = b.maxv
+         |ORDER BY min_v""".stripMargin,
+
+    "q_knn_vertices" ->
+      s"""WITH ${startsCte("SELECT unnest([50.0]::DOUBLE[]) AS threshold")},
+         |verts AS (SELECT (2 * cx + sdx)::DOUBLE / 2.0 AS vx,
+         |                 (2 * cy + sdy)::DOUBLE / 2.0 AS vy FROM starts),
+         |q AS (SELECT event_id AS query_id,
+         |             (event_id % 100)::DOUBLE + 0.25 AS qx,
+         |             (event_id // 100)::DOUBLE + 0.25 AS qy
+         |      FROM events WHERE event_id < 50),
+         |d AS (SELECT query_id, vx, vy,
+         |             sqrt((vx - qx) * (vx - qx) + (vy - qy) * (vy - qy)) AS dist
+         |      FROM q CROSS JOIN verts),
+         |r AS (SELECT query_id, vx, vy, dist,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY dist, vx, vy) AS rank
+         |      FROM d)
+         |SELECT query_id, rank::BIGINT AS rank, vx, vy, dist
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q_threshold_class" ->
       """WITH ts(threshold) AS (VALUES (25.0),(50.0),(75.0),(100.0))
         |SELECT threshold,

@@ -14,9 +14,15 @@ final case class Poly(exterior: Array[Double], holes: Seq[Array[Double]])
   *    containing exterior, then reverse (contourbuilder.rs:231-341).
   *
   * A bbox prefilter accelerates the O(n^2) containment joins: if a ring's
-  * first vertex lies strictly outside a candidate's bbox, `Geom.contains`
-  * is guaranteed to return -1 (its first verdict is "outside"), so skipping
-  * the candidate is exactly equivalent and preserves first-match order.
+  * first vertex lies strictly outside a candidate's bbox AND off the
+  * candidate's wrap line, `Geom.contains` is guaranteed to return -1 (its
+  * first verdict is "outside"), so skipping the candidate is exactly
+  * equivalent and preserves first-match order. The wrap-line guard: the
+  * reference ring keeps its closing duplicate, and its degenerate wrap
+  * segment makes ring_contains return 0 (on-boundary) for ANY point whose y
+  * exactly equals the ring's first vertex's y — verdict 0 means the walk
+  * continues to the ring's LATER vertices, which the prefilter cannot
+  * predict, so those rows take the exact path.
   */
 object Assembly {
 
@@ -82,7 +88,8 @@ object Assembly {
         var done = false
         while (i < exteriors.length && !done) {
           val b = boxes(i)
-          if (hx >= b(0) && hx <= b(2) && hy >= b(1) && hy <= b(3)) {
+          if ((hx >= b(0) && hx <= b(2) && hy >= b(1) && hy <= b(3)) ||
+              hy == exteriors(i)(1)) { // wrap-line: verdict 0, walk continues
             if (idx(i) == null) idx(i) = new RingIndex(exteriors(i))
             if (idx(i).containsRing(hole) != -1) {
               extHoles(i) += hole
@@ -121,7 +128,8 @@ object Assembly {
       while (j < n) {
         if (j != i) {
           val b = boxes(j)
-          if (hx >= b(0) && hx <= b(2) && hy >= b(1) && hy <= b(3) &&
+          if (((hx >= b(0) && hx <= b(2) && hy >= b(1) && hy <= b(3)) ||
+               hy == sorted(j)(1)) &&
               indexOf(j).containsRing(ring) != -1) cnt += 1
         }
         j += 1
@@ -149,7 +157,8 @@ object Assembly {
         var done = false
         while (k < exteriors.length && !done) {
           val b = eboxes(k)
-          if (hx >= b(0) && hx <= b(2) && hy >= b(1) && hy <= b(3)) {
+          if ((hx >= b(0) && hx <= b(2) && hy >= b(1) && hy <= b(3)) ||
+              hy == exteriors(k)(1)) {
             if (eidx(k) == null) eidx(k) = new RingIndex(exteriors(k))
             if (eidx(k).containsRing(hole) != -1) {
               extHoles(k) += hole

@@ -157,11 +157,22 @@ object TrainingOps {
   }
 
   // ---- ANN scale path: LSH sign-bucketed (IVF-style probe of one bucket) ----
-  val annIvfTopK: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val dim = 64
-    val nPlanes = 4
+
+  /** Fixed seeded hyperplanes shared by the engine plan and the DuckDB
+    * oracle (the oracle inlines the exact f64 constants — Double.toString
+    * round-trips, so both sides bucket on bit-identical dot products).
+    */
+  private[graft] val IvfPlanes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
-    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    Array.fill(4, 64)(rnd.nextGaussian())
+  }
+
+  private val ivfPlanesSqlLiteral: String =
+    IvfPlanes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  val annIvfTopK: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val nPlanes = IvfPlanes.length
+    val planes = IvfPlanes
     val planesCol = typedLit(planes.map(_.toSeq).toSeq)
     val e = embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -266,8 +277,73 @@ object TrainingOps {
       .orderBy("query_id")
   }
 
+  /** Shared CTE chain for the ANN oracles: per-vector norm + sign-LSH
+    * bucket (the same fold order as the engine plan), query side exploded
+    * over the multi-probe flips, and the bucketed top-10 ranking.
+    */
+  private def ivfCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT $ivfPlanesSqlLiteral::DOUBLE[][] AS ps),
+       |n AS (SELECT vec_id, v,
+       |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+       |        list_sum(list_transform(range(1, 5), i ->
+       |          CASE WHEN list_sum(list_transform(range(1, 65), j -> ps[i][j] * v[j])) >= 0.0
+       |               THEN (1 << (4 - i)) ELSE 0 END))::INT AS bucket
+       |      FROM e CROSS JOIN p),
+       |qp AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+       |              xor(bucket, f.flip)::INT AS qbucket
+       |       FROM n CROSS JOIN (VALUES (0),(1),(2),(4),(8)) f(flip)
+       |       WHERE vec_id < 10),
+       |apprR AS (SELECT qp.query_id, n.vec_id AS neighbor_id,
+       |            row_number() OVER (PARTITION BY qp.query_id ORDER BY
+       |              list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qn * nrm) DESC,
+       |              n.vec_id) AS rank
+       |          FROM qp JOIN n ON n.bucket = qp.qbucket
+       |          WHERE n.vec_id != qp.query_id)""".stripMargin
+
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracleSql: Map[String, String] = Map(
+    "q_doc_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang AS lang_given,
+        |                  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |           FROM documents),
+        |m(lang, mk) AS (VALUES
+        |  ('de', ['der','und','die','nicht','ein']),
+        |  ('en', ['the','and','of','fast','table']),
+        |  ('es', ['el','y','los','una','que']),
+        |  ('fr', ['le','la','et','des','une']),
+        |  ('zh', ['de','shi','le','zai','he'])),
+        |s AS (SELECT doc_id, lang_given, m.lang,
+        |             len(list_filter(ws, w -> list_contains(m.mk, w))) AS score
+        |      FROM t CROSS JOIN m),
+        |r AS (SELECT doc_id, lang_given, lang,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+        |      FROM s)
+        |SELECT doc_id, lang_given, lang AS lang_pred, (lang = lang_given) AS agree
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_ann_ivf_topk" ->
+      s"""WITH $ivfCtes
+         |SELECT query_id, rank::BIGINT AS rank, neighbor_id
+         |FROM apprR WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_recall" ->
+      s"""WITH $ivfCtes,
+         |exactR AS (SELECT q2.query_id, n2.vec_id AS neighbor_id,
+         |             row_number() OVER (PARTITION BY q2.query_id ORDER BY
+         |               list_sum(list_transform(range(1, 65), i -> qv[i] * n2.v[i])) / (qn * n2.nrm) DESC,
+         |               n2.vec_id) AS rank
+         |           FROM (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10) q2
+         |           CROSS JOIN n n2 WHERE n2.vec_id != q2.query_id),
+         |exact AS (SELECT query_id, neighbor_id FROM exactR WHERE rank <= 10),
+         |appr AS (SELECT query_id, neighbor_id FROM apprR WHERE rank <= 10),
+         |hits AS (SELECT exact.query_id, count(*) AS h
+         |         FROM exact JOIN appr USING (query_id, neighbor_id) GROUP BY 1),
+         |k AS (SELECT query_id, count(*) AS k FROM exact GROUP BY 1)
+         |SELECT k.query_id AS query_id, ((COALESCE(hits.h, 0) * 100) // k.k)::BIGINT AS recall_x100
+         |FROM k LEFT JOIN hits ON hits.query_id = k.query_id
+         |ORDER BY k.query_id""".stripMargin,
+
     "q_doc_exact_dup" ->
       """SELECT md5(text) AS h, count(*)::BIGINT AS n FROM documents
         |GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
