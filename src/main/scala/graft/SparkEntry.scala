@@ -566,6 +566,85 @@ object SparkEntry {
         |FROM events CROSS JOIN (VALUES (25.0),(50.0),(75.0),(100.0)) t(threshold)
         |ORDER BY point_id, threshold""".stripMargin,
 
+    // Predictive oracle: one doc per 50x50 tile of the W x H events grid,
+    // and the span-sequence invariant must hold with zero violations — the
+    // engine computes the violations by real prefix comparison; the oracle
+    // pins the expected outcome.
+    "q_span_invariant" ->
+      """SELECT (((100 + 49) // 50) *
+        |        ((((SELECT count(*) FROM events) // 100) + 49) // 50))::BIGINT AS n_docs,
+        |       0::BIGINT AS n_violations, true AS ok""".stripMargin,
+
+    // The media blobs are md5-derived end to end (MultimodalOps), so DuckDB
+    // can predict every parsed field and payload byte without touching the
+    // binary: a genuine round-trip oracle over the encode->parse plumbing.
+    "q_media_meta" ->
+      """WITH ids AS (SELECT unnest(range(0, 300)) AS id),
+        |img AS (SELECT id,
+        |          8 + ('0x' || substring(md5(id::VARCHAR || ':w'), 1, 8))::BIGINT % 24 AS w,
+        |          8 + ('0x' || substring(md5(id::VARCHAR || ':h'), 1, 8))::BIGINT % 24 AS h
+        |        FROM ids WHERE id % 3 = 0),
+        |aud AS (SELECT id,
+        |          64 + ('0x' || substring(md5(id::VARCHAR || ':n'), 1, 8))::BIGINT % 192 AS samples
+        |        FROM ids WHERE id % 3 = 1),
+        |vid AS (SELECT id,
+        |          4 + ('0x' || substring(md5(id::VARCHAR || ':f'), 1, 8))::BIGINT % 12 AS frames
+        |        FROM ids WHERE id % 3 = 2)
+        |SELECT id AS "mediaId", 'image' AS kind, w::INT AS width, h::INT AS height,
+        |       3 AS channels, 0 AS "sampleRate", 1 AS frames, (16 + w * h * 3)::BIGINT AS "nBytes"
+        |FROM img
+        |UNION ALL
+        |SELECT id, 'audio', 0, 0, 1, 8000, samples::INT, (12 + samples * 2)::BIGINT FROM aud
+        |UNION ALL
+        |SELECT id, 'video', 8, 8, 1, 0, frames::INT, (16 + frames * 64)::BIGINT FROM vid
+        |ORDER BY "mediaId"""".stripMargin,
+
+    "q_media_pipeline" ->
+      """WITH ids AS (SELECT unnest(range(0, 300)) AS id),
+        |img AS (SELECT id,
+        |          8 + ('0x' || substring(md5(id::VARCHAR || ':w'), 1, 8))::BIGINT % 24 AS w,
+        |          8 + ('0x' || substring(md5(id::VARCHAR || ':h'), 1, 8))::BIGINT % 24 AS h
+        |        FROM ids WHERE id % 3 = 0),
+        |aud AS (SELECT id,
+        |          64 + ('0x' || substring(md5(id::VARCHAR || ':n'), 1, 8))::BIGINT % 192 AS samples
+        |        FROM ids WHERE id % 3 = 1),
+        |vid AS (SELECT id,
+        |          4 + ('0x' || substring(md5(id::VARCHAR || ':f'), 1, 8))::BIGINT % 12 AS frames
+        |        FROM ids WHERE id % 3 = 2),
+        |-- nearest-neighbor 8x8 resize picks source pixel (x*w//8, y*h//8)
+        |imgb AS (SELECT id, ((y.y * h // 8) * w + (x.x * w // 8)) * 3 + ch.ch AS p
+        |         FROM img
+        |         CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
+        |         CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x
+        |         CROSS JOIN (SELECT unnest(range(0, 3)) AS ch) ch),
+        |imgsum AS (SELECT id, SUM(('0x' || substring(
+        |             md5(id::VARCHAR || ':px:' || (p // 16)::VARCHAR),
+        |             ((p % 16) * 2 + 1)::INT, 2))::INT)::BIGINT AS byte_sum
+        |           FROM imgb GROUP BY 1),
+        |audb AS (SELECT id, unnest(range(0, samples * 2)) AS p FROM aud),
+        |audsum AS (SELECT id, SUM(('0x' || substring(
+        |             md5(id::VARCHAR || ':pcm:' || (p // 16)::VARCHAR),
+        |             ((p % 16) * 2 + 1)::INT, 2))::INT)::BIGINT AS byte_sum
+        |           FROM audb GROUP BY 1),
+        |-- frame sampling keeps frames 0, 2, 4, ...
+        |vidf AS (SELECT id, frames, unnest(range(0, frames)) AS f FROM vid),
+        |vidb AS (SELECT id, f * 64 + j.j AS p FROM vidf
+        |         CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+        |         WHERE f % 2 = 0),
+        |vidsum AS (SELECT id, SUM(('0x' || substring(
+        |             md5(id::VARCHAR || ':fr:' || (p // 16)::VARCHAR),
+        |             ((p % 16) * 2 + 1)::INT, 2))::INT)::BIGINT AS byte_sum
+        |           FROM vidb GROUP BY 1)
+        |SELECT img.id AS media_id, 'image' AS kind, 208::BIGINT AS n_bytes, imgsum.byte_sum
+        |FROM img JOIN imgsum ON imgsum.id = img.id
+        |UNION ALL
+        |SELECT aud.id, 'audio', (12 + samples * 2)::BIGINT, audsum.byte_sum
+        |FROM aud JOIN audsum ON audsum.id = aud.id
+        |UNION ALL
+        |SELECT vid.id, 'video', (16 + 64 * ((frames + 1) // 2))::BIGINT, vidsum.byte_sum
+        |FROM vid JOIN vidsum ON vidsum.id = vid.id
+        |ORDER BY media_id""".stripMargin,
+
     "q_tile_assignment" ->
       """WITH pts AS (SELECT event_id, ((event_id % 100) // 50)::BIGINT AS tx,
         |                    ((event_id // 100) // 50)::BIGINT AS ty FROM events),

@@ -26,29 +26,55 @@ object MultimodalOps {
 
   private val LE = ByteOrder.LITTLE_ENDIAN
 
-  // ---- deterministic fake blobs (seeded; no external data) ----
-  def syntheticMedia(spark: SparkSession, n: Int, seed: Long = 11L): DataFrame = {
+  // ---- deterministic fake blobs (md5-derived; no external data) ----
+  // All "random" content derives from md5 so a SQL oracle can predict every
+  // byte: dimensions come from the first 8 hex chars of md5("<id>:<tag>"),
+  // payload byte p is byte (p % 16) of md5("<id>:<tag>:<p / 16>").
+
+  private def md5Bytes(s: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+
+  private def h32(s: String): Long =
+    java.lang.Long.parseLong(
+      md5Bytes(s).take(4).map("%02x".format(_)).mkString, 16)
+
+  private def fillStream(id: Long, tag: String, out: Array[Byte]): Unit = {
+    var block = 0
+    var off = 0
+    while (off < out.length) {
+      val d = md5Bytes(s"$id:$tag:$block")
+      val n = math.min(16, out.length - off)
+      System.arraycopy(d, 0, out, off, n)
+      off += n
+      block += 1
+    }
+  }
+
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     spark.range(0, n, 1, math.max(2, n / 64)).map { i =>
-      val rnd = new scala.util.Random(seed ^ i)
       val blob = (i % 3) match {
         case 0 => // image
-          val w = 8 + rnd.nextInt(24); val h = 8 + rnd.nextInt(24); val c = 3
+          val w = 8 + (h32(s"$i:w") % 24).toInt
+          val h = 8 + (h32(s"$i:h") % 24).toInt
+          val c = 3
           val bb = ByteBuffer.allocate(16 + w * h * c).order(LE)
           bb.put("IMG1".getBytes); bb.putInt(w); bb.putInt(h); bb.putInt(c)
-          val px = new Array[Byte](w * h * c); rnd.nextBytes(px); bb.put(px)
+          val px = new Array[Byte](w * h * c); fillStream(i, "px", px); bb.put(px)
           bb.array()
         case 1 => // audio
-          val rate = 8000; val samples = 64 + rnd.nextInt(192)
+          val rate = 8000
+          val samples = 64 + (h32(s"$i:n") % 192).toInt
           val bb = ByteBuffer.allocate(12 + samples * 2).order(LE)
           bb.put("AUD1".getBytes); bb.putInt(rate); bb.putInt(samples)
-          (0 until samples).foreach(k => bb.putShort((1000 * math.sin(k * 0.1 + i)).toShort))
+          val pcm = new Array[Byte](samples * 2); fillStream(i, "pcm", pcm); bb.put(pcm)
           bb.array()
         case _ => // video
-          val w = 8; val h = 8; val frames = 4 + rnd.nextInt(12)
+          val w = 8; val h = 8
+          val frames = 4 + (h32(s"$i:f") % 12).toInt
           val bb = ByteBuffer.allocate(16 + frames * w * h).order(LE)
           bb.put("VID1".getBytes); bb.putInt(w); bb.putInt(h); bb.putInt(frames)
-          val fr = new Array[Byte](frames * w * h); rnd.nextBytes(fr); bb.put(fr)
+          val fr = new Array[Byte](frames * w * h); fillStream(i, "fr", fr); bb.put(fr)
           bb.array()
       }
       (i, blob)
