@@ -13,16 +13,12 @@ final case class Poly(exterior: Array[Double], holes: Seq[Array[Double]])
   *    u64-truncated |area|, even-odd enclosure depth, holes to first
   *    containing exterior, then reverse (contourbuilder.rs:231-341).
   *
-  * A bbox prefilter accelerates the O(n^2) containment joins: if a ring's
-  * first vertex lies strictly outside a candidate's bbox AND off the
-  * candidate's wrap line, `Geom.contains` is guaranteed to return -1 (its
-  * first verdict is "outside"), so skipping the candidate is exactly
-  * equivalent and preserves first-match order. The wrap-line guard: the
-  * reference ring keeps its closing duplicate, and its degenerate wrap
-  * segment makes ring_contains return 0 (on-boundary) for ANY point whose y
-  * exactly equals the ring's first vertex's y — verdict 0 means the walk
-  * continues to the ring's LATER vertices, which the prefilter cannot
-  * predict, so those rows take the exact path.
+  * The O(n^2) containment joins go through RingIndex, whose per-vertex
+  * bbox + degenerate-line short circuit makes far-apart ring pairs O(1)
+  * per query while staying exactly equivalent to the reference's walk —
+  * including the wrap-line quirk (the degenerate closing segment marks the
+  * whole horizontal line through the ring's first vertex as on-boundary,
+  * verdict 0, which sends the walk on to the hole's later vertices).
   */
 object Assembly {
 
@@ -80,21 +76,15 @@ object Assembly {
       } else holes += ring
     }
     if (holes.nonEmpty) {
-      val boxes = exteriors.map(Geom.bbox)
       val idx = new Array[RingIndex](exteriors.length)
       holes.foreach { hole =>
-        val hx = hole(0); val hy = hole(1)
         var i = 0
         var done = false
         while (i < exteriors.length && !done) {
-          val b = boxes(i)
-          if ((hx >= b(0) && hx <= b(2) && hy >= b(1) && hy <= b(3)) ||
-              hy == exteriors(i)(1)) { // wrap-line: verdict 0, walk continues
-            if (idx(i) == null) idx(i) = new RingIndex(exteriors(i))
-            if (idx(i).containsRing(hole) != -1) {
-              extHoles(i) += hole
-              done = true
-            }
+          if (idx(i) == null) idx(i) = new RingIndex(exteriors(i))
+          if (idx(i).containsRing(hole) != -1) {
+            extHoles(i) += hole
+            done = true
           }
           i += 1
         }
@@ -112,7 +102,6 @@ object Assembly {
   def assembleBand(rings: Seq[Array[Double]]): Seq[Poly] = {
     val sorted = rings.sortBy(r => math.abs(Geom.area2(r)).toLong) // stable
     val n = sorted.length
-    val boxes = sorted.map(Geom.bbox)
     val idx = new Array[RingIndex](n)
     @inline def indexOf(j: Int): RingIndex = {
       if (idx(j) == null) idx(j) = new RingIndex(sorted(j))
@@ -122,16 +111,10 @@ object Assembly {
     var i = 0
     while (i < n) {
       val ring = sorted(i)
-      val hx = ring(0); val hy = ring(1)
       var cnt = 0
       var j = 0
       while (j < n) {
-        if (j != i) {
-          val b = boxes(j)
-          if (((hx >= b(0) && hx <= b(2) && hy >= b(1) && hy <= b(3)) ||
-               hy == sorted(j)(1)) &&
-              indexOf(j).containsRing(ring) != -1) cnt += 1
-        }
+        if (j != i && indexOf(j).containsRing(ring) != -1) cnt += 1
         j += 1
       }
       enclosedBy(i) = cnt
@@ -149,21 +132,15 @@ object Assembly {
       i += 1
     }
     if (interiors.nonEmpty) {
-      val eboxes = exteriors.map(Geom.bbox)
       val eidx = new Array[RingIndex](exteriors.length)
       interiors.foreach { hole =>
-        val hx = hole(0); val hy = hole(1)
         var k = 0
         var done = false
         while (k < exteriors.length && !done) {
-          val b = eboxes(k)
-          if ((hx >= b(0) && hx <= b(2) && hy >= b(1) && hy <= b(3)) ||
-              hy == exteriors(k)(1)) {
-            if (eidx(k) == null) eidx(k) = new RingIndex(exteriors(k))
-            if (eidx(k).containsRing(hole) != -1) {
-              extHoles(k) += hole
-              done = true
-            }
+          if (eidx(k) == null) eidx(k) = new RingIndex(exteriors(k))
+          if (eidx(k).containsRing(hole) != -1) {
+            extHoles(k) += hole
+            done = true
           }
           k += 1
         }

@@ -45,6 +45,35 @@ final class RingIndex(ring: Array[Double]) {
     while (i < ring.length) { if (ring(i) > mx) mx = ring(i); i += 2 }
     math.max(1, (((mx - minY) / bw).toInt + 2))
   }
+  // bbox + degenerate-segment lines for the outside-point short circuit:
+  // a point strictly outside the bbox straddles no segment (ray parity
+  // stays even -> -1) and can pass segment_contains only for a segment
+  // whose endpoints are EXACTLY equal (cross product identically 0, the
+  // vertical branch then requires y == the segment's y) — the closing
+  // duplicate's wrap segment and any adjacent duplicate vertices. Those
+  // y-lines are collected here; everything else outside the bbox is -1.
+  // (A non-degenerate claim on a strictly-outside point would need an
+  // ulp-scale cancellation in the cross product — below the coordinate
+  // grid's representable resolution.)
+  private val bminX = { var m = Double.PositiveInfinity; var i = 0
+    while (i < ring.length) { if (ring(i) < m) m = ring(i); i += 2 }; m }
+  private val bmaxX = { var m = Double.NegativeInfinity; var i = 0
+    while (i < ring.length) { if (ring(i) > m) m = ring(i); i += 2 }; m }
+  private val bmaxY = { var m = Double.NegativeInfinity; var i = 1
+    while (i < ring.length) { if (ring(i) > m) m = ring(i); i += 2 }; m }
+  private val degYs: Array[Double] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Double](2)
+    var j = n - 1
+    var i = 0
+    while (i < n) {
+      if (ring(2 * i) == ring(2 * j) && ring(2 * i + 1) == ring(2 * j + 1))
+        out += ring(2 * i + 1)
+      j = i
+      i += 1
+    }
+    out.toArray
+  }
+
   // CSR layout: bucketStart(b) .. bucketStart(b+1) indices into segIdx
   private val (bucketStart, segIdx) = {
     val counts = new Array[Int](nBuckets + 1)
@@ -71,6 +100,11 @@ final class RingIndex(ring: Array[Double]) {
 
   /** Exact ring_contains(ring, (x, y)) — see Geom.ringContains. */
   def contains(x: Double, y: Double): Int = {
+    if (x < bminX || x > bmaxX || y < minY || y > bmaxY) {
+      var k = 0
+      while (k < degYs.length) { if (degYs(k) == y) return 0; k += 1 }
+      return -1
+    }
     // candidate buckets: yLo in [y - maxSpan - 1, y + 1]
     var b0 = ((y - maxSpan - 1.0 - minY) / bw).toInt - 1
     var b1 = ((y + 1.0 - minY) / bw).toInt + 1

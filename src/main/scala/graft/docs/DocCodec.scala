@@ -66,6 +66,87 @@ object DocCodec {
     tiles.map(tileToDoc)
   }
 
+  // ---- external (blob-store) payloads ------------------------------------
+  // At scale the raster bytes do NOT travel inside media_ref: the span
+  // carries a short reference ("...&blob=<key>") and the payload lives in a
+  // sidecar table (blob_ref, payload BINARY). Parquet then stores the
+  // raster as a real binary column: ~25% fewer bytes than base64, no
+  // UTF8String inflation in the scan, and the multi-MB per-task working
+  // sets that thrashed shared cache at 16 threads disappear.
+
+  def blobKey(t: TileRow): String = s"${t.gridId}/${t.tileY}/${t.tileX}"
+
+  def valuesToBytes(values: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(values.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.asDoubleBuffer().put(values)
+    bb.array()
+  }
+
+  def bytesToValues(payload: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](payload.length / 8)
+    ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN).asDoubleBuffer().get(out)
+    out
+  }
+
+  def mediaRefExternal(t: TileRow): String =
+    s"raster://${t.gridId}/${t.tileY}/${t.tileX}?gdx=${t.gdx}&gdy=${t.gdy}" +
+      s"&sx0=${t.sx0}&sy0=${t.sy0}&tw=${t.tw}&th=${t.th}&vw=${t.vw}&vh=${t.vh}" +
+      s"&blob=${blobKey(t)}"
+
+  def tileToDocExternal(t: TileRow): Doc = {
+    val meta = s"""{"grid":"${t.gridId}","tile":[${t.tileX},${t.tileY}],""" +
+      s""""w":${t.tw},"h":${t.th},"gdx":${t.gdx},"gdy":${t.gdy}}"""
+    Doc(s"g${t.gridId}-t${t.tileY}_${t.tileX}",
+      Seq(Span("text", meta, "", 0), Span("media", "", mediaRefExternal(t), 1)))
+  }
+
+  /** Doc table (exact contract schema, short media_refs) + blob sidecar. */
+  def encodeExternal(tiles: Dataset[TileRow])
+                    (implicit spark: SparkSession): (Dataset[Doc], org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val docs = tiles.map(tileToDocExternal)
+    val blobs = tiles.map(t => (blobKey(t), valuesToBytes(t.values))).toDF("blob_ref", "payload")
+    (docs, blobs)
+  }
+
+  /** Header-only parse of an external media_ref (no payload in the string). */
+  def parseMediaRefHeader(ref: String, payload: Array[Byte]): TileRow = {
+    val body = ref.stripPrefix("raster://")
+    val qIx = body.indexOf('?')
+    val path = body.substring(0, qIx).split('/')
+    val q = body.substring(qIx + 1).split('&').map { kv =>
+      val i = kv.indexOf('=')
+      kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
+    TileRow(path(0), path(2).toInt, path(1).toInt,
+      q("sx0").toInt, q("sy0").toInt, q("tw").toInt, q("th").toInt,
+      q("vw").toInt, q("vh").toInt, q("gdx").toInt, q("gdy").toInt,
+      bytesToValues(payload))
+  }
+
+  /** Decode against a blob sidecar: the parsed media spans are the SMALL
+    * side (a few hundred bytes per doc) and are broadcast, so the payload
+    * table streams through a narrow BroadcastHashJoin — no shuffle ever
+    * carries raster bytes. At 10^12 docs (where the span set outgrows a
+    * broadcast) the same operator runs as a bucketed sort-merge join with
+    * both tables bucketed by blob_ref; the plan shape below is the
+    * broadcast fast path.
+    */
+  def decodeExternal(docs: Dataset[Doc], blobs: org.apache.spark.sql.DataFrame)
+                    (implicit spark: SparkSession): Dataset[TileRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val refs = docs.toDF()
+      .select(explode(col("spans")).as("s"))
+      .filter(col("s.kind") === "media" && substring(col("s.media_ref"), 1, 9) === "raster://")
+      .select(regexp_extract(col("s.media_ref"), "blob=([^&]+)", 1).as("blob_ref"),
+        col("s.media_ref").as("ref"))
+    blobs.join(broadcast(refs), Seq("blob_ref"))
+      .select(col("ref"), col("payload"))
+      .as[(String, Array[Byte])]
+      .map { case (ref, payload) => parseMediaRefHeader(ref, payload) }
+  }
+
   /** Columnar decode: explode spans, slice the (small) metadata prefix and
     * the base64 payload with byte-level substring ops, unbase64 natively,
     * and only then build the typed TileRow. Avoids inflating the ~1MB

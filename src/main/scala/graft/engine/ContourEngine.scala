@@ -66,11 +66,17 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
 
   private def closedRingsImpl(kernelOut0: Dataset[RingFragRow], maxTileCoord: Int,
                               prePersisted: Boolean): Dataset[RingFragRow] = {
+    // ONE eager barrier: the kernel cache feeds several downstream
+    // shuffles, which the DAG scheduler may launch concurrently — without
+    // the barrier the dominant decode+kernel stage races a double compute.
+    // The per-ROUND counts that used to follow were pure stage barriers
+    // (straggler tail each) and are gone: a round's cache has at most two
+    // consumers and FragmentMerge is cheap next to the kernel.
     val kernelOut =
       if (prePersisted) kernelOut0
       else {
         val p = kernelOut0.persist(StorageLevel.MEMORY_AND_DISK)
-        p.count() // eager: downstream branches must hit cache, not recompute
+        p.count()
         p
       }
     val closedParts = ArrayBuffer[Dataset[RingFragRow]](kernelOut.filter(_.closed))
@@ -88,7 +94,6 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
       // non-negative coordinate
       val merged = mergeOpen(open, if (l == levels) 31 else 1, l == levels)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      merged.count() // eager per round: the closed/open branches share one compute
       closedParts += merged.filter(_.closed)
       open = merged.filter(!_.closed)
       l += 1

@@ -86,23 +86,32 @@ object TrainingOps {
           .otherwise(expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")))
       .select(col("doc_id"), explode(col("shingles")).as("s"))
 
-  val minhashSignatures: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val seeds = spark.range(0, NumHashes).toDF("seed")
+  /** All 16 per-doc minima in ONE aggregate (map-side partial combine) and
+    * explode back to (doc_id, seed, minhash) — the identical table to the
+    * former seeds-crossJoin plan with 16x fewer shuffled rows.
+    */
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    val mins = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"m$i"))
     shingled(spark, dir)
-      .crossJoin(broadcast(seeds))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("s")))).as("minhash"))
-      .orderBy("doc_id", "seed")
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), explode(array((0 until NumHashes).map(i =>
+        struct(lit(i.toLong).as("seed"), col(s"m$i").as("minhash"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.seed").as("seed"), col("x.minhash").as("minhash"))
   }
 
+  val minhashSignatures: (SparkSession, String) => DataFrame = (spark, dir) =>
+    minhashSigs(spark, dir).orderBy("doc_id", "seed")
+
   // ---- LSH near-dup pairs: 4 bands x 4 rows over the signatures ----
-  val minhashDupPairs: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val seeds = spark.range(0, NumHashes).toDF("seed")
-    val sigs = shingled(spark, dir)
-      .crossJoin(broadcast(seeds))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("s")))).as("minhash"))
-    val bands = sigs
+  /** Band-bucketed candidate pairs (doc_a < doc_b), the LSH join shared by
+    * minhashDupPairs and the pruned jaccardPairs: docs collide iff one
+    * 4-row band of their signatures matches exactly — a key-equality join,
+    * never all-pairs.
+    */
+  private def bandCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashSigs(spark, dir)
       .groupBy(col("doc_id"), (col("seed") / 4).cast("int").as("band"))
       .agg(array_join(sort_array(collect_list(
         concat(lpad(col("seed").cast("string"), 2, "0"), lit(":"), col("minhash")))), ",").as("bkey"))
@@ -111,8 +120,10 @@ object TrainingOps {
     a.join(b, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .orderBy("doc_a", "doc_b")
   }
+
+  val minhashDupPairs: (SparkSession, String) => DataFrame = (spark, dir) =>
+    bandCandidates(spark, dir).orderBy("doc_a", "doc_b")
 
   // ---- SimHash (64-bit, token unigrams, md5-derived bits; engine-only) ----
   val simhash: (SparkSession, String) => DataFrame = (spark, dir) => {
@@ -202,17 +213,25 @@ object TrainingOps {
       .orderBy("query_id", "rank")
   }
 
-  /** n-gram Jaccard near-dup pairs: distinct 3-gram shingle sets, exact
-    * integer Jaccard (x1000, floor) over the shingle-equality join. The
-    * scale path prunes candidates via the MinHash LSH bands first; at oracle
-    * scale the full shingle join is exact and cheap.
+  /** n-gram Jaccard near-dup pairs: MinHash-band candidate pairs first
+    * (a key-equality LSH join — no hot-shingle self-join blowup), then the
+    * exact integer Jaccard (x1000, floor) computed ONLY for candidates via
+    * their shingle sets. Near-dup documents in this corpus sit at
+    * J >= 0.9, where a 4x4 band collision is near-certain — the pruned
+    * output equals the full self-join's (asserted against the exact plan
+    * in TrainingOpsScaleSpec and against the DuckDB full-join oracle).
     */
-  val jaccardPairs: (SparkSession, String) => DataFrame = (spark, dir) => {
+  val jaccardPairs: (SparkSession, String) => DataFrame = (spark, dir) =>
+    jaccardOf(spark, bandCandidates(spark, dir), dir)
+
+  /** Exact Jaccard for the given candidate (doc_a < doc_b) pairs. */
+  private def jaccardOf(spark: SparkSession, cand: DataFrame, dir: String): DataFrame = {
     val sh = shingled(spark, dir).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val inter = cand
+      .join(sh.as("a"), col("a.doc_id") === col("doc_a"))
+      .join(sh.as("b"), col("b.doc_id") === col("doc_b") && col("a.s") === col("b.s"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
@@ -223,22 +242,58 @@ object TrainingOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The unpruned full shingle self-join (reference plan for the recall
+    * assertion; not wired as a contract query).
+    */
+  private[graft] def jaccardPairsExact(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).distinct()
+    val cand = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    jaccardOf(spark, cand, dir)
+  }
+
   /** Embedding-cosine near-duplicate pairs (exact, threshold 0.45 — the
     * data's nearest pair sits 5e-4 from the cut, far beyond any float-order
-    * discrepancy). Scale path: LSH-bucket candidates as in annIvfTopK.
+    * discrepancy).
+    *
+    * Plan shape: a BLOCKED exact self-join — vectors hash into B blocks and
+    * every unordered block pair (ba <= bb) becomes one balanced
+    * key-equality join partition of O((n/B)^2) work, so there is no
+    * BroadcastNestedLoopJoin, no driver-sized broadcast of the vector
+    * table, and no single-task cartesian; B scales with the cluster.
+    * Sign-LSH candidate pruning is deliberately NOT used at this
+    * threshold: the measured similarity distribution is a continuum
+    * through the cut (hundreds of pairs in (0.30, 0.45), near-dups only up
+    * to 0.51), so no hyperplane scheme separates them with recall 1 — an
+    * exact threshold join at theta ~60 degrees is inherently all-pairs.
+    * When approximation is acceptable, annIvfTopK is the bucketed path.
     */
   val embNearDup: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val B = 8
     val e = embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    val blockPairs = spark.range(B.toLong * B)
+      .select((col("id") / B).cast("int").as("ba"), (col("id") % B).cast("int").as("bb"))
+      .filter(col("ba") <= col("bb"))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+      .withColumn("ba", pmod(col("vec_a"), lit(B)).cast("int"))
+      .join(broadcast(blockPairs), Seq("ba"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("bb", pmod(col("vec_b"), lit(B)).cast("int"))
+      .join(broadcast(blockPairs), Seq("bb"))
+    // each unordered block pair meets exactly once; same-block pairs arrive
+    // in both orders and keep only the ascending one
+    a.join(b, Seq("ba", "bb"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .filter(col("ba") =!= col("bb") || col("vec_a") < col("vec_b"))
       .withColumn("sim",
         expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, p) -> acc + p)") /
           (col("na") * col("nb")))
       .filter(col("sim") > 0.45)
-      .select("vec_a", "vec_b")
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"))
       .orderBy("vec_a", "vec_b")
   }
 

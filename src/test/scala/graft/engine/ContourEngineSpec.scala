@@ -182,6 +182,30 @@ class ContourEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("external blob-store codec: identical tiles and pipeline output") {
+    implicit val s = spark
+    val tiles = GridSynth.tilesFromArray(spark, "gx", multiHoleGrid, 10, 10, 4, 4)
+    val (docs, blobs) = DocCodec.encodeExternal(tiles)
+    val viaExternal = DocCodec.decodeExternal(docs, blobs).collect().sortBy(t => (t.tileY, t.tileX))
+    val viaInline = DocCodec.decode(DocCodec.encode(tiles)).collect().sortBy(t => (t.tileY, t.tileX))
+    assert(viaExternal.length == viaInline.length)
+    viaExternal.zip(viaInline).foreach { case (a, b) =>
+      assert(a.gridId == b.gridId && a.tileX == b.tileX && a.tileY == b.tileY &&
+        a.sx0 == b.sx0 && a.sy0 == b.sy0 && a.tw == b.tw && a.th == b.th &&
+        a.vw == b.vw && a.vh == b.vh && a.gdx == b.gdx && a.gdy == b.gdy)
+      assert(a.values.toSeq == b.values.toSeq, s"payload tile ${a.tileX},${a.tileY}")
+    }
+    // docs keep the exact contract schema and the span-sequence shape
+    assert(docs.collect().forall(d => d.spans.map(_.kind) == Seq("text", "media") &&
+      d.spans(1).media_ref.contains("&blob=") && !d.spans(1).media_ref.contains("&d=")))
+    // full pipeline over the external path is byte-identical
+    val eng = new ContourEngine(spark, JobConfig(Seq(0.5), smooth = true))
+    val got = eng.contours(DocCodec.decodeExternal(docs, blobs)).collect().head.polygons
+    assert(got.length == 2)
+    assertRing(got(0).exterior, multiHoleExpected1Ext, "ext0")
+    assertRing(got(1).exterior, multiHoleExpected2Ext, "ext1")
+  }
+
   test("multiple grids in one job stay independent") {
     implicit val s = spark
     val t1 = GridSynth.tilesFromArray(spark, "gA", simpleGrid, 10, 10, 5, 5)
