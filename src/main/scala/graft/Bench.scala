@@ -105,38 +105,44 @@ object Bench {
     }
     val genSec = (System.nanoTime() - gen0) / 1e9
 
-    /** min wall over n runs (rejects VM-neighbor noise), post-warmup */
-    def measure(cpus: Int, grids: Int, n: Int): Double = {
+    // scaling curve: same job, same input, N vs 4N executor threads, at
+    // three N choices. This VM advertises 32 CPUs but delivers ~16
+    // effective cores for spin work and fewer for memory-streaming work
+    // (per-core throughput drops once the shared cache path saturates), so
+    // the cleanest N->4N evidence is 1->4 / 2->8; 4->16 brushes the memory
+    // ceiling and 16->32 measures the VM, not the engine.
+    //
+    // VM-neighbor noise arrives in multi-minute PHASES (identical runs
+    // minutes apart differ up to ~70%), so consecutive reps of one leg
+    // share a phase: the legs are INTERLEAVED across two passes and the
+    // min wall accumulates across both — wall noise is strictly additive,
+    // so min-of-decorrelated-reps estimates the true time.
+    val legs: Seq[(Int, Int)] =
+      Seq((1, gridsSmall), (4, gridsSmall), (2, gridsBig), (8, gridsBig),
+        (4, gridsBig), (16, gridsBig)) ++
+        (if (maxCpus != 16) Seq((maxCpus, gridsBig)) else Nil)
+    val best = scala.collection.mutable.Map[(Int, Int), Double]().withDefaultValue(Double.MaxValue)
+    val passes = 2
+    for (pass <- 0 until passes; (cpus, grids) <- legs) {
       val s = session(cpus)
       try {
         runOnce(s, warmPath, 0) // JIT + codepath warmup
-        var best = Double.MaxValue
-        for (r <- 0 until n) {
+        for (r <- 0 until math.max(1, reps)) {
           val t0 = System.nanoTime()
           val nPolys = runOnce(s, pathOf(grids), maxTileCoord)
           val el = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench] cpus=$cpus grids=$grids rep=$r elapsed=$el%.2fs polys=$nPolys tput=${cellsOf(grids) / el / 1e6}%.1f Mcells/s")
-          best = math.min(best, el)
+          System.err.println(f"[bench] pass=$pass cpus=$cpus grids=$grids rep=$r elapsed=$el%.2fs polys=$nPolys tput=${cellsOf(grids) / el / 1e6}%.1f Mcells/s")
+          best((cpus, grids)) = math.min(best((cpus, grids)), el)
         }
-        best
       } finally s.stop()
     }
-
-    // scaling curve: same job, same input, N vs 4N executor threads, at
-    // three N choices. This VM advertises 32 CPUs but delivers ~16
-    // effective cores for spin work and ~10-11 for memory-streaming work
-    // (per-core throughput drops once the shared cache/DRAM path
-    // saturates), so the cleanest N->4N evidence is 2->8; 4->16 brushes
-    // the memory ceiling and 16->32 measures the VM, not the engine.
-    // The scaling-pair legs get extra reps: the efficiency ratio is the
-    // graded number and single runs carry up to ~40% VM-neighbor noise.
-    val e1 = measure(1, gridsSmall, reps + 1)
-    val e4small = measure(4, gridsSmall, reps + 1)
-    val e2 = measure(2, gridsBig, reps + 1)
-    val e8 = measure(8, gridsBig, reps + 1)
-    val e4 = measure(4, gridsBig, reps + 2)
-    val e16 = measure(16, gridsBig, reps + 2)
-    val eMax = if (maxCpus != 16) measure(maxCpus, gridsBig, math.max(2, reps)) else e16
+    val e1 = best((1, gridsSmall))
+    val e4small = best((4, gridsSmall))
+    val e2 = best((2, gridsBig))
+    val e8 = best((8, gridsBig))
+    val e4 = best((4, gridsBig))
+    val e16 = best((16, gridsBig))
+    val eMax = if (maxCpus != 16) best((maxCpus, gridsBig)) else e16
     val tput = (g: Int, el: Double) => cellsOf(g) / el
     val t16 = tput(gridsBig, e16)
     val tMax = tput(gridsBig, eMax)

@@ -25,7 +25,16 @@ import scala.collection.mutable.ArrayBuffer
   * Output rings are byte-identical to the reference's single-threaded
   * output (order and rotation included) — see Stitcher/FragmentMerge.
   */
-final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
+/** @param stitchSalts when > 1, the final (global per grid+threshold)
+  *   stitch round is preceded by a salted combiner round: open fragments
+  *   split by a deterministic hash of their block key, merged per salt,
+  *   so the one global reducer of a huge grid sees pre-compacted chains
+  *   instead of every boundary fragment. FragmentMerge is arrival-order
+  *   independent (globally unique in/out segment keys per vertex), so the
+  *   output stays byte-identical — asserted by ContourEngineSpec.
+  */
+final class ContourEngine(spark: SparkSession, cfg: JobConfig,
+                          stitchSalts: Int = 0) {
   import spark.implicits._
 
   private val thresholds: Array[Double] = cfg.thresholds.toArray
@@ -88,6 +97,14 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
       else math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxTileCoord)))
     var l = 1
     while (l <= levels) {
+      if (l == levels && stitchSalts > 1) {
+        // salted combiner before the global round: bounds the final
+        // reducer's input for huge grids (see class doc)
+        val salted = mergeOpenSalted(open, stitchSalts)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        closedParts += salted.filter(_.closed)
+        open = salted.filter(!_.closed)
+      }
       // round l's input coords are already level-(l-1) block coords, so each
       // round shifts by ONE more bit (tileX >> l overall); the final round
       // merges globally per (grid, threshold): shift 31 zeroes every
@@ -100,6 +117,24 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
     }
     closedParts.reduce(_ union _)
   }
+
+  /** Salted pre-final combiner: same merge, grouped by a deterministic
+    * block-key hash instead of a spatial parent. Emitted open fragments
+    * carry (0, 0) block coords — the only consumer is the global round.
+    */
+  private def mergeOpenSalted(open: Dataset[RingFragRow], nSalts: Int): Dataset[RingFragRow] =
+    open.groupByKey(r => (r.gridId, r.ti,
+        graft.index.CellIndex.salt(
+          graft.index.CellIndex.morton(r.bx, r.by), r.ti.toLong, nSalts)))
+      .flatMapGroups { (key: (String, Int, Int), it: Iterator[RingFragRow]) =>
+        val (gid, ti, _) = key
+        val frags = it.map(r => OpenFrag(r.pts, r.startKey, r.endKey, r.maxKey, r.anchorPos)).toSeq
+        val res = FragmentMerge.merge(frags)
+        res.rings.iterator.map(cr =>
+          RingFragRow(gid, ti, closed = true, 0, 0, 0L, 0L, cr.maxKey, 0, cr.pts)) ++
+          res.open.iterator.map(f =>
+            RingFragRow(gid, ti, closed = false, 0, 0, f.startKey, f.endKey, f.maxKey, f.anchorPos, f.pts))
+      }
 
   /** One hierarchical merge round: group open fragments by 2^shift-tile
     * blocks and stitch within each block.
@@ -281,8 +316,11 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig) {
         val rings = it.toArray.sortBy(r => (r._3, r._4))
           .iterator
           .map { r =>
+            // rows arrive deserialized from the band shuffle, so each group
+            // owns its arrays; only a non-identity affine mutates, and only
+            // then is a defensive copy of the (possibly shared) array needed
             val deduped = Assembly.dedupAdjacent(
-              if (r._3 == 0) r._5 else r._5.clone()) // pts may be shared across 2 bands
+              if (ident || r._3 == 0) r._5 else r._5.clone())
             if (!ident) Assembly.applyAffine(deduped, xs, ys, xo, yo)
             deduped
           }

@@ -59,6 +59,68 @@ object SpatialOps {
     }.toDF("point_id", "threshold", "inside")
   }
 
+  /** Scale-path point-in-polygon tagging: NOTHING is collected or
+    * broadcast whole. Ring segments (closing duplicate dropped; the
+    * ring-closure segment kept, so verdicts match the reference's
+    * ring_contains on the same ring) are replicated to the horizontal
+    * y-bands their y-span covers; points join their own band, so a point
+    * meets exactly the segments that can straddle its ray or claim it as
+    * on-boundary. Per (point, threshold, ring): verdict 0 if any segment
+    * contains the point, else ray parity — identical semantics (and the
+    * identical f64 crossing expression) to pipTag's indexed walk. Shuffle
+    * volume is O(segments + points), partitioned by band; a band holds
+    * only the isolines crossing it, never a whole polygon set.
+    */
+  def pipTagPartitioned(spark: SparkSession, points: Dataset[(Long, Double, Double)],
+                        contours: Dataset[ContourRow], yBand: Double = 8.0): DataFrame = {
+    import spark.implicits._
+    // (threshold, ringId, ax, ay, bx, by, band) — a/b keep the reference's
+    // (current, previous) roles so the crossing division is bit-identical
+    val segs = contours.flatMap { c =>
+      val rings = c.polygons.iterator.flatMap(p => Iterator.single(p.exterior) ++ p.holes.iterator)
+      rings.zipWithIndex.flatMap { case (ringSeq, ri) =>
+        val ring = dropClosing(ringSeq.toArray)
+        val n = ring.length / 2
+        val rid = s"${c.gridId}:${c.threshold}:$ri"
+        (0 until n).iterator.flatMap { i =>
+          val j = if (i == 0) n - 1 else i - 1
+          val ax = ring(2 * i); val ay = ring(2 * i + 1)
+          val bx = ring(2 * j); val by = ring(2 * j + 1)
+          val b0 = math.floor(math.min(ay, by) / yBand).toInt
+          val b1 = math.floor(math.max(ay, by) / yBand).toInt
+          (b0 to b1).iterator.map(b => (c.threshold, rid, ax, ay, bx, by, b))
+        }
+      }
+    }.toDF("threshold", "rid", "ax", "ay", "bx", "by", "band")
+    val pts = points.toDF("point_id", "x", "y")
+      .withColumn("band", floor(col("y") / yBand).cast("int"))
+    val perRing = pts.join(segs, Seq("band"))
+      .select(col("point_id"), col("x"), col("y"), col("threshold"), col("rid"),
+        col("ax"), col("ay"), col("bx"), col("by"))
+      .as[(Long, Double, Double, Double, String, Double, Double, Double, Double)]
+      .map { case (id, x, y, t, rid, ax, ay, bx, by) =>
+        val on = graft.core.Geom.segmentContains(ax, ay, bx, by, x, y)
+        val crossing = !on && ((ay > y) != (by > y)) &&
+          x < (bx - ax) * (y - ay) / (by - ay) + ax
+        (id, t, rid, on, if (crossing) 1L else 0L)
+      }
+      .toDF("point_id", "threshold", "rid", "on_seg", "crossing")
+      .groupBy("point_id", "threshold", "rid")
+      .agg(max(col("on_seg")).as("on_seg"), sum(col("crossing")).as("crossings"))
+      // contains == 1 (strictly inside): not on any segment AND odd parity
+      .withColumn("in_ring", !col("on_seg") && col("crossings") % 2 === 1)
+    val verdicts = perRing.groupBy("point_id", "threshold")
+      .agg(sum(when(col("in_ring"), 1L).otherwise(0L)).as("depth"))
+      .select(col("point_id"), col("threshold"), (col("depth") % 2 === 1).as("inside"))
+    // points that met no segments of a threshold are outside — right-join
+    // the full (point x threshold) frame
+    val frame = points.toDF("point_id", "x", "y").select("point_id")
+      .crossJoin(broadcast(contours.select(col("threshold")).distinct()))
+    frame.join(verdicts, Seq("point_id", "threshold"), "left")
+      .na.fill(false, Seq("inside"))
+      .select("point_id", "threshold", "inside")
+  }
+
   /** Vertices of every ring of a contour set, deduplicated per threshold
     * (the closing duplicate dropped), as (threshold, vx, vy).
     */

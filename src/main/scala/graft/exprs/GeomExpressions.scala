@@ -3,7 +3,7 @@ package graft.exprs
 import graft.core.{Cases, Geom}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -11,22 +11,26 @@ import org.apache.spark.sql.types._
   * SQL/DataFrame users (packed rings are array<double> of x0,y0,x1,y1,...).
   * Null-intolerant scalar expressions; evaluation delegates to the same
   * graft.core kernels the engine runs, so SQL results are bit-identical to
-  * the pipeline's.
+  * the pipeline's. The hot scalar ops implement doGenCode (a static call
+  * into the kernel emitted inline), so plans using them stay inside
+  * whole-stage codegen instead of dropping to interpreted eval.
   */
 object GeomExpressions {
 
   /** st_area2(ring) — doubled shoelace signed area (reference summation order). */
-  case class StArea2(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class StArea2(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(input: Any): Any =
       Geom.area2(input.asInstanceOf[ArrayData].toDoubleArray())
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.core.Geom.area2($c.toDoubleArray())")
     override protected def withNewChildInternal(c: Expression): StArea2 = copy(c)
     override def prettyName: String = "st_area2"
   }
 
   /** st_point_in_ring(ring, x, y) — 1 inside, -1 outside, 0 on boundary. */
   case class StPointInRing(ring: Expression, x: Expression, y: Expression)
-      extends TernaryExpression with CodegenFallback {
+      extends TernaryExpression {
     override def dataType: DataType = IntegerType
     override def first: Expression = ring
     override def second: Expression = x
@@ -34,6 +38,9 @@ object GeomExpressions {
     override protected def nullSafeEval(r: Any, px: Any, py: Any): Any =
       Geom.ringContains(r.asInstanceOf[ArrayData].toDoubleArray(),
         px.asInstanceOf[Double], py.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (r, x, y) =>
+        s"graft.core.Geom.ringContains($r.toDoubleArray(), $x, $y)")
     override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
       copy(a, b, c)
     override def prettyName: String = "st_point_in_ring"
@@ -43,13 +50,16 @@ object GeomExpressions {
     * vertices (the reference's hole-containment test).
     */
   case class StRingContains(ring: Expression, other: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = IntegerType
     override def left: Expression = ring
     override def right: Expression = other
     override protected def nullSafeEval(r: Any, o: Any): Any =
       Geom.contains(r.asInstanceOf[ArrayData].toDoubleArray(),
         o.asInstanceOf[ArrayData].toDoubleArray())
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (r, o) =>
+        s"graft.core.Geom.contains($r.toDoubleArray(), $o.toDoubleArray())")
     override protected def withNewChildrenInternal(a: Expression, b: Expression) = copy(a, b)
     override def prettyName: String = "st_ring_contains"
   }
@@ -74,10 +84,12 @@ object GeomExpressions {
   }
 
   /** st_cell_segments(case) — segments the case emits (0, 1 or 2). */
-  case class StCellSegments(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class StCellSegments(child: Expression) extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override protected def nullSafeEval(c: Any): Any =
       Cases.segCount(c.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.core.Cases.segCount()[$c]")
     override protected def withNewChildInternal(c: Expression): StCellSegments = copy(c)
     override def prettyName: String = "st_cell_segments"
   }
@@ -86,7 +98,7 @@ object GeomExpressions {
     * half-integer vertex (the stitch shuffle key).
     */
   case class StVertexKey(x: Expression, y: Expression, gdx: Expression)
-      extends TernaryExpression with CodegenFallback {
+      extends TernaryExpression {
     override def dataType: DataType = LongType
     override def first: Expression = x
     override def second: Expression = y
@@ -95,6 +107,9 @@ object GeomExpressions {
       val stride = 2L * (w.asInstanceOf[Int].toLong + 1L)
       (px.asInstanceOf[Double] * 2.0).toLong + (py.asInstanceOf[Double] * 2.0).toLong * stride
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (px, py, w) =>
+        s"(long)($px * 2.0) + (long)($py * 2.0) * (2L * ((long)$w + 1L))")
     override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
       copy(a, b, c)
     override def prettyName: String = "st_vertex_key"

@@ -118,6 +118,28 @@ class CoreContourSpec extends AnyFunSuite {
     assert(json.contains(s""""coordinates":$want"""), json)
   }
 
+  test("line + contour doctest geojson prefixes (line.rs:30-53, contour.rs:30-53)") {
+    // the doctests' ellided 10x10 grid (2/1/2 checker block), smooth=false
+    val docGrid = Goldens.grid("""
+      0 0 0 0 0 0 0 0 0 0
+      0 0 0 0 0 0 0 0 0 0
+      0 0 0 0 0 0 0 0 0 0
+      0 0 0 2 1 2 0 0 0 0
+      0 0 0 2 2 2 0 0 0 0
+      0 0 0 1 2 1 0 0 0 0
+      0 0 0 2 2 2 0 0 0 0
+      0 0 0 2 1 2 0 0 0 0
+      0 0 0 0 0 0 0 0 0 0
+      0 0 0 0 0 0 0 0 0 0""")
+    val c = new CoreContour(ContourConfig(10, 10, smooth = false))
+    val lines = c.lines(docGrid, Array(0.5))
+    assert(lines.length == 1)
+    assert(GeoJson.lineFeature(lines.head).startsWith("""{"type":"Feature","geometry"""))
+    val contours = c.contours(docGrid, Array(0.5))
+    assert(contours.length == 1 && contours.head.polygons.nonEmpty)
+    assert(GeoJson.contourFeature(contours.head).startsWith("""{"type":"Feature","geometry"""))
+  }
+
   test("band doctest geojson prefix (band.rs:36-59)") {
     val c = new CoreContour(ContourConfig(10, 10, smooth = false))
     val res = c.isobands(bandDocGrid, Array(0.5, 1.5, 2.5))

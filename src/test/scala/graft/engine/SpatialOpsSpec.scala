@@ -37,6 +37,52 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got == Seq(false, true, false))
   }
 
+  test("pipTagPartitioned == broadcast pipTag (volcano, holes, off-grid points)") {
+    import spark.implicits._
+    val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
+    val tiles = GridSynth.tilesFromArray(spark, "gv", data, w, h, 16, 16)
+    val thresholds = Seq(100.0, 140.0, 170.0)
+    val cts = new ContourEngine(spark, JobConfig(thresholds, smooth = false)).contours(tiles)
+    val rnd = new scala.util.Random(11)
+    val points = spark.createDataset(
+      (0 until 500).map(i => (i.toLong, rnd.nextDouble() * (w + 4) - 2, rnd.nextDouble() * (h + 4) - 2)) ++
+        (0 until w * h by 13).map(i => (10000L + i, (i % w) + 0.5, (i / w) + 0.5)))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Double, Boolean)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val a = norm(SpatialOps.pipTag(spark, points, cts))
+    val b = norm(SpatialOps.pipTagPartitioned(spark, points, cts))
+    assert(a == b)
+    assert(a.exists(_._3) && a.exists(!_._3))
+  }
+
+  test("pipTagPartitioned handles a polygon set with many rings (multi-grid)") {
+    import spark.implicits._
+    // 60 grids -> thousands of rings; nothing is collected to the driver
+    val tiles = (0 until 60).map(g =>
+      GridSynth.tilesFromField(spark, s"g$g", GridSynth.VolcanoField(7L + g, 64, 64),
+        64, 64, 32, 32, 2)).reduce(_ union _)
+    val cts = new ContourEngine(spark, JobConfig(Seq(120.0, 160.0), smooth = false)).contours(tiles)
+    val rnd = new scala.util.Random(5)
+    val points = spark.createDataset((0 until 200).map(i =>
+      (i.toLong, rnd.nextDouble() * 64, rnd.nextDouble() * 64)))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Double, Boolean)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // NOTE: with many grids both operators aggregate depth across ALL rings
+    // of a threshold; pipTag emits one row per contour ROW, so compare the
+    // per-threshold aggregated verdicts via the partitioned one against a
+    // single-grid-at-a-time broadcast reference
+    val got = norm(SpatialOps.pipTagPartitioned(spark, points, cts))
+    val perGrid = (0 until 60).map { g =>
+      SpatialOps.pipTag(spark, points, cts.filter(_.gridId == s"g$g"))
+        .as[(Long, Double, Boolean)].collect()
+    }
+    // xor of per-grid parities == global parity
+    val want = perGrid.flatten.groupBy(r => (r._1, r._2)).map { case ((id, t), rows) =>
+      (id, t, rows.map(_._3).count(identity) % 2 == 1)
+    }.toSeq.sortBy(r => (r._1, r._2))
+    assert(got == want)
+  }
+
   test("knnVertices bucketed == brute force") {
     import spark.implicits._
     val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")

@@ -32,6 +32,28 @@ class GeomExpressionsSpec extends AnyFunSuite {
     assert(cc.getInt(1) == 2)
   }
 
+  test("st_* scalar expressions stay inside whole-stage codegen") {
+    import spark.implicits._
+    GeomExpressions.register(spark)
+    // repartition blocks constant-folding/local-relation collapse so the
+    // project genuinely runs through generated code
+    val df = Seq((Goldens.simpleExpected.toSeq, 4.5, 5.0)).toDF("ring", "x", "y")
+      .repartition(1)
+      .selectExpr("st_area2(ring) a", "st_point_in_ring(ring, x, y) p",
+        "st_ring_contains(ring, ring) rc", "st_vertex_key(x, y, 10) vk",
+        "st_cell_segments(5) s")
+    // evaluate first (AQE finalizes the plan on execution), then assert the
+    // final plan kept the projection inside whole-stage codegen
+    val r = df.collect().head
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the whole-stage-codegen marker in the final adaptive plan
+    assert(plan.contains("*(") || plan.contains("WholeStageCodegen"), plan)
+    assert(r.getDouble(0) == Geom.area2(Goldens.simpleExpected))
+    assert(r.getInt(1) == Geom.ringContains(Goldens.simpleExpected, 4.5, 5.0))
+    assert(r.getInt(2) == Geom.contains(Goldens.simpleExpected, Goldens.simpleExpected))
+    assert(r.getInt(4) == 2)
+  }
+
   test("Column API via call_function") {
     import spark.implicits._
     GeomExpressions.register(spark)

@@ -60,4 +60,45 @@ class StreamingContourSpec extends AnyFunSuite {
         r.gridId == "gB" && r.polygons.length == 2))
     } finally q.stop()
   }
+
+  test("stateful stream: one grid's tiles split across two micro-batches == batch") {
+    implicit val s = spark
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("sstream-in")
+    val ckpt = Files.createTempDirectory("sstream-ckpt").toString
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[ContourRow]()
+    val tiles = GridSynth.tilesFromArray(spark, "gH", Goldens.multiHoleGrid, 10, 10, 5, 5)
+    val docs = DocCodec.encode(tiles).collect().sortBy(_.doc_id).toSeq
+    assert(docs.length == 4)
+    def writeDocs(name: String, ds: Seq[graft.model.Doc]): Unit = {
+      val staging = Files.createTempDirectory(s"stage-$name")
+      spark.createDataset(ds).coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val file = Files.list(staging).iterator()
+      var moved = false
+      while (file.hasNext && !moved) {
+        val p = file.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.move(p, inDir.resolve(s"$name.parquet"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          moved = true
+        }
+      }
+      assert(moved)
+    }
+    writeDocs("part1", docs.take(2))
+    val q = StreamingContour.startStateful(spark, inDir.toString, ckpt,
+      JobConfig(Seq(0.5), smooth = true)) { (cts, _) => cts.collect().foreach(results.add) }
+    try {
+      q.processAllAvailable()
+      assert(results.isEmpty, "incomplete grid must not emit")
+      writeDocs("part2", docs.drop(2))
+      q.processAllAvailable()
+      assert(results.size == 1)
+      val got = results.peek()
+      val want = new graft.engine.ContourEngine(spark, JobConfig(Seq(0.5), smooth = true))
+        .contours(GridSynth.tilesFromArray(spark, "gH", Goldens.multiHoleGrid, 10, 10, 5, 5))
+        .collect().head
+      assert(got == want, "cross-batch output must be byte-identical to batch")
+    } finally q.stop()
+  }
 }
