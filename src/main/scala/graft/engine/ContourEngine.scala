@@ -239,15 +239,16 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig,
         ContourRow(gid, ts(ti), polys.map(p => PolyRow(p.exterior.toSeq, p.holes.map(_.toSeq))))
       }
     val missing = missingRingKeys(closed).map { case (g, ti) => ContourRow(g, ts(ti), Nil) }
-    assembled.union(spark.createDataset(missing))
+    assembled.union(missing)
   }
 
-  /** ONE distinct job over the cached state: (gridId, ti) pairs including
-    * the ti = -1 markers — drives grid enumeration and backfill for every
-    * output shape without extra jobs.
+  /** Distinct (gridId, ti) pairs of the cached state, including the ti = -1
+    * markers — drives grid enumeration and backfill for every output shape,
+    * fully distributed (no driver collect: at 10^9 grids the key set itself
+    * is a dataset).
     */
-  private def stateKeys(closed: Dataset[RingFragRow]): Array[(String, Int)] =
-    closed.toDF().select("gridId", "ti").distinct().as[(String, Int)].collect()
+  private def stateKeys(closed: Dataset[RingFragRow]): Dataset[(String, Int)] =
+    closed.toDF().select("gridId", "ti").distinct().as[(String, Int)]
 
   /** Isolines — the reference's `lines()` distributed. */
   def lines(tiles: Dataset[TileRow], maxTileCoordHint: Option[Int] = None): Dataset[LineRow] =
@@ -268,7 +269,7 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig,
         LineRow(gid, ts(ti), rings.toSeq)
       }
     val missing = missingRingKeys(closed).map { case (g, ti) => LineRow(g, ts(ti), Nil) }
-    assembled.union(spark.createDataset(missing))
+    assembled.union(missing)
   }
 
   /** Raw rings in grid coordinates — the reference's `contour_rings`
@@ -285,7 +286,7 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig,
         RingsRow(key._1, ts(key._2), it.toArray.sortBy(_.maxKey).map(_.pts.toSeq).toSeq)
       }
     val missing = missingRingKeys(closed).map { case (g, ti) => RingsRow(g, ts(ti), Nil) }
-    assembled.union(spark.createDataset(missing))
+    assembled.union(missing)
   }
 
   /** Isobands — the reference's `isobands()` distributed: each threshold's
@@ -329,26 +330,31 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig,
         BandRow(gid, ts(band), ts(band + 1),
           Assembly.assembleBand(rings).map(p => PolyRow(p.exterior.toSeq, p.holes.map(_.toSeq))))
       }
-    // band keys derive from ring keys driver-side: ring at ti feeds band ti
-    // (ti < n-1) and band ti-1 (ti > 0)
+    // band keys derive from ring keys, fully distributed: ring at ti feeds
+    // band ti (ti < n-1) and band ti-1 (ti > 0); grids enumerated from the
+    // ti = -1 markers; anti-join fills the empty bands
     val keys = stateKeys(closed)
-    val present = keys.iterator.filter(_._2 >= 0).flatMap { case (g, ti) =>
-      Seq((g, ti), (g, ti - 1))
-    }.filter { case (_, b) => b >= 0 && b < n - 1 }.toSet
-    val grids = keys.iterator.map(_._1).distinct.toSeq
-    val missing = for { g <- grids; b <- 0 until n - 1; if !present((g, b)) }
-      yield BandRow(g, ts(b), ts(b + 1), Nil)
-    assembled.union(spark.createDataset(missing))
+    val present = keys.filter(_._2 >= 0)
+      .flatMap { case (g, ti) => Iterator((g, ti), (g, ti - 1)) }
+      .filter { case (_, b) => b >= 0 && b < n - 1 }
+      .distinct()
+    val missing = keys.filter(_._2 == -1).map(_._1)
+      .flatMap(g => (0 until n - 1).iterator.map(b => (g, b)))
+      .except(present)
+      .map { case (g, b) => BandRow(g, ts(b), ts(b + 1), Nil) }
+    assembled.union(missing)
   }
 
   /** (grid, threshold) combos that produced no rings — the reference emits
-    * an empty geometry for them. One distinct+collect job (tiny key sets).
+    * an empty geometry for them. Distributed anti-join: grids enumerated
+    * from the ti = -1 markers x all thresholds, minus the present keys.
     */
-  private def missingRingKeys(closed: Dataset[RingFragRow]): Seq[(String, Int)] = {
+  private def missingRingKeys(closed: Dataset[RingFragRow]): Dataset[(String, Int)] = {
     val keys = stateKeys(closed)
-    val have = keys.iterator.filter(_._2 >= 0).toSet
-    val grids = keys.iterator.map(_._1).distinct.toSeq
-    for { g <- grids; i <- thresholds.indices; if !have((g, i)) } yield (g, i)
+    val nT = thresholds.length
+    keys.filter(_._2 == -1).map(_._1)
+      .flatMap(g => (0 until nT).iterator.map(i => (g, i)))
+      .except(keys.filter(_._2 >= 0))
   }
 
   /** GeoJSON features per grid, ordered by threshold — for appending to the

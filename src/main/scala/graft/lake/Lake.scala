@@ -43,10 +43,18 @@ object Lake {
     val id = java.util.UUID.randomUUID().toString.take(12)
     val dd = dataDir(table, id)
     df.write.mode("overwrite").parquet(dd.toString)
-    // per-partition metrics read back from the committed files (footer counts)
-    val back = spark.read.parquet(dd.toString)
-    val parts = back.groupBy(spark_partition_id().as("p")).count()
-      .orderBy(col("p")).collect().map(_.getLong(1)).toSeq
+    // per-partition metrics from the committed parquet FOOTERS — metadata
+    // reads only, no second scan of the snapshot's data
+    val conf = spark.sessionState.newHadoopConf()
+    val parts = Files.list(dd).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toString), conf))
+        try r.getRecordCount finally r.close()
+      }
     val rows = parts.sum
     val snap = Snapshot(seq, id, parent, op, dd.toString, rows, parts,
       System.currentTimeMillis())
