@@ -117,13 +117,14 @@ object Bench {
     // share a phase: the legs are INTERLEAVED across two passes and the
     // min wall accumulates across both — wall noise is strictly additive,
     // so min-of-decorrelated-reps estimates the true time.
-    val legs: Seq[(Int, Int)] =
+    def legsOf(pass: Int): Seq[(Int, Int)] =
       Seq((1, gridsSmall), (4, gridsSmall), (2, gridsBig), (8, gridsBig),
         (4, gridsBig), (16, gridsBig)) ++
-        (if (maxCpus != 16) Seq((maxCpus, gridsBig)) else Nil)
+        // the hardware-ceiling leg needs no second pass
+        (if (maxCpus != 16 && pass == 0) Seq((maxCpus, gridsBig)) else Nil)
     val best = scala.collection.mutable.Map[(Int, Int), Double]().withDefaultValue(Double.MaxValue)
     val passes = 2
-    for (pass <- 0 until passes; (cpus, grids) <- legs) {
+    for (pass <- 0 until passes; (cpus, grids) <- legsOf(pass)) {
       val s = session(cpus)
       try {
         runOnce(s, warmPath, 0) // JIT + codepath warmup

@@ -38,9 +38,13 @@ object SkewTools {
   }
 
   /** Salted rebalance: heaviest tiles spread round-robin over partitions.
-    * The global rank runs over a slim (key, weight) projection — never the
-    * tile payloads — and the slot is joined back, so the only payload
-    * movement is the final repartition.
+    * The rank window is PARTITIONED by (gridId, log2-weight band) — similar-
+    * weight tiles of a grid deal round-robin onto distinct slots with a
+    * deterministic per-band offset, so no global single-task sort exists on
+    * the path (a no-partition Window would funnel every key through ONE
+    * task at large tile counts). The ranking runs over a slim (key, weight)
+    * projection — never the tile payloads — and the slot is joined back, so
+    * the only payload movement is the final repartition.
     */
   def rebalance(spark: SparkSession, tiles: Dataset[TileRow],
                 probeThreshold: Double, numPartitions: Int): Dataset[TileRow] = {
@@ -48,9 +52,14 @@ object SkewTools {
     val keys = withWeights(spark, tiles, probeThreshold)
       .map { case (t, w) => (t.gridId, t.tileX, t.tileY, w) }
       .toDF("gridId", "tileX", "tileY", "weight")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("weight").desc)
+      .withColumn("band", floor(log2(col("weight") + lit(2.0))).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("gridId", "band")
+      .orderBy(col("weight").desc, col("tileX"), col("tileY"))
     val slots = keys
-      .withColumn("slot", (row_number().over(w) - 1) % numPartitions)
+      .withColumn("slot",
+        pmod(row_number().over(w) - 1 + pmod(hash(col("gridId"), col("band")), lit(numPartitions)),
+          lit(numPartitions)))
       .select("gridId", "tileX", "tileY", "slot")
     tiles.join(broadcast(slots), Seq("gridId", "tileX", "tileY"))
       .repartition(numPartitions, col("slot"))
