@@ -20,13 +20,31 @@ package graft.core
   */
 final class RingIndex(ring: Array[Double]) {
   private val n = ring.length / 2
-  private val minY = {
-    var m = Double.PositiveInfinity
-    var i = 1
-    while (i < ring.length) { if (ring(i) < m) m = ring(i); i += 2 }
-    m
+
+  // ONE constructor pass: bbox + degenerate-segment lines (see below)
+  private val (minY, bmaxY, bminX, bmaxX, degYs) = {
+    var mnY = Double.PositiveInfinity; var mxY = Double.NegativeInfinity
+    var mnX = Double.PositiveInfinity; var mxX = Double.NegativeInfinity
+    val dg = new scala.collection.mutable.ArrayBuffer[Double](2)
+    var j = n - 1
+    var i = 0
+    while (i < n) {
+      val x = ring(2 * i); val y = ring(2 * i + 1)
+      if (y < mnY) mnY = y
+      if (y > mxY) mxY = y
+      if (x < mnX) mnX = x
+      if (x > mxX) mxX = x
+      if (x == ring(2 * j) && y == ring(2 * j + 1)) dg += y
+      j = i
+      i += 1
+    }
+    (mnY, mxY, mnX, mxX, dg.toArray)
   }
-  private val maxSpan = {
+  // maxSpan and the CSR buckets below are LAZY: most containment queries in
+  // the assembly's O(n^2) loops are answered by the constant-time
+  // outside-bbox short circuit, so the bucket build (an O(ring) pass +
+  // arrays) only happens for rings that actually receive an in-bbox query
+  private lazy val maxSpan = {
     var s = 0.0
     var j = n - 1
     var i = 0
@@ -38,44 +56,21 @@ final class RingIndex(ring: Array[Double]) {
     }
     s
   }
-  private val bw = math.max(maxSpan, 1.0) // bucket width >= max segment y-span
-  private val nBuckets = {
-    var mx = Double.NegativeInfinity
-    var i = 1
-    while (i < ring.length) { if (ring(i) > mx) mx = ring(i); i += 2 }
-    math.max(1, (((mx - minY) / bw).toInt + 2))
-  }
-  // bbox + degenerate-segment lines for the outside-point short circuit:
-  // a point strictly outside the bbox straddles no segment (ray parity
-  // stays even -> -1) and can pass segment_contains only for a segment
-  // whose endpoints are EXACTLY equal (cross product identically 0, the
-  // vertical branch then requires y == the segment's y) — the closing
-  // duplicate's wrap segment and any adjacent duplicate vertices. Those
-  // y-lines are collected here; everything else outside the bbox is -1.
-  // (A non-degenerate claim on a strictly-outside point would need an
-  // ulp-scale cancellation in the cross product — below the coordinate
-  // grid's representable resolution.)
-  private val bminX = { var m = Double.PositiveInfinity; var i = 0
-    while (i < ring.length) { if (ring(i) < m) m = ring(i); i += 2 }; m }
-  private val bmaxX = { var m = Double.NegativeInfinity; var i = 0
-    while (i < ring.length) { if (ring(i) > m) m = ring(i); i += 2 }; m }
-  private val bmaxY = { var m = Double.NegativeInfinity; var i = 1
-    while (i < ring.length) { if (ring(i) > m) m = ring(i); i += 2 }; m }
-  private val degYs: Array[Double] = {
-    val out = new scala.collection.mutable.ArrayBuffer[Double](2)
-    var j = n - 1
-    var i = 0
-    while (i < n) {
-      if (ring(2 * i) == ring(2 * j) && ring(2 * i + 1) == ring(2 * j + 1))
-        out += ring(2 * i + 1)
-      j = i
-      i += 1
-    }
-    out.toArray
-  }
+  private lazy val bw = math.max(maxSpan, 1.0) // bucket width >= max segment y-span
+  private lazy val nBuckets =
+    math.max(1, (((bmaxY - minY) / bw).toInt + 2))
+  // Outside-point short circuit semantics: a point strictly outside the
+  // bbox straddles no segment (ray parity stays even -> -1) and can pass
+  // segment_contains only for a segment whose endpoints are EXACTLY equal
+  // (cross product identically 0, the vertical branch then requires y ==
+  // the segment's y) — the closing duplicate's wrap segment and any
+  // adjacent duplicate vertices. Those y-lines are degYs; everything else
+  // outside the bbox is -1. (A non-degenerate claim on a strictly-outside
+  // point would need an ulp-scale cancellation in the cross product —
+  // below the coordinate grid's representable resolution.)
 
   // CSR layout: bucketStart(b) .. bucketStart(b+1) indices into segIdx
-  private val (bucketStart, segIdx) = {
+  private lazy val (bucketStart, segIdx) = {
     val counts = new Array[Int](nBuckets + 1)
     @inline def bucketOf(i: Int): Int = {
       val j = if (i == 0) n - 1 else i - 1
