@@ -222,33 +222,39 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig,
   def contours(tiles: Dataset[TileRow], maxTileCoordHint: Option[Int] = None): Dataset[ContourRow] =
     contoursFrom(closedOf(tiles, maxTileCoordHint))
 
+  /** Every (grid, ti in 0..n-1) group is guaranteed to exist in the
+    * assembly shuffle: real ring rows pass through, and each tile's ti = -1
+    * marker fans out to one synthetic EMPTY row per threshold index (empty
+    * pts — impossible for a real ring). Assembly filters the synthetics
+    * and so emits the reference's empty geometry for ring-less thresholds
+    * from the SAME shuffle — fully distributed backfill with zero extra
+    * stages (no driver collect, no distinct/except barrier).
+    */
+  private def withPotentialKeys(closed: Dataset[RingFragRow],
+                                nKeys: Int): Dataset[RingFragRow] =
+    closed.flatMap { r =>
+      if (r.ti >= 0) Iterator.single(r)
+      else (0 until nKeys).iterator.map(ti =>
+        RingFragRow(r.gridId, ti, closed = true, 0, 0, 0L, 0L, Long.MinValue, 0, Array.empty))
+    }
+
   /** Assembly from closed rings + markers (post-merge state). */
   def contoursFrom(closed: Dataset[RingFragRow]): Dataset[ContourRow] = {
     val ts = thresholds
     val (xs, ys, xo, yo) = (cfg.xStep, cfg.yStep, cfg.xOrigin, cfg.yOrigin)
     val ident = cfg.isIdentityAffine
-    val assembled = closed.filter(_.ti >= 0)
+    withPotentialKeys(closed, ts.length)
       .groupByKey(r => (r.gridId, r.ti))
       .mapGroups { (key: (String, Int), it: Iterator[RingFragRow]) =>
         val (gid, ti) = key
-        val rings = it.toArray.sortBy(_.maxKey).map { r =>
+        val rings = it.filter(_.pts.nonEmpty).toArray.sortBy(_.maxKey).map { r =>
           if (!ident) Assembly.applyAffine(r.pts, xs, ys, xo, yo)
           r.pts
         }
         val polys = Assembly.assembleContour(rings.toSeq)
         ContourRow(gid, ts(ti), polys.map(p => PolyRow(p.exterior.toSeq, p.holes.map(_.toSeq))))
       }
-    val missing = missingRingKeys(closed).map { case (g, ti) => ContourRow(g, ts(ti), Nil) }
-    assembled.union(missing)
   }
-
-  /** Distinct (gridId, ti) pairs of the cached state, including the ti = -1
-    * markers — drives grid enumeration and backfill for every output shape,
-    * fully distributed (no driver collect: at 10^9 grids the key set itself
-    * is a dataset).
-    */
-  private def stateKeys(closed: Dataset[RingFragRow]): Dataset[(String, Int)] =
-    closed.toDF().select("gridId", "ti").distinct().as[(String, Int)]
 
   /** Isolines — the reference's `lines()` distributed. */
   def lines(tiles: Dataset[TileRow], maxTileCoordHint: Option[Int] = None): Dataset[LineRow] =
@@ -258,18 +264,16 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig,
     val ts = thresholds
     val (xs, ys, xo, yo) = (cfg.xStep, cfg.yStep, cfg.xOrigin, cfg.yOrigin)
     val ident = cfg.isIdentityAffine
-    val assembled = closed.filter(_.ti >= 0)
+    withPotentialKeys(closed, ts.length)
       .groupByKey(r => (r.gridId, r.ti))
       .mapGroups { (key: (String, Int), it: Iterator[RingFragRow]) =>
         val (gid, ti) = key
-        val rings = it.toArray.sortBy(_.maxKey).map { r =>
+        val rings = it.filter(_.pts.nonEmpty).toArray.sortBy(_.maxKey).map { r =>
           if (!ident) Assembly.applyAffine(r.pts, xs, ys, xo, yo)
           r.pts.toSeq
         }
         LineRow(gid, ts(ti), rings.toSeq)
       }
-    val missing = missingRingKeys(closed).map { case (g, ti) => LineRow(g, ts(ti), Nil) }
-    assembled.union(missing)
   }
 
   /** Raw rings in grid coordinates — the reference's `contour_rings`
@@ -280,13 +284,12 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig,
       xOrigin = 0, yOrigin = 0, xStep = 1, yStep = 1))
     val closed = raw.closedOf(tiles, maxTileCoordHint)
     val ts = thresholds
-    val assembled = closed.filter(_.ti >= 0)
+    withPotentialKeys(closed, ts.length)
       .groupByKey(r => (r.gridId, r.ti))
       .mapGroups { (key: (String, Int), it: Iterator[RingFragRow]) =>
-        RingsRow(key._1, ts(key._2), it.toArray.sortBy(_.maxKey).map(_.pts.toSeq).toSeq)
+        RingsRow(key._1, ts(key._2),
+          it.filter(_.pts.nonEmpty).toArray.sortBy(_.maxKey).map(_.pts.toSeq).toSeq)
       }
-    val missing = missingRingKeys(closed).map { case (g, ti) => RingsRow(g, ts(ti), Nil) }
-    assembled.union(missing)
   }
 
   /** Isobands — the reference's `isobands()` distributed: each threshold's
@@ -303,18 +306,24 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig,
     val ts = thresholds
     val (xs, ys, xo, yo) = (cfg.xStep, cfg.yStep, cfg.xOrigin, cfg.yOrigin)
     val ident = cfg.isIdentityAffine
-    // (gridId, band, role 0=lower/1=upper, maxKey, pts)
-    val bandRings = closed.filter(_.ti >= 0).flatMap { r =>
-      val out = new ArrayBuffer[(String, Int, Int, Long, Array[Double])](2)
-      if (r.ti < n - 1) out += ((r.gridId, r.ti, 0, r.maxKey, r.pts))
-      if (r.ti > 0) out += ((r.gridId, r.ti - 1, 1, r.maxKey, r.pts))
-      out
+    // (gridId, band, role 0=lower/1=upper, maxKey, pts); each tile's
+    // ti = -1 marker fans out to one synthetic EMPTY row per band so every
+    // (grid, band) group exists — empty bands fall out of the same shuffle
+    val bandRings = closed.flatMap { r =>
+      if (r.ti >= 0) {
+        val out = new ArrayBuffer[(String, Int, Int, Long, Array[Double])](2)
+        if (r.ti < n - 1) out += ((r.gridId, r.ti, 0, r.maxKey, r.pts))
+        if (r.ti > 0) out += ((r.gridId, r.ti - 1, 1, r.maxKey, r.pts))
+        out.iterator
+      } else
+        (0 until n - 1).iterator.map(b =>
+          (r.gridId, b, -1, Long.MinValue, Array.empty[Double]))
     }
-    val assembled = bandRings
+    bandRings
       .groupByKey(r => (r._1, r._2))
       .mapGroups { (key: (String, Int), it: Iterator[(String, Int, Int, Long, Array[Double])]) =>
         val (gid, band) = key
-        val rings = it.toArray.sortBy(r => (r._3, r._4))
+        val rings = it.filter(_._5.nonEmpty).toArray.sortBy(r => (r._3, r._4))
           .iterator
           .map { r =>
             // rows arrive deserialized from the band shuffle, so each group
@@ -330,31 +339,6 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig,
         BandRow(gid, ts(band), ts(band + 1),
           Assembly.assembleBand(rings).map(p => PolyRow(p.exterior.toSeq, p.holes.map(_.toSeq))))
       }
-    // band keys derive from ring keys, fully distributed: ring at ti feeds
-    // band ti (ti < n-1) and band ti-1 (ti > 0); grids enumerated from the
-    // ti = -1 markers; anti-join fills the empty bands
-    val keys = stateKeys(closed)
-    val present = keys.filter(_._2 >= 0)
-      .flatMap { case (g, ti) => Iterator((g, ti), (g, ti - 1)) }
-      .filter { case (_, b) => b >= 0 && b < n - 1 }
-      .distinct()
-    val missing = keys.filter(_._2 == -1).map(_._1)
-      .flatMap(g => (0 until n - 1).iterator.map(b => (g, b)))
-      .except(present)
-      .map { case (g, b) => BandRow(g, ts(b), ts(b + 1), Nil) }
-    assembled.union(missing)
-  }
-
-  /** (grid, threshold) combos that produced no rings — the reference emits
-    * an empty geometry for them. Distributed anti-join: grids enumerated
-    * from the ti = -1 markers x all thresholds, minus the present keys.
-    */
-  private def missingRingKeys(closed: Dataset[RingFragRow]): Dataset[(String, Int)] = {
-    val keys = stateKeys(closed)
-    val nT = thresholds.length
-    keys.filter(_._2 == -1).map(_._1)
-      .flatMap(g => (0 until nT).iterator.map(i => (g, i)))
-      .except(keys.filter(_._2 >= 0))
   }
 
   /** GeoJSON features per grid, ordered by threshold — for appending to the
