@@ -306,38 +306,54 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig,
     val ts = thresholds
     val (xs, ys, xo, yo) = (cfg.xStep, cfg.yStep, cfg.xOrigin, cfg.yOrigin)
     val ident = cfg.isIdentityAffine
-    // (gridId, band, role 0=lower/1=upper, maxKey, pts); each tile's
-    // ti = -1 marker fans out to one synthetic EMPTY row per band so every
-    // (grid, band) group exists — empty bands fall out of the same shuffle
-    val bandRings = closed.flatMap { r =>
+    // Bands are assembled in CHUNKS of K consecutive bands per group: a
+    // threshold's rings feed at most two chunks (vs two bands), so the band
+    // shuffle ships ~(1 + 1/K)x the ring bytes instead of 2x, and the
+    // per-ring dedup/affine runs once per chunk instead of once per band.
+    // Each tile's ti = -1 marker fans out to one synthetic EMPTY row per
+    // chunk so every group exists — empty bands fall out of the same
+    // shuffle. Parallelism stays grids x ceil((n-1)/K) groups.
+    val K = 4
+    val numChunks = (n - 2) / K + 1
+    // rows: (gridId, chunk, ti, maxKey, pts)
+    val chunkRings = closed.flatMap { r =>
       if (r.ti >= 0) {
         val out = new ArrayBuffer[(String, Int, Int, Long, Array[Double])](2)
-        if (r.ti < n - 1) out += ((r.gridId, r.ti, 0, r.maxKey, r.pts))
-        if (r.ti > 0) out += ((r.gridId, r.ti - 1, 1, r.maxKey, r.pts))
+        val cLo = if (r.ti - 1 >= 0) (r.ti - 1) / K else -1
+        val cHi = if (r.ti <= n - 2) r.ti / K else -1
+        if (cLo >= 0) out += ((r.gridId, cLo, r.ti, r.maxKey, r.pts))
+        if (cHi >= 0 && cHi != cLo) out += ((r.gridId, cHi, r.ti, r.maxKey, r.pts))
         out.iterator
       } else
-        (0 until n - 1).iterator.map(b =>
-          (r.gridId, b, -1, Long.MinValue, Array.empty[Double]))
+        (0 until numChunks).iterator.map(c =>
+          (r.gridId, c, -1, Long.MinValue, Array.empty[Double]))
     }
-    bandRings
+    chunkRings
       .groupByKey(r => (r._1, r._2))
-      .mapGroups { (key: (String, Int), it: Iterator[(String, Int, Int, Long, Array[Double])]) =>
-        val (gid, band) = key
-        val rings = it.filter(_._5.nonEmpty).toArray.sortBy(r => (r._3, r._4))
-          .iterator
-          .map { r =>
-            // rows arrive deserialized from the band shuffle, so each group
-            // owns its arrays; only a non-identity affine mutates, and only
-            // then is a defensive copy of the (possibly shared) array needed
-            val deduped = Assembly.dedupAdjacent(
-              if (ident || r._3 == 0) r._5 else r._5.clone())
-            if (!ident) Assembly.applyAffine(deduped, xs, ys, xo, yo)
-            deduped
-          }
-          .filter(_.length / 2 > 3)
-          .toSeq
-        BandRow(gid, ts(band), ts(band + 1),
-          Assembly.assembleBand(rings).map(p => PolyRow(p.exterior.toSeq, p.holes.map(_.toSeq))))
+      .flatMapGroups { (key: (String, Int), it: Iterator[(String, Int, Int, Long, Array[Double])]) =>
+        val (gid, chunk) = key
+        val bLo = chunk * K
+        val bHi = math.min(bLo + K, n - 1) // exclusive band end
+        val byTi = Array.fill(bHi - bLo + 1)(new ArrayBuffer[(Long, Array[Double])]())
+        it.foreach { r => if (r._3 >= 0) byTi(r._3 - bLo) += ((r._4, r._5)) }
+        // per threshold: closure-order sort, dedup, affine, length filter —
+        // computed ONCE and shared read-only by the two adjacent bands
+        val ringsByTi: Array[Seq[Array[Double]]] = byTi.map { rows =>
+          rows.sortInPlaceBy(_._1)
+          rows.iterator.map { case (_, pts) =>
+            val deduped = Assembly.dedupAdjacent(pts)
+            if (!ident) {
+              val cpy = if (deduped eq pts) pts.clone() else deduped
+              Assembly.applyAffine(cpy, xs, ys, xo, yo)
+              cpy
+            } else deduped
+          }.filter(_.length / 2 > 3).toSeq
+        }
+        (bLo until bHi).iterator.map { b =>
+          val rings = ringsByTi(b - bLo) ++ ringsByTi(b + 1 - bLo)
+          BandRow(gid, ts(b), ts(b + 1),
+            Assembly.assembleBand(rings).map(p => PolyRow(p.exterior.toSeq, p.holes.map(_.toSeq))))
+        }
       }
   }
 
