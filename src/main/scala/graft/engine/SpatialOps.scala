@@ -112,10 +112,14 @@ object SpatialOps {
     val verdicts = perRing.groupBy("point_id", "threshold")
       .agg(sum(when(col("in_ring"), 1L).otherwise(0L)).as("depth"))
       .select(col("point_id"), col("threshold"), (col("depth") % 2 === 1).as("inside"))
-    // points that met no segments of a threshold are outside — right-join
-    // the full (point x threshold) frame
-    val frame = points.toDF("point_id", "x", "y").select("point_id")
-      .crossJoin(broadcast(contours.select(col("threshold")).distinct()))
+    // points that met no segments of a threshold are outside — fill the
+    // full (point x threshold) frame. The distinct threshold set is
+    // CONFIG-cardinality (the builder's threshold ladder), not data-
+    // cardinality, so collecting it into an exploded literal is bounded
+    // and keeps the plan free of nested-loop joins.
+    val tsArr = contours.map(_.threshold).distinct().collect().sorted
+    val frame = points.toDF("point_id", "x", "y")
+      .select(col("point_id"), explode(lit(tsArr)).as("threshold"))
     frame.join(verdicts, Seq("point_id", "threshold"), "left")
       .na.fill(false, Seq("inside"))
       .select("point_id", "threshold", "inside")
