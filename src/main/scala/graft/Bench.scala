@@ -88,7 +88,7 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val tile = sys.env.getOrElse("SPARK_GRAFT_BENCH_TILE", "256").toInt
     val side = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDE", "1024").toInt
-    val gridsSmall = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRIDS_SMALL", "48").toInt
+    val gridsSmall = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRIDS_SMALL", "96").toInt
     val gridsBig = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRIDS", "288").toInt
     val maxTileCoord = (side + tile - 1) / tile - 1
     def cellsOf(g: Int): Long = g.toLong * side * side * Thresholds.length
@@ -126,9 +126,12 @@ object Bench {
     val perPass = scala.collection.mutable.Map[(Int, (Int, Int)), Double]().withDefaultValue(Double.MaxValue)
     def runLeg(pass: Int, cpus: Int, grids: Int): Unit = {
       val s = session(cpus)
+      // the slowest legs (1-2 cores) carry one rep per pass; min-of-passes
+      // plus the adaptive retry below still decorrelates their noise
+      val nReps = if (cpus <= 2) math.max(1, reps - 1) else math.max(1, reps)
       try {
         runOnce(s, warmPath, 0) // JIT + codepath warmup
-        for (r <- 0 until math.max(1, reps)) {
+        for (r <- 0 until nReps) {
           val t0 = System.nanoTime()
           val nPolys = runOnce(s, pathOf(grids), maxTileCoord)
           val el = (System.nanoTime() - t0) / 1e9
