@@ -182,6 +182,29 @@ class ContourEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-round hierarchical merge (8x8 tiles, 4 levels) matches core exactly") {
+    val (data, w, h) = loadFixture("/fixtures/volcano.json")
+    val thresholds = (90 to 200 by 10).map(_.toDouble)
+    val core = new graft.core.CoreContour(graft.core.ContourConfig(w, h, smooth = true))
+    val want = core.contours(data, thresholds.toArray)
+    implicit val s = spark
+    // 87/8 -> tile coords up to 10 -> levels = 4: the one-bit-per-round
+    // block hierarchy runs several real rounds before the global one
+    val tiles = DocCodec.decode(DocCodec.encode(
+      GridSynth.tilesFromArray(spark, "gm", data, w, h, 8, 8)))
+    val eng = new ContourEngine(spark, JobConfig(thresholds, smooth = true))
+    val got = eng.contours(tiles).collect().sortBy(_.threshold)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w0) =>
+      assert(g.threshold == w0.threshold)
+      assert(g.polygons.length == w0.polygons.length, s"t=${g.threshold}")
+      g.polygons.zip(w0.polygons).foreach { case (gp, wp) =>
+        assert(gp.exterior == wp.exterior.toSeq, s"t=${g.threshold}")
+        assert(gp.holes.map(_.toSeq) == wp.holes.map(_.toSeq), s"t=${g.threshold}")
+      }
+    }
+  }
+
   test("salted final stitch is byte-identical (volcano isobands + contours)") {
     val (data, w, h) = loadFixture("/fixtures/volcano.json")
     val thresholds = (90 to 200 by 10).map(_.toDouble)
