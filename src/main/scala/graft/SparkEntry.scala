@@ -471,6 +471,18 @@ object SparkEntry {
     // exactly equals a sample value), so the kept multiset = all segment
     // starts minus the starts of collapsed segments — both endpoints of
     // every segment are reconstructed and compared here.
+    // ASSUMPTION (data-dependent): the engine's band assembly additionally
+    // drops rings that dedup to <= 3 points (ContourEngine.isobandsFrom's
+    // `.filter(_.length / 2 > 3)`, mirroring the reference's band path);
+    // this SQL counts every non-collapsed segment start and does NOT model
+    // that per-ring filter, so it is exact only while no band ring on the
+    // oracle data dedups below 4 points. Collapses DO occur here (a few
+    // dozen events carry values exactly equal to a threshold at sf >=
+    // 0.01), but the smallest marching-squares ring is 4 segments (a
+    // single-cell island), so a violation needs a minimal ring around an
+    // exactly-threshold-valued sample — verified absent at sf0.01 and
+    // sf0.1 (oracle green at both). If the data ever changes, a mismatch
+    // here flags it loudly rather than passing silently.
     "q_isobands_stats" ->
       s"""WITH ${startsAndEndsCte(tsAllSql)},
          |segs2 AS (

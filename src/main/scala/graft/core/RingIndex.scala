@@ -2,7 +2,10 @@ package graft.core
 
 /** Y-bucketed segment index over one packed ring, answering the reference's
   * `ring_contains` with EXACTLY the same result but O(candidates) per query
-  * instead of O(ring length).
+  * instead of O(ring length). (Exactness assumes no sub-EPSILON-tall
+  * near-vertical segment with distinct endpoints exists — impossible at the
+  * half-integer/interpolant coordinate resolution the engine emits; see the
+  * short-circuit note below. All other cases are covered unconditionally.)
   *
   * Correctness argument: ring_contains is order-independent — the result is
   * 0 if ANY segment contains the point (segment_contains), else the ray-cast
@@ -59,15 +62,24 @@ final class RingIndex(ring: Array[Double]) {
   private lazy val bw = math.max(maxSpan, 1.0) // bucket width >= max segment y-span
   private lazy val nBuckets =
     math.max(1, (((bmaxY - minY) / bw).toInt + 2))
-  // Outside-point short circuit semantics: a point strictly outside the
-  // bbox straddles no segment (ray parity stays even -> -1) and can pass
-  // segment_contains only for a segment whose endpoints are EXACTLY equal
-  // (cross product identically 0, the vertical branch then requires y ==
-  // the segment's y) — the closing duplicate's wrap segment and any
-  // adjacent duplicate vertices. Those y-lines are degYs; everything else
-  // outside the bbox is -1. (A non-degenerate claim on a strictly-outside
-  // point would need an ulp-scale cancellation in the cross product —
-  // below the coordinate grid's representable resolution.)
+  // Outside-point short circuit semantics: a point at least 1.0 outside
+  // the bbox straddles no segment (ray parity stays even -> -1; crossings
+  // need y strictly inside the ring's y-range, and for x > bmaxX the ray
+  // intersection x never exceeds bmaxX). segment_contains claims on such a
+  // point are bounded by the EPSILON budget: an x-dominant segment
+  // (|bx-ax| >= EPSILON) tolerates |cy - ay| <= EPSILON/|bx-ax| +
+  // |by-ay| <= 1 + y-span, so the 1.0 margin covers it (and symmetrically
+  // for x); a near-vertical segment (|bx-ax| < EPSILON) requires cy
+  // within its exact y-span and, >= 1.0 outside in x, a height below
+  // ~EPSILON — i.e. only a segment whose endpoints are EXACTLY equal (the
+  // closing duplicate's wrap segment, adjacent duplicate vertices), whose
+  // y-lines are degYs, or a sub-EPSILON-tall near-vertical sliver, which
+  // is below the coordinate grid's representable resolution (vertices are
+  // half-integers or single-division interpolants; adjacent dedup removes
+  // exact duplicates). Points within the 1.0 margin take the exact bucket
+  // walk below, which is correct for ANY query point: the scanned yLo
+  // range [y - maxSpan - 1, y + 1] covers every segment that can straddle
+  // or claim y under the same EPSILON budget.
 
   // CSR layout: bucketStart(b) .. bucketStart(b+1) indices into segIdx
   private lazy val (bucketStart, segIdx) = {
@@ -95,7 +107,7 @@ final class RingIndex(ring: Array[Double]) {
 
   /** Exact ring_contains(ring, (x, y)) — see Geom.ringContains. */
   def contains(x: Double, y: Double): Int = {
-    if (x < bminX || x > bmaxX || y < minY || y > bmaxY) {
+    if (x < bminX - 1.0 || x > bmaxX + 1.0 || y < minY - 1.0 || y > bmaxY + 1.0) {
       var k = 0
       while (k < degYs.length) { if (degYs(k) == y) return 0; k += 1 }
       return -1

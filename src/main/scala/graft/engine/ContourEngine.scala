@@ -39,6 +39,28 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig,
 
   private val thresholds: Array[Double] = cfg.thresholds.toArray
 
+  // Every dataset this engine persists. Intermediate merge rounds are
+  // unpersisted as soon as the next round materializes (see
+  // closedRingsImpl); the caches that back the RETURNED lazy Datasets
+  // (kernel output, final salted state) must live until the caller's
+  // action completes — callers release them afterwards via releaseCaches().
+  private val tracked = ArrayBuffer[Dataset[_]]()
+  private def track[T](d: Dataset[T]): Dataset[T] =
+    synchronized { tracked += d; d }
+  private def release(d: Dataset[_]): Unit = synchronized {
+    d.unpersist(blocking = false); tracked -= d
+  }
+
+  /** Unpersist every cache this engine still holds (non-blocking). Call
+    * after the final action on any Dataset returned by this engine; using
+    * such a Dataset afterwards recomputes from source.
+    */
+  def releaseCaches(): Unit = synchronized {
+    tracked.foreach(_.unpersist(blocking = false)); tracked.clear()
+  }
+
+  private[engine] def trackedCacheCount: Int = synchronized(tracked.size)
+
   /** Narrow stage: run the tile kernel for every threshold; emit closed
     * rings, open fragments, and one marker row per tile with ti = -1
     * (drives backfill of empty results).
@@ -78,44 +100,63 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig,
     // ONE eager barrier: the kernel cache feeds several downstream
     // shuffles, which the DAG scheduler may launch concurrently — without
     // the barrier the dominant decode+kernel stage races a double compute.
-    // The per-ROUND counts that used to follow were pure stage barriers
-    // (straggler tail each) and are gone: a round's cache has at most two
-    // consumers and FragmentMerge is cheap next to the kernel.
     val kernelOut =
       if (prePersisted) kernelOut0
       else {
-        val p = kernelOut0.persist(StorageLevel.MEMORY_AND_DISK)
+        val p = track(kernelOut0.persist(StorageLevel.MEMORY_AND_DISK))
         p.count()
         p
       }
-    val closedParts = ArrayBuffer[Dataset[RingFragRow]](kernelOut.filter(_.closed))
-    var open = kernelOut.filter(!_.closed)
     // hierarchy pays off only when one grid spans many tiles; for <= 8x8
     // tiles per grid a single global round is fewer sequential stages
     val levels =
       if (maxTileCoord <= 7) 1
       else math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxTileCoord)))
+    // Merge rounds are ROLLED FORWARD: round l's state = every cross-tile
+    // closed ring found in rounds 1..l plus the still-open fragments.
+    // Intermediate states (l < levels) persist eagerly (one count) and the
+    // PREVIOUS round's cache is unpersisted right after — memory held by
+    // the merge hierarchy stays O(one round's state), not O(sum of rounds).
+    // The count barrier only exists on deep hierarchies; the levels == 1
+    // fast path (the common bench shape) keeps the single kernel barrier
+    // and zero extra stages. Kernel-closed rings never re-ship: they stay
+    // in the kernel cache and join the result union directly.
+    val kernelClosed = kernelOut.filter(_.closed)
+    var state: Dataset[RingFragRow] = null // persisted mixed state of rounds >= 1
     var l = 1
     while (l <= levels) {
+      var open = if (state == null) kernelOut.filter(!_.closed) else state.filter(!_.closed)
+      var prevClosed = if (state == null) spark.emptyDataset[RingFragRow] else state.filter(_.closed)
       if (l == levels && stitchSalts > 1) {
         // salted combiner before the global round: bounds the final
-        // reducer's input for huge grids (see class doc)
-        val salted = mergeOpenSalted(open, stitchSalts)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        closedParts += salted.filter(_.closed)
+        // reducer's input for huge grids (see class doc). Two consumers at
+        // the final action -> persist; when it replaces an intermediate
+        // round's cache, materialize it first so that cache can drop.
+        val salted = track(prevClosed.union(mergeOpenSalted(open, stitchSalts))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+        if (state != null) { salted.count(); release(state) }
+        state = salted
+        prevClosed = salted.filter(_.closed)
         open = salted.filter(!_.closed)
       }
       // round l's input coords are already level-(l-1) block coords, so each
       // round shifts by ONE more bit (tileX >> l overall); the final round
       // merges globally per (grid, threshold): shift 31 zeroes every
       // non-negative coordinate
-      val merged = mergeOpen(open, if (l == levels) 31 else 1, l == levels)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      closedParts += merged.filter(_.closed)
-      open = merged.filter(!_.closed)
+      val next = prevClosed.union(mergeOpen(open, if (l == levels) 31 else 1, l == levels))
+      if (l < levels) {
+        val p = track(next.persist(StorageLevel.MEMORY_AND_DISK))
+        p.count()
+        if (state != null) release(state)
+        state = p
+      } else {
+        // final round: a single consumer (the caller's one action) — lazy,
+        // reading the kernel cache / the last persisted round
+        state = next
+      }
       l += 1
     }
-    closedParts.reduce(_ union _)
+    kernelClosed.union(state.filter(_.closed))
   }
 
   /** Salted pre-final combiner: same merge, grouped by a deterministic
@@ -166,28 +207,40 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig,
     * Each round reads its input from the previous round's parquet, which
     * doubles as reliable materialization on a real cluster.
     */
+  /** The resumable path has the same scale properties as the in-memory one:
+    * the full one-bit-per-round block hierarchy, and — when `stitchSalts` >
+    * 1 — the salted combiner committed as its own `salt` snapshot right
+    * before the global round, so a restart never re-runs it either.
+    */
   def closedRingsCheckpointed(tiles: Dataset[TileRow], lakeTable: String,
                               maxTileCoord: Int): Dataset[RingFragRow] = {
     import graft.lake.Lake
     val levels =
       if (maxTileCoord <= 7) 1
       else math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxTileCoord)))
-    val resume = (0 to levels).reverse.iterator
-      .map(l => (l, Lake.latestFor(spark, lakeTable, s"round-$l")))
-      .collectFirst { case (l, Some(snap)) => (l, snap) }
-    var (doneLevel, state) = resume match {
-      case Some((l, snap)) => (l, Lake.read(spark, snap).as[RingFragRow])
+    // ops in execution order; resume from the LATEST committed one
+    val ops: Vector[String] = (0 until levels).map(l => s"round-$l").toVector ++
+      (if (stitchSalts > 1) Vector("salt") else Vector.empty) :+ s"round-$levels"
+    val resume = ops.indices.reverse.iterator
+      .map(i => (i, Lake.latestFor(spark, lakeTable, ops(i))))
+      .collectFirst { case (i, Some(snap)) => (i, snap) }
+    var (idx, state) = resume match {
+      case Some((i, snap)) => (i, Lake.read(spark, snap).as[RingFragRow])
       case None =>
         val snap = Lake.commit(spark, lakeTable, kernelRows(tiles).toDF(), "round-0")
         (0, Lake.read(spark, snap).as[RingFragRow])
     }
-    var l = doneLevel + 1
-    while (l <= levels) {
-      val next = state.filter(_.closed)
-        .union(mergeOpen(state.filter(!_.closed), if (l == levels) 31 else 1, l == levels))
-      val snap = Lake.commit(spark, lakeTable, next.toDF(), s"round-$l")
+    while (idx < ops.length - 1) {
+      idx += 1
+      val op = ops(idx)
+      val merged =
+        if (op == "salt") mergeOpenSalted(state.filter(!_.closed), stitchSalts)
+        else {
+          val l = op.stripPrefix("round-").toInt
+          mergeOpen(state.filter(!_.closed), if (l == levels) 31 else 1, l == levels)
+        }
+      val snap = Lake.commit(spark, lakeTable, state.filter(_.closed).union(merged).toDF(), op)
       state = Lake.read(spark, snap).as[RingFragRow]
-      l += 1
     }
     state.filter(_.closed)
   }
@@ -213,7 +266,7 @@ final class ContourEngine(spark: SparkSession, cfg: JobConfig,
     hint match {
       case Some(m) => closedRings(kernelRows(tiles), m)
       case None =>
-        val ko = kernelRows(tiles).persist(StorageLevel.MEMORY_AND_DISK)
+        val ko = track(kernelRows(tiles).persist(StorageLevel.MEMORY_AND_DISK))
         ko.count()
         closedRingsImpl(ko, maxTileCoordOf(ko), prePersisted = true)
     }

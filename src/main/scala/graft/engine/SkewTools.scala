@@ -46,8 +46,17 @@ object SkewTools {
     * projection — never the tile payloads — and the slot is joined back, so
     * the only payload movement is the final repartition.
     */
+  /** @param slotBroadcastLimit broadcast the slot table only when it holds
+    *   at most this many rows (one per tile); above it, a plain shuffle
+    *   equi-join on (gridId, tileX, tileY) scales to any tile count — at
+    *   1e8 tiles a broadcast of the slot table would itself be the
+    *   bottleneck. The slot table is a slim 4-column projection and is
+    *   persisted so the weight probe runs exactly once (the count that
+    *   picks the join strategy materializes it).
+    */
   def rebalance(spark: SparkSession, tiles: Dataset[TileRow],
-                probeThreshold: Double, numPartitions: Int): Dataset[TileRow] = {
+                probeThreshold: Double, numPartitions: Int,
+                slotBroadcastLimit: Long = 4L << 20): Dataset[TileRow] = {
     import spark.implicits._
     val keys = withWeights(spark, tiles, probeThreshold)
       .map { case (t, w) => (t.gridId, t.tileX, t.tileY, w) }
@@ -61,8 +70,14 @@ object SkewTools {
         pmod(row_number().over(w) - 1 + pmod(hash(col("gridId"), col("band")), lit(numPartitions)),
           lit(numPartitions)))
       .select("gridId", "tileX", "tileY", "slot")
-    tiles.join(broadcast(slots), Seq("gridId", "tileX", "tileY"))
-      .repartition(numPartitions, col("slot"))
+      .persist()
+    val nSlots = slots.count()
+    val joined =
+      if (nSlots <= slotBroadcastLimit)
+        tiles.join(broadcast(slots), Seq("gridId", "tileX", "tileY"))
+      else
+        tiles.join(slots.hint("shuffle_hash"), Seq("gridId", "tileX", "tileY"))
+    joined.repartition(numPartitions, col("slot"))
       .drop("slot").as[TileRow]
   }
 

@@ -86,8 +86,13 @@ object SpatialOps {
           val j = if (i == 0) n - 1 else i - 1
           val ax = ring(2 * i); val ay = ring(2 * i + 1)
           val bx = ring(2 * j); val by = ring(2 * j + 1)
-          val b0 = math.floor(math.min(ay, by) / yBand).toInt
-          val b1 = math.floor(math.max(ay, by) / yBand).toInt
+          // bands cover the y-span PLUS 1.0 slack each side: segmentContains
+          // can claim a point whose y lies up to EPSILON/|bx-ax| <= 1.0
+          // outside the segment's y-span (the same slack RingIndex budgets
+          // for), so an on-boundary verdict near a band edge is never missed.
+          // Crossings need y strictly within the span and are unaffected.
+          val b0 = math.floor((math.min(ay, by) - 1.0) / yBand).toInt
+          val b1 = math.floor((math.max(ay, by) + 1.0) / yBand).toInt
           (b0 to b1).iterator.map(b => (c.threshold, rid, ax, ay, bx, by, b))
         }
       }

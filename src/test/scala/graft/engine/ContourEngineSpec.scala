@@ -205,6 +205,23 @@ class ContourEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("deep hierarchy releases intermediate round caches; releaseCaches drops the rest") {
+    val (data, w, h) = loadFixture("/fixtures/volcano.json")
+    val thresholds = (90 to 200 by 10).map(_.toDouble)
+    implicit val s = spark
+    val tiles = DocCodec.decode(DocCodec.encode(
+      GridSynth.tilesFromArray(spark, "gcc", data, w, h, 8, 8)))
+    val eng = new ContourEngine(spark, JobConfig(thresholds, smooth = true))
+    val got = eng.contours(tiles).collect()
+    assert(got.exists(_.polygons.nonEmpty))
+    // 87/8 tiles -> levels = 4: rounds 1..3 persisted then released as the
+    // next round materialized; only the kernel cache and the last
+    // intermediate round (which backs the lazy final merge) remain
+    assert(eng.trackedCacheCount == 2, s"still tracked: ${eng.trackedCacheCount}")
+    eng.releaseCaches()
+    assert(eng.trackedCacheCount == 0)
+  }
+
   test("salted final stitch is byte-identical (volcano isobands + contours)") {
     val (data, w, h) = loadFixture("/fixtures/volcano.json")
     val thresholds = (90 to 200 by 10).map(_.toDouble)

@@ -35,4 +35,24 @@ class SkewToolsSpec extends AnyFunSuite {
       assert(x.exterior == y.exterior && x.holes == y.holes)
     }
   }
+
+  test("slot table above the broadcast limit takes a shuffle join, same result") {
+    val w = 32; val h = 32
+    val rnd = new scala.util.Random(11)
+    val data = Array.tabulate(w * h)(_ => rnd.nextDouble())
+    val tiles = GridSynth.tilesFromArray(spark, "gj", data, w, h, 8, 8)
+    // limit 0 -> every slot table is "too big to broadcast"
+    val viaShuffle = SkewTools.rebalance(spark, tiles, 0.5, 4, slotBroadcastLimit = 0L)
+    val plan = viaShuffle.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val viaBroadcast = SkewTools.rebalance(spark, tiles, 0.5, 4)
+    val bPlan = viaBroadcast.queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan)
+    // TileRow holds an Array (reference equality) — compare by value
+    val norm = (t: graft.model.TileRow) =>
+      (t.gridId, t.tileX, t.tileY, t.sx0, t.sy0, t.tw, t.th, t.vw, t.vh,
+        t.gdx, t.gdy, t.values.toSeq)
+    assert(viaShuffle.collect().map(norm).sortBy(x => (x._2, x._3)).toSeq ==
+      viaBroadcast.collect().map(norm).sortBy(x => (x._2, x._3)).toSeq)
+  }
 }
