@@ -143,27 +143,39 @@ object SpatialOps {
     }.toDF("threshold", "vx", "vy")
   }
 
-  /** kNN join: for each query point, the k nearest (vx, vy) vertices.
-    * Phase 1 buckets both sides into `cell`-sized grid cells and joins each
-    * query against the (2r+1)^2 neighborhood (r=2); queries whose kth
-    * neighbor is not provably within r*cell (or with <k candidates) are
-    * resolved exactly by a brute-force pass against the full vertex set.
-    * Returns (query_id, rank, vx, vy, dist).
+  /** kNN join: for each query point, the k nearest (vx, vy) vertices, by a
+    * true EXPANDING-RING search — never a cartesian. Both sides bucket into
+    * `cell`-sized grid cells; round i joins the still-unresolved queries
+    * against their (2r+1)^2 cell neighborhood clipped to the vertex extent,
+    * with r doubling per round. A query resolves when its kth candidate is
+    * provably nearest (kth distance <= r*cell, so no closer vertex can hide
+    * outside the searched ring) OR its neighborhood already covers the
+    * whole vertex extent (then the "ring" was an exact scan — this also
+    * resolves queries in empty regions and vertex sets smaller than k).
+    * Every round shrinks the query set; r doubles until each query's ring
+    * reaches the extent, so the loop always terminates, after
+    * O(log(distance/cell)) rounds. Per-round shuffle volume is
+    * O(candidates of still-unresolved queries), never O(queries x
+    * vertices). Returns (query_id, rank, vx, vy, dist).
     */
   def knnVertices(spark: SparkSession, queries: Dataset[(Long, Double, Double)],
                   vertices: DataFrame, k: Int, cell: Double = 2.0): DataFrame = {
     import spark.implicits._
-    val r = 2
     val verts = vertices.select(col("vx").cast("double"), col("vy").cast("double"))
       .withColumn("cx", floor(col("vx") / cell).cast("int"))
       .withColumn("cy", floor(col("vy") / cell).cast("int"))
+      .persist()
     val q = queries.toDF("query_id", "qx", "qy")
-    val qCells = q
-      .withColumn("dx", explode(lit((-r to r).toArray)))
-      .withColumn("dy", explode(lit((-r to r).toArray)))
-      .withColumn("cx", (floor(col("qx") / cell) + col("dx")).cast("int"))
-      .withColumn("cy", (floor(col("qy") / cell) + col("dy")).cast("int"))
-      .drop("dx", "dy")
+    val outCols = Seq("query_id", "rank", "vx", "vy", "dist").map(col)
+
+    val ext = verts.agg(min("cx"), max("cx"), min("cy"), max("cy")).head()
+    if (ext.isNullAt(0)) {
+      // no vertices at all: every query gets zero neighbors
+      verts.unpersist(blocking = false)
+      return q.select(col("query_id"), lit(0).as("rank"), lit(0.0).as("vx"),
+        lit(0.0).as("vy"), lit(0.0).as("dist")).filter(lit(false))
+    }
+    val (vx0, vx1, vy0, vy1) = (ext.getInt(0), ext.getInt(1), ext.getInt(2), ext.getInt(3))
 
     def topK(joined: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
@@ -176,20 +188,57 @@ object SpatialOps {
         .filter(col("rank") <= k)
     }
 
-    // each vertex row lives in exactly one cell and each (query, cell) pair
-    // occurs once, so the join introduces no duplicates — and genuinely
-    // duplicated vertex coordinates must stay (they are distinct neighbors)
-    val phase1 = topK(qCells.join(verts, Seq("cx", "cy"))).persist()
-    // resolved: k candidates found AND kth distance <= r*cell (no closer
-    // vertex can hide outside the searched neighborhood)
-    val resolvedIds = phase1.groupBy("query_id")
-      .agg(count(lit(1)).as("n"), max(col("dist")).as("kth"))
-      .filter(col("n") === k && col("kth") <= lit(r * cell))
-      .select("query_id")
-    val resolved = phase1.join(broadcast(resolvedIds), Seq("query_id"))
-    val unresolvedQ = q.join(broadcast(resolvedIds), Seq("query_id"), "left_anti")
-    val fallback = topK(unresolvedQ.crossJoin(verts))
-    resolved.select("query_id", "rank", "vx", "vy", "dist")
-      .union(fallback.select("query_id", "rank", "vx", "vy", "dist"))
+    val resolvedParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var unresolved = q
+    var nUnresolved = -1L // unknown; first round always runs
+    var r = 2
+    while (nUnresolved != 0L) {
+      val qcx = floor(col("qx") / cell).cast("int")
+      val qcy = floor(col("qy") / cell).cast("int")
+      // the neighborhood clipped to the vertex extent: cells outside it
+      // hold nothing, so clipping changes no result and bounds the explode
+      // by the extent instead of r^2
+      val qCells = unresolved
+        .withColumn("c0", greatest(qcx - r, lit(vx0)))
+        .withColumn("c1", least(qcx + r, lit(vx1)))
+        .withColumn("d0", greatest(qcy - r, lit(vy0)))
+        .withColumn("d1", least(qcy + r, lit(vy1)))
+        .withColumn("covered",
+          qcx - r <= vx0 && qcx + r >= vx1 && qcy - r <= vy0 && qcy + r >= vy1)
+        .withColumn("cx", explode(when(col("c0") <= col("c1"),
+          sequence(col("c0"), col("c1"))).otherwise(array().cast("array<int>"))))
+        .withColumn("cy", explode(when(col("d0") <= col("d1"),
+          sequence(col("d0"), col("d1"))).otherwise(array().cast("array<int>"))))
+        .drop("c0", "c1", "d0", "d1")
+      // each vertex row lives in exactly one cell and each (query, cell)
+      // pair occurs once, so the join introduces no duplicates — and
+      // genuinely duplicated vertex coordinates must stay (distinct
+      // neighbors)
+      val phase = topK(qCells.join(verts, Seq("cx", "cy"))).persist()
+      val stats = phase.groupBy("query_id")
+        .agg(count(lit(1)).as("n"), max(col("dist")).as("kth"),
+          first(col("covered")).as("covered"))
+      // covered queries are final whatever their count (possibly < k rows:
+      // the vertex set itself holds < k vertices, or none near the query)
+      val resolvedIds = stats
+        .filter(col("covered") || (col("n") === k && col("kth") <= lit(r * cell)))
+        .select("query_id")
+        // also: queries whose clipped neighborhood was EMPTY and covered —
+        // they produce no phase rows; resolve them by coverage directly
+      val coveredNoRows = unresolved
+        .filter(qcx - r <= vx0 && qcx + r >= vx1 && qcy - r <= vy0 && qcy + r >= vy1)
+        .join(stats, Seq("query_id"), "left_anti")
+        .select("query_id")
+      val doneIds = resolvedIds.union(coveredNoRows).persist()
+      resolvedParts += phase.join(doneIds, Seq("query_id"), "left_semi").select(outCols: _*)
+      // localCheckpoint TRUNCATES the logical plan: without it each round's
+      // lineage embeds every previous round and the plan tree grows
+      // exponentially with the round count (far queries need
+      // log2(distance/cell) rounds)
+      unresolved = unresolved.join(doneIds, Seq("query_id"), "left_anti").localCheckpoint()
+      nUnresolved = unresolved.count()
+      r *= 2
+    }
+    resolvedParts.reduce(_ union _)
   }
 }

@@ -169,32 +169,45 @@ object TrainingOps {
 
   // ---- ANN scale path: LSH sign-bucketed (IVF-style probe of one bucket) ----
 
-  /** Fixed seeded hyperplanes shared by the engine plan and the DuckDB
+  /** Seeded Gaussian hyperplanes shared by the engine plan and the DuckDB
     * oracle (the oracle inlines the exact f64 constants — Double.toString
     * round-trips, so both sides bucket on bit-identical dot products).
     */
-  private[graft] val IvfPlanes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(4, 64)(rnd.nextGaussian())
+  private[graft] def ivfPlanes(nPlanes: Int, dim: Int = 64,
+                               seed: Long = 7): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
-  private val ivfPlanesSqlLiteral: String =
-    IvfPlanes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+  /** The default IVF configuration (4 planes, 16 buckets). */
+  private[graft] val IvfPlanes: Array[Array[Double]] = ivfPlanes(4)
 
-  val annIvfTopK: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val nPlanes = IvfPlanes.length
-    val planes = IvfPlanes
-    val planesCol = typedLit(planes.map(_.toSeq).toSeq)
-    val e = embeddings(spark, dir)
+  /** The query's own bucket plus every bucket at Hamming distance 1
+    * (sign-LSH neighbors often sit just across one hyperplane).
+    */
+  private[graft] def hamming1Probes(nPlanes: Int): Array[Int] =
+    (0 +: (0 until nPlanes).map(1 << _)).toArray
+
+  /** Embeddings with sign-LSH bucket + norm for the given hyperplanes;
+    * the bucket fold (acc * 2 + signBit, planes in order) and the dot
+    * products are left folds — semantics replicated verbatim by the
+    * DuckDB oracle and by ANN tests at alternate configurations.
+    */
+  private def bucketed(spark: SparkSession, dir: String,
+                       planes: Array[Array[Double]]): DataFrame =
+    embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("planes", planesCol)
+      .withColumn("planes", typedLit(planes.map(_.toSeq).toSeq))
       .withColumn("bucket",
         expr("aggregate(transform(planes, p -> if(aggregate(zip_with(p, v, (x, y) -> x * y), 0D, (acc, d) -> acc + d) >= 0D, 1, 0)), 0, (acc, b) -> acc * 2 + b)"))
       .drop("planes")
       .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
-    // multi-probe: the query's bucket plus every bucket at Hamming distance 1
-    // (sign-LSH neighbors often sit just across one hyperplane)
-    val probes = (0 to nPlanes).map(i => if (i == 0) 0 else 1 << (i - 1)).toArray
+
+  /** IVF-style ANN at an explicit (planes, probe set) configuration. */
+  private[graft] def annIvfTopKWith(spark: SparkSession, dir: String,
+                                    planes: Array[Array[Double]],
+                                    probes: Array[Int]): DataFrame = {
+    val e = bucketed(spark, dir, planes)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("bucket").as("qbucket"), col("norm").as("qn"))
@@ -212,6 +225,9 @@ object TrainingOps {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
       .orderBy("query_id", "rank")
   }
+
+  val annIvfTopK: (SparkSession, String) => DataFrame = (spark, dir) =>
+    annIvfTopKWith(spark, dir, IvfPlanes, hamming1Probes(IvfPlanes.length))
 
   /** n-gram Jaccard near-dup pairs. CONTRACT: MinHash-band candidate pairs
     * (a key-equality LSH join — no hot-shingle self-join blowup), scored
@@ -256,49 +272,92 @@ object TrainingOps {
     jaccardOf(spark, cand, dir)
   }
 
-  /** Embedding-cosine near-duplicate pairs (exact, threshold 0.45 — the
-    * data's nearest pair sits 5e-4 from the cut, far beyond any float-order
-    * discrepancy).
+  /** Embedding-cosine near-duplicate pairs. The exact/approximate boundary
+    * is a PARAMETER, not a comment:
     *
-    * Plan shape: a BLOCKED exact self-join — vectors hash into B blocks and
-    * every unordered block pair (ba <= bb) becomes one balanced
-    * key-equality join partition of O((n/B)^2) work, so there is no
-    * BroadcastNestedLoopJoin, no driver-sized broadcast of the vector
-    * table, and no single-task cartesian; B scales with the cluster.
-    * Sign-LSH candidate pruning is deliberately NOT used at this
-    * threshold: the measured similarity distribution is a continuum
-    * through the cut (hundreds of pairs in (0.30, 0.45), near-dups only up
-    * to 0.51), so no hyperplane scheme separates them with recall 1 — an
-    * exact threshold join at theta ~60 degrees is inherently all-pairs.
-    * When approximation is acceptable, annIvfTopK is the bucketed path.
+    *  - mode = "exact" (default, the q_emb_near_dup contract): a BLOCKED
+    *    exact self-join — vectors hash into B blocks and every unordered
+    *    block pair (ba <= bb) becomes one balanced key-equality join
+    *    partition of O((n/B)^2) work, so there is no
+    *    BroadcastNestedLoopJoin, no driver-sized broadcast of the vector
+    *    table, and no single-task cartesian; B scales with the cluster.
+    *    Total work is still O(n^2), so exact mode REJECTS inputs above
+    *    `maxExactVectors` (default 1e7 ~ 10^14 dot products, the practical
+    *    ceiling for an exact sweep) instead of silently launching an
+    *    unfinishable job. Sign-LSH pruning cannot replace it at this
+    *    threshold: the measured similarity distribution is a continuum
+    *    through the 0.45 cut (hundreds of pairs in (0.30, 0.45), near-dups
+    *    only up to 0.51), so no hyperplane scheme separates them with
+    *    recall 1.
+    *  - mode = "approx": sign-LSH bucketed candidates (IvfPlanes +
+    *    Hamming<=1 multi-probe) scored exactly and thresholded — linear-ish
+    *    work at any scale, recall < 1 BY CONTRACT (pairs whose buckets
+    *    differ in >= 2 sign bits are missed; measured ~0.5-0.8 at
+    *    threshold 0.45 on this data). Use it when the input exceeds the
+    *    exact ceiling and a stated-recall dedup is acceptable.
     */
-  val embNearDup: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val B = 8
-    val e = embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
-    val blockPairs = spark.range(B.toLong * B)
-      .select((col("id") / B).cast("int").as("ba"), (col("id") % B).cast("int").as("bb"))
-      .filter(col("ba") <= col("bb"))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
-      .withColumn("ba", pmod(col("vec_a"), lit(B)).cast("int"))
-      .join(broadcast(blockPairs), Seq("ba"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
-      .withColumn("bb", pmod(col("vec_b"), lit(B)).cast("int"))
-      .join(broadcast(blockPairs), Seq("bb"))
-    // each unordered block pair meets exactly once; same-block pairs arrive
-    // in both orders and keep only the ascending one
-    a.join(b, Seq("ba", "bb"))
-      .filter(col("vec_a") =!= col("vec_b"))
-      .filter(col("ba") =!= col("bb") || col("vec_a") < col("vec_b"))
-      .withColumn("sim",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, p) -> acc + p)") /
-          (col("na") * col("nb")))
-      .filter(col("sim") > 0.45)
-      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
-        greatest(col("vec_a"), col("vec_b")).as("vec_b"))
-      .orderBy("vec_a", "vec_b")
+  def embNearDupMode(spark: SparkSession, dir: String, mode: String = "exact",
+                     maxExactVectors: Long = 10L * 1000 * 1000,
+                     threshold: Double = 0.45): DataFrame = mode match {
+    case "exact" =>
+      val n = embeddings(spark, dir).count()
+      require(n <= maxExactVectors,
+        s"embNearDup exact mode is O(n^2) total work: $n vectors > maxExactVectors=" +
+          s"$maxExactVectors. Use mode=approx (sign-LSH candidates, recall < 1) " +
+          "or raise maxExactVectors explicitly.")
+      val B = 8
+      val e = embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+      val blockPairs = spark.range(B.toLong * B)
+        .select((col("id") / B).cast("int").as("ba"), (col("id") % B).cast("int").as("bb"))
+        .filter(col("ba") <= col("bb"))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+        .withColumn("ba", pmod(col("vec_a"), lit(B)).cast("int"))
+        .join(broadcast(blockPairs), Seq("ba"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+        .withColumn("bb", pmod(col("vec_b"), lit(B)).cast("int"))
+        .join(broadcast(blockPairs), Seq("bb"))
+      // each unordered block pair meets exactly once; same-block pairs arrive
+      // in both orders and keep only the ascending one
+      a.join(b, Seq("ba", "bb"))
+        .filter(col("vec_a") =!= col("vec_b"))
+        .filter(col("ba") =!= col("bb") || col("vec_a") < col("vec_b"))
+        .withColumn("sim",
+          expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, p) -> acc + p)") /
+            (col("na") * col("nb")))
+        .filter(col("sim") > threshold)
+        .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+          greatest(col("vec_a"), col("vec_b")).as("vec_b"))
+        .orderBy("vec_a", "vec_b")
+    case "approx" =>
+      val e = bucketed(spark, dir, IvfPlanes)
+      val probes = hamming1Probes(IvfPlanes.length)
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+          col("norm").as("na"), col("bucket").as("ba"))
+        .withColumn("flip", explode(lit(probes)))
+        .withColumn("probe", expr("int(ba) ^ flip"))
+        .drop("flip")
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("norm").as("nb"), col("bucket").as("probe"))
+      // a given (a, b) matches via at most one flip (the probe set holds
+      // distinct xor masks) but in both (a, b)/(b, a) directions -> the
+      // ascending filter + distinct
+      a.join(b, Seq("probe"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("sim",
+          expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, p) -> acc + p)") /
+            (col("na") * col("nb")))
+        .filter(col("sim") > threshold)
+        .select("vec_a", "vec_b").distinct()
+        .orderBy("vec_a", "vec_b")
+    case other =>
+      throw new IllegalArgumentException(s"embNearDup mode must be exact|approx, got $other")
   }
+
+  /** The q_emb_near_dup contract entry: exact mode at the default ceiling. */
+  val embNearDup: (SparkSession, String) => DataFrame = (spark, dir) =>
+    embNearDupMode(spark, dir)
 
   /** Winnowing fingerprints: md5-derived 60-bit hash per 3-gram shingle,
     * window-min over 4 consecutive shingles (the classic rolling
@@ -335,22 +394,27 @@ object TrainingOps {
       .orderBy("query_id")
   }
 
-  /** Shared CTE chain for the ANN oracles: per-vector norm + sign-LSH
-    * bucket (the same fold order as the engine plan), query side exploded
-    * over the multi-probe flips, and the bucketed top-10 ranking.
+  /** Shared CTE chain for the ANN oracles at an explicit configuration:
+    * per-vector norm + sign-LSH bucket (the same fold order as the engine
+    * plan), query side exploded over the multi-probe flips, and the
+    * bucketed top-10 ranking.
     */
-  private def ivfCtes: String =
+  private[graft] def ivfCtesFor(planes: Array[Array[Double]],
+                                probes: Array[Int]): String = {
+    val np = planes.length
+    val planesSql = planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val flips = probes.map(p => s"($p)").mkString(",")
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |p AS (SELECT $ivfPlanesSqlLiteral::DOUBLE[][] AS ps),
+       |p AS (SELECT $planesSql::DOUBLE[][] AS ps),
        |n AS (SELECT vec_id, v,
        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-       |        list_sum(list_transform(range(1, 5), i ->
+       |        list_sum(list_transform(range(1, ${np + 1}), i ->
        |          CASE WHEN list_sum(list_transform(range(1, 65), j -> ps[i][j] * v[j])) >= 0.0
-       |               THEN (1 << (4 - i)) ELSE 0 END))::INT AS bucket
+       |               THEN (1 << ($np - i)) ELSE 0 END))::INT AS bucket
        |      FROM e CROSS JOIN p),
        |qp AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
        |              xor(bucket, f.flip)::INT AS qbucket
-       |       FROM n CROSS JOIN (VALUES (0),(1),(2),(4),(8)) f(flip)
+       |       FROM n CROSS JOIN (VALUES $flips) f(flip)
        |       WHERE vec_id < 10),
        |apprR AS (SELECT qp.query_id, n.vec_id AS neighbor_id,
        |            row_number() OVER (PARTITION BY qp.query_id ORDER BY
@@ -358,6 +422,9 @@ object TrainingOps {
        |              n.vec_id) AS rank
        |          FROM qp JOIN n ON n.bucket = qp.qbucket
        |          WHERE n.vec_id != qp.query_id)""".stripMargin
+  }
+
+  private def ivfCtes: String = ivfCtesFor(IvfPlanes, hamming1Probes(IvfPlanes.length))
 
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracleSql: Map[String, String] = Map(

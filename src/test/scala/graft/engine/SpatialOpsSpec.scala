@@ -106,4 +106,34 @@ class SpatialOpsSpec extends AnyFunSuite {
     }.toSeq.sortBy(r => (r._1, r._2))
     assert(got == want)
   }
+
+  test("knnVertices expanding ring: far/empty-region queries, no cartesian in plan") {
+    import spark.implicits._
+    val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
+    val tiles = GridSynth.tilesFromArray(spark, "gv", data, w, h, 16, 16)
+    val cts = new ContourEngine(spark, JobConfig(Seq(120.0), smooth = true)).contours(tiles)
+    val verts = SpatialOps.contourVertices(spark, cts)
+    // queries far outside the vertex extent (sparse/empty region) + a few
+    // normal ones: the far ones must resolve by ring growth to coverage,
+    // never by a cartesian fallback
+    val queries = spark.createDataset(Seq(
+      (0L, 900.0, 1200.0), (1L, -500.0, -500.0), (2L, 30.0, 30.0), (3L, 2000.0, 5.0)))
+    val res = SpatialOps.knnVertices(spark, queries, verts, k = 5)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = res.select("query_id", "rank", "vx", "vy")
+      .as[(Long, Int, Double, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val vs = verts.select("vx", "vy").as[(Double, Double)].collect()
+    val want = queries.collect().flatMap { case (qid, qx, qy) =>
+      vs.map { case (vx, vy) =>
+        (qid, math.sqrt((vx - qx) * (vx - qx) + (vy - qy) * (vy - qy)), vx, vy)
+      }.sortBy(t => (t._2, t._3, t._4)).take(5).zipWithIndex
+        .map { case ((q2, _, vx, vy), i) => (q2, i + 1, vx, vy) }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    assert(got == want)
+
+    // an empty vertex set yields zero rows (and no join at all)
+    val none = SpatialOps.knnVertices(spark, queries, verts.filter(col("vx") > 1e9), k = 3)
+    assert(none.count() == 0)
+  }
 }

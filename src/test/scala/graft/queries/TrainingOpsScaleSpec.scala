@@ -52,4 +52,54 @@ class TrainingOpsScaleSpec extends AnyFunSuite {
     assertNoAllPairs(TrainingOps.minhashDupPairs(spark, sf), "minhashDupPairs")
     assertNoAllPairs(TrainingOps.minhashSignatures(spark, sf), "minhashSignatures")
   }
+
+  test("embNearDup exact mode rejects over-ceiling inputs; approx mode engages") {
+    // 500 vectors > a ceiling of 100 -> the exact O(n^2) path must refuse
+    val ex = intercept[IllegalArgumentException] {
+      TrainingOps.embNearDupMode(spark, sf, mode = "exact", maxExactVectors = 100)
+    }
+    assert(ex.getMessage.contains("approx"))
+    // the approx path runs on the same input: LSH-candidate pairs scored
+    // exactly -> a SUBSET of the exact pairs (recall < 1 by contract),
+    // non-empty on this data, and still no all-pairs join in the plan
+    val approx = TrainingOps.embNearDupMode(spark, sf, mode = "approx")
+    assertNoAllPairs(approx, "embNearDup approx")
+    val ap = approx.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = TrainingOps.embNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ap.subsetOf(exact), s"approx produced non-pairs: ${ap.diff(exact)}")
+    assert(ap.nonEmpty)
+    intercept[IllegalArgumentException] {
+      TrainingOps.embNearDupMode(spark, sf, mode = "bogus")
+    }
+  }
+
+  test("annIvfTopK at a second (6-plane) configuration matches an independent reference") {
+    import spark.implicits._
+    val planes = TrainingOps.ivfPlanes(6)
+    val probes = TrainingOps.hamming1Probes(6)
+    val got = TrainingOps.annIvfTopKWith(spark, sf, planes, probes)
+      .as[(Long, Long, Long)].collect().toSeq
+    // independent reference: same left-fold arithmetic in plain Scala
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .as[(Long, Array[Double])].collect()
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def nrm(v: Array[Double]): Double =
+      math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+    def bucket(v: Array[Double]): Int =
+      planes.foldLeft(0)((acc, p) => acc * 2 + (if (dot(p, v) >= 0.0) 1 else 0))
+    val withB = e.map { case (id, v) => (id, v, nrm(v), bucket(v)) }
+    val want = withB.filter(_._1 < 10).flatMap { case (qid, qv, qn, qb) =>
+      val probeSet = probes.map(qb ^ _).toSet
+      withB.filter(c => c._1 != qid && probeSet.contains(c._4))
+        .map { case (id, v, n, _) => (qid, id, dot(qv, v) / (qn * n)) }
+        .sortBy { case (_, id, sim) => (-sim, id) }
+        .take(10).zipWithIndex
+        .map { case ((q2, id, _), i) => (q2, (i + 1).toLong, id) }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    assert(got.nonEmpty && planes.length == 6 && probes.length == 7)
+  }
 }
