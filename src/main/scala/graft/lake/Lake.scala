@@ -1,9 +1,9 @@
 package graft.lake
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import java.nio.charset.StandardCharsets
 
 /** Minimal Iceberg-style snapshot layer over parquet directories (the
   * environment ships no Iceberg jar, so snapshot semantics are built
@@ -11,12 +11,22 @@ import scala.jdk.CollectionConverters._
   *
   *   table/
   *     data/<snapshotId>/...parquet
-  *     snapshots/<seq>%012d-<snapshotId>.json   (manifest, atomic rename)
+  *     snapshots/<seq>%012d-<snapshotId>.json   (manifest)
   *
   * A manifest records the operation, parent snapshot (lineage chain), row
   * count and per-partition row metrics. Readers resolve the latest manifest
-  * (or a pinned snapshot id); a torn write can never be observed because the
-  * manifest is moved into place atomically after the data commit.
+  * (or a pinned snapshot id).
+  *
+  * All filesystem access goes through the Hadoop FileSystem API, so tables
+  * live on whatever store the path's scheme resolves to — local posix,
+  * HDFS, or an object store — matching the parquet data files, which Spark
+  * already writes through the same API. The manifest commit is RENAME-FREE
+  * (object stores have no atomic rename): the manifest is created at its
+  * final name with overwrite=false (a second committer of the same
+  * sequence fails loudly instead of clobbering), written, closed, then
+  * read back and VERIFIED byte-for-byte; readers additionally require the
+  * `"eof":true` trailer, so a torn or in-flight manifest is never
+  * observed as a snapshot — it is simply skipped until complete.
   */
 object Lake {
 
@@ -24,8 +34,13 @@ object Lake {
                             path: String, rows: Long,
                             partitionRows: Seq[Long], ts: Long)
 
-  private def snapshotsDir(table: String): Path = Paths.get(table, "snapshots")
-  private def dataDir(table: String, id: String): Path = Paths.get(table, "data", id)
+  private def conf(spark: SparkSession) = spark.sessionState.newHadoopConf()
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(conf(spark))
+
+  private def snapshotsDir(table: String): Path = new Path(table, "snapshots")
+  private def dataDir(table: String, id: String): Path =
+    new Path(new Path(table, "data"), id)
 
   private def esc(s: String): String =
     s.flatMap {
@@ -35,9 +50,19 @@ object Lake {
       case c => c.toString
     }
 
+  private def readFully(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   /** Commit a DataFrame as a new snapshot; returns the manifest. */
   def commit(spark: SparkSession, table: String, df: DataFrame, op: String): Snapshot = {
-    import org.apache.spark.sql.functions._
     val parent = latest(spark, table).map(_.id).getOrElse("")
     val seq = latest(spark, table).map(_.seq + 1).getOrElse(0L)
     val id = java.util.UUID.randomUUID().toString.take(12)
@@ -45,14 +70,14 @@ object Lake {
     df.write.mode("overwrite").parquet(dd.toString)
     // per-partition metrics from the committed parquet FOOTERS — metadata
     // reads only, no second scan of the snapshot's data
-    val conf = spark.sessionState.newHadoopConf()
-    val parts = Files.list(dd).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)
-      .map { p =>
+    val hc = conf(spark)
+    val fs = dd.getFileSystem(hc)
+    val parts = fs.listStatus(dd).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .toSeq.sortBy(_.getPath.getName)
+      .map { st =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(p.toString), conf))
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, hc))
         try r.getRecordCount finally r.close()
       }
     val rows = parts.sum
@@ -61,21 +86,32 @@ object Lake {
     val json =
       s"""{"seq":$seq,"id":"${esc(id)}","parent":"${esc(parent)}","op":"${esc(op)}",""" +
         s""""path":"${esc(snap.path)}","rows":$rows,""" +
-        s""""partitionRows":[${parts.mkString(",")}],"ts":${snap.ts}}"""
-    Files.createDirectories(snapshotsDir(table))
-    val tmp = snapshotsDir(table).resolve(f".tmp-$seq%012d-$id")
-    Files.writeString(tmp, json)
-    Files.move(tmp, snapshotsDir(table).resolve(f"$seq%012d-$id.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+        s""""partitionRows":[${parts.mkString(",")}],"ts":${snap.ts},"eof":true}"""
+    val sd = snapshotsDir(table)
+    val sfs = fsOf(spark, sd)
+    sfs.mkdirs(sd)
+    val manifest = new Path(sd, f"$seq%012d-$id.json")
+    // rename-free commit: create-no-overwrite at the FINAL name, then
+    // verify the readback — see class doc
+    val out = sfs.create(manifest, false)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val back = readFully(sfs, manifest)
+    require(back == json, s"manifest readback mismatch for $manifest")
     snap
   }
 
   def snapshots(spark: SparkSession, table: String): Seq[Snapshot] = {
     val dir = snapshotsDir(table)
-    if (!Files.isDirectory(dir)) return Nil
-    Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".json"))
-      .map(p => parse(Files.readString(p)))
+    val fs = fsOf(spark, dir)
+    val listed =
+      try fs.listStatus(dir)
+      catch { case _: java.io.FileNotFoundException => return Nil }
+    listed.iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map(st => readFully(fs, st.getPath))
+      // a torn or in-flight manifest lacks the eof trailer -> not a snapshot
+      .filter(_.endsWith("\"eof\":true}"))
+      .map(parse)
       .toSeq.sortBy(_.seq)
   }
 

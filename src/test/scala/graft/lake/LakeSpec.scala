@@ -71,6 +71,24 @@ class LakeSpec extends AnyFunSuite {
     assert(ps(0).exterior == Goldens.multiExpected1.toSeq)
   }
 
+  test("torn/in-flight manifests are never observed as snapshots") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("lake-torn").toString
+    val s1 = Lake.commit(spark, table, (1 to 10).toDF("x"), "load")
+    // a writer died mid-manifest: valid-looking name, truncated content
+    val full = Files.readString(
+      java.nio.file.Paths.get(table, "snapshots").resolve(f"${s1.seq}%012d-${s1.id}.json"))
+    val torn = full.substring(0, full.length / 2)
+    Files.writeString(
+      java.nio.file.Paths.get(table, "snapshots").resolve(f"${s1.seq + 1}%012d-deadbeef.json"),
+      torn)
+    assert(Lake.snapshots(spark, table).map(_.id) == Seq(s1.id))
+    assert(Lake.latest(spark, table).get.id == s1.id)
+    // the next commit takes the seq AFTER the torn file's name is ignored
+    val s2 = Lake.commit(spark, table, (1 to 5).toDF("x"), "next")
+    assert(s2.parent == s1.id && Lake.latest(spark, table).get.id == s2.id)
+  }
+
   test("checkpointed + salted + deep hierarchy: kill-resume is byte-identical") {
     import spark.implicits._
     val table = Files.createTempDirectory("lake-salt").toString
