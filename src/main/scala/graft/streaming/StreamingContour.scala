@@ -44,24 +44,43 @@ object StreamingContour {
       .start()
   }
 
-  /** Per-grid cross-batch state: covered owned cells, the grid's total, and
-    * every closed ring + still-open boundary fragment accumulated so far.
+  /** Per-grid cross-batch state — INCREMENTAL: only the still-open boundary
+    * fragments, the coverage counters, and the arrived tile keys (morton of
+    * (tileX, tileY), for loud duplicate detection). Closed rings leave the
+    * state the moment they close (FragmentMerge never reopens a closed
+    * ring), so state size is O(open perimeter + arrived tiles), never
+    * O(total contour length) — a huge grid arriving over many batches
+    * carries only its frontier. `covered == -1` is the completion
+    * tombstone: late or re-appended tiles after emission fail loudly
+    * instead of silently restarting the counter.
     */
-  final case class GridState(covered: Long, total: Long, rows: Seq[RingFragRow])
+  final case class GridState(covered: Long, total: Long,
+                             tileKeys: Seq[Long], open: Seq[RingFragRow])
+
+  /** In emitted RingFragRow rows: ti >= 0 -> a closed ring of threshold
+    * index ti; ti == CompleteTi -> the grid completed this batch.
+    */
+  val CompleteTi: Int = -2
 
   /** Stateful streaming contouring: a grid's tiles may arrive across ANY
     * number of micro-batches. flatMapGroupsWithState on gridId runs the
     * tile kernel on arrivals, merges boundary fragments with the carried
-    * state (FragmentMerge is arrival-order independent, so the final rings
-    * are byte-identical to the batch engine's), and emits the grid's
-    * contours exactly once — when the owned-cell coverage reaches
-    * gdx * gdy. This lifts `start`'s grids-land-atomically restriction.
+    * open set (FragmentMerge is arrival-order independent, so the final
+    * rings are byte-identical to the batch engine's), and EMITS CLOSED
+    * RINGS AS THEY CLOSE. Each batch's emitted rings land idempotently in
+    * a parquet ring store under the checkpoint dir (one overwrite-mode
+    * directory per batchId, so foreachBatch retries never duplicate);
+    * when a grid's owned-cell coverage reaches gdx * gdy a completion
+    * marker triggers the downstream per-grid assembly — reading back just
+    * that grid's rings — and `sink` sees its contours exactly once.
+    * This lifts `start`'s grids-land-atomically restriction.
     */
   def startStateful(spark: SparkSession, inputPath: String, checkpointDir: String,
                     cfg: JobConfig)(sink: (Dataset[ContourRow], Long) => Unit): StreamingQuery = {
     import spark.implicits._
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "32")
-    val contours = spark.readStream
+    val ringStore = s"$checkpointDir/rings"
+    val emitted = spark.readStream
       .schema(docSchema)
       .parquet(inputPath)
       .as[Doc]
@@ -69,27 +88,93 @@ object StreamingContour {
       .groupByKey(_.gridId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         updateGrid(cfg))
-    contours.writeStream
+    emitted.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[ContourRow], batchId: Long) =>
-        sink(batch, batchId)
+      .foreachBatch { (batch: Dataset[RingFragRow], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val rows = batch.persist()
+        try {
+          val completed = rows.filter(_.ti == CompleteTi).map(_.gridId)
+            .collect().toSet
+          // idempotent ring append: a retried batch overwrites its own dir
+          rows.filter(_.ti >= 0).write.mode("overwrite")
+            .parquet(s"$ringStore/b$batchId")
+          if (completed.nonEmpty) {
+            val markers = rows.filter(r => r.ti == CompleteTi)
+            val rings = readRingStore(s, ringStore)
+              .filter(r => completed.contains(r.gridId))
+            sink(assembleCompleted(s, rings.union(markers), cfg), batchId)
+          }
+        } finally rows.unpersist()
       }
       .start()
   }
 
-  private def updateGrid(cfg: JobConfig)(
-      gid: String, tiles: Iterator[TileRow],
-      state: GroupState[GridState]): Iterator[ContourRow] = {
+  /** All rings persisted so far (every per-batch directory). */
+  private def readRingStore(spark: SparkSession, ringStore: String): Dataset[RingFragRow] = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(ringStore)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs =
+      try fs.listStatus(p).filter(_.isDirectory).map(_.getPath.toString)
+      catch { case _: java.io.FileNotFoundException => Array.empty[String] }
+    if (dirs.isEmpty) spark.emptyDataset[RingFragRow]
+    else spark.read.schema(org.apache.spark.sql.Encoders.product[RingFragRow].schema)
+      .parquet(dirs.toIndexedSeq: _*).as[RingFragRow]
+  }
+
+  /** Distributed per-grid assembly of completed grids — identical reducer
+    * semantics to ContourEngine.contoursFrom. The completion markers ride
+    * along so a grid with zero rings still emits its (empty) contour rows.
+    */
+  private def assembleCompleted(spark: SparkSession, rows: Dataset[RingFragRow],
+                                cfg: JobConfig): Dataset[ContourRow] = {
+    import spark.implicits._
     val ts = cfg.thresholds.toArray
-    val prev = state.getOption.getOrElse(GridState(0L, 0L, Nil))
+    val (xs, ys, xo, yo) = (cfg.xStep, cfg.yStep, cfg.xOrigin, cfg.yOrigin)
+    val ident = cfg.isIdentityAffine
+    rows.groupByKey(_.gridId).flatMapGroups { (gid: String, it: Iterator[RingFragRow]) =>
+      val byTi = it.filter(_.ti >= 0).toArray.groupBy(_.ti)
+      ts.indices.iterator.map { ti =>
+        val rings = byTi.getOrElse(ti, Array.empty).sortBy(_.maxKey).map { r =>
+          if (!ident) Assembly.applyAffine(r.pts, xs, ys, xo, yo)
+          r.pts
+        }
+        val polys = Assembly.assembleContour(rings.toSeq)
+        ContourRow(gid, ts(ti), polys.map(p => PolyRow(p.exterior.toSeq, p.holes.map(_.toSeq))))
+      }
+    }
+  }
+
+  private[streaming] def updateGrid(cfg: JobConfig)(
+      gid: String, tiles: Iterator[TileRow],
+      state: GroupState[GridState]): Iterator[RingFragRow] = {
+    val ts = cfg.thresholds.toArray
+    val prev = state.getOption.getOrElse(GridState(0L, 0L, Nil, Nil))
+    if (prev.covered == -1L) {
+      val late = tiles.map(t => (t.tileX, t.tileY)).toSeq
+      if (late.nonEmpty)
+        throw new IllegalStateException(
+          s"grid $gid already completed and emitted; late/duplicate tiles: $late")
+      return Iterator.empty
+    }
     var covered = prev.covered
     var total = prev.total
-    val closed = ArrayBuffer[RingFragRow](prev.rows.filter(_.closed): _*)
-    val open = ArrayBuffer[RingFragRow](prev.rows.filterNot(_.closed): _*)
+    val seen = scala.collection.mutable.Set[Long](prev.tileKeys: _*)
+    val emit = ArrayBuffer[RingFragRow]()
+    val open = ArrayBuffer[RingFragRow](prev.open: _*)
     tiles.foreach { t =>
+      val key = graft.index.CellIndex.morton(t.tileX, t.tileY)
+      if (!seen.add(key))
+        throw new IllegalStateException(
+          s"duplicate tile (${t.tileX}, ${t.tileY}) delivered for grid $gid")
       total = t.gdx.toLong * t.gdy
       covered += t.tw.toLong * t.th
+      if (covered > total)
+        throw new IllegalStateException(
+          s"grid $gid coverage overshoot: $covered > $total owned cells")
       val spec = Tiling.TileSpec(t.tileX, t.tileY, t.sx0, t.sy0, t.tw, t.th,
         t.sx0, t.sy0, t.vw, t.vh,
         if (t.sx0 == 0) -1 else t.sx0, t.sx0 + t.tw - 1,
@@ -97,43 +182,38 @@ object StreamingContour {
       val outs = Tiling.tileKernelMulti(t.values, spec, t.gdx, t.gdy, ts, cfg.smooth)
       ts.indices.foreach { ti =>
         outs(ti).rings.foreach(r =>
-          closed += RingFragRow(gid, ti, closed = true, 0, 0, 0L, 0L, r.maxKey, 0, r.pts))
+          emit += RingFragRow(gid, ti, closed = true, 0, 0, 0L, 0L, r.maxKey, 0, r.pts))
         outs(ti).frags.foreach(f =>
           open += RingFragRow(gid, ti, closed = false, t.tileX, t.tileY,
             f.startKey, f.endKey, f.maxKey, f.anchorPos, f.pts))
       }
     }
     val done = total > 0 && covered == total
-    // merge this batch's open fragments with the carried ones, per threshold
+    // merge this batch's open fragments with the carried ones, per
+    // threshold; anything that closes is FINAL (FragmentMerge never
+    // reopens a closed ring) and is emitted now, not carried
     val stillOpen = ArrayBuffer[RingFragRow]()
     open.groupBy(_.ti).foreach { case (ti, rows) =>
       val res = FragmentMerge.merge(
         rows.map(r => OpenFrag(r.pts, r.startKey, r.endKey, r.maxKey, r.anchorPos)).toSeq)
       res.rings.foreach(r =>
-        closed += RingFragRow(gid, ti, closed = true, 0, 0, 0L, 0L, r.maxKey, 0, r.pts))
+        emit += RingFragRow(gid, ti, closed = true, 0, 0, 0L, 0L, r.maxKey, 0, r.pts))
       res.open.foreach(f =>
         stillOpen += RingFragRow(gid, ti, closed = false, 0, 0,
           f.startKey, f.endKey, f.maxKey, f.anchorPos, f.pts))
     }
     if (!done) {
-      state.update(GridState(covered, total, (closed ++ stillOpen).toSeq))
-      Iterator.empty
+      state.update(GridState(covered, total, seen.toSeq, stillOpen.toSeq))
+      emit.iterator
     } else {
       if (stillOpen.nonEmpty)
         throw new IllegalStateException(
           s"${stillOpen.length} fragments failed to close for completed grid $gid")
-      state.remove()
-      // assembly identical to ContourEngine.contoursFrom's reducer
-      val (xs, ys, xo, yo) = (cfg.xStep, cfg.yStep, cfg.xOrigin, cfg.yOrigin)
-      val byTi = closed.groupBy(_.ti)
-      ts.indices.iterator.map { ti =>
-        val rings = byTi.getOrElse(ti, ArrayBuffer.empty).toArray.sortBy(_.maxKey).map { r =>
-          if (!cfg.isIdentityAffine) Assembly.applyAffine(r.pts, xs, ys, xo, yo)
-          r.pts
-        }
-        val polys = Assembly.assembleContour(rings.toSeq)
-        ContourRow(gid, ts(ti), polys.map(p => PolyRow(p.exterior.toSeq, p.holes.map(_.toSeq))))
-      }
+      // tombstone: late arrivals after emission must fail loudly, not
+      // silently restart the grid
+      state.update(GridState(-1L, total, Nil, Nil))
+      emit += RingFragRow(gid, CompleteTi, closed = true, 0, 0, 0L, 0L, 0L, 0, Array.empty)
+      emit.iterator
     }
   }
 }

@@ -101,4 +101,79 @@ class StreamingContourSpec extends AnyFunSuite {
       assert(got == want, "cross-batch output must be byte-identical to batch")
     } finally q.stop()
   }
+
+  /** Minimal in-memory GroupState for driving updateGrid directly. */
+  private final class FakeState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
+    private var v: Option[S] = None
+    override def exists: Boolean = v.isDefined
+    override def get: S = v.get
+    override def getOption: Option[S] = v
+    override def update(s: S): Unit = v = Some(s)
+    override def remove(): Unit = v = None
+    override def hasTimedOut: Boolean = false
+    override def setTimeoutDuration(ms: Long): Unit = ()
+    override def setTimeoutDuration(d: String): Unit = ()
+    override def setTimeoutTimestamp(ms: Long): Unit = ()
+    override def setTimeoutTimestamp(ms: Long, d: String): Unit = ()
+    override def setTimeoutTimestamp(ts: java.sql.Date): Unit = ()
+    override def setTimeoutTimestamp(ts: java.sql.Date, d: String): Unit = ()
+    override def getCurrentWatermarkMs: Long = 0L
+    override def getCurrentProcessingTimeMs: Long = 0L
+  }
+
+  test("incremental state: rings emit as they close; state holds only the open frontier") {
+    val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
+    val cfg = JobConfig((100 to 180 by 20).map(_.toDouble), smooth = true)
+    val tiles = GridSynth.tilesFromArray(spark, "gi", data, w, h, 8, 8)
+      .collect().sortBy(t => (t.tileY, t.tileX)).toSeq
+    val update = StreamingContour.updateGrid(cfg) _
+    val st = new FakeState[StreamingContour.GridState]
+    val emitted = scala.collection.mutable.ArrayBuffer[graft.model.RingFragRow]()
+    // feed the grid row-of-tiles by row-of-tiles (11 "batches" of 12 tiles)
+    val batches = tiles.grouped(12).toSeq
+    var sawEarlyRings = false
+    batches.zipWithIndex.foreach { case (b, i) =>
+      emitted ++= update("gi", b.iterator, st)
+      if (i < batches.length - 1) {
+        // rings must leave the state as they close, not pile up until done
+        if (emitted.exists(_.ti >= 0)) sawEarlyRings = true
+        val s = st.get
+        assert(s.covered >= 0 && s.open.forall(!_.closed))
+        // the carried frontier is bounded by the open perimeter: far less
+        // than the rings already emitted (total contour length)
+        val openPts = s.open.map(_.pts.length).sum
+        val emittedPts = emitted.filter(_.ti >= 0).map(_.pts.length).sum
+        assert(openPts < math.max(2000, emittedPts),
+          s"batch $i: state carries $openPts pts vs $emittedPts emitted")
+      }
+    }
+    assert(sawEarlyRings, "no rings emitted before completion")
+    assert(emitted.count(_.ti == StreamingContour.CompleteTi) == 1)
+    // the tombstone rejects late/duplicate arrivals loudly
+    val late = intercept[IllegalStateException] {
+      update("gi", tiles.take(1).iterator, st).toList
+    }
+    assert(late.getMessage.contains("already completed"))
+    // accumulated closed rings == the batch engine's rings, byte-identical
+    val eng = new graft.engine.ContourEngine(spark, cfg)
+    val want = eng.closedRingRows(GridSynth.tilesFromArray(spark, "gi", data, w, h, 8, 8))
+      .collect().filter(r => r.ti >= 0)
+      .map(r => (r.ti, r.maxKey, r.pts.toSeq)).sortBy(r => (r._1, r._2)).toSeq
+    val got = emitted.filter(_.ti >= 0)
+      .map(r => (r.ti, r.maxKey, r.pts.toSeq)).sortBy(r => (r._1, r._2)).toSeq
+    assert(got == want)
+  }
+
+  test("duplicate tile delivery fails loudly instead of stalling the grid") {
+    val cfg = JobConfig(Seq(0.5), smooth = true)
+    val tiles = GridSynth.tilesFromArray(spark, "gd", Goldens.multiHoleGrid, 10, 10, 5, 5)
+      .collect().toSeq
+    val update = StreamingContour.updateGrid(cfg) _
+    val st = new FakeState[StreamingContour.GridState]
+    update("gd", tiles.take(2).iterator, st).toList
+    val dup = intercept[IllegalStateException] {
+      update("gd", tiles.take(1).iterator, st).toList
+    }
+    assert(dup.getMessage.contains("duplicate tile"))
+  }
 }
