@@ -199,18 +199,34 @@ object SparkEntry {
         .orderBy("threshold")
     }),
 
-    // ---- GeoJSON emission (deterministic serialization golden) ----
+    // ---- GeoJSON feature content: per-ring properties of exactly what
+    //      contourFeature serializes (every exterior + hole ring of the
+    //      feature's MultiPolygon), rank-ordered by the order-insensitive
+    //      (n_points, qx_sum, qy_sum) triple so the DuckDB oracle — which
+    //      reconstructs ring GROUPING by walking the directed segment
+    //      graph (successor pointer-doubling), not just the vertex
+    //      multiset — can reproduce every row. The byte-level
+    //      serialization itself stays golden-tested (all three reference
+    //      doctest prefixes + md5 in CoreContourSpec); serialization is
+    //      exercised here too: the ring set is parsed back OUT of the
+    //      emitted GeoJSON string, so a serializer regression (dropped
+    //      ring, reordered coordinates) fails the oracle compare. ----
     "q_geojson" -> ((spark, dir) => {
       import spark.implicits._
       val cts = engine(spark).contours(eventTiles(spark, dir))
-      cts.map { c =>
+      cts.flatMap { c =>
         val feat = GeoJson.contourFeature(ContourResult(c.threshold,
           c.polygons.map(p => Poly(p.exterior.toArray, p.holes.map(_.toArray)))))
-        (c.threshold, feat.length.toLong,
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(feat.getBytes("UTF-8")).map("%02x".format(_)).mkString)
-      }.toDF("threshold", "json_len", "json_md5")
-        .orderBy("threshold")
+        GeoJson.parseFeatureRings(feat).map { ring =>
+          val (n, qx, qy) = ringChecksum(Iterator.single(ring.toSeq))
+          (c.threshold, n, qx, qy)
+        }
+      }.toDF("threshold", "n_points", "qx_sum", "qy_sum")
+        .withColumn("ring_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("threshold")
+            .orderBy("n_points", "qx_sum", "qy_sum")).cast("long"))
+        .select("threshold", "ring_rank", "n_points", "qx_sum", "qy_sum")
+        .orderBy("threshold", "ring_rank")
     }),
 
     // ---- span-sequence invariant through append ----
@@ -433,6 +449,79 @@ object SparkEntry {
        |    ELSE (2 * cy + ody)::DOUBLE / 2.0 END AS py
        |  FROM ep)""".stripMargin
 
+  /** Ring-GROUPING reconstruction in SQL: every directed marching-squares
+    * segment (both endpoints, integer grid keys) is a node whose unique
+    * successor is the segment starting where it ends (start keys are
+    * globally unique per threshold — each crossed cell edge starts exactly
+    * one directed segment and ends exactly one, and the virtual border
+    * closes every curve). Rings = cycles of this permutation, labeled by
+    * min start-key via `levels` rounds of POINTER DOUBLING (after round t
+    * each node knows the min label over the 2^t successors, so any ring up
+    * to 2^levels segments converges; extra rounds are no-ops). CTEs are
+    * MATERIALIZED — each level references the previous twice, and inlining
+    * would re-expand the chain exponentially.
+    */
+  private def ringWalkSql(thresholdsSql: String, levels: Int = 18): String = {
+    val base =
+      s"""dims AS (SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events),
+         |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |cells AS (
+         |  SELECT t.threshold, cx.cx, cy.cy,
+         |    b0.v AS v0, b1.v AS v1, b2.v AS v2, b3.v AS v3,
+         |    COALESCE((b0.v >= t.threshold)::INT, 0)
+         |      + 2 * COALESCE((b1.v >= t.threshold)::INT, 0)
+         |      + 4 * COALESCE((b2.v >= t.threshold)::INT, 0)
+         |      + 8 * COALESCE((b3.v >= t.threshold)::INT, 0) AS cse
+         |  FROM (SELECT unnest(range(-1, (SELECT w FROM dims)))::INT AS cx) cx
+         |  CROSS JOIN (SELECT unnest(range(-1, (SELECT h FROM dims)))::INT AS cy) cy
+         |  CROSS JOIN ($thresholdsSql) t
+         |  LEFT JOIN g b0 ON b0.x = cx.cx     AND b0.y = cy.cy + 1
+         |  LEFT JOIN g b1 ON b1.x = cx.cx + 1 AND b1.y = cy.cy + 1
+         |  LEFT JOIN g b2 ON b2.x = cx.cx + 1 AND b2.y = cy.cy
+         |  LEFT JOIN g b3 ON b3.x = cx.cx     AND b3.y = cy.cy),
+         |segt2(cse, segid, sdx, sdy, edx, edy) AS (VALUES
+         |  (1,0,2,3,1,2),(2,0,3,2,2,3),(3,0,3,2,1,2),(4,0,2,1,3,2),
+         |  (5,0,2,3,1,2),(5,1,2,1,3,2),(6,0,2,1,2,3),(7,0,2,1,1,2),
+         |  (8,0,1,2,2,1),(9,0,2,3,2,1),(10,0,1,2,2,1),(10,1,3,2,2,3),
+         |  (11,0,3,2,2,1),(12,0,1,2,3,2),(13,0,2,3,3,2),(14,0,1,2,2,3)),
+         |sege AS (SELECT cells.threshold, cells.cx, cells.cy, segt2.sdx, segt2.sdy,
+         |                segt2.edx, segt2.edy, cells.v0, cells.v1, cells.v2, cells.v3
+         |         FROM cells JOIN segt2 ON segt2.cse = cells.cse),
+         |seg AS MATERIALIZED (SELECT threshold,
+         |    ((2*cx+sdx+3)::BIGINT * 1000000 + (2*cy+sdy+3))::BIGINT AS sk,
+         |    ((2*cx+edx+3)::BIGINT * 1000000 + (2*cy+edy+3))::BIGINT AS ek,
+         |    CASE WHEN sdx = 2 AND cx BETWEEN 0 AND (SELECT w FROM dims) - 2 THEN
+         |      (cx + 1)::DOUBLE
+         |        + (threshold - (CASE WHEN sdy = 1 AND cy >= 0 THEN v3 ELSE v0 END))
+         |        / ((CASE WHEN sdy = 1 AND cy >= 0 THEN v2 ELSE v1 END)
+         |           - (CASE WHEN sdy = 1 AND cy >= 0 THEN v3 ELSE v0 END))
+         |        - 0.5
+         |    ELSE (2 * cx + sdx)::DOUBLE / 2.0 END AS px,
+         |    CASE WHEN sdy = 2 AND cy BETWEEN 0 AND (SELECT h FROM dims) - 2 THEN
+         |      (cy + 1)::DOUBLE
+         |        + (threshold - (CASE WHEN sdx = 1 AND cx >= 0 THEN v3 ELSE v2 END))
+         |        / ((CASE WHEN sdx = 1 AND cx >= 0 THEN v0 ELSE v1 END)
+         |           - (CASE WHEN sdx = 1 AND cx >= 0 THEN v3 ELSE v2 END))
+         |        - 0.5
+         |    ELSE (2 * cy + sdy)::DOUBLE / 2.0 END AS py
+         |  FROM sege)""".stripMargin
+    val lvls = Seq("w0 AS MATERIALIZED (SELECT threshold, sk, sk AS lbl, ek AS jmp FROM seg)") ++
+      (1 to levels).map(i =>
+        s"""w$i AS MATERIALIZED (SELECT a.threshold, a.sk, least(a.lbl, b.lbl) AS lbl, b.jmp AS jmp
+           |  FROM w${i - 1} a JOIN w${i - 1} b ON b.threshold = a.threshold AND b.sk = a.jmp)""".stripMargin)
+    s"""WITH $base,
+       |${lvls.mkString(",\n")},
+       |ringsz AS (SELECT s.threshold, l.lbl, count(*)::BIGINT AS n,
+       |  SUM(floor(s.px * 1048576.0)::BIGINT)::BIGINT AS qx,
+       |  SUM(floor(s.py * 1048576.0)::BIGINT)::BIGINT AS qy
+       |  FROM seg s JOIN w$levels l ON l.threshold = s.threshold AND l.sk = s.sk
+       |  GROUP BY 1, 2)
+       |SELECT threshold,
+       |  row_number() OVER (PARTITION BY threshold ORDER BY n, qx, qy, lbl)::BIGINT AS ring_rank,
+       |  n AS n_points, qx AS qx_sum, qy AS qy_sum
+       |FROM ringsz ORDER BY threshold, ring_rank""".stripMargin
+  }
+
   private val smoothChecksumSql: String =
     s"""WITH ${startsCte(tsAllSql)},
        |$smoothPtsCte,
@@ -450,6 +539,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_contours_stats" -> smoothChecksumSql,
     "q_lines_stats" -> smoothChecksumSql,
+    "q_geojson" -> ringWalkSql(tsAllSql),
 
     "q_contour_rings_stats" ->
       s"""WITH ${startsCte(tsAllSql)},

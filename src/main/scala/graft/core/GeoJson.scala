@@ -46,4 +46,43 @@ object GeoJson {
 
   def featureCollection(features: Seq[String]): String =
     features.mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
+
+  /** Every ring (exteriors + holes, in serialized order) parsed back OUT of
+    * a Feature's MultiPolygon coordinates — the exact inverse of
+    * multiPolygonJson for strings this serializer emits (shortest
+    * round-trip doubles parse back bit-identical). Lets content checks run
+    * THROUGH the serialization, so a serializer regression (dropped ring,
+    * reordered coordinates, mangled number) surfaces as a content mismatch.
+    */
+  def parseFeatureRings(feature: String): Seq[Array[Double]] = {
+    val key = "\"coordinates\":"
+    val start = feature.indexOf(key)
+    require(start >= 0, "no coordinates key in feature")
+    val rings = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    var cur: scala.collection.mutable.ArrayBuffer[Double] = null
+    var depth = 0
+    var i = start + key.length
+    var numStart = -1
+    def flushNum(end: Int): Unit = if (numStart >= 0) {
+      cur += java.lang.Double.parseDouble(feature.substring(numStart, end))
+      numStart = -1
+    }
+    var done = false
+    while (!done) {
+      feature.charAt(i) match {
+        case '[' =>
+          depth += 1
+          if (depth == 3) cur = new scala.collection.mutable.ArrayBuffer[Double]()
+        case ']' =>
+          flushNum(i)
+          depth -= 1
+          if (depth == 2) rings += cur.toArray
+          if (depth == 0) done = true
+        case ',' => flushNum(i)
+        case _ => if (numStart < 0) numStart = i
+      }
+      i += 1
+    }
+    rings.toSeq
+  }
 }
