@@ -41,22 +41,28 @@ object Assembly {
 
   /** Remove consecutive duplicate points (Vec::dedup semantics — only
     * adjacent exactly-equal points collapse; contourbuilder.rs:255).
+    * Allocation-free in the common no-duplicate case (returns `pts`
+    * itself); the dedup path writes straight into a primitive array — no
+    * boxed Double ever (this runs over every band ring's full payload).
     */
   def dedupAdjacent(pts: Array[Double]): Array[Double] = {
     if (pts.length <= 2) return pts
-    val out = new ArrayBuffer[Double](pts.length)
-    out += pts(0)
-    out += pts(1)
+    // fast scan: most rings have no adjacent duplicates at all
     var i = 2
+    while (i < pts.length && !(pts(i) == pts(i - 2) && pts(i + 1) == pts(i - 1))) i += 2
+    if (i >= pts.length) return pts
+    val out = new Array[Double](pts.length)
+    var m = i // everything before the first duplicate is kept verbatim
+    System.arraycopy(pts, 0, out, 0, m)
+    i += 2 // skip the first duplicate
     while (i < pts.length) {
       val x = pts(i); val y = pts(i + 1)
-      if (!(x == out(out.length - 2) && y == out(out.length - 1))) {
-        out += x
-        out += y
+      if (!(x == out(m - 2) && y == out(m - 1))) {
+        out(m) = x; out(m + 1) = y; m += 2
       }
       i += 2
     }
-    if (out.length == pts.length) pts else out.toArray
+    java.util.Arrays.copyOf(out, m)
   }
 
   /** Contour assembly: rings must already be in sweep-closure order with
@@ -121,24 +127,26 @@ object Assembly {
       i += 1
     }
     val exteriors = new ArrayBuffer[Array[Double]]()
+    val extSortedIdx = new ArrayBuffer[Int]() // exterior k = sorted(extSortedIdx(k))
     val extHoles = new ArrayBuffer[ArrayBuffer[Array[Double]]]()
     val interiors = new ArrayBuffer[Array[Double]]()
     i = 0
     while (i < n) {
       if (enclosedBy(i) % 2 == 0) {
         exteriors += sorted(i)
+        extSortedIdx += i
         extHoles += new ArrayBuffer[Array[Double]]()
       } else interiors += sorted(i)
       i += 1
     }
     if (interiors.nonEmpty) {
-      val eidx = new Array[RingIndex](exteriors.length)
+      // reuse the enclosure loop's RingIndexes (same rings, already built —
+      // including any lazily-filled CSR buckets) instead of re-indexing
       interiors.foreach { hole =>
         var k = 0
         var done = false
         while (k < exteriors.length && !done) {
-          if (eidx(k) == null) eidx(k) = new RingIndex(exteriors(k))
-          if (eidx(k).containsRing(hole) != -1) {
+          if (indexOf(extSortedIdx(k)).containsRing(hole) != -1) {
             extHoles(k) += hole
             done = true
           }

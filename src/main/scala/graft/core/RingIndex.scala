@@ -1,11 +1,10 @@
 package graft.core
 
 /** Y-bucketed segment index over one packed ring, answering the reference's
-  * `ring_contains` with EXACTLY the same result but O(candidates) per query
-  * instead of O(ring length). (Exactness assumes no sub-EPSILON-tall
-  * near-vertical segment with distinct endpoints exists — impossible at the
-  * half-integer/interpolant coordinate resolution the engine emits; see the
-  * short-circuit note below. All other cases are covered unconditionally.)
+  * `ring_contains` with EXACTLY the same result (unconditionally — the
+  * outside short-circuit margins are derived per ring from the EPSILON
+  * budget of its own segments, see below) but O(candidates) per query
+  * instead of O(ring length).
   *
   * Correctness argument: ring_contains is order-independent — the result is
   * 0 if ANY segment contains the point (segment_contains), else the ray-cast
@@ -24,10 +23,20 @@ package graft.core
 final class RingIndex(ring: Array[Double]) {
   private val n = ring.length / 2
 
-  // ONE constructor pass: bbox + degenerate-segment lines (see below)
-  private val (minY, bmaxY, bminX, bmaxX, degYs) = {
+  // ONE constructor pass: bbox + degenerate-segment lines + the EXACT
+  // outside-claim margins (see the short-circuit note below):
+  //  - a segment with |dx| >= EPSILON (x-dominant branch) can claim a point
+  //    whose y lies up to EPSILON/|dx| outside its y-span (and only with x
+  //    inside the x-span) -> yMargin = max(EPSILON/|dx| + EPSILON);
+  //  - a near-vertical segment (|dx| < EPSILON, vertical branch) requires y
+  //    inside its exact y-span and can claim x up to EPSILON/|dy| off its
+  //    line -> xMargin = max(EPSILON/|dy| + EPSILON); if such a segment is
+  //    also sub-EPSILON flat (dy == 0) it claims its whole horizontal line
+  //    exactly like a fully-degenerate segment -> collected into degYs.
+  private val (minY, bmaxY, bminX, bmaxX, degYs, xMargin, yMargin) = {
     var mnY = Double.PositiveInfinity; var mxY = Double.NegativeInfinity
     var mnX = Double.PositiveInfinity; var mxX = Double.NegativeInfinity
+    var xm = 0.0; var ym = 0.0
     val dg = new scala.collection.mutable.ArrayBuffer[Double](2)
     var j = n - 1
     var i = 0
@@ -37,11 +46,22 @@ final class RingIndex(ring: Array[Double]) {
       if (y > mxY) mxY = y
       if (x < mnX) mnX = x
       if (x > mxX) mxX = x
-      if (x == ring(2 * j) && y == ring(2 * j + 1)) dg += y
+      val dx = math.abs(x - ring(2 * j))
+      val dy = math.abs(y - ring(2 * j + 1))
+      if (dx < Geom.Epsilon) {
+        if (dy == 0.0) dg += y // degenerate: claims the whole line y == ay
+        else {
+          val m = Geom.Epsilon / dy + Geom.Epsilon
+          if (m > xm) xm = m
+        }
+      } else {
+        val m = Geom.Epsilon / dx + Geom.Epsilon
+        if (m > ym) ym = m
+      }
       j = i
       i += 1
     }
-    (mnY, mxY, mnX, mxX, dg.toArray)
+    (mnY, mxY, mnX, mxX, dg.toArray, xm, ym)
   }
   // maxSpan and the CSR buckets below are LAZY: most containment queries in
   // the assembly's O(n^2) loops are answered by the constant-time
@@ -62,24 +82,21 @@ final class RingIndex(ring: Array[Double]) {
   private lazy val bw = math.max(maxSpan, 1.0) // bucket width >= max segment y-span
   private lazy val nBuckets =
     math.max(1, (((bmaxY - minY) / bw).toInt + 2))
-  // Outside-point short circuit semantics: a point at least 1.0 outside
-  // the bbox straddles no segment (ray parity stays even -> -1; crossings
-  // need y strictly inside the ring's y-range, and for x > bmaxX the ray
-  // intersection x never exceeds bmaxX). segment_contains claims on such a
-  // point are bounded by the EPSILON budget: an x-dominant segment
-  // (|bx-ax| >= EPSILON) tolerates |cy - ay| <= EPSILON/|bx-ax| +
-  // |by-ay| <= 1 + y-span, so the 1.0 margin covers it (and symmetrically
-  // for x); a near-vertical segment (|bx-ax| < EPSILON) requires cy
-  // within its exact y-span and, >= 1.0 outside in x, a height below
-  // ~EPSILON — i.e. only a segment whose endpoints are EXACTLY equal (the
-  // closing duplicate's wrap segment, adjacent duplicate vertices), whose
-  // y-lines are degYs, or a sub-EPSILON-tall near-vertical sliver, which
-  // is below the coordinate grid's representable resolution (vertices are
-  // half-integers or single-division interpolants; adjacent dedup removes
-  // exact duplicates). Points within the 1.0 margin take the exact bucket
-  // walk below, which is correct for ANY query point: the scanned yLo
-  // range [y - maxSpan - 1, y + 1] covers every segment that can straddle
-  // or claim y under the same EPSILON budget.
+  // Outside-point short circuit semantics (EXACT, no resolution
+  // assumption): a point outside the bbox straddles no countable segment —
+  // for y outside the ring's y-range no segment straddles at all; for
+  // x < bminX every straddling segment counts (total crossings of a
+  // closed curve by a full horizontal line = even -> parity -1) and for
+  // x > bmaxX none does (the ray intersection never exceeds bmaxX) — so
+  // the verdict is 0 iff some segment CLAIMS the point, else -1. Claims
+  // beyond the bbox are bounded by the per-ring margins computed above:
+  // beyond xMargin in x or yMargin in y no non-degenerate segment can
+  // pass segment_contains (the cross-product term would exceed EPSILON),
+  // leaving only the degenerate y-lines in degYs. Points inside the
+  // margins take the exact bucket walk below, which is correct for ANY
+  // query point: the scanned yLo range [y - maxSpan - 1, y + 1] covers
+  // every segment that can straddle or claim y under the same EPSILON
+  // budget (EPSILON/|dx| <= 1 whenever |dx| >= EPSILON).
 
   // CSR layout: bucketStart(b) .. bucketStart(b+1) indices into segIdx
   private lazy val (bucketStart, segIdx) = {
@@ -107,7 +124,8 @@ final class RingIndex(ring: Array[Double]) {
 
   /** Exact ring_contains(ring, (x, y)) — see Geom.ringContains. */
   def contains(x: Double, y: Double): Int = {
-    if (x < bminX - 1.0 || x > bmaxX + 1.0 || y < minY - 1.0 || y > bmaxY + 1.0) {
+    if (x < bminX - xMargin || x > bmaxX + xMargin ||
+        y < minY - yMargin || y > bmaxY + yMargin) {
       var k = 0
       while (k < degYs.length) { if (degYs(k) == y) return 0; k += 1 }
       return -1

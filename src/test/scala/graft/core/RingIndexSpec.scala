@@ -39,6 +39,34 @@ class RingIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("outside-bbox margins: sub-epsilon-off-line claims still match the walk") {
+    // near-vertical segment (|dx| < EPSILON, tall): a point 1 ulp OUTSIDE
+    // the ring's x-bbox on that segment's line is still claimed by
+    // segment_contains — the exact per-ring xMargin must route it to the
+    // bucket walk, not the -1 short circuit
+    val e = 1e-16 // < Geom.Epsilon
+    val ring = Array(
+      0.5, 0.0, 0.5 + e, 1.0, 2.0, 1.0, 2.0, 0.0, 0.5, 0.0)
+    val idx = new RingIndex(ring)
+    val probes = Seq(
+      (0.5 - 1e-16, 0.5), // 1 ulp outside bminX, collinear within budget
+      (0.5 - 1e-15, 0.5), // further out: beyond the claim budget
+      (0.5 + 1e-16, 0.5), // inside
+      (2.0 + 1e-16, 0.5), // 1 ulp right of bmaxX
+      (1.0, -1e-16), (1.0, 1.0 + 1e-16)) // 1 ulp below/above in y
+    probes.foreach { case (qx, qy) =>
+      assert(idx.contains(qx, qy) == Geom.ringContains(ring, qx, qy),
+        s"q=($qx,$qy)")
+    }
+    // x-dominant near-flat segment: y-claims up to EPSILON/|dx| below the
+    // span must survive the y short circuit
+    val flat = Array(0.0, 0.0, 2.0, 1e-16, 2.0, 1.0, 0.0, 1.0, 0.0, 0.0)
+    val fidx = new RingIndex(flat)
+    Seq((1.0, -1e-17), (1.0, 5e-17), (1.0, -1e-15), (0.5, 0.0)).foreach { case (qx, qy) =>
+      assert(fidx.contains(qx, qy) == Geom.ringContains(flat, qx, qy), s"q=($qx,$qy)")
+    }
+  }
+
   test("exact equivalence on smoothed volcano rings") {
     val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
     val core = new CoreContour(ContourConfig(w, h, smooth = true))
