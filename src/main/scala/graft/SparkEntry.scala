@@ -306,6 +306,9 @@ object SparkEntry {
     "q_doc_minhash" -> TrainingOps.minhashSignatures,
     "q_doc_minhash_pairs" -> TrainingOps.minhashDupPairs,
     "q_doc_jaccard_pairs" -> TrainingOps.jaccardPairs,
+    "q_doc_dup_clusters" -> TrainingOps.dupClusters,
+    "q_doc_stratified_sample" -> TrainingOps.stratifiedSample,
+    "q_doc_source_stats" -> TrainingOps.sourceStats,
     "q_emb_near_dup" -> TrainingOps.embNearDup,
     "q_doc_winnow" -> TrainingOps.winnowFingerprints,
     "q_doc_simhash" -> TrainingOps.simhash,

@@ -75,6 +75,23 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  // ---- per-source corpus stats: one rollup pass, map-side combinable ----
+  /** Corpus composition by (source, lang) with source subtotals and a grand
+    * total in ONE rollup aggregation (grouping-set nulls are relabeled
+    * '(all)' so the contract schema carries no nulls). This is the shape a
+    * pipeline dashboards per-crawl: counts, volume, id watermark.
+    */
+  val sourceStats: (SparkSession, String) => DataFrame = (spark, dir) =>
+    docs(spark, dir)
+      .rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .select(coalesce(col("source"), lit("(all)")).as("source"),
+        coalesce(col("lang"), lit("(all)")).as("lang"),
+        col("n_docs"), col("sum_chars"), col("min_doc"))
+      .orderBy("source", "lang")
+
   // ---- MinHash signatures: word 3-gram shingles, 16 md5-derived hashes ----
   private val NumHashes = 16
 
@@ -124,6 +141,101 @@ object TrainingOps {
 
   val minhashDupPairs: (SparkSession, String) => DataFrame = (spark, dir) =>
     bandCandidates(spark, dir).orderBy("doc_a", "doc_b")
+
+  // ---- duplicate clusters: connected components over the LSH pair graph ----
+
+  /** Backstop on hash-min rounds. Rounds needed = component diameter; LSH
+    * duplicate clusters are unions of band-bucket cliques, so real corpora
+    * converge in a handful of rounds — hitting this cap is a loud failure,
+    * not a truncation.
+    */
+  private val MaxCcRounds = 50
+
+  /** Connected components of an undirected pair graph (`doc_a < doc_b`
+    * rows) by hash-min label propagation: every round each node adopts the
+    * minimum label among itself and its neighbors; the fixpoint label is
+    * the component's minimum doc id. Each round is ONE shuffle (a groupBy
+    * on doc_id) plus an edge join, and convergence is read off a monotone
+    * fingerprint — labels only ever decrease, so the global label sum
+    * strictly decreases until the fixpoint — one scalar aggregate per
+    * round, no per-round diff join, nothing wide collected. Edges are
+    * cached once; each round's labels replace (and unpersist) the last.
+    */
+  private[graft] def connectedComponents(cand: DataFrame): DataFrame = {
+    // Each round's labels feed the next round TWICE (self union + the edge
+    // join), so without lineage truncation the logical plan doubles per
+    // round — eager localCheckpoint makes every round a constant-size plan
+    // over a materialized leaf. (Blocks of dropped rounds are reclaimed by
+    // the context cleaner; a fault-tolerant deployment would point
+    // setCheckpointDir at reliable storage and use checkpoint() instead.)
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    def fingerprint(labels: DataFrame): Option[java.math.BigDecimal] =
+      Option(labels.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0))
+    // round 0 fused into initialization: min(self, direct neighbors)
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("cluster_id"))
+      .localCheckpoint(true)
+    var sig = fingerprint(labels)
+    var rounds = 0
+    var converged = sig.isEmpty // no edges -> no nodes -> already done
+    while (!converged && rounds < MaxCcRounds) {
+      val msgs = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.select("doc_id", "cluster_id").unionByName(msgs)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      val nextSig = fingerprint(next)
+      labels = next
+      converged = nextSig == sig
+      sig = nextSig
+      rounds += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $MaxCcRounds rounds")
+    labels
+  }
+
+  /** Near-duplicate clusters: connected components over the MinHash-LSH
+    * candidate pairs, labeled by the cluster's minimum doc id, with the
+    * cluster size attached. Docs in no candidate pair are singletons by
+    * definition and are omitted. The canonical dedup keep-list is
+    * `doc_id == cluster_id` plus every omitted doc.
+    */
+  val dupClusters: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val cc = connectedComponents(bandCandidates(spark, dir))
+    val sz = cc.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    cc.join(sz, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("csize"))
+      .orderBy("doc_id")
+  }
+
+  // ---- deterministic stratified sampling: stable splits from a hash ----
+
+  /** Per-language keep rates in percent (en downsampled, the rest at half).
+    * Shared verbatim with the DuckDB oracle's CASE.
+    */
+  private val SampleRatePct = Seq("de" -> 50, "en" -> 20, "es" -> 50, "fr" -> 50, "zh" -> 50)
+
+  /** Deterministic stratified sample: a doc's bucket in [0, 100) is an
+    * md5-derived hash of its id (never a random() — reruns, retries and
+    * late-arriving partitions must agree on membership), kept when below
+    * its language's rate. Narrow (filter only, no shuffle); the same hash
+    * with a different literal salt yields disjoint stable splits.
+    */
+  val stratifiedSample: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val bucket = conv(substring(md5(concat(lit("sample#"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 100
+    val rate = SampleRatePct.foldRight(lit(0): Column) { case ((l, r), acc) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    docs(spark, dir)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+  }
 
   // ---- SimHash (64-bit, token unigrams, md5-derived bits; engine-only) ----
   val simhash: (SparkSession, String) => DataFrame = (spark, dir) => {
@@ -572,6 +684,50 @@ object TrainingOps {
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // independent reconstruction of the whole chain: shingles -> minhash ->
+    // bands -> candidate pairs -> transitive closure (recursive CTE) ->
+    // per-component min id — the engine side reaches the same fixpoint by
+    // hash-min label propagation, a different algorithm on the same graph
+    "q_doc_dup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+        |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+        |sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS minhash
+        |         FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, (seed // 4)::INT AS band,
+        |                 string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, ',' ORDER BY seed) AS bkey
+        |          FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        |      UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach(node, lbl) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+        |cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+        |sz AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM cc GROUP BY 1)
+        |SELECT cc.doc_id, cc.cluster_id, sz.csize
+        |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+
+    "q_doc_source_stats" ->
+      """SELECT COALESCE(source, '(all)') AS source, COALESCE(lang, '(all)') AS lang,
+        |       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |       min(doc_id) AS min_doc
+        |FROM documents GROUP BY ROLLUP(source, lang)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_doc_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |                  ('0x' || substring(md5('sample#' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+        |           FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50 WHEN 'es' THEN 50
+        |                         WHEN 'fr' THEN 50 WHEN 'zh' THEN 50 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
 
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Duplicate-cluster connected components and deterministic sampling:
+  * the distributed hash-min propagation must agree with an independent
+  * in-test union-find on the same edges, converge on high-diameter
+  * graphs, and keep all-pairs joins out of the plan; the sample must
+  * match an independent JVM md5 recomputation of its membership.
+  */
+class TrainingOpsClusterSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Plain array union-find with path compression (test-side reference). */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    TrainingOps.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connectedComponents matches union-find on a mixed graph") {
+    // two cliques bridged by one edge, an isolated pair, a star, a triangle
+    val pairs = Seq[(Long, Long)](
+      (1L, 2L), (2L, 3L), (1L, 3L), (3L, 10L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L),
+      (30L, 31L), (30L, 32L), (30L, 33L), (30L, 34L),
+      (40L, 41L), (41L, 42L), (40L, 42L))
+    assert(ccOf(pairs) == unionFind(pairs))
+  }
+
+  test("connectedComponents converges on a high-diameter chain") {
+    // a 24-node path: label 100 must walk the full diameter to reach the end
+    val pairs = (100L until 123L).map(i => (i, i + 1))
+    val got = ccOf(pairs)
+    assert(got == (100L to 123L).map(_ -> 100L).toMap)
+  }
+
+  test("connectedComponents of an empty pair set is empty") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(TrainingOps.connectedComponents(empty).collect().isEmpty)
+  }
+
+  test("dupClusters matches union-find over the LSH candidate pairs") {
+    val cand = TrainingOps.minhashDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assume(cand.nonEmpty)
+    val expected = unionFind(cand)
+    val sizes = expected.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    val got = TrainingOps.dupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected.map { case (d, c) => d -> (c, sizes(c)) })
+  }
+
+  test("connectedComponents matches union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 10) {
+      val n = 5 + rnd.nextInt(40)
+      val ids = rnd.shuffle((0 until 3 * n).map(_.toLong).toList).take(n)
+      val pairs = (1 to n).flatMap { _ =>
+        val a = ids(rnd.nextInt(n)); val b = ids(rnd.nextInt(n))
+        if (a == b) None else Some((math.min(a, b), math.max(a, b)))
+      }.distinct
+      if (pairs.nonEmpty)
+        assert(ccOf(pairs) == unionFind(pairs), s"trial $trial: $pairs")
+    }
+  }
+
+  test("sourceStats rollup totals are self-consistent") {
+    val rows = TrainingOps.sourceStats(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val leaves = rows.filter { case ((s, l), _) => s != "(all)" && l != "(all)" }
+    val grand = rows(("(all)", "(all)"))
+    assert(grand._1 == leaves.values.map(_._1).sum && grand._2 == leaves.values.map(_._2).sum)
+    for ((src, perSrc) <- leaves.groupBy(_._1._1)) {
+      val sub = rows((src, "(all)"))
+      assert(sub._1 == perSrc.values.map(_._1).sum && sub._2 == perSrc.values.map(_._2).sum,
+        s"subtotal mismatch for $src")
+    }
+  }
+
+  test("cluster plans carry no all-pairs join") {
+    val plan = TrainingOps.dupClusters(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BroadcastNestedLoopJoin in plan")
+    assert(!plan.contains("CartesianProduct"), "CartesianProduct in plan")
+  }
+
+  test("stratifiedSample membership matches an independent md5 recomputation") {
+    import spark.implicits._
+    val rates = Map("de" -> 50L, "en" -> 20L, "es" -> 50L, "fr" -> 50L, "zh" -> 50L)
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"sample#$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 100
+    }
+    val expected = all.collect {
+      case (id, lang) if bucket(id) < rates.getOrElse(lang, 0L) => (id, lang, bucket(id))
+    }.toSet
+    val got = TrainingOps.stratifiedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+}
