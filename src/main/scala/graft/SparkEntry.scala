@@ -4,7 +4,7 @@ import graft.core.{Cases, GeoJson, MarchingSquares, Poly, ContourResult, Tiling}
 import graft.docs.DocCodec
 import graft.engine.ContourEngine
 import graft.model._
-import graft.queries.{EventsGrid, MultimodalOps, TrainingOps}
+import graft.queries.{EventsGrid, MultimodalOps, RasterOps, TrainingOps}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -309,6 +309,7 @@ object SparkEntry {
     "q_doc_dup_clusters" -> TrainingOps.dupClusters,
     "q_doc_stratified_sample" -> TrainingOps.stratifiedSample,
     "q_doc_source_stats" -> TrainingOps.sourceStats,
+    "q_grid_pyramid" -> RasterOps.gridPyramid,
     "q_emb_near_dup" -> TrainingOps.embNearDup,
     "q_doc_winnow" -> TrainingOps.winnowFingerprints,
     "q_doc_simhash" -> TrainingOps.simhash,
@@ -775,5 +776,5 @@ object SparkEntry {
         |       (sx | (sy << 1))::BIGINT AS cell,
         |       ((sx | (sy << 1)) >> 4)::BIGINT AS parent_cell_l2
         |FROM sp2 ORDER BY event_id""".stripMargin
-  ) ++ TrainingOps.oracleSql
+  ) ++ TrainingOps.oracleSql ++ RasterOps.oracleSql
 }

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raster overview pyramid over the events grid (GDAL-overview style):
+  * level L+1 cell (x, y) is the mean of level L's complete 2x2 block at
+  * (2x, 2y); ragged right/bottom edges of odd dimensions are dropped,
+  * matching overview semantics. The mean PIVOTS the four quadrants into
+  * one fixed-order f64 expression ((v00 + v10) + (v01 + v11)) / 4.0 — a
+  * plain groupBy sum over doubles would be combine-order dependent and
+  * could never hash-match an oracle. Each pooling step shrinks the data
+  * 4x and is one key-local shuffle; identical pool subplans across the
+  * per-level stat branches dedup via ReusedExchange in the single action.
+  */
+object RasterOps {
+
+  /** 2^20 per-cell quantization, shared with the DuckDB oracle. */
+  private val Q20 = 1048576.0
+
+  private val Levels = 3
+
+  /** One pooling step: (x, y, v) cells at (w, h) -> half-resolution cells. */
+  private def pool(cells: DataFrame, w: Int, h: Int): DataFrame = {
+    def q(dx: Int, dy: Int) =
+      max(when(col("x").bitwiseAND(1) === dx && col("y").bitwiseAND(1) === dy, col("v")))
+        .as(s"v$dx$dy")
+    cells.filter(col("x") < 2 * (w / 2) && col("y") < 2 * (h / 2))
+      .groupBy(shiftright(col("x"), 1).as("x"), shiftright(col("y"), 1).as("y"))
+      .agg(q(0, 0), q(1, 0), q(0, 1), q(1, 1))
+      .select(col("x"), col("y"),
+        (((col("v00") + col("v10")) + (col("v01") + col("v11"))) / 4.0).as("v"))
+  }
+
+  /** Per-level stats of the base grid plus a 3-level overview pyramid:
+    * dimensions, cell count, and floor(v * 2^20) checksum/extrema. The
+    * quantization happens per cell, so no float-order-dependent
+    * accumulation crosses the engine/oracle compare (integer sums are
+    * order-free).
+    */
+  val gridPyramid: (SparkSession, String) => DataFrame = (spark, dir) => {
+    var (w, h) = EventsGrid.dims(spark, dir)
+    var cells = spark.read.parquet(s"$dir/events.parquet")
+      .select((col("event_id") % EventsGrid.W).cast("int").as("x"),
+        (col("event_id") / EventsGrid.W).cast("int").as("y"),
+        col("value").as("v"))
+    val perLevel = Seq.newBuilder[DataFrame]
+    for (level <- 0 to Levels) {
+      if (level > 0) {
+        cells = pool(cells, w, h); w /= 2; h /= 2
+      }
+      val qv = floor(col("v") * Q20)
+      perLevel += cells.agg(
+        count(lit(1)).as("n_cells"),
+        sum(qv).as("qsum"), min(qv).as("qmin"), max(qv).as("qmax"))
+        .select(lit(level.toLong).as("level"),
+          lit(w.toLong).as("w"), lit(h.toLong).as("h"),
+          col("n_cells"), col("qsum"), col("qmin"), col("qmax"))
+    }
+    perLevel.result().reduce(_ unionByName _).orderBy("level")
+  }
+
+  // w halves from the constant base W=100 (floor division composes:
+  // 100 -> 50 -> 25 -> 12); h halves from the data-dependent base in `d`.
+  private def poolCte(l: Int, prevW: Int): String =
+    s"""g$l AS (SELECT x // 2 AS x, y // 2 AS y,
+       |  ((max(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN v END)
+       |    + max(CASE WHEN x % 2 = 1 AND y % 2 = 0 THEN v END))
+       |   + (max(CASE WHEN x % 2 = 0 AND y % 2 = 1 THEN v END)
+       |      + max(CASE WHEN x % 2 = 1 AND y % 2 = 1 THEN v END))) / 4.0 AS v
+       |  FROM g${l - 1}, d
+       |  WHERE x < 2 * ($prevW // 2) AND y < 2 * ((h // ${1 << (l - 1)}) // 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def statCte(l: Int, w: Int): String =
+    s"""s$l AS (SELECT $l::BIGINT AS level, $w::BIGINT AS w,
+       |  ((SELECT h FROM d) // ${1 << l})::BIGINT AS h, count(*)::BIGINT AS n_cells,
+       |  sum(floor(v * 1048576.0)::BIGINT) AS qsum,
+       |  min(floor(v * 1048576.0)::BIGINT) AS qmin,
+       |  max(floor(v * 1048576.0)::BIGINT) AS qmax FROM g$l)""".stripMargin
+
+  val oracleSql: Map[String, String] = {
+    val ws = Iterator.iterate(100)(_ / 2).take(Levels + 1).toSeq // 100, 50, 25, 12
+    val pools = (1 to Levels).map(l => poolCte(l, ws(l - 1)))
+    val stats = (0 to Levels).map(l => statCte(l, ws(l)))
+    Map("q_grid_pyramid" ->
+      s"""WITH g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |${(pools ++ stats).mkString(",\n")}
+         |${(0 to Levels).map(l => s"SELECT * FROM s$l").mkString(" UNION ALL ")}
+         |ORDER BY level""".stripMargin)
+  }
+}
