@@ -4,7 +4,7 @@ import graft.core.{Cases, GeoJson, MarchingSquares, Poly, ContourResult, Tiling}
 import graft.docs.DocCodec
 import graft.engine.ContourEngine
 import graft.model._
-import graft.queries.{EventsGrid, MultimodalOps, RasterOps, TrainingOps}
+import graft.queries.{EventOps, EventsGrid, MultimodalOps, RasterOps, TrainingOps}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -310,6 +310,8 @@ object SparkEntry {
     "q_doc_stratified_sample" -> TrainingOps.stratifiedSample,
     "q_doc_source_stats" -> TrainingOps.sourceStats,
     "q_grid_pyramid" -> RasterOps.gridPyramid,
+    "q_evt_sessionize" -> EventOps.sessionize,
+    "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_emb_near_dup" -> TrainingOps.embNearDup,
     "q_doc_winnow" -> TrainingOps.winnowFingerprints,
     "q_doc_simhash" -> TrainingOps.simhash,
@@ -776,5 +778,5 @@ object SparkEntry {
         |       (sx | (sy << 1))::BIGINT AS cell,
         |       ((sx | (sy << 1)) >> 4)::BIGINT AS parent_cell_l2
         |FROM sp2 ORDER BY event_id""".stripMargin
-  ) ++ TrainingOps.oracleSql ++ RasterOps.oracleSql
+  ) ++ TrainingOps.oracleSql ++ RasterOps.oracleSql ++ EventOps.oracleSql
 }

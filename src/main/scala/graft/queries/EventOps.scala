@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the events table: gap-based sessionization
+  * and a point-in-time (as-of) join — both single-shuffle window plans
+  * partitioned by user_id (the natural key at scale: per-user history is
+  * bounded, skew is user-level and AQE-manageable; no range-join
+  * explosion, no driver state). Timestamps cross the engine/oracle
+  * boundary as epoch microseconds (unix_micros / epoch_us), values as
+  * per-event floor(v * 2^20) quantities, so nothing float-order-dependent
+  * is compared.
+  */
+object EventOps {
+
+  /** Session gap: a pause of more than 30 minutes starts a new session. */
+  private val GapUs = 1800000000L
+
+  private val Q20 = 1048576.0
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  /** Gap-based sessionization: one window pass per user ordered by
+    * (ts, event_id) — a session-start marker from lag(), a running sum for
+    * the session index, then one aggregation to per-session stats.
+    */
+  val sessionize: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        floor(col("value") * Q20).as("qv"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("start_us"), max("us").as("end_us"), sum("qv").as("qsum"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** As-of join without a range join: for every purchase, the latest view
+    * of the same user at-or-before it. The two sides union into ONE
+    * per-user ordered window and the view row carries forward
+    * (last(..., ignoreNulls) over unbounded-preceding..current) — the
+    * standard scale-safe formulation: one shuffle on user_id, work linear
+    * in events, no per-pair expansion. Ordering ties on equal ts are
+    * broken by event_id; the oracle's native ASOF JOIN is tie-free on this
+    * data (no duplicate (user_id, ts) at any sf, asserted in the spec).
+    * Purchases with no prior view are dropped (inner as-of semantics).
+    */
+  val asofViewPurchase: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"))
+      .withColumn("lv",
+        last(when(col("event_type") === "view", struct(col("event_id"), col("us"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("lv").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("p_us"), col("lv.event_id").as("view_id"),
+        col("lv.us").as("v_us"), (col("us") - col("lv.us")).as("lag_us"))
+      .orderBy("purchase_id")
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_evt_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+         |                  floor(value * 1048576.0)::BIGINT AS qv FROM events),
+         |m AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+         |s AS (SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > $GapUs THEN 1 ELSE 0 END)
+         |                  OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+         |      FROM m)
+         |SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events,
+         |       min(us) AS start_us, max(us) AS end_us, sum(qv)::BIGINT AS qsum
+         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    // independent formulation: DuckDB's native ASOF JOIN vs the engine's
+    // carry-forward window (equivalent because (user_id, ts) is unique)
+    "q_evt_asof" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.purchase_id, p.user_id, p.p_us, v.view_id, v.v_us,
+        |       p.p_us - v.v_us AS lag_us
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.v_us <= p.p_us
+        |ORDER BY purchase_id""".stripMargin
+  )
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Raster overview pyramid over the events grid (GDAL-overview style):
   * level L+1 cell (x, y) is the mean of level L's complete 2x2 block at
@@ -10,8 +11,7 @@ import org.apache.spark.sql.functions._
   * one fixed-order f64 expression ((v00 + v10) + (v01 + v11)) / 4.0 — a
   * plain groupBy sum over doubles would be combine-order dependent and
   * could never hash-match an oracle. Each pooling step shrinks the data
-  * 4x and is one key-local shuffle; identical pool subplans across the
-  * per-level stat branches dedup via ReusedExchange in the single action.
+  * 4x and is one key-local shuffle.
   */
 object RasterOps {
 
@@ -36,28 +36,38 @@ object RasterOps {
     * dimensions, cell count, and floor(v * 2^20) checksum/extrema. The
     * quantization happens per cell, so no float-order-dependent
     * accumulation crosses the engine/oracle compare (integer sums are
-    * order-free).
+    * order-free). Each overview level is computed ONCE: the per-level
+    * stats (single rows) run eagerly against a persisted level, whose
+    * parent unpersists as soon as the child materializes — the base
+    * raster is scanned twice (its own stats + the first pool) and never
+    * again, instead of once per downstream level as a lazy union of the
+    * stat branches would.
     */
   val gridPyramid: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
     var (w, h) = EventsGrid.dims(spark, dir)
     var cells = spark.read.parquet(s"$dir/events.parquet")
       .select((col("event_id") % EventsGrid.W).cast("int").as("x"),
         (col("event_id") / EventsGrid.W).cast("int").as("y"),
         col("value").as("v"))
-    val perLevel = Seq.newBuilder[DataFrame]
-    for (level <- 0 to Levels) {
+    var prevPersisted: Option[DataFrame] = None
+    val rows = (0 to Levels).map { level =>
       if (level > 0) {
-        cells = pool(cells, w, h); w /= 2; h /= 2
+        cells = pool(cells, w, h).persist(StorageLevel.MEMORY_AND_DISK)
+        w /= 2; h /= 2
+        require(w > 0 && h > 0, s"gridPyramid: level $level is empty at ${w}x$h")
       }
       val qv = floor(col("v") * Q20)
-      perLevel += cells.agg(
-        count(lit(1)).as("n_cells"),
-        sum(qv).as("qsum"), min(qv).as("qmin"), max(qv).as("qmax"))
-        .select(lit(level.toLong).as("level"),
-          lit(w.toLong).as("w"), lit(h.toLong).as("h"),
-          col("n_cells"), col("qsum"), col("qmin"), col("qmax"))
+      val r = cells.agg(count(lit(1)).as("n_cells"),
+        sum(qv).as("qsum"), min(qv).as("qmin"), max(qv).as("qmax")).head()
+      if (level > 0) { // the stats action materialized this level's cache
+        prevPersisted.foreach(_.unpersist(blocking = false))
+        prevPersisted = Some(cells)
+      }
+      (level.toLong, w.toLong, h.toLong, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
-    perLevel.result().reduce(_ unionByName _).orderBy("level")
+    prevPersisted.foreach(_.unpersist(blocking = false))
+    rows.toDF("level", "w", "h", "n_cells", "qsum", "qmin", "qmax").orderBy("level")
   }
 
   // w halves from the constant base W=100 (floor division composes:

@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sessionization and as-of join vs independent single-threaded
+  * recomputes on the collected events, plus the data premise the as-of
+  * oracle equivalence rests on (unique (user_id, ts)).
+  */
+class EventOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val ev: Array[(Long, Long, Long, String, Double)] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "unix_micros(cast(ts as timestamp))", "user_id", "event_type", "value")
+      .as[(Long, Long, Long, String, Double)].collect()
+  }
+
+  test("(user_id, ts) is unique — the as-of oracle's tie-free premise") {
+    val keys = ev.map(e => (e._3, e._2))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("sessionize matches a local recompute") {
+    val expected = ev.groupBy(_._3).toSeq.flatMap { case (user, es) =>
+      val sorted = es.sortBy(e => (e._2, e._1))
+      var idx = 0L
+      var prev = Long.MinValue
+      val tagged = sorted.map { e =>
+        if (prev == Long.MinValue || e._2 - prev > 1800000000L) idx += 1
+        prev = e._2
+        (idx, e)
+      }
+      tagged.groupBy(_._1).map { case (si, ses) =>
+        val us = ses.map(_._2._2)
+        val qv = ses.map(s => math.floor(s._2._5 * 1048576.0).toLong)
+        (user, si, ses.size.toLong, us.min, us.max, qv.sum)
+      }
+    }.toSet
+    val got = EventOps.sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("asofViewPurchase matches a local recompute") {
+    val expected = ev.groupBy(_._3).toSeq.flatMap { case (user, es) =>
+      val sorted = es.sortBy(e => (e._2, e._1))
+      var lastView: Option[(Long, Long)] = None // (event_id, us)
+      sorted.flatMap { e =>
+        val out = if (e._4 == "purchase")
+          lastView.map(v => (e._1, user, e._2, v._1, v._2, e._2 - v._2)) else None
+        if (e._4 == "view") lastView = Some((e._1, e._2))
+        out
+      }
+    }.toSet
+    val got = EventOps.asofViewPurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+}
