@@ -150,6 +150,23 @@ object SparkEntry {
         .orderBy("threshold")
     }),
 
+    // ---- overview contouring: the full contour pipeline over the
+    //      pyramid's level-1 grid (zoom-out vector tiles) ----
+    "q_pyramid_contours" -> ((spark, dir) => {
+      import spark.implicits._
+      val (cells, w, h) = RasterOps.level1Cells(spark, dir)
+      val tiles = EventsGrid.tilesFromCells(spark, cells, "pyr1", w, h, 25, 25)
+      engine(spark).contours(tiles)
+        .map { c =>
+          val rings = c.polygons.iterator
+            .flatMap(p => Iterator.single(p.exterior) ++ p.holes.iterator)
+          val (n, qx, qy) = ringChecksum(rings)
+          (c.threshold, n, qx, qy)
+        }
+        .toDF("threshold", "n_points", "qx_sum", "qy_sum")
+        .orderBy("threshold")
+    }),
+
     // ---- isolines (smooth=true): same checksum through the lines path ----
     "q_lines_stats" -> ((spark, dir) => {
       import spark.implicits._
@@ -350,11 +367,19 @@ object SparkEntry {
   private val tsAllSql = "SELECT unnest([25.0,50.0,75.0,100.0]::DOUBLE[]) AS threshold"
 
   /** cells (corner values + case idx, incl. the virtual border) -> directed
-    * segment starts, for the given threshold-set subquery.
+    * segment starts, for the given threshold-set subquery. The dims/grid
+    * CTE bodies are injectable so the same reconstruction also runs over
+    * DERIVED grids (pyramid overview levels).
     */
   private def startsCte(thresholdsSql: String): String =
-    s"""dims AS (SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events),
-       |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+    startsCteOver(
+      "SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events",
+      "SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events",
+      thresholdsSql)
+
+  private def startsCteOver(dimsSql: String, gSql: String, thresholdsSql: String): String =
+    s"""dims AS ($dimsSql),
+       |g AS ($gSql),
        |cells AS (
        |  SELECT t.threshold, cx.cx, cy.cy,
        |    b0.v AS v0, b1.v AS v1, b2.v AS v2, b3.v AS v3,
@@ -528,8 +553,8 @@ object SparkEntry {
        |FROM ringsz ORDER BY threshold, ring_rank""".stripMargin
   }
 
-  private val smoothChecksumSql: String =
-    s"""WITH ${startsCte(tsAllSql)},
+  private def smoothChecksumOver(prefixCtes: String, dimsSql: String, gSql: String): String =
+    s"""WITH $prefixCtes${startsCteOver(dimsSql, gSql, tsAllSql)},
        |$smoothPtsCte,
        |agg AS (SELECT threshold, count(*)::BIGINT AS n_points,
        |  SUM(floor(px * 1048576.0)::BIGINT)::BIGINT AS qx_sum,
@@ -541,9 +566,31 @@ object SparkEntry {
        |FROM ($tsAllSql) t LEFT JOIN agg ON agg.threshold = t.threshold
        |ORDER BY t.threshold""".stripMargin
 
+  private val smoothChecksumSql: String = smoothChecksumOver("",
+    "SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events",
+    "SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events")
+
+  /** The same marching-squares + smoothing reconstruction, but over the
+    * PYRAMID's level-1 grid: the pool CTE (identical text to the
+    * q_grid_pyramid oracle via RasterOps.poolCte) derives the overview
+    * grid in SQL, then feeds it to the unchanged cells/starts/smoothing
+    * chain with halved dims.
+    */
+  private val pyramidContoursSql: String = {
+    val prefix =
+      s"""g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |${RasterOps.poolCte(1, 100)},
+         |""".stripMargin
+    smoothChecksumOver(prefix,
+      "SELECT 50::INT AS w, ((SELECT h FROM d) // 2)::INT AS h",
+      "SELECT x, y, v FROM g1")
+  }
+
   /** DuckDB-equivalent SQL per query (omit => weaker rows-only check). */
   def oracleSql: Map[String, String] = Map(
     "q_contours_stats" -> smoothChecksumSql,
+    "q_pyramid_contours" -> pyramidContoursSql,
     "q_lines_stats" -> smoothChecksumSql,
     "q_geojson" -> ringWalkSql(tsAllSql),
 

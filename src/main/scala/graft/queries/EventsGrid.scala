@@ -28,17 +28,29 @@ object EventsGrid {
             tileW: Int = 50, tileH: Int = 50): Dataset[TileRow] = {
     import spark.implicits._
     val (w, h) = dims(spark, dir)
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val wl = w
+    val cells = spark.read.parquet(s"$dir/events.parquet")
       .selectExpr("event_id", "value").as[(Long, Double)]
-    val routed = ev.flatMap { case (id, v) =>
-      val x = (id % w).toInt
-      val y = (id / w).toInt
-      val tx = x / tileW
-      val ty = y / tileH
+      .map { case (id, v) => ((id % wl).toInt, (id / wl).toInt, v) }
+    tilesFromCells(spark, cells, "events", w, h, tileW, tileH)
+  }
+
+  /** Route arbitrary (x, y, v) cells of a w x h grid into halo-carrying
+    * TileRows — the same distributed raster-assembly pattern `tiles` uses,
+    * reusable for derived grids (e.g. pyramid overview levels).
+    */
+  def tilesFromCells(spark: SparkSession, cells: Dataset[(Int, Int, Double)],
+                     gridId: String, w: Int, h: Int,
+                     tileW: Int, tileH: Int): Dataset[TileRow] = {
+    import spark.implicits._
+    val (tw, th) = (tileW, tileH)
+    val routed = cells.flatMap { case (x, y, v) =>
+      val tx = x / tw
+      val ty = y / th
       val out = new ArrayBuffer[(Int, Int, Int, Int, Double)](4)
       out += ((tx, ty, x, y, v))
-      val haloL = x % tileW == 0 && tx > 0 // right-halo sample of the left tile
-      val haloT = y % tileH == 0 && ty > 0 // bottom-halo sample of the tile above
+      val haloL = x % tw == 0 && tx > 0 // right-halo sample of the left tile
+      val haloT = y % th == 0 && ty > 0 // bottom-halo sample of the tile above
       if (haloL) out += ((tx - 1, ty, x, y, v))
       if (haloT) out += ((tx, ty - 1, x, y, v))
       if (haloL && haloT) out += ((tx - 1, ty - 1, x, y, v))
@@ -47,10 +59,10 @@ object EventsGrid {
     routed.groupByKey(r => (r._1, r._2))
       .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Int, Double)]) =>
         val (tx, ty) = key
-        val s = Tiling.tileSpec(w, h, tileW, tileH, tx, ty)
+        val s = Tiling.tileSpec(w, h, tw, th, tx, ty)
         val vals = new Array[Double](s.vw * s.vh)
         it.foreach { case (_, _, x, y, v) => vals((y - s.vy0) * s.vw + (x - s.vx0)) = v }
-        TileRow("events", tx, ty, s.sx0, s.sy0, s.tw, s.th, s.vw, s.vh, w, h, vals)
+        TileRow(gridId, tx, ty, s.sx0, s.sy0, s.tw, s.th, s.vw, s.vh, w, h, vals)
       }
   }
 }

@@ -70,9 +70,23 @@ object RasterOps {
     rows.toDF("level", "w", "h", "n_cells", "qsum", "qmin", "qmax").orderBy("level")
   }
 
+  /** Level-1 pooled cells (x, y, v) with halved dims — the composition
+    * point for overview-level operators (e.g. contouring at zoom-1).
+    */
+  private[graft] def level1Cells(spark: SparkSession, dir: String)
+      : (org.apache.spark.sql.Dataset[(Int, Int, Double)], Int, Int) = {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val base = spark.read.parquet(s"$dir/events.parquet")
+      .select((col("event_id") % EventsGrid.W).cast("int").as("x"),
+        (col("event_id") / EventsGrid.W).cast("int").as("y"),
+        col("value").as("v"))
+    (pool(base, w, h).as[(Int, Int, Double)], w / 2, h / 2)
+  }
+
   // w halves from the constant base W=100 (floor division composes:
   // 100 -> 50 -> 25 -> 12); h halves from the data-dependent base in `d`.
-  private def poolCte(l: Int, prevW: Int): String =
+  private[graft] def poolCte(l: Int, prevW: Int): String =
     s"""g$l AS (SELECT x // 2 AS x, y // 2 AS y,
        |  ((max(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN v END)
        |    + max(CASE WHEN x % 2 = 1 AND y % 2 = 0 THEN v END))

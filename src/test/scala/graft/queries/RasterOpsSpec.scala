@@ -34,4 +34,41 @@ class RasterOpsSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
     assert(got == expected)
   }
+
+  test("distributed pyramid level-1 contours equal single-process core on the pooled grid") {
+    import spark.implicits._
+    import graft.core.{ContourConfig, CoreContour}
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val (w, h) = (100, ev.length / 100)
+    val (pw, ph) = (w / 2, h / 2)
+    val pooled = Array.tabulate(ph * pw) { i =>
+      val (y, x) = (i / pw, i % pw)
+      def v(yy: Int, xx: Int) = ev(yy * w + xx)._2
+      ((v(2 * y, 2 * x) + v(2 * y, 2 * x + 1))
+        + (v(2 * y + 1, 2 * x) + v(2 * y + 1, 2 * x + 1))) / 4.0
+    }
+    val core = new CoreContour(ContourConfig(pw, ph, smooth = true))
+      .contours(pooled, graft.queries.EventsGrid.Thresholds.toArray)
+    def checksum(polys: Seq[graft.core.Poly]): (Long, Long, Long) = {
+      var n = 0L; var qx = 0L; var qy = 0L
+      polys.iterator.flatMap(p => Iterator.single(p.exterior) ++ p.holes.iterator)
+        .foreach { ring =>
+          var i = 0
+          val m = ring.length - 2 // closing duplicate
+          while (i < m) {
+            qx += math.floor(ring(i) * 1048576.0).toLong
+            qy += math.floor(ring(i + 1) * 1048576.0).toLong
+            n += 1; i += 2
+          }
+        }
+      (n, qx, qy)
+    }
+    val expected = core.map(c => { val (n, qx, qy) = checksum(c.polygons); (c.threshold, n, qx, qy) })
+      .sortBy(_._1)
+    val got = graft.SparkEntry.queries("q_pyramid_contours")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._2 > 0))
+  }
 }
