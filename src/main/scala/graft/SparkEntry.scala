@@ -30,6 +30,22 @@ object SparkEntry {
     EventsGrid.Thresholds.toDF("threshold")
   }
 
+  /** Per-threshold quantized vertex checksum of assembled contour polygons
+    * (exteriors + holes) — shared by q_contours_stats and
+    * q_pyramid_contours so the checksum contract lives in one place.
+    */
+  private def contourChecksumDf(spark: SparkSession,
+                                contours: Dataset[ContourRow]): DataFrame = {
+    import spark.implicits._
+    contours.map { c =>
+      val rings = c.polygons.iterator
+        .flatMap(p => Iterator.single(p.exterior) ++ p.holes.iterator)
+      val (n, qx, qy) = ringChecksum(rings)
+      (c.threshold, n, qx, qy)
+    }.toDF("threshold", "n_points", "qx_sum", "qy_sum")
+      .orderBy("threshold")
+  }
+
   /** Exact vertex-multiset checksum of a set of rings: every ring vertex
     * (closing duplicate dropped) is the start of exactly one directed
     * marching-squares segment, so (count, sum of floor(x*2^20), sum of
@@ -137,34 +153,15 @@ object SparkEntry {
 
     // ---- full contour pipeline (smooth=true): exact quantized vertex
     //      checksum over assembled polygons (exteriors + holes) ----
-    "q_contours_stats" -> ((spark, dir) => {
-      import spark.implicits._
-      engine(spark).contours(eventTiles(spark, dir))
-        .map { c =>
-          val rings = c.polygons.iterator
-            .flatMap(p => Iterator.single(p.exterior) ++ p.holes.iterator)
-          val (n, qx, qy) = ringChecksum(rings)
-          (c.threshold, n, qx, qy)
-        }
-        .toDF("threshold", "n_points", "qx_sum", "qy_sum")
-        .orderBy("threshold")
-    }),
+    "q_contours_stats" -> ((spark, dir) =>
+      contourChecksumDf(spark, engine(spark).contours(eventTiles(spark, dir)))),
 
     // ---- overview contouring: the full contour pipeline over the
     //      pyramid's level-1 grid (zoom-out vector tiles) ----
     "q_pyramid_contours" -> ((spark, dir) => {
-      import spark.implicits._
       val (cells, w, h) = RasterOps.level1Cells(spark, dir)
       val tiles = EventsGrid.tilesFromCells(spark, cells, "pyr1", w, h, 25, 25)
-      engine(spark).contours(tiles)
-        .map { c =>
-          val rings = c.polygons.iterator
-            .flatMap(p => Iterator.single(p.exterior) ++ p.holes.iterator)
-          val (n, qx, qy) = ringChecksum(rings)
-          (c.threshold, n, qx, qy)
-        }
-        .toDF("threshold", "n_points", "qx_sum", "qy_sum")
-        .orderBy("threshold")
+      contourChecksumDf(spark, engine(spark).contours(tiles))
     }),
 
     // ---- isolines (smooth=true): same checksum through the lines path ----

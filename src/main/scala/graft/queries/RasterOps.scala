@@ -20,6 +20,16 @@ object RasterOps {
 
   private val Levels = 3
 
+  /** Base grid cells (x, y, v) from the events table — the single source
+    * of the grid-derivation rule shared by gridPyramid and level1Cells
+    * (and mirrored by the `g0` CTE in the oracles).
+    */
+  private def baseCells(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .select((col("event_id") % EventsGrid.W).cast("int").as("x"),
+        (col("event_id") / EventsGrid.W).cast("int").as("y"),
+        col("value").as("v"))
+
   /** One pooling step: (x, y, v) cells at (w, h) -> half-resolution cells. */
   private def pool(cells: DataFrame, w: Int, h: Int): DataFrame = {
     def q(dx: Int, dy: Int) =
@@ -46,10 +56,7 @@ object RasterOps {
   val gridPyramid: (SparkSession, String) => DataFrame = (spark, dir) => {
     import spark.implicits._
     var (w, h) = EventsGrid.dims(spark, dir)
-    var cells = spark.read.parquet(s"$dir/events.parquet")
-      .select((col("event_id") % EventsGrid.W).cast("int").as("x"),
-        (col("event_id") / EventsGrid.W).cast("int").as("y"),
-        col("value").as("v"))
+    var cells = baseCells(spark, dir)
     var prevPersisted: Option[DataFrame] = None
     val rows = (0 to Levels).map { level =>
       if (level > 0) {
@@ -77,11 +84,7 @@ object RasterOps {
       : (org.apache.spark.sql.Dataset[(Int, Int, Double)], Int, Int) = {
     import spark.implicits._
     val (w, h) = EventsGrid.dims(spark, dir)
-    val base = spark.read.parquet(s"$dir/events.parquet")
-      .select((col("event_id") % EventsGrid.W).cast("int").as("x"),
-        (col("event_id") / EventsGrid.W).cast("int").as("y"),
-        col("value").as("v"))
-    (pool(base, w, h).as[(Int, Int, Double)], w / 2, h / 2)
+    (pool(baseCells(spark, dir), w, h).as[(Int, Int, Double)], w / 2, h / 2)
   }
 
   // w halves from the constant base W=100 (floor division composes:

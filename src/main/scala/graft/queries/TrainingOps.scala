@@ -77,18 +77,21 @@ object TrainingOps {
 
   // ---- per-source corpus stats: one rollup pass, map-side combinable ----
   /** Corpus composition by (source, lang) with source subtotals and a grand
-    * total in ONE rollup aggregation (grouping-set nulls are relabeled
-    * '(all)' so the contract schema carries no nulls). This is the shape a
-    * pipeline dashboards per-crawl: counts, volume, id watermark.
+    * total in ONE rollup aggregation. Subtotal rows are relabeled '(all)'
+    * via grouping() — NOT coalesce — so a genuine NULL (or literal
+    * '(all)') leaf value can never collide with a subtotal row. This is
+    * the shape a pipeline dashboards per-crawl: counts, volume, id
+    * watermark.
     */
   val sourceStats: (SparkSession, String) => DataFrame = (spark, dir) =>
     docs(spark, dir)
       .rollup("source", "lang")
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(grouping(col("source")).as("gs"), grouping(col("lang")).as("gl"),
+        count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
         min(col("doc_id")).as("min_doc"))
-      .select(coalesce(col("source"), lit("(all)")).as("source"),
-        coalesce(col("lang"), lit("(all)")).as("lang"),
+      .select(when(col("gs") === 1, lit("(all)")).otherwise(col("source")).as("source"),
+        when(col("gl") === 1, lit("(all)")).otherwise(col("lang")).as("lang"),
         col("n_docs"), col("sum_chars"), col("min_doc"))
       .orderBy("source", "lang")
 
@@ -165,9 +168,10 @@ object TrainingOps {
     // Each round's labels feed the next round TWICE (self union + the edge
     // join), so without lineage truncation the logical plan doubles per
     // round — eager localCheckpoint makes every round a constant-size plan
-    // over a materialized leaf. (Blocks of dropped rounds are reclaimed by
-    // the context cleaner; a fault-tolerant deployment would point
-    // setCheckpointDir at reliable storage and use checkpoint() instead.)
+    // over a materialized leaf, and each round's blocks are unpersisted as
+    // soon as the next round materializes. (A fault-tolerant deployment
+    // would point setCheckpointDir at reliable storage and use
+    // checkpoint() instead.)
     val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
@@ -187,12 +191,14 @@ object TrainingOps {
       val next = labels.select("doc_id", "cluster_id").unionByName(msgs)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint(true)
-      val nextSig = fingerprint(next)
+      val nextSig = fingerprint(next) // materializes next's checkpoint
+      labels.unpersist(blocking = false) // round R-1's blocks are dead now
       labels = next
       converged = nextSig == sig
       sig = nextSig
       rounds += 1
     }
+    edges.unpersist(blocking = false)
     require(converged, s"connectedComponents: no fixpoint after $MaxCcRounds rounds")
     labels
   }
@@ -714,7 +720,8 @@ object TrainingOps {
         |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
 
     "q_doc_source_stats" ->
-      """SELECT COALESCE(source, '(all)') AS source, COALESCE(lang, '(all)') AS lang,
+      """SELECT CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,
+        |       CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
         |       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
         |       min(doc_id) AS min_doc
         |FROM documents GROUP BY ROLLUP(source, lang)

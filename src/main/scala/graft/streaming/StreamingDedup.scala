@@ -23,4 +23,5 @@ object StreamingDedup {
       .withColumn("fp", md5(col("text")))
       .withWatermark("ingest_ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
+      .drop("fp") // working column; output keeps the input schema
 }

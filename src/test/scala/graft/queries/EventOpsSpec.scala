@@ -18,9 +18,13 @@ class EventOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, String, Double)].collect()
   }
 
-  test("(user_id, ts) is unique — the as-of oracle's tie-free premise") {
-    val keys = ev.map(e => (e._3, e._2))
-    assert(keys.distinct.length == keys.length)
+  test("(user_id, ts) is unique at EVERY sf — the as-of oracle's tie-free premise") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val dup = spark.read.parquet(s"$dir/events.parquet")
+        .groupBy("user_id", "ts").count().filter(org.apache.spark.sql.functions.col("count") > 1)
+        .count()
+      assert(dup == 0L, s"duplicate (user_id, ts) at $dir")
+    }
   }
 
   test("sessionize matches a local recompute") {
