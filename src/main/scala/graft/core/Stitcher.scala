@@ -48,8 +48,10 @@ final class Stitcher(gdx: Int) {
 
   // fragments keyed by their open endpoints; a vertex has globally unique
   // in/out segments so each key maps to at most one fragment per side.
-  private val byStart = new java.util.HashMap[Long, Frag]()
-  private val byEnd = new java.util.HashMap[Long, Frag]()
+  // Primitive-keyed maps: get/put/remove here run once per emitted segment
+  // and boxed-Long HashMap traffic was a top profile frame.
+  private val byStart = new LongObjMap[Frag]()
+  private val byEnd = new LongObjMap[Frag]()
 
   val rings = new ArrayBuffer[ClosedRing]()
 
@@ -117,10 +119,8 @@ final class Stitcher(gdx: Int) {
     * maxKey for determinism.
     */
   def openFragments(): ArrayBuffer[OpenFrag] = {
-    val out = new ArrayBuffer[OpenFrag](byStart.size())
-    val it = byStart.values().iterator()
-    while (it.hasNext) {
-      val f = it.next()
+    val out = new ArrayBuffer[OpenFrag](byStart.size)
+    byStart.foreachValue { f =>
       out += OpenFrag(f.pts.toArray, f.startKey, f.endKey, f.maxKey, f.anchorPos)
     }
     out.sortInPlaceBy(_.maxKey)
