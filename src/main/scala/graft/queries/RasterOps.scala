@@ -102,7 +102,7 @@ object RasterOps {
   private def statCte(l: Int, w: Int): String =
     s"""s$l AS (SELECT $l::BIGINT AS level, $w::BIGINT AS w,
        |  ((SELECT h FROM d) // ${1 << l})::BIGINT AS h, count(*)::BIGINT AS n_cells,
-       |  sum(floor(v * 1048576.0)::BIGINT) AS qsum,
+       |  sum(floor(v * 1048576.0)::BIGINT)::BIGINT AS qsum,
        |  min(floor(v * 1048576.0)::BIGINT) AS qmin,
        |  max(floor(v * 1048576.0)::BIGINT) AS qmax FROM g$l)""".stripMargin
 

@@ -658,11 +658,19 @@ object TrainingOps {
         |WHERE (i * 1000) // (sa.c + sb.c - i) >= 100
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // similarity inlined as the engine's exact fold (sequential dot product
+    // / (norm_a * norm_b), norms as sequential sum-of-squares) — the same
+    // idiom ivfCtesFor uses — instead of DuckDB's list_cosine_similarity,
+    // whose different fold order could disagree for a pair within 1 ulp of
+    // the 0.45 threshold
     "q_emb_near_dup" ->
-      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) > 0.45
+        |WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |        / (a.nrm * b.nrm) > 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_doc_winnow" ->

@@ -36,8 +36,18 @@ for name, sql in sorted(oracle.items()):
         print(f"{name}: ROWS {len(g)} vs {len(w)}")
         fails += 1
         continue
+    # Driver-strict: an oracle column that materializes with a different
+    # pandas dtype than the engine's (e.g. DuckDB HUGEINT -> float64 vs
+    # engine int64) hash-mismatches in the driver even when every value is
+    # numerically equal — fail it here too so that class can't pass locally.
+    dt_bad = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+              if g[c].dtype != w[c].dtype]
+    if dt_bad:
+        print(f"{name}: DTYPE mismatch (engine vs oracle): {dt_bad}")
+        fails += 1
+        continue
     try:
-        pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=True, check_exact=True)
         print(f"{name}: OK ({len(g)} rows)")
     except AssertionError as e:
         print(f"{name}: VALUE mismatch\n{str(e)[:500]}")
