@@ -70,6 +70,20 @@ object Bench {
     docs.repartition(8).write.mode("overwrite").parquet(s"$path/docs")
   }
 
+  /** Second workload: the round-3 operator pipeline straight from the
+    * contract surface — overview pyramid, contours over the pooled level,
+    * the partitioned point-in-polygon join, and sessionization — over the
+    * driver's sf parquet tables. One leg per pass (the pass structure
+    * decorrelates the VM's noise phases); regression-guards the operators
+    * the isoband headline never touches.
+    */
+  private val OpsQueries =
+    Seq("q_grid_pyramid", "q_pyramid_contours", "q_pip_tag", "q_evt_sessionize")
+
+  private def runOpsOnce(spark: SparkSession, sfDir: String): Long =
+    try OpsQueries.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum
+    finally spark.sqlContext.clearCache()
+
   private def runOnce(spark: SparkSession, path: String, maxTileCoord: Int): Long = {
     implicit val s = spark
     import spark.implicits._
@@ -142,7 +156,23 @@ object Bench {
       } finally s.stop()
     }
     val passes = 2
-    for (pass <- 0 until passes; (cpus, grids) <- legsOf(pass)) runLeg(pass, cpus, grids)
+    val opsCpus = math.min(16, maxCpus)
+    var opsBest = Double.MaxValue
+    var opsRows = 0L
+    def runOpsLeg(pass: Int): Unit = {
+      val s = session(opsCpus)
+      try {
+        val t0 = System.nanoTime()
+        opsRows = runOpsOnce(s, sfDir)
+        val el = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] pass=$pass ops_pipeline cpus=$opsCpus elapsed=$el%.2fs rows=$opsRows")
+        opsBest = math.min(opsBest, el)
+      } finally s.stop()
+    }
+    for (pass <- 0 until passes) {
+      for ((cpus, grids) <- legsOf(pass)) runLeg(pass, cpus, grids)
+      runOpsLeg(pass) // interleaved: one ops rep per pass
+    }
     // adaptive third pass: a leg whose two passes disagree badly was likely
     // noise-trapped in both phases; retry the 3 worst (bounded runtime)
     val retry = legsOf(1)
@@ -180,6 +210,8 @@ object Bench {
       s""""scaling_efficiency_1_to_4":$eff14""",
       s""""scaling_efficiency_2_to_8":$eff28""",
       s""""scaling_efficiency_4_to_16":$eff416""",
+      s""""ops_pipeline_c$opsCpus":$opsBest""",
+      s""""ops_pipeline_rows":$opsRows""",
       s""""gen_sec":$genSec""",
       s""""cells":${cellsOf(gridsBig)}"""
     ).mkString("{", ",", "}")

@@ -42,8 +42,11 @@ object FragmentMerge {
   }
 
   def merge(frags: Seq[OpenFrag]): Result = {
-    val byStart = new java.util.HashMap[Long, MFrag]()
-    val byEnd = new java.util.HashMap[Long, MFrag]()
+    // primitive open-addressing endpoint maps, same as Stitcher's: boxed
+    // HashMap keys (junction vertex keys sit far outside the Long cache)
+    // were measurable allocation traffic in merge-heavy rounds
+    val byStart = new LongObjMap[MFrag]()
+    val byEnd = new LongObjMap[MFrag]()
     val rings = new ArrayBuffer[ClosedRing]()
 
     val sorted = frags.sortBy(f => (f.maxKey, f.startKey))
@@ -111,10 +114,10 @@ object FragmentMerge {
       }
     }
 
-    val open = new ArrayBuffer[OpenFrag](byStart.size())
-    val it = byStart.values().iterator()
-    while (it.hasNext) {
-      val f = it.next()
+    val open = new ArrayBuffer[OpenFrag](byStart.size)
+    // slot-order iteration: fine, because maxKey is unique per fragment
+    // within one (grid, threshold) merge, so the sort below fully orders
+    byStart.foreachValue { f =>
       open += OpenFrag(f.pts.toArray, f.startKey, f.endKey, f.maxKey, f.anchorPos)
     }
     open.sortInPlaceBy(_.maxKey)

@@ -50,8 +50,8 @@ object SkewTools {
     *   at most this many rows (one per tile); above it, a plain shuffle
     *   equi-join on (gridId, tileX, tileY) scales to any tile count — at
     *   1e8 tiles a broadcast of the slot table would itself be the
-    *   bottleneck. The slot table is a slim 4-column projection and is
-    *   persisted so the weight probe runs exactly once (the count that
+    *   bottleneck. The slot table is a slim 4-column projection,
+    *   materialized exactly once (localCheckpointed RDD; the count that
     *   picks the join strategy materializes it).
     */
   def rebalance(spark: SparkSession, tiles: Dataset[TileRow],
@@ -65,13 +65,21 @@ object SkewTools {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("gridId", "band")
       .orderBy(col("weight").desc, col("tileX"), col("tileY"))
-    val slots = keys
+    // the slot table materializes ONCE into a localCheckpointed RDD (the
+    // weight probe is the expensive part) rather than a CacheManager
+    // persist: the strategy-picking count below runs against the
+    // checkpointed blocks, lineage past the probe is truncated, and the
+    // blocks are freed by the ContextCleaner as soon as the caller drops
+    // the rebalanced dataset — no unpersist obligation leaks to the caller
+    val slotRdd = keys
       .withColumn("slot",
         pmod(row_number().over(w) - 1 + pmod(hash(col("gridId"), col("band")), lit(numPartitions)),
           lit(numPartitions)))
       .select("gridId", "tileX", "tileY", "slot")
-      .persist()
-    val nSlots = slots.count()
+      .as[(String, Int, Int, Int)].rdd
+    slotRdd.localCheckpoint()
+    val nSlots = slotRdd.count()
+    val slots = spark.createDataset(slotRdd).toDF("gridId", "tileX", "tileY", "slot")
     val joined =
       if (nSlots <= slotBroadcastLimit)
         tiles.join(broadcast(slots), Seq("gridId", "tileX", "tileY"))

@@ -158,12 +158,23 @@ object SpatialOps {
     * O(candidates of still-unresolved queries), never O(queries x
     * vertices). Returns (query_id, rank, vx, vy, dist).
     */
+  /** @param planProbe called with each round's executed join plan (the
+    *   returned frame itself is a scan of the materialized result, so
+    *   plan-shape assertions — e.g. "never a cartesian" — must look at the
+    *   per-round plans, which this exposes to tests at no runtime cost).
+    */
   def knnVertices(spark: SparkSession, queries: Dataset[(Long, Double, Double)],
-                  vertices: DataFrame, k: Int, cell: Double = 2.0): DataFrame = {
+                  vertices: DataFrame, k: Int, cell: Double = 2.0,
+                  planProbe: String => Unit = _ => ()): DataFrame = {
     import spark.implicits._
+    // cell coordinates are LONGS end-to-end: r doubles per round, and with
+    // 32-bit cells a query far outside the vertex extent could wrap qcx +- r
+    // through Int range, making `covered` spuriously true (wrong answers) or
+    // never true (non-termination). Long arithmetic can't reach the wrap
+    // point: rCap below bounds r by the query/vertex cell extents.
     val verts = vertices.select(col("vx").cast("double"), col("vy").cast("double"))
-      .withColumn("cx", floor(col("vx") / cell).cast("int"))
-      .withColumn("cy", floor(col("vy") / cell).cast("int"))
+      .withColumn("cx", floor(col("vx") / cell).cast("long"))
+      .withColumn("cy", floor(col("vy") / cell).cast("long"))
       .persist()
     val q = queries.toDF("query_id", "qx", "qy")
     val outCols = Seq("query_id", "rank", "vx", "vy", "dist").map(col)
@@ -175,7 +186,19 @@ object SpatialOps {
       return q.select(col("query_id"), lit(0).as("rank"), lit(0.0).as("vx"),
         lit(0.0).as("vy"), lit(0.0).as("dist")).filter(lit(false))
     }
-    val (vx0, vx1, vy0, vy1) = (ext.getInt(0), ext.getInt(1), ext.getInt(2), ext.getInt(3))
+    val (vx0, vx1, vy0, vy1) = (ext.getLong(0), ext.getLong(1), ext.getLong(2), ext.getLong(3))
+
+    val qcx = floor(col("qx") / cell).cast("long")
+    val qcy = floor(col("qy") / cell).cast("long")
+
+    // structural termination: r stops doubling at rCap, the radius at which
+    // EVERY query's neighborhood covers the whole vertex extent (so the
+    // last possible round is an exact scan and resolves everything)
+    val qe = q.agg(min(qcx), max(qcx), min(qcy), max(qcy)).head()
+    val rCap: Long =
+      if (qe.isNullAt(0)) 2L
+      else math.max(2L, Seq(qe.getLong(1) - vx0, vx1 - qe.getLong(0),
+        qe.getLong(3) - vy0, vy1 - qe.getLong(2)).max + 1L)
 
     def topK(joined: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
@@ -188,13 +211,20 @@ object SpatialOps {
         .filter(col("rank") <= k)
     }
 
+    // every intermediate this loop persists or checkpoints is released
+    // before returning; the result itself is materialized into ONE
+    // localCheckpointed RDD (lineage truncated past every cache), which the
+    // ContextCleaner frees once the caller drops the returned frame
+    val phases = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val doneBufs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val roundRdds = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
     val resolvedParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var unresolved = q
     var nUnresolved = -1L // unknown; first round always runs
-    var r = 2
+    var r = 2L
     while (nUnresolved != 0L) {
-      val qcx = floor(col("qx") / cell).cast("int")
-      val qcy = floor(col("qy") / cell).cast("int")
+      val coveredPred =
+        qcx - r <= vx0 && qcx + r >= vx1 && qcy - r <= vy0 && qcy + r >= vy1
       // the neighborhood clipped to the vertex extent: cells outside it
       // hold nothing, so clipping changes no result and bounds the explode
       // by the extent instead of r^2
@@ -203,18 +233,19 @@ object SpatialOps {
         .withColumn("c1", least(qcx + r, lit(vx1)))
         .withColumn("d0", greatest(qcy - r, lit(vy0)))
         .withColumn("d1", least(qcy + r, lit(vy1)))
-        .withColumn("covered",
-          qcx - r <= vx0 && qcx + r >= vx1 && qcy - r <= vy0 && qcy + r >= vy1)
+        .withColumn("covered", coveredPred)
         .withColumn("cx", explode(when(col("c0") <= col("c1"),
-          sequence(col("c0"), col("c1"))).otherwise(array().cast("array<int>"))))
+          sequence(col("c0"), col("c1"))).otherwise(array().cast("array<long>"))))
         .withColumn("cy", explode(when(col("d0") <= col("d1"),
-          sequence(col("d0"), col("d1"))).otherwise(array().cast("array<int>"))))
+          sequence(col("d0"), col("d1"))).otherwise(array().cast("array<long>"))))
         .drop("c0", "c1", "d0", "d1")
       // each vertex row lives in exactly one cell and each (query, cell)
       // pair occurs once, so the join introduces no duplicates — and
       // genuinely duplicated vertex coordinates must stay (distinct
       // neighbors)
       val phase = topK(qCells.join(verts, Seq("cx", "cy"))).persist()
+      phases += phase
+      planProbe(phase.queryExecution.executedPlan.toString)
       val stats = phase.groupBy("query_id")
         .agg(count(lit(1)).as("n"), max(col("dist")).as("kth"),
           first(col("covered")).as("covered"))
@@ -226,19 +257,35 @@ object SpatialOps {
         // also: queries whose clipped neighborhood was EMPTY and covered —
         // they produce no phase rows; resolve them by coverage directly
       val coveredNoRows = unresolved
-        .filter(qcx - r <= vx0 && qcx + r >= vx1 && qcy - r <= vy0 && qcy + r >= vy1)
+        .filter(coveredPred)
         .join(stats, Seq("query_id"), "left_anti")
         .select("query_id")
       val doneIds = resolvedIds.union(coveredNoRows).persist()
+      doneBufs += doneIds
       resolvedParts += phase.join(doneIds, Seq("query_id"), "left_semi").select(outCols: _*)
       // localCheckpoint TRUNCATES the logical plan: without it each round's
       // lineage embeds every previous round and the plan tree grows
       // exponentially with the round count (far queries need
-      // log2(distance/cell) rounds)
-      unresolved = unresolved.join(doneIds, Seq("query_id"), "left_anti").localCheckpoint()
-      nUnresolved = unresolved.count()
-      r *= 2
+      // log2(distance/cell) rounds). Checkpointing the underlying RDD (not
+      // the Dataset) keeps an explicit handle so the round's blocks can be
+      // unpersisted deterministically below.
+      val nextRdd = unresolved.join(doneIds, Seq("query_id"), "left_anti")
+        .as[(Long, Double, Double)].rdd
+      nextRdd.localCheckpoint()
+      nUnresolved = nextRdd.count()
+      roundRdds += nextRdd
+      unresolved = spark.createDataset(nextRdd).toDF("query_id", "qx", "qy")
+      r = math.min(r * 2L, rCap)
     }
-    resolvedParts.reduce(_ union _)
+    val resRdd = resolvedParts.reduce(_ union _)
+      .as[(Long, Int, Double, Double, Double)].rdd
+    resRdd.localCheckpoint()
+    resRdd.count()
+    // the result is materialized and lineage-free: release everything
+    phases.foreach(_.unpersist(blocking = false))
+    doneBufs.foreach(_.unpersist(blocking = false))
+    roundRdds.foreach(_.unpersist(blocking = false))
+    verts.unpersist(blocking = false)
+    spark.createDataset(resRdd).toDF("query_id", "rank", "vx", "vy", "dist")
   }
 }

@@ -11,7 +11,7 @@ import java.nio.charset.StandardCharsets
   *
   *   table/
   *     data/<snapshotId>/...parquet
-  *     snapshots/<seq>%012d-<snapshotId>.json   (manifest)
+  *     snapshots/<seq>%012d.json   (manifest; snapshot id in the body)
   *
   * A manifest records the operation, parent snapshot (lineage chain), row
   * count and per-partition row metrics. Readers resolve the latest manifest
@@ -22,11 +22,21 @@ import java.nio.charset.StandardCharsets
   * HDFS, or an object store — matching the parquet data files, which Spark
   * already writes through the same API. The manifest commit is RENAME-FREE
   * (object stores have no atomic rename): the manifest is created at its
-  * final name with overwrite=false (a second committer of the same
-  * sequence fails loudly instead of clobbering), written, closed, then
-  * read back and VERIFIED byte-for-byte; readers additionally require the
+  * final name with overwrite=false, written, closed, then read back and
+  * VERIFIED byte-for-byte. The SEQUENCE NUMBER IS THE COLLISION UNIT: the
+  * manifest file is named by seq alone, so of two concurrent committers
+  * that both observed seq N, the second create(overwrite=false) fails
+  * loudly (and on stores whose create-no-overwrite is weak, the byte
+  * readback-verify catches the interleaving) — lineage can never fork
+  * into duplicate-seq snapshots. Readers additionally require the
   * `"eof":true` trailer, so a torn or in-flight manifest is never
-  * observed as a snapshot — it is simply skipped until complete.
+  * observed as a snapshot; a committer that crashed mid-write leaves its
+  * seq slot blocked by a torn file, which `recoverTornManifest` clears.
+  *
+  * Commit cost is INDEPENDENT of the table's snapshot count: `latest`
+  * lists the manifest directory (names carry the seq) and reads only the
+  * highest complete manifest, never the whole history; `snapshots` (full
+  * history read) backs only lineage walks and `expireSnapshots`.
   */
 object Lake {
 
@@ -63,8 +73,9 @@ object Lake {
 
   /** Commit a DataFrame as a new snapshot; returns the manifest. */
   def commit(spark: SparkSession, table: String, df: DataFrame, op: String): Snapshot = {
-    val parent = latest(spark, table).map(_.id).getOrElse("")
-    val seq = latest(spark, table).map(_.seq + 1).getOrElse(0L)
+    val last = latest(spark, table)
+    val parent = last.map(_.id).getOrElse("")
+    val seq = last.map(_.seq + 1).getOrElse(0L)
     val id = java.util.UUID.randomUUID().toString.take(12)
     val dd = dataDir(table, id)
     df.write.mode("overwrite").parquet(dd.toString)
@@ -90,7 +101,9 @@ object Lake {
     val sd = snapshotsDir(table)
     val sfs = fsOf(spark, sd)
     sfs.mkdirs(sd)
-    val manifest = new Path(sd, f"$seq%012d-$id.json")
+    // named by seq ALONE: two committers racing on the same seq collide on
+    // the same final name, so the loser's create(overwrite=false) throws
+    val manifest = new Path(sd, f"$seq%012d.json")
     // rename-free commit: create-no-overwrite at the FINAL name, then
     // verify the readback — see class doc
     val out = sfs.create(manifest, false)
@@ -100,15 +113,28 @@ object Lake {
     snap
   }
 
-  def snapshots(spark: SparkSession, table: String): Seq[Snapshot] = {
-    val dir = snapshotsDir(table)
-    val fs = fsOf(spark, dir)
+  /** Manifest files as (seq-from-filename, path), unread, ascending. Also
+    * accepts the legacy `<seq>-<id>.json` name so pre-rename tables stay
+    * readable.
+    */
+  private def manifestFiles(fs: FileSystem, dir: Path): Seq[(Long, Path)] = {
     val listed =
       try fs.listStatus(dir)
       catch { case _: java.io.FileNotFoundException => return Nil }
     listed.iterator
       .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
-      .map(st => readFully(fs, st.getPath))
+      .flatMap { st =>
+        val digits = st.getPath.getName.takeWhile(_.isDigit)
+        if (digits.isEmpty) None else Some((digits.toLong, st.getPath))
+      }
+      .toSeq.sortBy { case (seq, p) => (seq, p.getName) }
+  }
+
+  def snapshots(spark: SparkSession, table: String): Seq[Snapshot] = {
+    val dir = snapshotsDir(table)
+    val fs = fsOf(spark, dir)
+    manifestFiles(fs, dir).iterator
+      .map { case (_, p) => readFully(fs, p) }
       // a torn or in-flight manifest lacks the eof trailer -> not a snapshot
       .filter(_.endsWith("\"eof\":true}"))
       .map(parse)
@@ -127,12 +153,66 @@ object Lake {
       num("rows"), parts, num("ts"))
   }
 
+  /** Complete manifests read lazily NEWEST-FIRST — `latest` and resume
+    * lookups touch one (typically) or a handful of manifests, not the
+    * table's whole history.
+    */
+  private def snapshotsDesc(spark: SparkSession, table: String): Iterator[Snapshot] = {
+    val dir = snapshotsDir(table)
+    val fs = fsOf(spark, dir)
+    manifestFiles(fs, dir).reverseIterator
+      .map { case (_, p) => readFully(fs, p) }
+      .filter(_.endsWith("\"eof\":true}"))
+      .map(parse)
+  }
+
   def latest(spark: SparkSession, table: String): Option[Snapshot] =
-    snapshots(spark, table).lastOption
+    snapshotsDesc(spark, table).nextOption()
 
   /** Latest snapshot whose op matches, if any (resume lookup). */
   def latestFor(spark: SparkSession, table: String, op: String): Option[Snapshot] =
-    snapshots(spark, table).filter(_.op == op).lastOption
+    snapshotsDesc(spark, table).find(_.op == op)
+
+  /** Drop all but the newest `keepLast` snapshots: delete their data
+    * directories and manifests; returns the expired snapshots. Lineage
+    * walks from a surviving snapshot stop where the chain crosses into
+    * expired history (the parent id no longer resolves) — same contract as
+    * Iceberg's expire_snapshots. Only COMPLETE manifests are touched; a
+    * torn manifest (a crashed committer's slot) is left for
+    * `recoverTornManifest`.
+    */
+  def expireSnapshots(spark: SparkSession, table: String, keepLast: Int): Seq[Snapshot] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val dir = snapshotsDir(table)
+    val fs = fsOf(spark, dir)
+    val all = snapshots(spark, table)
+    val dropped = all.dropRight(keepLast)
+    if (dropped.isEmpty) return Nil
+    val doomedSeqs = dropped.map(_.seq).toSet
+    dropped.foreach { s =>
+      val dd = new Path(s.path)
+      dd.getFileSystem(conf(spark)).delete(dd, true)
+    }
+    manifestFiles(fs, dir)
+      .filter { case (seq, _) => doomedSeqs.contains(seq) }
+      .foreach { case (_, p) => fs.delete(p, false) }
+    dropped
+  }
+
+  /** Delete the torn (incomplete) manifest blocking `seq`, if any — admin
+    * recovery after a committer crashed mid-write, freeing the slot for a
+    * retry. REFUSES to touch a complete manifest. Returns true if a torn
+    * manifest was removed.
+    */
+  def recoverTornManifest(spark: SparkSession, table: String, seq: Long): Boolean = {
+    val dir = snapshotsDir(table)
+    val fs = fsOf(spark, dir)
+    manifestFiles(fs, dir).filter(_._1 == seq).exists { case (_, p) =>
+      val torn = !readFully(fs, p).endsWith("\"eof\":true}")
+      if (torn) fs.delete(p, false)
+      torn
+    }
+  }
 
   def read(spark: SparkSession, snap: Snapshot): DataFrame =
     spark.read.parquet(snap.path)

@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   * boundary as epoch microseconds (unix_micros / epoch_us), values as
   * per-event floor(v * 2^20) quantities, so nothing float-order-dependent
   * is compared.
+  *
+  * Each operator's trailing global `orderBy` is PRESENTATION-ONLY, for the
+  * contract harness's deterministic row order — no downstream computation
+  * depends on it. At cluster scale a caller composing these operators
+  * should take the frame BEFORE the sort (everything upstream of it is the
+  * single-shuffle plan described above); Spark drops the sort anyway when
+  * a downstream exchange re-partitions.
   */
 object EventOps {
 

@@ -5,6 +5,7 @@ import graft.docs.DocCodec
 import graft.engine.ContourEngine
 import graft.model._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 import scala.collection.mutable.ArrayBuffer
@@ -98,13 +99,19 @@ object StreamingContour {
         try {
           val completed = rows.filter(_.ti == CompleteTi).map(_.gridId)
             .collect().toSet
-          // idempotent ring append: a retried batch overwrites its own dir
-          rows.filter(_.ti >= 0).write.mode("overwrite")
+          // idempotent ring append: a retried batch overwrites its own dir.
+          // Within the batch dir the rings are PARTITIONED BY GRID (a copy
+          // column, so the full RingFragRow schema stays in the files) —
+          // grid completion then reads only that grid's partitions instead
+          // of scanning the whole ring-store history, which on a
+          // long-running stream would grow without bound.
+          rows.filter(_.ti >= 0).toDF()
+            .withColumn("gid", col("gridId"))
+            .write.mode("overwrite").partitionBy("gid")
             .parquet(s"$ringStore/b$batchId")
           if (completed.nonEmpty) {
             val markers = rows.filter(r => r.ti == CompleteTi)
-            val rings = readRingStore(s, ringStore)
-              .filter(r => completed.contains(r.gridId))
+            val rings = readRingStore(s, ringStore, completed)
             sink(assembleCompleted(s, rings.union(markers), cfg), batchId)
           }
         } finally rows.unpersist()
@@ -112,17 +119,55 @@ object StreamingContour {
       .start()
   }
 
-  /** All rings persisted so far (every per-batch directory). */
-  private def readRingStore(spark: SparkSession, ringStore: String): Dataset[RingFragRow] = {
+  /** The completed grids' persisted rings: only the `gid=` partition
+    * directories of those grids, across the per-batch directories — the
+    * rest of the ring-store history is never touched.
+    */
+  private def readRingStore(spark: SparkSession, ringStore: String,
+                            grids: Set[String]): Dataset[RingFragRow] = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(ringStore)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val dirs =
-      try fs.listStatus(p).filter(_.isDirectory).map(_.getPath.toString)
-      catch { case _: java.io.FileNotFoundException => Array.empty[String] }
+    val fs = new org.apache.hadoop.fs.Path(ringStore)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = ringDirsFor(fs, ringStore, grids)
     if (dirs.isEmpty) spark.emptyDataset[RingFragRow]
     else spark.read.schema(org.apache.spark.sql.Encoders.product[RingFragRow].schema)
-      .parquet(dirs.toIndexedSeq: _*).as[RingFragRow]
+      .parquet(dirs: _*).as[RingFragRow]
+  }
+
+  /** The partition directories holding `grids`' rings. Partition values are
+    * matched by UNESCAPING each `gid=` directory name (Hive-style percent
+    * encoding, as written by partitionBy) rather than re-escaping the grid
+    * id, so exotic grid ids round-trip exactly.
+    */
+  private[streaming] def ringDirsFor(fs: org.apache.hadoop.fs.FileSystem,
+                                     ringStore: String,
+                                     grids: Set[String]): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(ringStore)
+    val batches =
+      try fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.Path] }
+    batches.toIndexedSeq.flatMap { b =>
+      fs.listStatus(b).iterator.filter(_.isDirectory).map(_.getPath)
+        .filter { d =>
+          val n = d.getName
+          n.startsWith("gid=") && grids.contains(unescapePathName(n.drop(4)))
+        }
+        .map(_.toString).toSeq
+    }
+  }
+
+  /** Inverse of Hive-style partition-path escaping (%XX sequences). */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Distributed per-grid assembly of completed grids — identical reducer

@@ -118,9 +118,15 @@ class SpatialOpsSpec extends AnyFunSuite {
     // never by a cartesian fallback
     val queries = spark.createDataset(Seq(
       (0L, 900.0, 1200.0), (1L, -500.0, -500.0), (2L, 30.0, 30.0), (3L, 2000.0, 5.0)))
-    val res = SpatialOps.knnVertices(spark, queries, verts, k = 5)
-    val plan = res.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the returned frame is a scan of the materialized result, so the
+    // no-cartesian property is asserted on every ROUND's join plan
+    val roundPlans = scala.collection.mutable.ArrayBuffer[String]()
+    val res = SpatialOps.knnVertices(spark, queries, verts, k = 5,
+      planProbe = roundPlans += _)
+    assert(roundPlans.nonEmpty)
+    roundPlans.foreach { plan =>
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
     val got = res.select("query_id", "rank", "vx", "vy")
       .as[(Long, Int, Double, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
     val vs = verts.select("vx", "vy").as[(Double, Double)].collect()
@@ -135,5 +141,49 @@ class SpatialOpsSpec extends AnyFunSuite {
     // an empty vertex set yields zero rows (and no join at all)
     val none = SpatialOps.knnVertices(spark, queries, verts.filter(col("vx") > 1e9), k = 3)
     assert(none.count() == 0)
+  }
+
+  test("knnVertices releases every intermediate cache; result is one checkpointed RDD") {
+    import spark.implicits._
+    val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
+    val tiles = GridSynth.tilesFromArray(spark, "gv", data, w, h, 16, 16)
+    val cts = new ContourEngine(spark, JobConfig(Seq(120.0), smooth = true)).contours(tiles)
+    val verts = SpatialOps.contourVertices(spark, cts)
+    val rnd = new scala.util.Random(7)
+    val queries = spark.createDataset(
+      (0 until 20).map(i => (i.toLong, rnd.nextDouble() * w, rnd.nextDouble() * h))
+        :+ (20L, 5000.0, -3000.0)) // multi-round: forces several phases
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = SpatialOps.knnVertices(spark, queries, verts, k = 3)
+    assert(res.count() == 21 * 3)
+    // phases, doneIds, per-round checkpoints and verts are all gone; the
+    // only NEW persisted RDD is the one backing the returned (already
+    // materialized) result — freed by the ContextCleaner once the caller
+    // drops the frame
+    val added = spark.sparkContext.getPersistentRDDs -- before
+    assert(added.size <= 1, s"leaked caches: ${added.values.map(_.toString)}")
+  }
+
+  test("knnVertices with cell coordinates beyond Int range (no 32-bit wrap)") {
+    import spark.implicits._
+    // vertices and queries clustered near x ~ 6e9: cell ids ~ 3e9 overflow
+    // Int (the pre-fix code cast cells to int and wrapped, corrupting join
+    // keys and the coverage predicate); distances stay small so the search
+    // resolves in a few rounds
+    val base = 6.0e9
+    val vs = (0 until 50).map(i => (base + i * 3.0, base / 2 + (i % 7) * 2.0))
+    val verts = vs.toDF("vx", "vy")
+    val queries = spark.createDataset(
+      (0 until 10).map(i => (i.toLong, base + i * 11.0 + 0.5, base / 2 + i * 1.0)))
+    val got = SpatialOps.knnVertices(spark, queries, verts, k = 4)
+      .select("query_id", "rank", "vx", "vy")
+      .as[(Long, Int, Double, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val want = queries.collect().flatMap { case (qid, qx, qy) =>
+      vs.map { case (vx, vy) =>
+        (qid, math.sqrt((vx - qx) * (vx - qx) + (vy - qy) * (vy - qy)), vx, vy)
+      }.sortBy(t => (t._2, t._3, t._4)).take(4).zipWithIndex
+        .map { case ((q2, _, vx, vy), i) => (q2, i + 1, vx, vy) }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    assert(got == want)
   }
 }

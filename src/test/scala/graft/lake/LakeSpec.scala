@@ -71,22 +71,67 @@ class LakeSpec extends AnyFunSuite {
     assert(ps(0).exterior == Goldens.multiExpected1.toSeq)
   }
 
-  test("torn/in-flight manifests are never observed as snapshots") {
+  test("torn/in-flight manifests are never observed; recovery frees the slot") {
     import spark.implicits._
     val table = Files.createTempDirectory("lake-torn").toString
     val s1 = Lake.commit(spark, table, (1 to 10).toDF("x"), "load")
-    // a writer died mid-manifest: valid-looking name, truncated content
+    // a writer died mid-manifest: valid name at the NEXT seq, truncated body
     val full = Files.readString(
-      java.nio.file.Paths.get(table, "snapshots").resolve(f"${s1.seq}%012d-${s1.id}.json"))
+      java.nio.file.Paths.get(table, "snapshots").resolve(f"${s1.seq}%012d.json"))
     val torn = full.substring(0, full.length / 2)
-    Files.writeString(
-      java.nio.file.Paths.get(table, "snapshots").resolve(f"${s1.seq + 1}%012d-deadbeef.json"),
-      torn)
+    val tornPath =
+      java.nio.file.Paths.get(table, "snapshots").resolve(f"${s1.seq + 1}%012d.json")
+    Files.writeString(tornPath, torn)
     assert(Lake.snapshots(spark, table).map(_.id) == Seq(s1.id))
     assert(Lake.latest(spark, table).get.id == s1.id)
-    // the next commit takes the seq AFTER the torn file's name is ignored
+    // the torn file OCCUPIES its seq slot: the next commit targets the same
+    // name and must fail loudly rather than fork or clobber
+    intercept[Exception] { Lake.commit(spark, table, (1 to 5).toDF("x"), "next") }
+    // admin recovery clears exactly the torn slot (refusing complete ones),
+    // then the retry lands on the freed seq
+    assert(!Lake.recoverTornManifest(spark, table, s1.seq)) // complete: refused
+    assert(Files.exists(java.nio.file.Paths.get(table, "snapshots")
+      .resolve(f"${s1.seq}%012d.json")))
+    assert(Lake.recoverTornManifest(spark, table, s1.seq + 1))
     val s2 = Lake.commit(spark, table, (1 to 5).toDF("x"), "next")
-    assert(s2.parent == s1.id && Lake.latest(spark, table).get.id == s2.id)
+    assert(s2.parent == s1.id && s2.seq == s1.seq + 1)
+    assert(Lake.latest(spark, table).get.id == s2.id)
+  }
+
+  test("seq is the collision unit: the losing committer's create genuinely fails") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("lake-race").toString
+    val s1 = Lake.commit(spark, table, (1 to 10).toDF("x"), "load")
+    // two committers that both observed seq N target the SAME file name —
+    // the loser's create(overwrite=false) throws instead of minting a
+    // sibling manifest (the pre-rename layout embedded a fresh UUID in the
+    // name, so both would have succeeded and forked the lineage)
+    val p = new org.apache.hadoop.fs.Path(s"$table/snapshots", f"${s1.seq}%012d.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    intercept[java.io.IOException] { fs.create(p, false).close() }
+    // duplicate seqs are structurally impossible: the seq IS the file name
+    val seqs = Lake.snapshots(spark, table).map(_.seq)
+    assert(seqs.distinct.length == seqs.length)
+  }
+
+  test("expireSnapshots keeps the newest history; commit cost reads only the tip") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("lake-expire").toString
+    val snaps = (1 to 5).map(i => Lake.commit(spark, table, (1 to i * 10).toDF("x"), s"op$i"))
+    val dropped = Lake.expireSnapshots(spark, table, keepLast = 2)
+    assert(dropped.map(_.op) == Seq("op1", "op2", "op3"))
+    // expired data dirs gone, surviving ones readable
+    dropped.foreach(s => assert(!Files.exists(java.nio.file.Paths.get(s.path))))
+    assert(Lake.snapshots(spark, table).map(_.op) == Seq("op4", "op5"))
+    assert(Lake.read(spark, Lake.latest(spark, table).get).count() == 50)
+    // lineage from the tip stops at the expiry boundary (parent unresolvable)
+    assert(Lake.lineage(spark, table, snaps.last.id).map(_.op) == Seq("op4", "op5"))
+    // a new commit continues the seq chain above the kept tip
+    val s6 = Lake.commit(spark, table, (1 to 7).toDF("x"), "op6")
+    assert(s6.seq == snaps.last.seq + 1 && s6.parent == snaps.last.id)
+    // expiring everything but one leaves a single readable snapshot
+    assert(Lake.expireSnapshots(spark, table, keepLast = 1).map(_.op) == Seq("op4", "op5"))
+    assert(Lake.snapshots(spark, table).map(_.op) == Seq("op6"))
   }
 
   test("checkpointed + salted + deep hierarchy: kill-resume is byte-identical") {

@@ -102,6 +102,65 @@ class StreamingContourSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ring store is grid-partitioned: completion reads only that grid's files") {
+    implicit val s = spark
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("pstream-in")
+    val ckpt = Files.createTempDirectory("pstream-ckpt").toString
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[ContourRow]()
+    // two volcano grids interleaved: gP completes in batch 2; gQ stays
+    // OPEN the whole time (only 80 of its tiles ever arrive), piling
+    // closed interior rings into the store that gP's completion must
+    // never read
+    val (vol, vw, vh) = Goldens.loadFixture("/fixtures/volcano.json")
+    val volTiles = GridSynth.tilesFromArray(spark, "gQ", vol, vw, vh, 8, 8)
+      .collect().sortBy(t => (t.tileY, t.tileX)).toSeq
+    val pTiles = GridSynth.tilesFromArray(spark, "gP", vol, vw, vh, 8, 8)
+      .collect().sortBy(t => (t.tileY, t.tileX)).toSeq
+    def writeDocs(name: String, ts: Seq[graft.model.TileRow]): Unit = {
+      val staging = Files.createTempDirectory(s"stage-$name")
+      DocCodec.encode(spark.createDataset(ts)).coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      val file = Files.list(staging).iterator()
+      var moved = false
+      while (file.hasNext && !moved) {
+        val p = file.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.move(p, inDir.resolve(s"$name.parquet"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          moved = true
+        }
+      }
+      assert(moved)
+    }
+    writeDocs("b1", pTiles.take(60) ++ volTiles.take(40))
+    val cfg = JobConfig((100 to 180 by 20).map(_.toDouble), smooth = true)
+    val q = StreamingContour.startStateful(spark, inDir.toString, ckpt, cfg) {
+      (cts, _) => cts.collect().foreach(results.add)
+    }
+    try {
+      q.processAllAvailable()
+      assert(results.isEmpty)
+      writeDocs("b2", pTiles.drop(60) ++ volTiles.slice(40, 80))
+      q.processAllAvailable()
+      val got = results.toArray(Array.empty[ContourRow]).toSeq.sortBy(_.threshold)
+      assert(got.nonEmpty && got.forall(_.gridId == "gP"))
+      val want = new graft.engine.ContourEngine(spark, cfg)
+        .contours(spark.createDataset(pTiles)).collect().sortBy(_.threshold).toSeq
+      assert(got == want, "pruned-store output must stay byte-identical")
+    } finally q.stop()
+    // the store layout is b<batch>/gid=<grid>/ and the completion's read
+    // set — ringDirsFor(gP) — touches ONLY gP's partitions, however much
+    // history other grids have piled up
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val all = StreamingContour.ringDirsFor(fs, s"$ckpt/rings", Set("gP", "gQ"))
+    val gp = StreamingContour.ringDirsFor(fs, s"$ckpt/rings", Set("gP"))
+    assert(all.exists(_.endsWith("gid=gQ")), "open grid's rings are in the store")
+    assert(gp.nonEmpty && gp.forall(_.endsWith("gid=gP")),
+      s"completion read set must touch only gP's partitions, got $gp")
+  }
+
   /** Minimal in-memory GroupState for driving updateGrid directly. */
   private final class FakeState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
     private var v: Option[S] = None
