@@ -275,6 +275,27 @@ object SparkEntry {
         .orderBy("point_id", "threshold")
     }),
 
+    // ---- zonal statistics: per-threshold-zone aggregates of the raster,
+    //      zones = the engine's own contour MultiPolygons, containment by
+    //      the partitioned PIP join; values quantized per cell so every
+    //      aggregate is an order-free integer. The oracle uses the same
+    //      pixel-center identity as q_pip_tag (center inside the unsmoothed
+    //      curve iff value >= threshold), so the whole geometric chain is
+    //      checked relationally. ----
+    "q_zonal_stats" -> ((spark, dir) => {
+      import spark.implicits._
+      val cts = engine(spark, smooth = false).contours(eventTiles(spark, dir))
+      val (w, _) = EventsGrid.dims(spark, dir)
+      val events = spark.read.parquet(s"$dir/events.parquet")
+      val points = events
+        .selectExpr("event_id", s"cast(event_id % $w as double) + 0.5 as x",
+          s"cast(event_id div $w as double) + 0.5 as y")
+        .as[(Long, Double, Double)]
+      val values = events.select(col("event_id").as("point_id"),
+        floor(col("value") * 1048576.0).as("qv"))
+      graft.engine.SpatialOps.zonalStats(spark, points, cts, values)
+    }),
+
     // ---- kNN join against emitted contour vertices ----
     "q_knn_vertices" -> ((spark, dir) => {
       import spark.implicits._
@@ -324,6 +345,7 @@ object SparkEntry {
     "q_doc_stratified_sample" -> TrainingOps.stratifiedSample,
     "q_doc_source_stats" -> TrainingOps.sourceStats,
     "q_grid_pyramid" -> RasterOps.gridPyramid,
+    "q_focal_mean" -> RasterOps.focalMean,
     "q_evt_sessionize" -> EventOps.sessionize,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_emb_near_dup" -> TrainingOps.embNearDup,
@@ -719,6 +741,16 @@ object SparkEntry {
       """SELECT event_id AS point_id, threshold, (value >= threshold) AS inside
         |FROM events CROSS JOIN (VALUES (25.0),(50.0),(75.0),(100.0)) t(threshold)
         |ORDER BY point_id, threshold""".stripMargin,
+
+    "q_zonal_stats" ->
+      """WITH qv AS (SELECT value, floor(value * 1048576.0)::BIGINT AS q FROM events)
+        |SELECT threshold,
+        |  sum(CASE WHEN value >= threshold THEN 1 ELSE 0 END)::BIGINT AS n_inside,
+        |  sum(CASE WHEN value >= threshold THEN q END)::BIGINT AS qsum,
+        |  min(CASE WHEN value >= threshold THEN q END) AS qmin,
+        |  max(CASE WHEN value >= threshold THEN q END) AS qmax
+        |FROM qv CROSS JOIN (VALUES (25.0),(50.0),(75.0),(100.0)) t(threshold)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Predictive oracle: one doc per 50x50 tile of the W x H events grid,
     // and the span-sequence invariant must hold with zero violations — the

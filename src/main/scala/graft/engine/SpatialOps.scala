@@ -130,6 +130,31 @@ object SpatialOps {
       .select("point_id", "threshold", "inside")
   }
 
+  /** Zonal statistics — the classic raster x vector operator: aggregate a
+    * value per sample point over the ZONES defined by each threshold's
+    * MultiPolygon (even-odd over all rings, boundary points excluded, the
+    * same verdict as pipTag). Built on the y-band partitioned PIP join, so
+    * nothing is collected and the shuffle volume is O(segments + points);
+    * the aggregation is one map-side-combinable pass over the tagged
+    * frame. Values arrive pre-quantized (`qv`, e.g. floor(v * 2^20)) so
+    * every aggregate is an order-free integer — sums never depend on
+    * combine order. Zones with no interior points keep their row
+    * (n_inside = 0, null extrema) because the tagged frame carries every
+    * (point, threshold) pair.
+    *
+    * Returns (threshold, n_inside, qsum, qmin, qmax).
+    */
+  def zonalStats(spark: SparkSession, points: Dataset[(Long, Double, Double)],
+                 contours: Dataset[ContourRow], values: DataFrame): DataFrame = {
+    val qv = when(col("inside"), col("qv"))
+    pipTagPartitioned(spark, points, contours)
+      .join(values.select(col("point_id"), col("qv")), Seq("point_id"))
+      .groupBy("threshold")
+      .agg(sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"),
+        sum(qv).as("qsum"), min(qv).as("qmin"), max(qv).as("qmax"))
+      .orderBy("threshold")
+  }
+
   /** Vertices of every ring of a contour set, deduplicated per threshold
     * (the closing duplicate dropped), as (threshold, vx, vy).
     */

@@ -87,6 +87,41 @@ object RasterOps {
     (pool(baseCells(spark, dir), w, h).as[(Int, Int, Double)], w / 2, h / 2)
   }
 
+  /** 3x3 focal (neighborhood) mean — the classic raster focal-statistics
+    * operator — over the interior of the events grid (cells whose full
+    * window exists; edge policies that renormalize by a data-dependent
+    * count would put a float divide on the compare path). Each cell
+    * replicates to the 9 windows it participates in (one narrow explode),
+    * one key-local shuffle groups the window, and the mean is a PIVOTED
+    * fixed-order f64 expression — same exactness idiom as `pool`. The
+    * per-cell quantized mean then folds into per-raster-row integer
+    * summaries, so the output is h-2 rows regardless of grid width.
+    *
+    * Returns (y, n_cells, qsum, qmin, qmax) over qmean = floor(mean*2^20).
+    */
+  val focalMean: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val offsets = for (dy <- -1 to 1; dx <- -1 to 1) yield (dx, dy)
+    val cells = baseCells(spark, dir)
+      .withColumn("o", explode(lit(offsets.map { case (dx, dy) => (dy + 1) * 3 + dx + 1 }.toArray)))
+      .select((col("x") + col("o") % 3 - 1).as("tx"),
+        (col("y") + col("o").divide(3).cast("int") - 1).as("ty"),
+        col("o"), col("v"))
+      .filter(col("tx") >= 1 && col("tx") <= w - 2 && col("ty") >= 1 && col("ty") <= h - 2)
+    def q(o: Int) = max(when(col("o") === o, col("v"))).as(s"v$o")
+    val win = cells.groupBy("tx", "ty").agg(q(0), q(1), q(2), q(3), q(4), q(5), q(6), q(7), q(8))
+    // fixed parenthesization, mirrored verbatim by the oracle
+    val mean = ((((col("v0") + col("v1")) + col("v2"))
+      + ((col("v3") + col("v4")) + col("v5")))
+      + ((col("v6") + col("v7")) + col("v8"))) / 9.0
+    val qm = floor(mean * Q20)
+    win.select(col("ty").cast("long").as("y"), qm.as("qmean"))
+      .groupBy("y")
+      .agg(count(lit(1)).as("n_cells"), sum(col("qmean")).as("qsum"),
+        min(col("qmean")).as("qmin"), max(col("qmean")).as("qmax"))
+      .orderBy("y")
+  }
+
   // w halves from the constant base W=100 (floor division composes:
   // 100 -> 50 -> 25 -> 12); h halves from the data-dependent base in `d`.
   private[graft] def poolCte(l: Int, prevW: Int): String =
@@ -110,11 +145,33 @@ object RasterOps {
     val ws = Iterator.iterate(100)(_ / 2).take(Levels + 1).toSeq // 100, 50, 25, 12
     val pools = (1 to Levels).map(l => poolCte(l, ws(l - 1)))
     val stats = (0 to Levels).map(l => statCte(l, ws(l)))
+    // slot o of the engine's pivot holds the value at (x - dx_o, y - dy_o),
+    // dx = o%3 - 1, dy = o/3 - 1 (cells replicate BY +offset, so the slot
+    // labeling is the mirrored window — same 3x3 set, fixed order)
+    val slotJoins = (0 to 8).filter(_ != 4).map { o =>
+      val dx = o % 3 - 1; val dy = o / 3 - 1
+      s"JOIN g b$o ON b$o.x = t.x - ($dx) AND b$o.y = t.y - ($dy)"
+    }.mkString("\n  ")
     Map("q_grid_pyramid" ->
       s"""WITH g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
          |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
          |${(pools ++ stats).mkString(",\n")}
          |${(0 to Levels).map(l => s"SELECT * FROM s$l").mkString(" UNION ALL ")}
-         |ORDER BY level""".stripMargin)
+         |ORDER BY level""".stripMargin,
+
+      "q_focal_mean" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |f AS (SELECT t.y,
+           |  ((((b0.v + b1.v) + b2.v) + ((b3.v + t.v) + b5.v))
+           |    + ((b6.v + b7.v) + b8.v)) / 9.0 AS mean
+           |  FROM g t
+           |  $slotJoins
+           |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2)
+           |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells,
+           |  sum(floor(mean * 1048576.0)::BIGINT)::BIGINT AS qsum,
+           |  min(floor(mean * 1048576.0)::BIGINT) AS qmin,
+           |  max(floor(mean * 1048576.0)::BIGINT) AS qmax
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 }

@@ -83,6 +83,34 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("zonalStats == aggregating the broadcast pipTag verdicts") {
+    import spark.implicits._
+    val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
+    val tiles = GridSynth.tilesFromArray(spark, "gz", data, w, h, 16, 16)
+    val cts = new ContourEngine(spark, JobConfig(Seq(110.0, 150.0, 190.0), smooth = false))
+      .contours(tiles)
+    val pts = spark.createDataset((0 until w * h).map { i =>
+      (i.toLong, (i % w).toDouble + 0.5, (i / w).toDouble + 0.5)
+    })
+    val qvOf = (i: Long) => math.floor(data(i.toInt) * 1048576.0).toLong
+    val values = pts.map { case (id, _, _) => (id, qvOf(id)) }.toDF("point_id", "qv")
+    val got = SpatialOps.zonalStats(spark, pts, cts, values)
+      .as[(Double, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    // expected: the (independently tested) broadcast PIP path + in-memory agg
+    val tagged = SpatialOps.pipTag(spark, pts, cts)
+      .as[(Long, Double, Boolean)].collect()
+    val want = tagged.groupBy(_._2).map { case (t, rows) =>
+      val in = rows.filter(_._3).map(r => qvOf(r._1))
+      (t, in.length.toLong,
+        if (in.isEmpty) None else Some(in.sum),
+        if (in.isEmpty) None else Some(in.min),
+        if (in.isEmpty) None else Some(in.max))
+    }.toSeq.sortBy(_._1)
+    assert(got == want)
+    assert(got.exists(_._2 > 0) && got.exists(r => r._2 < w.toLong * h))
+  }
+
   test("knnVertices bucketed == brute force") {
     import spark.implicits._
     val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")

@@ -35,6 +35,30 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("focalMean matches a local fixed-order 3x3 recompute") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val w = 100
+    val h = ev.length / w
+    def v(y: Int, x: Int) = ev(y * w + x)._2
+    // slot o holds the value at (tx - dx_o, ty - dy_o), dx = o%3-1,
+    // dy = o/3-1; same fixed parenthesization as the engine
+    val expected = (1 to h - 2).map { y =>
+      val qs = (1 to w - 2).map { x =>
+        def s(o: Int) = v(y - (o / 3 - 1), x - (o % 3 - 1))
+        val mean = ((((s(0) + s(1)) + s(2)) + ((s(3) + s(4)) + s(5)))
+          + ((s(6) + s(7)) + s(8))) / 9.0
+        math.floor(mean * 1048576.0).toLong
+      }
+      (y.toLong, qs.length.toLong, qs.sum, qs.min, qs.max)
+    }
+    val got = RasterOps.focalMean(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(expected.nonEmpty && expected.head._2 == w.toLong - 2)
+  }
+
   test("distributed pyramid level-1 contours equal single-process core on the pooled grid") {
     import spark.implicits._
     import graft.core.{ContourConfig, CoreContour}
