@@ -140,7 +140,10 @@ object SpatialOps {
     * every aggregate is an order-free integer — sums never depend on
     * combine order. Zones with no interior points keep their row
     * (n_inside = 0, null extrema) because the tagged frame carries every
-    * (point, threshold) pair.
+    * (point, threshold) pair — the values frame joins LEFT, so n_inside
+    * counts every inside point while qsum/qmin/qmax cover the inside
+    * points that have a value (a partial values frame narrows the sums,
+    * never the counts).
     *
     * Returns (threshold, n_inside, qsum, qmin, qmax).
     */
@@ -148,7 +151,7 @@ object SpatialOps {
                  contours: Dataset[ContourRow], values: DataFrame): DataFrame = {
     val qv = when(col("inside"), col("qv"))
     pipTagPartitioned(spark, points, contours)
-      .join(values.select(col("point_id"), col("qv")), Seq("point_id"))
+      .join(values.select(col("point_id"), col("qv")), Seq("point_id"), "left")
       .groupBy("threshold")
       .agg(sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"),
         sum(qv).as("qsum"), min(qv).as("qmin"), max(qv).as("qmax"))

@@ -188,14 +188,25 @@ object Lake {
     val all = snapshots(spark, table)
     val dropped = all.dropRight(keepLast)
     if (dropped.isEmpty) return Nil
-    val doomedSeqs = dropped.map(_.seq).toSet
+    // manifests are matched by the PARSED (seq, id), not the filename seq:
+    // a legacy pre-rename table can hold duplicate-seq fork siblings, and a
+    // seq-only match would delete the manifest of a KEPT sibling. Torn
+    // files are skipped (they are recoverTornManifest's business).
+    val doomed = dropped.map(s => (s.seq, s.id)).toSet
+    // manifests go FIRST: if the run dies mid-way the worst case is an
+    // orphaned data directory, never a surviving complete manifest whose
+    // data is gone (which resume lookups could then select and fail on)
+    manifestFiles(fs, dir).foreach { case (_, p) =>
+      val body = readFully(fs, p)
+      if (body.endsWith("\"eof\":true}")) {
+        val s = parse(body)
+        if (doomed.contains((s.seq, s.id))) fs.delete(p, false)
+      }
+    }
     dropped.foreach { s =>
       val dd = new Path(s.path)
       dd.getFileSystem(conf(spark)).delete(dd, true)
     }
-    manifestFiles(fs, dir)
-      .filter { case (seq, _) => doomedSeqs.contains(seq) }
-      .foreach { case (_, p) => fs.delete(p, false) }
     dropped
   }
 

@@ -121,10 +121,13 @@ object StreamingContour {
 
   /** The completed grids' persisted rings: only the `gid=` partition
     * directories of those grids, across the per-batch directories — the
-    * rest of the ring-store history is never touched.
+    * rest of the ring-store history is never touched. Legacy batch dirs
+    * (bare parquet written before the store was partitioned) are read
+    * whole; the row filter below keeps the result correct for them while
+    * being a no-op for pre-pruned partition dirs.
     */
-  private def readRingStore(spark: SparkSession, ringStore: String,
-                            grids: Set[String]): Dataset[RingFragRow] = {
+  private[streaming] def readRingStore(spark: SparkSession, ringStore: String,
+                                       grids: Set[String]): Dataset[RingFragRow] = {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(ringStore)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -132,12 +135,15 @@ object StreamingContour {
     if (dirs.isEmpty) spark.emptyDataset[RingFragRow]
     else spark.read.schema(org.apache.spark.sql.Encoders.product[RingFragRow].schema)
       .parquet(dirs: _*).as[RingFragRow]
+      .filter(r => grids.contains(r.gridId))
   }
 
-  /** The partition directories holding `grids`' rings. Partition values are
-    * matched by UNESCAPING each `gid=` directory name (Hive-style percent
-    * encoding, as written by partitionBy) rather than re-escaping the grid
-    * id, so exotic grid ids round-trip exactly.
+  /** The directories holding `grids`' rings: each batch's matching `gid=`
+    * partition dirs — partition values matched by UNESCAPING the dir name
+    * (Spark's own Hive-style unescaper, the exact inverse of what
+    * partitionBy applied), so exotic grid ids round-trip exactly — plus
+    * any whole batch dir in the pre-partitioning layout (bare parquet
+    * files at the batch level), which readRingStore's row filter prunes.
     */
   private[streaming] def ringDirsFor(fs: org.apache.hadoop.fs.FileSystem,
                                      ringStore: String,
@@ -147,27 +153,18 @@ object StreamingContour {
       try fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.Path] }
     batches.toIndexedSeq.flatMap { b =>
-      fs.listStatus(b).iterator.filter(_.isDirectory).map(_.getPath)
+      val entries = fs.listStatus(b)
+      val legacy = entries.exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      if (legacy) Seq(b.toString) // pre-partitioning batch: no per-grid pruning possible
+      else entries.iterator.filter(_.isDirectory).map(_.getPath)
         .filter { d =>
           val n = d.getName
-          n.startsWith("gid=") && grids.contains(unescapePathName(n.drop(4)))
+          n.startsWith("gid=") &&
+            grids.contains(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(n.drop(4)))
         }
         .map(_.toString).toSeq
     }
-  }
-
-  /** Inverse of Hive-style partition-path escaping (%XX sequences). */
-  private def unescapePathName(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
   }
 
   /** Distributed per-grid assembly of completed grids — identical reducer

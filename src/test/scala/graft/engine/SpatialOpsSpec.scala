@@ -109,6 +109,22 @@ class SpatialOpsSpec extends AnyFunSuite {
     }.toSeq.sortBy(_._1)
     assert(got == want)
     assert(got.exists(_._2 > 0) && got.exists(r => r._2 < w.toLong * h))
+
+    // left-join contract: a partial values frame narrows the sums/extrema
+    // but NEVER the inside counts
+    val gotHalf = SpatialOps.zonalStats(spark, pts, cts,
+      values.filter(org.apache.spark.sql.functions.col("point_id") % 2 === 0))
+      .as[(Double, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    val wantHalf = tagged.groupBy(_._2).map { case (t, rows) =>
+      val in = rows.filter(_._3).map(_._1)
+      val inVal = in.filter(_ % 2 == 0).map(qvOf)
+      (t, in.length.toLong,
+        if (inVal.isEmpty) None else Some(inVal.sum),
+        if (inVal.isEmpty) None else Some(inVal.min),
+        if (inVal.isEmpty) None else Some(inVal.max))
+    }.toSeq.sortBy(_._1)
+    assert(gotHalf == wantHalf)
   }
 
   test("knnVertices bucketed == brute force") {

@@ -165,6 +165,29 @@ class LakeSpec extends AnyFunSuite {
     assert(Lake.snapshots(spark, table).map(_.op).count(_ == "round-4") == 1)
   }
 
+  test("expiry on a legacy fork-sibling table deletes only the dropped sibling's manifest") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("lake-fork").toString
+    // fabricate a PRE-RENAME table whose two committers forked seq 0
+    // (legacy names embed the id, so both creates succeeded back then)
+    def legacyManifest(id: String): String =
+      s"""{"seq":0,"id":"$id","parent":"","op":"legacy","path":"$table/data/$id","rows":0,""" +
+        s""""partitionRows":[],"ts":1,"eof":true}"""
+    val sd = Files.createDirectories(java.nio.file.Paths.get(table, "snapshots"))
+    Files.writeString(sd.resolve("000000000000-aaa.json"), legacyManifest("aaaaaaaaaaaa"))
+    Files.writeString(sd.resolve("000000000000-bbb.json"), legacyManifest("bbbbbbbbbbbb"))
+    val s1 = Lake.commit(spark, table, (1 to 5).toDF("x"), "next") // seq 1
+    assert(Lake.snapshots(spark, table).map(_.seq) == Seq(0L, 0L, 1L))
+    // keepLast=2 drops exactly ONE of the seq-0 siblings; a seq-keyed
+    // manifest delete would have wiped the kept sibling too
+    val dropped = Lake.expireSnapshots(spark, table, keepLast = 2)
+    assert(dropped.length == 1 && dropped.head.seq == 0L)
+    val left = Lake.snapshots(spark, table)
+    assert(left.map(_.seq) == Seq(0L, 1L))
+    assert(left.map(_.id).contains(s1.id))
+    assert(!left.map(_.id).contains(dropped.head.id))
+  }
+
   private implicit class IterOps[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }

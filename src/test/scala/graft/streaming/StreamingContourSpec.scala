@@ -161,6 +161,31 @@ class StreamingContourSpec extends AnyFunSuite {
       s"completion read set must touch only gP's partitions, got $gp")
   }
 
+  test("ring store reads span mixed legacy (bare parquet) and partitioned batches") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("mixstore").toString
+    def row(gid: String, ti: Int) =
+      graft.model.RingFragRow(gid, ti, closed = true, 0, 0, 0L, 0L, ti.toLong, 0,
+        Array(0.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0))
+    // b0: legacy layout — bare parquet, both grids mixed in the files
+    spark.createDataset(Seq(row("gP", 0), row("gQ", 1))).coalesce(1)
+      .write.mode("overwrite").parquet(s"$store/b0")
+    // b1: new layout — partitioned by gid
+    spark.createDataset(Seq(row("gP", 2), row("gQ", 3))).toDF()
+      .withColumn("gid", org.apache.spark.sql.functions.col("gridId"))
+      .write.mode("overwrite").partitionBy("gid").parquet(s"$store/b1")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the legacy batch is read whole; the new batch prunes to gP's partition
+    val dirs = StreamingContour.ringDirsFor(fs, store, Set("gP"))
+    assert(dirs.exists(_.endsWith("b0")) && dirs.exists(_.endsWith("gid=gP")))
+    assert(!dirs.exists(_.endsWith("gid=gQ")))
+    // and the row filter makes the result exactly gP's rings from BOTH eras
+    val got = StreamingContour.readRingStore(spark, store, Set("gP"))
+      .collect().map(r => (r.gridId, r.ti)).sorted.toSeq
+    assert(got == Seq(("gP", 0), ("gP", 2)))
+  }
+
   /** Minimal in-memory GroupState for driving updateGrid directly. */
   private final class FakeState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
     private var v: Option[S] = None
