@@ -156,6 +156,14 @@ object SparkEntry {
     "q_contours_stats" -> ((spark, dir) =>
       contourChecksumDf(spark, engine(spark).contours(eventTiles(spark, dir)))),
 
+    // ---- contour length (smooth=true): total polyline length per
+    //      threshold as an order-free integer sum of per-segment quantized
+    //      f64 lengths (sqrt is correctly rounded, so each segment's
+    //      length is deterministic on both sides of the compare) ----
+    "q_contour_length" -> ((spark, dir) =>
+      graft.engine.SpatialOps.contourLengthStats(
+        spark, engine(spark).contours(eventTiles(spark, dir)))),
+
     // ---- overview contouring: the full contour pipeline over the
     //      pyramid's level-1 grid (zoom-out vector tiles) ----
     "q_pyramid_contours" -> ((spark, dir) => {
@@ -346,6 +354,7 @@ object SparkEntry {
     "q_doc_source_stats" -> TrainingOps.sourceStats,
     "q_grid_pyramid" -> RasterOps.gridPyramid,
     "q_focal_mean" -> RasterOps.focalMean,
+    "q_grid_slope" -> RasterOps.hornSlope,
     "q_evt_sessionize" -> EventOps.sessionize,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_emb_near_dup" -> TrainingOps.embNearDup,
@@ -674,6 +683,24 @@ object SparkEntry {
          |      (75.0::DOUBLE, 100.0::DOUBLE)) b(minv, maxv)
          |LEFT JOIN agg ON agg.minv = b.minv AND agg.maxv = b.maxv
          |ORDER BY min_v""".stripMargin,
+
+    // both smoothed endpoints of every directed segment (the same segs2
+    // join the isoband oracle uses); per-segment f64 length quantizes
+    // independently, so the sum is order-free. The engine excludes
+    // zero-length segments from its count symmetrically with the FILTER,
+    // making the stats dedup-agnostic.
+    "q_contour_length" ->
+      s"""WITH ${startsAndEndsCte(tsAllSql)},
+         |segs2 AS (
+         |  SELECT s.threshold, s.px AS spx, s.py AS spy, e.px AS epx, e.py AS epy
+         |  FROM pts s JOIN pts e
+         |    ON e.threshold = s.threshold AND e.cx = s.cx AND e.cy = s.cy
+         |   AND e.segid = s.segid AND s.role = 0 AND e.role = 1)
+         |SELECT threshold,
+         |  count(*) FILTER (WHERE NOT (spx = epx AND spy = epy))::BIGINT AS n_segments,
+         |  sum(floor(sqrt((epx - spx) * (epx - spx) + (epy - spy) * (epy - spy))
+         |        * 1048576.0)::BIGINT)::BIGINT AS qlen_sum
+         |FROM segs2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_knn_vertices" ->
       s"""WITH ${startsCte("SELECT unnest([50.0]::DOUBLE[]) AS threshold")},

@@ -158,6 +158,40 @@ object SpatialOps {
       .orderBy("threshold")
   }
 
+  /** Per-threshold contour length statistics: polyline length summed over
+    * every ring (exteriors + holes) of each threshold's MultiPolygon.
+    * Exactness: each segment's f64 length — sqrt((bx-ax)^2 + (by-ay)^2),
+    * evaluated in exactly that operation order — quantizes INDEPENDENTLY
+    * (floor(len * 2^20)), so the total is an order-free integer sum; no
+    * float accumulation ever crosses a combine boundary. Zero-length
+    * segments (post-smoothing dedup artifacts, when present) contribute
+    * nothing and are excluded from the count, making the stats identical
+    * whether or not an upstream dedup already collapsed them. Length is
+    * orientation- and rotation-invariant, so ring winding/starting point
+    * (which assembly controls) cannot affect the result.
+    *
+    * Returns (threshold, n_segments, qlen_sum).
+    */
+  def contourLengthStats(spark: SparkSession, contours: Dataset[ContourRow]): DataFrame = {
+    import spark.implicits._
+    contours.flatMap { c =>
+      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
+        // rings close explicitly ([v0..vn-1, v0]): consecutive pairs cover
+        // every directed segment of the cycle exactly once
+        (0 until ring.length / 2 - 1).iterator.map { i =>
+          val ax = ring(2 * i); val ay = ring(2 * i + 1)
+          val bx = ring(2 * i + 2); val by = ring(2 * i + 3)
+          val len = math.sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+          (c.threshold, if (ax == bx && ay == by) 0L else 1L,
+            math.floor(len * 1048576.0).toLong)
+        }
+      }
+    }.toDF("threshold", "seg", "qlen")
+      .groupBy("threshold")
+      .agg(sum(col("seg")).as("n_segments"), sum(col("qlen")).as("qlen_sum"))
+      .orderBy("threshold")
+  }
+
   /** Vertices of every ring of a contour set, deduplicated per threshold
     * (the closing duplicate dropped), as (threshold, vx, vy).
     */

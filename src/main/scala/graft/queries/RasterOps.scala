@@ -122,6 +122,44 @@ object RasterOps {
       .orderBy("y")
   }
 
+  /** Horn slope (gradient magnitude) — the standard terrain-analysis
+    * operator — over the grid interior: gx/gy are the Horn 3x3 weighted
+    * differences, slope = sqrt(gx^2 + gy^2). Exactness rests on sqrt being
+    * CORRECTLY ROUNDED (IEEE 754) on both the JVM and DuckDB: gx and gy are
+    * fixed-order f64 expressions over the pivoted window (the same slot
+    * layout as focalMean), the magnitude is the fixed expression
+    * sqrt(gx*gx + gy*gy), and floor(slope * 2^20) quantizes per cell before
+    * the order-free integer row summaries. (Aspect needs atan2, whose
+    * libm rounding differs across platforms — deliberately out of the
+    * oracle-exact surface.)
+    *
+    * Returns (y, n_cells, qsum, qmin, qmax) over qslope.
+    */
+  val hornSlope: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val offsets = for (dy <- -1 to 1; dx <- -1 to 1) yield (dx, dy)
+    val cells = baseCells(spark, dir)
+      .withColumn("o", explode(lit(offsets.map { case (dx, dy) => (dy + 1) * 3 + dx + 1 }.toArray)))
+      .select((col("x") + col("o") % 3 - 1).as("tx"),
+        (col("y") + col("o").divide(3).cast("int") - 1).as("ty"),
+        col("o"), col("v"))
+      .filter(col("tx") >= 1 && col("tx") <= w - 2 && col("ty") >= 1 && col("ty") <= h - 2)
+    def q(o: Int) = max(when(col("o") === o, col("v"))).as(s"v$o")
+    val win = cells.groupBy("tx", "ty").agg(q(0), q(1), q(2), q(3), q(4), q(5), q(6), q(7), q(8))
+    // slot o holds the value at (tx - dx_o, ty - dy_o): slots 0/3/6 are the
+    // +x column, 2/5/8 the -x column, 0/1/2 the +y row, 6/7/8 the -y row
+    val gx = (((col("v0") + col("v3") * 2.0) + col("v6"))
+      - ((col("v2") + col("v5") * 2.0) + col("v8"))) / 8.0
+    val gy = (((col("v0") + col("v1") * 2.0) + col("v2"))
+      - ((col("v6") + col("v7") * 2.0) + col("v8"))) / 8.0
+    val qs = floor(sqrt(gx * gx + gy * gy) * Q20)
+    win.select(col("ty").cast("long").as("y"), qs.as("qslope"))
+      .groupBy("y")
+      .agg(count(lit(1)).as("n_cells"), sum(col("qslope")).as("qsum"),
+        min(col("qslope")).as("qmin"), max(col("qslope")).as("qmax"))
+      .orderBy("y")
+  }
+
   // w halves from the constant base W=100 (floor division composes:
   // 100 -> 50 -> 25 -> 12); h halves from the data-dependent base in `d`.
   private[graft] def poolCte(l: Int, prevW: Int): String =
@@ -172,6 +210,25 @@ object RasterOps {
            |  sum(floor(mean * 1048576.0)::BIGINT)::BIGINT AS qsum,
            |  min(floor(mean * 1048576.0)::BIGINT) AS qmin,
            |  max(floor(mean * 1048576.0)::BIGINT) AS qmax
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Horn slope: gx/gy mirror the engine's fixed expressions slot for
+      // slot; sqrt is correctly rounded on both sides, so floor(slope*2^20)
+      // is deterministic per cell
+      "q_grid_slope" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |f1 AS (SELECT t.y,
+           |  (((b0.v + b3.v * 2.0) + b6.v) - ((b2.v + b5.v * 2.0) + b8.v)) / 8.0 AS gx,
+           |  (((b0.v + b1.v * 2.0) + b2.v) - ((b6.v + b7.v * 2.0) + b8.v)) / 8.0 AS gy
+           |  FROM g t
+           |  $slotJoins
+           |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+           |f AS (SELECT y, sqrt(gx * gx + gy * gy) AS slope FROM f1)
+           |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells,
+           |  sum(floor(slope * 1048576.0)::BIGINT)::BIGINT AS qsum,
+           |  min(floor(slope * 1048576.0)::BIGINT) AS qmin,
+           |  max(floor(slope * 1048576.0)::BIGINT) AS qmax
            |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 }

@@ -127,6 +127,31 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(gotHalf == wantHalf)
   }
 
+  test("contourLengthStats == in-memory recompute over the same rings") {
+    import spark.implicits._
+    val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
+    val tiles = GridSynth.tilesFromArray(spark, "gl", data, w, h, 16, 16)
+    val cts = new ContourEngine(spark, JobConfig(Seq(110.0, 150.0), smooth = true))
+      .contours(tiles)
+    val got = SpatialOps.contourLengthStats(spark, cts)
+      .as[(Double, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = cts.collect().map { c =>
+      var n = 0L; var q = 0L
+      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).foreach { ring =>
+        var i = 0
+        while (i < ring.length - 2) {
+          val dx = ring(i + 2) - ring(i); val dy = ring(i + 3) - ring(i + 1)
+          if (dx != 0.0 || dy != 0.0) n += 1
+          q += math.floor(math.sqrt(dx * dx + dy * dy) * 1048576.0).toLong
+          i += 2
+        }
+      }
+      (c.threshold, n, q)
+    }.sortBy(_._1).toSeq
+    assert(got == want)
+    assert(want.forall(_._2 > 0))
+  }
+
   test("knnVertices bucketed == brute force") {
     import spark.implicits._
     val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")

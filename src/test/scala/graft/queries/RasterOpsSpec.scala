@@ -59,6 +59,28 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(expected.nonEmpty && expected.head._2 == w.toLong - 2)
   }
 
+  test("hornSlope matches a local fixed-order recompute") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val w = 100
+    val h = ev.length / w
+    def v(y: Int, x: Int) = ev(y * w + x)._2
+    val expected = (1 to h - 2).map { y =>
+      val qs = (1 to w - 2).map { x =>
+        def s(o: Int) = v(y - (o / 3 - 1), x - (o % 3 - 1))
+        val gx = (((s(0) + s(3) * 2.0) + s(6)) - ((s(2) + s(5) * 2.0) + s(8))) / 8.0
+        val gy = (((s(0) + s(1) * 2.0) + s(2)) - ((s(6) + s(7) * 2.0) + s(8))) / 8.0
+        math.floor(math.sqrt(gx * gx + gy * gy) * 1048576.0).toLong
+      }
+      (y.toLong, qs.length.toLong, qs.sum, qs.min, qs.max)
+    }
+    val got = RasterOps.hornSlope(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._5 > 0))
+  }
+
   test("distributed pyramid level-1 contours equal single-process core on the pooled grid") {
     import spark.implicits._
     import graft.core.{ContourConfig, CoreContour}
