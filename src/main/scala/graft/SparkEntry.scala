@@ -688,7 +688,10 @@ object SparkEntry {
     // join the isoband oracle uses); per-segment f64 length quantizes
     // independently, so the sum is order-free. The engine excludes
     // zero-length segments from its count symmetrically with the FILTER,
-    // making the stats dedup-agnostic.
+    // making the VALUES dedup-agnostic; row PRESENCE for a threshold whose
+    // segments are all degenerate (needs an exactly-threshold-valued
+    // sample — the isoband oracle's documented data assumption, verified
+    // absent at sf0.01/sf0.1) would differ and fail the gate loudly.
     "q_contour_length" ->
       s"""WITH ${startsAndEndsCte(tsAllSql)},
          |segs2 AS (

@@ -165,8 +165,14 @@ object SpatialOps {
     * (floor(len * 2^20)), so the total is an order-free integer sum; no
     * float accumulation ever crosses a combine boundary. Zero-length
     * segments (post-smoothing dedup artifacts, when present) contribute
-    * nothing and are excluded from the count, making the stats identical
-    * whether or not an upstream dedup already collapsed them. Length is
+    * nothing and are excluded from the count, making the VALUES identical
+    * whether or not an upstream dedup already collapsed them. (ROW
+    * presence has one data-dependent edge: a threshold whose segments are
+    * ALL degenerate — only possible when a sample equals the threshold
+    * exactly, the same class the isoband oracle documents — would emit no
+    * engine row while a segment-enumerating oracle still groups one;
+    * verified absent at sf0.01/sf0.1, and a future data change fails the
+    * gate loudly rather than silently.) Length is
     * orientation- and rotation-invariant, so ring winding/starting point
     * (which assembly controls) cannot affect the result.
     *

@@ -191,18 +191,24 @@ object Lake {
     // manifests are matched by the PARSED (seq, id), not the filename seq:
     // a legacy pre-rename table can hold duplicate-seq fork siblings, and a
     // seq-only match would delete the manifest of a KEPT sibling. Torn
-    // files are skipped (they are recoverTornManifest's business).
+    // files are skipped (they are recoverTornManifest's business). Only
+    // files whose FILENAME seq is doomed are re-read (the filename seq
+    // equals the body seq under both naming schemes), so the pass costs
+    // one read per candidate, not per manifest in the table.
+    val doomedSeqs = dropped.map(_.seq).toSet
     val doomed = dropped.map(s => (s.seq, s.id)).toSet
     // manifests go FIRST: if the run dies mid-way the worst case is an
     // orphaned data directory, never a surviving complete manifest whose
     // data is gone (which resume lookups could then select and fail on)
-    manifestFiles(fs, dir).foreach { case (_, p) =>
-      val body = readFully(fs, p)
-      if (body.endsWith("\"eof\":true}")) {
-        val s = parse(body)
-        if (doomed.contains((s.seq, s.id))) fs.delete(p, false)
+    manifestFiles(fs, dir)
+      .filter { case (seq, _) => doomedSeqs.contains(seq) }
+      .foreach { case (_, p) =>
+        val body = readFully(fs, p)
+        if (body.endsWith("\"eof\":true}")) {
+          val s = parse(body)
+          if (doomed.contains((s.seq, s.id))) fs.delete(p, false)
+        }
       }
-    }
     dropped.foreach { s =>
       val dd = new Path(s.path)
       dd.getFileSystem(conf(spark)).delete(dd, true)

@@ -99,7 +99,16 @@ object RasterOps {
     *
     * Returns (y, n_cells, qsum, qmin, qmax) over qmean = floor(mean*2^20).
     */
-  val focalMean: (SparkSession, String) => DataFrame = (spark, dir) => {
+  /** The pivoted 3x3 interior window SHARED by focalMean and hornSlope:
+    * each cell replicates BY +offset (one narrow explode), one key-local
+    * shuffle groups the window, and slot o = (dy+1)*3 + dx+1 holds the
+    * value at (tx - dx, ty - dy) — the mirrored labeling both operators'
+    * oracles assume via the shared slotJoins. Interior-only (tx in
+    * [1, w-2], ty in [1, h-2]) so every slot is present. ONE definition:
+    * the slot math and interior bounds can never drift between the two
+    * operators (and out of sync with the oracle joins).
+    */
+  private def pivoted3x3(spark: SparkSession, dir: String): DataFrame = {
     val (w, h) = EventsGrid.dims(spark, dir)
     val offsets = for (dy <- -1 to 1; dx <- -1 to 1) yield (dx, dy)
     val cells = baseCells(spark, dir)
@@ -109,17 +118,23 @@ object RasterOps {
         col("o"), col("v"))
       .filter(col("tx") >= 1 && col("tx") <= w - 2 && col("ty") >= 1 && col("ty") <= h - 2)
     def q(o: Int) = max(when(col("o") === o, col("v"))).as(s"v$o")
-    val win = cells.groupBy("tx", "ty").agg(q(0), q(1), q(2), q(3), q(4), q(5), q(6), q(7), q(8))
+    cells.groupBy("tx", "ty").agg(q(0), q(1), q(2), q(3), q(4), q(5), q(6), q(7), q(8))
+  }
+
+  /** Per-cell quantized stat -> per-raster-row integer summaries. */
+  private def rowStats(win: DataFrame, qstat: org.apache.spark.sql.Column): DataFrame =
+    win.select(col("ty").cast("long").as("y"), qstat.as("qs"))
+      .groupBy("y")
+      .agg(count(lit(1)).as("n_cells"), sum(col("qs")).as("qsum"),
+        min(col("qs")).as("qmin"), max(col("qs")).as("qmax"))
+      .orderBy("y")
+
+  val focalMean: (SparkSession, String) => DataFrame = (spark, dir) => {
     // fixed parenthesization, mirrored verbatim by the oracle
     val mean = ((((col("v0") + col("v1")) + col("v2"))
       + ((col("v3") + col("v4")) + col("v5")))
       + ((col("v6") + col("v7")) + col("v8"))) / 9.0
-    val qm = floor(mean * Q20)
-    win.select(col("ty").cast("long").as("y"), qm.as("qmean"))
-      .groupBy("y")
-      .agg(count(lit(1)).as("n_cells"), sum(col("qmean")).as("qsum"),
-        min(col("qmean")).as("qmin"), max(col("qmean")).as("qmax"))
-      .orderBy("y")
+    rowStats(pivoted3x3(spark, dir), floor(mean * Q20))
   }
 
   /** Horn slope (gradient magnitude) — the standard terrain-analysis
@@ -136,28 +151,14 @@ object RasterOps {
     * Returns (y, n_cells, qsum, qmin, qmax) over qslope.
     */
   val hornSlope: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val (w, h) = EventsGrid.dims(spark, dir)
-    val offsets = for (dy <- -1 to 1; dx <- -1 to 1) yield (dx, dy)
-    val cells = baseCells(spark, dir)
-      .withColumn("o", explode(lit(offsets.map { case (dx, dy) => (dy + 1) * 3 + dx + 1 }.toArray)))
-      .select((col("x") + col("o") % 3 - 1).as("tx"),
-        (col("y") + col("o").divide(3).cast("int") - 1).as("ty"),
-        col("o"), col("v"))
-      .filter(col("tx") >= 1 && col("tx") <= w - 2 && col("ty") >= 1 && col("ty") <= h - 2)
-    def q(o: Int) = max(when(col("o") === o, col("v"))).as(s"v$o")
-    val win = cells.groupBy("tx", "ty").agg(q(0), q(1), q(2), q(3), q(4), q(5), q(6), q(7), q(8))
     // slot o holds the value at (tx - dx_o, ty - dy_o): slots 0/3/6 are the
     // +x column, 2/5/8 the -x column, 0/1/2 the +y row, 6/7/8 the -y row
+    // (the center slot v4 rides along unused — Horn never reads it)
     val gx = (((col("v0") + col("v3") * 2.0) + col("v6"))
       - ((col("v2") + col("v5") * 2.0) + col("v8"))) / 8.0
     val gy = (((col("v0") + col("v1") * 2.0) + col("v2"))
       - ((col("v6") + col("v7") * 2.0) + col("v8"))) / 8.0
-    val qs = floor(sqrt(gx * gx + gy * gy) * Q20)
-    win.select(col("ty").cast("long").as("y"), qs.as("qslope"))
-      .groupBy("y")
-      .agg(count(lit(1)).as("n_cells"), sum(col("qslope")).as("qsum"),
-        min(col("qslope")).as("qmin"), max(col("qslope")).as("qmax"))
-      .orderBy("y")
+    rowStats(pivoted3x3(spark, dir), floor(sqrt(gx * gx + gy * gy) * Q20))
   }
 
   // w halves from the constant base W=100 (floor division composes:

@@ -134,8 +134,13 @@ object StreamingContour {
     val dirs = ringDirsFor(fs, ringStore, grids)
     if (dirs.isEmpty) spark.emptyDataset[RingFragRow]
     else spark.read.schema(org.apache.spark.sql.Encoders.product[RingFragRow].schema)
-      .parquet(dirs: _*).as[RingFragRow]
-      .filter(r => grids.contains(r.gridId))
+      .parquet(dirs: _*)
+      // a COLUMN predicate (not a typed closure): pushes down to the
+      // parquet reader so legacy whole-batch reads skip non-matching row
+      // groups by column stats instead of deserializing every pts array;
+      // a no-op for the pre-pruned partitioned dirs
+      .filter(col("gridId").isin(grids.toSeq: _*))
+      .as[RingFragRow]
   }
 
   /** The directories holding `grids`' rings: each batch's matching `gid=`
