@@ -4,7 +4,7 @@ import graft.core.{Cases, GeoJson, MarchingSquares, Poly, ContourResult, Tiling}
 import graft.docs.DocCodec
 import graft.engine.ContourEngine
 import graft.model._
-import graft.queries.{EventOps, EventsGrid, MultimodalOps, RasterOps, TrainingOps}
+import graft.queries.{EventOps, EventsGrid, MultimodalOps, RasterOps, StatsOps, TrainingOps}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,6 +18,12 @@ object SparkEntry {
 
   private def engine(spark: SparkSession, smooth: Boolean = true) =
     new ContourEngine(spark, JobConfig(EventsGrid.Thresholds, smooth = smooth))
+
+  /** Visvalingam tolerance in the QUANTIZED doubled-area domain:
+    * floor(0.01 * 2^20) — the keep/drop compare happens on integers on both
+    * sides, so no FP tolerance can sit within an ulp of the decision.
+    */
+  private val SimplifyEps2Q = 10485L
 
   /** events grid -> interleaved doc table -> decode (codec always on path) */
   private def eventTiles(spark: SparkSession, dir: String): Dataset[TileRow] = {
@@ -163,6 +169,21 @@ object SparkEntry {
     "q_contour_length" -> ((spark, dir) =>
       graft.engine.SpatialOps.contourLengthStats(
         spark, engine(spark).contours(eventTiles(spark, dir)))),
+
+    // ---- shoelace moments (smooth=true): doubled signed area + centroid
+    //      numerators per threshold as order-free integer sums of per-edge
+    //      quantized f64 terms; degenerate edges contribute exactly 0 ----
+    "q_contour_moments" -> ((spark, dir) =>
+      graft.engine.SpatialOps.contourMomentStats(
+        spark, engine(spark).contours(eventTiles(spark, dir)), EventsGrid.Thresholds)),
+
+    // ---- one-pass Visvalingam simplification (smooth=true): per-vertex
+    //      effective triangle area vs its ring neighbours, KEEP decided in
+    //      the quantized integer domain (tolerance = SimplifyEps2Q) ----
+    "q_simplify_stats" -> ((spark, dir) =>
+      graft.engine.SpatialOps.simplifyStats(
+        spark, engine(spark).contours(eventTiles(spark, dir)),
+        EventsGrid.Thresholds, SimplifyEps2Q)),
 
     // ---- overview contouring: the full contour pipeline over the
     //      pyramid's level-1 grid (zoom-out vector tiles) ----
@@ -355,8 +376,10 @@ object SparkEntry {
     "q_grid_pyramid" -> RasterOps.gridPyramid,
     "q_focal_mean" -> RasterOps.focalMean,
     "q_grid_slope" -> RasterOps.hornSlope,
+    "q_grid_upsample" -> RasterOps.gridUpsample,
     "q_evt_sessionize" -> EventOps.sessionize,
     "q_evt_asof" -> EventOps.asofViewPurchase,
+    "q_auto_thresholds" -> StatsOps.autoThresholds,
     "q_emb_near_dup" -> TrainingOps.embNearDup,
     "q_doc_winnow" -> TrainingOps.winnowFingerprints,
     "q_doc_simhash" -> TrainingOps.simhash,
@@ -492,6 +515,7 @@ object SparkEntry {
        |  CROSS JOIN (VALUES (0),(1)) r(role)),
        |pts AS (
        |  SELECT threshold, cx, cy, segid, role,
+       |    ((2 * cx + odx + 3)::BIGINT * 1000000 + (2 * cy + ody + 3))::BIGINT AS pk,
        |    CASE WHEN odx = 2 AND cx BETWEEN 0 AND (SELECT w FROM dims) - 2 THEN
        |      (cx + 1)::DOUBLE
        |        + (threshold - (CASE WHEN ody = 1 AND cy >= 0 THEN v3 ELSE v0 END))
@@ -705,6 +729,63 @@ object SparkEntry {
          |        * 1048576.0)::BIGINT)::BIGINT AS qlen_sum
          |FROM segs2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // every directed segment is one ring edge (contour rings never dedup);
+    // each edge's shoelace terms quantize independently and a degenerate
+    // edge's cross is EXACTLY +0.0, so no collapse filter is needed. The
+    // expression trees mirror SpatialOps.contourMomentStats token for token.
+    "q_contour_moments" ->
+      s"""WITH ${startsAndEndsCte(tsAllSql)},
+         |segs2 AS (
+         |  SELECT s.threshold, s.px AS spx, s.py AS spy, e.px AS epx, e.py AS epy
+         |  FROM pts s JOIN pts e
+         |    ON e.threshold = s.threshold AND e.cx = s.cx AND e.cy = s.cy
+         |   AND e.segid = s.segid AND s.role = 0 AND e.role = 1),
+         |agg AS (SELECT threshold, count(*)::BIGINT AS n_edges,
+         |  sum(floor((spx * epy - epx * spy) * 1048576.0)::BIGINT)::BIGINT AS qa2_sum,
+         |  sum(floor((spx + epx) * (spx * epy - epx * spy) * 1048576.0)::BIGINT)::BIGINT AS qmx_sum,
+         |  sum(floor((spy + epy) * (spx * epy - epx * spy) * 1048576.0)::BIGINT)::BIGINT AS qmy_sum
+         |  FROM segs2 GROUP BY 1)
+         |SELECT t.threshold, COALESCE(agg.n_edges, 0)::BIGINT AS n_edges,
+         |  COALESCE(agg.qa2_sum, 0)::BIGINT AS qa2_sum,
+         |  COALESCE(agg.qmx_sum, 0)::BIGINT AS qmx_sum,
+         |  COALESCE(agg.qmy_sum, 0)::BIGINT AS qmy_sum
+         |FROM ($tsAllSql) t LEFT JOIN agg ON agg.threshold = t.threshold
+         |ORDER BY t.threshold""".stripMargin,
+
+    // ring adjacency reconstructed through the segment-successor
+    // permutation: vertex v = segment b's smoothed start, its successor =
+    // b's smoothed end (bit-identical to the next segment's start — the
+    // smoothing reads only the shared straddling corners), its predecessor
+    // = the start of the unique segment a whose endpoint key equals b's
+    // start key (start/end keys are unique per threshold). The triangle
+    // expression and the integer-domain keep compare mirror
+    // SpatialOps.simplifyStats exactly.
+    "q_simplify_stats" ->
+      s"""WITH ${startsAndEndsCte(tsAllSql)},
+         |tri AS (
+         |  SELECT b0.threshold,
+         |         a0.px AS ppx, a0.py AS ppy, b0.px AS vx, b0.py AS vy,
+         |         b1.px AS nx, b1.py AS ny
+         |  FROM pts b0
+         |  JOIN pts b1 ON b1.threshold = b0.threshold AND b1.cx = b0.cx
+         |   AND b1.cy = b0.cy AND b1.segid = b0.segid AND b0.role = 0 AND b1.role = 1
+         |  JOIN pts a1 ON a1.threshold = b0.threshold AND a1.role = 1 AND a1.pk = b0.pk
+         |  JOIN pts a0 ON a0.threshold = b0.threshold AND a0.cx = a1.cx
+         |   AND a0.cy = a1.cy AND a0.segid = a1.segid AND a0.role = 0),
+         |qa AS (SELECT threshold,
+         |  floor(abs((vx - ppx) * (ny - ppy) - (nx - ppx) * (vy - ppy))
+         |        * 1048576.0)::BIGINT AS qa
+         |  FROM tri),
+         |agg AS (SELECT threshold, count(*)::BIGINT AS n_vertices,
+         |  sum(CASE WHEN qa >= $SimplifyEps2Q THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  sum(CASE WHEN qa >= $SimplifyEps2Q THEN qa ELSE 0 END)::BIGINT AS qkept_sum
+         |  FROM qa GROUP BY 1)
+         |SELECT t.threshold, COALESCE(agg.n_vertices, 0)::BIGINT AS n_vertices,
+         |  COALESCE(agg.n_kept, 0)::BIGINT AS n_kept,
+         |  COALESCE(agg.qkept_sum, 0)::BIGINT AS qkept_sum
+         |FROM ($tsAllSql) t LEFT JOIN agg ON agg.threshold = t.threshold
+         |ORDER BY t.threshold""".stripMargin,
+
     "q_knn_vertices" ->
       s"""WITH ${startsCte("SELECT unnest([50.0]::DOUBLE[]) AS threshold")},
          |verts AS (SELECT (2 * cx + sdx)::DOUBLE / 2.0 AS vx,
@@ -884,5 +965,5 @@ object SparkEntry {
         |       (sx | (sy << 1))::BIGINT AS cell,
         |       ((sx | (sy << 1)) >> 4)::BIGINT AS parent_cell_l2
         |FROM sp2 ORDER BY event_id""".stripMargin
-  ) ++ TrainingOps.oracleSql ++ RasterOps.oracleSql ++ EventOps.oracleSql
+  ) ++ TrainingOps.oracleSql ++ RasterOps.oracleSql ++ EventOps.oracleSql ++ StatsOps.oracleSql
 }

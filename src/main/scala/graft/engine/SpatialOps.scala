@@ -198,6 +198,98 @@ object SpatialOps {
       .orderBy("threshold")
   }
 
+  /** Per-threshold shoelace MOMENT statistics over every assembled ring:
+    * the doubled signed area and both first-moment (centroid numerator)
+    * sums of the threshold's MultiPolygon, as order-free integer sums.
+    *
+    * Each directed ring edge (a -> b) contributes independently:
+    * cross = ax*by - bx*ay (the doubled-shoelace term,
+    * /root/reference/src/area.rs's summand), mx = (ax+bx)*cross,
+    * my = (ay+by)*cross (the standard polygon-centroid numerator terms,
+    * centroid = (sum mx, sum my) / (3 * sum cross)). Every term is a fixed
+    * f64 expression of ONE edge's endpoints and quantizes independently
+    * (floor(v * 2^20)), so the per-threshold totals are plain integer sums
+    * — no float accumulation crosses a combine boundary, and hole rings'
+    * opposite winding subtracts exactly as the signed cross does. A
+    * degenerate edge (a == b, post-smoothing collapse) has cross =
+    * ax*ay - ax*ay = +0.0 EXACTLY, so every one of its terms quantizes to
+    * 0: the stats are dedup-agnostic with no exclusion rule needed, and
+    * n_edges deliberately counts all directed edges (= directed
+    * marching-squares segments) so row totals stay checkable against
+    * q_segment_count-style conservation.
+    *
+    * Returns (threshold, n_edges, qa2_sum, qmx_sum, qmy_sum); thresholds
+    * with no rings report zeros (row presence is by the threshold ladder,
+    * not the data).
+    */
+  def contourMomentStats(spark: SparkSession, contours: Dataset[ContourRow],
+                         thresholds: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    val edges = contours.flatMap { c =>
+      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
+        (0 until ring.length / 2 - 1).iterator.map { i =>
+          val ax = ring(2 * i); val ay = ring(2 * i + 1)
+          val bx = ring(2 * i + 2); val by = ring(2 * i + 3)
+          val cross = ax * by - bx * ay
+          (c.threshold, 1L,
+            math.floor(cross * 1048576.0).toLong,
+            math.floor((ax + bx) * cross * 1048576.0).toLong,
+            math.floor((ay + by) * cross * 1048576.0).toLong)
+        }
+      }
+    }.toDF("threshold", "e", "qa2", "qmx", "qmy")
+      .groupBy("threshold")
+      .agg(sum(col("e")).as("n_edges"), sum(col("qa2")).as("qa2_sum"),
+        sum(col("qmx")).as("qmx_sum"), sum(col("qmy")).as("qmy_sum"))
+    edges.join(thresholds.toDF("threshold"), Seq("threshold"), "right")
+      .na.fill(0L, Seq("n_edges", "qa2_sum", "qmx_sum", "qmy_sum"))
+      .orderBy("threshold")
+  }
+
+  /** One-pass Visvalingam–Whyatt simplification statistics: for every ring
+    * vertex, the doubled area of the triangle it forms with its two ring
+    * neighbours (cyclic), and the count of vertices that SURVIVE a single
+    * elimination pass at tolerance `eps2q` — i.e. whose effective area is
+    * at least the tolerance. This is the non-iterative VW filter (one
+    * sweep, no re-evaluation after removal), the embarrassingly parallel
+    * variant that needs no sequential priority queue — the right first
+    * pass at scale, and a deterministic contract: kept(v) depends only on
+    * v's original neighbours.
+    *
+    * Exactness: the doubled triangle area is the fixed-order f64 expression
+    * (vx-px)*(ny-py) - (nx-px)*(vy-py), quantized per vertex
+    * (floor(|a2| * 2^20)), and the KEEP decision compares in the quantized
+    * INTEGER domain (qa >= eps2q) — no FP threshold can sit within an ulp
+    * of the compare. Sums over kept vertices are order-free integer sums.
+    *
+    * Returns (threshold, n_vertices, n_kept, qkept_sum); thresholds with
+    * no rings report zeros.
+    */
+  def simplifyStats(spark: SparkSession, contours: Dataset[ContourRow],
+                    thresholds: Seq[Double], eps2q: Long): DataFrame = {
+    import spark.implicits._
+    val verts = contours.flatMap { c =>
+      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
+        val n = ring.length / 2 - 1 // closing duplicate dropped; neighbours cyclic
+        (0 until n).iterator.map { i =>
+          val ip = (i + n - 1) % n; val in = (i + 1) % n
+          val px = ring(2 * ip); val py = ring(2 * ip + 1)
+          val vx = ring(2 * i); val vy = ring(2 * i + 1)
+          val nx = ring(2 * in); val ny = ring(2 * in + 1)
+          val a2 = (vx - px) * (ny - py) - (nx - px) * (vy - py)
+          val qa = math.floor(math.abs(a2) * 1048576.0).toLong
+          (c.threshold, 1L, if (qa >= eps2q) 1L else 0L, if (qa >= eps2q) qa else 0L)
+        }
+      }
+    }.toDF("threshold", "v", "kept", "qa")
+      .groupBy("threshold")
+      .agg(sum(col("v")).as("n_vertices"), sum(col("kept")).as("n_kept"),
+        sum(col("qa")).as("qkept_sum"))
+    verts.join(thresholds.toDF("threshold"), Seq("threshold"), "right")
+      .na.fill(0L, Seq("n_vertices", "n_kept", "qkept_sum"))
+      .orderBy("threshold")
+  }
+
   /** Vertices of every ring of a contour set, deduplicated per threshold
     * (the closing duplicate dropped), as (threshold, vx, vy).
     */

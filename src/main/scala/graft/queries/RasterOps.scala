@@ -161,6 +161,54 @@ object RasterOps {
     rowStats(pivoted3x3(spark, dir), floor(sqrt(gx * gx + gy * gy) * Q20))
   }
 
+  /** Bilinear 2x UPSAMPLE (the pyramid's inverse direction — overview
+    * zoom-in resampling, align_corners=false convention): output pixel
+    * (X, Y) of the 2w x 2h grid samples source coordinate
+    * ((X+0.5)/2 - 0.5, (Y+0.5)/2 - 0.5), i.e. corner sources
+    * x0 = clamp((X-1) floorDiv 2), x1 = clamp((X+1) floorDiv 2) with
+    * weights fx = 0.75 for even X, 0.25 for odd X (both EXACT in f64, as
+    * are 1-fx), edges clamped. The interpolation is the fixed-order
+    * expression (v00*(1-fx) + v10*fx)*(1-fy) + (v01*(1-fx) + v11*fx)*fy,
+    * quantized per output cell before order-free integer row summaries.
+    *
+    * Scale shape: each source cell emits its (exactly 4 x 4 = 16, clamp
+    * duplicates included) corner-role slots in one narrow flatMap; ONE
+    * key-local shuffle groups each output pixel's 4-slot window (the same
+    * replicate+pivot idiom as pivoted3x3 — never a 4-way self-join on the
+    * engine side). Returns (y, n_cells, qsum, qmin, qmax) per OUTPUT row.
+    */
+  val gridUpsample: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val src = baseCells(spark, dir).as[(Int, Int, Double)]
+    val slots = src.flatMap { case (x, y, v) =>
+      // outputs that read source index c as their LOW corner (role 0) are
+      // 2c+1 and 2c+2 (plus output 0, left-clamped, when c = 0); as their
+      // HIGH corner (role 1), 2c and 2c-1 (plus output 2n-1, right-clamped,
+      // when c is the last source index)
+      def pairs(c: Int, n2: Int, last: Int): Seq[(Int, Int)] = {
+        val b = Seq.newBuilder[(Int, Int)]
+        b += ((2 * c + 1, 0))
+        if (2 * c + 2 <= n2 - 1) b += ((2 * c + 2, 0))
+        if (c == 0) b += ((0, 0))
+        b += ((2 * c, 1))
+        if (2 * c - 1 >= 0) b += ((2 * c - 1, 1))
+        if (c == last) b += ((n2 - 1, 1))
+        b.result()
+      }
+      for ((ox, rx) <- pairs(x, 2 * w, w - 1); (oy, ry) <- pairs(y, 2 * h, h - 1))
+        yield (ox, oy, ry * 2 + rx, v)
+    }.toDF("tx", "ty", "slot", "v")
+    def q(s: Int) = max(when(col("slot") === s, col("v"))).as(s"v$s")
+    val win = slots.groupBy("tx", "ty").agg(q(0), q(1), q(2), q(3))
+    val fx = when(col("tx") % 2 === 0, lit(0.75)).otherwise(lit(0.25))
+    val fy = when(col("ty") % 2 === 0, lit(0.75)).otherwise(lit(0.25))
+    val top = (col("v0") * (lit(1.0) - fx)) + (col("v1") * fx)
+    val bot = (col("v2") * (lit(1.0) - fx)) + (col("v3") * fx)
+    val v = (top * (lit(1.0) - fy)) + (bot * fy)
+    rowStats(win, floor(v * Q20))
+  }
+
   // w halves from the constant base W=100 (floor division composes:
   // 100 -> 50 -> 25 -> 12); h halves from the data-dependent base in `d`.
   private[graft] def poolCte(l: Int, prevW: Int): String =
@@ -230,6 +278,37 @@ object RasterOps {
            |  sum(floor(slope * 1048576.0)::BIGINT)::BIGINT AS qsum,
            |  min(floor(slope * 1048576.0)::BIGINT) AS qmin,
            |  max(floor(slope * 1048576.0)::BIGINT) AS qmax
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // bilinear 2x upsample: the oracle GATHERS (4 equi-joins per output
+      // pixel) what the engine SCATTERS (replicate+pivot) — independent
+      // formulations of the same stencil; corner indices, clamp, weights
+      // and the interpolation expression tree mirror gridUpsample exactly
+      "q_grid_upsample" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |og AS (SELECT ox.ox, oy.oy
+           |  FROM (SELECT unnest(range(0, 200))::INT AS ox) ox
+           |  CROSS JOIN (SELECT unnest(range(0, 2 * (SELECT h FROM d)))::INT AS oy) oy),
+           |c AS (SELECT ox, oy,
+           |  greatest(least((ox - 1) // 2, 99), 0) AS x0, least((ox + 1) // 2, 99) AS x1,
+           |  greatest(least((oy - 1) // 2, (SELECT h FROM d) - 1), 0) AS y0,
+           |  least((oy + 1) // 2, (SELECT h FROM d) - 1) AS y1,
+           |  CASE WHEN ox % 2 = 0 THEN 0.75 ELSE 0.25 END AS fx,
+           |  CASE WHEN oy % 2 = 0 THEN 0.75 ELSE 0.25 END AS fy
+           |  FROM og),
+           |f AS (SELECT c.oy,
+           |  (b00.v * (1.0 - fx) + b10.v * fx) * (1.0 - fy)
+           |    + (b01.v * (1.0 - fx) + b11.v * fx) * fy AS v
+           |  FROM c
+           |  JOIN g b00 ON b00.x = c.x0 AND b00.y = c.y0
+           |  JOIN g b10 ON b10.x = c.x1 AND b10.y = c.y0
+           |  JOIN g b01 ON b01.x = c.x0 AND b01.y = c.y1
+           |  JOIN g b11 ON b11.x = c.x1 AND b11.y = c.y1)
+           |SELECT oy::BIGINT AS y, count(*)::BIGINT AS n_cells,
+           |  sum(floor(v * 1048576.0)::BIGINT)::BIGINT AS qsum,
+           |  min(floor(v * 1048576.0)::BIGINT) AS qmin,
+           |  max(floor(v * 1048576.0)::BIGINT) AS qmax
            |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 }

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT order statistics over the events value column —
+  * the data-driven threshold ladder ("auto thresholds") a contouring job
+  * derives its level set from when the caller doesn't supply one.
+  *
+  * Spark's own `approx_percentile` is sketch-based (not reproducible
+  * against an independent oracle) and a naive exact version is a global
+  * sort. This is the scale-safe exact alternative: two passes, no global
+  * sort anywhere.
+  *
+  *  - Pass 1: a map-side-combinable histogram over integer value buckets
+  *    (`floor(value)`), collected to the driver. The histogram is bounded
+  *    by the VALUE RANGE, not the row count (loudly asserted), so the
+  *    collect is O(range) regardless of data scale.
+  *  - Driver: fold cumulative counts; for each requested quantile q the
+  *    target rank is k = floor(q * (n-1)) + 1 (1-based k-th order
+  *    statistic), located to its bucket and within-bucket offset.
+  *  - Pass 2: only the HIT buckets (each ~1/range of the data) are ranked
+  *    by a window partitioned per bucket; a broadcast join picks each
+  *    (bucket, offset) row.
+  *
+  * Determinism: the k-th order statistic is unique AS A VALUE even under
+  * ties (any tie ordering permutes equal values among themselves), and the
+  * selected threshold is a data value — no arithmetic crosses the
+  * engine/oracle compare at all. The oracle ranks globally
+  * (`row_number() OVER (ORDER BY value)`), an independent formulation of
+  * the same statistic.
+  */
+object StatsOps {
+
+  /** The quantile ladder: quartiles plus the P90 tail guard. */
+  val Qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)
+
+  val autoThresholds: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("value"), floor(col("value")).cast("long").as("bkt"))
+    val hist = ev.groupBy("bkt").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // bounded-by-construction: one bucket per distinct integer value
+    require(hist.length <= 65536,
+      s"value-bucket histogram has ${hist.length} buckets — widen the bucket " +
+        "size before collecting (driver-side histogram must stay O(range))")
+    val n = hist.iterator.map(_._2).sum
+    require(n > 0, "autoThresholds: empty events table")
+    val located = Qs.map { q =>
+      val k = math.floor(q * (n - 1).toDouble).toLong + 1L
+      var cum = 0L
+      var i = 0
+      while (cum + hist(i)._2 < k) { cum += hist(i)._2; i += 1 }
+      (q, k, hist(i)._1, k - cum)
+    }
+    val need = located.toDF("q", "k", "nbkt", "off")
+    val hit = located.map(_._3).distinct
+    val w = Window.partitionBy("bkt").orderBy("value")
+    ev.filter(col("bkt").isin(hit: _*))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(need), col("bkt") === col("nbkt") && col("rn") === col("off"))
+      .select(col("q"), col("k"), col("value").as("threshold"))
+      .orderBy("q")
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_auto_thresholds" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n FROM events),
+        |qs(q) AS (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.75::DOUBLE), (0.9::DOUBLE)),
+        |k AS (SELECT q, (floor(q * (n - 1))::BIGINT + 1)::BIGINT AS k
+        |      FROM qs CROSS JOIN n),
+        |r AS (SELECT value, row_number() OVER (ORDER BY value)::BIGINT AS rn FROM events)
+        |SELECT k.q, k.k, r.value AS threshold
+        |FROM k JOIN r ON r.rn = k.k ORDER BY k.q""".stripMargin
+  )
+}

@@ -152,6 +152,79 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(want.forall(_._2 > 0))
   }
 
+  test("contourMomentStats == in-memory shoelace recompute; zero rows for empty thresholds") {
+    import spark.implicits._
+    val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
+    val tiles = GridSynth.tilesFromArray(spark, "gm", data, w, h, 16, 16)
+    val thresholds = Seq(110.0, 150.0, 1000.0) // 1000: no rings -> zero row
+    val cts = new ContourEngine(spark, JobConfig(thresholds, smooth = true)).contours(tiles)
+    val got = SpatialOps.contourMomentStats(spark, cts, thresholds)
+      .as[(Double, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val byT = cts.collect().map { c =>
+      var n = 0L; var qa = 0L; var qmx = 0L; var qmy = 0L
+      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).foreach { ring =>
+        var i = 0
+        while (i < ring.length - 2) {
+          val ax = ring(i); val ay = ring(i + 1)
+          val bx = ring(i + 2); val by = ring(i + 3)
+          val cross = ax * by - bx * ay
+          n += 1
+          qa += math.floor(cross * 1048576.0).toLong
+          qmx += math.floor((ax + bx) * cross * 1048576.0).toLong
+          qmy += math.floor((ay + by) * cross * 1048576.0).toLong
+          i += 2
+        }
+      }
+      c.threshold -> ((n, qa, qmx, qmy))
+    }.toMap
+    val want = thresholds.sorted.map { t =>
+      val (n, qa, qmx, qmy) = byT.getOrElse(t, (0L, 0L, 0L, 0L))
+      (t, n, qa, qmx, qmy)
+    }
+    assert(got == want)
+    assert(got.exists(_._2 > 0)) // non-trivial rings present
+    assert(got.find(_._1 == 1000.0).get._2 == 0L) // empty threshold reports zeros
+    // centroid sanity: (sum mx, sum my) / (3 * sum cross) lands inside the grid
+    got.filter(r => r._2 > 0 && r._3 != 0L).foreach { case (t, _, qa, qmx, qmy) =>
+      val cx = qmx.toDouble / (3.0 * qa); val cy = qmy.toDouble / (3.0 * qa)
+      assert(cx > 0 && cx < w && cy > 0 && cy < h, s"centroid off-grid at t=$t: ($cx, $cy)")
+    }
+  }
+
+  test("simplifyStats == in-memory recompute; eps=0 keeps all, huge eps keeps none") {
+    import spark.implicits._
+    val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
+    val tiles = GridSynth.tilesFromArray(spark, "gs", data, w, h, 16, 16)
+    val thresholds = Seq(110.0, 150.0)
+    val cts = new ContourEngine(spark, JobConfig(thresholds, smooth = true)).contours(tiles)
+    val eps = 10485L
+    val got = SpatialOps.simplifyStats(spark, cts, thresholds, eps)
+      .as[(Double, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = cts.collect().map { c =>
+      var nv = 0L; var nk = 0L; var qs = 0L
+      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).foreach { ring =>
+        val n = ring.length / 2 - 1
+        for (i <- 0 until n) {
+          val ip = (i + n - 1) % n; val in = (i + 1) % n
+          val a2 = (ring(2 * i) - ring(2 * ip)) * (ring(2 * in + 1) - ring(2 * ip + 1)) -
+            (ring(2 * in) - ring(2 * ip)) * (ring(2 * i + 1) - ring(2 * ip + 1))
+          val qa = math.floor(math.abs(a2) * 1048576.0).toLong
+          nv += 1
+          if (qa >= eps) { nk += 1; qs += qa }
+        }
+      }
+      (c.threshold, nv, nk, qs)
+    }.sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.forall(r => r._3 > 0 && r._3 < r._2)) // tolerance splits non-trivially
+    val all = SpatialOps.simplifyStats(spark, cts, thresholds, 0L)
+      .as[(Double, Long, Long, Long)].collect()
+    assert(all.forall(r => r._2 == r._3)) // eps 0 keeps every vertex
+    val none = SpatialOps.simplifyStats(spark, cts, thresholds, Long.MaxValue)
+      .as[(Double, Long, Long, Long)].collect()
+    assert(none.forall(r => r._3 == 0L && r._4 == 0L))
+  }
+
   test("knnVertices bucketed == brute force") {
     import spark.implicits._
     val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")

@@ -117,4 +117,32 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(got == expected)
     assert(expected.exists(_._2 > 0))
   }
+
+  test("gridUpsample matches a local fixed-order bilinear recompute") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val w = 100
+    val h = ev.length / w
+    def v(y: Int, x: Int) = ev(y * w + x)._2
+    def clamp(c: Int, hi: Int) = math.max(0, math.min(c, hi))
+    val expected = (0 until 2 * h).map { oy =>
+      val y0 = clamp(Math.floorDiv(oy - 1, 2), h - 1)
+      val y1 = clamp(Math.floorDiv(oy + 1, 2), h - 1)
+      val fy = if (oy % 2 == 0) 0.75 else 0.25
+      val qs = (0 until 2 * w).map { ox =>
+        val x0 = clamp(Math.floorDiv(ox - 1, 2), w - 1)
+        val x1 = clamp(Math.floorDiv(ox + 1, 2), w - 1)
+        val fx = if (ox % 2 == 0) 0.75 else 0.25
+        val top = (v(y0, x0) * (1.0 - fx)) + (v(y0, x1) * fx)
+        val bot = (v(y1, x0) * (1.0 - fx)) + (v(y1, x1) * fx)
+        math.floor(((top * (1.0 - fy)) + (bot * fy)) * 1048576.0).toLong
+      }
+      (oy.toLong, qs.length.toLong, qs.sum, qs.min, qs.max)
+    }
+    val got = RasterOps.gridUpsample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.length == 2 * h && got.head._2 == 2L * w)
+  }
 }
