@@ -373,6 +373,7 @@ object SparkEntry {
     "q_doc_dup_clusters" -> TrainingOps.dupClusters,
     "q_doc_stratified_sample" -> TrainingOps.stratifiedSample,
     "q_doc_source_stats" -> TrainingOps.sourceStats,
+    "q_doc_top_terms" -> TrainingOps.topTerms,
     "q_grid_pyramid" -> RasterOps.gridPyramid,
     "q_focal_mean" -> RasterOps.focalMean,
     "q_grid_slope" -> RasterOps.hornSlope,

@@ -95,6 +95,30 @@ object TrainingOps {
         col("n_docs"), col("sum_chars"), col("min_doc"))
       .orderBy("source", "lang")
 
+  // ---- top-k terms per source: exact heavy-hitters over the corpus ----
+
+  /** The k most frequent tokens per source, exactly, with a fully
+    * deterministic rank (count DESC, token ASC — no sketch, no tie
+    * ambiguity). Scale shape: the heavy reduction is the map-side
+    * combinable (source, token) groupBy — the explode never shuffles raw
+    * tokens, only partial counts; the rank window then sees ONE row per
+    * distinct term (vocabulary-sized, not corpus-sized), partitioned by
+    * source. At 100 TB the vocabulary is the small side by orders of
+    * magnitude; per-source skew is AQE-manageable.
+    */
+  val topTerms: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val k = 10
+    val counts = docs(spark, dir)
+      .select(col("source"), explode(toks).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n").desc, col("tok").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("tok"), col("n"))
+      .orderBy("source", "rank")
+  }
+
   // ---- MinHash signatures: word 3-gram shingles, 16 md5-derived hashes ----
   private val NumHashes = 16
 
@@ -726,6 +750,16 @@ object TrainingOps {
         |sz AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM cc GROUP BY 1)
         |SELECT cc.doc_id, cc.cluster_id, sz.csize
         |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+
+    "q_doc_top_terms" ->
+      """WITH t AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |           FROM documents),
+        |c AS (SELECT source, tok, count(*)::BIGINT AS n FROM t GROUP BY 1, 2),
+        |r AS (SELECT source, tok, n,
+        |             row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rank
+        |      FROM c)
+        |SELECT source, rank::BIGINT AS rank, tok, n
+        |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
 
     "q_doc_source_stats" ->
       """SELECT CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,
