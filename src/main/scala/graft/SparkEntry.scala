@@ -193,6 +193,49 @@ object SparkEntry {
       contourChecksumDf(spark, engine(spark).contours(tiles))
     }),
 
+    // ---- contour extent (ST_Extent analog): per-threshold bounding box of
+    //      every ring vertex in the quantized domain (min/max/count are
+    //      order-free); thresholds with no rings emit no row on either side ----
+    "q_contour_extent" -> ((spark, dir) => {
+      import spark.implicits._
+      engine(spark).contours(eventTiles(spark, dir))
+        .flatMap { c =>
+          var n = 0L
+          var mnx = Long.MaxValue; var mxx = Long.MinValue
+          var mny = Long.MaxValue; var mxy = Long.MinValue
+          c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).foreach { ring =>
+            var i = 0
+            val m = ring.length - 2 // closing duplicate
+            while (i < m) {
+              val qx = math.floor(ring(i) * 1048576.0).toLong
+              val qy = math.floor(ring(i + 1) * 1048576.0).toLong
+              if (qx < mnx) mnx = qx
+              if (qx > mxx) mxx = qx
+              if (qy < mny) mny = qy
+              if (qy > mxy) mxy = qy
+              n += 1
+              i += 2
+            }
+          }
+          if (n == 0) None else Some((c.threshold, n, mnx, mxx, mny, mxy))
+        }
+        .toDF("threshold", "n_points", "qxmin", "qxmax", "qymin", "qymax")
+        .orderBy("threshold")
+    }),
+
+    // ---- point density (heatmap binning): events into 10x10 superpixels,
+    //      count + order-free quantized value sum per bin ----
+    "q_point_density" -> ((spark, dir) => {
+      val (w, _) = EventsGrid.dims(spark, dir)
+      spark.read.parquet(s"$dir/events.parquet")
+        .selectExpr(s"cast((event_id % $w) div 10 as long) as bx",
+          s"cast((event_id div $w) div 10 as long) as by",
+          "floor(value * 1048576.0) as qv")
+        .groupBy("bx", "by")
+        .agg(count(lit(1)).as("n"), sum("qv").as("qsum"))
+        .orderBy("bx", "by")
+    }),
+
     // ---- isolines (smooth=true): same checksum through the lines path ----
     "q_lines_stats" -> ((spark, dir) => {
       import spark.implicits._
@@ -374,6 +417,7 @@ object SparkEntry {
     "q_doc_stratified_sample" -> TrainingOps.stratifiedSample,
     "q_doc_source_stats" -> TrainingOps.sourceStats,
     "q_doc_top_terms" -> TrainingOps.topTerms,
+    "q_doc_char_terms" -> TrainingOps.charTerms,
     "q_grid_pyramid" -> RasterOps.gridPyramid,
     "q_focal_mean" -> RasterOps.focalMean,
     "q_grid_slope" -> RasterOps.hornSlope,
@@ -786,6 +830,27 @@ object SparkEntry {
          |  COALESCE(agg.qkept_sum, 0)::BIGINT AS qkept_sum
          |FROM ($tsAllSql) t LEFT JOIN agg ON agg.threshold = t.threshold
          |ORDER BY t.threshold""".stripMargin,
+
+    // per-threshold extent over the same smoothed vertex multiset the
+    // checksum oracles reconstruct; min/max need no dedup handling
+    // (contour rings never dedup) and presence is symmetric (GROUP BY
+    // emits no row where no segments exist, matching the engine's filter)
+    "q_contour_extent" ->
+      s"""WITH ${startsCte(tsAllSql)},
+         |$smoothPtsCte
+         |SELECT threshold, count(*)::BIGINT AS n_points,
+         |  min(floor(px * 1048576.0)::BIGINT) AS qxmin,
+         |  max(floor(px * 1048576.0)::BIGINT) AS qxmax,
+         |  min(floor(py * 1048576.0)::BIGINT) AS qymin,
+         |  max(floor(py * 1048576.0)::BIGINT) AS qymax
+         |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_point_density" ->
+      """SELECT ((event_id % 100) // 10)::BIGINT AS bx,
+        |       ((event_id // 100) // 10)::BIGINT AS by,
+        |       count(*)::BIGINT AS n,
+        |       sum(floor(value * 1048576.0)::BIGINT)::BIGINT AS qsum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_knn_vertices" ->
       s"""WITH ${startsCte("SELECT unnest([50.0]::DOUBLE[]) AS threshold")},

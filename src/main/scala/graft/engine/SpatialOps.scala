@@ -290,6 +290,26 @@ object SpatialOps {
       .orderBy("threshold")
   }
 
+  /** Full Douglas–Peucker simplification of every ring of a contour set
+    * (core.Simplify) at tolerance `eps` — the recursive companion to the
+    * one-pass simplifyStats filter. The distribution unit is the RING
+    * (perimeter-bounded), executed inside one narrow map — no shuffle.
+    * Rings that simplify below 3 distinct vertices are dropped; a polygon
+    * whose exterior degenerates is dropped with its holes.
+    */
+  def simplifyContours(contours: Dataset[ContourRow], eps: Double): Dataset[ContourRow] = {
+    import contours.sparkSession.implicits._
+    contours.map { c =>
+      graft.model.ContourRow(c.gridId, c.threshold, c.polygons.flatMap { p =>
+        val ext = graft.core.Simplify.ring(p.exterior.toArray, eps)
+        if (ext.length < 8) None // fewer than 3 distinct vertices + close
+        else Some(graft.model.PolyRow(ext.toSeq,
+          p.holes.map(h => graft.core.Simplify.ring(h.toArray, eps))
+            .filter(_.length >= 8).map(_.toSeq)))
+      })
+    }
+  }
+
   /** Vertices of every ring of a contour set, deduplicated per threshold
     * (the closing duplicate dropped), as (threshold, vx, vy).
     */

@@ -119,6 +119,32 @@ object TrainingOps {
       .orderBy("source", "rank")
   }
 
+  /** Characteristic terms per document — the TF-IDF idea with an
+    * INTEGER-EXACT score: score = (tf * 1_000_000) div df (tf = term count
+    * in the doc, df = number of docs containing the term). Monotone in
+    * tf/df exactly like tf*idf for ranking purposes, but no log/float ever
+    * crosses the engine/oracle compare; ties break (score DESC, token
+    * ASC). Scale shape: tf is the map-side-combinable (doc, token)
+    * groupBy; df aggregates the vocabulary-sized tf table; the join is
+    * token-keyed (df is the broadcastable side at any corpus size); the
+    * rank window partitions per doc over at most |doc vocabulary| rows.
+    */
+  val charTerms: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val k = 3
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+    tf.join(df, "tok")
+      .withColumn("score", expr("(tf * 1000000L) div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   // ---- MinHash signatures: word 3-gram shingles, 16 md5-derived hashes ----
   private val NumHashes = 16
 
@@ -750,6 +776,19 @@ object TrainingOps {
         |sz AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM cc GROUP BY 1)
         |SELECT cc.doc_id, cc.cluster_id, sz.csize
         |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+
+    "q_doc_char_terms" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |           FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |             ((tf.tf * 1000000) // df.df)::BIGINT AS score
+        |      FROM tf JOIN df USING (tok)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+        |      FROM s)
+        |SELECT doc_id, rank::BIGINT AS rank, tok, tf, df, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_doc_top_terms" ->
       """WITH t AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
