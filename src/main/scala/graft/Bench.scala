@@ -80,9 +80,21 @@ object Bench {
   private val OpsQueries =
     Seq("q_grid_pyramid", "q_pyramid_contours", "q_pip_tag", "q_evt_sessionize")
 
-  private def runOpsOnce(spark: SparkSession, sfDir: String): Long =
-    try OpsQueries.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum
+  /** Third workload: the round-4 operator wave — zonal statistics (contours
+    * + partitioned PIP + aggregation), bilinear upsample, exact quantile
+    * thresholds, shoelace moments, and the two text rankers — same contract
+    * surface, same interleaved min-of-passes discipline.
+    */
+  private val Ops2Queries =
+    Seq("q_zonal_stats", "q_grid_upsample", "q_auto_thresholds",
+      "q_contour_moments", "q_doc_top_terms", "q_doc_char_terms")
+
+  private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
+    try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum
     finally spark.sqlContext.clearCache()
+
+  private def runOpsOnce(spark: SparkSession, sfDir: String): Long =
+    runQueriesOnce(spark, sfDir, OpsQueries)
 
   private def runOnce(spark: SparkSession, path: String, maxTileCoord: Int): Long = {
     implicit val s = spark
@@ -159,6 +171,8 @@ object Bench {
     val opsCpus = math.min(16, maxCpus)
     var opsBest = Double.MaxValue
     var opsRows = 0L
+    var ops2Best = Double.MaxValue
+    var ops2Rows = 0L
     def runOpsLeg(pass: Int): Unit = {
       val s = session(opsCpus)
       try {
@@ -167,6 +181,11 @@ object Bench {
         val el = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] pass=$pass ops_pipeline cpus=$opsCpus elapsed=$el%.2fs rows=$opsRows")
         opsBest = math.min(opsBest, el)
+        val t1 = System.nanoTime()
+        ops2Rows = runQueriesOnce(s, sfDir, Ops2Queries)
+        val el2 = (System.nanoTime() - t1) / 1e9
+        System.err.println(f"[bench] pass=$pass ops2_pipeline cpus=$opsCpus elapsed=$el2%.2fs rows=$ops2Rows")
+        ops2Best = math.min(ops2Best, el2)
       } finally s.stop()
     }
     for (pass <- 0 until passes) {
@@ -212,6 +231,8 @@ object Bench {
       s""""scaling_efficiency_4_to_16":$eff416""",
       s""""ops_pipeline_c$opsCpus":$opsBest""",
       s""""ops_pipeline_rows":$opsRows""",
+      s""""ops2_pipeline_c$opsCpus":$ops2Best""",
+      s""""ops2_pipeline_rows":$ops2Rows""",
       s""""gen_sec":$genSec""",
       s""""cells":${cellsOf(gridsBig)}"""
     ).mkString("{", ",", "}")

@@ -425,6 +425,18 @@ object SparkEntry {
     "q_evt_sessionize" -> EventOps.sessionize,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,
+
+    // ---- composition: the auto-threshold ladder feeding the FULL contour
+    //      pipeline (quantile selection -> tiling -> kernel -> stitch ->
+    //      assembly -> smoothing), checksum-oracled end to end; the
+    //      4-value collect is bounded by the ladder, not the data ----
+    "q_auto_contours" -> ((spark, dir) => {
+      import spark.implicits._
+      val ths = StatsOps.autoThresholds(spark, dir)
+        .select("threshold").as[Double].collect().toSeq.distinct
+      val eng = new ContourEngine(spark, JobConfig(ths, smooth = true))
+      contourChecksumDf(spark, eng.contours(eventTiles(spark, dir)))
+    }),
     "q_emb_near_dup" -> TrainingOps.embNearDup,
     "q_doc_winnow" -> TrainingOps.winnowFingerprints,
     "q_doc_simhash" -> TrainingOps.simhash,
@@ -650,8 +662,9 @@ object SparkEntry {
        |FROM ringsz ORDER BY threshold, ring_rank""".stripMargin
   }
 
-  private def smoothChecksumOver(prefixCtes: String, dimsSql: String, gSql: String): String =
-    s"""WITH $prefixCtes${startsCteOver(dimsSql, gSql, tsAllSql)},
+  private def smoothChecksumOver(prefixCtes: String, dimsSql: String, gSql: String,
+                                 thresholdsSql: String = tsAllSql): String =
+    s"""WITH $prefixCtes${startsCteOver(dimsSql, gSql, thresholdsSql)},
        |$smoothPtsCte,
        |agg AS (SELECT threshold, count(*)::BIGINT AS n_points,
        |  SUM(floor(px * 1048576.0)::BIGINT)::BIGINT AS qx_sum,
@@ -660,8 +673,20 @@ object SparkEntry {
        |SELECT t.threshold, COALESCE(agg.n_points, 0)::BIGINT AS n_points,
        |  COALESCE(agg.qx_sum, 0)::BIGINT AS qx_sum,
        |  COALESCE(agg.qy_sum, 0)::BIGINT AS qy_sum
-       |FROM ($tsAllSql) t LEFT JOIN agg ON agg.threshold = t.threshold
+       |FROM ($thresholdsSql) t LEFT JOIN agg ON agg.threshold = t.threshold
        |ORDER BY t.threshold""".stripMargin
+
+  /** The auto-threshold ladder (StatsOps' exact order statistics) as a
+    * threshold subquery — composes the quantile operator with the full
+    * contour reconstruction, entirely in SQL on the oracle side.
+    */
+  private val autoThresholdsSql: String =
+    """SELECT DISTINCT r.value AS threshold
+      |FROM (SELECT (floor(q * (n - 1))::BIGINT + 1)::BIGINT AS k
+      |      FROM (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.75::DOUBLE), (0.9::DOUBLE)) qs(q)
+      |      CROSS JOIN (SELECT count(*)::BIGINT AS n FROM events) n) k
+      |JOIN (SELECT value, row_number() OVER (ORDER BY value)::BIGINT AS rn
+      |      FROM events) r ON r.rn = k.k""".stripMargin
 
   private val smoothChecksumSql: String = smoothChecksumOver("",
     "SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events",
@@ -687,6 +712,10 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (omit => weaker rows-only check). */
   def oracleSql: Map[String, String] = Map(
     "q_contours_stats" -> smoothChecksumSql,
+    "q_auto_contours" -> smoothChecksumOver("",
+      "SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events",
+      "SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events",
+      autoThresholdsSql),
     "q_pyramid_contours" -> pyramidContoursSql,
     "q_lines_stats" -> smoothChecksumSql,
     "q_geojson" -> ringWalkSql(tsAllSql),
