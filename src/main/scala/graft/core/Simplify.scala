@@ -37,25 +37,36 @@ object Simplify {
 
   /** Simplify the OPEN chain ring[i0..i1] (interleaved xy, vertex
     * indices); appends kept INTERIOR vertex indices to `keep` (endpoints
-    * are the caller's).
+    * are the caller's). Explicit stack, not call recursion: worst-case
+    * split depth is O(chain length) (e.g. a spiral whose farthest point is
+    * always adjacent to an endpoint), which would overflow the JVM stack
+    * on the multi-million-vertex perimeter rings a 100 TB raster can
+    * produce. In-order emission is preserved by pushing the right half
+    * before the left (LIFO): the left subchain fully resolves before its
+    * split vertex, which precedes the right subchain.
     */
-  private def dpChain(ring: Array[Double], i0: Int, i1: Int, epsSq: Double,
+  private def dpChain(ring: Array[Double], c0: Int, c1: Int, epsSq: Double,
                       keep: ArrayBuffer[Int]): Unit = {
-    if (i1 - i0 < 2) return
-    val ax = ring(2 * i0); val ay = ring(2 * i0 + 1)
-    val bx = ring(2 * i1); val by = ring(2 * i1 + 1)
-    var best = -1
-    var bestD = epsSq
-    var i = i0 + 1
-    while (i < i1) {
-      val d = distSq(ax, ay, bx, by, ring(2 * i), ring(2 * i + 1))
-      if (d > bestD) { bestD = d; best = i } // strict: ties keep smallest index
-      i += 1
-    }
-    if (best >= 0) {
-      dpChain(ring, i0, best, epsSq, keep)
-      keep += best
-      dpChain(ring, best, i1, epsSq, keep)
+    if (c1 - c0 < 2) return
+    var stack = List((c0, c1))
+    while (stack.nonEmpty) {
+      val (i0, i1) = stack.head
+      stack = stack.tail
+      if (i1 - i0 >= 2) {
+        val ax = ring(2 * i0); val ay = ring(2 * i0 + 1)
+        val bx = ring(2 * i1); val by = ring(2 * i1 + 1)
+        var best = -1
+        var bestD = epsSq
+        var i = i0 + 1
+        while (i < i1) {
+          val d = distSq(ax, ay, bx, by, ring(2 * i), ring(2 * i + 1))
+          if (d > bestD) { bestD = d; best = i } // strict: ties keep smallest index
+          i += 1
+        }
+        if (best >= 0) stack = (i0, best) :: (-best, -best) :: (best, i1) :: stack
+      } else if (i0 < 0 && i0 == i1) {
+        keep += -i0 // emit marker: the split vertex, in order
+      }
     }
   }
 
