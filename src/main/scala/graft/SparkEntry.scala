@@ -422,6 +422,7 @@ object SparkEntry {
     "q_focal_mean" -> RasterOps.focalMean,
     "q_grid_slope" -> RasterOps.hornSlope,
     "q_grid_upsample" -> RasterOps.gridUpsample,
+    "q_flow_dir" -> RasterOps.d8FlowDir,
     "q_evt_sessionize" -> EventOps.sessionize,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,

@@ -161,6 +161,39 @@ object RasterOps {
     rowStats(pivoted3x3(spark, dir), floor(sqrt(gx * gx + gy * gy) * Q20))
   }
 
+  /** D8 flow direction — the standard hydrology operator — over the grid
+    * interior: each cell drains to the steepest-descent neighbour of its
+    * 3x3 window, drop = (center - neighbour) / distance (distance sqrt(2)
+    * on diagonals, correctly rounded on both sides). ENTIRELY in the
+    * integer domain after per-neighbour quantization: each neighbour's
+    * drop quantizes to qd = floor(drop * 2^20), packs as qd * 16 + (8 -
+    * slot), and the cell's direction is the plain BIGINT `greatest` of
+    * the 8 packed values — ties on equal quantized drop resolve to the
+    * SMALLEST slot index by construction (larger 8-slot wins), with no
+    * float compare anywhere near the argmax. Cells with no positive drop
+    * (pits/flats) report direction -1. Output is the per-direction
+    * histogram (n_cells + max packed value, decode-free and order-free).
+    */
+  val d8FlowDir: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val win = pivoted3x3(spark, dir)
+    val slots = Seq(0, 1, 2, 3, 5, 6, 7, 8)
+    val sqrt2 = math.sqrt(2.0)
+    def packed(o: Int) = {
+      val dxo = o % 3 - 1; val dyo = o / 3 - 1
+      val dist = if (dxo != 0 && dyo != 0) sqrt2 else 1.0
+      floor((col("v4") - col(s"v$o")) / lit(dist) * Q20).cast("long") * 16L + (8L - o)
+    }
+    val pmax = greatest(slots.map(packed): _*)
+    // best drop >= 1 quantum <=> pmax >= 16 (qd=0 packs into [0,8], qd<0
+    // packs negative); % only ever decodes a non-negative pmax, where
+    // Spark's truncating % and DuckDB's % agree
+    val dircol = when(pmax >= 16L, lit(8L) - pmax % 16L).otherwise(lit(-1L))
+    win.select(dircol.as("dir"), pmax.as("qpk"))
+      .groupBy("dir")
+      .agg(count(lit(1)).as("n_cells"), max("qpk").as("qpk_max"))
+      .orderBy("dir")
+  }
+
   /** Bilinear 2x UPSAMPLE (the pyramid's inverse direction — overview
     * zoom-in resampling, align_corners=false convention): output pixel
     * (X, Y) of the 2w x 2h grid samples source coordinate
@@ -279,6 +312,26 @@ object RasterOps {
            |  min(floor(slope * 1048576.0)::BIGINT) AS qmin,
            |  max(floor(slope * 1048576.0)::BIGINT) AS qmax
            |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // D8: the packed-argmax trick mirrored term for term; sqrt(2.0) is
+      // correctly rounded on both sides, % decodes only non-negative pmax
+      "q_flow_dir" -> {
+        val terms = Seq(0, 1, 2, 3, 5, 6, 7, 8).map { o =>
+          val dxo = o % 3 - 1; val dyo = o / 3 - 1
+          val distSql = if (dxo != 0 && dyo != 0) "sqrt(2.0)" else "1.0"
+          s"(floor((t.v - b$o.v) / $distSql * 1048576.0)::BIGINT * 16 + ${8 - o})"
+        }.mkString(",\n    ")
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |p AS (SELECT greatest(
+           |    $terms) AS pmax
+           |  FROM g t
+           |  $slotJoins
+           |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+           |f AS (SELECT CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir, pmax FROM p)
+           |SELECT dir::BIGINT AS dir, count(*)::BIGINT AS n_cells, max(pmax) AS qpk_max
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+      },
 
       // bilinear 2x upsample: the oracle GATHERS (4 equi-joins per output
       // pixel) what the engine SCATTERS (replicate+pivot) — independent

@@ -118,6 +118,34 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(expected.exists(_._2 > 0))
   }
 
+  test("d8FlowDir matches a local packed-argmax recompute; pits reported as -1") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val w = 100
+    val h = ev.length / w
+    def v(y: Int, x: Int) = ev(y * w + x)._2
+    val sqrt2 = math.sqrt(2.0)
+    val hist = scala.collection.mutable.Map[Long, (Long, Long)]()
+    for (y <- 1 to h - 2; x <- 1 to w - 2) {
+      var pmax = Long.MinValue
+      for (o <- Seq(0, 1, 2, 3, 5, 6, 7, 8)) {
+        val dxo = o % 3 - 1; val dyo = o / 3 - 1
+        val dist = if (dxo != 0 && dyo != 0) sqrt2 else 1.0
+        val p = math.floor((v(y, x) - v(y - dyo, x - dxo)) / dist * 1048576.0).toLong * 16L + (8L - o)
+        if (p > pmax) pmax = p
+      }
+      val dir = if (pmax >= 16L) 8L - pmax % 16L else -1L
+      val (n, m) = hist.getOrElse(dir, (0L, Long.MinValue))
+      hist(dir) = (n + 1, math.max(m, pmax))
+    }
+    val expected = hist.toSeq.map { case (d, (n, m)) => (d, n, m) }.sortBy(_._1)
+    val got = RasterOps.d8FlowDir(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(expected.map(_._2).sum == (w - 2).toLong * (h - 2)) // every interior cell classified
+  }
+
   test("gridUpsample matches a local fixed-order bilinear recompute") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$sf/events.parquet")
