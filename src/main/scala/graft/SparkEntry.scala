@@ -193,6 +193,26 @@ object SparkEntry {
       contourChecksumDf(spark, engine(spark).contours(tiles))
     }),
 
+    // ---- full Douglas–Peucker simplification through the distributed
+    //      wrapper (rows-only contract: the recursion's data-dependent
+    //      branching is not SQL-expressible — DP is the one deliberate
+    //      exception to the oracle rule, and its exactness is covered by
+    //      SimplifySpec's property suite + the in-order-subset contract) ----
+    "q_simplify_dp" -> ((spark, dir) => {
+      import spark.implicits._
+      val cts = engine(spark).contours(eventTiles(spark, dir))
+      val simplified = graft.engine.SpatialOps.simplifyContours(cts, eps = 0.05)
+      cts.joinWith(simplified, cts("threshold") === simplified("threshold"))
+        .map { case (a, b) =>
+          def nv(c: ContourRow) = c.polygons.iterator
+            .flatMap(p => (p.exterior +: p.holes).iterator).map(_.length / 2 - 1).sum.toLong
+          def nr(c: ContourRow) = c.polygons.iterator.map(1L + _.holes.length).sum
+          (a.threshold, nr(a), nv(a), nr(b), nv(b))
+        }
+        .toDF("threshold", "n_rings", "n_vertices", "n_rings_dp", "n_vertices_dp")
+        .orderBy("threshold")
+    }),
+
     // ---- contour extent (ST_Extent analog): per-threshold bounding box of
     //      every ring vertex in the quantized domain (min/max/count are
     //      order-free); thresholds with no rings emit no row on either side ----

@@ -1,19 +1,21 @@
 package graft.core
 
-import scala.collection.mutable.ArrayBuffer
-
 /** Douglas–Peucker polyline/ring simplification — the full recursive
   * algorithm (complementing SpatialOps.simplifyStats' one-pass
   * Visvalingam filter, which is the embarrassingly-parallel variant).
   * Executed per ring inside a row map: rings are perimeter-bounded, so
-  * the recursion depth and working set are bounded by the ring length —
-  * the distribution unit is the ring, never the vertex.
+  * the working set is bounded by the ring length — the distribution unit
+  * is the ring, never the vertex.
   *
   * Deterministic by construction: the split vertex is the FARTHEST from
   * the current chord, ties broken by smallest index; closed rings anchor
   * at vertex 0 and the farthest vertex from it (same tie-break), then
   * simplify the two open chains. All comparisons are on squared f64
   * distances — no sqrt, no tolerance ulp games.
+  *
+  * Boxing-free hot path (the rings this targets can carry millions of
+  * vertices): the DFS work stack and the kept-index buffer are primitive
+  * Int arrays grown by doubling — no cons cells, no boxed Integers.
   */
 object Simplify {
 
@@ -35,23 +37,40 @@ object Simplify {
     }
   }
 
+  /** Growable primitive int buffer (DoubleBuf's idiom). */
+  private final class IntBuf(initialCap: Int) {
+    var arr = new Array[Int](math.max(8, initialCap))
+    var len = 0
+    @inline def push(v: Int): Unit = {
+      if (len == arr.length) {
+        val na = new Array[Int](arr.length * 2)
+        System.arraycopy(arr, 0, na, 0, len)
+        arr = na
+      }
+      arr(len) = v; len += 1
+    }
+  }
+
   /** Simplify the OPEN chain ring[i0..i1] (interleaved xy, vertex
     * indices); appends kept INTERIOR vertex indices to `keep` (endpoints
-    * are the caller's). Explicit stack, not call recursion: worst-case
-    * split depth is O(chain length) (e.g. a spiral whose farthest point is
-    * always adjacent to an endpoint), which would overflow the JVM stack
-    * on the multi-million-vertex perimeter rings a 100 TB raster can
-    * produce. In-order emission is preserved by pushing the right half
-    * before the left (LIFO): the left subchain fully resolves before its
-    * split vertex, which precedes the right subchain.
+    * are the caller's). Explicit primitive-int stack, not call recursion:
+    * worst-case split depth is O(chain length) (e.g. a spiral whose
+    * farthest point is always adjacent to an endpoint), which would
+    * overflow the JVM stack on the multi-million-vertex perimeter rings a
+    * 100 TB raster can produce. In-order emission is preserved by pushing
+    * right-half, emit-marker (encoded as the pair (-v, -v)), then
+    * left-half (LIFO): the left subchain fully resolves before its split
+    * vertex, which precedes the right subchain.
     */
   private def dpChain(ring: Array[Double], c0: Int, c1: Int, epsSq: Double,
-                      keep: ArrayBuffer[Int]): Unit = {
+                      keep: IntBuf): Unit = {
     if (c1 - c0 < 2) return
-    var stack = List((c0, c1))
-    while (stack.nonEmpty) {
-      val (i0, i1) = stack.head
-      stack = stack.tail
+    val stack = new IntBuf(32) // (i0, i1) pairs, top at the end
+    stack.push(c0); stack.push(c1)
+    while (stack.len > 0) {
+      val i1 = stack.arr(stack.len - 1)
+      val i0 = stack.arr(stack.len - 2)
+      stack.len -= 2
       if (i1 - i0 >= 2) {
         val ax = ring(2 * i0); val ay = ring(2 * i0 + 1)
         val bx = ring(2 * i1); val by = ring(2 * i1 + 1)
@@ -63,9 +82,14 @@ object Simplify {
           if (d > bestD) { bestD = d; best = i } // strict: ties keep smallest index
           i += 1
         }
-        if (best >= 0) stack = (i0, best) :: (-best, -best) :: (best, i1) :: stack
+        if (best >= 0) {
+          // LIFO: left chain runs first, then the marker, then the right
+          stack.push(best); stack.push(i1)
+          stack.push(-best); stack.push(-best)
+          stack.push(i0); stack.push(best)
+        }
       } else if (i0 < 0 && i0 == i1) {
-        keep += -i0 // emit marker: the split vertex, in order
+        keep.push(-i0) // emit marker: the split vertex, in order
       }
     }
   }
@@ -90,17 +114,19 @@ object Simplify {
       if (d > farD) { farD = d; far = i }
       i += 1
     }
-    val keep = new ArrayBuffer[Int]()
-    keep += 0
+    val keep = new IntBuf(32)
+    keep.push(0)
     dpChain(r, 0, far, epsSq, keep)
-    keep += far
+    keep.push(far)
     // second chain wraps: far .. n (where index n IS vertex 0, the closing
     // duplicate) — operate on the closed array directly
     dpChain(r, far, n, epsSq, keep)
-    val out = new Array[Double](2 * keep.length + 2)
+    val out = new Array[Double](2 * keep.len + 2)
     var j = 0
-    keep.foreach { k =>
-      out(2 * j) = r(2 * k); out(2 * j + 1) = r(2 * k + 1); j += 1
+    while (j < keep.len) {
+      val k = keep.arr(j)
+      out(2 * j) = r(2 * k); out(2 * j + 1) = r(2 * k + 1)
+      j += 1
     }
     out(2 * j) = r(0); out(2 * j + 1) = r(1) // re-close
     out

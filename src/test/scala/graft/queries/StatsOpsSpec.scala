@@ -29,14 +29,26 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(got.forall(r => vset.contains(r._3)))
   }
 
-  test("autoThresholds plan has no global sort before the selection joins") {
-    // the only Sort allowed is the final presentation orderBy over 4 rows;
-    // assert no Exchange feeds a global Sort of the full events scan by
-    // checking the ranked side sorts WITHIN bucket partitions only
-    // (window spec partitioned by bkt), i.e. the physical plan contains a
-    // Window over partitioning on bkt rather than a global Sort of value
+  test("autoThresholds plan has no global sort of the value column") {
+    // scale contract: the k-th order statistics must come from the
+    // bucketed two-pass selection, never a global sort of the data. A
+    // global sort materializes as `Sort [...], true` (global=true) fed by
+    // an `Exchange rangepartitioning(...)`; the ONLY one allowed here is
+    // the 4-row presentation orderBy("q"). The window rank must sort
+    // locally (global=false) within hash-partitioned buckets.
     val plan = StatsOps.autoThresholds(spark, sf).queryExecution.executedPlan.toString
-    assert(plan.contains("Window"), plan.take(500))
-    assert(plan.contains("partitionBy") || plan.contains("bkt"), plan.take(500))
+    val globalSorts = """Sort \[([^\]]*)\], true""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(globalSorts.nonEmpty, plan.take(800)) // the presentation sort exists...
+    globalSorts.foreach { keys => // ...and no global sort touches value or bkt
+      assert(!keys.contains("value") && !keys.contains("bkt"),
+        s"global sort over data columns: [$keys]\n${plan.take(800)}")
+    }
+    assert(!plan.contains("rangepartitioning(value"), plan.take(800))
+    // the rank window sorts locally within bucket partitions
+    assert(plan.contains("Window"), plan.take(800))
+    assert("""Sort \[bkt[^\]]*\], false""".r.findFirstIn(plan).isDefined,
+      plan.take(800))
+    assert(plan.contains("hashpartitioning(bkt"), plan.take(800))
   }
 }
