@@ -438,6 +438,7 @@ object SparkEntry {
     "q_doc_source_stats" -> TrainingOps.sourceStats,
     "q_doc_top_terms" -> TrainingOps.topTerms,
     "q_doc_char_terms" -> TrainingOps.charTerms,
+    "q_doc_chunks" -> TrainingOps.chunkDocs,
     "q_grid_pyramid" -> RasterOps.gridPyramid,
     "q_focal_mean" -> RasterOps.focalMean,
     "q_grid_slope" -> RasterOps.hornSlope,

@@ -145,6 +145,31 @@ object TrainingOps {
       .orderBy("doc_id", "rank")
   }
 
+  // ---- document chunking: fixed token windows for sequence packing ----
+
+  /** Split each document into overlapping token chunks (size 50, stride
+    * 40 — the standard sliding-window prep for fixed-context training),
+    * with a deterministic per-chunk fingerprint. Chunk count is pure
+    * integer arithmetic (1 + (n-50+39) div 40 for n > 50, operands
+    * positive so truncating and floor division agree); the chunk text is
+    * the space-joined token slice and its md5 crosses the oracle compare
+    * as a string — no float anywhere. One narrow explode per doc; chunks
+    * never shuffle.
+    */
+  val chunkDocs: (SparkSession, String) => DataFrame = (spark, dir) =>
+    docs(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("nch", expr("CASE WHEN n <= 50 THEN 1 ELSE 1 + (n - 50 + 39) div 40 END"))
+      .withColumn("chunk_idx", explode(expr("sequence(0L, nch - 1)")))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr("slice(toks, cast(chunk_idx * 40 + 1 as int), 50)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("fp"))
+      .orderBy("doc_id", "chunk_idx")
+
   // ---- MinHash signatures: word 3-gram shingles, 16 md5-derived hashes ----
   private val NumHashes = 16
 
@@ -776,6 +801,20 @@ object TrainingOps {
         |sz AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM cc GROUP BY 1)
         |SELECT cc.doc_id, cc.cluster_id, sz.csize
         |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+
+    "q_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws)::BIGINT AS n FROM t WHERE len(ws) > 0),
+        |c AS (SELECT doc_id, ws,
+        |             CASE WHEN n <= 50 THEN 1 ELSE 1 + (n - 50 + 39) // 40 END AS nch
+        |      FROM n),
+        |e AS (SELECT doc_id, ws, unnest(range(0, nch)) AS chunk_idx FROM c),
+        |s AS (SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+        |             ws[(chunk_idx * 40 + 1):(chunk_idx * 40 + 50)] AS chunk
+        |      FROM e)
+        |SELECT doc_id, chunk_idx, len(chunk)::BIGINT AS n_tokens,
+        |       md5(array_to_string(chunk, ' ')) AS fp
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_doc_char_terms" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
