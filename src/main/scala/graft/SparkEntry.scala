@@ -447,6 +447,7 @@ object SparkEntry {
     "q_evt_sessionize" -> EventOps.sessionize,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,
+    "q_top_events" -> StatsOps.topEvents,
 
     // ---- composition: the auto-threshold ladder feeding the FULL contour
     //      pipeline (quantile selection -> tiling -> kernel -> stitch ->

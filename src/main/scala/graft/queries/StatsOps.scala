@@ -65,7 +65,48 @@ object StatsOps {
       .orderBy("q")
   }
 
+  /** Exact global top-k events by value WITHOUT a global sort — the
+    * classic distributed selection: the same bounded integer-bucket
+    * histogram locates the cutoff bucket (the highest bucket where the
+    * from-the-top cumulative count reaches k), only the candidate rows at
+    * or above that bucket (≤ k + one bucket's population) are ranked, and
+    * the tie-break (value DESC, event_id ASC) is a total order so the
+    * result is fully deterministic. The oracle ranks the whole table —
+    * an independent formulation of the same order statistics.
+    */
+  val TopK = 1000
+
+  val topEvents: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("value"), floor(col("value")).cast("long").as("bkt"))
+    val hist = ev.groupBy("bkt").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1) // descending buckets
+    require(hist.length <= 65536, s"histogram has ${hist.length} buckets")
+    var cum = 0L
+    var cutoff = hist.head._1
+    val it = hist.iterator
+    while (cum < TopK && it.hasNext) { val (b, c) = it.next(); cutoff = b; cum += c }
+    // candidates (≤ k + one bucket's population) go through
+    // TakeOrderedAndProject — per-partition partial top-k, no full sort
+    // or single-partition shuffle of the candidate set; only the final k
+    // rows see the rank window
+    val w = Window.orderBy(col("value").desc, col("event_id").asc)
+    ev.filter(col("bkt") >= cutoff)
+      .orderBy(col("value").desc, col("event_id").asc)
+      .limit(TopK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("event_id"), col("value"))
+      .orderBy("rank")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_top_events" ->
+      s"""SELECT rank, event_id, value FROM (
+         |  SELECT event_id, value,
+         |         row_number() OVER (ORDER BY value DESC, event_id)::BIGINT AS rank
+         |  FROM events) r
+         |WHERE rank <= $TopK ORDER BY rank""".stripMargin,
+
     "q_auto_thresholds" ->
       """WITH n AS (SELECT count(*)::BIGINT AS n FROM events),
         |qs(q) AS (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.75::DOUBLE), (0.9::DOUBLE)),

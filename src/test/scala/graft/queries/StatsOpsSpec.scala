@@ -29,6 +29,22 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(got.forall(r => vset.contains(r._3)))
   }
 
+  test("topEvents == local full-sort top-k; plan uses TakeOrderedAndProject on candidates") {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "value").as[(Long, Double)].collect()
+    val expected = all.sortBy { case (id, v) => (-v, id) }.take(StatsOps.TopK)
+      .zipWithIndex.map { case ((id, v), i) => (i + 1L, id, v) }.toSeq
+    val df = StatsOps.topEvents(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    // the candidate set is selected by bucket cutoff and ranked through
+    // TakeOrderedAndProject — never a full sort of the table
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert("""Sort \[value[^\]]*\], true""".r.findFirstIn(plan).isEmpty, plan.take(800))
+  }
+
   test("autoThresholds plan has no global sort of the value column") {
     // scale contract: the k-th order statistics must come from the
     // bucketed two-pass selection, never a global sort of the data. A
