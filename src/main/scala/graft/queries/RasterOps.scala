@@ -208,7 +208,13 @@ object RasterOps {
     * duplicates included) corner-role slots in one narrow flatMap; ONE
     * key-local shuffle groups each output pixel's 4-slot window (the same
     * replicate+pivot idiom as pivoted3x3 — never a 4-way self-join on the
-    * engine side). Returns (y, n_cells, qsum, qmin, qmax) per OUTPUT row.
+    * engine side). The shuffle carries 16 small rows per source cell; at
+    * full-raster scale the zero-shuffle alternative is tile-granular
+    * resampling with 1-cell halos through the contour engine's existing
+    * tile router (the same dependency footprint as the marching-squares
+    * kernel) — this cell-level formulation is the schema-agnostic default
+    * that needs no tiling contract. Returns (y, n_cells, qsum, qmin,
+    * qmax) per OUTPUT row.
     */
   val gridUpsample: (SparkSession, String) => DataFrame = (spark, dir) => {
     import spark.implicits._
