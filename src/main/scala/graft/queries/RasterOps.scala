@@ -110,15 +110,22 @@ object RasterOps {
     */
   private def pivoted3x3(spark: SparkSession, dir: String): DataFrame = {
     val (w, h) = EventsGrid.dims(spark, dir)
+    pivoted3x3Of(baseCells(spark, dir), w, h)
+  }
+
+  /** Grid-agnostic core of the pivoted window (property-tested on random
+    * dims, where the events table's fixed 100-wide grid never goes).
+    */
+  private[graft] def pivoted3x3Of(cells: DataFrame, w: Int, h: Int): DataFrame = {
     val offsets = for (dy <- -1 to 1; dx <- -1 to 1) yield (dx, dy)
-    val cells = baseCells(spark, dir)
+    val rep = cells
       .withColumn("o", explode(lit(offsets.map { case (dx, dy) => (dy + 1) * 3 + dx + 1 }.toArray)))
       .select((col("x") + col("o") % 3 - 1).as("tx"),
         (col("y") + col("o").divide(3).cast("int") - 1).as("ty"),
         col("o"), col("v"))
       .filter(col("tx") >= 1 && col("tx") <= w - 2 && col("ty") >= 1 && col("ty") <= h - 2)
     def q(o: Int) = max(when(col("o") === o, col("v"))).as(s"v$o")
-    cells.groupBy("tx", "ty").agg(q(0), q(1), q(2), q(3), q(4), q(5), q(6), q(7), q(8))
+    rep.groupBy("tx", "ty").agg(q(0), q(1), q(2), q(3), q(4), q(5), q(6), q(7), q(8))
   }
 
   /** Per-cell quantized stat -> per-raster-row integer summaries. */
@@ -129,12 +136,17 @@ object RasterOps {
         min(col("qs")).as("qmin"), max(col("qs")).as("qmax"))
       .orderBy("y")
 
-  val focalMean: (SparkSession, String) => DataFrame = (spark, dir) => {
+  private[graft] def focalMeanOf(cells: DataFrame, w: Int, h: Int): DataFrame = {
     // fixed parenthesization, mirrored verbatim by the oracle
     val mean = ((((col("v0") + col("v1")) + col("v2"))
       + ((col("v3") + col("v4")) + col("v5")))
       + ((col("v6") + col("v7")) + col("v8"))) / 9.0
-    rowStats(pivoted3x3(spark, dir), floor(mean * Q20))
+    rowStats(pivoted3x3Of(cells, w, h), floor(mean * Q20))
+  }
+
+  val focalMean: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (w, h) = EventsGrid.dims(spark, dir)
+    focalMeanOf(baseCells(spark, dir), w, h)
   }
 
   /** Horn slope (gradient magnitude) — the standard terrain-analysis
@@ -150,7 +162,7 @@ object RasterOps {
     *
     * Returns (y, n_cells, qsum, qmin, qmax) over qslope.
     */
-  val hornSlope: (SparkSession, String) => DataFrame = (spark, dir) => {
+  private[graft] def hornSlopeOf(cells: DataFrame, w: Int, h: Int): DataFrame = {
     // slot o holds the value at (tx - dx_o, ty - dy_o): slots 0/3/6 are the
     // +x column, 2/5/8 the -x column, 0/1/2 the +y row, 6/7/8 the -y row
     // (the center slot v4 rides along unused — Horn never reads it)
@@ -158,7 +170,12 @@ object RasterOps {
       - ((col("v2") + col("v5") * 2.0) + col("v8"))) / 8.0
     val gy = (((col("v0") + col("v1") * 2.0) + col("v2"))
       - ((col("v6") + col("v7") * 2.0) + col("v8"))) / 8.0
-    rowStats(pivoted3x3(spark, dir), floor(sqrt(gx * gx + gy * gy) * Q20))
+    rowStats(pivoted3x3Of(cells, w, h), floor(sqrt(gx * gx + gy * gy) * Q20))
+  }
+
+  val hornSlope: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (w, h) = EventsGrid.dims(spark, dir)
+    hornSlopeOf(baseCells(spark, dir), w, h)
   }
 
   /** D8 flow direction — the standard hydrology operator — over the grid
@@ -174,8 +191,8 @@ object RasterOps {
     * (pits/flats) report direction -1. Output is the per-direction
     * histogram (n_cells + max packed value, decode-free and order-free).
     */
-  val d8FlowDir: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val win = pivoted3x3(spark, dir)
+  private[graft] def d8FlowDirOf(cells: DataFrame, w: Int, h: Int): DataFrame = {
+    val win = pivoted3x3Of(cells, w, h)
     val slots = Seq(0, 1, 2, 3, 5, 6, 7, 8)
     val sqrt2 = math.sqrt(2.0)
     def packed(o: Int) = {
@@ -192,6 +209,11 @@ object RasterOps {
       .groupBy("dir")
       .agg(count(lit(1)).as("n_cells"), max("qpk").as("qpk_max"))
       .orderBy("dir")
+  }
+
+  val d8FlowDir: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (w, h) = EventsGrid.dims(spark, dir)
+    d8FlowDirOf(baseCells(spark, dir), w, h)
   }
 
   /** Bilinear 2x UPSAMPLE (the pyramid's inverse direction — overview
@@ -216,10 +238,9 @@ object RasterOps {
     * that needs no tiling contract. Returns (y, n_cells, qsum, qmin,
     * qmax) per OUTPUT row.
     */
-  val gridUpsample: (SparkSession, String) => DataFrame = (spark, dir) => {
-    import spark.implicits._
-    val (w, h) = EventsGrid.dims(spark, dir)
-    val src = baseCells(spark, dir).as[(Int, Int, Double)]
+  private[graft] def gridUpsampleOf(src: org.apache.spark.sql.Dataset[(Int, Int, Double)],
+                                    w: Int, h: Int): DataFrame = {
+    import src.sparkSession.implicits._
     val slots = src.flatMap { case (x, y, v) =>
       // outputs that read source index c as their LOW corner (role 0) are
       // 2c+1 and 2c+2 (plus output 0, left-clamped, when c = 0); as their
@@ -246,6 +267,12 @@ object RasterOps {
     val bot = (col("v2") * (lit(1.0) - fx)) + (col("v3") * fx)
     val v = (top * (lit(1.0) - fy)) + (bot * fy)
     rowStats(win, floor(v * Q20))
+  }
+
+  val gridUpsample: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    gridUpsampleOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
   // w halves from the constant base W=100 (floor division composes:

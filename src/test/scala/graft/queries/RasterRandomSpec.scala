@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Random-dimension property tests for the grid-agnostic raster cores:
+  * the events table is always 100 x h, so its oracle runs never exercise
+  * tiny, odd, or degenerate dims — these seeded trials do (w or h down to
+  * 1, where the 3x3 interior is empty and every upsample corner clamps).
+  * Each trial compares bit-for-bit against an independent single-threaded
+  * recompute of the same fixed-order expressions.
+  */
+class RasterRandomSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val Q = 1048576.0
+
+  private def randGrid(rng: scala.util.Random, w: Int, h: Int): Array[Double] =
+    Array.fill(w * h)(math.floor(rng.nextDouble() * 256.0 * 64.0) / 64.0)
+
+  private def cellsDf(g: Array[Double], w: Int, h: Int) = {
+    import spark.implicits._
+    (0 until w * h).map(i => (i % w, i / w, g(i))).toDF("x", "y", "v")
+  }
+
+  test("focalMean / hornSlope / d8FlowDir on random dims == local recompute") {
+    val rng = new scala.util.Random(20260817L)
+    for (_ <- 0 until 12) {
+      val w = 1 + rng.nextInt(9)
+      val h = 1 + rng.nextInt(9)
+      val g = randGrid(rng, w, h)
+      def v(y: Int, x: Int) = g(y * w + x)
+      val cells = cellsDf(g, w, h)
+
+      val wantMean = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+        def s(o: Int) = v(y - (o / 3 - 1), x - (o % 3 - 1))
+        (y.toLong, math.floor(((((s(0) + s(1)) + s(2)) + ((s(3) + s(4)) + s(5)))
+          + ((s(6) + s(7)) + s(8))) / 9.0 * Q).toLong)
+      }).groupBy(_._1).map { case (y, qs) =>
+        (y, qs.length.toLong, qs.map(_._2).sum, qs.map(_._2).min, qs.map(_._2).max)
+      }.toSeq.sortBy(_._1)
+      val gotMean = RasterOps.focalMeanOf(cells, w, h).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(gotMean == wantMean, s"focal ${w}x$h")
+
+      val wantSlope = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+        def s(o: Int) = v(y - (o / 3 - 1), x - (o % 3 - 1))
+        val gx = (((s(0) + s(3) * 2.0) + s(6)) - ((s(2) + s(5) * 2.0) + s(8))) / 8.0
+        val gy = (((s(0) + s(1) * 2.0) + s(2)) - ((s(6) + s(7) * 2.0) + s(8))) / 8.0
+        (y.toLong, math.floor(math.sqrt(gx * gx + gy * gy) * Q).toLong)
+      }).groupBy(_._1).map { case (y, qs) =>
+        (y, qs.length.toLong, qs.map(_._2).sum, qs.map(_._2).min, qs.map(_._2).max)
+      }.toSeq.sortBy(_._1)
+      val gotSlope = RasterOps.hornSlopeOf(cells, w, h).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(gotSlope == wantSlope, s"slope ${w}x$h")
+
+      val sqrt2 = math.sqrt(2.0)
+      val hist = scala.collection.mutable.Map[Long, (Long, Long)]()
+      for (y <- 1 to h - 2; x <- 1 to w - 2) {
+        var pmax = Long.MinValue
+        for (o <- Seq(0, 1, 2, 3, 5, 6, 7, 8)) {
+          val dxo = o % 3 - 1; val dyo = o / 3 - 1
+          val dist = if (dxo != 0 && dyo != 0) sqrt2 else 1.0
+          val p = math.floor((v(y, x) - v(y - dyo, x - dxo)) / dist * Q).toLong * 16L + (8L - o)
+          if (p > pmax) pmax = p
+        }
+        val d = if (pmax >= 16L) 8L - pmax % 16L else -1L
+        val (n, m) = hist.getOrElse(d, (0L, Long.MinValue))
+        hist(d) = (n + 1, math.max(m, pmax))
+      }
+      val wantD8 = hist.toSeq.map { case (d, (n, m)) => (d, n, m) }.sortBy(_._1)
+      val gotD8 = RasterOps.d8FlowDirOf(cells, w, h).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(gotD8 == wantD8, s"d8 ${w}x$h")
+    }
+  }
+
+  test("gridUpsample on random dims (incl. w or h = 1) == local clamp-gather recompute") {
+    import spark.implicits._
+    val rng = new scala.util.Random(424242L)
+    for (_ <- 0 until 12) {
+      val w = 1 + rng.nextInt(7)
+      val h = 1 + rng.nextInt(7)
+      val g = randGrid(rng, w, h)
+      def v(y: Int, x: Int) = g(y * w + x)
+      def clamp(c: Int, hi: Int) = math.max(0, math.min(c, hi))
+      val want = (0 until 2 * h).map { oy =>
+        val y0 = clamp(Math.floorDiv(oy - 1, 2), h - 1)
+        val y1 = clamp(Math.floorDiv(oy + 1, 2), h - 1)
+        val fy = if (oy % 2 == 0) 0.75 else 0.25
+        val qs = (0 until 2 * w).map { ox =>
+          val x0 = clamp(Math.floorDiv(ox - 1, 2), w - 1)
+          val x1 = clamp(Math.floorDiv(ox + 1, 2), w - 1)
+          val fx = if (ox % 2 == 0) 0.75 else 0.25
+          val top = (v(y0, x0) * (1.0 - fx)) + (v(y0, x1) * fx)
+          val bot = (v(y1, x0) * (1.0 - fx)) + (v(y1, x1) * fx)
+          math.floor(((top * (1.0 - fy)) + (bot * fy)) * Q).toLong
+        }
+        (oy.toLong, qs.length.toLong, qs.sum, qs.min, qs.max)
+      }
+      val src = (0 until w * h).map(i => (i % w, i / w, g(i))).toDS()
+      val got = RasterOps.gridUpsampleOf(src, w, h).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(got == want, s"upsample ${w}x$h")
+    }
+  }
+}
