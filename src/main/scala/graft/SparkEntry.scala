@@ -439,6 +439,8 @@ object SparkEntry {
     "q_doc_top_terms" -> TrainingOps.topTerms,
     "q_doc_char_terms" -> TrainingOps.charTerms,
     "q_doc_chunks" -> TrainingOps.chunkDocs,
+    "q_doc_stopwords" -> TrainingOps.stopwordStats,
+    "q_doc_rep_ngrams" -> TrainingOps.repNgramStats,
     "q_grid_pyramid" -> RasterOps.gridPyramid,
     "q_focal_mean" -> RasterOps.focalMean,
     "q_grid_slope" -> RasterOps.hornSlope,

@@ -173,6 +173,49 @@ object TrainingOps {
   // ---- MinHash signatures: word 3-gram shingles, 16 md5-derived hashes ----
   private val NumHashes = 16
 
+  // ---- quality signals: stopword ratio + repeated-n-gram fraction ----
+
+  /** Fixed lowercase stopword list shared verbatim with the oracle SQL. */
+  private val StopWords = Seq("the", "of", "and", "to", "in", "a", "is",
+    "that", "it", "for", "on", "as", "with", "was", "at", "by", "an", "be",
+    "this", "are")
+
+  /** Stopword ratio per document — the classic fluency signal (a natural-
+    * language doc carries a stable fraction of function words; lists and
+    * boilerplate don't). Integer-exact: counts and a *1000 div ratio, no
+    * floats. Narrow per-row expressions, no shuffle before the
+    * presentation sort.
+    */
+  val stopwordStats: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val inList = StopWords.map(w => s"'$w'").mkString(", ")
+    docs(spark, dir)
+      .withColumn("toks", toks)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr(s"size(filter(toks, t -> t IN ($inList)))").cast("long").as("n_stop"))
+      .withColumn("stop_x1000",
+        expr("(n_stop * 1000L) div greatest(n_tokens, 1L)"))
+      .orderBy("doc_id")
+  }
+
+  /** Repeated-3-gram fraction per document — the Gopher-style repetition
+    * rule (heavily duplicated n-grams mark low-quality/boilerplate text).
+    * rep_x1000 = (n_shingles - n_distinct) * 1000 div max(n_shingles, 1),
+    * all integers; docs under 3 tokens have zero shingles and report 0.
+    */
+  val repNgramStats: (SparkSession, String) => DataFrame = (spark, dir) =>
+    docs(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("shingles",
+        when(size(col("toks")) < 3, array().cast("array<string>"))
+          .otherwise(expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")))
+      .select(col("doc_id"),
+        size(col("shingles")).cast("long").as("n_shingles"),
+        size(array_distinct(col("shingles"))).cast("long").as("n_distinct"))
+      .withColumn("rep_x1000",
+        expr("((n_shingles - n_distinct) * 1000L) div greatest(n_shingles, 1L)"))
+      .orderBy("doc_id")
+
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("toks", toks)
@@ -801,6 +844,29 @@ object TrainingOps {
         |sz AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM cc GROUP BY 1)
         |SELECT cc.doc_id, cc.cluster_id, sz.csize
         |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+
+    "q_doc_stopwords" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents)
+        |SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+        |       len(list_filter(ws, t -> t IN ('the', 'of', 'and', 'to', 'in', 'a', 'is',
+        |         'that', 'it', 'for', 'on', 'as', 'with', 'was', 'at', 'by', 'an', 'be',
+        |         'this', 'are')))::BIGINT AS n_stop,
+        |       ((len(list_filter(ws, t -> t IN ('the', 'of', 'and', 'to', 'in', 'a', 'is',
+        |         'that', 'it', 'for', 'on', 'as', 'with', 'was', 'at', 'by', 'an', 'be',
+        |         'this', 'are'))) * 1000) // greatest(len(ws), 1))::BIGINT AS stop_x1000
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_doc_rep_ngrams" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+        |             ELSE list_transform(range(1, len(ws) - 1),
+        |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sh
+        |      FROM t)
+        |SELECT doc_id, len(sh)::BIGINT AS n_shingles,
+        |       len(list_distinct(sh))::BIGINT AS n_distinct,
+        |       (((len(sh) - len(list_distinct(sh))) * 1000) // greatest(len(sh), 1))::BIGINT AS rep_x1000
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_doc_chunks" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
