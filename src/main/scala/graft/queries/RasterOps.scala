@@ -108,11 +108,6 @@ object RasterOps {
     * the slot math and interior bounds can never drift between the two
     * operators (and out of sync with the oracle joins).
     */
-  private def pivoted3x3(spark: SparkSession, dir: String): DataFrame = {
-    val (w, h) = EventsGrid.dims(spark, dir)
-    pivoted3x3Of(baseCells(spark, dir), w, h)
-  }
-
   /** Grid-agnostic core of the pivoted window (property-tested on random
     * dims, where the events table's fixed 100-wide grid never goes).
     */

@@ -36,16 +36,33 @@ object StatsOps {
   /** The quantile ladder: quartiles plus the P90 tail guard. */
   val Qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)
 
-  val autoThresholds: (SparkSession, String) => DataFrame = (spark, dir) => {
-    import spark.implicits._
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("value"), floor(col("value")).cast("long").as("bkt"))
+  /** The bucket key: integer value buckets, with NaN pinned to the TOP
+    * bucket — NaN sorts above every finite double in both Spark's and
+    * DuckDB's ORDER BY, so rank selection must treat it as the largest
+    * "value"; floor(NaN) would silently land it in bucket 0 and break any
+    * rank that touches the NaN region.
+    */
+  private def bucketCol: org.apache.spark.sql.Column =
+    when(isnan(col("value")), lit(Long.MaxValue))
+      .otherwise(floor(col("value")).cast("long"))
+
+  /** One map-side-combinable histogram pass, collected to the driver —
+    * bounded by the VALUE RANGE, not the row count (loudly asserted).
+    */
+  private def bucketHistogram(ev: org.apache.spark.sql.DataFrame): Array[(Long, Long)] = {
     val hist = ev.groupBy("bkt").agg(count(lit(1)).as("cnt")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    // bounded-by-construction: one bucket per distinct integer value
     require(hist.length <= 65536,
       s"value-bucket histogram has ${hist.length} buckets — widen the bucket " +
         "size before collecting (driver-side histogram must stay O(range))")
+    hist
+  }
+
+  val autoThresholds: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("value"), bucketCol.as("bkt"))
+    val hist = bucketHistogram(ev)
     val n = hist.iterator.map(_._2).sum
     require(n > 0, "autoThresholds: empty events table")
     val located = Qs.map { q =>
@@ -78,10 +95,9 @@ object StatsOps {
 
   val topEvents: (SparkSession, String) => DataFrame = (spark, dir) => {
     val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), col("value"), floor(col("value")).cast("long").as("bkt"))
-    val hist = ev.groupBy("bkt").agg(count(lit(1)).as("cnt")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1) // descending buckets
-    require(hist.length <= 65536, s"histogram has ${hist.length} buckets")
+      .select(col("event_id"), col("value"), bucketCol.as("bkt"))
+    val hist = bucketHistogram(ev).reverse // descending buckets
+    require(hist.nonEmpty, "topEvents: empty events table")
     var cum = 0L
     var cutoff = hist.head._1
     val it = hist.iterator

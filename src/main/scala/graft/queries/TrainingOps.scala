@@ -153,8 +153,9 @@ object TrainingOps {
     * integer arithmetic (1 + (n-50+39) div 40 for n > 50, operands
     * positive so truncating and floor division agree); the chunk text is
     * the space-joined token slice and its md5 crosses the oracle compare
-    * as a string — no float anywhere. One narrow explode per doc; chunks
-    * never shuffle.
+    * as a string — no float anywhere. One narrow explode per doc; nothing
+    * shuffles before the trailing orderBy, which is PRESENTATION-ONLY for
+    * the contract harness (a scale caller takes the frame before it).
     */
   val chunkDocs: (SparkSession, String) => DataFrame = (spark, dir) =>
     docs(spark, dir)

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact in-memory recomputes for the text-prep operators added in round
+  * 4: chunking, stopword ratio, repeated-n-gram fraction, top/char terms
+  * — all over the same tokenizer contract (lowercased [a-z0-9]+ runs,
+  * which java.util.regex and DuckDB RE2 agree on for this simple class).
+  */
+class TrainingOpsTextSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docsLocal(): Seq[(Long, String)] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toSeq
+  }
+
+  private def toks(text: String): Array[String] =
+    "[a-z0-9]+".r.findAllIn(text.toLowerCase).toArray
+
+  test("chunkDocs == local sliding-window recompute (size 50, stride 40)") {
+    val want = docsLocal().flatMap { case (id, text) =>
+      val ws = toks(text)
+      val n = ws.length
+      if (n == 0) Nil
+      else {
+        val nch = if (n <= 50) 1 else 1 + (n - 50 + 39) / 40
+        (0 until nch).map { i =>
+          val chunk = ws.slice(i * 40, i * 40 + 50)
+          (id, i.toLong, chunk.length.toLong,
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(chunk.mkString(" ").getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString)
+        }
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = TrainingOps.chunkDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == want)
+    assert(want.exists(_._2 > 0)) // multi-chunk docs exist
+    // overlap contract: consecutive chunks of one doc share 10 tokens
+    assert(want.groupBy(_._1).values.exists(_.length > 1))
+  }
+
+  test("stopwordStats and repNgramStats == local recomputes") {
+    val stop = Set("the", "of", "and", "to", "in", "a", "is", "that", "it",
+      "for", "on", "as", "with", "was", "at", "by", "an", "be", "this", "are")
+    val docs = docsLocal()
+    val wantStop = docs.map { case (id, text) =>
+      val ws = toks(text)
+      val ns = ws.count(stop)
+      (id, ws.length.toLong, ns.toLong, ns.toLong * 1000 / math.max(ws.length, 1))
+    }.sortBy(_._1)
+    val gotStop = TrainingOps.stopwordStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotStop == wantStop)
+    assert(wantStop.exists(_._3 > 0))
+
+    val wantRep = docs.map { case (id, text) =>
+      val ws = toks(text)
+      val sh = if (ws.length < 3) Array.empty[String]
+        else (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").toArray
+      val d = sh.distinct.length
+      (id, sh.length.toLong, d.toLong,
+        (sh.length - d).toLong * 1000 / math.max(sh.length, 1))
+    }.sortBy(_._1)
+    val gotRep = TrainingOps.repNgramStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotRep == wantRep)
+  }
+
+  test("topTerms and charTerms == local recomputes (deterministic tie-breaks)") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "source", "text").as[(Long, String, String)].collect()
+    // top-10 per source by (count DESC, token ASC)
+    val wantTop = rows.groupBy(_._2).flatMap { case (src, ds) =>
+      val counts = ds.flatMap(d => toks(d._3)).groupBy(identity)
+        .map { case (t, xs) => (t, xs.length.toLong) }.toSeq
+      counts.sortBy { case (t, n) => (-n, t) }.take(10).zipWithIndex
+        .map { case ((t, n), i) => (src, i + 1L, t, n) }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val gotTop = TrainingOps.topTerms(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(gotTop == wantTop)
+
+    // top-3 per doc by (score DESC, token ASC), score = tf*1e6 div df
+    val tfAll = rows.map(d => (d._1, toks(d._3).groupBy(identity)
+      .map { case (t, xs) => (t, xs.length.toLong) }))
+    val df = tfAll.flatMap(_._2.keys).groupBy(identity)
+      .map { case (t, xs) => (t, xs.length.toLong) }
+    val wantChar = tfAll.flatMap { case (id, tf) =>
+      tf.toSeq.map { case (t, n) => (t, n, df(t), n * 1000000L / df(t)) }
+        .sortBy { case (t, _, _, s) => (-s, t) }.take(3).zipWithIndex
+        .map { case ((t, n, d, s), i) => (id, i + 1L, t, n, d, s) }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val gotChar = TrainingOps.charTerms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(gotChar == wantChar)
+  }
+}
