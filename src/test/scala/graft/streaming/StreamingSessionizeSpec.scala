@@ -93,4 +93,49 @@ class StreamingSessionizeSpec extends AnyFunSuite {
       assert(out() == Seq((7L, 1L, 5L, 0L, 24L), (7L, 2L, 1L, 400L, 400L)))
     } finally q.stop()
   }
+
+  test("state survives a query restart from the checkpoint (open sessions + ordinals)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val ckpt = Files.createTempDirectory("sess-ckpt3").toString
+    val outDir = Files.createTempDirectory("sess-out3").toString
+    val gapUs = 10L * 60 * 1000000
+    // the memory sink refuses checkpoint recovery — a FILE sink is the
+    // fault-tolerant one, which is exactly what this test is about
+    def start() = StreamingSessionize.sessionize(events, gapUs = gapUs, horizon = "60 minutes")
+      .writeStream.format("parquet").option("path", outDir)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def out(): Seq[(Long, Long, Long, Long, Long)] =
+      spark.read.schema(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[SessionOut]().schema)
+        .parquet(outDir).as[SessionOut].collect()
+        .filter(_.user_id >= 0)
+        .map(s => (s.user_id, s.session_idx, s.n_events,
+          s.start_us / 60000000L - 1000, s.end_us / 60000000L - 1000))
+        .sortBy(r => (r._1, r._2)).toSeq
+    val b = 1000L
+    val q1 = start()
+    try {
+      // an OPEN session enters state, then the query dies
+      input.addData((9L, ts(b + 0), 1.0), (9L, ts(b + 5), 1.0))
+      q1.processAllAvailable()
+      assert(out().isEmpty)
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // the restarted query extends the recovered open session...
+      input.addData((9L, ts(b + 12), 1.0))
+      q2.processAllAvailable()
+      // ...and closes it with the recovered count + bounds intact
+      input.addData((-1L, ts(b + 300), 0.0)); q2.processAllAvailable()
+      input.addData((-1L, ts(b + 301), 0.0)); q2.processAllAvailable()
+      assert(out() == Seq((9L, 1L, 3L, 0L, 12L)))
+      // a post-restart second session continues the recovered ordinal ledger
+      input.addData((9L, ts(b + 400), 1.0)); q2.processAllAvailable()
+      input.addData((-1L, ts(b + 600), 0.0)); q2.processAllAvailable()
+      input.addData((-1L, ts(b + 601), 0.0)); q2.processAllAvailable()
+      assert(out() == Seq((9L, 1L, 3L, 0L, 12L), (9L, 2L, 1L, 400L, 400L)))
+    } finally q2.stop()
+  }
 }
