@@ -202,7 +202,13 @@ object SparkEntry {
       import spark.implicits._
       val cts = engine(spark).contours(eventTiles(spark, dir))
       val simplified = graft.engine.SpatialOps.simplifyContours(cts, eps = 0.05)
-      cts.joinWith(simplified, cts("threshold") === simplified("threshold"))
+      // join on the FULL ContourRow key (gridId, threshold): the contract
+      // input is single-grid, but a multi-grid composition through this
+      // query must pair each grid with its own simplification, not
+      // cross-product rows per threshold
+      cts.joinWith(simplified,
+          cts("gridId") === simplified("gridId") &&
+            cts("threshold") === simplified("threshold"))
         .map { case (a, b) =>
           def nv(c: ContourRow) = c.polygons.iterator
             .flatMap(p => (p.exterior +: p.holes).iterator).map(_.length / 2 - 1).sum.toLong
@@ -565,6 +571,13 @@ object SparkEntry {
     * expression — used where the reference's post-smoothing `ring.dedup()`
     * matters (a point is dropped iff its segment's two smoothed endpoints
     * coincide).
+    *
+    * Point keys (pk/sk/ek) pack the doubled-grid integer coordinates as
+    * xd * 2^32 + yd: unique for grids up to 2^31 doubled-y cells (~10^9 of
+    * raw y extent) and overflow-free below 2^30 raw x extent — far beyond
+    * any per-grid size this engine targets (tiles bound the per-grid frame;
+    * web scale comes from grid COUNT). The previous 10^6 multiplier
+    * silently collided at ~5*10^5 y cells.
     */
   private def startsAndEndsCte(thresholdsSql: String): String =
     s"""dims AS (SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events),
@@ -597,7 +610,7 @@ object SparkEntry {
        |  CROSS JOIN (VALUES (0),(1)) r(role)),
        |pts AS (
        |  SELECT threshold, cx, cy, segid, role,
-       |    ((2 * cx + odx + 3)::BIGINT * 1000000 + (2 * cy + ody + 3))::BIGINT AS pk,
+       |    ((2 * cx + odx + 3)::BIGINT * 4294967296 + (2 * cy + ody + 3))::BIGINT AS pk,
        |    CASE WHEN odx = 2 AND cx BETWEEN 0 AND (SELECT w FROM dims) - 2 THEN
        |      (cx + 1)::DOUBLE
        |        + (threshold - (CASE WHEN ody = 1 AND cy >= 0 THEN v3 ELSE v0 END))
@@ -653,8 +666,8 @@ object SparkEntry {
          |                segt2.edx, segt2.edy, cells.v0, cells.v1, cells.v2, cells.v3
          |         FROM cells JOIN segt2 ON segt2.cse = cells.cse),
          |seg AS MATERIALIZED (SELECT threshold,
-         |    ((2*cx+sdx+3)::BIGINT * 1000000 + (2*cy+sdy+3))::BIGINT AS sk,
-         |    ((2*cx+edx+3)::BIGINT * 1000000 + (2*cy+edy+3))::BIGINT AS ek,
+         |    ((2*cx+sdx+3)::BIGINT * 4294967296 + (2*cy+sdy+3))::BIGINT AS sk,
+         |    ((2*cx+edx+3)::BIGINT * 4294967296 + (2*cy+edy+3))::BIGINT AS ek,
          |    CASE WHEN sdx = 2 AND cx BETWEEN 0 AND (SELECT w FROM dims) - 2 THEN
          |      (cx + 1)::DOUBLE
          |        + (threshold - (CASE WHEN sdy = 1 AND cy >= 0 THEN v3 ELSE v0 END))

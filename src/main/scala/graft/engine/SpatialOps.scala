@@ -86,13 +86,29 @@ object SpatialOps {
           val j = if (i == 0) n - 1 else i - 1
           val ax = ring(2 * i); val ay = ring(2 * i + 1)
           val bx = ring(2 * j); val by = ring(2 * j + 1)
-          // bands cover the y-span PLUS 1.0 slack each side: segmentContains
-          // can claim a point whose y lies up to EPSILON/|bx-ax| <= 1.0
-          // outside the segment's y-span (the same slack RingIndex budgets
-          // for), so an on-boundary verdict near a band edge is never missed.
+          // Bands cover the y-span plus the segment's EXACT on-boundary
+          // claim slack (the same derivation as RingIndex's margins):
+          //  - |dx| >= EPSILON (segmentContains' x-dominant branch):
+          //    |cross| < EPSILON bounds the claimed point's y-deviation
+          //    from the segment by EPSILON/|dx| in real arithmetic; the FP
+          //    evaluation of the cross product adds rounding error up to
+          //    ~2*EPSILON*(|dx*(cy-ay)| + |(cx-ax)*dy|), i.e. proportional
+          //    to the SEGMENT SPAN in arbitrary (post-affine) frames —
+          //    8*EPSILON*max(1, dx+dy) over-bounds it (deviation D solves
+          //    D <= EPSILON/dx + 2*EPSILON*(D + span));
+          //  - |dx| < EPSILON (vertical branch, incl. the post-smoothing
+          //    cancellation case 0 < |dx| < EPSILON): within(ay, cy, by)
+          //    requires y inside the EXACT y-span — slack 0. (The old
+          //    constant 1.0 slack was real-arithmetic-tight only for
+          //    |dx| >= EPSILON and unneeded for |dx| < EPSILON.)
           // Crossings need y strictly within the span and are unaffected.
-          val b0 = math.floor((math.min(ay, by) - 1.0) / yBand).toInt
-          val b1 = math.floor((math.max(ay, by) + 1.0) / yBand).toInt
+          val adx = math.abs(bx - ax); val ady = math.abs(by - ay)
+          val slack =
+            if (adx < graft.core.Geom.Epsilon) 0.0
+            else graft.core.Geom.Epsilon / adx +
+              8.0 * graft.core.Geom.Epsilon * math.max(1.0, adx + ady)
+          val b0 = math.floor((math.min(ay, by) - slack) / yBand).toInt
+          val b1 = math.floor((math.max(ay, by) + slack) / yBand).toInt
           (b0 to b1).iterator.map(b => (c.threshold, rid, ax, ay, bx, by, b))
         }
       }
@@ -203,8 +219,12 @@ object SpatialOps {
     * sums of the threshold's MultiPolygon, as order-free integer sums.
     *
     * Each directed ring edge (a -> b) contributes independently:
-    * cross = ax*by - bx*ay (the doubled-shoelace term,
-    * /root/reference/src/area.rs's summand), mx = (ax+bx)*cross,
+    * cross = ax*by - bx*ay — the NEGATION of
+    * /root/reference/src/area.rs's summand (prev.y*cur.x - prev.x*cur.y,
+    * the convention Geom.area2 keeps bit-exact); this operator uses the
+    * standard CCW-positive shoelace sign instead, mirrored verbatim by its
+    * oracle, so the engine/oracle compare is unaffected — only the sign
+    * convention differs from the ring-closure kernels. mx = (ax+bx)*cross,
     * my = (ay+by)*cross (the standard polygon-centroid numerator terms,
     * centroid = (sum mx, sum my) / (3 * sum cross)). Every term is a fixed
     * f64 expression of ONE edge's endpoints and quantizes independently

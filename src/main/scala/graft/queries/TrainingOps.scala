@@ -97,23 +97,52 @@ object TrainingOps {
 
   // ---- top-k terms per source: exact heavy-hitters over the corpus ----
 
+  /** Bounded partial-top-k count aggregator: keeps the k largest count
+    * values (with multiplicity) per group — map-side combinable, state
+    * O(k) per group. `finish` returns the k-th largest count seen (or
+    * Long.MinValue when the group has fewer than k rows): the per-group
+    * CANDIDATE CUTOFF — every row that can rank <= k under (count DESC,
+    * any tiebreak) has n >= cutoff, and the candidate set is at most
+    * k + (the cutoff count-class's population) rows.
+    */
+  private final class KthLargestCount(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Seq[Long], Long] {
+    def zero: Seq[Long] = Nil
+    def reduce(b: Seq[Long], n: Long): Seq[Long] = merge(b, Seq(n))
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      (a ++ b).sorted(Ordering[Long].reverse).take(k)
+    def finish(b: Seq[Long]): Long = if (b.length < k) Long.MinValue else b.last
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
   /** The k most frequent tokens per source, exactly, with a fully
     * deterministic rank (count DESC, token ASC — no sketch, no tie
     * ambiguity). Scale shape: the heavy reduction is the map-side
     * combinable (source, token) groupBy — the explode never shuffles raw
-    * tokens, only partial counts; the rank window then sees ONE row per
-    * distinct term (vocabulary-sized, not corpus-sized), partitioned by
-    * source. At 100 TB the vocabulary is the small side by orders of
-    * magnitude; per-source skew is AQE-manageable.
+    * tokens, only partial counts. The rank window then sees only the
+    * CANDIDATES per source (≤ k + one count-class), not the source's whole
+    * vocabulary: a bounded O(k)-state aggregator (same two-pass selection
+    * idea as StatsOps.topEvents) finds each source's k-th largest count,
+    * and rows below that cutoff — which can never rank ≤ k — are filtered
+    * before the window. Both branches reuse the ONE (source, token)
+    * shuffle (identical exchange, deduped by ReuseExchange); the cutoff
+    * frame is one row per source and broadcasts at any corpus size.
     */
   val topTerms: (SparkSession, String) => DataFrame = (spark, dir) => {
     val k = 10
     val counts = docs(spark, dir)
       .select(col("source"), explode(toks).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val cutoffs = counts.groupBy("source")
+      .agg(udaf(new KthLargestCount(k)).apply(col("n")).as("cut"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("n").desc, col("tok").asc)
-    counts.withColumn("rank", row_number().over(w).cast("long"))
+    counts.join(broadcast(cutoffs), "source")
+      .filter(col("n") >= col("cut"))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("source"), col("rank"), col("tok"), col("n"))
       .orderBy("source", "rank")
@@ -126,8 +155,12 @@ object TrainingOps {
     * crosses the engine/oracle compare; ties break (score DESC, token
     * ASC). Scale shape: tf is the map-side-combinable (doc, token)
     * groupBy; df aggregates the vocabulary-sized tf table; the join is
-    * token-keyed (df is the broadcastable side at any corpus size); the
-    * rank window partitions per doc over at most |doc vocabulary| rows.
+    * TOKEN-KEYED — at contract scale df fits the broadcast threshold and
+    * Catalyst broadcasts it (plan-asserted in TrainingOpsTextSpec), while
+    * a web-scale vocabulary exceeds any broadcast limit and the same plan
+    * degrades gracefully to a token-keyed shuffle equi-join (never a
+    * nested-loop/cartesian); the rank window partitions per doc over at
+    * most |doc vocabulary| rows.
     */
   val charTerms: (SparkSession, String) => DataFrame = (spark, dir) => {
     val k = 3

@@ -55,6 +55,56 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(a.exists(_._3) && a.exists(!_._3))
   }
 
+  test("pipTagPartitioned band slack: sub-EPSILON-dx segments and huge-span segments") {
+    import spark.implicits._
+    import graft.model.{ContourRow, PolyRow}
+    val eps = graft.core.Geom.Epsilon
+    // Ring A: a NEAR-VERTICAL segment with 0 < |dx| < EPSILON (the
+    // post-smoothing cancellation case) crossing the default band edge
+    // y = 8.0. segmentContains takes the vertical branch for it (y must
+    // lie in the EXACT y-span), so the slack-0 banding must still route
+    // every on-boundary candidate to a shared band.
+    val x1 = 0.5 + eps / 2.0 // one ulp off 0.5; dx < EPSILON, nonzero
+    assert(x1 != 0.5 && math.abs(x1 - 0.5) < eps)
+    // y-span 7..9 so the claimed point (0.5, 8.0) sits AT band edge 8 with
+    // |cy-ay| = 1: cross = dx*1 = eps/2 < EPSILON -> genuinely claimed
+    // (with |cy-ay| = 2 the cross lands EXACTLY on EPSILON and the strict
+    // < rejects it — the claim is that fine-grained)
+    val ringA = Seq(0.5, 7.0, x1, 9.0, 4.0, 9.0, 4.0, 7.0, 0.5, 7.0)
+    // Ring B: a huge-span x-dominant segment (post-affine frame) whose
+    // FP cross-product rounding term dwarfs EPSILON/|dx| — the span-scaled
+    // slack must cover it. Its midpoint sits exactly on band edge y = 16.
+    val ringB = Seq(0.0, 8.0, 1.0e9, 24.0, 1.0e9, 40.0, 0.0, 40.0, 0.0, 8.0)
+    val cts = spark.createDataset(Seq(
+      ContourRow("adv", 1.0, Seq(PolyRow(ringA, Seq.empty))),
+      ContourRow("adv", 2.0, Seq(PolyRow(ringB, Seq.empty)))))
+    val probes = Seq(
+      (0L, 0.5, 7.0),           // ring-A vertex (on boundary)
+      (1L, 0.5, 8.0),           // on the sub-EPSILON-dx segment AT the band edge
+      (2L, x1, 9.0),            // its other endpoint
+      (3L, 0.5 + 1e-10, 8.0),   // just off the segment, at the band edge
+      (4L, 2.0, 8.0),           // strictly inside ring A
+      (5L, 0.4, 8.0),           // strictly outside ring A
+      (6L, 5.0e8, 16.0),        // on ring B's hypotenuse AT band edge 16
+      (7L, 5.0e8, 16.0 + 1e-6), // just above it (inside)
+      (8L, 5.0e8, 15.0),        // below it (outside)
+      (9L, 1.0e9, 24.0))        // ring-B vertex
+    val points = spark.createDataset(probes)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Double, Boolean)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val want = norm(SpatialOps.pipTag(spark, points, cts))
+    val got = norm(SpatialOps.pipTagPartitioned(spark, points, cts))
+    assert(got == want)
+    // the interesting probes really are the on-boundary class (verdict 0:
+    // neither inside nor outside -> inside=false), not accidental misses
+    def contains(ring: Seq[Double], x: Double, y: Double) =
+      graft.core.Geom.ringContains(ring.dropRight(2).toArray, x, y)
+    assert(contains(ringA, 0.5, 8.0) == 0)
+    assert(contains(ringB, 5.0e8, 16.0) == 0)
+    assert(contains(ringA, 2.0, 8.0) == 1 && contains(ringB, 5.0e8, 16.0 + 1e-6) == 1)
+    assert(want.count(_._3) >= 2) // the strictly-inside probes tag true
+  }
+
   test("pipTagPartitioned handles a polygon set with many rings (multi-grid)") {
     import spark.implicits._
     // 60 grids -> thousands of rings; nothing is collected to the driver

@@ -102,4 +102,24 @@ class TrainingOpsTextSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5))).toSeq
     assert(gotChar == wantChar)
   }
+
+  test("topTerms/charTerms plan shape: broadcast small sides, equi-joins only") {
+    // topTerms: the per-source cutoff frame (one row per source) must
+    // broadcast, and no join may degrade to a nested loop / cartesian
+    val top = TrainingOps.topTerms(spark, sf)
+    top.collect()
+    val topPlan = top.queryExecution.executedPlan.toString
+    assert(topPlan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$topPlan")
+    assert(!topPlan.contains("CartesianProduct") &&
+      !topPlan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$topPlan")
+    // charTerms: df fits the contract-scale broadcast threshold (the
+    // Scaladoc's claim); at web scale the same token-keyed equi-join
+    // degrades to a shuffle join, never a nested loop
+    val ct = TrainingOps.charTerms(spark, sf)
+    ct.collect()
+    val ctPlan = ct.queryExecution.executedPlan.toString
+    assert(ctPlan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$ctPlan")
+    assert(!ctPlan.contains("CartesianProduct") &&
+      !ctPlan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$ctPlan")
+  }
 }
