@@ -1,0 +1,177 @@
+package graft.core
+
+/** Per-tile raster-window kernels over a halo'd buffer — the ZERO-SHUFFLE
+  * formulation of the focal/slope/D8/upsample operators: each tile owns
+  * samples [ox0, ox0+ow) x [oy0, oy0+oh) of a w x h grid and carries a
+  * 1-sample halo on every side (clipped at the grid edge), exactly the
+  * dependency footprint of a 3x3 window / bilinear 2x stencil. The kernels
+  * run cell loops INSIDE the tile and emit per-raster-row (or per-direction)
+  * INTEGER partials, so the only exchange downstream is a tiny partial-
+  * aggregate merge — never the raster itself (the cell-level scatter/pivot
+  * formulation in queries.RasterOps ships every raster byte 9-16x through a
+  * key-local shuffle; it remains as the bit-exact cross-check).
+  *
+  * EXACTNESS CONTRACT: every f64 expression below mirrors the cell-level
+  * Column expressions token for token (same association tree, same mirrored
+  * slot labeling s(o) = value at (x - dx_o, y - dy_o), dx_o = o%3 - 1,
+  * dy_o = o/3 - 1), and every value quantizes PER CELL (floor(v * 2^20))
+  * before entering an order-free integer sum — so tiled == cell-level
+  * bit-for-bit (RasterRandomSpec asserts it on random grids and tilings),
+  * and both match the DuckDB oracles.
+  *
+  * Buffer layout: `vals` row-major with origin (bx0, by0), dims bw x bh;
+  * the owned region plus halo, so bx0 = max(ox0-1, 0) etc.
+  */
+object RasterKernel {
+
+  /** 2^20 per-cell quantization, shared with the oracles. */
+  final val Q20 = 1048576.0
+
+  /** Per-row integer partials: (y, n, qsum, qmin, qmax). */
+  type RowStat = (Long, Long, Long, Long, Long)
+
+  /** 3x3 focal mean over the tile's owned INTERIOR cells (tx in [1, w-2],
+    * ty in [1, h-2] intersected with the owned region) — per-row partials.
+    */
+  def focalRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                ox0: Int, oy0: Int, ow: Int, oh: Int,
+                w: Int, h: Int): Seq[RowStat] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val out = new scala.collection.mutable.ArrayBuffer[RowStat](math.max(tyHi - tyLo + 1, 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var n = 0L; var qsum = 0L
+      var qmin = Long.MaxValue; var qmax = Long.MinValue
+      var tx = txLo
+      while (tx <= txHi) {
+        val v0 = g(tx + 1, ty + 1); val v1 = g(tx, ty + 1); val v2 = g(tx - 1, ty + 1)
+        val v3 = g(tx + 1, ty); val v4 = g(tx, ty); val v5 = g(tx - 1, ty)
+        val v6 = g(tx + 1, ty - 1); val v7 = g(tx, ty - 1); val v8 = g(tx - 1, ty - 1)
+        val mean = ((((v0 + v1) + v2) + ((v3 + v4) + v5)) + ((v6 + v7) + v8)) / 9.0
+        val q = math.floor(mean * Q20).toLong
+        n += 1; qsum += q
+        if (q < qmin) qmin = q
+        if (q > qmax) qmax = q
+        tx += 1
+      }
+      if (n > 0) out += ((ty.toLong, n, qsum, qmin, qmax))
+      ty += 1
+    }
+    out.toSeq
+  }
+
+  /** Horn slope (sqrt(gx^2 + gy^2), correctly-rounded sqrt) over the same
+    * interior — per-row partials.
+    */
+  def slopeRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                ox0: Int, oy0: Int, ow: Int, oh: Int,
+                w: Int, h: Int): Seq[RowStat] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val out = new scala.collection.mutable.ArrayBuffer[RowStat](math.max(tyHi - tyLo + 1, 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var n = 0L; var qsum = 0L
+      var qmin = Long.MaxValue; var qmax = Long.MinValue
+      var tx = txLo
+      while (tx <= txHi) {
+        val v0 = g(tx + 1, ty + 1); val v1 = g(tx, ty + 1); val v2 = g(tx - 1, ty + 1)
+        val v5 = g(tx - 1, ty); val v3 = g(tx + 1, ty)
+        val v6 = g(tx + 1, ty - 1); val v7 = g(tx, ty - 1); val v8 = g(tx - 1, ty - 1)
+        val gx = (((v0 + v3 * 2.0) + v6) - ((v2 + v5 * 2.0) + v8)) / 8.0
+        val gy = (((v0 + v1 * 2.0) + v2) - ((v6 + v7 * 2.0) + v8)) / 8.0
+        val q = math.floor(math.sqrt(gx * gx + gy * gy) * Q20).toLong
+        n += 1; qsum += q
+        if (q < qmin) qmin = q
+        if (q > qmax) qmax = q
+        tx += 1
+      }
+      if (n > 0) out += ((ty.toLong, n, qsum, qmin, qmax))
+      ty += 1
+    }
+    out.toSeq
+  }
+
+  /** D8 flow direction over the same interior — per-DIRECTION partials
+    * (dir, n, max packed value), dirs in [-1, 8]. Packed-argmax entirely in
+    * the integer domain after per-neighbour quantization, identical to the
+    * cell-level formulation: packed(o) = floor((center - s(o)) / dist *
+    * 2^20) * 16 + (8 - o), ties to the smallest slot by construction.
+    */
+  def d8Dirs(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+             ox0: Int, oy0: Int, ow: Int, oh: Int,
+             w: Int, h: Int): Seq[(Long, Long, Long)] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val sqrt2 = math.sqrt(2.0)
+    val slots = Array(0, 1, 2, 3, 5, 6, 7, 8)
+    val dists = slots.map(o => if (o % 3 - 1 != 0 && o / 3 - 1 != 0) sqrt2 else 1.0)
+    val n = new Array[Long](10) // index dir + 1
+    val mx = Array.fill(10)(Long.MinValue)
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var tx = txLo
+      while (tx <= txHi) {
+        val v4 = g(tx, ty)
+        var pmax = Long.MinValue
+        var si = 0
+        while (si < 8) {
+          val o = slots(si)
+          val p = math.floor((v4 - g(tx - (o % 3 - 1), ty - (o / 3 - 1))) / dists(si) * Q20)
+            .toLong * 16L + (8L - o)
+          if (p > pmax) pmax = p
+          si += 1
+        }
+        val dir = if (pmax >= 16L) (8L - pmax % 16L).toInt else -1
+        n(dir + 1) += 1
+        if (pmax > mx(dir + 1)) mx(dir + 1) = pmax
+        tx += 1
+      }
+      ty += 1
+    }
+    (0 until 10).iterator.filter(n(_) > 0)
+      .map(i => ((i - 1).toLong, n(i), mx(i))).toSeq
+  }
+
+  /** Bilinear 2x upsample (align_corners=false, clamped edges) of the
+    * tile's owned OUTPUT range [2*ox0, 2*(ox0+ow)) x [2*oy0, 2*(oy0+oh)) —
+    * per-OUTPUT-row partials. Source reads stay within the 1-sample halo:
+    * x0 = clamp((X-1) floorDiv 2) >= ox0 - 1, x1 = clamp((X+1) floorDiv 2)
+    * <= min(ox0 + ow, w - 1).
+    */
+  def upsampleRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                   ox0: Int, oy0: Int, ow: Int, oh: Int,
+                   w: Int, h: Int): Seq[RowStat] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    @inline def clamp(c: Int, hi: Int): Int = math.max(0, math.min(c, hi))
+    val out = new scala.collection.mutable.ArrayBuffer[RowStat](2 * oh)
+    var oy = 2 * oy0
+    while (oy < 2 * (oy0 + oh)) {
+      val y0 = clamp(Math.floorDiv(oy - 1, 2), h - 1)
+      val y1 = clamp(Math.floorDiv(oy + 1, 2), h - 1)
+      val fy = if (oy % 2 == 0) 0.75 else 0.25
+      var n = 0L; var qsum = 0L
+      var qmin = Long.MaxValue; var qmax = Long.MinValue
+      var ox = 2 * ox0
+      while (ox < 2 * (ox0 + ow)) {
+        val x0 = clamp(Math.floorDiv(ox - 1, 2), w - 1)
+        val x1 = clamp(Math.floorDiv(ox + 1, 2), w - 1)
+        val fx = if (ox % 2 == 0) 0.75 else 0.25
+        val top = (g(x0, y0) * (1.0 - fx)) + (g(x1, y0) * fx)
+        val bot = (g(x0, y1) * (1.0 - fx)) + (g(x1, y1) * fx)
+        val q = math.floor(((top * (1.0 - fy)) + (bot * fy)) * Q20).toLong
+        n += 1; qsum += q
+        if (q < qmin) qmin = q
+        if (q > qmax) qmax = q
+        ox += 1
+      }
+      if (n > 0) out += ((oy.toLong, n, qsum, qmin, qmax))
+      oy += 1
+    }
+    out.toSeq
+  }
+}

@@ -1,8 +1,21 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+
+/** A raster tile with a 1-sample halo on EVERY side (clipped at the grid
+  * edge): owned samples [ox0, ox0+ow) x [oy0, oy0+oh), buffer row-major
+  * with origin (bx0, by0) and dims bw x bh — the input unit of the
+  * zero-shuffle raster-window kernels (core.RasterKernel). Differs from
+  * the contour engine's TileRow (right/bottom halo only) because window
+  * stencils are symmetric while the marching-squares cell sweep is
+  * forward-only.
+  */
+final case class RasterTile(tileX: Int, tileY: Int,
+                            bx0: Int, by0: Int, bw: Int, bh: Int,
+                            ox0: Int, oy0: Int, ow: Int, oh: Int,
+                            values: Array[Double])
 
 /** Raster overview pyramid over the events grid (GDAL-overview style):
   * level L+1 cell (x, y) is the mean of level L's complete 2x2 block at
@@ -110,6 +123,10 @@ object RasterOps {
     */
   /** Grid-agnostic core of the pivoted window (property-tested on random
     * dims, where the events table's fixed 100-wide grid never goes).
+    * CROSS-CHECK formulation: replicates every cell to its 9 window slots
+    * through the key-local shuffle — the halo-tiled kernels below are the
+    * engine path (raster never shuffles), held bit-equal to this one by
+    * RasterRandomSpec.
     */
   private[graft] def pivoted3x3Of(cells: DataFrame, w: Int, h: Int): DataFrame = {
     val offsets = for (dy <- -1 to 1; dx <- -1 to 1) yield (dx, dy)
@@ -140,8 +157,9 @@ object RasterOps {
   }
 
   val focalMean: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
     val (w, h) = EventsGrid.dims(spark, dir)
-    focalMeanOf(baseCells(spark, dir), w, h)
+    focalMeanTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
   /** Horn slope (gradient magnitude) — the standard terrain-analysis
@@ -169,8 +187,9 @@ object RasterOps {
   }
 
   val hornSlope: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
     val (w, h) = EventsGrid.dims(spark, dir)
-    hornSlopeOf(baseCells(spark, dir), w, h)
+    hornSlopeTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
   /** D8 flow direction — the standard hydrology operator — over the grid
@@ -207,8 +226,9 @@ object RasterOps {
   }
 
   val d8FlowDir: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
     val (w, h) = EventsGrid.dims(spark, dir)
-    d8FlowDirOf(baseCells(spark, dir), w, h)
+    d8FlowDirTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
   /** Bilinear 2x UPSAMPLE (the pyramid's inverse direction — overview
@@ -225,13 +245,11 @@ object RasterOps {
     * duplicates included) corner-role slots in one narrow flatMap; ONE
     * key-local shuffle groups each output pixel's 4-slot window (the same
     * replicate+pivot idiom as pivoted3x3 — never a 4-way self-join on the
-    * engine side). The shuffle carries 16 small rows per source cell; at
-    * full-raster scale the zero-shuffle alternative is tile-granular
-    * resampling with 1-cell halos through the contour engine's existing
-    * tile router (the same dependency footprint as the marching-squares
-    * kernel) — this cell-level formulation is the schema-agnostic default
-    * that needs no tiling contract. Returns (y, n_cells, qsum, qmin,
-    * qmax) per OUTPUT row.
+    * engine side). The shuffle carries 16 small rows per source cell —
+    * which is why this cell-level formulation is now the CROSS-CHECK, not
+    * the engine path: gridUpsampleTiledOf below runs the same stencil
+    * inside halo'd tiles and shuffles only per-row integer partials.
+    * Returns (y, n_cells, qsum, qmin, qmax) per OUTPUT row.
     */
   private[graft] def gridUpsampleOf(src: org.apache.spark.sql.Dataset[(Int, Int, Double)],
                                     w: Int, h: Int): DataFrame = {
@@ -264,10 +282,119 @@ object RasterOps {
     rowStats(win, floor(v * Q20))
   }
 
+  // ---- halo-tiled (zero-shuffle) raster windows ------------------------
+  //
+  // The engine path for the window family: tiles with a symmetric 1-sample
+  // halo run the whole stencil INSIDE a narrow flatMap (core.RasterKernel)
+  // and emit per-row / per-direction integer partials — the only exchange
+  // is the tiny partial-aggregate merge (O(tiles x tile-rows) rows), never
+  // the raster. Building tiles from a cell-per-row table costs ONE routing
+  // exchange that ships each raster byte ~(1 + 2/tileW)(1 + 2/tileH) ≈
+  // 1.08x (50x50 tiles) — vs the scatter/pivot formulation above, whose
+  // key-local shuffle ships every cell 9x (windows) to 16x (upsample
+  // corner roles). When the raster already lives tiled (the doc table's
+  // media tiles), the kernels run with NO raster exchange at all. The
+  // scatter/pivot path stays as the independent bit-exact cross-check
+  // (RasterRandomSpec asserts tiled == cell-level on random grids and
+  // tilings; both match the same DuckDB oracles).
+
+  /** Route (x, y, v) cells of a w x h grid into RasterTiles with a
+    * symmetric 1-sample halo. A sample ships to its owner tile plus any
+    * edge-adjacent neighbours whose halo contains it (≤ 4 targets, only at
+    * tile borders). Dense-grid contract: every buffer slot must be filled,
+    * loudly required.
+    */
+  private[graft] def haloTilesFromCells(cells: Dataset[(Int, Int, Double)],
+                                        w: Int, h: Int,
+                                        tileW: Int, tileH: Int): Dataset[RasterTile] = {
+    import cells.sparkSession.implicits._
+    val (tw, th) = (tileW, tileH)
+    val nx = (w + tw - 1) / tw
+    val ny = (h + th - 1) / th
+    val routed = cells.flatMap { case (x, y, v) =>
+      // owner c/t always; left/top neighbour iff the sample is its right/
+      // bottom halo column (c % t == 0); right/bottom neighbour iff it is
+      // its left/top halo column (c % t == t - 1)
+      def targets(c: Int, t: Int, n: Int): Seq[Int] = {
+        val own = c / t
+        val b = Seq.newBuilder[Int]
+        b += own
+        if (c % t == 0 && own > 0) b += own - 1
+        if (c % t == t - 1 && own + 1 < n) b += own + 1
+        b.result()
+      }
+      for (tx <- targets(x, tw, nx); ty <- targets(y, th, ny)) yield (tx, ty, x, y, v)
+    }
+    routed.groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Int, Double)]) =>
+        val (tx, ty) = key
+        val ox0 = tx * tw; val oy0 = ty * th
+        val ow = math.min(tw, w - ox0); val oh = math.min(th, h - oy0)
+        val bx0 = math.max(ox0 - 1, 0); val by0 = math.max(oy0 - 1, 0)
+        val bw = math.min(ox0 + ow + 1, w) - bx0
+        val bh = math.min(oy0 + oh + 1, h) - by0
+        val vals = new Array[Double](bw * bh)
+        var filled = 0
+        it.foreach { case (_, _, x, y, v) =>
+          vals((y - by0) * bw + (x - bx0)) = v
+          filled += 1
+        }
+        require(filled == bw * bh,
+          s"haloTiles: tile ($tx, $ty) got $filled of ${bw * bh} buffer samples — sparse grid?")
+        RasterTile(tx, ty, bx0, by0, bw, bh, ox0, oy0, ow, oh, vals)
+      }
+  }
+
+  /** Merge the kernels' per-row integer partials — the only shuffle of the
+    * tiled path, carrying O(tiles x tile-rows) tiny rows.
+    */
+  private def mergeRowStats(rows: Dataset[(Long, Long, Long, Long, Long)]): DataFrame =
+    rows.toDF("y", "n", "qs", "qn", "qx")
+      .groupBy("y")
+      .agg(sum(col("n")).as("n_cells"), sum(col("qs")).as("qsum"),
+        min(col("qn")).as("qmin"), max(col("qx")).as("qmax"))
+      .orderBy("y")
+
+  private[graft] def focalMeanTiledOf(cells: Dataset[(Int, Int, Double)],
+                                      w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    mergeRowStats(haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+      graft.core.RasterKernel.focalRows(t.values, t.bx0, t.by0, t.bw,
+        t.ox0, t.oy0, t.ow, t.oh, w, h)))
+  }
+
+  private[graft] def hornSlopeTiledOf(cells: Dataset[(Int, Int, Double)],
+                                      w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    mergeRowStats(haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+      graft.core.RasterKernel.slopeRows(t.values, t.bx0, t.by0, t.bw,
+        t.ox0, t.oy0, t.ow, t.oh, w, h)))
+  }
+
+  private[graft] def d8FlowDirTiledOf(cells: Dataset[(Int, Int, Double)],
+                                      w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+        graft.core.RasterKernel.d8Dirs(t.values, t.bx0, t.by0, t.bw,
+          t.ox0, t.oy0, t.ow, t.oh, w, h))
+      .toDF("dir", "n", "qpk")
+      .groupBy("dir")
+      .agg(sum(col("n")).as("n_cells"), max(col("qpk")).as("qpk_max"))
+      .orderBy("dir")
+  }
+
+  private[graft] def gridUpsampleTiledOf(cells: Dataset[(Int, Int, Double)],
+                                         w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    mergeRowStats(haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+      graft.core.RasterKernel.upsampleRows(t.values, t.bx0, t.by0, t.bw,
+        t.ox0, t.oy0, t.ow, t.oh, w, h)))
+  }
+
   val gridUpsample: (SparkSession, String) => DataFrame = (spark, dir) => {
     import spark.implicits._
     val (w, h) = EventsGrid.dims(spark, dir)
-    gridUpsampleOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+    gridUpsampleTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
   // w halves from the constant base W=100 (floor division composes:

@@ -75,6 +75,71 @@ class RasterRandomSpec extends AnyFunSuite {
     }
   }
 
+  test("halo-tiled kernels == cell-level scatter/pivot bit-for-bit on random grids and tilings") {
+    import spark.implicits._
+    val rng = new scala.util.Random(505050L)
+    def collect5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    def collect3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    for (trial <- 0 until 10) {
+      // dims 1..24, tile sizes 1..9 — covers tiles smaller than the halo,
+      // single-tile grids, ragged last tiles, and empty interiors
+      val w = 1 + rng.nextInt(24)
+      val h = 1 + rng.nextInt(24)
+      val tw = 1 + rng.nextInt(9)
+      val th = 1 + rng.nextInt(9)
+      val g = randGrid(rng, w, h)
+      val cells = cellsDf(g, w, h)
+      val typed = (0 until w * h).map(i => (i % w, i / w, g(i))).toDS()
+      val label = s"trial $trial: ${w}x$h tiles ${tw}x$th"
+      assert(collect5(RasterOps.focalMeanTiledOf(typed, w, h, tw, th))
+        == collect5(RasterOps.focalMeanOf(cells, w, h)), s"focal $label")
+      assert(collect5(RasterOps.hornSlopeTiledOf(typed, w, h, tw, th))
+        == collect5(RasterOps.hornSlopeOf(cells, w, h)), s"slope $label")
+      assert(collect3(RasterOps.d8FlowDirTiledOf(typed, w, h, tw, th))
+        == collect3(RasterOps.d8FlowDirOf(cells, w, h)), s"d8 $label")
+      assert(collect5(RasterOps.gridUpsampleTiledOf(typed, w, h, tw, th))
+        == collect5(RasterOps.gridUpsampleOf(typed, w, h)), s"upsample $label")
+    }
+  }
+
+  test("halo-tiled path shuffles a small fraction of the cell-level path's bytes") {
+    import spark.implicits._
+    import java.util.concurrent.atomic.AtomicLong
+    val acc = new AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        acc.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rng = new scala.util.Random(7L)
+      val (w, h) = (100, 200)
+      val g = randGrid(rng, w, h)
+      val cells = cellsDf(g, w, h)
+      val typed = (0 until w * h).map(i => (i % w, i / w, g(i))).toDS()
+      def measure(f: => org.apache.spark.sql.DataFrame): Long = {
+        Thread.sleep(1000); acc.set(0L)
+        f.collect()
+        Thread.sleep(1500) // listener bus drains asynchronously
+        acc.get()
+      }
+      val cellBytes = measure(RasterOps.focalMeanOf(cells, w, h)) +
+        measure(RasterOps.gridUpsampleOf(typed, w, h))
+      val tiledBytes = measure(RasterOps.focalMeanTiledOf(typed, w, h)) +
+        measure(RasterOps.gridUpsampleTiledOf(typed, w, h))
+      info(s"shuffle write bytes: cell-level=$cellBytes tiled=$tiledBytes " +
+        f"ratio=${tiledBytes.toDouble / cellBytes}%.3f")
+      // cell-level ships every cell 9x (focal) / 16x (upsample); tiled ships
+      // the raster ~1.08x in routing plus tiny per-row partials — require
+      // at least a 3x margin so VM/listener noise can't flake the gate
+      assert(tiledBytes * 3 < cellBytes,
+        s"tiled=$tiledBytes not < cell/3 of $cellBytes")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("gridUpsample on random dims (incl. w or h = 1) == local clamp-gather recompute") {
     import spark.implicits._
     val rng = new scala.util.Random(424242L)
