@@ -109,6 +109,13 @@ object StreamingContour {
             .withColumn("gid", col("gridId"))
             .write.mode("overwrite").partitionBy("gid")
             .parquet(s"$ringStore/b$batchId")
+          // per-grid directory index: completion walks O(batches containing
+          // that grid), not O(all batches). Collected grid list is bounded
+          // by the batch's grid count; marker writes are idempotent.
+          val ringGrids = rows.filter(_.ti >= 0).map(_.gridId).distinct().collect()
+          val fs = new org.apache.hadoop.fs.Path(ringStore)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          writeRingIndex(fs, ringStore, batchId, ringGrids.toSeq)
           if (completed.nonEmpty) {
             val markers = rows.filter(r => r.ti == CompleteTi)
             val rings = readRingStore(s, ringStore, completed)
@@ -143,33 +150,122 @@ object StreamingContour {
       .as[RingFragRow]
   }
 
-  /** The directories holding `grids`' rings: each batch's matching `gid=`
-    * partition dirs — partition values matched by UNESCAPING the dir name
-    * (Spark's own Hive-style unescaper, the exact inverse of what
-    * partitionBy applied), so exotic grid ids round-trip exactly — plus
-    * any whole batch dir in the pre-partitioning layout (bare parquet
-    * files at the batch level), which readRingStore's row filter prunes.
+  private def escGid(gid: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(gid)
+
+  /** Record, in the per-grid directory index, which grids batch `batchId`
+    * wrote rings for: one empty marker file `index/gid=<g>/b<batchId>` per
+    * grid (same Hive-style escaping as partitionBy, so exotic grid ids
+    * round-trip). IDEMPOTENT: a retried batch recreates the same markers.
+    * The FIRST indexing call on a store that already holds batch dirs
+    * (an engine upgrade on a live stream) records those pre-index batch
+    * names once in `index/_legacy_batches`, so reads never miss
+    * un-indexed history.
+    */
+  private[streaming] def writeRingIndex(fs: org.apache.hadoop.fs.FileSystem,
+                                        ringStore: String, batchId: Long,
+                                        grids: Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(ringStore)
+    val indexDir = new org.apache.hadoop.fs.Path(root, "index")
+    if (!fs.exists(indexDir)) {
+      val preexisting =
+        try fs.listStatus(root).filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("b") && st.getPath.getName != s"b$batchId")
+          .map(_.getPath.getName).sorted
+        catch { case _: java.io.FileNotFoundException => Array.empty[String] }
+      fs.mkdirs(indexDir)
+      if (preexisting.nonEmpty) {
+        val out = fs.create(new org.apache.hadoop.fs.Path(indexDir, "_legacy_batches"), true)
+        try out.write(preexisting.mkString("\n").getBytes("UTF-8")) finally out.close()
+      }
+    }
+    grids.sorted.foreach { g =>
+      val gdir = new org.apache.hadoop.fs.Path(indexDir, s"gid=${escGid(g)}")
+      fs.mkdirs(gdir)
+      fs.create(new org.apache.hadoop.fs.Path(gdir, s"b$batchId"), true).close()
+    }
+  }
+
+  /** The directories holding `grids`' rings.
+    *
+    * Indexed store (any store this engine has written): each grid's marker
+    * dir lists exactly the batches holding its rings, so the walk is
+    * O(batches containing that grid) — one `listStatus` per grid plus one
+    * existence check per marker — regardless of how many batches the
+    * stream has accumulated. Batches from before the index existed (an
+    * upgraded live stream) were recorded once in `_legacy_batches` and are
+    * read whole (the row filter prunes them).
+    *
+    * Pre-index store (no `index/` dir at all): the original full walk —
+    * every batch's matching `gid=` partition dirs (partition values
+    * matched by UNESCAPING the dir name, the exact inverse of
+    * partitionBy's escaping), plus any whole batch dir in the
+    * pre-partitioning layout (bare parquet at the batch level), which
+    * readRingStore's row filter prunes.
     */
   private[streaming] def ringDirsFor(fs: org.apache.hadoop.fs.FileSystem,
                                      ringStore: String,
                                      grids: Set[String]): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(ringStore)
-    val batches =
-      try fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.Path] }
-    batches.toIndexedSeq.flatMap { b =>
-      val entries = fs.listStatus(b)
-      val legacy = entries.exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      if (legacy) Seq(b.toString) // pre-partitioning batch: no per-grid pruning possible
-      else entries.iterator.filter(_.isDirectory).map(_.getPath)
-        .filter { d =>
-          val n = d.getName
-          n.startsWith("gid=") &&
-            grids.contains(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .unescapePathName(n.drop(4)))
+    val indexDir = new org.apache.hadoop.fs.Path(root, "index")
+    if (fs.exists(indexDir)) {
+      val legacyFile = new org.apache.hadoop.fs.Path(indexDir, "_legacy_batches")
+      val legacy: Seq[String] =
+        if (!fs.exists(legacyFile)) Nil
+        else {
+          val in = fs.open(legacyFile)
+          val bytes = try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val b = new Array[Byte](4096)
+            var n = in.read(b)
+            while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+            buf.toByteArray
+          } finally in.close()
+          new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+            .flatMap(b => expandBatchDir(fs, new org.apache.hadoop.fs.Path(root, b), grids))
         }
-        .map(_.toString).toSeq
+      val indexed = grids.toSeq.sorted.flatMap { g =>
+        val e = escGid(g)
+        val markers =
+          try fs.listStatus(new org.apache.hadoop.fs.Path(indexDir, s"gid=$e"))
+            .map(_.getPath.getName).sorted.toSeq
+          catch { case _: java.io.FileNotFoundException => Nil }
+        markers.flatMap { b =>
+          val d = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root, b), s"gid=$e")
+          // a batch retry may legitimately rewrite fewer grids than the
+          // failed attempt indexed — stale markers are skipped, not errors
+          if (fs.exists(d)) Some(d.toString) else None
+        }
+      }
+      legacy ++ indexed
+    } else {
+      val batches =
+        try fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.Path] }
+      batches.toIndexedSeq.flatMap(b => expandBatchDir(fs, b, grids))
     }
+  }
+
+  /** One batch dir's read set for `grids`: the whole dir for the
+    * pre-partitioning layout (bare parquet at the batch level — the row
+    * filter prunes), else the matching `gid=` partition dirs.
+    */
+  private def expandBatchDir(fs: org.apache.hadoop.fs.FileSystem,
+                             b: org.apache.hadoop.fs.Path,
+                             grids: Set[String]): Seq[String] = {
+    val entries =
+      try fs.listStatus(b)
+      catch { case _: java.io.FileNotFoundException => return Nil }
+    val legacy = entries.exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (legacy) Seq(b.toString)
+    else entries.iterator.filter(_.isDirectory).map(_.getPath)
+      .filter { d =>
+        val n = d.getName
+        n.startsWith("gid=") &&
+          grids.contains(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(n.drop(4)))
+      }
+      .map(_.toString).toSeq
   }
 
   /** Distributed per-grid assembly of completed grids — identical reducer

@@ -159,6 +159,58 @@ class StreamingContourSpec extends AnyFunSuite {
     assert(all.exists(_.endsWith("gid=gQ")), "open grid's rings are in the store")
     assert(gp.nonEmpty && gp.forall(_.endsWith("gid=gP")),
       s"completion read set must touch only gP's partitions, got $gp")
+    // the walk is INDEX-DRIVEN: the stream wrote per-grid markers, and the
+    // read set is exactly the batches gP's marker dir names — one
+    // listStatus per grid, O(batches containing that grid), not a scan of
+    // the store's whole batch history
+    val indexDir = new org.apache.hadoop.fs.Path(s"$ckpt/rings/index")
+    assert(fs.exists(indexDir), "stream must maintain the per-grid ring index")
+    val gpMarkers = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir, "gid=gP"))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(gpMarkers.nonEmpty)
+    assert(gp.map(d => new org.apache.hadoop.fs.Path(d).getParent.getName).sorted.toSeq
+      == gpMarkers, s"read set $gp must be exactly gP's indexed batches $gpMarkers")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(indexDir, "_legacy_batches")),
+      "a fresh stream has no pre-index history")
+  }
+
+  test("ring index upgrade: pre-index batches recorded once, reads span all eras") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("upstore").toString
+    def row(gid: String, ti: Int) =
+      graft.model.RingFragRow(gid, ti, closed = true, 0, 0, 0L, 0L, ti.toLong, 0,
+        Array(0.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0))
+    def writePartitioned(batch: String, rows: Seq[graft.model.RingFragRow]): Unit =
+      spark.createDataset(rows).toDF()
+        .withColumn("gid", org.apache.spark.sql.functions.col("gridId"))
+        .write.mode("overwrite").partitionBy("gid").parquet(s"$store/$batch")
+    // pre-index history: b0 partitioned, b1 bare-parquet legacy
+    writePartitioned("b0", Seq(row("gP", 0), row("gQ", 1)))
+    spark.createDataset(Seq(row("gP", 5), row("gQ", 6))).coalesce(1)
+      .write.mode("overwrite").parquet(s"$store/b1")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the first indexed batch (an engine upgrade on a live stream)
+    writePartitioned("b2", Seq(row("gP", 2)))
+    StreamingContour.writeRingIndex(fs, store, 2L, Seq("gP"))
+    // ... and a later indexed batch for the OTHER grid only
+    writePartitioned("b3", Seq(row("gQ", 3)))
+    StreamingContour.writeRingIndex(fs, store, 3L, Seq("gQ"))
+    val dirs = StreamingContour.ringDirsFor(fs, store, Set("gP"))
+    assert(dirs.exists(_.endsWith("b0/gid=gP")) && dirs.exists(_.endsWith("b1"))
+      && dirs.exists(_.endsWith("b2/gid=gP")), s"got $dirs")
+    assert(!dirs.exists(_.contains("gid=gQ")) && !dirs.exists(_.contains("b3")),
+      s"gQ partitions / gQ-only batches must not be read: $dirs")
+    val got = StreamingContour.readRingStore(spark, store, Set("gP"))
+      .collect().map(r => (r.gridId, r.ti)).sorted.toSeq
+    assert(got == Seq(("gP", 0), ("gP", 2), ("gP", 5)))
+    // marker writes are idempotent (a retried batch recreates them), and a
+    // stale marker for a grid the retry didn't rewrite is skipped
+    StreamingContour.writeRingIndex(fs, store, 2L, Seq("gP", "gQ"))
+    writePartitioned("b2", Seq(row("gP", 2))) // retry rewrote only gP
+    val dirs2 = StreamingContour.ringDirsFor(fs, store, Set("gQ"))
+    assert(!dirs2.exists(_.endsWith("b2/gid=gQ")), s"stale marker must be skipped: $dirs2")
+    assert(dirs2.exists(_.endsWith("b3/gid=gQ")) && dirs2.exists(_.endsWith("b0/gid=gQ")))
   }
 
   test("ring store reads span mixed legacy (bare parquet) and partitioned batches") {
