@@ -231,6 +231,32 @@ object Lake {
     }
   }
 
+  /** Delete data directories no COMPLETE manifest references — admin
+    * recovery for `expireSnapshots`' documented worst case: manifests are
+    * deleted BEFORE data dirs, so a crash between the two phases leaves
+    * orphaned data directories that nothing will ever read or reclaim.
+    * Returns the deleted paths.
+    *
+    * Single-admin contract (same as recoverTornManifest): must not run
+    * concurrently with a committer — `commit` writes its data dir before
+    * its manifest, so an in-flight commit's directory would look orphaned.
+    * A TORN manifest's data dir is likewise swept: its committer crashed
+    * mid-write and the slot must be retried from scratch anyway
+    * (recoverTornManifest clears the manifest side).
+    */
+  def sweepOrphans(spark: SparkSession, table: String): Seq[String] = {
+    val dataRoot = new Path(table, "data")
+    val fs = fsOf(spark, dataRoot)
+    val referenced = snapshots(spark, table).map(s => new Path(s.path).getName).toSet
+    val listed =
+      try fs.listStatus(dataRoot)
+      catch { case _: java.io.FileNotFoundException => return Nil }
+    listed.iterator
+      .filter(st => st.isDirectory && !referenced.contains(st.getPath.getName))
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+      .toSeq
+  }
+
   def read(spark: SparkSession, snap: Snapshot): DataFrame =
     spark.read.parquet(snap.path)
 

@@ -134,6 +134,31 @@ class LakeSpec extends AnyFunSuite {
     assert(Lake.snapshots(spark, table).map(_.op) == Seq("op6"))
   }
 
+  test("sweepOrphans reclaims data dirs left by a crash between expiry's two phases") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("lake-sweep").toString
+    val snaps = (1 to 4).map(i => Lake.commit(spark, table, (1 to i * 10).toDF("x"), s"op$i"))
+    // simulate expireSnapshots(keepLast = 2) dying between its phases:
+    // phase 1 (manifest deletion) completed for op1/op2, phase 2 (data
+    // deletion) never ran — exactly the documented worst case
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0 to 1).foreach { seq =>
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$table/snapshots", f"$seq%012d.json"), false))
+    }
+    snaps.take(2).foreach(s => assert(Files.exists(java.nio.file.Paths.get(s.path)), "orphaned"))
+    val swept = Lake.sweepOrphans(spark, table)
+    assert(swept.map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+      == snaps.take(2).map(_.id).toSet)
+    snaps.take(2).foreach(s => assert(!Files.exists(java.nio.file.Paths.get(s.path))))
+    // the table still resolves and the kept snapshots' data is intact
+    assert(Lake.snapshots(spark, table).map(_.op) == Seq("op3", "op4"))
+    assert(Lake.read(spark, Lake.latest(spark, table).get).count() == 40)
+    assert(Lake.read(spark, Lake.latestFor(spark, table, "op3").get).count() == 30)
+    // idempotent: a second sweep finds nothing
+    assert(Lake.sweepOrphans(spark, table).isEmpty)
+  }
+
   test("checkpointed + salted + deep hierarchy: kill-resume is byte-identical") {
     import spark.implicits._
     val table = Files.createTempDirectory("lake-salt").toString

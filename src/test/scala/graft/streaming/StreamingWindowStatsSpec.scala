@@ -87,4 +87,56 @@ class StreamingWindowStatsSpec extends AnyFunSuite {
         qsum == (1L + 2L + 4L) * 1048576L)
     } finally q.stop()
   }
+
+  test("window state survives a query restart from the checkpoint; closed windows emit exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val ckpt = Files.createTempDirectory("win-ckpt3").toString
+    val outDir = Files.createTempDirectory("win-out3").toString
+    // the memory sink refuses checkpoint recovery — the FILE sink is the
+    // fault-tolerant one, which is exactly what this test is about
+    def start() = StreamingWindowStats.windowStats(events, windowLen = "10 minutes",
+      horizon = "30 minutes")
+      .writeStream.format("parquet").option("path", outDir)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("start_us", "long").add("end_us", "long").add("n_events", "long")
+      .add("qsum", "long").add("qmin", "long").add("qmax", "long")
+    def out(): Seq[(Long, Long, Long, Long, Long)] =
+      spark.read.schema(schema).parquet(outDir)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1 / 60000000L, r._3, r._4, r._5, r._6))
+        .sortBy(_._1).toSeq
+    val b = 1000L
+    val Q = 1048576L
+    val q1 = start()
+    try {
+      // a PARTIALLY-FILLED window enters Spark-owned state, then the query dies
+      input.addData((1L, ts(b + 1), 1.0), (2L, ts(b + 4), 2.0))
+      q1.processAllAvailable()
+      assert(out().isEmpty)
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // the restarted query merges new events into the RECOVERED window...
+      input.addData((3L, ts(b + 7), 4.0))
+      q2.processAllAvailable()
+      // ...and the watermark closes it with counts from both incarnations
+      input.addData((-1L, ts(b + 100), 0.0))
+      q2.processAllAvailable()
+      assert(out() == Seq((b, 3L, 7L * Q, 1L * Q, 4L * Q)))
+      // post-restart windows keep flowing; the recovered window re-emits
+      // NOTHING (exactly-once across the restart is the full sorted set)
+      input.addData((4L, ts(b + 200), 8.0))
+      q2.processAllAvailable()
+      input.addData((-1L, ts(b + 400), 0.0))
+      q2.processAllAvailable()
+      assert(out() == Seq(
+        (b, 3L, 7L * Q, 1L * Q, 4L * Q),          // spans the restart
+        (b + 100, 1L, 0L, 0L, 0L),                 // first sentinel's window
+        (b + 200, 1L, 8L * Q, 8L * Q, 8L * Q)))    // post-restart window
+    } finally q2.stop()
+  }
 }
