@@ -89,6 +89,14 @@ object Bench {
     Seq("q_zonal_stats", "q_grid_upsample", "q_auto_thresholds",
       "q_contour_moments", "q_doc_top_terms", "q_doc_char_terms")
 
+  /** Fourth workload: the round-5 wave — the halo-tiled raster window
+    * family (focal mean, Horn slope, D8, plus the pyramid-slope
+    * composition) and 5-gram decontamination — same discipline.
+    */
+  private val Ops3Queries =
+    Seq("q_focal_mean", "q_grid_slope", "q_flow_dir", "q_pyramid_slope",
+      "q_doc_decontam")
+
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum
     finally spark.sqlContext.clearCache()
@@ -173,6 +181,8 @@ object Bench {
     var opsRows = 0L
     var ops2Best = Double.MaxValue
     var ops2Rows = 0L
+    var ops3Best = Double.MaxValue
+    var ops3Rows = 0L
     def runOpsLeg(pass: Int): Unit = {
       val s = session(opsCpus)
       try {
@@ -186,6 +196,11 @@ object Bench {
         val el2 = (System.nanoTime() - t1) / 1e9
         System.err.println(f"[bench] pass=$pass ops2_pipeline cpus=$opsCpus elapsed=$el2%.2fs rows=$ops2Rows")
         ops2Best = math.min(ops2Best, el2)
+        val t2 = System.nanoTime()
+        ops3Rows = runQueriesOnce(s, sfDir, Ops3Queries)
+        val el3 = (System.nanoTime() - t2) / 1e9
+        System.err.println(f"[bench] pass=$pass ops3_pipeline cpus=$opsCpus elapsed=$el3%.2fs rows=$ops3Rows")
+        ops3Best = math.min(ops3Best, el3)
       } finally s.stop()
     }
     for (pass <- 0 until passes) {
@@ -233,6 +248,8 @@ object Bench {
       s""""ops_pipeline_rows":$opsRows""",
       s""""ops2_pipeline_c$opsCpus":$ops2Best""",
       s""""ops2_pipeline_rows":$ops2Rows""",
+      s""""ops3_pipeline_c$opsCpus":$ops3Best""",
+      s""""ops3_pipeline_rows":$ops3Rows""",
       s""""gen_sec":$genSec""",
       s""""cells":${cellsOf(gridsBig)}"""
     ).mkString("{", ",", "}")

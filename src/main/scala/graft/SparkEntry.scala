@@ -447,11 +447,13 @@ object SparkEntry {
     "q_doc_chunks" -> TrainingOps.chunkDocs,
     "q_doc_stopwords" -> TrainingOps.stopwordStats,
     "q_doc_rep_ngrams" -> TrainingOps.repNgramStats,
+    "q_doc_decontam" -> TrainingOps.decontam,
     "q_grid_pyramid" -> RasterOps.gridPyramid,
     "q_focal_mean" -> RasterOps.focalMean,
     "q_grid_slope" -> RasterOps.hornSlope,
     "q_grid_upsample" -> RasterOps.gridUpsample,
     "q_flow_dir" -> RasterOps.d8FlowDir,
+    "q_pyramid_slope" -> RasterOps.pyramidSlope,
     "q_evt_sessionize" -> EventOps.sessionize,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,

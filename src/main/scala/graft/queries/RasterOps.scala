@@ -397,6 +397,18 @@ object RasterOps {
     gridUpsampleTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
+  /** Horn slope of the PYRAMID's level-1 overview — overview-resolution
+    * terrain analysis, the raster analogue of q_pyramid_contours: the
+    * pooled grid (exact fixed-order 2x2 means) feeds the halo-tiled slope
+    * kernel on a DERIVED grid, proving the tiled path composes with the
+    * pyramid the same way the contour engine does. Same exactness chain:
+    * pooling and slope both quantize per cell into order-free integers.
+    */
+  val pyramidSlope: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (cells, w1, h1) = level1Cells(spark, dir)
+    hornSlopeTiledOf(cells, w1, h1, 25, 25)
+  }
+
   // w halves from the constant base W=100 (floor division composes:
   // 100 -> 50 -> 25 -> 12); h halves from the data-dependent base in `d`.
   private[graft] def poolCte(l: Int, prevW: Int): String =
@@ -426,6 +438,10 @@ object RasterOps {
     val slotJoins = (0 to 8).filter(_ != 4).map { o =>
       val dx = o % 3 - 1; val dy = o / 3 - 1
       s"JOIN g b$o ON b$o.x = t.x - ($dx) AND b$o.y = t.y - ($dy)"
+    }.mkString("\n  ")
+    val slotJoins1 = (0 to 8).filter(_ != 4).map { o =>
+      val dx = o % 3 - 1; val dy = o / 3 - 1
+      s"JOIN g1 b$o ON b$o.x = t.x - ($dx) AND b$o.y = t.y - ($dy)"
     }.mkString("\n  ")
     Map("q_grid_pyramid" ->
       s"""WITH g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
@@ -461,6 +477,25 @@ object RasterOps {
            |  FROM g t
            |  $slotJoins
            |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+           |f AS (SELECT y, sqrt(gx * gx + gy * gy) AS slope FROM f1)
+           |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells,
+           |  sum(floor(slope * 1048576.0)::BIGINT)::BIGINT AS qsum,
+           |  min(floor(slope * 1048576.0)::BIGINT) AS qmin,
+           |  max(floor(slope * 1048576.0)::BIGINT) AS qmax
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // pyramid slope: poolCte's exact fixed-order 2x2 means feed the same
+      // Horn joins on the LEVEL-1 grid (w1 = 50, h1 = h // 2)
+      "q_pyramid_slope" ->
+        s"""WITH g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |${poolCte(1, 100)},
+           |f1 AS (SELECT t.y,
+           |  (((b0.v + b3.v * 2.0) + b6.v) - ((b2.v + b5.v * 2.0) + b8.v)) / 8.0 AS gx,
+           |  (((b0.v + b1.v * 2.0) + b2.v) - ((b6.v + b7.v * 2.0) + b8.v)) / 8.0 AS gy
+           |  FROM g1 t
+           |  $slotJoins1
+           |  WHERE t.x BETWEEN 1 AND 48 AND t.y BETWEEN 1 AND (SELECT h FROM d) // 2 - 2),
            |f AS (SELECT y, sqrt(gx * gx + gy * gy) AS slope FROM f1)
            |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells,
            |  sum(floor(slope * 1048576.0)::BIGINT)::BIGINT AS qsum,

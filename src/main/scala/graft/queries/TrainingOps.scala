@@ -250,6 +250,39 @@ object TrainingOps {
         expr("((n_shingles - n_distinct) * 1000L) div greatest(n_shingles, 1L)"))
       .orderBy("doc_id")
 
+  // ---- decontamination: eval-set n-gram overlap flagging ----
+
+  /** Benchmark decontamination — the standard training-prep step: flag
+    * every training document sharing a long exact token span with the
+    * eval/benchmark set. The contract probe set is the deterministic
+    * doc_id % 7 == 0 slice (a stand-in for a real benchmark suite); the
+    * overlap unit is the word 5-GRAM — long enough that a hit means real
+    * contamination, not shared phrasing (the 3-gram shingles of the
+    * near-dup family are deliberately looser). Output per contaminated
+    * doc: n_shared (distinct shared 5-grams) and n_hits (total train-side
+    * occurrences of shared grams) — both exact integers.
+    *
+    * Scale shape: one narrow explode per side; the eval side collapses to
+    * DISTINCT grams — a benchmark suite is small by nature, so Catalyst
+    * broadcasts it at contract scale, and a giant eval set degrades to a
+    * gram-keyed shuffle equi-join (never a cross product); the per-doc
+    * aggregation is the only other shuffle. countDistinct is exact.
+    */
+  val decontam: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val grams = docs(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("grams",
+        when(size(col("toks")) < 5, array().cast("array<string>"))
+          .otherwise(expr("transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))")))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+    val eval = grams.filter(col("doc_id") % 7 === 0).select("g").distinct()
+    grams.filter(col("doc_id") % 7 =!= 0)
+      .join(eval, "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared"), count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("toks", toks)
@@ -757,6 +790,17 @@ object TrainingOps {
         |       len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
         |       (len(list_distinct(ws)) * 1000 // greatest(len(ws), 1))::BIGINT AS ttr_x1000
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // decontam: the oracle GATHERS 5-grams with explicit index arithmetic —
+    // an independent formulation of the engine's transform/slice explode
+    "q_doc_decontam" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+        |      FROM t, unnest(range(1, len(ws) - 3)) AS u(i)),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+        |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 7 != 0)
+        |SELECT doc_id, count(DISTINCT tr.g)::BIGINT AS n_shared, count(*)::BIGINT AS n_hits
+        |FROM tr JOIN ev USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_doc_minhash" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),

@@ -81,6 +81,34 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(expected.exists(_._5 > 0))
   }
 
+  test("pyramidSlope == local pool-then-slope recompute on the level-1 grid") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val (w, h) = (100, ev.length / 100)
+    val (pw, ph) = (w / 2, h / 2)
+    val pooled = Array.tabulate(ph * pw) { i =>
+      val (y, x) = (i / pw, i % pw)
+      def v(yy: Int, xx: Int) = ev(yy * w + xx)._2
+      ((v(2 * y, 2 * x) + v(2 * y, 2 * x + 1))
+        + (v(2 * y + 1, 2 * x) + v(2 * y + 1, 2 * x + 1))) / 4.0
+    }
+    def pv(y: Int, x: Int) = pooled(y * pw + x)
+    val expected = (1 to ph - 2).map { y =>
+      val qs = (1 to pw - 2).map { x =>
+        def s(o: Int) = pv(y - (o / 3 - 1), x - (o % 3 - 1))
+        val gx = (((s(0) + s(3) * 2.0) + s(6)) - ((s(2) + s(5) * 2.0) + s(8))) / 8.0
+        val gy = (((s(0) + s(1) * 2.0) + s(2)) - ((s(6) + s(7) * 2.0) + s(8))) / 8.0
+        math.floor(math.sqrt(gx * gx + gy * gy) * 1048576.0).toLong
+      }
+      (y.toLong, qs.length.toLong, qs.sum, qs.min, qs.max)
+    }
+    val got = RasterOps.pyramidSlope(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(expected.nonEmpty && expected.exists(_._5 > 0))
+  }
+
   test("distributed pyramid level-1 contours equal single-process core on the pooled grid") {
     import spark.implicits._
     import graft.core.{ContourConfig, CoreContour}

@@ -103,6 +103,27 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(gotChar == wantChar)
   }
 
+  test("decontam == local 5-gram overlap recompute against the doc_id % 7 probe set") {
+    val docs = docsLocal()
+    def grams(text: String): Array[String] = {
+      val ws = toks(text)
+      if (ws.length < 5) Array.empty
+      else (0 to ws.length - 5).map(i => ws.slice(i, i + 5).mkString(" ")).toArray
+    }
+    val evalGrams = docs.filter(_._1 % 7 == 0).flatMap(d => grams(d._2)).toSet
+    val want = docs.filter(_._1 % 7 != 0).flatMap { case (id, text) =>
+      val hit = grams(text).filter(evalGrams)
+      if (hit.isEmpty) None
+      else Some((id, hit.distinct.length.toLong, hit.length.toLong))
+    }.sortBy(_._1)
+    val got = TrainingOps.decontam(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(want.nonEmpty && want.exists(_._3 > 1), "probe set must really contaminate")
+    // clean docs are absent, not zero-rowed
+    assert(!got.exists(r => r._2 == 0))
+  }
+
   test("topTerms/charTerms plan shape: broadcast small sides, equi-joins only") {
     // topTerms: the per-source cutoff frame (one row per source) must
     // broadcast, and no join may degrade to a nested loop / cartesian
