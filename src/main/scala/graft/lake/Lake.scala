@@ -60,7 +60,8 @@ object Lake {
       case c => c.toString
     }
 
-  private def readFully(fs: FileSystem, p: Path): String = {
+  /** Shared whole-file slurp (also used by the streaming ring index). */
+  private[graft] def readFully(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()

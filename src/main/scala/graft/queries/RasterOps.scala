@@ -334,13 +334,20 @@ object RasterOps {
         val bw = math.min(ox0 + ow + 1, w) - bx0
         val bh = math.min(oy0 + oh + 1, h) - by0
         val vals = new Array[Double](bw * bh)
-        var filled = 0
+        // per-SLOT fill tracking (not a message count): a duplicated cell
+        // paired with a missing one must fail loudly, not leave a silent
+        // 0.0 in the buffer
+        val seen = new java.util.BitSet(bw * bh)
         it.foreach { case (_, _, x, y, v) =>
-          vals((y - by0) * bw + (x - bx0)) = v
-          filled += 1
+          val slot = (y - by0) * bw + (x - bx0)
+          require(!seen.get(slot),
+            s"haloTiles: duplicate cell ($x, $y) delivered to tile ($tx, $ty)")
+          seen.set(slot)
+          vals(slot) = v
         }
-        require(filled == bw * bh,
-          s"haloTiles: tile ($tx, $ty) got $filled of ${bw * bh} buffer samples — sparse grid?")
+        require(seen.cardinality() == bw * bh,
+          s"haloTiles: tile ($tx, $ty) got ${seen.cardinality()} of ${bw * bh} " +
+            "buffer samples — sparse grid?")
         RasterTile(tx, ty, bx0, by0, bw, bh, ox0, oy0, ow, oh, vals)
       }
   }

@@ -105,15 +105,39 @@ object TrainingOps {
     * any tiebreak) has n >= cutoff, and the candidate set is at most
     * k + (the cutoff count-class's population) rows.
     */
+  /** Buffer: counts sorted DESCENDING, length <= k. reduce() runs once per
+    * vocabulary row on the map-side combine path, so it is allocation-free
+    * except when the row actually enters the top-k (one shift-insert into
+    * the primitive array); sub-cutoff rows cost one comparison.
+    */
   private final class KthLargestCount(k: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[Long, Seq[Long], Long] {
-    def zero: Seq[Long] = Nil
-    def reduce(b: Seq[Long], n: Long): Seq[Long] = merge(b, Seq(n))
-    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
-      (a ++ b).sorted(Ordering[Long].reverse).take(k)
-    def finish(b: Seq[Long]): Long = if (b.length < k) Long.MinValue else b.last
-    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Long] {
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], n: Long): Array[Long] = {
+      if (b.length >= k && n <= b(b.length - 1)) return b
+      val out = new Array[Long](math.min(b.length + 1, k))
+      var i = 0
+      while (i < b.length && b(i) >= n) { out(i) = b(i); i += 1 }
+      if (i < out.length) {
+        out(i) = n
+        var j = i + 1
+        while (j < out.length) { out(j) = b(j - 1); j += 1 }
+      }
+      out
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length) {
+        if (j >= b.length || (i < a.length && a(i) >= b(j))) { out(o) = a(i); i += 1 }
+        else { out(o) = b(j); j += 1 }
+        o += 1
+      }
+      out
+    }
+    def finish(b: Array[Long]): Long = if (b.length < k) Long.MinValue else b(k - 1)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder: org.apache.spark.sql.Encoder[Long] =
       org.apache.spark.sql.Encoders.scalaLong
   }

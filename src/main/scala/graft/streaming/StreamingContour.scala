@@ -153,6 +153,8 @@ object StreamingContour {
   private def escGid(gid: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(gid)
 
+  private val LegacyEof = "#eof"
+
   /** Record, in the per-grid directory index, which grids batch `batchId`
     * wrote rings for: one empty marker file `index/gid=<g>/b<batchId>` per
     * grid (same Hive-style escaping as partitionBy, so exotic grid ids
@@ -161,29 +163,51 @@ object StreamingContour {
     * (an engine upgrade on a live stream) records those pre-index batch
     * names once in `index/_legacy_batches`, so reads never miss
     * un-indexed history.
+    *
+    * CRASH SAFETY: index initialization is guarded by the legacy file's
+    * COMPLETENESS (a `#eof` trailer line), not by the index dir's
+    * existence — a crash after mkdirs but before/among the legacy-file
+    * bytes leaves a missing-or-torn file, and the replayed batch simply
+    * re-captures the pre-index list (the crashed attempt wrote no markers
+    * yet, so "all b* dirs except the current batch" is still exactly the
+    * un-indexed history). Readers treat a torn legacy file as
+    * "index not initialized" and fall back to the full walk — a correct
+    * superset — for the window until the retry repairs it.
     */
   private[streaming] def writeRingIndex(fs: org.apache.hadoop.fs.FileSystem,
                                         ringStore: String, batchId: Long,
                                         grids: Seq[String]): Unit = {
     val root = new org.apache.hadoop.fs.Path(ringStore)
     val indexDir = new org.apache.hadoop.fs.Path(root, "index")
-    if (!fs.exists(indexDir)) {
+    val legacyFile = new org.apache.hadoop.fs.Path(indexDir, "_legacy_batches")
+    if (readLegacyBatches(fs, legacyFile).isEmpty) { // absent OR torn
       val preexisting =
         try fs.listStatus(root).filter(st => st.isDirectory &&
             st.getPath.getName.startsWith("b") && st.getPath.getName != s"b$batchId")
           .map(_.getPath.getName).sorted
         catch { case _: java.io.FileNotFoundException => Array.empty[String] }
       fs.mkdirs(indexDir)
-      if (preexisting.nonEmpty) {
-        val out = fs.create(new org.apache.hadoop.fs.Path(indexDir, "_legacy_batches"), true)
-        try out.write(preexisting.mkString("\n").getBytes("UTF-8")) finally out.close()
-      }
+      val out = fs.create(legacyFile, true)
+      try out.write((preexisting :+ LegacyEof).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
     }
     grids.sorted.foreach { g =>
       val gdir = new org.apache.hadoop.fs.Path(indexDir, s"gid=${escGid(g)}")
       fs.mkdirs(gdir)
       fs.create(new org.apache.hadoop.fs.Path(gdir, s"b$batchId"), true).close()
     }
+  }
+
+  /** The pre-index batch names, iff the legacy file exists AND is complete
+    * (trailer present); None for absent or torn — callers treat both as
+    * "index not initialized".
+    */
+  private def readLegacyBatches(fs: org.apache.hadoop.fs.FileSystem,
+                                legacyFile: org.apache.hadoop.fs.Path): Option[Seq[String]] = {
+    if (!fs.exists(legacyFile)) return None
+    val lines = graft.lake.Lake.readFully(fs, legacyFile).split("\n", -1).toSeq
+    if (lines.lastOption.contains(LegacyEof)) Some(lines.dropRight(1).filter(_.nonEmpty))
+    else None
   }
 
   /** The directories holding `grids`' rings.
@@ -208,41 +232,30 @@ object StreamingContour {
                                      grids: Set[String]): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(ringStore)
     val indexDir = new org.apache.hadoop.fs.Path(root, "index")
-    if (fs.exists(indexDir)) {
-      val legacyFile = new org.apache.hadoop.fs.Path(indexDir, "_legacy_batches")
-      val legacy: Seq[String] =
-        if (!fs.exists(legacyFile)) Nil
-        else {
-          val in = fs.open(legacyFile)
-          val bytes = try {
-            val buf = new java.io.ByteArrayOutputStream()
-            val b = new Array[Byte](4096)
-            var n = in.read(b)
-            while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
-            buf.toByteArray
-          } finally in.close()
-          new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
-            .flatMap(b => expandBatchDir(fs, new org.apache.hadoop.fs.Path(root, b), grids))
+    readLegacyBatches(fs, new org.apache.hadoop.fs.Path(indexDir, "_legacy_batches")) match {
+      case Some(legacyNames) =>
+        val legacy = legacyNames
+          .flatMap(b => expandBatchDir(fs, new org.apache.hadoop.fs.Path(root, b), grids))
+        val indexed = grids.toSeq.sorted.flatMap { g =>
+          val e = escGid(g)
+          val markers =
+            try fs.listStatus(new org.apache.hadoop.fs.Path(indexDir, s"gid=$e"))
+              .map(_.getPath.getName).sorted.toSeq
+            catch { case _: java.io.FileNotFoundException => Nil }
+          markers.flatMap { b =>
+            val d = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root, b), s"gid=$e")
+            // a batch retry may legitimately rewrite fewer grids than the
+            // failed attempt indexed — stale markers are skipped, not errors
+            if (fs.exists(d)) Some(d.toString) else None
+          }
         }
-      val indexed = grids.toSeq.sorted.flatMap { g =>
-        val e = escGid(g)
-        val markers =
-          try fs.listStatus(new org.apache.hadoop.fs.Path(indexDir, s"gid=$e"))
-            .map(_.getPath.getName).sorted.toSeq
-          catch { case _: java.io.FileNotFoundException => Nil }
-        markers.flatMap { b =>
-          val d = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root, b), s"gid=$e")
-          // a batch retry may legitimately rewrite fewer grids than the
-          // failed attempt indexed — stale markers are skipped, not errors
-          if (fs.exists(d)) Some(d.toString) else None
-        }
-      }
-      legacy ++ indexed
-    } else {
-      val batches =
-        try fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-        catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.Path] }
-      batches.toIndexedSeq.flatMap(b => expandBatchDir(fs, b, grids))
+        legacy ++ indexed
+      case None => // no index, or a torn init — full walk is a correct superset
+        val batches =
+          try fs.listStatus(root)
+            .filter(st => st.isDirectory && st.getPath.getName != "index").map(_.getPath)
+          catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.Path] }
+        batches.toIndexedSeq.flatMap(b => expandBatchDir(fs, b, grids))
     }
   }
 

@@ -120,11 +120,25 @@ class RasterRandomSpec extends AnyFunSuite {
       val g = randGrid(rng, w, h)
       val cells = cellsDf(g, w, h)
       val typed = (0 until w * h).map(i => (i % w, i / w, g(i))).toDS()
+      // the listener bus drains asynchronously: poll until the counter is
+      // stable for a full second (no fixed-sleep timing assumption — the
+      // VM's noise phases can stall the bus well past any constant)
+      def stabilized(): Long = {
+        var prev = -1L
+        var cur = acc.get()
+        var stableMs = 0
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (stableMs < 1000 && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          prev = cur; cur = acc.get()
+          if (cur == prev) stableMs += 100 else stableMs = 0
+        }
+        cur
+      }
       def measure(f: => org.apache.spark.sql.DataFrame): Long = {
-        Thread.sleep(1000); acc.set(0L)
+        stabilized(); acc.set(0L)
         f.collect()
-        Thread.sleep(1500) // listener bus drains asynchronously
-        acc.get()
+        stabilized()
       }
       val cellBytes = measure(RasterOps.focalMeanOf(cells, w, h)) +
         measure(RasterOps.gridUpsampleOf(typed, w, h))

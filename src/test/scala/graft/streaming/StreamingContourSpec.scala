@@ -170,8 +170,44 @@ class StreamingContourSpec extends AnyFunSuite {
     assert(gpMarkers.nonEmpty)
     assert(gp.map(d => new org.apache.hadoop.fs.Path(d).getParent.getName).sorted.toSeq
       == gpMarkers, s"read set $gp must be exactly gP's indexed batches $gpMarkers")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(indexDir, "_legacy_batches")),
-      "a fresh stream has no pre-index history")
+    // the init guard is the legacy file's COMPLETENESS: a fresh stream
+    // writes an empty-but-complete list (just the trailer)
+    assert(graft.lake.Lake.readFully(fs,
+      new org.apache.hadoop.fs.Path(indexDir, "_legacy_batches")) == "#eof",
+      "a fresh stream records an empty, complete pre-index history")
+  }
+
+  test("torn ring-index init falls back to the full walk, then repairs on retry") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("tornstore").toString
+    def row(gid: String, ti: Int) =
+      graft.model.RingFragRow(gid, ti, closed = true, 0, 0, 0L, 0L, ti.toLong, 0,
+        Array(0.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0))
+    def writePartitioned(batch: String, rows: Seq[graft.model.RingFragRow]): Unit =
+      spark.createDataset(rows).toDF()
+        .withColumn("gid", org.apache.spark.sql.functions.col("gridId"))
+        .write.mode("overwrite").partitionBy("gid").parquet(s"$store/$batch")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // pre-index history + the first indexed batch whose init TORE: the
+    // index dir exists but _legacy_batches lacks the trailer
+    writePartitioned("b0", Seq(row("gP", 0)))
+    writePartitioned("b1", Seq(row("gP", 1)))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$store/index"))
+    val torn = fs.create(new org.apache.hadoop.fs.Path(s"$store/index/_legacy_batches"), true)
+    try torn.write("b0".getBytes("UTF-8")) finally torn.close()
+    // reads in the torn window: the FULL WALK — every ring still visible
+    val got1 = StreamingContour.readRingStore(spark, store, Set("gP"))
+      .collect().map(_.ti).sorted.toSeq
+    assert(got1 == Seq(0, 1))
+    // the replayed batch repairs the init: b0 is re-captured as legacy
+    // (b1 is the replayed batch itself) and reads stay complete
+    StreamingContour.writeRingIndex(fs, store, 1L, Seq("gP"))
+    assert(graft.lake.Lake.readFully(fs,
+      new org.apache.hadoop.fs.Path(s"$store/index/_legacy_batches")) == "b0\n#eof")
+    val got2 = StreamingContour.readRingStore(spark, store, Set("gP"))
+      .collect().map(_.ti).sorted.toSeq
+    assert(got2 == Seq(0, 1))
   }
 
   test("ring index upgrade: pre-index batches recorded once, reads span all eras") {
