@@ -431,6 +431,37 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- hierarchical Morton cell rollup: the H3/S2-style multi-
+    //      resolution aggregation pyramid; points shuffle ONCE (map-side
+    //      combined), upper levels re-aggregate the previous level by
+    //      parent key (cell >>> 2), all key math in native bitwise Columns.
+    //      The oracle recomputes every level from raw events with the same
+    //      bit-spread cascade as q_tile_assignment. ----
+    "q_cell_rollup" -> ((spark, dir) => {
+      val w = EventsGrid.W
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .selectExpr(s"cast(event_id % $w as int) as x",
+          s"cast(event_id div $w as int) as y",
+          "cast(floor(value * 1048576.0) as bigint) as qv")
+      graft.engine.SpatialOps.cellRollup(ev, tile = 50, levels = 3)
+    }),
+
+    // ---- vector -> raster burn: the engine's own contour MultiPolygons
+    //      rasterized back to a class grid by the banded PIP join (class =
+    //      nesting depth at the pixel center), pooled into 10x10 blocks.
+    //      Oracle: the q_pip_tag pixel-center identity, class = number of
+    //      thresholds <= value, grouped by block. ----
+    "q_rasterize" -> ((spark, dir) => {
+      import spark.implicits._
+      val cts = engine(spark, smooth = false).contours(eventTiles(spark, dir))
+      val (w, _) = EventsGrid.dims(spark, dir)
+      val points = spark.read.parquet(s"$dir/events.parquet")
+        .selectExpr("event_id", s"cast(event_id % $w as double) + 0.5 as x",
+          s"cast(event_id div $w as double) + 0.5 as y")
+        .as[(Long, Double, Double)]
+      graft.engine.SpatialOps.rasterizeBlocks(spark, points, cts, w, block = 10)
+    }),
+
     // ---- training-data ops over documents/embeddings ----
     "q_doc_exact_dup" -> TrainingOps.exactDup,
     "q_doc_token_stats" -> TrainingOps.tokenStats,
@@ -1099,6 +1130,63 @@ object SparkEntry {
         |SELECT event_id, tx AS tile_x, ty AS tile_y,
         |       (sx | (sy << 1))::BIGINT AS cell,
         |       ((sx | (sy << 1)) >> 4)::BIGINT AS parent_cell_l2
-        |FROM sp2 ORDER BY event_id""".stripMargin
+        |FROM sp2 ORDER BY event_id""".stripMargin,
+
+    // Independent formulation: the engine rolls up level l from level l-1
+    // (cell >>> 2); the oracle recomputes EVERY level directly from the raw
+    // points (px0 >> level) and re-derives the Morton key per level through
+    // the same staged bit-spread cascade as q_tile_assignment — so the
+    // parent-key identity morton(px,py) >> 2 == morton(px>>1, py>>1) that
+    // the engine's single-shuffle design relies on is itself under test.
+    "q_cell_rollup" ->
+      s"""WITH pts AS (SELECT ((event_id % 100) // 50)::BIGINT AS px0,
+         |                    ((event_id // 100) // 50)::BIGINT AS py0,
+         |                    floor(value * 1048576.0)::BIGINT AS qv FROM events),
+         |lv AS (SELECT unnest(range(0, 4))::INT AS level),
+         |cells AS (SELECT level, (px0 >> level)::BIGINT AS px,
+         |                 (py0 >> level)::BIGINT AS py,
+         |                 count(*)::BIGINT AS n_points, sum(qv)::BIGINT AS qv_sum
+         |          FROM pts CROSS JOIN lv GROUP BY 1, 2, 3),
+         |${mortonStagesSql("cells", "level, px, py, n_points, qv_sum")}
+         |SELECT level, (sx | (sy << 1))::BIGINT AS cell, px, py, n_points, qv_sum
+         |FROM s5 ORDER BY level, cell""".stripMargin,
+
+    // The q_pip_tag pixel-center identity (center strictly inside the
+    // unsmoothed threshold-t curve iff value >= t) folded to a class per
+    // cell, then pooled by 10x10 block — checks the whole geometric burn
+    // chain relationally without reconstructing any geometry.
+    "q_rasterize" ->
+      """WITH cls AS (SELECT event_id,
+        |    ((value >= 25.0)::INT + (value >= 50.0)::INT
+        |     + (value >= 75.0)::INT + (value >= 100.0)::INT)::BIGINT AS cls
+        |  FROM events)
+        |SELECT ((event_id % 100) // 10)::BIGINT AS block_x,
+        |       ((event_id // 100) // 10)::BIGINT AS block_y,
+        |       count(*)::BIGINT AS n_cells,
+        |       sum(cls)::BIGINT AS sum_class,
+        |       max(cls)::BIGINT AS max_class
+        |FROM cls GROUP BY 1, 2 ORDER BY block_x, block_y""".stripMargin
   ) ++ TrainingOps.oracleSql ++ RasterOps.oracleSql ++ EventOps.oracleSql ++ StatsOps.oracleSql
+
+  /** Staged Morton bit-spread CTE chain (DuckDB): takes a CTE `src` with
+    * BIGINT columns `px`, `py` (non-negative, 31-bit) plus `carry` columns
+    * to pass through, and yields CTE `s5` with spread columns `sx`, `sy`
+    * such that the cell key is `sx | (sy << 1)` — token-for-token the same
+    * five-step mask cascade as [[graft.index.CellIndex.spread]] /
+    * `CellIndex.mortonCol` (masks 0x0000ffff0000ffff, 0x00ff00ff00ff00ff,
+    * 0x0f0f0f0f0f0f0f0f, 0x3333333333333333, 0x5555555555555555 in
+    * decimal). Staged CTEs keep the SQL linear where full inlining would be
+    * exponential in the cascade depth. */
+  private def mortonStagesSql(src: String, carry: String): String = {
+    val stages = Seq(
+      (16, "281470681808895"), (8, "71777214294589695"),
+      (4, "1085102592571150095"), (2, "3689348814741910323"),
+      (1, "6148914691236517205"))
+    val s0 = s"""s0 AS (SELECT $carry, (px & 2147483647) AS sx, (py & 2147483647) AS sy FROM $src)"""
+    val rest = stages.zipWithIndex.map { case ((shift, mask), i) =>
+      s"""s${i + 1} AS (SELECT $carry, ((sx | (sx << $shift)) & $mask) AS sx,
+         |  ((sy | (sy << $shift)) & $mask) AS sy FROM s$i)""".stripMargin
+    }
+    (s0 +: rest).mkString(",\n")
+  }
 }

@@ -488,4 +488,81 @@ object SpatialOps {
     verts.unpersist(blocking = false)
     spark.createDataset(resRdd).toDF("query_id", "rank", "vx", "vy", "dist")
   }
+
+  /** Hierarchical Morton cell rollup — the H3/S2-style multi-resolution
+    * aggregation over a point table. Points bucket into level-0 cells keyed
+    * by the Morton interleave of their tile coordinates (the same key
+    * family as the stitch shuffle), and every coarser level re-aggregates
+    * the PREVIOUS level only: parent key = cell >>> 2, parent coords =
+    * px >> 1 / py >> 1 (the CellIndex.parent identity, pinned in
+    * CellIndexSpec). Raw points therefore cross exactly ONE map-side-
+    * combined shuffle; each subsequent level touches cell-cardinality rows,
+    * so the overview build is O(cells), never O(points x levels) — at
+    * 100 TB the upper levels are metadata-sized. All key arithmetic is
+    * native bitwise Columns ([[graft.index.CellIndex.mortonCol]]), keeping
+    * the whole plan in whole-stage codegen. `qv` must arrive pre-quantized
+    * (e.g. floor(v * 2^20)) so every sum is an order-free integer.
+    *
+    * @param points columns (x int-castable, y int-castable, qv long), all
+    *               coordinates non-negative
+    * @return (level, cell, px, py, n_points, qv_sum) ordered by level, cell
+    */
+  def cellRollup(points: DataFrame, tile: Int, levels: Int): DataFrame = {
+    require(tile > 0 && levels >= 0, s"tile=$tile levels=$levels")
+    val l0 = points
+      .select(expr(s"cast(x as bigint) div $tile").as("px"),
+        expr(s"cast(y as bigint) div $tile").as("py"), col("qv"))
+      .withColumn("cell", graft.index.CellIndex.mortonCol(col("px"), col("py")))
+      .groupBy("cell", "px", "py")
+      .agg(count(lit(1)).as("n_points"), sum("qv").as("qv_sum"))
+      .withColumn("level", lit(0))
+    var prev = l0
+    var out = l0
+    for (l <- 1 to levels) {
+      prev = prev
+        .groupBy(shiftrightunsigned(col("cell"), 2).as("cell"),
+          shiftright(col("px"), 1).as("px"), shiftright(col("py"), 1).as("py"))
+        .agg(sum("n_points").as("n_points"), sum("qv_sum").as("qv_sum"))
+        .withColumn("level", lit(l))
+      out = out.unionByName(prev)
+    }
+    out.select(col("level"), col("cell"), col("px"), col("py"),
+        col("n_points").cast("long").as("n_points"),
+        col("qv_sum").cast("long").as("qv_sum"))
+      .orderBy("level", "cell")
+  }
+
+  /** Vector -> raster burn: rasterize a contour set's threshold
+    * MultiPolygons back onto the sample lattice via the y-band partitioned
+    * PIP join — each center's CLASS is its nesting depth (the number of
+    * thresholds whose polygon strictly contains it) — then pool
+    * `block` x `block` cells into coarse raster blocks. This closes the
+    * raster<->vector loop with geometry only: the engine's own vector
+    * output drives the burn, and the oracle checks it relationally through
+    * the pixel-center identity (center strictly inside the unsmoothed
+    * threshold-t curve iff value >= t, the q_pip_tag contract). Shuffle
+    * volume is the banded PIP join's O(segments + points); the class fold
+    * and the block pooling are both map-side-combinable integer aggregates,
+    * and block ids derive from point_id arithmetic so no coordinate column
+    * rides the shuffle.
+    *
+    * @param points (id, x, y) cell centers, id = row-major index on a
+    *               width-`w` lattice (x = id % w + 0.5, y = id / w + 0.5)
+    * @return (block_x, block_y, n_cells, sum_class, max_class) ordered by
+    *         block_x, block_y (names chosen over bx/by: `by` is a SQL
+    *         keyword, which would force quoting through the oracle)
+    */
+  def rasterizeBlocks(spark: SparkSession, points: Dataset[(Long, Double, Double)],
+                      contours: Dataset[ContourRow], w: Int, block: Int): DataFrame = {
+    require(w > 0 && block > 0, s"w=$w block=$block")
+    val tagged = pipTagPartitioned(spark, points, contours)
+    tagged.groupBy("point_id")
+      .agg(sum(when(col("inside"), 1L).otherwise(0L)).as("cls"))
+      .withColumn("block_x", expr(s"(point_id % $w) div $block"))
+      .withColumn("block_y", expr(s"(point_id div $w) div $block"))
+      .groupBy("block_x", "block_y")
+      .agg(count(lit(1)).as("n_cells"), sum("cls").as("sum_class"),
+        max("cls").as("max_class"))
+      .orderBy("block_x", "block_y")
+  }
 }

@@ -43,4 +43,23 @@ object CellIndex {
   @inline def salt(key: Long, discriminator: Long, nSalts: Int): Int =
     (java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L ^ discriminator)
       & Int.MaxValue) % nSalts
+
+  /** Column form of [[morton]] — the identical five-step bit-spread cascade
+    * as `spread`, expressed over native bitwise Columns so hierarchical cell
+    * keys are computed inside whole-stage codegen (no typed map, no UDF, in
+    * a scan's hot path). Same contract as [[morton]]: non-negative 31-bit
+    * cell coordinates. CellIndexSpec pins column == scalar on random coords.
+    */
+  def mortonCol(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    spreadCol(x).bitwiseOR(org.apache.spark.sql.functions.shiftleft(spreadCol(y), 1))
+
+  private def spreadCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    var v = c.cast("long").bitwiseAND(lit(0x7fffffffL))
+    v = v.bitwiseOR(shiftleft(v, 16)).bitwiseAND(lit(0x0000ffff0000ffffL))
+    v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00ff00ff00ff00ffL))
+    v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0f0f0f0f0f0f0f0fL))
+    v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x3333333333333333L))
+    v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
 }

@@ -2,6 +2,7 @@ package graft.engine
 
 import graft.SparkTestSession
 import graft.core.Goldens
+import graft.index.CellIndex
 import graft.model.JobConfig
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
@@ -376,6 +377,45 @@ class SpatialOpsSpec extends AnyFunSuite {
       }.sortBy(t => (t._2, t._3, t._4)).take(4).zipWithIndex
         .map { case ((q2, _, vx, vy), i) => (q2, i + 1, vx, vy) }
     }.toSeq.sortBy(r => (r._1, r._2))
+    assert(got == want)
+  }
+
+  test("cellRollup == brute-force per-level recompute (random points)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val pts = Seq.tabulate(3000)(_ =>
+      (rnd.nextInt(64), rnd.nextInt(64), rnd.nextInt(1000).toLong - 500L))
+    val got = SpatialOps.cellRollup(pts.toDF("x", "y", "qv"), tile = 4, levels = 3)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    // brute force: every level independently from the raw points
+    val want = (0 to 3).flatMap { l =>
+      pts.groupBy { case (x, y, _) => ((x / 4) >> l, (y / 4) >> l) }
+        .map { case ((px, py), g) =>
+          (l, CellIndex.morton(px, py), px.toLong, py.toLong,
+            g.size.toLong, g.map(_._3).sum)
+        }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    // engine rows must already arrive (level, cell)-ordered (oracle contract)
+    assert(got == got.sortBy(r => (r._1, r._2)))
+  }
+
+  test("rasterizeBlocks == threshold-count classes pooled by block (volcano)") {
+    import spark.implicits._
+    val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
+    val tiles = GridSynth.tilesFromArray(spark, "gr", data, w, h, 16, 16)
+    val thresholds = Seq(100.0, 140.0, 170.0)
+    val cts = new ContourEngine(spark, JobConfig(thresholds, smooth = false)).contours(tiles)
+    val points = spark.createDataset(
+      (0 until w * h).map(i => (i.toLong, (i % w) + 0.5, (i / w) + 0.5)))
+    val got = SpatialOps.rasterizeBlocks(spark, points, cts, w, block = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val want = (0 until w * h)
+      .map(i => (i, thresholds.count(t => data(i) >= t).toLong))
+      .groupBy { case (i, _) => ((i % w) / 10, (i / w) / 10) }
+      .map { case ((bx, by), g) =>
+        (bx.toLong, by.toLong, g.size.toLong, g.map(_._2).sum, g.map(_._2).max)
+      }.toSeq.sortBy(r => (r._1, r._2))
     assert(got == want)
   }
 }

@@ -27,6 +27,22 @@ class CellIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("mortonCol == morton scalar on random coords (column cascade pin)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val coords = Seq.tabulate(2000)(_ =>
+      (rnd.nextInt(1 << 20), rnd.nextInt(1 << 20))) :+
+      ((1 << 31) - 1, (1 << 31) - 1) :+ ((0, 0)) // extremes of the 31-bit contract
+    val got = coords.toDF("x", "y")
+      .select(CellIndex.mortonCol(org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y")))
+      .as[Long].collect()
+    coords.zip(got).foreach { case ((x, y), k) =>
+      assert(k == CellIndex.morton(x, y), s"($x,$y)")
+    }
+  }
+
   test("salt is deterministic and spread") {
     val salts = (0 until 1000).map(i => CellIndex.salt(i.toLong, 7L, 8))
     assert(salts.distinct.sorted == (0 until 8))
