@@ -482,6 +482,7 @@ object SparkEntry {
     "q_grid_pyramid" -> RasterOps.gridPyramid,
     "q_focal_mean" -> RasterOps.focalMean,
     "q_grid_slope" -> RasterOps.hornSlope,
+    "q_hillshade" -> RasterOps.hillshade,
     "q_grid_upsample" -> RasterOps.gridUpsample,
     "q_flow_dir" -> RasterOps.d8FlowDir,
     "q_pyramid_slope" -> RasterOps.pyramidSlope,

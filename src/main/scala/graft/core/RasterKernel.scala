@@ -95,6 +95,56 @@ object RasterKernel {
     out.toSeq
   }
 
+  /** Sun direction for [[hillshadeRows]]: azimuth 315 deg, altitude 45 deg,
+    * chosen so every component of the unit sun vector is EXACTLY
+    * deterministic in f64 — lx = cos(alt)*sin(az) = -0.5 and
+    * ly = cos(alt)*cos(az) = 0.5 are exact literals, lz = sin(alt) =
+    * sqrt(2)/2 is a correctly-rounded sqrt followed by an exact halving.
+    * (Any other sun angle would drag sin/cos — libm-dependent, not
+    * correctly rounded — onto the oracle-exact surface.)
+    */
+  final val SunLz = math.sqrt(2.0) / 2.0
+
+  /** Lambertian hillshade over the same interior — per-row partials.
+    * Horn gradients p = gx, q = gy (identical expressions to slopeRows),
+    * unnormalized surface normal (-p, -q, 1); shade = max(0, n . l / |n|) =
+    * max(0, ((p*0.5 - q*0.5) + lz) / sqrt((1 + p^2) + q^2)) after folding
+    * the exact sun components in (-p*lx = p*0.5, -q*ly = -q*0.5). Division
+    * and sqrt are correctly rounded, the max compares exactly, and the
+    * result quantizes per cell before the order-free integer row sums.
+    */
+  def hillshadeRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                    ox0: Int, oy0: Int, ow: Int, oh: Int,
+                    w: Int, h: Int): Seq[RowStat] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val out = new scala.collection.mutable.ArrayBuffer[RowStat](math.max(tyHi - tyLo + 1, 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var n = 0L; var qsum = 0L
+      var qmin = Long.MaxValue; var qmax = Long.MinValue
+      var tx = txLo
+      while (tx <= txHi) {
+        val v0 = g(tx + 1, ty + 1); val v1 = g(tx, ty + 1); val v2 = g(tx - 1, ty + 1)
+        val v5 = g(tx - 1, ty); val v3 = g(tx + 1, ty)
+        val v6 = g(tx + 1, ty - 1); val v7 = g(tx, ty - 1); val v8 = g(tx - 1, ty - 1)
+        val gx = (((v0 + v3 * 2.0) + v6) - ((v2 + v5 * 2.0) + v8)) / 8.0
+        val gy = (((v0 + v1 * 2.0) + v2) - ((v6 + v7 * 2.0) + v8)) / 8.0
+        val shade = ((gx * 0.5 - gy * 0.5) + SunLz) /
+          math.sqrt((1.0 + gx * gx) + gy * gy)
+        val q = math.floor(math.max(shade, 0.0) * Q20).toLong
+        n += 1; qsum += q
+        if (q < qmin) qmin = q
+        if (q > qmax) qmax = q
+        tx += 1
+      }
+      if (n > 0) out += ((ty.toLong, n, qsum, qmin, qmax))
+      ty += 1
+    }
+    out.toSeq
+  }
+
   /** D8 flow direction over the same interior — per-DIRECTION partials
     * (dir, n, max packed value), dirs in [-1, 8]. Packed-argmax entirely in
     * the integer domain after per-neighbour quantization, identical to the

@@ -186,6 +186,33 @@ object RasterOps {
     rowStats(pivoted3x3Of(cells, w, h), floor(sqrt(gx * gx + gy * gy) * Q20))
   }
 
+  /** Lambertian hillshade — the cartographic relief-shading operator —
+    * over the grid interior: Horn gradients p = gx, q = gy (the exact
+    * hornSlopeOf expressions), unnormalized surface normal (-p, -q, 1),
+    * sun fixed at azimuth 315 deg / altitude 45 deg whose unit vector
+    * components are all f64-deterministic (-0.5, 0.5, sqrt(2)/2 — see
+    * core.RasterKernel.SunLz); shade = max(0, ((p*0.5 - q*0.5) + lz) /
+    * sqrt((1 + p^2) + q^2)). Division and sqrt are correctly rounded and
+    * the max compares exactly, so floor(shade * 2^20) is deterministic per
+    * cell before the order-free integer row summaries. CROSS-CHECK
+    * formulation (scatter/pivot); hillshadeTiledOf is the engine path.
+    */
+  private[graft] def hillshadeOf(cells: DataFrame, w: Int, h: Int): DataFrame = {
+    val gx = (((col("v0") + col("v3") * 2.0) + col("v6"))
+      - ((col("v2") + col("v5") * 2.0) + col("v8"))) / 8.0
+    val gy = (((col("v0") + col("v1") * 2.0) + col("v2"))
+      - ((col("v6") + col("v7") * 2.0) + col("v8"))) / 8.0
+    val shade = ((gx * 0.5 - gy * 0.5) + lit(graft.core.RasterKernel.SunLz)) /
+      sqrt((lit(1.0) + gx * gx) + gy * gy)
+    rowStats(pivoted3x3Of(cells, w, h), floor(greatest(shade, lit(0.0)) * Q20))
+  }
+
+  val hillshade: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    hillshadeTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
   val hornSlope: (SparkSession, String) => DataFrame = (spark, dir) => {
     import spark.implicits._
     val (w, h) = EventsGrid.dims(spark, dir)
@@ -378,6 +405,14 @@ object RasterOps {
         t.ox0, t.oy0, t.ow, t.oh, w, h)))
   }
 
+  private[graft] def hillshadeTiledOf(cells: Dataset[(Int, Int, Double)],
+                                      w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    mergeRowStats(haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+      graft.core.RasterKernel.hillshadeRows(t.values, t.bx0, t.by0, t.bw,
+        t.ox0, t.oy0, t.ow, t.oh, w, h)))
+  }
+
   private[graft] def d8FlowDirTiledOf(cells: Dataset[(Int, Int, Double)],
                                       w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
     import cells.sparkSession.implicits._
@@ -489,6 +524,28 @@ object RasterOps {
            |  sum(floor(slope * 1048576.0)::BIGINT)::BIGINT AS qsum,
            |  min(floor(slope * 1048576.0)::BIGINT) AS qmin,
            |  max(floor(slope * 1048576.0)::BIGINT) AS qmax
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // hillshade: gx/gy mirror the Horn joins; the sun components are the
+      // f64-deterministic constants 0.5 / sqrt(2.0)/2.0 (azimuth 315,
+      // altitude 45), division and sqrt are correctly rounded, and
+      // greatest(_, 0.0) compares exactly
+      "q_hillshade" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |f1 AS (SELECT t.y,
+           |  (((b0.v + b3.v * 2.0) + b6.v) - ((b2.v + b5.v * 2.0) + b8.v)) / 8.0 AS gx,
+           |  (((b0.v + b1.v * 2.0) + b2.v) - ((b6.v + b7.v * 2.0) + b8.v)) / 8.0 AS gy
+           |  FROM g t
+           |  $slotJoins
+           |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+           |f AS (SELECT y, greatest(
+           |    ((gx * 0.5 - gy * 0.5) + (sqrt(2.0) / 2.0))
+           |      / sqrt((1.0 + gx * gx) + gy * gy), 0.0) AS shade FROM f1)
+           |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells,
+           |  sum(floor(shade * 1048576.0)::BIGINT)::BIGINT AS qsum,
+           |  min(floor(shade * 1048576.0)::BIGINT) AS qmin,
+           |  max(floor(shade * 1048576.0)::BIGINT) AS qmax
            |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // pyramid slope: poolCte's exact fixed-order 2x2 means feed the same

@@ -54,6 +54,20 @@ class RasterRandomSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
       assert(gotSlope == wantSlope, s"slope ${w}x$h")
 
+      val wantShade = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+        def s(o: Int) = v(y - (o / 3 - 1), x - (o % 3 - 1))
+        val gx = (((s(0) + s(3) * 2.0) + s(6)) - ((s(2) + s(5) * 2.0) + s(8))) / 8.0
+        val gy = (((s(0) + s(1) * 2.0) + s(2)) - ((s(6) + s(7) * 2.0) + s(8))) / 8.0
+        val shade = ((gx * 0.5 - gy * 0.5) + math.sqrt(2.0) / 2.0) /
+          math.sqrt((1.0 + gx * gx) + gy * gy)
+        (y.toLong, math.floor(math.max(shade, 0.0) * Q).toLong)
+      }).groupBy(_._1).map { case (y, qs) =>
+        (y, qs.length.toLong, qs.map(_._2).sum, qs.map(_._2).min, qs.map(_._2).max)
+      }.toSeq.sortBy(_._1)
+      val gotShade = RasterOps.hillshadeOf(cells, w, h).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(gotShade == wantShade, s"hillshade ${w}x$h")
+
       val sqrt2 = math.sqrt(2.0)
       val hist = scala.collection.mutable.Map[Long, (Long, Long)]()
       for (y <- 1 to h - 2; x <- 1 to w - 2) {
@@ -99,6 +113,8 @@ class RasterRandomSpec extends AnyFunSuite {
         == collect5(RasterOps.hornSlopeOf(cells, w, h)), s"slope $label")
       assert(collect3(RasterOps.d8FlowDirTiledOf(typed, w, h, tw, th))
         == collect3(RasterOps.d8FlowDirOf(cells, w, h)), s"d8 $label")
+      assert(collect5(RasterOps.hillshadeTiledOf(typed, w, h, tw, th))
+        == collect5(RasterOps.hillshadeOf(cells, w, h)), s"hillshade $label")
       assert(collect5(RasterOps.gridUpsampleTiledOf(typed, w, h, tw, th))
         == collect5(RasterOps.gridUpsampleOf(typed, w, h)), s"upsample $label")
     }
