@@ -462,6 +462,25 @@ object SparkEntry {
       graft.engine.SpatialOps.rasterizeBlocks(spark, points, cts, w, block = 10)
     }),
 
+    // ---- inverse-distance-weighted interpolation: scattered stations
+    //      (every 37th event, at cell centers) -> coarse target lattice
+    //      (step 10, at integer coords, so d^2 > 0 by construction) via the
+    //      cell-bucketed neighbor join. Output keeps the quantized
+    //      numerator/denominator sums as integers — no f64 division on the
+    //      compare path. ----
+    "q_idw_grid" -> ((spark, dir) => {
+      val w = EventsGrid.W
+      val (_, h) = EventsGrid.dims(spark, dir)
+      val st = spark.read.parquet(s"$dir/events.parquet")
+        .filter(expr("event_id % 37 = 0"))
+        .selectExpr(s"cast(event_id % $w as double) + 0.5 as sx",
+          s"cast(event_id div $w as double) + 0.5 as sy", "value as v")
+      val tg = spark.range(10L * (h / 10))
+        .selectExpr("id as tid", "cast((id % 10) * 10 as double) as tx",
+          "cast((id div 10) * 10 as double) as ty")
+      graft.engine.SpatialOps.idwGrid(st, tg, radius = 8.0)
+    }),
+
     // ---- training-data ops over documents/embeddings ----
     "q_doc_exact_dup" -> TrainingOps.exactDup,
     "q_doc_token_stats" -> TrainingOps.tokenStats,
@@ -1166,7 +1185,31 @@ object SparkEntry {
         |       count(*)::BIGINT AS n_cells,
         |       sum(cls)::BIGINT AS sum_class,
         |       max(cls)::BIGINT AS max_class
-        |FROM cls GROUP BY 1, 2 ORDER BY block_x, block_y""".stripMargin
+        |FROM cls GROUP BY 1, 2 ORDER BY block_x, block_y""".stripMargin,
+
+    // Independent formulation: the engine buckets stations into radius-
+    // sized cells and probes 3x3 neighborhoods; the oracle brute-forces the
+    // full station x target join with the SAME d2 expression tree and
+    // per-pair quantized terms — so the bucketing's claim (the 3x3 probe
+    // finds every station within the radius, no duplicates) is under test.
+    "q_idw_grid" ->
+      """WITH st AS (SELECT (event_id % 100) + 0.5 AS sx,
+        |                   (event_id // 100) + 0.5 AS sy, value AS v
+        |            FROM events WHERE event_id % 37 = 0),
+        |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+        |tg AS (SELECT (j.j * 10 + i.i)::BIGINT AS tid,
+        |              (i.i * 10)::DOUBLE AS tx, (j.j * 10)::DOUBLE AS ty
+        |       FROM (SELECT unnest(range(0, 10))::INT AS i) i
+        |       CROSS JOIN (SELECT unnest(range(0, (SELECT h FROM d) // 10))::INT AS j) j),
+        |p AS (SELECT tid,
+        |        ((sx - tx) * (sx - tx)) + ((sy - ty) * (sy - ty)) AS d2, v
+        |      FROM tg JOIN st
+        |        ON ((sx - tx) * (sx - tx)) + ((sy - ty) * (sy - ty)) <= 64.0
+        |       AND ((sx - tx) * (sx - tx)) + ((sy - ty) * (sy - ty)) > 0.0)
+        |SELECT tid, count(*)::BIGINT AS n_stations,
+        |  sum(floor(1.0 / d2 * 1048576.0)::BIGINT)::BIGINT AS qw_sum,
+        |  sum(floor(v / d2 * 1048576.0)::BIGINT)::BIGINT AS qwv_sum
+        |FROM p GROUP BY 1 ORDER BY tid""".stripMargin
   ) ++ TrainingOps.oracleSql ++ RasterOps.oracleSql ++ EventOps.oracleSql ++ StatsOps.oracleSql
 
   /** Staged Morton bit-spread CTE chain (DuckDB): takes a CTE `src` with

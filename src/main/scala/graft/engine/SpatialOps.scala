@@ -532,6 +532,60 @@ object SpatialOps {
       .orderBy("level", "cell")
   }
 
+  /** Inverse-distance-weighted interpolation — the classic scattered-point
+    * -> grid geospatial operator — via a CELL-BUCKETED neighbor join, never
+    * all-pairs: stations bucket into radius-sized cells (one narrow
+    * projection), each target probes only its 3x3 neighboring cells (a x9
+    * replication of the TINY target table, the pivoted3x3 idiom), and the
+    * equi-join on cell keys carries O(targets x local-station-density)
+    * pairs — at 100 TB the radius bounds the work per target regardless of
+    * total station count. Within the radius, weight = 1/d^2; each pair's
+    * weighted-value and weight terms quantize PER PAIR (floor(x * 2^20))
+    * before the order-free integer sums, and the output keeps the
+    * numerator/denominator sums as integers — no f64 division ever crosses
+    * the compare surface. Targets with no station in radius drop out of the
+    * inner join on both engine and oracle sides identically.
+    *
+    * EXACTNESS: d2 = ((sx-tx)*(sx-tx)) + ((sy-ty)*(sy-ty)) and the term
+    * trees 1.0/d2*2^20, v/d2*2^20 mirror the oracle token for token; the
+    * radius gate d2 <= r2 compares exactly in f64. Callers must keep
+    * targets OFF station coordinates (d2 > 0); the loud filter guards it.
+    *
+    * @param stations columns (sx double, sy double, v double), coords >= 0
+    * @param targets  columns (tid long, tx double, ty double), coords >= 0
+    * @return (tid, n_stations, qw_sum, qwv_sum) ordered by tid
+    */
+  def idwGrid(stations: DataFrame, targets: DataFrame, radius: Double): DataFrame = {
+    require(radius > 0.0, s"radius=$radius")
+    val r2 = radius * radius
+    val st = stations.select(col("sx"), col("sy"), col("v"),
+      floor(col("sx") / radius).cast("long").as("cx"),
+      floor(col("sy") / radius).cast("long").as("cy"))
+    val offsets = (for (dy <- -1 to 1; dx <- -1 to 1) yield (dy + 1) * 3 + dx + 1).toArray
+    val tg = targets
+      .withColumn("o", explode(lit(offsets)))
+      .select(col("tid"), col("tx"), col("ty"),
+        (floor(col("tx") / radius).cast("long") + col("o") % 3 - 1).as("cx"),
+        (floor(col("ty") / radius).cast("long")
+          + col("o").divide(3).cast("int") - 1).as("cy"))
+    val d2 = ((col("sx") - col("tx")) * (col("sx") - col("tx"))) +
+      ((col("sy") - col("ty")) * (col("sy") - col("ty")))
+    tg.join(st, Seq("cx", "cy"))
+      .withColumn("d2", d2)
+      .filter(col("d2") <= r2 && col("d2") > 0.0)
+      .groupBy("tid")
+      .agg(count(lit(1)).as("n_stations"),
+        sum(floor(lit(1.0) / col("d2") * RasterQ20)).as("qw_sum"),
+        sum(floor(col("v") / col("d2") * RasterQ20)).as("qwv_sum"))
+      .select(col("tid"), col("n_stations").cast("long").as("n_stations"),
+        col("qw_sum").cast("long").as("qw_sum"),
+        col("qwv_sum").cast("long").as("qwv_sum"))
+      .orderBy("tid")
+  }
+
+  /** 2^20 per-term quantization shared with the raster family's oracles. */
+  private val RasterQ20 = 1048576.0
+
   /** Vector -> raster burn: rasterize a contour set's threshold
     * MultiPolygons back onto the sample lattice via the y-band partitioned
     * PIP join — each center's CLASS is its nesting depth (the number of

@@ -400,6 +400,39 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got == got.sortBy(r => (r._1, r._2)))
   }
 
+  test("idwGrid cell-bucketed join == brute-force all-pairs (random stations)") {
+    import spark.implicits._
+    // Deterministic scattered stations at half-integer coords (so integer
+    // targets never coincide: d2 > 0 by construction), including stations
+    // whose cell is diagonal to a target's cell but still within radius —
+    // the case the 3x3 probe must cover and a 1x1 probe would miss.
+    val rnd = new scala.util.Random(42)
+    val stations = (0 until 500).map { i =>
+      (rnd.nextInt(120) + 0.5, rnd.nextInt(90) + 0.5, rnd.nextDouble() * 100.0)
+    }
+    val targets = (0 until 200).map { i =>
+      (i.toLong, rnd.nextInt(121).toDouble, rnd.nextInt(91).toDouble)
+    }
+    val radius = 8.0
+    val got = SpatialOps.idwGrid(
+      stations.toDF("sx", "sy", "v"), targets.toDF("tid", "tx", "ty"), radius)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val q = 1048576.0
+    val want = targets.flatMap { case (tid, tx, ty) =>
+      val pairs = stations.flatMap { case (sx, sy, v) =>
+        val d2 = ((sx - tx) * (sx - tx)) + ((sy - ty) * (sy - ty))
+        if (d2 <= radius * radius && d2 > 0.0)
+          Some((math.floor(1.0 / d2 * q).toLong, math.floor(v / d2 * q).toLong))
+        else None
+      }
+      if (pairs.isEmpty) None
+      else Some((tid, pairs.size.toLong, pairs.map(_._1).sum, pairs.map(_._2).sum))
+    }.sortBy(_._1)
+    assert(got == want)
+    // no target may appear twice (a duplicated 3x3 cell probe would)
+    assert(got.map(_._1).distinct.size == got.size)
+  }
+
   test("rasterizeBlocks == threshold-count classes pooled by block (volcano)") {
     import spark.implicits._
     val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
