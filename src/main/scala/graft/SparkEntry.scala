@@ -493,6 +493,8 @@ object SparkEntry {
     "q_doc_stratified_sample" -> TrainingOps.stratifiedSample,
     "q_doc_source_stats" -> TrainingOps.sourceStats,
     "q_doc_top_terms" -> TrainingOps.topTerms,
+    "q_doc_token_spectrum" -> TrainingOps.tokenSpectrum,
+    "q_doc_collocations" -> TrainingOps.collocations,
     "q_doc_char_terms" -> TrainingOps.charTerms,
     "q_doc_chunks" -> TrainingOps.chunkDocs,
     "q_doc_stopwords" -> TrainingOps.stopwordStats,

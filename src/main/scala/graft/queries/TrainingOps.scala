@@ -274,6 +274,59 @@ object TrainingOps {
         expr("((n_shingles - n_distinct) * 1000L) div greatest(n_shingles, 1L)"))
       .orderBy("doc_id")
 
+  /** Corpus token-frequency spectrum (count-of-counts): for each occurrence
+    * count, how many distinct vocabulary types occur exactly that often —
+    * the classic Zipf diagnostic for corpus health (a natural corpus has a
+    * long hapax tail; boilerplate piles mass on a few high counts). Pure
+    * integers. Scale shape: the token groupBy is the one real shuffle and
+    * is map-side combinable; the second groupBy runs over the (tiny)
+    * distinct-count domain.
+    */
+  val tokenSpectrum: (SparkSession, String) => DataFrame = (spark, dir) =>
+    docs(spark, dir)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .groupBy("freq").agg(count(lit(1)).as("n_types"))
+      .select(col("freq").cast("long").as("freq"),
+        col("n_types").cast("long").as("n_types"))
+      .orderBy("freq")
+
+  /** Bigram collocations — adjacent word pairs ranked by an INTEGER-EXACT
+    * PMI-style association score: score = ((n_ab * n_total) * 10^6) div
+    * (c1 * c2), monotone in the PMI ratio p(ab)/(p(a)p(b)) (n_total = total
+    * corpus tokens; c1/c2 = unigram occurrence counts), min support
+    * n_ab >= 3. No log/float crosses the compare; ties are impossible to
+    * under-order because (w1, w2) is unique. Scale shape: bigram extraction
+    * is one narrow explode; both count tables are map-side-combinable
+    * groupBys; the two unigram joins are token-keyed equi-joins (broadcast
+    * at contract scale, shuffle at web scale); n_total rides a one-row
+    * broadcast. LOUD BOUND: the score numerator needs
+    * n_ab * n_total * 10^6 < 2^63 — fine to ~3e6 corpus tokens per scored
+    * domain; a web-scale corpus scores per-source or drops the 10^6 scale
+    * (same documented-contract genus as StatsOps' O(range) histogram).
+    */
+  val collocations: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val t = docs(spark, dir).select(toks.as("toks"))
+    val uni = t.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val big = t.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    val n = uni.agg(sum(col("c")).as("n_total"))
+    big
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("n_ab").cast("long").as("n_ab"),
+        col("c1").cast("long").as("c1"), col("c2").cast("long").as("c2"),
+        expr("((n_ab * n_total) * 1000000L) div (c1 * c2)").as("score"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+  }
+
   // ---- decontamination: eval-set n-gram overlap flagging ----
 
   /** Benchmark decontamination — the standard training-prep step: flag
@@ -996,6 +1049,32 @@ object TrainingOps {
         |      FROM s)
         |SELECT doc_id, rank::BIGINT AS rank, tok, tf, df, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Same two-stage count-of-counts; DuckDB's unnest path vs the engine's
+    // explode is the only (cosmetic) difference.
+    "q_doc_token_spectrum" ->
+      """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |           FROM documents),
+        |c AS (SELECT tok, count(*)::BIGINT AS freq FROM t GROUP BY 1)
+        |SELECT freq, count(*)::BIGINT AS n_types
+        |FROM c GROUP BY 1 ORDER BY freq""".stripMargin,
+
+    // Independent bigram gather: explicit ws[i]/ws[i+1] index arithmetic vs
+    // the engine's transform/element_at scatter; the score expression tree
+    // mirrors token for token (all-integer, so only the div order matters).
+    "q_doc_collocations" ->
+      """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |u AS (SELECT unnest(ws) AS tok FROM t),
+        |c AS (SELECT tok, count(*)::BIGINT AS c FROM u GROUP BY 1),
+        |n AS (SELECT count(*)::BIGINT AS n_total FROM u),
+        |b AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |      FROM t, unnest(range(1, len(ws))) AS r(i)),
+        |bc AS (SELECT w1, w2, count(*)::BIGINT AS n_ab
+        |       FROM b GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT w1, w2, n_ab, c1.c AS c1, c2.c AS c2,
+        |       ((n_ab * n_total) * 1000000) // (c1.c * c2.c) AS score
+        |FROM bc JOIN c c1 ON bc.w1 = c1.tok JOIN c c2 ON bc.w2 = c2.tok
+        |CROSS JOIN n ORDER BY score DESC, w1, w2""".stripMargin,
 
     "q_doc_top_terms" ->
       """WITH t AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

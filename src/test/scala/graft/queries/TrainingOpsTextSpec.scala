@@ -103,6 +103,35 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(gotChar == wantChar)
   }
 
+  test("tokenSpectrum and collocations == local recomputes") {
+    val docs = docsLocal()
+    val allToks = docs.flatMap { case (_, text) => toks(text) }
+    // spectrum: token count -> number of types with that count
+    val freq = allToks.groupBy(identity).map { case (_, g) => g.size.toLong }
+    val wantSpec = freq.groupBy(identity)
+      .map { case (f, g) => (f, g.size.toLong) }.toSeq.sortBy(_._1)
+    val gotSpec = TrainingOps.tokenSpectrum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotSpec == wantSpec)
+    assert(wantSpec.size > 1) // the synthetic corpus spans multiple count classes
+
+    // collocations: the integer PMI-style score over adjacent pairs
+    val uni = allToks.groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+    val nTotal = allToks.size.toLong
+    val wantColl = docs.flatMap { case (_, text) =>
+      val ws = toks(text); ws.dropRight(1).zip(ws.drop(1))
+    }.groupBy(identity).collect { case ((w1, w2), g) if g.size >= 3 =>
+      val (c1, c2) = (uni(w1), uni(w2))
+      val nab = g.size.toLong
+      (w1, w2, nab, c1, c2, ((nab * nTotal) * 1000000L) / (c1 * c2))
+    }.toSeq.sortBy(r => (-r._6, r._1, r._2))
+    val gotColl = TrainingOps.collocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(gotColl == wantColl)
+    assert(wantColl.nonEmpty)
+  }
+
   test("decontam == local 5-gram overlap recompute against the doc_id % 7 probe set") {
     val docs = docsLocal()
     def grams(text: String): Array[String] = {
