@@ -394,6 +394,24 @@ object SparkEntry {
       graft.engine.SpatialOps.zonalStats(spark, points, cts, values)
     }),
 
+    // ---- nearest-contour-segment distance (ST_Distance / ST_DWithin):
+    //      per sampled point and threshold, segments of the SMOOTHED
+    //      contours within radius 8 + exact quantized squared distance to
+    //      the closest one, via the cell-bucketed neighbor join (oracle:
+    //      brute force over the segs2 reconstruction with a sound bbox
+    //      prune, same distance expression tree) ----
+    "q_contour_near_dist" -> ((spark, dir) => {
+      import spark.implicits._
+      val cts = engine(spark).contours(eventTiles(spark, dir))
+      val (w, _) = EventsGrid.dims(spark, dir)
+      val points = spark.read.parquet(s"$dir/events.parquet")
+        .filter(expr("event_id % 101 = 0"))
+        .selectExpr("event_id", s"cast(event_id % $w as double) + 0.5 as x",
+          s"cast(event_id div $w as double) + 0.5 as y")
+        .as[(Long, Double, Double)]
+      graft.engine.SpatialOps.nearSegmentDist(spark, points, cts, radius = 8.0)
+    }),
+
     // ---- kNN join against emitted contour vertices ----
     "q_knn_vertices" -> ((spark, dir) => {
       import spark.implicits._
@@ -918,6 +936,45 @@ object SparkEntry {
          |  COALESCE(agg.qmy_sum, 0)::BIGINT AS qmy_sum
          |FROM ($tsAllSql) t LEFT JOIN agg ON agg.threshold = t.threshold
          |ORDER BY t.threshold""".stripMargin,
+
+    // Independent formulation: the engine buckets segments by start
+    // endpoint into (radius+2)-cells and probes 3x3; the oracle brute-
+    // forces point x segment with a SOUND bbox prune (a segment within
+    // radius 8 has its start endpoint within 8 + sqrt(2) < 10 per axis)
+    // and the SAME clamped-projection distance tree, so the bucketing's
+    // coverage claim is itself under test. Degenerate segments included
+    // on both sides (t = 0 branch).
+    "q_contour_near_dist" ->
+      s"""WITH ${startsAndEndsCte(tsAllSql)},
+         |segs2 AS (
+         |  SELECT s.threshold, s.px AS spx, s.py AS spy, e.px AS epx, e.py AS epy
+         |  FROM pts s JOIN pts e
+         |    ON e.threshold = s.threshold AND e.cx = s.cx AND e.cy = s.cy
+         |   AND e.segid = s.segid AND s.role = 0 AND e.role = 1),
+         |p AS (SELECT event_id AS point_id, (event_id % 100)::DOUBLE + 0.5 AS px,
+         |             (event_id // 100)::DOUBLE + 0.5 AS py
+         |      FROM events WHERE event_id % 101 = 0),
+         |cand AS (
+         |  SELECT p.point_id, s.threshold, p.px, p.py, s.spx, s.spy,
+         |         s.epx - s.spx AS dx, s.epy - s.spy AS dy
+         |  FROM p JOIN segs2 s
+         |    ON abs(s.spx - p.px) <= 10.0 AND abs(s.spy - p.py) <= 10.0),
+         |tt AS (
+         |  SELECT point_id, threshold, px, py, spx, spy, dx, dy,
+         |    CASE WHEN dx * dx + dy * dy > 0.0 THEN
+         |      least(greatest(((px - spx) * dx + (py - spy) * dy)
+         |                       / (dx * dx + dy * dy), 0.0), 1.0)
+         |    ELSE 0.0 END AS t
+         |  FROM cand),
+         |dd AS (
+         |  SELECT point_id, threshold,
+         |    (px - (spx + t * dx)) * (px - (spx + t * dx))
+         |      + (py - (spy + t * dy)) * (py - (spy + t * dy)) AS d2
+         |  FROM tt)
+         |SELECT point_id, threshold, count(*)::BIGINT AS n_segs,
+         |       min(floor(d2 * 1048576.0)::BIGINT)::BIGINT AS min_qd2
+         |FROM dd WHERE d2 <= 64.0
+         |GROUP BY 1, 2 ORDER BY point_id, threshold""".stripMargin,
 
     // ring adjacency reconstructed through the segment-successor
     // permutation: vertex v = segment b's smoothed start, its successor =

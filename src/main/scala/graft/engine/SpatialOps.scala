@@ -586,6 +586,81 @@ object SpatialOps {
   /** 2^20 per-term quantization shared with the raster family's oracles. */
   private val RasterQ20 = 1048576.0
 
+  /** Nearest-contour-segment distance — the ST_Distance / ST_DWithin pair
+    * against the engine's own contour MultiPolygons: for every query point,
+    * the number of directed contour segments within `radius` and the exact
+    * squared distance to the closest one, per threshold. Like [[idwGrid]]
+    * this is a CELL-BUCKETED neighbor join, never all-pairs: segments
+    * bucket by their START endpoint into cells of size radius + 2 (a
+    * smoothed marching-squares segment lives inside one unit grid cell, so
+    * its farthest point sits <= sqrt(2) from the start endpoint; any
+    * segment within `radius` of a point therefore has its start within
+    * radius + sqrt(2) < radius + 2 per axis, and the point's 3x3 cell probe
+    * is guaranteed to find it), each point replicates x9 (the pivoted3x3
+    * idiom over the point side only), and the equi-join on cell keys
+    * carries O(points x local segment density) pairs — at 100 TB the radius
+    * bounds work per point regardless of total contour size.
+    *
+    * EXACTNESS: the point-to-segment distance evaluates the textbook
+    * clamped-projection tree — dx = epx-spx, len2 = dx*dx + dy*dy,
+    * t = clamp(((px-spx)*dx + (py-spy)*dy) / len2, 0, 1) (0 for degenerate
+    * segments), foot = s + t*d, d2 = (px-qx)^2 + (py-qy)^2 — every step an
+    * IEEE-exact f64 op mirrored token for token by the oracle, and d2
+    * quantizes per pair (floor(d2 * 2^20)) before the order-free MIN.
+    * Degenerate (post-smoothing-collapsed) segments are INCLUDED on both
+    * sides (their distance is the point distance), so n_segs matches the
+    * directed-edge conservation the moments operator pins down. Points with
+    * no segment in radius drop out of the inner join identically on both
+    * sides; d2 = 0 (a point exactly on a segment) stays in-range.
+    *
+    * @return (point_id, threshold, n_segs, min_qd2) ordered by both keys
+    */
+  def nearSegmentDist(spark: SparkSession, points: Dataset[(Long, Double, Double)],
+                      contours: Dataset[ContourRow], radius: Double): DataFrame = {
+    import spark.implicits._
+    require(radius > 0.0, s"radius=$radius")
+    val segs = contours.flatMap { c =>
+      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
+        (0 until ring.length / 2 - 1).iterator.map { i =>
+          (c.threshold, ring(2 * i), ring(2 * i + 1), ring(2 * i + 2), ring(2 * i + 3))
+        }
+      }
+    }.toDF("threshold", "spx", "spy", "epx", "epy")
+    val s = radius + 2.0
+    val sb = segs.select(col("threshold"), col("spx"), col("spy"),
+      col("epx"), col("epy"),
+      floor(col("spx") / s).cast("long").as("cx"),
+      floor(col("spy") / s).cast("long").as("cy"))
+    val offsets = (0 until 9).toArray
+    val tg = points.toDF("point_id", "px", "py")
+      .withColumn("o", explode(lit(offsets)))
+      .select(col("point_id"), col("px"), col("py"),
+        (floor(col("px") / s).cast("long") + col("o") % 3 - 1).as("cx"),
+        (floor(col("py") / s).cast("long")
+          + col("o").divide(3).cast("int") - 1).as("cy"))
+    tg.join(sb, Seq("cx", "cy"))
+      .withColumn("dx", col("epx") - col("spx"))
+      .withColumn("dy", col("epy") - col("spy"))
+      .withColumn("len2", col("dx") * col("dx") + col("dy") * col("dy"))
+      .withColumn("t", when(col("len2") > 0.0,
+        least(greatest(
+          ((col("px") - col("spx")) * col("dx")
+            + (col("py") - col("spy")) * col("dy")) / col("len2"),
+          lit(0.0)), lit(1.0))).otherwise(lit(0.0)))
+      .withColumn("qx", col("spx") + col("t") * col("dx"))
+      .withColumn("qy", col("spy") + col("t") * col("dy"))
+      .withColumn("d2",
+        (col("px") - col("qx")) * (col("px") - col("qx"))
+          + (col("py") - col("qy")) * (col("py") - col("qy")))
+      .filter(col("d2") <= radius * radius)
+      .groupBy("point_id", "threshold")
+      .agg(count(lit(1)).as("n_segs"),
+        min(floor(col("d2") * RasterQ20).cast("long")).as("min_qd2"))
+      .select(col("point_id"), col("threshold"),
+        col("n_segs").cast("long").as("n_segs"), col("min_qd2"))
+      .orderBy("point_id", "threshold")
+  }
+
   /** Vector -> raster burn: rasterize a contour set's threshold
     * MultiPolygons back onto the sample lattice via the y-band partitioned
     * PIP join — each center's CLASS is its nesting depth (the number of

@@ -433,6 +433,49 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.size == got.size)
   }
 
+  test("nearSegmentDist bucketed join == brute-force all-pairs (volcano, smoothed)") {
+    import spark.implicits._
+    val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
+    val tiles = GridSynth.tilesFromArray(spark, "gn", data, w, h, 16, 16)
+    val thresholds = Seq(100.0, 140.0, 170.0)
+    val cts = new ContourEngine(spark, JobConfig(thresholds, smooth = true)).contours(tiles)
+    val rnd = new scala.util.Random(7)
+    val points = (0 until 150).map { i =>
+      (i.toLong, rnd.nextInt(w).toDouble + 0.25, rnd.nextInt(h).toDouble + 0.25)
+    }
+    val radius = 6.0
+    val got = SpatialOps.nearSegmentDist(
+      spark, spark.createDataset(points), cts, radius)
+      .as[(Long, Double, Long, Long)].collect().toSeq
+    // brute force over the SAME assembled segments
+    val segs = cts.collect().flatMap { c =>
+      c.polygons.flatMap(p => p.exterior +: p.holes).flatMap { ring =>
+        (0 until ring.length / 2 - 1).map { i =>
+          (c.threshold, ring(2 * i), ring(2 * i + 1), ring(2 * i + 2), ring(2 * i + 3))
+        }
+      }
+    }
+    val want = points.flatMap { case (pid, px, py) =>
+      segs.flatMap { case (t, sx, sy, ex, ey) =>
+        val dx = ex - sx; val dy = ey - sy
+        val len2 = dx * dx + dy * dy
+        val tt = if (len2 > 0.0)
+          math.min(math.max(((px - sx) * dx + (py - sy) * dy) / len2, 0.0), 1.0)
+        else 0.0
+        val qx = sx + tt * dx; val qy = sy + tt * dy
+        val d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+        if (d2 <= radius * radius)
+          Some(((pid, t), math.floor(d2 * 1048576.0).toLong))
+        else None
+      }.groupBy(_._1).map { case ((p, t), g) =>
+        (p, t, g.size.toLong, g.map(_._2).min)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    assert(want.nonEmpty)
+    assert(got.map(r => (r._1, r._2)).distinct.size == got.size)
+  }
+
   test("rasterizeBlocks == threshold-count classes pooled by block (volcano)") {
     import spark.implicits._
     val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
