@@ -145,6 +145,47 @@ object RasterKernel {
     out.toSeq
   }
 
+  /** Riley terrain ruggedness index (TRI) over the same interior — per-row
+    * partials. tri = sqrt(sum over the 3x3 window of (s(o) - center)^2) with
+    * the focal kernel's row-of-three association tree; the center term
+    * (v4 - v4)^2 is EXACTLY +0.0 (x - x = +0.0, squares are non-negative,
+    * and adding +0.0 to a non-negative f64 is the identity), so keeping it
+    * preserves the shared tree shape at zero cost. sqrt is correctly
+    * rounded, and the result quantizes per cell before the order-free
+    * integer row sums.
+    */
+  def triRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+              ox0: Int, oy0: Int, ow: Int, oh: Int,
+              w: Int, h: Int): Seq[RowStat] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val out = new scala.collection.mutable.ArrayBuffer[RowStat](math.max(tyHi - tyLo + 1, 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var n = 0L; var qsum = 0L
+      var qmin = Long.MaxValue; var qmax = Long.MinValue
+      var tx = txLo
+      while (tx <= txHi) {
+        val v0 = g(tx + 1, ty + 1); val v1 = g(tx, ty + 1); val v2 = g(tx - 1, ty + 1)
+        val v3 = g(tx + 1, ty); val v4 = g(tx, ty); val v5 = g(tx - 1, ty)
+        val v6 = g(tx + 1, ty - 1); val v7 = g(tx, ty - 1); val v8 = g(tx - 1, ty - 1)
+        @inline def sq(v: Double): Double = (v - v4) * (v - v4)
+        val tri = math.sqrt((((sq(v0) + sq(v1)) + sq(v2))
+          + ((sq(v3) + sq(v4)) + sq(v5)))
+          + ((sq(v6) + sq(v7)) + sq(v8)))
+        val q = math.floor(tri * Q20).toLong
+        n += 1; qsum += q
+        if (q < qmin) qmin = q
+        if (q > qmax) qmax = q
+        tx += 1
+      }
+      if (n > 0) out += ((ty.toLong, n, qsum, qmin, qmax))
+      ty += 1
+    }
+    out.toSeq
+  }
+
   /** D8 flow direction over the same interior — per-DIRECTION partials
     * (dir, n, max packed value), dirs in [-1, 8]. Packed-argmax entirely in
     * the integer domain after per-neighbour quantization, identical to the

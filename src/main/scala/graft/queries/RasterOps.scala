@@ -213,6 +213,29 @@ object RasterOps {
     hillshadeTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
+  /** Riley terrain ruggedness index — tri = sqrt(sum of squared deviations
+    * of the 3x3 window from its center), the standard DEM heterogeneity
+    * measure. Same exactness chain as the slope family: fixed association
+    * tree (the focal kernel's row-of-three shape; the center term is
+    * exactly +0.0 and kept for tree-shape sharing), correctly-rounded
+    * sqrt, per-cell quantization before order-free integer row summaries.
+    * CROSS-CHECK formulation (scatter/pivot); triTiledOf is the engine
+    * path.
+    */
+  private[graft] def triOf(cells: DataFrame, w: Int, h: Int): DataFrame = {
+    def sq(o: Int) = (col(s"v$o") - col("v4")) * (col(s"v$o") - col("v4"))
+    val tri = sqrt((((sq(0) + sq(1)) + sq(2))
+      + ((sq(3) + sq(4)) + sq(5)))
+      + ((sq(6) + sq(7)) + sq(8)))
+    rowStats(pivoted3x3Of(cells, w, h), floor(tri * Q20))
+  }
+
+  val gridTri: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    triTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
   val hornSlope: (SparkSession, String) => DataFrame = (spark, dir) => {
     import spark.implicits._
     val (w, h) = EventsGrid.dims(spark, dir)
@@ -405,6 +428,14 @@ object RasterOps {
         t.ox0, t.oy0, t.ow, t.oh, w, h)))
   }
 
+  private[graft] def triTiledOf(cells: Dataset[(Int, Int, Double)],
+                                w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    mergeRowStats(haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+      graft.core.RasterKernel.triRows(t.values, t.bx0, t.by0, t.bw,
+        t.ox0, t.oy0, t.ow, t.oh, w, h)))
+  }
+
   private[graft] def hillshadeTiledOf(cells: Dataset[(Int, Int, Double)],
                                       w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
     import cells.sparkSession.implicits._
@@ -524,6 +555,28 @@ object RasterOps {
            |  sum(floor(slope * 1048576.0)::BIGINT)::BIGINT AS qsum,
            |  min(floor(slope * 1048576.0)::BIGINT) AS qmin,
            |  max(floor(slope * 1048576.0)::BIGINT) AS qmax
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // TRI: squared deviations from the center over the same slot joins,
+      // the focal kernel's association tree (the center term is exactly
+      // +0.0 on both sides); sqrt correctly rounded
+      "q_grid_tri" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |f AS (SELECT t.y, sqrt(
+           |  ((((b0.v - t.v) * (b0.v - t.v) + (b1.v - t.v) * (b1.v - t.v))
+           |      + (b2.v - t.v) * (b2.v - t.v))
+           |    + (((b3.v - t.v) * (b3.v - t.v) + (t.v - t.v) * (t.v - t.v))
+           |        + (b5.v - t.v) * (b5.v - t.v)))
+           |  + (((b6.v - t.v) * (b6.v - t.v) + (b7.v - t.v) * (b7.v - t.v))
+           |      + (b8.v - t.v) * (b8.v - t.v))) AS tri
+           |  FROM g t
+           |  $slotJoins
+           |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2)
+           |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells,
+           |  sum(floor(tri * 1048576.0)::BIGINT)::BIGINT AS qsum,
+           |  min(floor(tri * 1048576.0)::BIGINT) AS qmin,
+           |  max(floor(tri * 1048576.0)::BIGINT) AS qmax
            |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // hillshade: gx/gy mirror the Horn joins; the sun components are the

@@ -115,6 +115,8 @@ class RasterRandomSpec extends AnyFunSuite {
         == collect3(RasterOps.d8FlowDirOf(cells, w, h)), s"d8 $label")
       assert(collect5(RasterOps.hillshadeTiledOf(typed, w, h, tw, th))
         == collect5(RasterOps.hillshadeOf(cells, w, h)), s"hillshade $label")
+      assert(collect5(RasterOps.triTiledOf(typed, w, h, tw, th))
+        == collect5(RasterOps.triOf(cells, w, h)), s"tri $label")
       assert(collect5(RasterOps.gridUpsampleTiledOf(typed, w, h, tw, th))
         == collect5(RasterOps.gridUpsampleOf(typed, w, h)), s"upsample $label")
     }
