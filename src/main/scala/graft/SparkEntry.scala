@@ -394,6 +394,30 @@ object SparkEntry {
       graft.engine.SpatialOps.zonalStats(spark, points, cts, values)
     }),
 
+    // ---- zonal statistics OF THE SLOPE raster inside the engine's own
+    //      contour zones — terrain analysis composed with vectorization:
+    //      values = per-cell quantized Horn slope via the halo-tiled
+    //      kernel (zero raster shuffle), zones = unsmoothed contour
+    //      MultiPolygons via the partitioned PIP join, points = interior
+    //      cell centers (slope's domain). Oracle: the pixel-center
+    //      identity over the slot-join slope reconstruction. ----
+    "q_zonal_slope" -> ((spark, dir) => {
+      import spark.implicits._
+      val cts = engine(spark, smooth = false).contours(eventTiles(spark, dir))
+      val (w, h) = EventsGrid.dims(spark, dir)
+      val points = spark.read.parquet(s"$dir/events.parquet")
+        .selectExpr("event_id", s"cast(event_id % $w as int) as ix",
+          s"cast(event_id div $w as int) as iy")
+        .filter(col("ix") >= 1 && col("ix") <= w - 2
+          && col("iy") >= 1 && col("iy") <= h - 2)
+        .selectExpr("event_id", "cast(ix as double) + 0.5 as x",
+          "cast(iy as double) + 0.5 as y")
+        .as[(Long, Double, Double)]
+      val values = RasterOps.slopeCellsTiledOf(
+        RasterOps.baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+      graft.engine.SpatialOps.zonalStats(spark, points, cts, values)
+    }),
+
     // ---- nearest-contour-segment distance (ST_Distance / ST_DWithin):
     //      per sampled point and threshold, segments of the SMOOTHED
     //      contours within radius 8 + exact quantized squared distance to

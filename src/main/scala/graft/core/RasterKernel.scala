@@ -145,6 +145,38 @@ object RasterKernel {
     out.toSeq
   }
 
+  /** Horn slope over the same interior, emitted PER CELL as (cell id =
+    * y * w + x, floor(slope * 2^20)) — the feed for compositions that need
+    * the slope raster itself (e.g. zonal statistics of slope inside
+    * contour zones) rather than row summaries. Identical expression tree
+    * to [[slopeRows]]; still zero raster shuffle (each tile emits only its
+    * owned cells, exactly once).
+    */
+  def slopeCells(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                 ox0: Int, oy0: Int, ow: Int, oh: Int,
+                 w: Int, h: Int): Seq[(Long, Long)] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+      math.max((tyHi - tyLo + 1) * (txHi - txLo + 1), 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var tx = txLo
+      while (tx <= txHi) {
+        val v0 = g(tx + 1, ty + 1); val v1 = g(tx, ty + 1); val v2 = g(tx - 1, ty + 1)
+        val v5 = g(tx - 1, ty); val v3 = g(tx + 1, ty)
+        val v6 = g(tx + 1, ty - 1); val v7 = g(tx, ty - 1); val v8 = g(tx - 1, ty - 1)
+        val gx = (((v0 + v3 * 2.0) + v6) - ((v2 + v5 * 2.0) + v8)) / 8.0
+        val gy = (((v0 + v1 * 2.0) + v2) - ((v6 + v7 * 2.0) + v8)) / 8.0
+        out += ((ty.toLong * w + tx, math.floor(math.sqrt(gx * gx + gy * gy) * Q20).toLong))
+        tx += 1
+      }
+      ty += 1
+    }
+    out.toSeq
+  }
+
   /** Riley terrain ruggedness index (TRI) over the same interior — per-row
     * partials. tri = sqrt(sum over the 3x3 window of (s(o) - center)^2) with
     * the focal kernel's row-of-three association tree; the center term

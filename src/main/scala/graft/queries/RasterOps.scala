@@ -37,7 +37,7 @@ object RasterOps {
     * of the grid-derivation rule shared by gridPyramid and level1Cells
     * (and mirrored by the `g0` CTE in the oracles).
     */
-  private def baseCells(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def baseCells(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
       .select((col("event_id") % EventsGrid.W).cast("int").as("x"),
         (col("event_id") / EventsGrid.W).cast("int").as("y"),
@@ -428,6 +428,18 @@ object RasterOps {
         t.ox0, t.oy0, t.ow, t.oh, w, h)))
   }
 
+  /** Per-cell quantized Horn slope through the tiled path — (point_id =
+    * y * w + x, qv), the values feed for zonal-of-slope compositions.
+    */
+  private[graft] def slopeCellsTiledOf(cells: Dataset[(Int, Int, Double)],
+                                       w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+      graft.core.RasterKernel.slopeCells(t.values, t.bx0, t.by0, t.bw,
+        t.ox0, t.oy0, t.ow, t.oh, w, h))
+      .toDF("point_id", "qv")
+  }
+
   private[graft] def triTiledOf(cells: Dataset[(Int, Int, Double)],
                                 w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
     import cells.sparkSession.implicits._
@@ -556,6 +568,28 @@ object RasterOps {
            |  min(floor(slope * 1048576.0)::BIGINT) AS qmin,
            |  max(floor(slope * 1048576.0)::BIGINT) AS qmax
            |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // zonal-of-slope: per-cell qslope via the same Horn slot joins, zone
+      // membership via the pixel-center identity (interior center inside
+      // the threshold-t polygon iff its own value >= t) — the whole
+      // contour + PIP + tiled-slope chain checked relationally
+      "q_zonal_slope" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |f1 AS (SELECT t.y, t.v,
+           |  (((b0.v + b3.v * 2.0) + b6.v) - ((b2.v + b5.v * 2.0) + b8.v)) / 8.0 AS gx,
+           |  (((b0.v + b1.v * 2.0) + b2.v) - ((b6.v + b7.v * 2.0) + b8.v)) / 8.0 AS gy
+           |  FROM g t
+           |  $slotJoins
+           |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+           |f AS (SELECT v, floor(sqrt(gx * gx + gy * gy) * 1048576.0)::BIGINT AS q FROM f1)
+           |SELECT threshold,
+           |  sum(CASE WHEN v >= threshold THEN 1 ELSE 0 END)::BIGINT AS n_inside,
+           |  sum(CASE WHEN v >= threshold THEN q END)::BIGINT AS qsum,
+           |  min(CASE WHEN v >= threshold THEN q END) AS qmin,
+           |  max(CASE WHEN v >= threshold THEN q END) AS qmax
+           |FROM f CROSS JOIN (VALUES (25.0),(50.0),(75.0),(100.0)) t(threshold)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // TRI: squared deviations from the center over the same slot joins,
       // the focal kernel's association tree (the center term is exactly

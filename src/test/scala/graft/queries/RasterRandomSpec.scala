@@ -89,6 +89,31 @@ class RasterRandomSpec extends AnyFunSuite {
     }
   }
 
+  test("slopeCells tiled per-cell emission == local recompute on random grids and tilings") {
+    import spark.implicits._
+    val rng = new scala.util.Random(606060L)
+    for (trial <- 0 until 8) {
+      val w = 1 + rng.nextInt(24)
+      val h = 1 + rng.nextInt(24)
+      val tw = 1 + rng.nextInt(9)
+      val th = 1 + rng.nextInt(9)
+      val g = randGrid(rng, w, h)
+      def v(y: Int, x: Int) = g(y * w + x)
+      val typed = (0 until w * h).map(i => (i % w, i / w, g(i))).toDS()
+      val want = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+        def s(o: Int) = v(y - (o / 3 - 1), x - (o % 3 - 1))
+        val gx = (((s(0) + s(3) * 2.0) + s(6)) - ((s(2) + s(5) * 2.0) + s(8))) / 8.0
+        val gy = (((s(0) + s(1) * 2.0) + s(2)) - ((s(6) + s(7) * 2.0) + s(8))) / 8.0
+        (y.toLong * w + x, math.floor(math.sqrt(gx * gx + gy * gy) * Q).toLong)
+      }).sortBy(_._1)
+      val got = RasterOps.slopeCellsTiledOf(typed, w, h, tw, th).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+      assert(got == want, s"trial $trial: ${w}x$h tiles ${tw}x$th")
+      // each owned cell emitted exactly once across tiles
+      assert(got.map(_._1).distinct.size == got.size)
+    }
+  }
+
   test("halo-tiled kernels == cell-level scatter/pivot bit-for-bit on random grids and tilings") {
     import spark.implicits._
     val rng = new scala.util.Random(505050L)
