@@ -197,16 +197,10 @@ object SpatialOps {
   def contourLengthStats(spark: SparkSession, contours: Dataset[ContourRow]): DataFrame = {
     import spark.implicits._
     contours.flatMap { c =>
-      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
-        // rings close explicitly ([v0..vn-1, v0]): consecutive pairs cover
-        // every directed segment of the cycle exactly once
-        (0 until ring.length / 2 - 1).iterator.map { i =>
-          val ax = ring(2 * i); val ay = ring(2 * i + 1)
-          val bx = ring(2 * i + 2); val by = ring(2 * i + 3)
-          val len = math.sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
-          (c.threshold, if (ax == bx && ay == by) 0L else 1L,
-            math.floor(len * 1048576.0).toLong)
-        }
+      ringEdges(c).map { case (ax, ay, bx, by) =>
+        val len = math.sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+        (c.threshold, if (ax == bx && ay == by) 0L else 1L,
+          math.floor(len * 1048576.0).toLong)
       }
     }.toDF("threshold", "seg", "qlen")
       .groupBy("threshold")
@@ -246,16 +240,12 @@ object SpatialOps {
                          thresholds: Seq[Double]): DataFrame = {
     import spark.implicits._
     val edges = contours.flatMap { c =>
-      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
-        (0 until ring.length / 2 - 1).iterator.map { i =>
-          val ax = ring(2 * i); val ay = ring(2 * i + 1)
-          val bx = ring(2 * i + 2); val by = ring(2 * i + 3)
-          val cross = ax * by - bx * ay
-          (c.threshold, 1L,
-            math.floor(cross * 1048576.0).toLong,
-            math.floor((ax + bx) * cross * 1048576.0).toLong,
-            math.floor((ay + by) * cross * 1048576.0).toLong)
-        }
+      ringEdges(c).map { case (ax, ay, bx, by) =>
+        val cross = ax * by - bx * ay
+        (c.threshold, 1L,
+          math.floor(cross * 1048576.0).toLong,
+          math.floor((ax + bx) * cross * 1048576.0).toLong,
+          math.floor((ay + by) * cross * 1048576.0).toLong)
       }
     }.toDF("threshold", "e", "qa2", "qmx", "qmy")
       .groupBy("threshold")
@@ -329,6 +319,20 @@ object SpatialOps {
       })
     }
   }
+
+  /** Every directed edge (a -> b) of every ring (exteriors + holes) of a
+    * contour row: rings close explicitly ([v0..vn-1, v0]), so consecutive
+    * pairs cover each directed segment of the cycle exactly once. The ONE
+    * definition of the ring->segment walk — length/moments/near-dist all
+    * fold over it (the specs' brute forces deliberately re-derive it
+    * independently).
+    */
+  private def ringEdges(c: ContourRow): Iterator[(Double, Double, Double, Double)] =
+    c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
+      (0 until ring.length / 2 - 1).iterator.map { i =>
+        (ring(2 * i), ring(2 * i + 1), ring(2 * i + 2), ring(2 * i + 3))
+      }
+    }
 
   /** Vertices of every ring of a contour set, deduplicated per threshold
     * (the closing duplicate dropped), as (threshold, vx, vy).
@@ -561,7 +565,7 @@ object SpatialOps {
     val st = stations.select(col("sx"), col("sy"), col("v"),
       floor(col("sx") / radius).cast("long").as("cx"),
       floor(col("sy") / radius).cast("long").as("cy"))
-    val offsets = (for (dy <- -1 to 1; dx <- -1 to 1) yield (dy + 1) * 3 + dx + 1).toArray
+    val offsets = (0 until 9).toArray
     val tg = targets
       .withColumn("o", explode(lit(offsets)))
       .select(col("tid"), col("tx"), col("ty"),
@@ -583,8 +587,8 @@ object SpatialOps {
       .orderBy("tid")
   }
 
-  /** 2^20 per-term quantization shared with the raster family's oracles. */
-  private val RasterQ20 = 1048576.0
+  /** 2^20 per-term quantization — the raster family's shared constant. */
+  private val RasterQ20 = graft.core.RasterKernel.Q20
 
   /** Nearest-contour-segment distance — the ST_Distance / ST_DWithin pair
     * against the engine's own contour MultiPolygons: for every query point,
@@ -620,11 +624,7 @@ object SpatialOps {
     import spark.implicits._
     require(radius > 0.0, s"radius=$radius")
     val segs = contours.flatMap { c =>
-      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
-        (0 until ring.length / 2 - 1).iterator.map { i =>
-          (c.threshold, ring(2 * i), ring(2 * i + 1), ring(2 * i + 2), ring(2 * i + 3))
-        }
-      }
+      ringEdges(c).map { case (ax, ay, bx, by) => (c.threshold, ax, ay, bx, by) }
     }.toDF("threshold", "spx", "spy", "epx", "epy")
     val s = radius + 2.0
     val sb = segs.select(col("threshold"), col("spx"), col("spy"),
