@@ -97,6 +97,13 @@ object Bench {
     Seq("q_focal_mean", "q_grid_slope", "q_flow_dir", "q_pyramid_slope",
       "q_doc_decontam")
 
+  /** The round-5 second wave: bucketed spatial joins (IDW, nearest-segment
+    * distance), the zonal-of-slope composition, and the collocation text op.
+    */
+  private val Ops4Queries =
+    Seq("q_idw_grid", "q_contour_near_dist", "q_zonal_slope",
+      "q_doc_collocations")
+
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum
     finally spark.sqlContext.clearCache()
@@ -183,6 +190,8 @@ object Bench {
     var ops2Rows = 0L
     var ops3Best = Double.MaxValue
     var ops3Rows = 0L
+    var ops4Best = Double.MaxValue
+    var ops4Rows = 0L
     def runOpsLeg(pass: Int): Unit = {
       val s = session(opsCpus)
       try {
@@ -201,6 +210,11 @@ object Bench {
         val el3 = (System.nanoTime() - t2) / 1e9
         System.err.println(f"[bench] pass=$pass ops3_pipeline cpus=$opsCpus elapsed=$el3%.2fs rows=$ops3Rows")
         ops3Best = math.min(ops3Best, el3)
+        val t3 = System.nanoTime()
+        ops4Rows = runQueriesOnce(s, sfDir, Ops4Queries)
+        val el4 = (System.nanoTime() - t3) / 1e9
+        System.err.println(f"[bench] pass=$pass ops4_pipeline cpus=$opsCpus elapsed=$el4%.2fs rows=$ops4Rows")
+        ops4Best = math.min(ops4Best, el4)
       } finally s.stop()
     }
     for (pass <- 0 until passes) {
@@ -250,6 +264,8 @@ object Bench {
       s""""ops2_pipeline_rows":$ops2Rows""",
       s""""ops3_pipeline_c$opsCpus":$ops3Best""",
       s""""ops3_pipeline_rows":$ops3Rows""",
+      s""""ops4_pipeline_c$opsCpus":$ops4Best""",
+      s""""ops4_pipeline_rows":$ops4Rows""",
       s""""gen_sec":$genSec""",
       s""""cells":${cellsOf(gridsBig)}"""
     ).mkString("{", ",", "}")
