@@ -546,6 +546,7 @@ object SparkEntry {
     "q_focal_mean" -> RasterOps.focalMean,
     "q_grid_slope" -> RasterOps.hornSlope,
     "q_grid_tri" -> RasterOps.gridTri,
+    "q_grid_aspect" -> RasterOps.gridAspect,
     "q_hillshade" -> RasterOps.hillshade,
     "q_grid_upsample" -> RasterOps.gridUpsample,
     "q_flow_dir" -> RasterOps.d8FlowDir,

@@ -218,6 +218,61 @@ object RasterKernel {
     out.toSeq
   }
 
+  /** The 22.5-degree octant-boundary slope: tan(pi/8) = sqrt(2) - 1.
+    * DETERMINISTIC in f64 on both compare sides — sqrt is correctly
+    * rounded and the subtraction is exact by the Sterbenz lemma
+    * (1 <= sqrt(2) <= 2). Any other boundary constant would drag libm
+    * tan onto the oracle surface.
+    */
+  final val Tan22_5 = math.sqrt(2.0) - 1.0
+
+  /** 8-way aspect classification over the same interior — per-CLASS
+    * counts. Aspect (the compass direction of steepest descent) normally
+    * needs atan2 — libm-dependent, off the oracle-exact surface — but the
+    * CLASS only needs octant membership, which is pure comparisons: with
+    * the downslope vector (ax, ay) = (-gx, -gy) (Horn gradients),
+    * class = -1 for flats (ax = 0 AND ay = 0), else
+    * E(0)/W(4) when |ay| <= T * |ax| (sign of ax),
+    * N(2)/S(6) when |ax| <= T * |ay| (sign of ay),
+    * else the diagonal quadrant NE(1)/NW(3)/SW(5)/SE(7) by signs —
+    * T = [[Tan22_5]], every comparison exact in f64 and mirrored token
+    * for token by the oracle (boundaries land in the axis classes by the
+    * <= on both guards).
+    */
+  def aspectClasses(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                    ox0: Int, oy0: Int, ow: Int, oh: Int,
+                    w: Int, h: Int): Seq[(Long, Long)] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val counts = new Array[Long](9) // slot 0 = flat (-1), slots 1..8 = classes 0..7
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var tx = txLo
+      while (tx <= txHi) {
+        val v0 = g(tx + 1, ty + 1); val v1 = g(tx, ty + 1); val v2 = g(tx - 1, ty + 1)
+        val v5 = g(tx - 1, ty); val v3 = g(tx + 1, ty)
+        val v6 = g(tx + 1, ty - 1); val v7 = g(tx, ty - 1); val v8 = g(tx - 1, ty - 1)
+        val gx = (((v0 + v3 * 2.0) + v6) - ((v2 + v5 * 2.0) + v8)) / 8.0
+        val gy = (((v0 + v1 * 2.0) + v2) - ((v6 + v7 * 2.0) + v8)) / 8.0
+        val ax = -gx; val ay = -gy
+        val cls =
+          if (ax == 0.0 && ay == 0.0) -1L
+          else if (math.abs(ay) <= Tan22_5 * math.abs(ax)) { if (ax > 0.0) 0L else 4L }
+          else if (math.abs(ax) <= Tan22_5 * math.abs(ay)) { if (ay > 0.0) 2L else 6L }
+          else if (ax > 0.0 && ay > 0.0) 1L
+          else if (ax < 0.0 && ay > 0.0) 3L
+          else if (ax < 0.0 && ay < 0.0) 5L
+          else 7L
+        counts((cls + 1).toInt) += 1L
+        tx += 1
+      }
+      ty += 1
+    }
+    (0 until 9).iterator.filter(counts(_) > 0L)
+      .map(i => ((i - 1).toLong, counts(i))).toSeq
+  }
+
   /** D8 flow direction over the same interior — per-DIRECTION partials
     * (dir, n, max packed value), dirs in [-1, 8]. Packed-argmax entirely in
     * the integer domain after per-neighbour quantization, identical to the

@@ -230,6 +230,42 @@ object RasterOps {
     rowStats(pivoted3x3Of(cells, w, h), floor(tri * Q20))
   }
 
+  /** 8-way aspect classification histogram — aspect without atan2: octant
+    * membership of the downslope vector (-gx, -gy) by exact comparisons
+    * against T = sqrt(2) - 1 (see core.RasterKernel.aspectClasses for the
+    * derivation and why T is f64-deterministic). Returns (cls, n_cells)
+    * for the classes present (-1 flat, 0 = E counterclockwise to 7 = SE).
+    * CROSS-CHECK formulation (scatter/pivot); aspectTiledOf is the engine
+    * path.
+    */
+  private[graft] def aspectOf(cells: DataFrame, w: Int, h: Int): DataFrame = {
+    val gx = (((col("v0") + col("v3") * 2.0) + col("v6"))
+      - ((col("v2") + col("v5") * 2.0) + col("v8"))) / 8.0
+    val gy = (((col("v0") + col("v1") * 2.0) + col("v2"))
+      - ((col("v6") + col("v7") * 2.0) + col("v8"))) / 8.0
+    val t = graft.core.RasterKernel.Tan22_5
+    pivoted3x3Of(cells, w, h)
+      .withColumn("ax", -gx).withColumn("ay", -gy)
+      .withColumn("cls",
+        when(col("ax") === 0.0 && col("ay") === 0.0, -1L)
+          .when(abs(col("ay")) <= lit(t) * abs(col("ax")),
+            when(col("ax") > 0.0, 0L).otherwise(4L))
+          .when(abs(col("ax")) <= lit(t) * abs(col("ay")),
+            when(col("ay") > 0.0, 2L).otherwise(6L))
+          .when(col("ax") > 0.0 && col("ay") > 0.0, 1L)
+          .when(col("ax") < 0.0 && col("ay") > 0.0, 3L)
+          .when(col("ax") < 0.0 && col("ay") < 0.0, 5L)
+          .otherwise(7L))
+      .groupBy("cls").agg(count(lit(1)).cast("long").as("n_cells"))
+      .orderBy("cls")
+  }
+
+  val gridAspect: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    aspectTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
   val gridTri: (SparkSession, String) => DataFrame = (spark, dir) => {
     import spark.implicits._
     val (w, h) = EventsGrid.dims(spark, dir)
@@ -440,6 +476,17 @@ object RasterOps {
       .toDF("point_id", "qv")
   }
 
+  private[graft] def aspectTiledOf(cells: Dataset[(Int, Int, Double)],
+                                   w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+      graft.core.RasterKernel.aspectClasses(t.values, t.bx0, t.by0, t.bw,
+        t.ox0, t.oy0, t.ow, t.oh, w, h))
+      .toDF("cls", "n")
+      .groupBy("cls").agg(sum(col("n")).as("n_cells"))
+      .orderBy("cls")
+  }
+
   private[graft] def triTiledOf(cells: Dataset[(Int, Int, Double)],
                                 w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
     import cells.sparkSession.implicits._
@@ -590,6 +637,32 @@ object RasterOps {
            |  max(CASE WHEN v >= threshold THEN q END) AS qmax
            |FROM f CROSS JOIN (VALUES (25.0),(50.0),(75.0),(100.0)) t(threshold)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // aspect: octant classification of the downslope vector (-gx, -gy)
+      // — pure comparisons against the f64-deterministic T = sqrt(2)-1
+      // (correctly-rounded sqrt, Sterbenz-exact subtraction), CASE
+      // cascade mirrored token for token; no atan2 anywhere
+      "q_grid_aspect" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |f1 AS (SELECT
+           |  -((((b0.v + b3.v * 2.0) + b6.v) - ((b2.v + b5.v * 2.0) + b8.v)) / 8.0) AS ax,
+           |  -((((b0.v + b1.v * 2.0) + b2.v) - ((b6.v + b7.v * 2.0) + b8.v)) / 8.0) AS ay
+           |  FROM g t
+           |  $slotJoins
+           |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+           |c AS (SELECT CASE
+           |  WHEN ax = 0.0 AND ay = 0.0 THEN -1
+           |  WHEN abs(ay) <= (sqrt(2.0) - 1.0) * abs(ax)
+           |    THEN (CASE WHEN ax > 0.0 THEN 0 ELSE 4 END)
+           |  WHEN abs(ax) <= (sqrt(2.0) - 1.0) * abs(ay)
+           |    THEN (CASE WHEN ay > 0.0 THEN 2 ELSE 6 END)
+           |  WHEN ax > 0.0 AND ay > 0.0 THEN 1
+           |  WHEN ax < 0.0 AND ay > 0.0 THEN 3
+           |  WHEN ax < 0.0 AND ay < 0.0 THEN 5
+           |  ELSE 7 END AS cls FROM f1)
+           |SELECT cls::BIGINT AS cls, count(*)::BIGINT AS n_cells
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // TRI: squared deviations from the center over the same slot joins,
       // the focal kernel's association tree (the center term is exactly

@@ -121,6 +121,8 @@ class RasterRandomSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
     def collect3(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def collect2(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
     for (trial <- 0 until 10) {
       // dims 1..24, tile sizes 1..9 — covers tiles smaller than the halo,
       // single-tile grids, ragged last tiles, and empty interiors
@@ -142,6 +144,8 @@ class RasterRandomSpec extends AnyFunSuite {
         == collect5(RasterOps.hillshadeOf(cells, w, h)), s"hillshade $label")
       assert(collect5(RasterOps.triTiledOf(typed, w, h, tw, th))
         == collect5(RasterOps.triOf(cells, w, h)), s"tri $label")
+      assert(collect2(RasterOps.aspectTiledOf(typed, w, h, tw, th))
+        == collect2(RasterOps.aspectOf(cells, w, h)), s"aspect $label")
       assert(collect5(RasterOps.gridUpsampleTiledOf(typed, w, h, tw, th))
         == collect5(RasterOps.gridUpsampleOf(typed, w, h)), s"upsample $label")
     }
