@@ -4,7 +4,7 @@ import graft.core.{Cases, GeoJson, MarchingSquares, Poly, ContourResult, Tiling}
 import graft.docs.DocCodec
 import graft.engine.ContourEngine
 import graft.model._
-import graft.queries.{EventOps, EventsGrid, MultimodalOps, RasterOps, StatsOps, TrainingOps}
+import graft.queries.{EventOps, EventsGrid, HydroOps, MultimodalOps, RasterOps, StatsOps, TrainingOps}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -542,6 +542,8 @@ object SparkEntry {
     "q_doc_stopwords" -> TrainingOps.stopwordStats,
     "q_doc_rep_ngrams" -> TrainingOps.repNgramStats,
     "q_doc_decontam" -> TrainingOps.decontam,
+    "q_doc_token_runs" -> TrainingOps.tokenRuns,
+    "q_vocab_growth" -> TrainingOps.vocabGrowth,
     "q_grid_pyramid" -> RasterOps.gridPyramid,
     "q_focal_mean" -> RasterOps.focalMean,
     "q_grid_slope" -> RasterOps.hornSlope,
@@ -551,6 +553,10 @@ object SparkEntry {
     "q_grid_upsample" -> RasterOps.gridUpsample,
     "q_flow_dir" -> RasterOps.d8FlowDir,
     "q_pyramid_slope" -> RasterOps.pyramidSlope,
+    "q_focal_median" -> RasterOps.focalMedian,
+    "q_morphology" -> RasterOps.morphology,
+    "q_row_prefix" -> RasterOps.rowPrefix,
+    "q_watershed" -> HydroOps.watershed,
     "q_evt_sessionize" -> EventOps.sessionize,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,
@@ -1295,7 +1301,8 @@ object SparkEntry {
         |  sum(floor(1.0 / d2 * 1048576.0)::BIGINT)::BIGINT AS qw_sum,
         |  sum(floor(v / d2 * 1048576.0)::BIGINT)::BIGINT AS qwv_sum
         |FROM p GROUP BY 1 ORDER BY tid""".stripMargin
-  ) ++ TrainingOps.oracleSql ++ RasterOps.oracleSql ++ EventOps.oracleSql ++ StatsOps.oracleSql
+  ) ++ TrainingOps.oracleSql ++ RasterOps.oracleSql ++ EventOps.oracleSql ++
+    StatsOps.oracleSql ++ HydroOps.oracleSql
 
   /** Staged Morton bit-spread CTE chain (DuckDB): takes a CTE `src` with
     * BIGINT columns `px`, `py` (non-negative, 31-bit) plus `carry` columns

@@ -315,6 +315,146 @@ object RasterKernel {
       .map(i => ((i - 1).toLong, n(i), mx(i))).toSeq
   }
 
+  /** 3x3 focal MEDIAN over the same interior — per-row partials. The
+    * median is pure ORDER STATISTICS: an insertion sort of the 9 window
+    * values and a pick of the 5th — no arithmetic touches the values at
+    * all, so exactness needs no fixed association tree; the quantization
+    * floor(median * 2^20) is the only operation. (-0.0/0.0 ties may order
+    * differently across sorters, but the tied values quantize identically,
+    * so the 5th element's quantum is deterministic either way.)
+    */
+  def medianRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                 ox0: Int, oy0: Int, ow: Int, oh: Int,
+                 w: Int, h: Int): Seq[RowStat] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val a = new Array[Double](9)
+    val out = new scala.collection.mutable.ArrayBuffer[RowStat](math.max(tyHi - tyLo + 1, 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var n = 0L; var qsum = 0L
+      var qmin = Long.MaxValue; var qmax = Long.MinValue
+      var tx = txLo
+      while (tx <= txHi) {
+        var o = 0
+        while (o < 9) { a(o) = g(tx - (o % 3 - 1), ty - (o / 3 - 1)); o += 1 }
+        var i = 1
+        while (i < 9) {
+          val x = a(i); var j = i - 1
+          while (j >= 0 && a(j) > x) { a(j + 1) = a(j); j -= 1 }
+          a(j + 1) = x; i += 1
+        }
+        val q = math.floor(a(4) * Q20).toLong
+        n += 1; qsum += q
+        if (q < qmin) qmin = q
+        if (q > qmax) qmax = q
+        tx += 1
+      }
+      if (n > 0) out += ((ty.toLong, n, qsum, qmin, qmax))
+      ty += 1
+    }
+    out.toSeq
+  }
+
+  /** Binary 3x3 morphology counts over the same interior, one row per
+    * threshold: (threshold, n_mask, n_erode, n_dilate) where the mask is
+    * v >= threshold, erosion keeps a center iff ALL 9 window samples are in
+    * the mask (window min >= t) and dilation iff ANY is (window max >= t).
+    * Entirely boolean/integer — the window min/max are exact selections,
+    * the compares exact, nothing quantizes.
+    */
+  def morphCounts(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                  ox0: Int, oy0: Int, ow: Int, oh: Int,
+                  w: Int, h: Int, thresholds: Array[Double]): Seq[(Double, Long, Long, Long)] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val nT = thresholds.length
+    val nMask = new Array[Long](nT); val nEro = new Array[Long](nT); val nDil = new Array[Long](nT)
+    var visited = 0L
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var tx = txLo
+      while (tx <= txHi) {
+        visited += 1
+        val c = g(tx, ty)
+        var mn = c; var mx = c
+        var o = 0
+        while (o < 9) {
+          if (o != 4) {
+            val v = g(tx - (o % 3 - 1), ty - (o / 3 - 1))
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+          }
+          o += 1
+        }
+        var ti = 0
+        while (ti < nT) {
+          val t = thresholds(ti)
+          if (c >= t) nMask(ti) += 1
+          if (mn >= t) nEro(ti) += 1
+          if (mx >= t) nDil(ti) += 1
+          ti += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    // every threshold emits (all-zero rows included) whenever the tile owns
+    // interior cells — the merged output carries the dense threshold rows
+    // the oracle's CROSS JOIN produces; interior-empty tiles emit nothing
+    if (visited == 0L) Seq.empty
+    else (0 until nT).map(i => (thresholds(i), nMask(i), nEro(i), nDil(i)))
+  }
+
+  /** D8 successor per interior cell — (cell id = y * w + x, successor id,
+    * or -1 for pits/flats): the same packed-argmax as [[d8Dirs]] decoded
+    * to the downstream NEIGHBOUR (direction slot o drains to
+    * (x - dx_o, y - dy_o) — the mirrored slot labeling). The feed for
+    * watershed basin labeling; still zero raster shuffle (each tile emits
+    * only its owned cells, exactly once). The flow graph is acyclic by
+    * construction: a successor exists only on a quantized drop >= 1
+    * quantum, so elevation strictly decreases along every path.
+    */
+  def d8SuccCells(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                  ox0: Int, oy0: Int, ow: Int, oh: Int,
+                  w: Int, h: Int): Seq[(Long, Long)] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val sqrt2 = math.sqrt(2.0)
+    val slots = Array(0, 1, 2, 3, 5, 6, 7, 8)
+    val dists = slots.map(o => if (o % 3 - 1 != 0 && o / 3 - 1 != 0) sqrt2 else 1.0)
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+      math.max((tyHi - tyLo + 1) * (txHi - txLo + 1), 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var tx = txLo
+      while (tx <= txHi) {
+        val v4 = g(tx, ty)
+        var pmax = Long.MinValue
+        var si = 0
+        while (si < 8) {
+          val o = slots(si)
+          val p = math.floor((v4 - g(tx - (o % 3 - 1), ty - (o / 3 - 1))) / dists(si) * Q20)
+            .toLong * 16L + (8L - o)
+          if (p > pmax) pmax = p
+          si += 1
+        }
+        val succ =
+          if (pmax >= 16L) {
+            val dir = (8L - pmax % 16L).toInt
+            (ty - (dir / 3 - 1)).toLong * w + (tx - (dir % 3 - 1))
+          } else -1L
+        out += ((ty.toLong * w + tx, succ))
+        tx += 1
+      }
+      ty += 1
+    }
+    out.toSeq
+  }
+
   /** Bilinear 2x upsample (align_corners=false, clamped edges) of the
     * tile's owned OUTPUT range [2*ox0, 2*(ox0+ow)) x [2*oy0, 2*(oy0+oh)) —
     * per-OUTPUT-row partials. Source reads stay within the 1-sample halo:

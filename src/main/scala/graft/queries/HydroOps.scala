@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Watershed delineation over the D8 flow graph — the hydrology
+  * composition on top of the tiled raster kernels: every interior cell's
+  * steepest-descent successor (core.RasterKernel.d8SuccCells, zero raster
+  * shuffle) defines a FUNCTIONAL FOREST (acyclic: a successor exists only
+  * on a quantized drop >= 1 quantum, so elevation strictly decreases along
+  * every path), and each cell's basin is the terminal its path reaches —
+  * a pit (no positive drop) or a boundary cell outside the interior.
+  *
+  * Labeling runs by POINTER DOUBLING, not step-by-step peeling: each round
+  * joins the pointer table with itself (ptr' = ptr[ptr] where defined), so
+  * after k rounds every pointer has advanced 2^k hops — O(log longest
+  * flow path) rounds total, each ONE narrow shuffle join of (id, cur)
+  * longs, vs the O(path length) rounds of topological peeling. The same
+  * genus as TrainingOps.connectedComponents (hash-min CC), with the same
+  * per-round lineage truncation; convergence is a per-round metadata-sized
+  * semi-join count against the STATIC non-terminal key set (a pointer is
+  * done iff it no longer lands on a key that itself has a successor).
+  */
+object HydroOps {
+
+  /** Backstop on doubling rounds: 2^64 hops covers any path a Long cell id
+    * can index, so hitting this cap is a loud failure (a cycle — which the
+    * strict-descent construction rules out), never a truncation.
+    */
+  private val MaxRounds = 64
+
+  /** Resolve each cell of the (id, succ) successor table (succ = -1 for
+    * pits) to its terminal: (id, sink). Pits are their own sinks;
+    * successors that are not themselves keys (boundary cells) are sinks.
+    */
+  private[graft] def basinLabels(succ: DataFrame): DataFrame = {
+    // cells that HAVE a successor — the only ones needing resolution; the
+    // key set is static across rounds (every round keeps the same ids)
+    val step = succ.filter(col("succ") >= 0L)
+      .select(col("id"), col("succ").as("cur"))
+      .localCheckpoint(true)
+    val keys = step.select(col("id").as("kid")).localCheckpoint(true)
+    def undone(p: DataFrame): Long =
+      p.join(keys, p("cur") === keys("kid"), "left_semi").count()
+    var ptr = step
+    var left = undone(ptr)
+    var rounds = 0
+    while (left > 0 && rounds < MaxRounds) {
+      // ptr' = ptr[ptr] where cur is itself a key, else cur (terminal).
+      // Each round's plan reads only the previous checkpoint — constant
+      // plan size, and the previous round's blocks drop once the next
+      // materializes (the undone() count is the materializing action).
+      val jumped = ptr.as("a")
+        .join(ptr.select(col("id").as("bid"), col("cur").as("bcur")).as("b"),
+          col("a.cur") === col("bid"), "left")
+        .select(col("a.id").as("id"), coalesce(col("bcur"), col("a.cur")).as("cur"))
+        .localCheckpoint(true)
+      left = undone(jumped)
+      ptr.unpersist(blocking = false)
+      ptr = jumped
+      rounds += 1
+    }
+    require(left == 0, s"basinLabels: unresolved pointers after $MaxRounds doubling rounds")
+    keys.unpersist(blocking = false)
+    val pits = succ.filter(col("succ") === -1L).select(col("id"), col("id").as("cur"))
+    ptr.unionByName(pits).select(col("id"), col("cur").as("sink"))
+  }
+
+  /** Watershed summary over the events grid: interior cells group into
+    * basins by terminal sink, then basins fold into a size histogram
+    * (basin_size, n_basins, sink_id_sum) — order-free integer aggregates,
+    * rows bounded by the number of distinct basin sizes. The sink_id_sum
+    * pins the exact basin->sink assignment under the fold (two different
+    * basin partitions of the same sizes would almost surely differ in
+    * some size class's sink sum).
+    */
+  val watershed: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val succ = RasterOps.d8SuccCellsTiledOf(
+      RasterOps.baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+    basinLabels(succ)
+      .groupBy("sink").agg(count(lit(1)).as("n"))
+      .groupBy(col("n").as("basin_size"))
+      .agg(count(lit(1)).as("n_basins"), sum(col("sink")).as("sink_id_sum"))
+      .orderBy("basin_size")
+  }
+
+  /** The oracle follows every cell's flow path step by step with a
+    * recursive CTE (linear in total path length — fine at oracle scale,
+    * and a genuinely different algorithm from the engine's logarithmic
+    * pointer doubling); the D8 successor decode reuses the q_flow_dir
+    * packed-argmax terms.
+    */
+  val oracleSql: Map[String, String] = {
+    val slotJoins = (0 to 8).filter(_ != 4).map { o =>
+      val dx = o % 3 - 1; val dy = o / 3 - 1
+      s"JOIN g b$o ON b$o.x = t.x - ($dx) AND b$o.y = t.y - ($dy)"
+    }.mkString("\n  ")
+    val terms = Seq(0, 1, 2, 3, 5, 6, 7, 8).map { o =>
+      val dxo = o % 3 - 1; val dyo = o / 3 - 1
+      val distSql = if (dxo != 0 && dyo != 0) "sqrt(2.0)" else "1.0"
+      s"(floor((t.v - b$o.v) / $distSql * 1048576.0)::BIGINT * 16 + ${8 - o})"
+    }.mkString(",\n    ")
+    Map("q_watershed" ->
+      s"""WITH RECURSIVE
+         |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |p AS (SELECT t.x, t.y, greatest(
+         |    $terms) AS pmax
+         |  FROM g t
+         |  $slotJoins
+         |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+         |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+         |step AS (SELECT (y * 100 + x)::BIGINT AS id,
+         |  CASE WHEN dir >= 0
+         |       THEN ((y - (dir // 3 - 1)) * 100 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+         |  FROM dc),
+         |walk(id, cur) AS (
+         |  SELECT id, COALESCE(succ, id) FROM step
+         |  UNION ALL
+         |  SELECT w.id, s.succ FROM walk w
+         |  JOIN step s ON s.id = w.cur AND s.succ IS NOT NULL),
+         |sinks AS (SELECT w.id, w.cur AS sink FROM walk w
+         |  WHERE NOT EXISTS (SELECT 1 FROM step s
+         |                    WHERE s.id = w.cur AND s.succ IS NOT NULL)),
+         |basins AS (SELECT sink, count(*) AS n FROM sinks GROUP BY 1)
+         |SELECT n::BIGINT AS basin_size, count(*)::BIGINT AS n_basins,
+         |  sum(sink)::BIGINT AS sink_id_sum
+         |FROM basins GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+}

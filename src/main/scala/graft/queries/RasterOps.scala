@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -278,6 +279,123 @@ object RasterOps {
     hornSlopeTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
+  /** 3x3 focal MEDIAN — the edge-preserving smoother — over the grid
+    * interior. Pure ORDER STATISTICS: the median is the 5th of the 9
+    * sorted window values, picked by exact selection with no arithmetic
+    * on the values at all, so no association tree needs fixing; only the
+    * per-cell floor(median * 2^20) quantization computes anything.
+    * (-0.0/0.0 sort ties may order differently across sorters, but tied
+    * values quantize identically.) CROSS-CHECK formulation
+    * (sort_array over the pivoted window); focalMedianTiledOf is the
+    * engine path (insertion sort inside the tile kernel).
+    */
+  private[graft] def focalMedianOf(cells: DataFrame, w: Int, h: Int): DataFrame = {
+    val med = element_at(sort_array(array((0 to 8).map(o => col(s"v$o")): _*)), 5)
+    rowStats(pivoted3x3Of(cells, w, h), floor(med * Q20))
+  }
+
+  /** Thresholds of the binary morphology mask — the contour ladder
+    * (EventsGrid.Thresholds), shared verbatim with the oracle's VALUES
+    * list.
+    */
+  private[graft] val MorphThresholds: Array[Double] = EventsGrid.Thresholds.toArray
+
+  /** Binary 3x3 morphology — erosion and dilation, the foundational
+    * mathematical-morphology pair — of the mask v >= threshold over the
+    * grid interior: erosion keeps a center iff its whole 3x3 window is in
+    * the mask (window min >= t), dilation iff any sample is (window max
+    * >= t). Entirely boolean/integer — min/max are exact selections and
+    * the compares exact, so nothing quantizes anywhere. One row per
+    * threshold: (threshold, n_mask, n_erode, n_dilate); n_erode <=
+    * n_mask <= n_dilate by construction (on interior centers). CROSS-CHECK
+    * formulation (least/greatest over the pivoted window); morphTiledOf
+    * is the engine path.
+    */
+  private[graft] def morphOf(cells: DataFrame, w: Int, h: Int): DataFrame = {
+    val mn = least((0 to 8).map(o => col(s"v$o")): _*)
+    val mx = greatest((0 to 8).map(o => col(s"v$o")): _*)
+    pivoted3x3Of(cells, w, h)
+      .select(col("v4").as("c"), mn.as("mn"), mx.as("mx"))
+      .withColumn("threshold", explode(lit(MorphThresholds)))
+      .groupBy("threshold")
+      .agg(sum(when(col("c") >= col("threshold"), 1L).otherwise(0L)).as("n_mask"),
+        sum(when(col("mn") >= col("threshold"), 1L).otherwise(0L)).as("n_erode"),
+        sum(when(col("mx") >= col("threshold"), 1L).otherwise(0L)).as("n_dilate"))
+      .orderBy("threshold")
+  }
+
+  /** D8 successor per interior cell (id = y * w + x, succ id, -1 for
+    * pits) — the cell-level CROSS-CHECK of core.RasterKernel.d8SuccCells:
+    * the d8FlowDirOf packed-argmax decoded to the downstream neighbour
+    * (direction slot o drains to (x - dx_o, y - dy_o)). Feed for
+    * watershed basin labeling (queries.HydroOps).
+    */
+  private[graft] def d8SuccOf(cells: DataFrame, w: Int, h: Int): DataFrame = {
+    val win = pivoted3x3Of(cells, w, h)
+    val slots = Seq(0, 1, 2, 3, 5, 6, 7, 8)
+    val sqrt2 = math.sqrt(2.0)
+    def packed(o: Int) = {
+      val dxo = o % 3 - 1; val dyo = o / 3 - 1
+      val dist = if (dxo != 0 && dyo != 0) sqrt2 else 1.0
+      floor((col("v4") - col(s"v$o")) / lit(dist) * Q20).cast("long") * 16L + (8L - o)
+    }
+    val pmax = greatest(slots.map(packed): _*)
+    val dir = lit(8L) - pmax % 16L // decoded only under pmax >= 16, where it is in [0, 8]
+    val succ = when(pmax >= 16L,
+      (col("ty").cast("long") - (dir.divide(3).cast("long") - 1L)) * w
+        + (col("tx").cast("long") - (dir % 3L - 1L))).otherwise(-1L)
+    win.select((col("ty").cast("long") * w + col("tx")).as("id"), succ.as("succ"))
+  }
+
+  /** Row-prefix scan (the summed-area table's horizontal pass): prefix(x, y)
+    * = sum of floor(v * 2^20) over x' <= x in row y — the distributed SCAN
+    * primitive. Quantization is per cell BEFORE the fold, so every prefix
+    * is an exact integer and the fold order is the x order — deterministic
+    * by construction, not by float-combine luck. Two passes: (1) cells
+    * group key-locally by (x-segment, y) and fold an in-order local scan
+    * into three integer partials per segment (the raster's ONE ordered
+    * exchange — a scan inherently needs ordered grouping); (2) a window
+    * over the tiny segment table (w/segW rows per raster row) turns
+    * segment totals into exclusive offsets, and the per-row stats assemble
+    * WITHOUT touching cells again: sum of prefixes = local sum + offset *
+    * count, max prefix = offset + local max. Returns (y, n_cells, psum,
+    * pmax). Long headroom: |q| <= 2^28 here, so psum < w^2 * 2^28 —
+    * overflow-free up to ~2^17-wide rasters at this value range.
+    */
+  private[graft] def rowPrefixOf(cells: Dataset[(Int, Int, Double)],
+                                 w: Int, h: Int, segW: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    val segs = cells.groupByKey { case (x, y, _) => (x / segW, y) }
+      .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Double)]) =>
+        val (sx, y) = key
+        val buf = it.toArray.sortBy(_._1)
+        val expect = math.min(segW, w - sx * segW)
+        require(buf.length == expect && buf.iterator.map(_._1).toSet.size == buf.length,
+          s"rowPrefix: segment ($sx, $y) got ${buf.length} of $expect cells — sparse grid?")
+        var run = 0L; var sp = 0L; var mp = Long.MinValue
+        buf.foreach { case (_, _, v) =>
+          run += math.floor(v * Q20).toLong; sp += run
+          if (run > mp) mp = run
+        }
+        (sx, y, buf.length.toLong, sp, mp, run)
+      }
+      .toDF("sx", "y", "n", "sp", "mp", "tot")
+    val wSpec = Window.partitionBy("y").orderBy("sx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    segs.withColumn("off", coalesce(sum(col("tot")).over(wSpec), lit(0L)))
+      .groupBy(col("y").cast("long").as("y"))
+      .agg(sum(col("n")).as("n_cells"),
+        sum(col("sp") + col("off") * col("n")).as("psum"),
+        max(col("off") + col("mp")).as("pmax"))
+      .orderBy("y")
+  }
+
+  val rowPrefix: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    rowPrefixOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
   /** D8 flow direction — the standard hydrology operator — over the grid
     * interior: each cell drains to the steepest-descent neighbour of its
     * 3x3 window, drop = (center - neighbour) / distance (distance sqrt(2)
@@ -501,6 +619,51 @@ object RasterOps {
     mergeRowStats(haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
       graft.core.RasterKernel.hillshadeRows(t.values, t.bx0, t.by0, t.bw,
         t.ox0, t.oy0, t.ow, t.oh, w, h)))
+  }
+
+  private[graft] def focalMedianTiledOf(cells: Dataset[(Int, Int, Double)],
+                                        w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    mergeRowStats(haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+      graft.core.RasterKernel.medianRows(t.values, t.bx0, t.by0, t.bw,
+        t.ox0, t.oy0, t.ow, t.oh, w, h)))
+  }
+
+  private[graft] def morphTiledOf(cells: Dataset[(Int, Int, Double)],
+                                  w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+        graft.core.RasterKernel.morphCounts(t.values, t.bx0, t.by0, t.bw,
+          t.ox0, t.oy0, t.ow, t.oh, w, h, MorphThresholds))
+      .toDF("threshold", "nm", "ne", "nd")
+      .groupBy("threshold")
+      .agg(sum(col("nm")).as("n_mask"), sum(col("ne")).as("n_erode"),
+        sum(col("nd")).as("n_dilate"))
+      .orderBy("threshold")
+  }
+
+  /** Per-cell D8 successors through the tiled path — (id, succ), the
+    * watershed feed (queries.HydroOps.watershed).
+    */
+  private[graft] def d8SuccCellsTiledOf(cells: Dataset[(Int, Int, Double)],
+                                        w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+        graft.core.RasterKernel.d8SuccCells(t.values, t.bx0, t.by0, t.bw,
+          t.ox0, t.oy0, t.ow, t.oh, w, h))
+      .toDF("id", "succ")
+  }
+
+  val focalMedian: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    focalMedianTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
+  val morphology: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    morphTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
   private[graft] def d8FlowDirTiledOf(cells: Dataset[(Int, Int, Double)],
@@ -776,6 +939,52 @@ object RasterOps {
            |  sum(floor(v * 1048576.0)::BIGINT)::BIGINT AS qsum,
            |  min(floor(v * 1048576.0)::BIGINT) AS qmin,
            |  max(floor(v * 1048576.0)::BIGINT) AS qmax
-           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // focal median: pure order statistics — list_sort picks the 5th of
+      // the 9 window values (vs the engine's insertion sort / Spark's
+      // sort_array in the cross-check); only the quantization computes
+      "q_focal_median" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |f AS (SELECT t.y,
+           |  list_sort([b0.v, b1.v, b2.v, b3.v, t.v, b5.v, b6.v, b7.v, b8.v])[5] AS med
+           |  FROM g t
+           |  $slotJoins
+           |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2)
+           |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells,
+           |  sum(floor(med * 1048576.0)::BIGINT)::BIGINT AS qsum,
+           |  min(floor(med * 1048576.0)::BIGINT) AS qmin,
+           |  max(floor(med * 1048576.0)::BIGINT) AS qmax
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // binary 3x3 morphology: mask/erode/dilate counts are exact selections
+      // (least/greatest) + exact compares — nothing quantizes anywhere
+      "q_morphology" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |f AS (SELECT t.v AS c,
+           |  least(b0.v, b1.v, b2.v, b3.v, t.v, b5.v, b6.v, b7.v, b8.v) AS mn,
+           |  greatest(b0.v, b1.v, b2.v, b3.v, t.v, b5.v, b6.v, b7.v, b8.v) AS mx
+           |  FROM g t
+           |  $slotJoins
+           |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2)
+           |SELECT threshold,
+           |  sum(CASE WHEN c >= threshold THEN 1 ELSE 0 END)::BIGINT AS n_mask,
+           |  sum(CASE WHEN mn >= threshold THEN 1 ELSE 0 END)::BIGINT AS n_erode,
+           |  sum(CASE WHEN mx >= threshold THEN 1 ELSE 0 END)::BIGINT AS n_dilate
+           |FROM f CROSS JOIN (VALUES (25.0),(50.0),(75.0),(100.0)) t(threshold)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // row-prefix scan: the oracle runs the textbook window scan the
+      // engine decomposes into segment partials + offsets — independent
+      // formulations of the same per-cell integer prefixes
+      "q_row_prefix" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |q AS (SELECT x, y, floor(v * 1048576.0)::BIGINT AS q FROM g),
+           |p AS (SELECT y, sum(q) OVER (PARTITION BY y ORDER BY x ROWS UNBOUNDED PRECEDING) AS pref FROM q)
+           |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells,
+           |  sum(pref)::BIGINT AS psum, max(pref)::BIGINT AS pmax
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 }

@@ -806,8 +806,94 @@ object TrainingOps {
 
   private def ivfCtes: String = ivfCtesFor(IvfPlanes, hamming1Probes(IvfPlanes.length))
 
+  // ---- token runs: within-doc burstiness (adjacent repetition) ----
+
+  /** Longest same-token run and run count per document — the adjacent-
+    * repetition burstiness signal (a degenerate doc repeats one token in
+    * long runs; clean prose stays near max_run = 1). Pure integer fold
+    * over the in-order token sequence with higher-order Column functions —
+    * entirely NARROW (zero shuffle, no window, no explode): runs are
+    * counted as boundary positions (pos 1, or token != predecessor), and
+    * the max run by a left fold carrying (current run, best run). The
+    * oracle runs the textbook gaps-and-islands window formulation — an
+    * independent algorithm over the same sequence.
+    */
+  val tokenRuns: (SparkSession, String) => DataFrame = (spark, dir) =>
+    docs(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        when(size(col("ws")) <= 1, size(col("ws")).cast("long"))
+          .otherwise(expr(
+            "1L + size(filter(sequence(2, size(ws)), i -> element_at(ws, i) != element_at(ws, i - 1)))"))
+          .as("n_runs"),
+        when(size(col("ws")) <= 1, size(col("ws")).cast("long"))
+          .otherwise(expr(
+            """aggregate(sequence(2, size(ws)),
+              |  named_struct('cur', 1L, 'best', 1L),
+              |  (acc, i) -> named_struct(
+              |    'cur', if(element_at(ws, i) = element_at(ws, i - 1), acc.cur + 1L, 1L),
+              |    'best', greatest(acc.best,
+              |      if(element_at(ws, i) = element_at(ws, i - 1), acc.cur + 1L, 1L))),
+              |  acc -> acc.best)""".stripMargin))
+          .as("max_run"))
+      .orderBy("doc_id")
+
+  // ---- vocabulary growth: Heaps-law curve over deterministic shards ----
+
+  /** Heaps-law vocabulary growth over deterministic corpus shards: docs
+    * hash into 10 stable shards (md5-derived, never a random() — the
+    * stratifiedSample idiom, so reruns and late partitions agree), a
+    * token's FIRST shard is the minimum shard it appears in, and shard k's
+    * new_tokens counts the tokens first seen there; cum_vocab is the
+    * vocabulary size after ingesting shards 0..k in order — the empirical
+    * Heaps curve. Scale shape: tokens reduce map-side to (token, min
+    * shard) — the one shuffle carries the VOCABULARY, never raw token
+    * occurrences; the growth curve is a 10-row frame (constant-bounded
+    * window on a non-foldable constant partition key, the
+    * StatsOps.topEvents idiom, so no unpartitioned-window warning).
+    */
+  val vocabGrowth: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val shard = conv(substring(md5(concat(lit("shard#"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 10
+    val perShard = docs(spark, dir)
+      .select(shard.as("shard"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(min("shard").as("first_shard"))
+      .groupBy("first_shard").agg(count(lit(1)).as("new_tokens"))
+    val wSpec = Window.partitionBy(pmod(col("shard"), lit(1L))).orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.range(10).select(col("id").as("shard"))
+      .join(perShard, col("shard") === col("first_shard"), "left")
+      .select(col("shard"), coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+      .withColumn("cum_vocab", sum(col("new_tokens")).over(wSpec))
+      .orderBy("shard")
+  }
+
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracleSql: Map[String, String] = Map(
+    // gaps-and-islands: run id = running count of boundary positions — the
+    // window formulation of what the engine folds narrowly per row
+    "q_doc_token_runs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, i,
+        |  CASE WHEN i = 1 OR ws[i] != ws[i - 1] THEN 1 ELSE 0 END AS b
+        |  FROM t, unnest(range(1, len(ws) + 1)) AS u(i)),
+        |r AS (SELECT doc_id, i, sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS run_id FROM p),
+        |runs AS (SELECT doc_id, run_id, count(*) AS rl FROM r GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_runs, max(rl)::BIGINT AS max_run
+        |        FROM runs GROUP BY 1)
+        |SELECT t.doc_id, len(ws)::BIGINT AS n_tokens, agg.n_runs, agg.max_run
+        |FROM t JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_growth" ->
+      """WITH t AS (SELECT ('0x' || substring(md5('shard#' || doc_id::VARCHAR), 1, 15))::BIGINT % 10 AS shard,
+        |  unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, min(shard) AS first_shard FROM t GROUP BY 1),
+        |p AS (SELECT first_shard AS shard, count(*) AS new_tokens FROM f GROUP BY 1),
+        |s AS (SELECT unnest(range(0, 10))::BIGINT AS shard)
+        |SELECT s.shard, COALESCE(p.new_tokens, 0)::BIGINT AS new_tokens,
+        |  (sum(COALESCE(p.new_tokens, 0)) OVER (ORDER BY s.shard))::BIGINT AS cum_vocab
+        |FROM s LEFT JOIN p USING (shard) ORDER BY shard""".stripMargin,
+
     "q_doc_lang_id" ->
       """WITH t AS (SELECT doc_id, lang AS lang_given,
         |                  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws

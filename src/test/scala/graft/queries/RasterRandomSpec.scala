@@ -148,6 +148,79 @@ class RasterRandomSpec extends AnyFunSuite {
         == collect2(RasterOps.aspectOf(cells, w, h)), s"aspect $label")
       assert(collect5(RasterOps.gridUpsampleTiledOf(typed, w, h, tw, th))
         == collect5(RasterOps.gridUpsampleOf(typed, w, h)), s"upsample $label")
+      assert(collect5(RasterOps.focalMedianTiledOf(typed, w, h, tw, th))
+        == collect5(RasterOps.focalMedianOf(cells, w, h)), s"median $label")
+      def collectM(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(collectM(RasterOps.morphTiledOf(typed, w, h, tw, th))
+        == collectM(RasterOps.morphOf(cells, w, h)), s"morph $label")
+      def collectSucc(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(collectSucc(RasterOps.d8SuccCellsTiledOf(typed, w, h, tw, th))
+        == collectSucc(RasterOps.d8SuccOf(cells, w, h)), s"d8succ $label")
+    }
+  }
+
+  test("rowPrefix scan on random dims and segment widths == local in-order recompute") {
+    import spark.implicits._
+    val rng = new scala.util.Random(909090L)
+    for (trial <- 0 until 10) {
+      val w = 1 + rng.nextInt(24)
+      val h = 1 + rng.nextInt(10)
+      val segW = 1 + rng.nextInt(9)
+      val g = randGrid(rng, w, h)
+      val typed = (0 until w * h).map(i => (i % w, i / w, g(i))).toDS()
+      val want = (0 until h).map { y =>
+        var run = 0L; var sp = 0L; var mp = Long.MinValue
+        for (x <- 0 until w) {
+          run += math.floor(g(y * w + x) * Q).toLong
+          sp += run
+          if (run > mp) mp = run
+        }
+        (y.toLong, w.toLong, sp, mp)
+      }
+      val got = RasterOps.rowPrefixOf(typed, w, h, segW).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == want, s"trial $trial: ${w}x$h seg $segW")
+    }
+  }
+
+  test("watershed basin labels on random grids and tilings == sequential pointer-following") {
+    import spark.implicits._
+    val rng = new scala.util.Random(121212L)
+    for (trial <- 0 until 6) {
+      val w = 3 + rng.nextInt(14)
+      val h = 3 + rng.nextInt(14)
+      val tw = 1 + rng.nextInt(9)
+      val th = 1 + rng.nextInt(9)
+      val g = randGrid(rng, w, h)
+      def v(y: Int, x: Int) = g(y * w + x)
+      val typed = (0 until w * h).map(i => (i % w, i / w, g(i))).toDS()
+      val sqrt2 = math.sqrt(2.0)
+      val succ = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+        var pmax = Long.MinValue
+        for (o <- Seq(0, 1, 2, 3, 5, 6, 7, 8)) {
+          val dxo = o % 3 - 1; val dyo = o / 3 - 1
+          val dist = if (dxo != 0 && dyo != 0) sqrt2 else 1.0
+          val p = math.floor((v(y, x) - v(y - dyo, x - dxo)) / dist * Q).toLong * 16L + (8L - o)
+          if (p > pmax) pmax = p
+        }
+        val id = y.toLong * w + x
+        if (pmax >= 16L) {
+          val dir = (8L - pmax % 16L).toInt
+          id -> ((y - (dir / 3 - 1)).toLong * w + (x - (dir % 3 - 1)))
+        } else id -> -1L
+      }).toMap
+      def sinkOf(c: Long): Long = {
+        var cur = c
+        while (succ.get(cur).exists(_ >= 0L)) cur = succ(cur)
+        cur
+      }
+      val want = succ.keys.map(id => (id, sinkOf(id))).toSeq.sorted
+      val got = HydroOps.basinLabels(
+          RasterOps.d8SuccCellsTiledOf(typed, w, h, tw, th)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == want, s"trial $trial: ${w}x$h tiles ${tw}x$th")
     }
   }
 

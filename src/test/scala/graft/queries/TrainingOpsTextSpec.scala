@@ -172,4 +172,50 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(!ctPlan.contains("CartesianProduct") &&
       !ctPlan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$ctPlan")
   }
+
+  test("tokenRuns and vocabGrowth == local recomputes (space-split tokenizer)") {
+    val docs = docsLocal()
+    // runs: in-order sequential fold, the reference semantics the engine's
+    // narrow higher-order fold and the oracle's window must both match
+    val wantRuns = docs.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      var runs = 0L; var best = 0L; var cur = 0L
+      var prev: String = null
+      for (t <- ws) {
+        if (prev == null || t != prev) { runs += 1; cur = 1 } else cur += 1
+        if (cur > best) best = cur
+        prev = t
+      }
+      (id, ws.length.toLong, runs, best)
+    }.sortBy(_._1)
+    val gotRuns = TrainingOps.tokenRuns(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotRuns == wantRuns)
+    assert(wantRuns.exists(_._4 > 1), "corpus must contain a repetition run")
+
+    def shardOf(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shard#$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 10
+    }
+    val first = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { case (id, text) =>
+      val s = shardOf(id)
+      text.split(" ", -1).foreach { t =>
+        if (!first.get(t).exists(_ <= s)) first(t) = s
+      }
+    }
+    val perShard = first.values.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    var cum = 0L
+    val wantGrowth = (0L until 10L).map { s =>
+      val n = perShard.getOrElse(s, 0L)
+      cum += n
+      (s, n, cum)
+    }
+    val gotGrowth = TrainingOps.vocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotGrowth == wantGrowth)
+    assert(wantGrowth.last._3 == first.size.toLong)
+    assert(wantGrowth.map(_._2).count(_ > 0) > 1, "growth must span multiple shards")
+  }
 }
