@@ -544,6 +544,9 @@ object SparkEntry {
     "q_doc_decontam" -> TrainingOps.decontam,
     "q_doc_token_runs" -> TrainingOps.tokenRuns,
     "q_vocab_growth" -> TrainingOps.vocabGrowth,
+    "q_kmeans_assign" -> TrainingOps.kmeansAssign,
+    "q_doc_lm_score" -> TrainingOps.docLmScore,
+    "q_evt_window_join" -> EventOps.windowJoin,
     "q_grid_pyramid" -> RasterOps.gridPyramid,
     "q_focal_mean" -> RasterOps.focalMean,
     "q_grid_slope" -> RasterOps.hornSlope,

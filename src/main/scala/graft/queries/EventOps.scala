@@ -76,7 +76,54 @@ object EventOps {
       .orderBy("purchase_id")
   }
 
+  /** Sliding-window join width: views within 24 hours before a purchase
+    * (the classic attribution horizon; at this corpus's event density a
+    * shorter window would leave the match path untested).
+    */
+  private val WindowUs = 86400000000L
+
+  /** Bounded sliding-window count join — for every purchase, how many
+    * views the same user made in the 24 hours before it ([ts - 24h,
+    * ts)) — the standard attribution/range join, decomposed into BUCKET
+    * EQUI-JOINS so no range predicate ever drives the join: both sides
+    * bucket time into window-sized cells (us div 86400e6), each purchase
+    * probes exactly its own and the previous bucket (a x2 replication of
+    * the PROBE side only — the SpatialOps.idwGrid cell-bucket idiom in
+    * one dimension), and the exact [t-300s, t) range filters inside the
+    * matched buckets. All comparisons are integer microseconds. Purchases
+    * with no prior view report 0 (left join). One (user, bucket)-keyed
+    * shuffle; per-user-per-5-minute activity bounds the match fan-out.
+    */
+  val windowJoin: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us").as("v_us"),
+        expr(s"us div $WindowUs").as("vb"))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("p_us"),
+        explode(array(expr(s"us div $WindowUs") - 1L, expr(s"us div $WindowUs"))).as("vb"))
+    probes.join(views, Seq("user_id", "vb"), "left")
+      .groupBy("event_id")
+      .agg(sum(when(col("v_us").isNotNull
+          && col("v_us") >= col("p_us") - WindowUs
+          && col("v_us") < col("p_us"), 1L).otherwise(0L)).as("n_views"))
+      .orderBy("event_id")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // the oracle runs the textbook range-predicate join the engine
+    // decomposes into bucket equi-joins — independent formulations
+    "q_evt_window_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+         |v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),
+         |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase')
+         |SELECT p.event_id, count(v.us)::BIGINT AS n_views
+         |FROM p LEFT JOIN v ON v.user_id = p.user_id
+         |  AND v.us >= p.us - $WindowUs AND v.us < p.us
+         |GROUP BY 1 ORDER BY event_id""".stripMargin,
+
     "q_evt_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
          |                  floor(value * 1048576.0)::BIGINT AS qv FROM events),

@@ -806,6 +806,76 @@ object TrainingOps {
 
   private def ivfCtes: String = ivfCtesFor(IvfPlanes, hamming1Probes(IvfPlanes.length))
 
+  // ---- k-means assignment step (Lloyd E-step), packed integer argmin ----
+
+  /** One exact k-means ASSIGNMENT step (the Lloyd E-step) over the
+    * embeddings: the 8 centroids are the vectors with vec_id < 8 (a
+    * deterministic seed — never a random init; reruns agree), each vector
+    * finds its nearest centroid by squared L2 distance, and the argmin
+    * runs ENTIRELY in the integer domain after per-pair quantization:
+    * packed = floor(d2 * 2^20) * 16 + cid, nearest = MIN(packed) — ties
+    * on equal quantized distance resolve to the smallest centroid id with
+    * no float compare anywhere near the argmin (the D8 packed-argmax
+    * idiom, transplanted to ML). d2 is the sequential fold
+    * aggregate(zip_with(cv, v, (x,y) -> (x-y)*(x-y)), 0D, +), mirrored by
+    * the oracle's list_sum/list_transform (the q_emb_near_dup idiom).
+    * Output is the per-centroid assignment summary (n_vecs + quantized
+    * inertia sum/extrema) — the convergence row a full Lloyd loop
+    * iterates on. Scale shape: the centroid table is k rows BROADCAST;
+    * after the distance map only (vec_id, packed) longs shuffle to the
+    * argmin. Long headroom: qd < 2^32 at this value range, so the inertia
+    * sum is overflow-free to ~2^31 vectors per centroid (beyond that,
+    * widen the sum to decimal).
+    */
+  val kmeansAssign: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val d2 = expr("aggregate(zip_with(cv, v, (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p)")
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (floor(d2 * 1048576.0).cast("long") * 16L + col("cid")).as("pk"))
+      .groupBy("vec_id").agg(min("pk").as("pmin"))
+      .select(col("vec_id"), (col("pmin") % 16L).as("centroid_id"),
+        expr("pmin div 16").as("qd"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qd")).as("qd_sum"),
+        min(col("qd")).as("qd_min"), max(col("qd")).as("qd_max"))
+      .orderBy("centroid_id")
+  }
+
+  // ---- per-document LM fluency score from corpus bigram statistics ----
+
+  /** Per-document bigram "language-model" fluency score — the composition
+    * query over [[collocations]]: every adjacent token pair of a document
+    * looks up the corpus-level INTEGER-EXACT PMI-style score
+    * ((n_ab * n_total) * 10^6 div (c1 * c2), support >= 3), and the doc
+    * aggregates occurrence-weighted integer sums — documents made of
+    * common collocations score high, word salad scores low, so this is
+    * the cheap statistical stand-in for LM-perplexity quality filtering.
+    * Scale shape: the score table is vocabulary-pair-sized — broadcast at
+    * contract scale, a pair-keyed shuffle equi-join at web scale; after
+    * the join only (doc_id, score) rows aggregate. Docs with fewer than 2
+    * tokens have no pairs and are absent by contract (mirrored by the
+    * oracle's empty range()).
+    */
+  val docLmScore: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val scores = collocations(spark, dir).select(col("w1"), col("w2"), col("score"))
+    val pairs = docs(spark, dir).select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    pairs.join(scores, Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("score").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        coalesce(sum(col("score")), lit(0L)).as("qscore_sum"))
+      .orderBy("doc_id")
+  }
+
   // ---- token runs: within-doc burstiness (adjacent repetition) ----
 
   /** Longest same-token run and run count per document — the adjacent-
@@ -870,6 +940,42 @@ object TrainingOps {
 
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracleSql: Map[String, String] = Map(
+    // packed integer argmin over the q_emb_near_dup fold idiom; the score
+    // expression (cv[i] - v[i])^2 mirrors the engine's zip_with lambda
+    "q_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |pk AS (SELECT e.vec_id,
+        |  min(floor(list_sum(list_transform(range(1, 65),
+        |        i -> (cv[i] - v[i]) * (cv[i] - v[i]))) * 1048576.0)::BIGINT * 16 + cid) AS pmin
+        |  FROM e CROSS JOIN c GROUP BY 1)
+        |SELECT (pmin % 16)::BIGINT AS centroid_id, count(*)::BIGINT AS n_vecs,
+        |  sum(pmin // 16)::BIGINT AS qd_sum, min(pmin // 16)::BIGINT AS qd_min,
+        |  max(pmin // 16)::BIGINT AS qd_max
+        |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the collocation score CTEs are the q_doc_collocations oracle verbatim;
+    // the doc-side gather joins each adjacent pair against them
+    "q_doc_lm_score" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |u AS (SELECT unnest(ws) AS tok FROM t),
+        |c AS (SELECT tok, count(*)::BIGINT AS c FROM u GROUP BY 1),
+        |n AS (SELECT count(*)::BIGINT AS n_total FROM u),
+        |b0 AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |       FROM t, unnest(range(1, len(ws))) AS r(i)),
+        |bc AS (SELECT w1, w2, count(*)::BIGINT AS n_ab
+        |       FROM b0 GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sc AS (SELECT w1, w2, ((n_ab * n_total) * 1000000) // (c1.c * c2.c) AS score
+        |       FROM bc JOIN c c1 ON bc.w1 = c1.tok JOIN c c2 ON bc.w2 = c2.tok
+        |       CROSS JOIN n),
+        |dp AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |       FROM t, unnest(range(1, len(ws))) AS r(i))
+        |SELECT dp.doc_id, count(*)::BIGINT AS n_pairs,
+        |  sum(CASE WHEN sc.score IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_scored,
+        |  COALESCE(sum(sc.score), 0)::BIGINT AS qscore_sum
+        |FROM dp LEFT JOIN sc ON dp.w1 = sc.w1 AND dp.w2 = sc.w2
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     // gaps-and-islands: run id = running count of boundary positions — the
     // window formulation of what the engine folds narrowly per row
     "q_doc_token_runs" ->

@@ -67,4 +67,18 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("windowJoin matches a local brute-force range count") {
+    val views = ev.filter(_._4 == "view")
+    val expected = ev.filter(_._4 == "purchase").map { p =>
+      val n = views.count(v =>
+        v._3 == p._3 && v._2 >= p._2 - 86400000000L && v._2 < p._2)
+      (p._1, n.toLong)
+    }.sortBy(_._1).toSeq
+    val got = EventOps.windowJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._2 > 0), "some purchase must have prior views")
+    assert(expected.exists(_._2 == 0), "some purchase must have none (left-join path)")
+  }
 }

@@ -119,4 +119,33 @@ class TrainingOpsClusterSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("kmeansAssign matches a local packed-argmin recompute (same fold order)") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>)")
+      .as[(Long, Array[Double])].collect()
+    val cents = vecs.filter(_._1 < 8).sortBy(_._1)
+    assert(cents.length == 8)
+    val assigned = vecs.map { case (_, v) =>
+      var pmin = Long.MaxValue
+      for ((cid, cv) <- cents) {
+        // the engine's zip_with + left-fold order: sequential over index
+        var acc = 0.0
+        var i = 0
+        while (i < cv.length) { acc += (cv(i) - v(i)) * (cv(i) - v(i)); i += 1 }
+        val pk = math.floor(acc * 1048576.0).toLong * 16L + cid
+        if (pk < pmin) pmin = pk
+      }
+      (pmin % 16L, pmin / 16L)
+    }
+    val expected = assigned.groupBy(_._1).map { case (cid, qs) =>
+      (cid, qs.length.toLong, qs.map(_._2).sum, qs.map(_._2).min, qs.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    val got = TrainingOps.kmeansAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(expected.map(_._2).sum == vecs.length.toLong)
+    assert(expected.length > 1, "assignment must spread across centroids")
+  }
 }

@@ -218,4 +218,31 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(wantGrowth.last._3 == first.size.toLong)
     assert(wantGrowth.map(_._2).count(_ > 0) > 1, "growth must span multiple shards")
   }
+
+  test("docLmScore == local recompute over the collocation score table") {
+    val docs = docsLocal()
+    val all = docs.flatMap { case (_, text) => toks(text) }
+    val uni = all.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    val nTotal = all.length.toLong
+    val bigs = docs.flatMap { case (_, text) =>
+      val ws = toks(text); (0 until ws.length - 1).map(i => (ws(i), ws(i + 1)))
+    }
+    val scores = bigs.groupBy(identity).collect {
+      case ((w1, w2), xs) if xs.length >= 3 =>
+        ((w1, w2), (xs.length.toLong * nTotal * 1000000L) / (uni(w1) * uni(w2)))
+    }
+    val want = docs.flatMap { case (id, text) =>
+      val ws = toks(text)
+      if (ws.length < 2) None
+      else {
+        val ps = (0 until ws.length - 1).map(i => scores.get((ws(i), ws(i + 1))))
+        Some((id, ps.length.toLong, ps.count(_.isDefined).toLong,
+          ps.flatten.sum))
+      }
+    }.sortBy(_._1)
+    val got = TrainingOps.docLmScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(want.exists(_._3 > 0), "scored pairs must exist")
+  }
 }
