@@ -546,7 +546,10 @@ object SparkEntry {
     "q_vocab_growth" -> TrainingOps.vocabGrowth,
     "q_kmeans_assign" -> TrainingOps.kmeansAssign,
     "q_doc_lm_score" -> TrainingOps.docLmScore,
+    "q_doc_keep_list" -> TrainingOps.keepList,
     "q_evt_window_join" -> EventOps.windowJoin,
+    "q_integral" -> RasterOps.integralImage,
+    "q_group_quantiles" -> StatsOps.groupQuantiles,
     "q_grid_pyramid" -> RasterOps.gridPyramid,
     "q_focal_mean" -> RasterOps.focalMean,
     "q_grid_slope" -> RasterOps.hornSlope,

@@ -396,6 +396,60 @@ object RasterOps {
     rowPrefixOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
+  /** In-order prefix scan along one axis of an integer cell table,
+    * emitting PER-CELL prefixes — the composable scan primitive behind
+    * [[integralOf]] (vs [[rowPrefixOf]], which folds straight to row
+    * stats through the segmented two-pass form). Distribution unit = one
+    * grid LINE per task (the natural raster scan unit; a 10^6-cell line
+    * is ~8 MB — for rasters wider than a task should hold, the segmented
+    * decomposition of rowPrefixOf applies the same way). Dense-line
+    * contract loudly required.
+    */
+  private[graft] def scanLinesOf(cells: Dataset[(Int, Int, Long)],
+                                 alongX: Boolean, n: Int): Dataset[(Int, Int, Long)] = {
+    import cells.sparkSession.implicits._
+    cells.groupByKey(c => if (alongX) c._2 else c._1)
+      .flatMapGroups { (k: Int, it: Iterator[(Int, Int, Long)]) =>
+        val buf = it.toArray
+        val sorted = if (alongX) buf.sortBy(_._1) else buf.sortBy(_._2)
+        require(sorted.length == n,
+          s"integral scan: line $k has ${sorted.length} of $n cells — sparse grid?")
+        var run = 0L
+        sorted.iterator.map { case (x, y, q) => run += q; (x, y, run) }
+      }
+  }
+
+  /** Integral image (summed-area table): ii(x, y) = sum of floor(v * 2^20)
+    * over x' <= x AND y' <= y — the 2D prefix, built by COMPOSING two
+    * orthogonal scans (row prefix along x, then column prefix of the row
+    * prefixes along y): the separability identity every summed-area
+    * construction uses, here as two distributed scan passes. All
+    * arithmetic is integer after the per-cell quantization, so both scan
+    * orders are exact by construction. Folds to per-row summaries
+    * (y, n_cells, qsum = sum of ii over the row, qmax = max ii over the
+    * row — equal to ii(w-1, y), the whole-rectangle sum, on non-negative
+    * rasters). Headroom: |q| < 2^28 here, ii < w*h*2^28,
+    * row sums < w^2*h*2^28 — Long-safe through sf0.1's 100x1000 grid and
+    * far beyond.
+    */
+  private[graft] def integralOf(cells: Dataset[(Int, Int, Double)],
+                                w: Int, h: Int): DataFrame = {
+    import cells.sparkSession.implicits._
+    val q = cells.map { case (x, y, v) => (x, y, math.floor(v * Q20).toLong) }
+    val ii = scanLinesOf(scanLinesOf(q, alongX = true, w), alongX = false, h)
+    ii.toDF("x", "y", "ii")
+      .groupBy(col("y").cast("long").as("y"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("ii")).as("qsum"),
+        max(col("ii")).as("qmax"))
+      .orderBy("y")
+  }
+
+  val integralImage: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    integralOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
   /** D8 flow direction — the standard hydrology operator — over the grid
     * interior: each cell drains to the steepest-descent neighbour of its
     * 3x3 window, drop = (center - neighbour) / distance (distance sqrt(2)
@@ -975,6 +1029,17 @@ object RasterOps {
            |  sum(CASE WHEN mx >= threshold THEN 1 ELSE 0 END)::BIGINT AS n_dilate
            |FROM f CROSS JOIN (VALUES (25.0),(50.0),(75.0),(100.0)) t(threshold)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // integral image: two nested window scans (x then y) — the same
+      // separability the engine composes from two distributed scan passes
+      "q_integral" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |q AS (SELECT x, y, floor(v * 1048576.0)::BIGINT AS q FROM g),
+           |p AS (SELECT x, y, sum(q) OVER (PARTITION BY y ORDER BY x ROWS UNBOUNDED PRECEDING) AS rp FROM q),
+           |i AS (SELECT x, y, sum(rp) OVER (PARTITION BY x ORDER BY y ROWS UNBOUNDED PRECEDING) AS ii FROM p)
+           |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells,
+           |  sum(ii)::BIGINT AS qsum, max(ii)::BIGINT AS qmax
+           |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // row-prefix scan: the oracle runs the textbook window scan the
       // engine decomposes into segment partials + offsets — independent

@@ -134,7 +134,49 @@ object StatsOps {
       .orderBy("rank")
   }
 
+  /** PER-GROUP exact quantiles (p50/p90 of document length by source) —
+    * the grouped companion of [[autoThresholds]], with nothing collected
+    * at all: the (source, n_chars) histogram reduces map-side, a window
+    * PER SOURCE over that histogram (bounded by the source's distinct
+    * value classes, never its row count) accumulates counts, and each
+    * quantile picks the smallest value class whose cumulative count
+    * covers the target rank. Rank indices are pure integers —
+    * idx(q) = (num * (n - 1)) div den for q = num/den — so no float
+    * multiply sits near a rank boundary on either compare side; the
+    * selected quantiles are data values (no arithmetic crosses the
+    * compare). The oracle ranks each source's rows globally
+    * (row_number per source), an independent formulation.
+    */
+  val groupQuantiles: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val hist = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("source")
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+    // 0-based target ranks: p50 = (total-1) div 2, p90 = (9*(total-1)) div 10
+    val idx50 = expr("(total - 1) div 2")
+    val idx90 = expr("(9 * (total - 1)) div 10")
+    cum.groupBy("source")
+      .agg(max(col("total")).as("n_docs"),
+        min(when(col("cum") > idx50, col("n_chars"))).cast("long").as("p50_chars"),
+        min(when(col("cum") > idx90, col("n_chars"))).cast("long").as("p90_chars"))
+      .orderBy("source")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_group_quantiles" ->
+      """WITH r AS (SELECT source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS rk,
+        |  count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, max(n)::BIGINT AS n_docs,
+        |  max(CASE WHEN rk = (n - 1) // 2 THEN n_chars END)::BIGINT AS p50_chars,
+        |  max(CASE WHEN rk = (9 * (n - 1)) // 10 THEN n_chars END)::BIGINT AS p90_chars
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
     "q_top_events" ->
       s"""SELECT rank, event_id, value FROM (
          |  SELECT event_id, value,

@@ -806,6 +806,29 @@ object TrainingOps {
 
   private def ivfCtes: String = ivfCtesFor(IvfPlanes, hamming1Probes(IvfPlanes.length))
 
+  // ---- dedup keep-list: the actual dedup step over the cluster labels ----
+
+  /** The canonical near-duplicate KEEP-LIST — the step every dedup
+    * pipeline actually executes after clustering: keep a document iff it
+    * is in no LSH candidate pair at all (keep_reason 'unique') or it is
+    * its cluster's representative (minimum doc id — doc_id == cluster_id,
+    * keep_reason 'rep'); every other cluster member drops. Composes
+    * [[dupClusters]]' connected components with one left join against the
+    * corpus — the label table is cluster-member-sized (bounded by the
+    * candidate-pair graph, typically a tiny corpus fraction), so the join
+    * broadcasts at contract scale and degrades to a doc_id equi-join at
+    * web scale.
+    */
+  val keepList: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val cc = connectedComponents(bandCandidates(spark, dir))
+    docs(spark, dir).select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"),
+        when(col("cluster_id").isNull, "unique").otherwise("rep").as("keep_reason"))
+      .orderBy("doc_id")
+  }
+
   // ---- k-means assignment step (Lloyd E-step), packed integer argmin ----
 
   /** One exact k-means ASSIGNMENT step (the Lloyd E-step) over the
@@ -940,6 +963,34 @@ object TrainingOps {
 
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracleSql: Map[String, String] = Map(
+    // the q_doc_dup_clusters CTE chain (independent transitive closure),
+    // then the keep predicate: unlabeled, or label == own id
+    "q_doc_keep_list" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+        |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+        |sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS minhash
+        |         FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, (seed // 4)::INT AS band,
+        |                 string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, ',' ORDER BY seed) AS bkey
+        |          FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        |      UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach(node, lbl) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+        |cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN cc.doc_id IS NULL THEN 'unique' ELSE 'rep' END AS keep_reason
+        |FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        |WHERE cc.doc_id IS NULL OR cc.cluster_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // packed integer argmin over the q_emb_near_dup fold idiom; the score
     // expression (cv[i] - v[i])^2 mirrors the engine's zip_with lambda
     "q_kmeans_assign" ->

@@ -185,6 +185,29 @@ class RasterRandomSpec extends AnyFunSuite {
     }
   }
 
+  test("integral image on random dims == local 2D prefix recompute") {
+    import spark.implicits._
+    val rng = new scala.util.Random(343434L)
+    for (trial <- 0 until 8) {
+      val w = 1 + rng.nextInt(16)
+      val h = 1 + rng.nextInt(16)
+      val g = randGrid(rng, w, h)
+      val typed = (0 until w * h).map(i => (i % w, i / w, g(i))).toDS()
+      val ii = Array.ofDim[Long](h, w)
+      for (y <- 0 until h; x <- 0 until w) {
+        val q = math.floor(g(y * w + x) * Q).toLong
+        ii(y)(x) = q + (if (x > 0) ii(y)(x - 1) else 0L) +
+          (if (y > 0) ii(y - 1)(x) else 0L) -
+          (if (x > 0 && y > 0) ii(y - 1)(x - 1) else 0L)
+      }
+      val want = (0 until h).map(y =>
+        (y.toLong, w.toLong, ii(y).sum, ii(y).max))
+      val got = RasterOps.integralOf(typed, w, h).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == want, s"trial $trial: ${w}x$h")
+    }
+  }
+
   test("watershed basin labels on random grids and tilings == sequential pointer-following") {
     import spark.implicits._
     val rng = new scala.util.Random(121212L)

@@ -67,4 +67,20 @@ class StatsOpsSpec extends AnyFunSuite {
       plan.take(800))
     assert(plan.contains("hashpartitioning(bkt"), plan.take(800))
   }
+
+  test("groupQuantiles == per-source local full-sort order statistics") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "cast(n_chars as long)").as[(String, Long)].collect()
+    val expected = rows.groupBy(_._1).map { case (src, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length
+      (src, n.toLong, sorted(((n - 1) / 2).toInt), sorted(((9 * (n - 1)) / 10).toInt))
+    }.toSeq.sortBy(_._1)
+    val got = StatsOps.groupQuantiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(expected.length > 1, "multiple sources expected")
+    assert(expected.forall(r => r._3 <= r._4), "p50 <= p90")
+  }
 }

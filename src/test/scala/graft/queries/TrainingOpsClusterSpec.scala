@@ -120,6 +120,26 @@ class TrainingOpsClusterSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("keepList == unique docs plus cluster representatives") {
+    import spark.implicits._
+    val clusters = TrainingOps.dupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap // doc_id -> cluster_id
+    val allDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").as[Long].collect().sorted
+    val expected = allDocs.flatMap { id =>
+      clusters.get(id) match {
+        case None => Some((id, "unique"))
+        case Some(c) if c == id => Some((id, "rep"))
+        case _ => None
+      }
+    }.toSeq
+    val got = TrainingOps.keepList(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._2 == "rep") && expected.exists(_._2 == "unique"))
+    assert(expected.length < allDocs.length, "some duplicates must drop")
+  }
+
   test("kmeansAssign matches a local packed-argmin recompute (same fold order)") {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
