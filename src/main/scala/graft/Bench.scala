@@ -104,6 +104,14 @@ object Bench {
     Seq("q_idw_grid", "q_contour_near_dist", "q_zonal_slope",
       "q_doc_collocations")
 
+  /** The round-5 fourth wave: watershed pointer doubling, the k-means
+    * E-step, the integral-image scan composition, the bucketed
+    * sliding-window join, and the focal median.
+    */
+  private val Ops5Queries =
+    Seq("q_watershed", "q_kmeans_assign", "q_integral", "q_evt_window_join",
+      "q_focal_median")
+
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum
     finally spark.sqlContext.clearCache()
@@ -192,6 +200,8 @@ object Bench {
     var ops3Rows = 0L
     var ops4Best = Double.MaxValue
     var ops4Rows = 0L
+    var ops5Best = Double.MaxValue
+    var ops5Rows = 0L
     def runOpsLeg(pass: Int): Unit = {
       val s = session(opsCpus)
       try {
@@ -215,6 +225,11 @@ object Bench {
         val el4 = (System.nanoTime() - t3) / 1e9
         System.err.println(f"[bench] pass=$pass ops4_pipeline cpus=$opsCpus elapsed=$el4%.2fs rows=$ops4Rows")
         ops4Best = math.min(ops4Best, el4)
+        val t4 = System.nanoTime()
+        ops5Rows = runQueriesOnce(s, sfDir, Ops5Queries)
+        val el5 = (System.nanoTime() - t4) / 1e9
+        System.err.println(f"[bench] pass=$pass ops5_pipeline cpus=$opsCpus elapsed=$el5%.2fs rows=$ops5Rows")
+        ops5Best = math.min(ops5Best, el5)
       } finally s.stop()
     }
     for (pass <- 0 until passes) {
@@ -266,6 +281,8 @@ object Bench {
       s""""ops3_pipeline_rows":$ops3Rows""",
       s""""ops4_pipeline_c$opsCpus":$ops4Best""",
       s""""ops4_pipeline_rows":$ops4Rows""",
+      s""""ops5_pipeline_c$opsCpus":$ops5Best""",
+      s""""ops5_pipeline_rows":$ops5Rows""",
       s""""gen_sec":$genSec""",
       s""""cells":${cellsOf(gridsBig)}"""
     ).mkString("{", ",", "}")

@@ -548,6 +548,8 @@ object SparkEntry {
     "q_doc_lm_score" -> TrainingOps.docLmScore,
     "q_doc_keep_list" -> TrainingOps.keepList,
     "q_evt_window_join" -> EventOps.windowJoin,
+    "q_evt_funnel" -> EventOps.funnel,
+    "q_kmeans_update" -> TrainingOps.kmeansUpdate,
     "q_integral" -> RasterOps.integralImage,
     "q_group_quantiles" -> StatsOps.groupQuantiles,
     "q_grid_pyramid" -> RasterOps.gridPyramid,

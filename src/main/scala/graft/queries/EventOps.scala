@@ -34,20 +34,12 @@ object EventOps {
     * (ts, event_id) — a session-start marker from lag(), a running sum for
     * the session index, then one aggregation to per-session stats.
     */
-  val sessionize: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    events(spark, dir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
-        floor(col("value") * Q20).as("qv"))
-      .withColumn("prev_us", lag("us", 1).over(w))
-      .withColumn("new_s",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > GapUs, 1L).otherwise(0L))
-      .withColumn("session_idx", sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  val sessionize: (SparkSession, String) => DataFrame = (spark, dir) =>
+    sessionizedEvents(spark, dir)
       .groupBy("user_id", "session_idx")
       .agg(count(lit(1)).as("n_events"),
         min("us").as("start_us"), max("us").as("end_us"), sum("qv").as("qsum"))
       .orderBy("user_id", "session_idx")
-  }
 
   /** As-of join without a range join: for every purchase, the latest view
     * of the same user at-or-before it. The two sides union into ONE
@@ -112,7 +104,90 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Sessionized events (user_id, session_idx, event_type, us, qv) — the
+    * per-event frame [[sessionize]] aggregates (kept separate so future
+    * session-scoped operators share ONE definition of the gap rule).
+    */
+  private def sessionizedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        floor(col("value") * Q20).as("qv"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("user_id", "session_idx", "event_type", "us", "qv")
+  }
+
+  /** Ordered funnel analysis per (user, day): the view -> click ->
+    * purchase conversion ladder with PROPER sequencing (each stage's
+    * timestamp must be at-or-after the previous stage's earliest
+    * qualifying timestamp — t1 = first view, t2 = first click >= t1,
+    * t3 = first purchase >= t2; a purchase BEFORE the first view does not
+    * convert). funnel_stage is the deepest stage reached (0-3); the
+    * attribution unit is the UTC day (us div 86400e6, a narrow integer
+    * expression — no window anywhere). Three conditional-min aggregations
+    * over the day-keyed events, each joined back on the same
+    * (user_id, day) key, so one partitioning serves every pass;
+    * timestamps compare as exact integer microseconds. (The 30-minute
+    * sessions of [[sessionize]] are too short to ever complete this
+    * ladder on the contract corpus — a day is the standard funnel
+    * horizon.) The oracle runs the same staged mins independently.
+    */
+  val funnel: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val s = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("day", expr("us div 86400000000"))
+    val keys = Seq("user_id", "day")
+    val a = s.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(when(col("event_type") === "view", col("us"))).as("t1"))
+    val b = s.join(a.select((keys :+ "t1").map(col): _*), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(min(when(col("event_type") === "click" && col("us") >= col("t1"),
+        col("us"))).as("t2"))
+    val c = s.join(b, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(min(when(col("event_type") === "purchase" && col("us") >= col("t2"),
+        col("us"))).as("t3"))
+    a.join(b, keys).join(c, keys)
+      .select(col("user_id"), col("day"), col("n_events"),
+        when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L)
+          .otherwise(0L).as("funnel_stage"))
+      .orderBy("user_id", "day")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // same staged conditional mins, independently; NULL comparisons
+    // propagate identically (us >= NULL -> NULL -> not counted), so
+    // missing stages cascade the same way on both sides
+    "q_evt_funnel" ->
+      """WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |             epoch_us(ts) // 86400000000 AS day FROM events),
+        |a AS (SELECT user_id, day, count(*) AS n_events,
+        |        min(CASE WHEN event_type = 'view' THEN us END) AS t1
+        |      FROM s GROUP BY 1, 2),
+        |b AS (SELECT a.user_id, a.day,
+        |        min(CASE WHEN s.event_type = 'click' AND s.us >= a.t1 THEN s.us END) AS t2
+        |      FROM a JOIN s ON s.user_id = a.user_id AND s.day = a.day
+        |      GROUP BY 1, 2),
+        |c AS (SELECT b.user_id, b.day,
+        |        min(CASE WHEN s.event_type = 'purchase' AND s.us >= b.t2 THEN s.us END) AS t3
+        |      FROM b JOIN s ON s.user_id = b.user_id AND s.day = b.day
+        |      GROUP BY 1, 2)
+        |SELECT a.user_id, a.day::BIGINT AS day, a.n_events::BIGINT AS n_events,
+        |  (CASE WHEN c.t3 IS NOT NULL THEN 3 WHEN b.t2 IS NOT NULL THEN 2
+        |        WHEN a.t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS funnel_stage
+        |FROM a JOIN b ON b.user_id = a.user_id AND b.day = a.day
+        |JOIN c ON c.user_id = a.user_id AND c.day = a.day
+        |ORDER BY 1, 2""".stripMargin,
+
     // the oracle runs the textbook range-predicate join the engine
     // decomposes into bucket equi-joins — independent formulations
     "q_evt_window_join" ->

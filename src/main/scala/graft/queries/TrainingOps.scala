@@ -850,9 +850,17 @@ object TrainingOps {
     * sum is overflow-free to ~2^31 vectors per centroid (beyond that,
     * widen the sum to decimal).
     */
-  val kmeansAssign: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val e = embeddings(spark, dir)
+  /** Typed embedding vectors (f32 -> f64 widening is exact) — shared by
+    * the k-means steps.
+    */
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Per-vector nearest-centroid assignment (vec_id, centroid_id, qd) —
+    * the shared E-step core of [[kmeansAssign]] and [[kmeansUpdate]].
+    */
+  private def kmeansAssignments(e: DataFrame): DataFrame = {
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val d2 = expr("aggregate(zip_with(cv, v, (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p)")
@@ -862,10 +870,34 @@ object TrainingOps {
       .groupBy("vec_id").agg(min("pk").as("pmin"))
       .select(col("vec_id"), (col("pmin") % 16L).as("centroid_id"),
         expr("pmin div 16").as("qd"))
+  }
+
+  val kmeansAssign: (SparkSession, String) => DataFrame = (spark, dir) =>
+    kmeansAssignments(vectors(spark, dir))
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("n_vecs"), sum(col("qd")).as("qd_sum"),
         min(col("qd")).as("qd_min"), max(col("qd")).as("qd_max"))
       .orderBy("centroid_id")
+
+  /** The k-means UPDATE step (Lloyd M-step) in exact integers: per
+    * (centroid, dimension), the assigned-vector count and the sum of
+    * per-coordinate quantized values floor(x * 2^20) — order-free integer
+    * sums (a float mean would be combine-order dependent and could never
+    * hash-match an oracle); the caller derives the new centroid as
+    * qsum / (n * 2^20) at whatever precision it wants. Composes the
+    * E-step: assignments are the same packed-argmin pipeline as
+    * [[kmeansAssign]]; the coordinate explode shuffles only
+    * (centroid, dim, q) integers, never vectors.
+    */
+  val kmeansUpdate: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val e = vectors(spark, dir)
+    kmeansAssignments(e).select("vec_id", "centroid_id")
+      .join(e, "vec_id")
+      .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("centroid_id"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("x") * 1048576.0).cast("long")).as("qsum"))
+      .orderBy("centroid_id", "dim")
   }
 
   // ---- per-document LM fluency score from corpus bigram statistics ----
@@ -1004,6 +1036,21 @@ object TrainingOps {
         |  sum(pmin // 16)::BIGINT AS qd_sum, min(pmin // 16)::BIGINT AS qd_min,
         |  max(pmin // 16)::BIGINT AS qd_max
         |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the M-step over the same assignment CTEs: per-(centroid, dim)
+    // integer sums of per-coordinate quantized values
+    "q_kmeans_update" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |pk AS (SELECT e.vec_id,
+        |  min(floor(list_sum(list_transform(range(1, 65),
+        |        i -> (cv[i] - v[i]) * (cv[i] - v[i]))) * 1048576.0)::BIGINT * 16 + cid) AS pmin
+        |  FROM e CROSS JOIN c GROUP BY 1),
+        |asg AS (SELECT vec_id, (pmin % 16)::BIGINT AS centroid_id FROM pk)
+        |SELECT a.centroid_id, (i - 1)::BIGINT AS dim, count(*)::BIGINT AS n_vecs,
+        |  sum(floor(e.v[i] * 1048576.0)::BIGINT)::BIGINT AS qsum
+        |FROM asg a JOIN e USING (vec_id), unnest(range(1, 65)) AS u(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the collocation score CTEs are the q_doc_collocations oracle verbatim;
     // the doc-side gather joins each adjacent pair against them

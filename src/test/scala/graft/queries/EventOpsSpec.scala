@@ -80,5 +80,27 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got == expected)
     assert(expected.exists(_._2 > 0), "some purchase must have prior views")
     assert(expected.exists(_._2 == 0), "some purchase must have none (left-join path)")
+    // scale contract: the range join must run as a (user, bucket)
+    // EQUI-join — never a nested loop driven by the range predicate
+    val plan = EventOps.windowJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
+  test("funnel matches a local staged-sequencing recompute") {
+    val expected = ev.groupBy(e => (e._3, e._2 / 86400000000L)).toSeq.map {
+      case ((user, day), evs) =>
+        // the ordered view -> click -> purchase ladder within the day
+        val t1 = evs.filter(_._4 == "view").map(_._2).minOption
+        val t2 = t1.flatMap(t => evs.filter(e => e._4 == "click" && e._2 >= t).map(_._2).minOption)
+        val t3 = t2.flatMap(t => evs.filter(e => e._4 == "purchase" && e._2 >= t).map(_._2).minOption)
+        val stage = if (t3.isDefined) 3L else if (t2.isDefined) 2L else if (t1.isDefined) 1L else 0L
+        (user, day, evs.length.toLong, stage)
+    }.sortBy(r => (r._1, r._2))
+    val got = EventOps.funnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(Set(0L, 1L, 2L, 3L).subsetOf(expected.map(_._4).toSet),
+      "every funnel stage must occur in the corpus")
   }
 }

@@ -167,5 +167,31 @@ class TrainingOpsClusterSpec extends AnyFunSuite {
     assert(got == expected)
     assert(expected.map(_._2).sum == vecs.length.toLong)
     assert(expected.length > 1, "assignment must spread across centroids")
+
+    // M-step: per-(centroid, dim) integer sums over the same assignments
+    val wantUpd = vecs.flatMap { case (_, v) =>
+      var pmin = Long.MaxValue
+      for ((cid, cv) <- cents) {
+        var acc = 0.0
+        var i = 0
+        while (i < cv.length) { acc += (cv(i) - v(i)) * (cv(i) - v(i)); i += 1 }
+        val pk = math.floor(acc * 1048576.0).toLong * 16L + cid
+        if (pk < pmin) pmin = pk
+      }
+      v.indices.map(d => ((pmin % 16L, d.toLong), math.floor(v(d) * 1048576.0).toLong))
+    }.groupBy(_._1).map { case ((cid, d), xs) =>
+      (cid, d, xs.length.toLong, xs.map(_._2).sum)
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val gotUpd = TrainingOps.kmeansUpdate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotUpd == wantUpd)
+    assert(gotUpd.length == expected.length * 64, "64 dims per assigned centroid")
+
+    // scale contract: the k-row centroid side must BROADCAST (a
+    // deliberate broadcast nested-loop over k rows, never a shuffled
+    // cartesian of the embeddings)
+    val plan = TrainingOps.kmeansAssign(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
   }
 }
