@@ -549,6 +549,8 @@ object SparkEntry {
     "q_doc_keep_list" -> TrainingOps.keepList,
     "q_evt_window_join" -> EventOps.windowJoin,
     "q_evt_funnel" -> EventOps.funnel,
+    "q_evt_retention" -> EventOps.retention,
+    "q_evt_outliers" -> EventOps.outliers,
     "q_kmeans_update" -> TrainingOps.kmeansUpdate,
     "q_integral" -> RasterOps.integralImage,
     "q_group_quantiles" -> StatsOps.groupQuantiles,

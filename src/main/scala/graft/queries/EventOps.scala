@@ -163,7 +163,87 @@ object EventOps {
       .orderBy("user_id", "day")
   }
 
+  /** Cohort retention matrix: users grouped by their first-activity UTC
+    * day (the cohort), each later active day counted at its offset from
+    * that cohort day — the classic (cohort_day, day_offset) -> active
+    * users / events triangle. Plan: events collapse to one row per
+    * (user, day) FIRST (the only pass over raw events — map-side
+    * combinable), the per-user cohort day comes from one window over that
+    * already-collapsed frame (per-user state = distinct active days,
+    * calendar-bounded regardless of event volume), and the final rollup
+    * groups by the tiny (cohort, offset) key space. n_users at offset 0
+    * is each cohort's size (every user is active on their own first day),
+    * so retention ratios are derivable without a denominator join.
+    */
+  val retention: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val perDay = events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+    perDay
+      .withColumn("cohort_day", min("day").over(Window.partitionBy("user_id")))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"), sum("n").as("n_events"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Per-user outlier counts by an EXACT two-sided z-test on quantized
+    * values: event q = floor(value * 2^20) is an outlier iff
+    * (n*q - s)^2 > 9 * (n*ss - s^2)  — the cross-multiplied form of
+    * |q - mean| > 3*stddev_pop, so no float division or sqrt crosses the
+    * engine/oracle compare. The squares exceed 2^63 (q <= ~2^28, so
+    * n*ss reaches ~2^76 at 2^20 events/user), hence the comparison runs
+    * in decimal(38,0) on the engine side and HUGEINT in the oracle —
+    * both exact integer arithmetic; only BIGINT counts/sums are emitted.
+    * One shuffle: the three moments come from a single unordered window
+    * over user_id; the flag and the final per-user rollup are narrow.
+    */
+  val outliers: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val w = Window.partitionBy("user_id")
+    val dec = "decimal(38,0)"
+    events(spark, dir)
+      .select(col("user_id"), floor(col("value") * Q20).cast("long").as("q"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum("q").over(w))
+      .withColumn("ss", sum(col("q").cast(dec) * col("q")).over(w))
+      .withColumn("d", (col("n") * col("q") - col("s")).cast(dec))
+      .withColumn("flag",
+        (col("d") * col("d") >
+          lit(9) * (col("n").cast(dec) * col("ss") - col("s").cast(dec) * col("s")))
+          .cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("flag").as("n_outliers"),
+        sum("q").as("qsum"))
+      .orderBy("user_id")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // the same collapse -> window -> rollup, independently
+    "q_evt_retention" ->
+      """WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |              count(*) AS n FROM events GROUP BY 1, 2),
+        |c AS (SELECT user_id, day, n,
+        |        min(day) OVER (PARTITION BY user_id) AS cohort_day FROM ud)
+        |SELECT cohort_day::BIGINT AS cohort_day,
+        |  (day - cohort_day)::BIGINT AS day_offset,
+        |  count(*)::BIGINT AS n_users, sum(n)::BIGINT AS n_events
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the same cross-multiplied test in HUGEINT (sum(BIGINT) is HUGEINT
+    // in DuckDB; the explicit casts keep every product exact)
+    "q_evt_outliers" ->
+      """WITH q AS (SELECT user_id, floor(value * 1048576.0)::BIGINT AS q FROM events),
+        |m AS (SELECT user_id, count(*)::HUGEINT AS n, sum(q)::HUGEINT AS s,
+        |        sum(q::HUGEINT * q) AS ss FROM q GROUP BY 1),
+        |f AS (SELECT q.user_id, q.q,
+        |        CASE WHEN (m.n * q.q - m.s) * (m.n * q.q - m.s)
+        |                  > 9 * (m.n * m.ss - m.s * m.s)
+        |             THEN 1 ELSE 0 END AS flag
+        |      FROM q JOIN m USING (user_id))
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  sum(flag)::BIGINT AS n_outliers, sum(q)::BIGINT AS qsum
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // same staged conditional mins, independently; NULL comparisons
     // propagate identically (us >= NULL -> NULL -> not counted), so
     // missing stages cascade the same way on both sides

@@ -103,4 +103,37 @@ class EventOpsSpec extends AnyFunSuite {
     assert(Set(0L, 1L, 2L, 3L).subsetOf(expected.map(_._4).toSet),
       "every funnel stage must occur in the corpus")
   }
+
+  test("retention matches a local recompute") {
+    val perDay = ev.groupBy(e => (e._3, e._2 / 86400000000L)).toSeq
+      .map { case ((u, d), es) => (u, d, es.length.toLong) }
+    val firstDay = perDay.groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).min }
+    val expected = perDay.groupBy { case (u, d, _) => (firstDay(u), d - firstDay(u)) }
+      .map { case ((cd, off), rows) => (cd, off, rows.size.toLong, rows.map(_._3).sum) }
+      .toSet
+    val got = EventOps.retention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    // offset-0 row count per cohort = cohort size: every user's first day
+    // lands there, so the sum over offset-0 n_users = distinct users
+    assert(expected.filter(_._2 == 0L).map(_._3).sum == firstDay.size.toLong)
+    assert(expected.exists(_._2 > 0L), "some user must return on a later day")
+  }
+
+  test("outliers matches a BigInt local recompute") {
+    val expected = ev.groupBy(_._3).toSeq.map { case (u, es) =>
+      val qs = es.map(e => math.floor(e._5 * 1048576.0).toLong)
+      val n = BigInt(qs.length)
+      val s = qs.map(BigInt(_)).sum
+      val ss = qs.map(q => BigInt(q) * q).sum
+      val flags = qs.count { q => val d = n * q - s; d * d > 9 * (n * ss - s * s) }
+      (u, qs.length.toLong, flags.toLong, qs.sum)
+    }.toSet
+    val got = EventOps.outliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(expected.exists(_._3 > 0L), "some user must have an outlier event")
+    assert(expected.exists(r => r._3 == 0L && r._2 > 1L),
+      "some multi-event user must have none (exact-comparison path)")
+  }
 }
