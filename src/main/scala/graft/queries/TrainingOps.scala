@@ -993,8 +993,75 @@ object TrainingOps {
       .orderBy("shard")
   }
 
+  // ---- sequence packing: greedy fill of fixed-capacity token bins ----
+
+  /** Packing capacity in tokens — small enough that bins hold a handful
+    * of contract-corpus docs (avg ~55 tokens), shared with the oracle.
+    */
+  private val PackCap = 256L
+
+  /** Greedy sequence packing: per source, docs in doc_id order fill
+    * fixed-capacity token bins — a doc that would overflow the open bin
+    * starts the next one; an oversized doc (> capacity) gets a bin of its
+    * own. This is the LLM-pretraining batch-packing step (no document
+    * splitting), inherently a SEQUENTIAL scan per source — parallel
+    * across sources, and implemented as the streaming secondary-sort
+    * idiom rather than a group materialization: repartition by source,
+    * sortWithinPartitions (source, doc_id), one mapPartitions pass with
+    * O(1) state (open-bin fill + counters), so a source's doc list never
+    * sits in memory. Emits per (source, bin): doc/token counts and the
+    * doc_id span. Token counts are [[toks]] sizes — exact integers; the
+    * oracle replays the same greedy rule as a recursive CTE (an
+    * independent formulation: row-linked recursion vs streamed scan).
+    */
+  val packDocs: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val cap = PackCap
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), size(toks).cast("long").as("tok"))
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var src: String = null
+        var bin = 0L
+        var fill = 0L
+        it.map { case (s, id, tok) =>
+          if (s != src) { src = s; bin = 1L; fill = tok }
+          else if (fill + tok > cap) { bin += 1L; fill = tok }
+          else fill += tok
+          (s, bin, id, tok)
+        }
+      }
+      .toDF("source", "bin", "doc_id", "tok")
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_sum"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "bin")
+  }
+
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracleSql: Map[String, String] = Map(
+    // the same greedy rule as row-linked recursion over rn = row_number
+    // per source (doc_id order) — carries (bin, fill) down the chain
+    "q_doc_pack" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT source, doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS tok,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id, tok, rn, 1::BIGINT AS bin, tok AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.source, t.doc_id, t.tok, t.rn,
+        |    CASE WHEN p.fill + t.tok > 256 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + t.tok > 256 THEN t.tok ELSE p.fill + t.tok END
+        |  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1)
+        |SELECT source, bin, count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS tok_sum,
+        |  min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // the q_doc_dup_clusters CTE chain (independent transitive closure),
     // then the keep predicate: unlabeled, or label == own id
     "q_doc_keep_list" ->

@@ -245,4 +245,28 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.exists(_._3 > 0), "scored pairs must exist")
   }
+
+  test("packDocs == local greedy packing recompute (capacity 256)") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "doc_id", "text").as[(String, Long, String)].collect().toSeq
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      val sorted = ds.sortBy(_._2).map { case (_, id, text) => (id, toks(text).length.toLong) }
+      var bin = 0L
+      var fill = 0L
+      val assigned = sorted.map { case (id, tok) =>
+        if (bin == 0L || fill + tok > 256L) { bin += 1; fill = tok } else fill += tok
+        (bin, id, tok)
+      }
+      assigned.groupBy(_._1).map { case (b, xs) =>
+        (src, b, xs.size.toLong, xs.map(_._3).sum, xs.map(_._2).min, xs.map(_._2).max)
+      }
+    }.toSet
+    val got = TrainingOps.packDocs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+    assert(want.exists(_._3 > 1), "some bin must hold multiple docs")
+    assert(want.groupBy(_._1).values.exists(_.size > 1), "some source must span multiple bins")
+  }
 }
