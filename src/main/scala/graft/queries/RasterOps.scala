@@ -396,6 +396,86 @@ object RasterOps {
     rowPrefixOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
+  /** Row-wise viewshed with EXACT rational arithmetic: an observer stands
+    * on cell x = 0 of each row (elevation q0 = floor(v * 2^20)); cell
+    * x >= 1 is visible iff its elevation angle (q_x - q0) / x STRICTLY
+    * exceeds every predecessor's (1 <= x' < x) — equal angles block.
+    * Angles never divide: every comparison is the long cross-product
+    * n1 * d2 > n2 * d1 (d = x > 0), so engine, oracle, and spec agree
+    * bit-for-bit with no float anywhere. Distributed shape (the
+    * [[rowPrefixOf]] segment idiom — a scan's ordered grouping is the one
+    * exchange): cells group key-locally by (x-segment, y), with the
+    * observer cell replicated to each of the row's ceil(w/segW) segments
+    * (a per-ROW halo, perimeter-proportional like the tile kernels'); the
+    * in-segment pass keeps only LOCALLY-visible cells (those beating the
+    * in-segment running max — everything a later cell could ever need,
+    * since visibility vs the incoming carry is monotone over the
+    * segment's increasing angle list); the per-row pass walks the tiny
+    * segment summaries in x order carrying the max-angle rational.
+    * Emits (y, n_cells, n_visible, xsum, last_x) — integer row summaries
+    * (x = 0 counts as visible; xsum/last_x are visible-x checksums).
+    * Long headroom: |n| <= 2^29 at this value range, so products are
+    * safe to w ~ 2^33. The oracle is the independent quadratic
+    * formulation: NOT EXISTS a blocking predecessor, same cross-product.
+    */
+  private[graft] def viewshedOf(cells: Dataset[(Int, Int, Double)],
+                                w: Int, h: Int, segW: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    val nSegs = (w + segW - 1) / segW
+    val routed = cells.flatMap { case (x, y, v) =>
+      val own = (x / segW, y, x, v, false) :: Nil
+      if (x == 0) own ++ (0 until nSegs).map(s => (s, y, x, v, true)) else own
+    }
+    val segs = routed.groupByKey(t => (t._1, t._2))
+      .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Double, Boolean)]) =>
+        val (seg, y) = key
+        val items = it.toArray
+        val q0 = math.floor(items.find(_._5)
+          .getOrElse(throw new IllegalStateException(s"viewshed: row $y lost its observer"))
+          ._4 * Q20).toLong
+        val own = items.filter(!_._5).sortBy(_._3)
+        val expect = math.min(segW, w - seg * segW)
+        require(own.length == expect && own.iterator.map(_._3).toSet.size == own.length,
+          s"viewshed: segment ($seg, $y) got ${own.length} of $expect cells — sparse grid?")
+        var ln = 0L; var ld = 0L // in-segment running max angle; ld == 0 => none yet
+        val ns = Array.newBuilder[Long]; val xs = Array.newBuilder[Long]
+        own.foreach { case (_, _, x, v, _) =>
+          if (x >= 1) {
+            val n = math.floor(v * Q20).toLong - q0
+            val d = x.toLong
+            if (ld == 0L || n * ld > ln * d) { ns += n; xs += d; ln = n; ld = d }
+          }
+        }
+        (y, seg, own.length.toLong, ns.result(), xs.result())
+      }
+    segs.groupByKey(_._1)
+      .mapGroups { (y: Int, it: Iterator[(Int, Int, Long, Array[Long], Array[Long])]) =>
+        val ordered = it.toArray.sortBy(_._2)
+        var mn = 0L; var md = 0L // carried max angle across segments
+        var nCells = 0L; var nVis = 1L; var xsum = 0L; var lastX = 0L
+        ordered.foreach { case (_, _, nc, ns, xs) =>
+          nCells += nc
+          var i = 0
+          while (i < ns.length) {
+            if (md == 0L || ns(i) * md > mn * xs(i)) {
+              nVis += 1L; xsum += xs(i); lastX = xs(i)
+              mn = ns(i); md = xs(i)
+            }
+            i += 1
+          }
+        }
+        (y.toLong, nCells, nVis, xsum, lastX)
+      }
+      .toDF("y", "n_cells", "n_visible", "xsum", "last_x")
+      .orderBy("y")
+  }
+
+  val viewshed: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    viewshedOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
   /** In-order prefix scan along one axis of an integer cell table,
     * emitting PER-CELL prefixes — the composable scan primitive behind
     * [[integralOf]] (vs [[rowPrefixOf]], which folds straight to row
@@ -1040,6 +1120,26 @@ object RasterOps {
            |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells,
            |  sum(ii)::BIGINT AS qsum, max(ii)::BIGINT AS qmax
            |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // row-wise viewshed: the oracle is the quadratic NOT-EXISTS
+      // formulation (a blocking predecessor by integer cross-product) —
+      // independent of the engine's segmented running-max-rational scan;
+      // sum(x) is HUGEINT in DuckDB, hence the ::BIGINT on xsum
+      "q_viewshed" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |q AS (SELECT x, y, floor(v * 1048576.0)::BIGINT AS q FROM g),
+           |o AS (SELECT y, q AS q0 FROM q WHERE x = 0),
+           |c AS (SELECT q.y, q.x, q.q - o.q0 AS n FROM q JOIN o USING (y) WHERE q.x >= 1),
+           |vis AS (SELECT c.y, c.x FROM c WHERE NOT EXISTS (
+           |  SELECT 1 FROM c p WHERE p.y = c.y AND p.x < c.x AND p.n * c.x >= c.n * p.x)),
+           |r AS (SELECT y, count(*) AS nc FROM q GROUP BY 1)
+           |SELECT r.y::BIGINT AS y, r.nc::BIGINT AS n_cells,
+           |  (1 + coalesce(vv.nv, 0))::BIGINT AS n_visible,
+           |  coalesce(vv.xs, 0)::BIGINT AS xsum,
+           |  coalesce(vv.mx, 0)::BIGINT AS last_x
+           |FROM r LEFT JOIN (SELECT y, count(*) AS nv, sum(x) AS xs, max(x) AS mx
+           |                  FROM vis GROUP BY 1) vv USING (y)
+           |ORDER BY 1""".stripMargin,
 
       // row-prefix scan: the oracle runs the textbook window scan the
       // engine decomposes into segment partials + offsets — independent

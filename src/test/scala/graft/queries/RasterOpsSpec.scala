@@ -201,4 +201,53 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.length == 2 * h && got.head._2 == 2L * w)
   }
+
+  /** Brute-force local viewshed of one row of quantized elevations:
+    * visible x's (x = 0 always; x >= 1 iff its angle strictly beats every
+    * predecessor's by integer cross-product).
+    */
+  private def viewshedRow(qs: Array[Long]): Seq[Int] =
+    0 +: (1 until qs.length).filter { x =>
+      (1 until x).forall { p =>
+        (qs(x) - qs(0)) * p.toLong > (qs(p) - qs(0)) * x.toLong
+      }
+    }
+
+  test("viewshed matches a local brute-force recompute") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val w = 100
+    val h = ev.length / w
+    val expected = (0 until h).map { y =>
+      val qs = Array.tabulate(w)(x => math.floor(ev(y * w + x)._2 * 1048576.0).toLong)
+      val vis = viewshedRow(qs)
+      (y.toLong, w.toLong, vis.length.toLong, vis.map(_.toLong).sum, vis.last.toLong)
+    }
+    val got = RasterOps.viewshed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._3 > 2L), "rows with several visible cells must exist")
+    assert(expected.forall(_._3 < w.toLong), "occlusion must actually happen")
+  }
+
+  test("viewshedOf segment carry: tiny segW over a random grid == brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val w = 23
+    val h = 5
+    val vals = Array.fill(h * w)(rnd.nextDouble() * 200.0 - 50.0)
+    val cells = spark.createDataset(
+      for (y <- 0 until h; x <- 0 until w) yield (x, y, vals(y * w + x)))
+    val expected = (0 until h).map { y =>
+      val qs = Array.tabulate(w)(x => math.floor(vals(y * w + x) * 1048576.0).toLong)
+      val vis = viewshedRow(qs)
+      (y.toLong, w.toLong, vis.length.toLong, vis.map(_.toLong).sum, vis.last.toLong)
+    }
+    for (segW <- Seq(1, 3, 7, 23, 50)) {
+      val got = RasterOps.viewshedOf(cells, w, h, segW).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(got == expected, s"segW=$segW")
+    }
+  }
 }
