@@ -548,6 +548,7 @@ object SparkEntry {
     "q_doc_lm_score" -> TrainingOps.docLmScore,
     "q_doc_keep_list" -> TrainingOps.keepList,
     "q_doc_pack" -> TrainingOps.packDocs,
+    "q_doc_skyline" -> TrainingOps.skyline,
     "q_evt_window_join" -> EventOps.windowJoin,
     "q_evt_funnel" -> EventOps.funnel,
     "q_evt_retention" -> EventOps.retention,

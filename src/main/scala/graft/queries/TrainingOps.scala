@@ -1040,8 +1040,51 @@ object TrainingOps {
       .orderBy("source", "bin")
   }
 
+  // ---- skyline: per-source Pareto front on (n_tokens, n_distinct) ----
+
+  /** Per-source skyline (Pareto front, maximize both): a doc survives iff
+    * no same-source doc dominates it (>= on both of n_tokens/n_distinct,
+    * > on at least one; exact-tie twins both survive). The classic
+    * quadratic definition collapses to two WINDOW passes because the
+    * criteria are integers: a doc survives iff its n_distinct equals the
+    * max within its (source, n_tokens) group AND strictly exceeds the max
+    * over same-source docs with strictly larger n_tokens — the latter a
+    * RANGE frame to offset -1 on descending n_tokens, which excludes
+    * ties exactly (integer order values). Both windows key on source (no
+    * global anything, no self-join); per-source work is linear. The
+    * oracle runs the independent quadratic NOT-EXISTS dominance test.
+    */
+  val skyline: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val t = docs(spark, dir)
+      .withColumn("ws", toks)
+      .select(col("source"), col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
+    val gy = max("n_distinct").over(Window.partitionBy("source", "n_tokens"))
+    val m = max("n_distinct").over(
+      Window.partitionBy("source").orderBy(col("n_tokens").desc)
+        .rangeBetween(Window.unboundedPreceding, -1))
+    t.withColumn("gy", gy).withColumn("m", m)
+      .filter(col("n_distinct") === col("gy")
+        && (col("m").isNull || col("n_distinct") > col("m")))
+      .select("source", "doc_id", "n_tokens", "n_distinct")
+      .orderBy("source", "doc_id")
+  }
+
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracleSql: Map[String, String] = Map(
+    // independent quadratic dominance formulation of the skyline
+    "q_doc_skyline" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens,
+        |    len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT AS n_distinct
+        |  FROM documents)
+        |SELECT source, doc_id, n_tokens, n_distinct FROM t a
+        |WHERE NOT EXISTS (SELECT 1 FROM t b WHERE b.source = a.source
+        |  AND b.n_tokens >= a.n_tokens AND b.n_distinct >= a.n_distinct
+        |  AND (b.n_tokens > a.n_tokens OR b.n_distinct > a.n_distinct))
+        |ORDER BY 1, 2""".stripMargin,
+
     // the same greedy rule as row-linked recursion over rn = row_number
     // per source (doc_id order) — carries (bin, fill) down the chain
     "q_doc_pack" ->

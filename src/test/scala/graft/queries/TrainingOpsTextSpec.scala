@@ -269,4 +269,24 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(want.exists(_._3 > 1), "some bin must hold multiple docs")
     assert(want.groupBy(_._1).values.exists(_.size > 1), "some source must span multiple bins")
   }
+
+  test("skyline == local quadratic dominance recompute") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "doc_id", "text").as[(String, Long, String)].collect().toSeq
+      .map { case (src, id, text) =>
+        val ws = toks(text)
+        (src, id, ws.length.toLong, ws.distinct.length.toLong)
+      }
+    val want = rows.filter { a =>
+      !rows.exists(b => b._1 == a._1
+        && b._3 >= a._3 && b._4 >= a._4 && (b._3 > a._3 || b._4 > a._4))
+    }.toSet
+    val got = TrainingOps.skyline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    assert(want.groupBy(_._1).values.exists(_.size > 1),
+      "some source must keep an incomparable PAIR (the non-total-order path)")
+  }
 }
