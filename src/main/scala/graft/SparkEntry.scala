@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{Cases, GeoJson, MarchingSquares, Poly, ContourResult, Tiling}
+import graft.core.{Cases, Clip, GeoJson, MarchingSquares, Poly, ContourResult, Tiling}
 import graft.docs.DocCodec
 import graft.engine.ContourEngine
 import graft.model._
@@ -35,6 +35,14 @@ object SparkEntry {
     import spark.implicits._
     EventsGrid.Thresholds.toDF("threshold")
   }
+
+  /** Clip window for q_clip_rings — interior fractional bounds (exactly
+    * representable doubles) shared verbatim with the oracle SQL.
+    */
+  private val ClipX0 = 12.25
+  private val ClipX1 = 87.75
+  private val ClipY0 = 8.25
+  private val ClipY1 = 73.75
 
   /** Per-threshold quantized vertex checksum of assembled contour polygons
     * (exteriors + holes) — shared by q_contours_stats and
@@ -339,6 +347,37 @@ object SparkEntry {
             .orderBy("n_points", "qx_sum", "qy_sum")).cast("long"))
         .select("threshold", "ring_rank", "n_points", "qx_sum", "qy_sum")
         .orderBy("threshold", "ring_rank")
+    }),
+
+    // ---- bbox clip of every assembled contour ring (vector-tile cut):
+    //      the engine runs core.Clip's four-stage Sutherland–Hodgman over
+    //      each smoothed ring (a narrow flatMap after assembly — no new
+    //      shuffle; the rollup groups by the threshold-cardinality key);
+    //      the oracle re-derives ring ORDER by a recursive walk of the
+    //      segment graph and replays the same four stages in window SQL ----
+    "q_clip_rings" -> ((spark, dir) => {
+      import spark.implicits._
+      val cts = engine(spark).contours(eventTiles(spark, dir))
+      cts.flatMap { c =>
+        c.polygons.iterator
+          .flatMap(p => Iterator.single(p.exterior) ++ p.holes.iterator)
+          .map { ring =>
+            val out = Clip.clipRingBox(Clip.openRing(ring),
+              ClipX0, ClipX1, ClipY0, ClipY1)
+            var qx = 0L; var qy = 0L; var i = 0
+            while (i < out.length) {
+              qx += math.floor(out(i) * 1048576.0).toLong
+              qy += math.floor(out(i + 1) * 1048576.0).toLong
+              i += 2
+            }
+            (c.threshold, 1L, if (out.length >= 6) 1L else 0L,
+              (out.length / 2).toLong, qx, qy)
+          }.toSeq
+      }.toDF("threshold", "one", "kept", "nv", "qx", "qy")
+        .groupBy("threshold")
+        .agg(sum("one").as("n_rings_in"), sum("kept").as("n_rings_kept"),
+          sum("nv").as("n_vertices"), sum("qx").as("qx_sum"), sum("qy").as("qy_sum"))
+        .orderBy("threshold")
     }),
 
     // ---- span-sequence invariant through append ----
@@ -757,7 +796,7 @@ object SparkEntry {
     * MATERIALIZED — each level references the previous twice, and inlining
     * would re-expand the chain exponentially.
     */
-  private def ringWalkSql(thresholdsSql: String, levels: Int = 18): String = {
+  private def ringGraphCtes(thresholdsSql: String, levels: Int): String = {
     val base =
       s"""dims AS (SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events),
          |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
@@ -805,8 +844,12 @@ object SparkEntry {
       (1 to levels).map(i =>
         s"""w$i AS MATERIALIZED (SELECT a.threshold, a.sk, least(a.lbl, b.lbl) AS lbl, b.jmp AS jmp
            |  FROM w${i - 1} a JOIN w${i - 1} b ON b.threshold = a.threshold AND b.sk = a.jmp)""".stripMargin)
-    s"""WITH $base,
-       |${lvls.mkString(",\n")},
+    s"""$base,
+       |${lvls.mkString(",\n")}""".stripMargin
+  }
+
+  private def ringWalkSql(thresholdsSql: String, levels: Int = 18): String =
+    s"""WITH ${ringGraphCtes(thresholdsSql, levels)},
        |ringsz AS (SELECT s.threshold, l.lbl, count(*)::BIGINT AS n,
        |  SUM(floor(s.px * 1048576.0)::BIGINT)::BIGINT AS qx,
        |  SUM(floor(s.py * 1048576.0)::BIGINT)::BIGINT AS qy
@@ -816,6 +859,68 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY threshold ORDER BY n, qx, qy, lbl)::BIGINT AS ring_rank,
        |  n AS n_points, qx AS qx_sum, qy AS qy_sum
        |FROM ringsz ORDER BY threshold, ring_rank""".stripMargin
+
+  /** Bbox-clip oracle: the ring graph's cycles are WALKED into ordered
+    * vertex lists by a recursive CTE (seed = each ring's min-start-key
+    * node from the pointer-doubled labels; one successor step per
+    * iteration — total rows = total segments), then four Sutherland–
+    * Hodgman half-plane stages run as pure window SQL: each stage pairs
+    * consecutive vertices cyclically (lead + first_value wraparound),
+    * emits intersection (sub 0) and kept-endpoint (sub 1) rows per edge,
+    * and renumbers with row_number — the same fixed f64 intersection
+    * expression as core.Clip, with every literal cast ::DOUBLE (a bare
+    * DuckDB decimal literal would compute in DECIMAL). Checksums are
+    * rotation-invariant (the engine walks rings from the sweep-closure
+    * start vertex, the oracle from the min-key vertex; the emitted
+    * multiset is the same — see core.Clip's rotation-equivariance note).
+    */
+  private def clipRingsSql(thresholdsSql: String, levels: Int = 18): String = {
+    def lit(c: Double) = s"($c::DOUBLE)"
+    def stage(k: Int, prev: String, axisX: Boolean, c: Double, lower: Boolean): String = {
+      val op = if (lower) ">=" else "<="
+      val (sv, ev) = if (axisX) ("sx", "ex") else ("sy", "ey")
+      val ix = if (axisX) lit(c) else s"sx + (${lit(c)} - sy) * (ex - sx) / (ey - sy)"
+      val iy = if (axisX) s"sy + (${lit(c)} - sx) * (ey - sy) / (ex - sx)" else lit(c)
+      s"""e$k AS (SELECT threshold, ring, seq, x AS sx, y AS sy,
+         |  coalesce(lead(x) OVER (PARTITION BY threshold, ring ORDER BY seq),
+         |           first_value(x) OVER (PARTITION BY threshold, ring ORDER BY seq)) AS ex,
+         |  coalesce(lead(y) OVER (PARTITION BY threshold, ring ORDER BY seq),
+         |           first_value(y) OVER (PARTITION BY threshold, ring ORDER BY seq)) AS ey
+         |  FROM $prev),
+         |v$k AS MATERIALIZED (SELECT threshold, ring,
+         |  row_number() OVER (PARTITION BY threshold, ring ORDER BY seq, sub) AS seq,
+         |  CASE WHEN sub = 0 THEN $ix ELSE ex END AS x,
+         |  CASE WHEN sub = 0 THEN $iy ELSE ey END AS y
+         |  FROM e$k CROSS JOIN (VALUES (0),(1)) r(sub)
+         |  WHERE (sub = 0 AND ($sv $op ${lit(c)}) <> ($ev $op ${lit(c)}))
+         |     OR (sub = 1 AND ($ev $op ${lit(c)})))""".stripMargin
+    }
+    s"""WITH RECURSIVE ${ringGraphCtes(thresholdsSql, levels)},
+       |walk AS (
+       |  SELECT threshold, sk AS ring, sk AS node, 0::BIGINT AS seq
+       |  FROM w$levels WHERE sk = lbl
+       |  UNION ALL
+       |  SELECT w.threshold, w.ring, s.ek AS node, w.seq + 1
+       |  FROM walk w JOIN seg s ON s.threshold = w.threshold AND s.sk = w.node
+       |  WHERE s.ek <> w.ring),
+       |v0 AS MATERIALIZED (SELECT w.threshold, w.ring, w.seq, s.px AS x, s.py AS y
+       |  FROM walk w JOIN seg s ON s.threshold = w.threshold AND s.sk = w.node),
+       |${stage(1, "v0", axisX = true, ClipX0, lower = true)},
+       |${stage(2, "v1", axisX = true, ClipX1, lower = false)},
+       |${stage(3, "v2", axisX = false, ClipY0, lower = true)},
+       |${stage(4, "v3", axisX = false, ClipY1, lower = false)},
+       |base AS (SELECT threshold, count(DISTINCT ring) AS nin FROM v0 GROUP BY 1),
+       |kept AS (SELECT threshold, ring, count(*) AS nv,
+       |  sum(floor(x * 1048576.0)::BIGINT) AS qx,
+       |  sum(floor(y * 1048576.0)::BIGINT) AS qy
+       |  FROM v4 GROUP BY 1, 2)
+       |SELECT b.threshold, b.nin::BIGINT AS n_rings_in,
+       |  coalesce(sum(CASE WHEN k.nv >= 3 THEN 1 END), 0)::BIGINT AS n_rings_kept,
+       |  coalesce(sum(k.nv), 0)::BIGINT AS n_vertices,
+       |  coalesce(sum(k.qx), 0)::BIGINT AS qx_sum,
+       |  coalesce(sum(k.qy), 0)::BIGINT AS qy_sum
+       |FROM base b LEFT JOIN kept k ON k.threshold = b.threshold
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
   }
 
   private def smoothChecksumOver(prefixCtes: String, dimsSql: String, gSql: String,
@@ -875,6 +980,7 @@ object SparkEntry {
     "q_pyramid_contours" -> pyramidContoursSql,
     "q_lines_stats" -> smoothChecksumSql,
     "q_geojson" -> ringWalkSql(tsAllSql),
+    "q_clip_rings" -> clipRingsSql(tsAllSql),
 
     "q_contour_rings_stats" ->
       s"""WITH ${startsCte(tsAllSql)},
