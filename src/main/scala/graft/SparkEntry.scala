@@ -591,6 +591,7 @@ object SparkEntry {
     "q_evt_window_join" -> EventOps.windowJoin,
     "q_evt_funnel" -> EventOps.funnel,
     "q_evt_retention" -> EventOps.retention,
+    "q_evt_concurrency" -> EventOps.concurrency,
     "q_evt_outliers" -> EventOps.outliers,
     "q_kmeans_update" -> TrainingOps.kmeansUpdate,
     "q_integral" -> RasterOps.integralImage,

@@ -217,7 +217,69 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Sweep-line concurrency load curve: how many sessions are open at
+    * once, maxed per hour bucket. Sessions come from the [[sessionize]]
+    * gap rule; each contributes +1 at start_us and -1 at end_us + 1
+    * (inclusive interval). Deltas collapse per DISTINCT time instant
+    * FIRST (so the running sum is well-defined with no tie-order
+    * convention), then the global prefix sum runs as the SEGMENTED SCAN
+    * idiom (RasterOps.rowPrefixOf, here over hour buckets): per-bucket
+    * in-order partials (net total + max prefix) key-locally, then
+    * exclusive offsets over the tiny bucket table (time-range-bounded —
+    * the window rides the constant-key idiom, one row per active hour)
+    * and max_concurrency = offset + local max — raw instants are never
+    * globally sorted. Hours with no session transition are omitted (the
+    * level there is the previous bucket's closing value). The oracle runs
+    * the textbook single global window scan instead.
+    */
+  val concurrency: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val bucketUs = 3600000000L
+    val deltas = sessionizedEvents(spark, dir)
+      .groupBy("user_id", "session_idx")
+      .agg(min("us").as("start_us"), max("us").as("end_us"))
+      .select(explode(array(
+        struct(col("start_us").as("t"), lit(1L).as("d")),
+        struct((col("end_us") + 1L).as("t"), lit(-1L).as("d")))).as("ev"))
+      .select(col("ev.t").as("t"), col("ev.d").as("d"))
+      .groupBy("t").agg(sum("d").as("d"))
+    val segs = deltas.select(col("t"), col("d"), expr(s"t div $bucketUs").as("b"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .mapGroups { (b: Long, it: Iterator[(Long, Long, Long)]) =>
+        val buf = it.toArray.sortBy(_._1)
+        var run = 0L; var mp = Long.MinValue
+        buf.foreach { case (_, d, _) => run += d; if (run > mp) mp = run }
+        (b, buf.length.toLong, run, mp)
+      }
+      .toDF("b", "n_instants", "tot", "mp")
+    val w = Window.partitionBy(pmod(col("b"), lit(1L))).orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    segs.withColumn("off", coalesce(sum("tot").over(w), lit(0L)))
+      .select(col("b").as("hour_bucket"), col("n_instants"),
+        (col("off") + col("mp")).as("max_concurrency"))
+      .orderBy("hour_bucket")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // the sessionize CTE chain feeding the textbook single global window
+    // scan — vs the engine's bucketed partials + offsets
+    "q_evt_concurrency" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         |m AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+         |s AS (SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > $GapUs THEN 1 ELSE 0 END)
+         |                  OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+         |      FROM m),
+         |sess AS (SELECT user_id, session_idx, min(us) AS start_us, max(us) AS end_us
+         |         FROM s GROUP BY 1, 2),
+         |d0 AS (SELECT start_us AS t, 1 AS d FROM sess
+         |       UNION ALL SELECT end_us + 1, -1 FROM sess),
+         |d AS (SELECT t, sum(d)::BIGINT AS d FROM d0 GROUP BY 1),
+         |r AS (SELECT t, d, sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS run FROM d)
+         |SELECT (t // 3600000000)::BIGINT AS hour_bucket, count(*)::BIGINT AS n_instants,
+         |  max(run)::BIGINT AS max_concurrency
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the same collapse -> window -> rollup, independently
     "q_evt_retention" ->
       """WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,

@@ -120,6 +120,31 @@ class EventOpsSpec extends AnyFunSuite {
     assert(expected.exists(_._2 > 0L), "some user must return on a later day")
   }
 
+  test("concurrency matches a local sweep-line recompute") {
+    // sessions under the same gap rule as the sessionize test
+    val sessions = ev.groupBy(_._3).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._1))
+      var idx = 0L
+      var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || e._2 - prev > 1800000000L) idx += 1
+        prev = e._2
+        (idx, e._2)
+      }.groupBy(_._1).values.map(ses => (ses.map(_._2).min, ses.map(_._2).max))
+    }
+    val deltas = (sessions.map(s => (s._1, 1L)) ++ sessions.map(s => (s._2 + 1L, -1L)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    var run = 0L
+    val expected = deltas.map { case (t, d) => run += d; (t / 3600000000L, run) }
+      .groupBy(_._1).toSeq
+      .map { case (b, rs) => (b, rs.size.toLong, rs.map(_._2).max) }
+      .sortBy(_._1)
+    val got = EventOps.concurrency(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._3 > 1L), "overlapping sessions must occur")
+  }
+
   test("outliers matches a BigInt local recompute") {
     val expected = ev.groupBy(_._3).toSeq.map { case (u, es) =>
       val qs = es.map(e => math.floor(e._5 * 1048576.0).toLong)
