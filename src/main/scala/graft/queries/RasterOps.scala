@@ -838,6 +838,113 @@ object RasterOps {
     hornSlopeTiledOf(cells, w1, h1, 25, 25)
   }
 
+  /** Connected-components labeling of the `v >= threshold` mask
+    * (4-connectivity), one labeling per threshold of the standard ladder,
+    * over the LEVEL-2 overview grid (composes the pyramid like
+    * q_pyramid_contours/q_pyramid_slope; level 2 also keeps the oracle's
+    * reachability closure quadratic-safe). The distributed shape is the
+    * CONTOUR-STITCH philosophy applied to region labeling:
+    * (1) mask cells route to fixed tiles, with each tile-border cell
+    *     replicated as a one-cell halo to its left/up neighbor tile
+    *     (perimeter-proportional duplication, like the kernels');
+    * (2) one mapGroups pass per (threshold, tile) runs plain union-find
+    *     over IN-TILE adjacency — interior cells are fully resolved
+    *     locally and never touch a shuffle again — and emits per-cell
+    *     local labels (component min cell id) plus a CONTRACTED boundary
+    *     graph: cross-tile adjacency edges between border cell ids and
+    *     identity edges border-cell -> local label;
+    * (3) [[TrainingOps.connectedComponents]] (hash-min, one shuffle per
+    *     round, monotone-fingerprint convergence) runs on that contracted
+    *     graph only — nodes ~ perimeter cells, never the raster — with
+    *     all thresholds packed into one node space (threshold index in
+    *     the high bits; no cross-threshold edges exist);
+    * (4) local labels re-join the fixpoint; components that never touched
+    *     a border keep their local label (left-join coalesce).
+    * Emits per threshold: mask size, component count, largest component,
+    * and the sum of component labels (min cell ids) — all exact integers.
+    */
+  private[graft] def gridCcOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
+                              tile: Int, thresholds: Seq[Double]): DataFrame = {
+    import cells.sparkSession.implicits._
+    require(w.toLong * h < (1L << 40), s"gridCc: cell ids need ${w}x$h < 2^40")
+    require(thresholds.size < (1 << 20), "gridCc: threshold index packs into 20 bits")
+    val wl = w; val t = tile
+    val thr = thresholds.toArray
+    val routed = cells.flatMap { case (x, y, v) =>
+      val base = for (ti <- thr.indices if v >= thr(ti)) yield (ti, x, y)
+      base.flatMap { case (ti, cx, cy) =>
+        val tx = cx / t; val ty = cy / t
+        var out = List(((ti, tx, ty), (cx, cy)))
+        if (cx % t == 0 && tx > 0) out ::= ((ti, tx - 1, ty), (cx, cy))
+        if (cy % t == 0 && ty > 0) out ::= ((ti, tx, ty - 1), (cx, cy))
+        out
+      }
+    }
+    // kind 0 = per-cell label (b = packed cell, c = packed local label);
+    // kind 1 = contracted-graph edge (b, c)
+    val tagged = routed.groupByKey(_._1)
+      .flatMapGroups { (key: (Int, Int, Int), it: Iterator[((Int, Int, Int), (Int, Int))]) =>
+        val (ti, tx, ty) = key
+        val cellsIn = it.map(_._2).toArray
+        val own = cellsIn.filter { case (x, y) => x / t == tx && y / t == ty }.distinct
+        val halo = cellsIn.filter { case (x, y) => !(x / t == tx && y / t == ty) }.toSet
+        val idx = own.zipWithIndex.toMap
+        val parent = Array.tabulate(own.length)(identity)
+        def find(a: Int): Int = { var r = a; while (parent(r) != r) r = parent(r); var c = a
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }; r }
+        def union(a: Int, b: Int): Unit = { val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+        own.zipWithIndex.foreach { case ((x, y), i) =>
+          idx.get((x + 1, y)).foreach(union(i, _))
+          idx.get((x, y + 1)).foreach(union(i, _))
+        }
+        def cid(x: Int, y: Int): Long = y.toLong * wl + x
+        def pack(id: Long): Long = (ti.toLong << 40) | id
+        // local label per root = min cell id in the root's class
+        val rootMin = new java.util.HashMap[Int, Long]()
+        own.zipWithIndex.foreach { case ((x, y), i) =>
+          val r = find(i); val id = cid(x, y)
+          val cur = rootMin.getOrDefault(r, Long.MaxValue)
+          if (id < cur) rootMin.put(r, id)
+        }
+        val out = Array.newBuilder[(Int, Long, Long)]
+        own.zipWithIndex.foreach { case ((x, y), i) =>
+          val lbl = pack(rootMin.get(find(i)))
+          out += ((0, pack(cid(x, y)), lbl))
+          val border = x % t == 0 || x % t == t - 1 || y % t == 0 || y % t == t - 1
+          if (border) out += ((1, pack(cid(x, y)), lbl))
+          if (halo.contains((x + 1, y))) out += ((1, pack(cid(x, y)), pack(cid(x + 1, y))))
+          if (halo.contains((x, y + 1))) out += ((1, pack(cid(x, y)), pack(cid(x, y + 1))))
+        }
+        out.result().iterator
+      }
+      .toDF("kind", "a", "b").localCheckpoint(true)
+    val labels = tagged.filter(col("kind") === 0).select(col("a").as("cell"), col("b").as("lbl"))
+    val edges = tagged.filter(col("kind") === 1).select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val cc = TrainingOps.connectedComponents(edges)
+    val fin = labels.join(cc, labels("lbl") === cc("doc_id"), "left")
+      .select(col("cell"), coalesce(col("cluster_id"), col("lbl")).as("flbl"))
+    val thrCol = thr.indices.foldRight(lit(Double.NaN)) { (ti, acc) =>
+      when(shiftright(col("flbl"), 40) === ti, lit(thr(ti))).otherwise(acc)
+    }
+    fin.groupBy("flbl").agg(count(lit(1)).as("csize"))
+      .groupBy(thrCol.as("threshold"))
+      .agg(sum("csize").as("n_cells"), count(lit(1)).as("n_components"),
+        max("csize").as("max_size"),
+        sum(col("flbl").bitwiseAND(lit((1L << 40) - 1))).as("lbl_sum"))
+      .orderBy("threshold")
+  }
+
+  /** q_grid_cc: CC labeling over the level-2 overview grid at the
+    * standard threshold ladder.
+    */
+  val gridCc: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (c1, w1, h1) = level1Cells(spark, dir)
+    val c2 = pool(c1.toDF("x", "y", "v"), w1, h1).as[(Int, Int, Double)]
+    gridCcOf(c2, w1 / 2, h1 / 2, 16, EventsGrid.Thresholds)
+  }
+
   // w halves from the constant base W=100 (floor division composes:
   // 100 -> 50 -> 25 -> 12); h halves from the data-dependent base in `d`.
   private[graft] def poolCte(l: Int, prevW: Int): String =
@@ -872,7 +979,40 @@ object RasterOps {
       val dx = o % 3 - 1; val dy = o / 3 - 1
       s"JOIN g1 b$o ON b$o.x = t.x - ($dx) AND b$o.y = t.y - ($dy)"
     }.mkString("\n  ")
-    Map("q_grid_pyramid" ->
+    Map(
+      // CC labeling on the level-2 overview: the oracle derives g2 via the
+      // same pool CTEs as q_grid_pyramid, builds the 4-adjacency edge list
+      // per threshold, and takes min reachable cell id per node by a
+      // recursive reachability closure (quadratic in component size —
+      // level 2 keeps that bounded; the engine's tile-contracted hash-min
+      // is the independent scalable formulation)
+      "q_grid_cc" ->
+        s"""WITH RECURSIVE g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |${poolCte(1, 100)},
+           |${poolCte(2, 50)},
+           |m AS (SELECT t.ti, t.threshold, (y * 25 + x)::BIGINT AS id, x, y
+           |      FROM g2 CROSS JOIN (VALUES (0, 25.0::DOUBLE), (1, 50.0::DOUBLE),
+           |        (2, 75.0::DOUBLE), (3, 100.0::DOUBLE)) t(ti, threshold)
+           |      WHERE v >= t.threshold),
+           |e0 AS (SELECT a.ti, a.id AS src, b.id AS dst FROM m a JOIN m b
+           |       ON b.ti = a.ti AND ((b.x = a.x + 1 AND b.y = a.y)
+           |                        OR (b.x = a.x AND b.y = a.y + 1))),
+           |e AS (SELECT ti, src, dst FROM e0 UNION ALL SELECT ti, dst, src FROM e0),
+           |reach(ti, node, lbl) AS (
+           |  SELECT ti, id, id FROM m
+           |  UNION
+           |  SELECT e.ti, e.dst, r.lbl FROM reach r
+           |  JOIN e ON e.ti = r.ti AND e.src = r.node),
+           |cc AS (SELECT ti, node, min(lbl) AS flbl FROM reach GROUP BY 1, 2),
+           |sz AS (SELECT ti, flbl, count(*)::BIGINT AS csize FROM cc GROUP BY 1, 2)
+           |SELECT any_value(m.threshold) AS threshold,
+           |  sum(sz.csize)::BIGINT AS n_cells, count(*)::BIGINT AS n_components,
+           |  max(sz.csize)::BIGINT AS max_size, sum(sz.flbl)::BIGINT AS lbl_sum
+           |FROM sz JOIN (SELECT DISTINCT ti, threshold FROM m) m ON m.ti = sz.ti
+           |GROUP BY sz.ti ORDER BY threshold""".stripMargin,
+
+      "q_grid_pyramid" ->
       s"""WITH g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
          |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
          |${(pools ++ stats).mkString(",\n")}

@@ -202,6 +202,55 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(got.length == 2 * h && got.head._2 == 2L * w)
   }
 
+  test("gridCc == local BFS labeling of the level-2 mask (tile sizes 3 and 16)") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    var w = 100
+    var h = ev.length / w
+    var grid = Array.tabulate(h, w)((y, x) => ev(y * w + x)._2)
+    for (_ <- 1 to 2) {
+      val (pw, ph) = (w / 2, h / 2)
+      grid = Array.tabulate(ph, pw)((y, x) =>
+        ((grid(2 * y)(2 * x) + grid(2 * y)(2 * x + 1))
+          + (grid(2 * y + 1)(2 * x) + grid(2 * y + 1)(2 * x + 1))) / 4.0)
+      w = pw; h = ph
+    }
+    val expected = Seq(25.0, 50.0, 75.0, 100.0).flatMap { th =>
+      val mask = Array.tabulate(h, w)((y, x) => grid(y)(x) >= th)
+      val lbl = Array.fill(h, w)(-1L)
+      var comps = List.empty[(Long, Long)] // (minId, size)
+      for (y <- 0 until h; x <- 0 until w if mask(y)(x) && lbl(y)(x) < 0) {
+        var stack = List((x, y))
+        var size = 0L
+        var minId = Long.MaxValue
+        lbl(y)(x) = 0
+        while (stack.nonEmpty) {
+          val (cx, cy) = stack.head; stack = stack.tail
+          size += 1; minId = math.min(minId, cy.toLong * w + cx)
+          for ((nx, ny) <- Seq((cx + 1, cy), (cx - 1, cy), (cx, cy + 1), (cx, cy - 1))
+               if nx >= 0 && nx < w && ny >= 0 && ny < h && mask(ny)(nx) && lbl(ny)(nx) < 0) {
+            lbl(ny)(nx) = 0; stack ::= ((nx, ny))
+          }
+        }
+        comps ::= ((minId, size))
+      }
+      if (comps.isEmpty) None
+      else Some((th, comps.map(_._2).sum, comps.size.toLong,
+        comps.map(_._2).max, comps.map(_._1).sum))
+    }
+    val cells = spark.createDataset(
+      for (y <- 0 until h; x <- 0 until w) yield (x, y, grid(y)(x)))
+    for (tile <- Seq(3, 16)) {
+      val got = RasterOps.gridCcOf(cells, w, h, tile, Seq(25.0, 50.0, 75.0, 100.0))
+        .collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+      assert(got == expected, s"tile=$tile")
+    }
+    assert(expected.exists(_._3 > 1L), "multi-component thresholds must exist")
+  }
+
   /** Brute-force local viewshed of one row of quantized elevations:
     * visible x's (x = 0 always; x >= 1 iff its angle strictly beats every
     * predecessor's by integer cross-product).
