@@ -592,6 +592,8 @@ object SparkEntry {
     "q_evt_funnel" -> EventOps.funnel,
     "q_evt_retention" -> EventOps.retention,
     "q_evt_concurrency" -> EventOps.concurrency,
+    "q_evt_twa" -> EventOps.timeWeighted,
+    "q_evt_cube" -> EventOps.cubeStats,
     "q_evt_outliers" -> EventOps.outliers,
     "q_kmeans_update" -> TrainingOps.kmeansUpdate,
     "q_integral" -> RasterOps.integralImage,

@@ -261,7 +261,74 @@ object EventOps {
       .orderBy("hour_bucket")
   }
 
+  /** Time-weighted value integral per (user, UTC day of interval start):
+    * each event's quantized value holds until the user's next event (a
+    * step function); the integral is sum(qv * dur_s) with dur_s the
+    * WHOLE-SECOND interval length (us div 1e6 — integer division BEFORE
+    * the multiply, so both sides compute the identical product; overflow
+    * headroom |qv| <= 2^28, dur_s <= 2^21 for a month horizon => products
+    * <= 2^49). A user's last event has no successor and drops (TWA over
+    * the observed span). One lead() window on user_id; everything after
+    * is narrow + the (user, day) rollup.
+    */
+  val timeWeighted: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        floor(col("value") * Q20).cast("long").as("qv"))
+      .withColumn("next_us", lead("us", 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur_s", expr("(next_us - us) div 1000000"))
+      .groupBy(col("user_id"), expr("us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_intervals"), sum("dur_s").as("dur_sum"),
+        sum(col("qv") * col("dur_s")).as("wsum"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Full CUBE over (event_type, UTC day): counts and order-free quantized
+    * value sums for every grouping-set combination — the one grouping-set
+    * shape sourceStats' ROLLUP does not cover. Grouping-null markers are
+    * coalesced to sentinels ('(all)' / -1) so no nullable group key
+    * crosses the engine/oracle dtype boundary (event_type is never null
+    * in the corpus and day is non-negative, so the sentinels are
+    * unambiguous). One shuffle; partial aggregation applies per set.
+    */
+  val cubeStats: (SparkSession, String) => DataFrame = (spark, dir) =>
+    events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
+        floor(col("value") * Q20).cast("long").as("qv"))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum("qv").as("qsum"))
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("day"), lit(-1L)).as("day"),
+        col("n_events"), col("qsum"))
+      .orderBy("event_type", "day")
+
   val oracleSql: Map[String, String] = Map(
+    // the same lead-window step integral, independently
+    "q_evt_twa" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |             floor(value * 1048576.0)::BIGINT AS qv FROM events),
+        |n AS (SELECT *, lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us FROM e),
+        |i AS (SELECT user_id, us // 86400000000 AS day, qv,
+        |        (next_us - us) // 1000000 AS dur_s
+        |      FROM n WHERE next_us IS NOT NULL)
+        |SELECT user_id, day::BIGINT AS day, count(*)::BIGINT AS n_intervals,
+        |  sum(dur_s)::BIGINT AS dur_sum, sum(qv * dur_s)::BIGINT AS wsum
+        |FROM i GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // DuckDB's native CUBE with the same sentinel coalesce
+    "q_evt_cube" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |             floor(value * 1048576.0)::BIGINT AS qv FROM events)
+        |SELECT coalesce(event_type, '(all)') AS event_type,
+        |  coalesce(day, -1)::BIGINT AS day,
+        |  count(*)::BIGINT AS n_events, sum(qv)::BIGINT AS qsum
+        |FROM e GROUP BY CUBE (event_type, day)
+        |ORDER BY 1, 2""".stripMargin,
+
     // the sessionize CTE chain feeding the textbook single global window
     // scan — vs the engine's bucketed partials + offsets
     "q_evt_concurrency" ->

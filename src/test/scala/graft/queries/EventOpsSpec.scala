@@ -145,6 +145,37 @@ class EventOpsSpec extends AnyFunSuite {
     assert(expected.exists(_._3 > 1L), "overlapping sessions must occur")
   }
 
+  test("timeWeighted matches a local step-integral recompute") {
+    val expected = ev.groupBy(_._3).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._1))
+      sorted.zip(sorted.tail).map { case (cur, nxt) =>
+        val qv = math.floor(cur._5 * 1048576.0).toLong
+        val durS = (nxt._2 - cur._2) / 1000000L
+        (u, cur._2 / 86400000000L, durS, qv * durS)
+      }.groupBy(t => (t._1, t._2)).map { case ((uu, d), xs) =>
+        (uu, d, xs.size.toLong, xs.map(_._3).sum, xs.map(_._4).sum)
+      }
+    }.toSet
+    val got = EventOps.timeWeighted(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+    assert(expected.exists(_._5 != 0L))
+  }
+
+  test("cubeStats covers all four grouping sets consistently") {
+    val rows = EventOps.cubeStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.filter(r => r._1 == "(all)" && r._2 == -1L)
+    assert(total.length == 1 && total.head._3 == ev.length.toLong)
+    val byType = rows.filter(r => r._1 != "(all)" && r._2 == -1L)
+    val byDay = rows.filter(r => r._1 == "(all)" && r._2 != -1L)
+    val fine = rows.filter(r => r._1 != "(all)" && r._2 != -1L)
+    assert(byType.map(_._3).sum == ev.length.toLong)
+    assert(byDay.map(_._3).sum == ev.length.toLong)
+    assert(fine.map(_._3).sum == ev.length.toLong)
+    assert(byType.map(_._4).sum == total.head._4 && fine.map(_._4).sum == total.head._4)
+  }
+
   test("outliers matches a BigInt local recompute") {
     val expected = ev.groupBy(_._3).toSeq.map { case (u, es) =>
       val qs = es.map(e => math.floor(e._5 * 1048576.0).toLong)
