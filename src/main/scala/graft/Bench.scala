@@ -112,12 +112,23 @@ object Bench {
     Seq("q_watershed", "q_kmeans_assign", "q_integral", "q_evt_window_join",
       "q_focal_median")
 
+  /** The round-5 fifth wave: the bbox-clipped contour pipeline, raster
+    * connected components over the level-2 overview, the exact-rational
+    * viewshed scan, cohort retention, greedy sequence packing, and the
+    * aHash media near-dup join.
+    */
+  private val Ops6Queries =
+    Seq("q_clip_rings", "q_grid_cc", "q_viewshed", "q_evt_retention",
+      "q_doc_pack", "q_media_phash")
+
+  /** All ops legs, in bench order: (json key prefix, queries). */
+  private val OpsLegs = Seq(
+    "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
+    "ops4" -> Ops4Queries, "ops5" -> Ops5Queries, "ops6" -> Ops6Queries)
+
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum
     finally spark.sqlContext.clearCache()
-
-  private def runOpsOnce(spark: SparkSession, sfDir: String): Long =
-    runQueriesOnce(spark, sfDir, OpsQueries)
 
   private def runOnce(spark: SparkSession, path: String, maxTileCoord: Int): Long = {
     implicit val s = spark
@@ -192,44 +203,16 @@ object Bench {
     }
     val passes = 2
     val opsCpus = math.min(16, maxCpus)
-    var opsBest = Double.MaxValue
-    var opsRows = 0L
-    var ops2Best = Double.MaxValue
-    var ops2Rows = 0L
-    var ops3Best = Double.MaxValue
-    var ops3Rows = 0L
-    var ops4Best = Double.MaxValue
-    var ops4Rows = 0L
-    var ops5Best = Double.MaxValue
-    var ops5Rows = 0L
+    val opsBest = scala.collection.mutable.Map[String, Double]().withDefaultValue(Double.MaxValue)
+    val opsRows = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
     def runOpsLeg(pass: Int): Unit = {
       val s = session(opsCpus)
-      try {
+      try OpsLegs.foreach { case (name, queries) =>
         val t0 = System.nanoTime()
-        opsRows = runOpsOnce(s, sfDir)
+        opsRows(name) = runQueriesOnce(s, sfDir, queries)
         val el = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] pass=$pass ops_pipeline cpus=$opsCpus elapsed=$el%.2fs rows=$opsRows")
-        opsBest = math.min(opsBest, el)
-        val t1 = System.nanoTime()
-        ops2Rows = runQueriesOnce(s, sfDir, Ops2Queries)
-        val el2 = (System.nanoTime() - t1) / 1e9
-        System.err.println(f"[bench] pass=$pass ops2_pipeline cpus=$opsCpus elapsed=$el2%.2fs rows=$ops2Rows")
-        ops2Best = math.min(ops2Best, el2)
-        val t2 = System.nanoTime()
-        ops3Rows = runQueriesOnce(s, sfDir, Ops3Queries)
-        val el3 = (System.nanoTime() - t2) / 1e9
-        System.err.println(f"[bench] pass=$pass ops3_pipeline cpus=$opsCpus elapsed=$el3%.2fs rows=$ops3Rows")
-        ops3Best = math.min(ops3Best, el3)
-        val t3 = System.nanoTime()
-        ops4Rows = runQueriesOnce(s, sfDir, Ops4Queries)
-        val el4 = (System.nanoTime() - t3) / 1e9
-        System.err.println(f"[bench] pass=$pass ops4_pipeline cpus=$opsCpus elapsed=$el4%.2fs rows=$ops4Rows")
-        ops4Best = math.min(ops4Best, el4)
-        val t4 = System.nanoTime()
-        ops5Rows = runQueriesOnce(s, sfDir, Ops5Queries)
-        val el5 = (System.nanoTime() - t4) / 1e9
-        System.err.println(f"[bench] pass=$pass ops5_pipeline cpus=$opsCpus elapsed=$el5%.2fs rows=$ops5Rows")
-        ops5Best = math.min(ops5Best, el5)
+        System.err.println(f"[bench] pass=$pass ${name}_pipeline cpus=$opsCpus elapsed=$el%.2fs rows=${opsRows(name)}")
+        opsBest(name) = math.min(opsBest(name), el)
       } finally s.stop()
     }
     for (pass <- 0 until passes) {
@@ -273,16 +256,9 @@ object Bench {
       s""""scaling_efficiency_1_to_4":$eff14""",
       s""""scaling_efficiency_2_to_8":$eff28""",
       s""""scaling_efficiency_4_to_16":$eff416""",
-      s""""ops_pipeline_c$opsCpus":$opsBest""",
-      s""""ops_pipeline_rows":$opsRows""",
-      s""""ops2_pipeline_c$opsCpus":$ops2Best""",
-      s""""ops2_pipeline_rows":$ops2Rows""",
-      s""""ops3_pipeline_c$opsCpus":$ops3Best""",
-      s""""ops3_pipeline_rows":$ops3Rows""",
-      s""""ops4_pipeline_c$opsCpus":$ops4Best""",
-      s""""ops4_pipeline_rows":$ops4Rows""",
-      s""""ops5_pipeline_c$opsCpus":$ops5Best""",
-      s""""ops5_pipeline_rows":$ops5Rows""",
+      OpsLegs.map { case (name, _) =>
+        s""""${name}_pipeline_c$opsCpus":${opsBest(name)},"${name}_pipeline_rows":${opsRows(name)}"""
+      }.mkString(","),
       s""""gen_sec":$genSec""",
       s""""cells":${cellsOf(gridsBig)}"""
     ).mkString("{", ",", "}")

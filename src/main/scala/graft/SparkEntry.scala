@@ -588,6 +588,7 @@ object SparkEntry {
     "q_doc_keep_list" -> TrainingOps.keepList,
     "q_doc_pack" -> TrainingOps.packDocs,
     "q_doc_skyline" -> TrainingOps.skyline,
+    "q_doc_pagerank" -> TrainingOps.pagerank,
     "q_evt_window_join" -> EventOps.windowJoin,
     "q_evt_funnel" -> EventOps.funnel,
     "q_evt_retention" -> EventOps.retention,

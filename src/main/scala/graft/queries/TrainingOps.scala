@@ -479,6 +479,39 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  // ---- integer-exact PageRank over the LSH duplicate pair graph ----
+
+  /** PageRank, 3 unrolled iterations, ENTIRELY in integer arithmetic so
+    * the fixpoint trajectory is bit-identical everywhere: pr_0 = 10^6 per
+    * node; pr_{k+1} = 150000 + (85 * sum over neighbors of
+    * (pr_k div deg)) div 100 — damping 0.85 as exact integer floor
+    * divisions (a float PageRank could never hash-match an oracle; the
+    * truncation error is part of the operator's DEFINED semantics).
+    * Graph = the undirected LSH candidate pair graph (every node has
+    * degree >= 1, so no dangling-mass term). Each iteration is one
+    * edge join + one groupBy — the standard message-passing round, with
+    * a FIXED 3-round unroll (no driver loop state, plan growth bounded);
+    * the oracle unrolls the same three rounds as CTEs over the
+    * q_doc_dup_clusters candidate construction.
+    */
+  val pagerank: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val cand = bandCandidates(spark, dir)
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = deg.select(col("src").as("doc_id"), col("deg"))
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val msgs = edges.join(pr, edges("src") === pr("doc_id"))
+        .select(col("dst").as("doc_id"), expr("pr div deg").as("m"))
+        .groupBy("doc_id").agg(sum("m").as("msum"))
+      pr = nodes.join(msgs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("deg"),
+          (lit(150000L) + expr("85 * coalesce(msum, 0L) div 100")).as("pr"))
+    }
+    pr.select(col("doc_id"), col("deg"), col("pr")).orderBy("doc_id")
+  }
+
   // ---- deterministic stratified sampling: stable splits from a hash ----
 
   /** Per-language keep rates in percent (en downsampled, the rest at half).
@@ -1376,6 +1409,42 @@ object TrainingOps {
     // bands -> candidate pairs -> transitive closure (recursive CTE) ->
     // per-component min id — the engine side reaches the same fixpoint by
     // hash-min label propagation, a different algorithm on the same graph
+    // the same candidate construction feeding three unrolled integer
+    // message-passing rounds
+    "q_doc_pagerank" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+        |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+        |sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS minhash
+        |         FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, (seed // 4)::INT AS band,
+        |                 string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, ',' ORDER BY seed) AS bkey
+        |          FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        |      UNION ALL SELECT doc_b, doc_a FROM cand),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |p0 AS (SELECT src AS doc_id, deg, 1000000::BIGINT AS pr FROM deg),
+        |m1 AS (SELECT e.dst AS doc_id, sum(p0.pr // p0.deg) AS msum
+        |       FROM e JOIN p0 ON p0.doc_id = e.src GROUP BY 1),
+        |p1 AS (SELECT d.src AS doc_id, d.deg,
+        |         (150000 + 85 * coalesce(m1.msum, 0) // 100)::BIGINT AS pr
+        |       FROM deg d LEFT JOIN m1 ON m1.doc_id = d.src),
+        |m2 AS (SELECT e.dst AS doc_id, sum(p1.pr // p1.deg) AS msum
+        |       FROM e JOIN p1 ON p1.doc_id = e.src GROUP BY 1),
+        |p2 AS (SELECT d.src AS doc_id, d.deg,
+        |         (150000 + 85 * coalesce(m2.msum, 0) // 100)::BIGINT AS pr
+        |       FROM deg d LEFT JOIN m2 ON m2.doc_id = d.src),
+        |m3 AS (SELECT e.dst AS doc_id, sum(p2.pr // p2.deg) AS msum
+        |       FROM e JOIN p2 ON p2.doc_id = e.src GROUP BY 1),
+        |p3 AS (SELECT d.src AS doc_id, d.deg,
+        |         (150000 + 85 * coalesce(m3.msum, 0) // 100)::BIGINT AS pr
+        |       FROM deg d LEFT JOIN m3 ON m3.doc_id = d.src)
+        |SELECT doc_id, deg::BIGINT AS deg, pr FROM p3 ORDER BY 1""".stripMargin,
+
     "q_doc_dup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
         |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s

@@ -194,4 +194,23 @@ class TrainingOpsClusterSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
     assert(!plan.contains("CartesianProduct"), plan.take(600))
   }
+
+  test("pagerank == local 3-round integer message passing over the LSH pairs") {
+    val pairs = TrainingOps.minhashDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr: Map[Long, Long] = deg.map { case (n, _) => n -> 1000000L }
+    for (_ <- 1 to 3) {
+      val msum = edges.groupBy(_._2).view
+        .mapValues(_.map { case (src, _) => pr(src) / deg(src) }.sum).toMap
+      pr = deg.map { case (n, _) => n -> (150000L + 85L * msum.getOrElse(n, 0L) / 100L) }
+    }
+    val want = pr.map { case (n, p) => (n, deg(n), p) }.toSet
+    val got = TrainingOps.pagerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.nonEmpty && want.exists(_._2 > 1L),
+      "graph must have a node with several neighbors")
+  }
 }
