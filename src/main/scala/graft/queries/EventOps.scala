@@ -306,7 +306,59 @@ object EventOps {
         col("n_events"), col("qsum"))
       .orderBy("event_type", "day")
 
+  /** Interval-overlap join: for every session, the number of OTHER-user
+    * sessions overlapping it in time (a.start <= b.end AND b.start <=
+    * a.end — the symmetric closed-interval predicate). Decomposed into
+    * hour-bucket EQUI-joins (the [[windowJoin]] idiom for intervals):
+    * each session replicates to every hour bucket it touches
+    * (duration-proportional, bounded by session length), pairs join
+    * per bucket, and the CANONICAL-BUCKET rule — a pair counts only in
+    * the bucket containing `greatest(start_a, start_b)`, where both
+    * sides are provably present — makes every overlapping pair count
+    * exactly once with NO distinct/dedup pass. The oracle runs the
+    * textbook quadratic interval join (DuckDB IEJoin).
+    */
+  val sessionOverlaps: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val bucketUs = 3600000000L
+    val sess = sessionizedEvents(spark, dir)
+      .groupBy("user_id", "session_idx")
+      .agg(min("us").as("start_us"), max("us").as("end_us"))
+    val bucketed = sess.select(col("user_id"), col("session_idx"),
+      col("start_us"), col("end_us"),
+      explode(sequence(expr(s"start_us div $bucketUs"),
+        expr(s"end_us div $bucketUs"))).as("b"))
+    val a = bucketed.select(col("user_id").as("ua"), col("session_idx").as("sa"),
+      col("start_us").as("stA"), col("end_us").as("enA"), col("b"))
+    val bside = bucketed.select(col("user_id").as("ub"),
+      col("start_us").as("stB"), col("end_us").as("enB"), col("b"))
+    val counts = a.join(bside, Seq("b"))
+      .filter(col("ua") =!= col("ub")
+        && col("stA") <= col("enB") && col("stB") <= col("enA")
+        && expr(s"greatest(stA, stB) div $bucketUs") === col("b"))
+      .groupBy(col("ua").as("user_id"), col("sa").as("session_idx"))
+      .agg(count(lit(1)).as("n_overlaps"))
+    sess.join(counts, Seq("user_id", "session_idx"), "left")
+      .select(col("user_id"), col("session_idx"),
+        coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"))
+      .orderBy("user_id", "session_idx")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // the textbook quadratic interval join over the sessionize chain
+    "q_evt_overlap" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         |m AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+         |s AS (SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > $GapUs THEN 1 ELSE 0 END)
+         |                  OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+         |      FROM m),
+         |sess AS (SELECT user_id, session_idx, min(us) AS start_us, max(us) AS end_us
+         |         FROM s GROUP BY 1, 2)
+         |SELECT a.user_id, a.session_idx::BIGINT AS session_idx,
+         |  count(b.user_id)::BIGINT AS n_overlaps
+         |FROM sess a LEFT JOIN sess b
+         |  ON b.user_id <> a.user_id AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // the same lead-window step integral, independently
     "q_evt_twa" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,

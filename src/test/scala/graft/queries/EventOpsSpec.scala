@@ -176,6 +176,30 @@ class EventOpsSpec extends AnyFunSuite {
     assert(byType.map(_._4).sum == total.head._4 && fine.map(_._4).sum == total.head._4)
   }
 
+  test("sessionOverlaps matches a local quadratic interval join") {
+    val sessions = ev.groupBy(_._3).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._1))
+      var idx = 0L
+      var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || e._2 - prev > 1800000000L) idx += 1
+        prev = e._2
+        (idx, e._2)
+      }.groupBy(_._1).map { case (si, ses) =>
+        (u, si, ses.map(_._2).min, ses.map(_._2).max)
+      }
+    }
+    val expected = sessions.map { a =>
+      val n = sessions.count(b => b._1 != a._1 && a._3 <= b._4 && b._3 <= a._4)
+      (a._1, a._2, n.toLong)
+    }.toSet
+    val got = EventOps.sessionOverlaps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(expected.exists(_._3 > 0L), "overlapping sessions must occur")
+    assert(expected.exists(_._3 == 0L), "isolated sessions must occur (left-join path)")
+  }
+
   test("outliers matches a BigInt local recompute") {
     val expected = ev.groupBy(_._3).toSeq.map { case (u, es) =>
       val qs = es.map(e => math.floor(e._5 * 1048576.0).toLong)
