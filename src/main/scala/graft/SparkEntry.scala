@@ -614,6 +614,7 @@ object SparkEntry {
     "q_row_prefix" -> RasterOps.rowPrefix,
     "q_viewshed" -> RasterOps.viewshed,
     "q_grid_cc" -> RasterOps.gridCc,
+    "q_dist_transform" -> RasterOps.distTransform,
     "q_watershed" -> HydroOps.watershed,
     "q_evt_sessionize" -> EventOps.sessionize,
     "q_evt_asof" -> EventOps.asofViewPurchase,

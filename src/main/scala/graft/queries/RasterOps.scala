@@ -935,14 +935,77 @@ object RasterOps {
       .orderBy("threshold")
   }
 
+  /** Level-2 pooled cells — the composition point shared by gridCc and
+    * distTransform (level 2 keeps their quadratic ORACLES bounded).
+    */
+  private[graft] def level2Cells(spark: SparkSession, dir: String)
+      : (Dataset[(Int, Int, Double)], Int, Int) = {
+    import spark.implicits._
+    val (c1, w1, h1) = level1Cells(spark, dir)
+    (pool(c1.toDF("x", "y", "v"), w1, h1).as[(Int, Int, Double)], w1 / 2, h1 / 2)
+  }
+
   /** q_grid_cc: CC labeling over the level-2 overview grid at the
     * standard threshold ladder.
     */
   val gridCc: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (c2, w2, h2) = level2Cells(spark, dir)
+    gridCcOf(c2, w2, h2, 16, EventsGrid.Thresholds)
+  }
+
+  /** Sentinel "no mask seen" distance — far above any reachable w + h,
+    * far below overflow; shared semantics with the final < INF/2 filter.
+    */
+  private val DtInf = 1000000000L
+
+  /** L1 (city-block) distance transform of the `v >= threshold` mask —
+    * the GDAL proximity operator — on the level-2 overview. The L1 metric
+    * is SEPARABLE: d(x,y) = min over y' of (|y - y'| + rowDist(x, y')),
+    * so the whole transform is SIX plain window scans, each key-local to
+    * a row or column (never a neighborhood join, never a quadratic pass):
+    * rowDist = min(x - last mask at-or-left, first mask at-or-right - x),
+    * and the column pass uses the RUNNING-MIN-OF-TRANSFORMED-VALUE trick:
+    * min_{y'<=y}(rowDist - y') + y descending and min_{y'>=y}(rowDist +
+    * y') - y ascending — exact integer arithmetic throughout (the
+    * sentinel INF rides the transforms safely: INF +- y never wraps and
+    * never beats a real distance). Thresholds whose mask is EMPTY drop
+    * entirely (both sides). Emits per (threshold, y): n_cells, dsum,
+    * dmax. The oracle is the independent brute-force min over all mask
+    * cells.
+    */
+  private[graft] def distTransformOf(cells: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    val spark = cells.sparkSession
     import spark.implicits._
-    val (c1, w1, h1) = level1Cells(spark, dir)
-    val c2 = pool(c1.toDF("x", "y", "v"), w1, h1).as[(Int, Int, Double)]
-    gridCcOf(c2, w1 / 2, h1 / 2, 16, EventsGrid.Thresholds)
+    val inf = DtInf
+    val base = cells.select(col("x"), col("y"), col("v"))
+      .crossJoin(broadcast(thresholds.toDF("threshold")))
+      .withColumn("mask", col("v") >= col("threshold"))
+    val rowF = Window.partitionBy("threshold", "y").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rowB = Window.partitionBy("threshold", "y").orderBy("x")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val colF = Window.partitionBy("threshold", "x").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val colB = Window.partitionBy("threshold", "x").orderBy("y")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    base
+      .withColumn("lastL", max(when(col("mask"), col("x"))).over(rowF))
+      .withColumn("firstR", min(when(col("mask"), col("x"))).over(rowB))
+      .withColumn("rd", least(
+        coalesce(col("x") - col("lastL"), lit(inf)),
+        coalesce(col("firstR") - col("x"), lit(inf))))
+      .withColumn("d", least(
+        col("y") + min(col("rd") - col("y")).over(colF),
+        min(col("rd") + col("y")).over(colB) - col("y")))
+      .filter(col("d") < inf / 2)
+      .groupBy(col("threshold"), col("y").cast("long").as("y"))
+      .agg(count(lit(1)).as("n_cells"), sum("d").as("dsum"), max("d").as("dmax"))
+      .orderBy("threshold", "y")
+  }
+
+  val distTransform: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (c2, _, _) = level2Cells(spark, dir)
+    distTransformOf(c2.toDF("x", "y", "v"), EventsGrid.Thresholds)
   }
 
   // w halves from the constant base W=100 (floor division composes:
@@ -1011,6 +1074,26 @@ object RasterOps {
            |  max(sz.csize)::BIGINT AS max_size, sum(sz.flbl)::BIGINT AS lbl_sum
            |FROM sz JOIN (SELECT DISTINCT ti, threshold FROM m) m ON m.ti = sz.ti
            |GROUP BY sz.ti ORDER BY threshold""".stripMargin,
+
+      // distance transform: brute-force min over every mask cell — the
+      // independent quadratic formulation of the engine's six-scan
+      // separable transform; thresholds with empty masks drop on both
+      // sides (inner join here, the INF filter there)
+      "q_dist_transform" ->
+        s"""WITH g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |${poolCte(1, 100)},
+           |${poolCte(2, 50)},
+           |t(threshold) AS (VALUES (25.0::DOUBLE), (50.0::DOUBLE), (75.0::DOUBLE), (100.0::DOUBLE)),
+           |mk AS (SELECT t.threshold, x, y FROM g2 CROSS JOIN t WHERE v >= t.threshold),
+           |c AS (SELECT t.threshold, x, y FROM g2 CROSS JOIN t),
+           |dd AS (SELECT c.threshold, c.x, c.y,
+           |         min(abs(c.x - m.x) + abs(c.y - m.y)) AS dist
+           |       FROM c JOIN mk m ON m.threshold = c.threshold
+           |       GROUP BY 1, 2, 3)
+           |SELECT threshold, y::BIGINT AS y, count(*)::BIGINT AS n_cells,
+           |  sum(dist)::BIGINT AS dsum, max(dist)::BIGINT AS dmax
+           |FROM dd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q_grid_pyramid" ->
       s"""WITH g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),

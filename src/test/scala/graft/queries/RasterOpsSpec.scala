@@ -251,6 +251,38 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(expected.exists(_._3 > 1L), "multi-component thresholds must exist")
   }
 
+  test("distTransform == brute-force L1 min over mask cells (random grid + level-2 path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val w = 17
+    val h = 9
+    val vals = Array.fill(h * w)(rnd.nextDouble() * 120.0)
+    val ths = Seq(30.0, 60.0, 90.0, 119.5)
+    def brute(grid: Array[Double], gw: Int, gh: Int): Seq[(Double, Long, Long, Long, Long)] =
+      ths.flatMap { th =>
+        val mask = for (y <- 0 until gh; x <- 0 until gw if grid(y * gw + x) >= th) yield (x, y)
+        if (mask.isEmpty) None
+        else Some {
+          val ds = for (y <- 0 until gh; x <- 0 until gw)
+            yield (y, mask.map(m => math.abs(x - m._1) + math.abs(y - m._2)).min.toLong)
+          (th, ds)
+        }
+      }.flatMap { case (th, ds) =>
+        ds.groupBy(_._1).toSeq.map { case (y, rows) =>
+          (th, y.toLong, rows.size.toLong, rows.map(_._2).sum, rows.map(_._2).max)
+        }
+      }.sortBy(r => (r._1, r._2))
+    val cells = spark.createDataset(
+      for (y <- 0 until h; x <- 0 until w) yield (x, y, vals(y * w + x)))
+      .toDF("x", "y", "v")
+    val got = RasterOps.distTransformOf(cells, ths).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == brute(vals, w, h))
+    assert(got.exists(_._5 > 1L), "distances beyond the immediate neighborhood must occur")
+    // sparse high threshold exercises rows with empty masks (INF carry)
+    assert(ths.exists(th => vals.count(_ >= th) < h), "a threshold must leave empty rows")
+  }
+
   /** Brute-force local viewshed of one row of quantized elevations:
     * visible x's (x = 0 always; x >= 1 iff its angle strictly beats every
     * predecessor's by integer cross-product).
