@@ -296,6 +296,14 @@ object SparkEntry {
         .orderBy("min_v")
     }),
 
+    // ---- contour topology: ring nesting-depth histogram over the raw
+    //      ring graph (y-bucketed crossing join; oracle derives rings,
+    //      canonical vertices AND edge coords purely from the packed
+    //      segment keys — no smoothing CTE at all) ----
+    "q_ring_depth" -> ((spark, dir) =>
+      graft.engine.SpatialOps.ringDepthHist(
+        engine(spark).contourRings(eventTiles(spark, dir)))),
+
     // ---- raw contour_rings (grid coords, no smoothing): exact integer
     //      doubled-coordinate sums (plus a cross moment) ----
     "q_contour_rings_stats" -> ((spark, dir) => {
@@ -990,6 +998,33 @@ object SparkEntry {
     "q_lines_stats" -> smoothChecksumSql,
     "q_geojson" -> ringWalkSql(tsAllSql),
     "q_clip_rings" -> clipRingsSql(tsAllSql),
+
+    // nesting depth: ring labels from the pointer-doubled graph; every
+    // coordinate decodes EXACTLY from the packed keys ((k // 2^32 - 3)/2,
+    // halves are f64-representable), and the crossing predicate is the
+    // engine's identical half-open expression — quarters and power-of-two
+    // divisors keep it exact on both sides
+    "q_ring_depth" ->
+      s"""WITH ${ringGraphCtes(tsAllSql, 18)},
+         |lbls AS (SELECT threshold, sk, lbl FROM w18),
+         |edges AS (SELECT s.threshold, l.lbl AS rb,
+         |    ((s.sk // 4294967296) - 3) / 2.0 AS x1, ((s.sk % 4294967296) - 3) / 2.0 AS y1,
+         |    ((s.ek // 4294967296) - 3) / 2.0 AS x2, ((s.ek % 4294967296) - 3) / 2.0 AS y2
+         |  FROM seg s JOIN lbls l ON l.threshold = s.threshold AND l.sk = s.sk),
+         |reps AS (SELECT DISTINCT threshold, lbl AS ra,
+         |    ((lbl // 4294967296) - 3) / 2.0 AS px, ((lbl % 4294967296) - 3) / 2.0 AS py
+         |  FROM lbls),
+         |crossings AS (SELECT r.threshold, r.ra, e.rb, count(*) AS nc
+         |  FROM reps r JOIN edges e ON e.threshold = r.threshold AND e.rb <> r.ra
+         |   AND ((e.y1 > r.py) <> (e.y2 > r.py))
+         |   AND r.px < e.x1 + (r.py - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+         |  GROUP BY 1, 2, 3),
+         |inside AS (SELECT threshold, ra, count(*) AS depth
+         |  FROM crossings WHERE nc % 2 = 1 GROUP BY 1, 2),
+         |depths AS (SELECT r.threshold, r.ra, coalesce(i.depth, 0) AS depth
+         |  FROM reps r LEFT JOIN inside i ON i.threshold = r.threshold AND i.ra = r.ra)
+         |SELECT threshold, depth::BIGINT AS depth, count(*)::BIGINT AS n_rings
+         |FROM depths GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_contour_rings_stats" ->
       s"""WITH ${startsCte(tsAllSql)},

@@ -694,4 +694,72 @@ object SpatialOps {
         max("cls").as("max_class"))
       .orderBy("block_x", "block_y")
   }
+
+  /** Contour-topology nesting depth histogram over RAW (unsmoothed, grid
+    * coordinate) rings: a ring's depth = the number of OTHER same-threshold
+    * rings that contain its CANONICAL vertex (the lexicographic-min (x, y)
+    * vertex — identical to the min packed start key the oracle's
+    * pointer-doubled labels select), by even-odd ray crossing with the
+    * half-open rule ((y1 > py) != (y2 > py), strict x-intercept). On the
+    * 0.5-lattice distinct rings are vertex-disjoint and no vertex can sit
+    * in an edge's interior, so the half-open verdict is EXACT — and every
+    * arithmetic step (quarters, halves, power-of-two divisors) is
+    * f64-representable, so the oracle's identical expression matches
+    * bit-for-bit. Distributed shape: the crossing test is a Y-BUCKET
+    * equi-join (edges span <= 1 in y, so each replicates to <= 2 integer
+    * buckets; each (rep, edge) pair meets in exactly one bucket — no
+    * dedup pass), then parity per (ringA, ringB), then the per-threshold
+    * histogram; no nested loop over ring sets anywhere.
+    */
+  def ringDepthHist(rings: Dataset[graft.model.RingsRow]): DataFrame = {
+    val spark = rings.sparkSession
+    import spark.implicits._
+    // kind 0 = ring representative (x1=px, y1=py); kind 1 = directed edge
+    val tagged = rings.flatMap { rr =>
+      rr.rings.iterator.flatMap { ring =>
+        val a = ring.toArray
+        val n = a.length / 2 - 1 // closing duplicate dropped
+        var kx = a(0); var ky = a(1)
+        var i = 1
+        while (i < n) {
+          val x = a(2 * i); val y = a(2 * i + 1)
+          if (x < kx || (x == kx && y < ky)) { kx = x; ky = y }
+          i += 1
+        }
+        val key = ((2 * kx).toLong + 3L) * 4294967296L + ((2 * ky).toLong + 3L)
+        val rep = Iterator.single(
+          (0, rr.threshold, key, kx, ky, 0.0, 0.0, math.floor(ky).toLong))
+        val edges = (0 until n).iterator.flatMap { j =>
+          val x1 = a(2 * j); val y1 = a(2 * j + 1)
+          val k = if (j + 1 == n) 0 else j + 1
+          val x2 = a(2 * k); val y2 = a(2 * k + 1)
+          val b0 = math.floor(math.min(y1, y2)).toLong
+          val b1 = math.floor(math.max(y1, y2)).toLong
+          (b0 to b1).iterator.map(b => (1, rr.threshold, key, x1, y1, x2, y2, b))
+        }
+        rep ++ edges
+      }
+    }.toDF("kind", "threshold", "ring", "x1", "y1", "x2", "y2", "b")
+      .localCheckpoint(true)
+    val reps = tagged.filter(col("kind") === 0)
+      .select(col("threshold"), col("ring").as("ra"),
+        col("x1").as("px"), col("y1").as("py"), col("b"))
+    val edges = tagged.filter(col("kind") === 1)
+      .select(col("threshold"), col("ring").as("rb"),
+        col("x1"), col("y1"), col("x2"), col("y2"), col("b"))
+    val inside = reps.join(edges, Seq("threshold", "b"))
+      .filter(col("ra") =!= col("rb")
+        && ((col("y1") > col("py")) =!= (col("y2") > col("py")))
+        && col("px") < col("x1")
+          + (col("py") - col("y1")) * (col("x2") - col("x1")) / (col("y2") - col("y1")))
+      .groupBy("threshold", "ra", "rb").agg(count(lit(1)).as("nc"))
+      .filter(col("nc") % 2 === 1)
+      .groupBy("threshold", "ra").agg(count(lit(1)).as("depth"))
+    reps.select(col("threshold"), col("ra"))
+      .join(inside, Seq("threshold", "ra"), "left")
+      .select(col("threshold"), coalesce(col("depth"), lit(0L)).as("depth"))
+      .groupBy("threshold", "depth")
+      .agg(count(lit(1)).as("n_rings"))
+      .orderBy("threshold", "depth")
+  }
 }

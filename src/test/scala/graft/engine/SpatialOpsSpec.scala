@@ -494,4 +494,53 @@ class SpatialOpsSpec extends AnyFunSuite {
       }.toSeq.sortBy(r => (r._1, r._2))
     assert(got == want)
   }
+
+  test("ringDepthHist == local crossing recompute on volcano (depths > 0 exist)") {
+    val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
+    val tiles = GridSynth.tilesFromArray(spark, "gd", data, w, h, 16, 16)
+    val thresholds = Seq(100.0, 140.0, 170.0)
+    val eng = new ContourEngine(spark, JobConfig(thresholds, smooth = false))
+    val ringsRows = eng.contourRings(tiles).collect()
+    val want = ringsRows.flatMap { rr =>
+      val open = rr.rings.map { r => r.toArray.dropRight(2) }
+      val reps = open.map { a =>
+        var kx = a(0); var ky = a(1)
+        var i = 1
+        while (i < a.length / 2) {
+          if (a(2 * i) < kx || (a(2 * i) == kx && a(2 * i + 1) < ky)) {
+            kx = a(2 * i); ky = a(2 * i + 1)
+          }
+          i += 1
+        }
+        (kx, ky)
+      }
+      reps.zipWithIndex.map { case ((px, py), ri) =>
+        val depth = open.indices.count { rj =>
+          rj != ri && {
+            val a = open(rj)
+            val n = a.length / 2
+            var c = 0
+            for (j <- 0 until n) {
+              val k = if (j + 1 == n) 0 else j + 1
+              val (x1, y1, x2, y2) = (a(2 * j), a(2 * j + 1), a(2 * k), a(2 * k + 1))
+              if ((y1 > py) != (y2 > py)
+                  && px < x1 + (py - y1) * (x2 - x1) / (y2 - y1)) c += 1
+            }
+            c % 2 == 1
+          }
+        }
+        (rr.threshold, depth.toLong)
+      }
+    }.groupBy(identity).map { case ((t, d), xs) => (t, d, xs.length.toLong) }
+      .toSeq.sortBy(r => (r._1, r._2))
+    val got = SpatialOps.ringDepthHist(eng.contourRings(tiles)).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // nesting: the donut grid's hole ring sits at depth 1 inside the outer
+    val tiles2 = GridSynth.tilesFromArray(spark, "gd2", Goldens.holeGrid, 10, 10, 5, 5)
+    val eng2 = new ContourEngine(spark, JobConfig(Seq(0.5), smooth = false))
+    val got2 = SpatialOps.ringDepthHist(eng2.contourRings(tiles2)).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got2 == Seq((0.5, 0L, 1L), (0.5, 1L, 1L)))
+  }
 }
