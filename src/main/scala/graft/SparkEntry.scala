@@ -603,6 +603,7 @@ object SparkEntry {
     "q_evt_concurrency" -> EventOps.concurrency,
     "q_evt_twa" -> EventOps.timeWeighted,
     "q_evt_overlap" -> EventOps.sessionOverlaps,
+    "q_evt_json" -> EventOps.jsonExtract,
     "q_evt_cube" -> EventOps.cubeStats,
     "q_evt_outliers" -> EventOps.outliers,
     "q_kmeans_update" -> TrainingOps.kmeansUpdate,

@@ -343,7 +343,36 @@ object EventOps {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Semi-structured extraction: the JSON `props` payload's `k` field,
+    * pulled with a real JSON-path expression (`get_json_object`, codegen'd
+    * — the operator a lakehouse user reaches for on sparse event
+    * payloads) and rolled up per event type. Missing/malformed payloads
+    * yield NULL and drop from the aggregates (n_with_k counts the
+    * extracted ones). The oracle extracts with a REGEX instead — an
+    * independent parse of the same field.
+    */
+  val jsonExtract: (SparkSession, String) => DataFrame = (spark, dir) =>
+    events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_with_k"),
+        sum("k").as("k_sum"), min("k").as("k_min"), max("k").as("k_max"),
+        countDistinct(col("k")).as("k_distinct"))
+      .orderBy("event_type")
+
   val oracleSql: Map[String, String] = Map(
+    // regex parse of the JSON field — an independent extraction
+    "q_evt_json" ->
+      """WITH e AS (SELECT event_type,
+        |             TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+        |           FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  count(k)::BIGINT AS n_with_k, sum(k)::BIGINT AS k_sum,
+        |  min(k)::BIGINT AS k_min, max(k)::BIGINT AS k_max,
+        |  count(DISTINCT k)::BIGINT AS k_distinct
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the textbook quadratic interval join over the sessionize chain
     "q_evt_overlap" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

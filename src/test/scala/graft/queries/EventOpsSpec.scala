@@ -200,6 +200,23 @@ class EventOpsSpec extends AnyFunSuite {
     assert(expected.exists(_._3 == 0L), "isolated sessions must occur (left-join path)")
   }
 
+  test("jsonExtract matches a local JSON-field recompute") {
+    import spark.implicits._
+    val props = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_type", "props").as[(String, String)].collect()
+    val re = """"k":\s*(-?\d+)""".r
+    val expected = props.groupBy(_._1).map { case (t, rows) =>
+      val ks = rows.flatMap(r => re.findFirstMatchIn(r._2).map(_.group(1).toLong))
+      (t, rows.length.toLong, ks.length.toLong, ks.sum, ks.min, ks.max,
+        ks.distinct.length.toLong)
+    }.toSet
+    val got = EventOps.jsonExtract(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("outliers matches a BigInt local recompute") {
     val expected = ev.groupBy(_._3).toSeq.map { case (u, es) =>
       val qs = es.map(e => math.floor(e._5 * 1048576.0).toLong)
