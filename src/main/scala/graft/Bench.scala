@@ -121,10 +121,20 @@ object Bench {
     Seq("q_clip_rings", "q_grid_cc", "q_viewshed", "q_evt_retention",
       "q_doc_pack", "q_media_phash")
 
+  /** The round-5 sixth wave: flow accumulation (doubled composition over
+    * the D8 forest), the two-level distributed convex hull, the composite
+    * quality gate, the separable L1 distance transform, and the
+    * interval-overlap join.
+    */
+  private val Ops7Queries =
+    Seq("q_flow_accum", "q_convex_hull", "q_doc_quality_gate",
+      "q_dist_transform", "q_evt_overlap")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
-    "ops4" -> Ops4Queries, "ops5" -> Ops5Queries, "ops6" -> Ops6Queries)
+    "ops4" -> Ops4Queries, "ops5" -> Ops5Queries, "ops6" -> Ops6Queries,
+    "ops7" -> Ops7Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

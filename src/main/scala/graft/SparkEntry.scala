@@ -4,7 +4,7 @@ import graft.core.{Cases, Clip, GeoJson, MarchingSquares, Poly, ContourResult, T
 import graft.docs.DocCodec
 import graft.engine.ContourEngine
 import graft.model._
-import graft.queries.{EventOps, EventsGrid, HydroOps, MultimodalOps, RasterOps, StatsOps, TrainingOps}
+import graft.queries.{EventOps, EventsGrid, HullOps, HydroOps, MultimodalOps, RasterOps, StatsOps, TrainingOps}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -587,6 +587,7 @@ object SparkEntry {
     "q_doc_char_terms" -> TrainingOps.charTerms,
     "q_doc_chunks" -> TrainingOps.chunkDocs,
     "q_doc_stopwords" -> TrainingOps.stopwordStats,
+    "q_doc_quality_gate" -> TrainingOps.qualityGate,
     "q_doc_rep_ngrams" -> TrainingOps.repNgramStats,
     "q_doc_decontam" -> TrainingOps.decontam,
     "q_doc_token_runs" -> TrainingOps.tokenRuns,
@@ -625,6 +626,8 @@ object SparkEntry {
     "q_grid_cc" -> RasterOps.gridCc,
     "q_dist_transform" -> RasterOps.distTransform,
     "q_watershed" -> HydroOps.watershed,
+    "q_flow_accum" -> HydroOps.flowAccum,
+    "q_convex_hull" -> HullOps.convexHull,
     "q_evt_sessionize" -> EventOps.sessionize,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,
@@ -1505,7 +1508,7 @@ object SparkEntry {
         |  sum(floor(v / d2 * 1048576.0)::BIGINT)::BIGINT AS qwv_sum
         |FROM p GROUP BY 1 ORDER BY tid""".stripMargin
   ) ++ TrainingOps.oracleSql ++ RasterOps.oracleSql ++ EventOps.oracleSql ++
-    StatsOps.oracleSql ++ HydroOps.oracleSql
+    StatsOps.oracleSql ++ HydroOps.oracleSql ++ HullOps.oracleSql
 
   /** Staged Morton bit-spread CTE chain (DuckDB): takes a CTE `src` with
     * BIGINT columns `px`, `py` (non-negative, 31-bit) plus `carry` columns

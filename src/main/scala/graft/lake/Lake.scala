@@ -261,6 +261,47 @@ object Lake {
   def read(spark: SparkSession, snap: Snapshot): DataFrame =
     spark.read.parquet(snap.path)
 
+  /** Time travel: the complete snapshot at sequence number `seq`, if any.
+    * Cost is one directory listing plus one manifest read — the filename
+    * IS the seq (legacy fork siblings disambiguate by the parsed body
+    * seq, same as expireSnapshots).
+    */
+  def snapshotAt(spark: SparkSession, table: String, seq: Long): Option[Snapshot] = {
+    val dir = snapshotsDir(table)
+    val fs = fsOf(spark, dir)
+    manifestFiles(fs, dir).filter(_._1 == seq).iterator
+      .map { case (_, p) => readFully(fs, p) }
+      .filter(_.endsWith("\"eof\":true}"))
+      .map(parse).find(_.seq == seq)
+  }
+
+  /** Time-travel read by sequence number; loud on an absent (never
+    * committed, expired, or torn) seq.
+    */
+  def readAt(spark: SparkSession, table: String, seq: Long): DataFrame =
+    read(spark, snapshotAt(spark, table, seq).getOrElse(
+      throw new IllegalArgumentException(s"readAt: no complete snapshot at seq $seq in $table")))
+
+  /** Small-file compaction: rewrite the LATEST snapshot's data as a new
+    * `op = "compact"` snapshot with `numFiles` files (coalesce — a narrow
+    * rewrite, no shuffle), verified row-exact against the parent via the
+    * committed footer metrics before returning. Readers keep resolving
+    * the parent through time travel until it is expired — compaction
+    * never mutates history, it appends to it (the Iceberg rewrite_data_
+    * files contract). Run under the same single-writer regime as any
+    * commit; the seq-collision unit makes a concurrent commit fail
+    * loudly, not fork.
+    */
+  def compact(spark: SparkSession, table: String, numFiles: Int): Snapshot = {
+    require(numFiles >= 1, s"compact: numFiles must be >= 1, got $numFiles")
+    val last = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"compact: $table has no snapshot"))
+    val snap = commit(spark, table, read(spark, last).coalesce(numFiles), "compact")
+    require(snap.rows == last.rows,
+      s"compact: row count changed ${last.rows} -> ${snap.rows} in $table")
+    snap
+  }
+
   /** Lineage chain of a snapshot, oldest first. */
   def lineage(spark: SparkSession, table: String, id: String): Seq[Snapshot] = {
     val byId = snapshots(spark, table).map(s => s.id -> s).toMap

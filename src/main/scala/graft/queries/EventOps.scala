@@ -72,7 +72,7 @@ object EventOps {
     * (the classic attribution horizon; at this corpus's event density a
     * shorter window would leave the match path untested).
     */
-  private val WindowUs = 86400000000L
+  private[graft] val WindowUs = 86400000000L
 
   /** Bounded sliding-window count join — for every purchase, how many
     * views the same user made in the 24 hours before it ([ts - 24h,

@@ -86,6 +86,84 @@ object HydroOps {
       .orderBy("basin_size")
   }
 
+  /** All transitive DOWNSTREAM pairs (anc, node) of the successor forest —
+    * every (cell, strictly-downstream cell on its flow path) — by DOUBLED
+    * COMPOSITION: the invariant after the round at stride s is "pairs
+    * covers every path distance in [1, 2s]" (capped at path end), because
+    * the round composes only FULL-stride pointers (d == s) with the
+    * existing pairs (mid-to-target distance in [1, s]), yielding exactly
+    * the distances [s+1, 2s] — each pair lands ONCE (a functional graph
+    * has one path per source, so (anc, node) has a unique distance and a
+    * unique producing round): no dedup pass anywhere. O(log longest flow
+    * path) rounds, each one narrow equi-join; per-round lineage truncation
+    * via localCheckpoint like [[basinLabels]]. Total pair volume is the
+    * sum of path lengths — the same volume a topological peeling would
+    * shuffle over O(longest path) rounds, here in logarithmic rounds.
+    */
+  private[graft] def downstreamPairs(succ: DataFrame): DataFrame = {
+    val edges = succ.filter(col("succ") >= 0L).localCheckpoint(true)
+    val keys = edges.select(col("id").as("kid")).localCheckpoint(true)
+    var ptr = edges.select(col("id"), col("succ").as("cur"), lit(1L).as("d"))
+      .localCheckpoint(true)
+    var pairs = edges.select(col("id").as("anc"), col("succ").as("node"))
+      .localCheckpoint(true)
+    var stride = 1L
+    var rounds = 0
+    def live(p: DataFrame): Long =
+      p.join(keys, p("cur") === keys("kid"), "left_semi").count()
+    var left = live(ptr)
+    while (left > 0 && rounds < MaxRounds) {
+      val newPairs = ptr.filter(col("d") === stride).as("a")
+        .join(pairs.as("p"), col("a.cur") === col("p.anc"))
+        .select(col("a.id").as("anc"), col("p.node").as("node"))
+      val merged = pairs.unionByName(newPairs).localCheckpoint(true)
+      // advance only full-stride pointers; saturated rows (cur terminal,
+      // or d < stride from an earlier saturation) ride along unchanged
+      val jumped = ptr.as("a")
+        .join(ptr.select(col("id").as("bid"), col("cur").as("bcur"),
+            col("d").as("bd")).as("b"),
+          col("a.d") === stride && col("a.cur") === col("bid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("bcur"), col("a.cur")).as("cur"),
+          (col("a.d") + coalesce(col("bd"), lit(0L))).as("d"))
+        .localCheckpoint(true)
+      left = live(jumped)
+      pairs.unpersist(blocking = false); ptr.unpersist(blocking = false)
+      pairs = merged; ptr = jumped
+      stride *= 2
+      rounds += 1
+    }
+    require(left == 0, s"downstreamPairs: unresolved pointers after $MaxRounds doubling rounds")
+    ptr.unpersist(blocking = false)
+    keys.unpersist(blocking = false); edges.unpersist(blocking = false)
+    pairs
+  }
+
+  /** D8 flow ACCUMULATION — the second standard hydrology derivative
+    * (stream-network extraction): acc(cell) = number of upstream cells
+    * whose flow path passes through it. Runs over the LEVEL-1 overview
+    * (composing the pyramid like q_pyramid_slope; pair volume = sum of
+    * path lengths, which the overview keeps oracle-bounded — at full
+    * resolution the identical plan applies, with the pairs table as the
+    * documented volume contract). Engine = [[downstreamPairs]] grouped by
+    * downstream node; cells nothing drains into report 0 (left join from
+    * the full interior domain). Output is the accumulation histogram
+    * (acc, n_cells, id_sum) — order-free integers, rows bounded by
+    * distinct accumulation values, with the id_sum discriminator pinning
+    * WHICH cells carry each accumulation class.
+    */
+  val flowAccum: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (c1, w1, h1) = RasterOps.level1Cells(spark, dir)
+    val succ = RasterOps.d8SuccCellsTiledOf(c1, w1, h1, 25, 25)
+    val acc = downstreamPairs(succ)
+      .groupBy(col("node").as("id")).agg(count(lit(1)).as("acc"))
+    succ.select(col("id")).join(acc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("acc"), lit(0L)).as("acc"))
+      .groupBy("acc")
+      .agg(count(lit(1)).as("n_cells"), sum(col("id")).as("id_sum"))
+      .orderBy("acc")
+  }
+
   /** The oracle follows every cell's flow path step by step with a
     * recursive CTE (linear in total path length — fine at oracle scale,
     * and a genuinely different algorithm from the engine's logarithmic
@@ -97,12 +175,47 @@ object HydroOps {
       val dx = o % 3 - 1; val dy = o / 3 - 1
       s"JOIN g b$o ON b$o.x = t.x - ($dx) AND b$o.y = t.y - ($dy)"
     }.mkString("\n  ")
+    val slotJoins1 = (0 to 8).filter(_ != 4).map { o =>
+      val dx = o % 3 - 1; val dy = o / 3 - 1
+      s"JOIN g1 b$o ON b$o.x = t.x - ($dx) AND b$o.y = t.y - ($dy)"
+    }.mkString("\n  ")
     val terms = Seq(0, 1, 2, 3, 5, 6, 7, 8).map { o =>
       val dxo = o % 3 - 1; val dyo = o / 3 - 1
       val distSql = if (dxo != 0 && dyo != 0) "sqrt(2.0)" else "1.0"
       s"(floor((t.v - b$o.v) / $distSql * 1048576.0)::BIGINT * 16 + ${8 - o})"
     }.mkString(",\n    ")
-    Map("q_watershed" ->
+    Map(
+      // flow accumulation on the level-1 overview: the walk CTE enumerates
+      // every (ancestor, downstream-node) pair step by step — the linear-
+      // round independent algorithm vs the engine's doubled composition;
+      // count(w.anc) over the LEFT join gives headwater cells their 0
+      "q_flow_accum" ->
+        s"""WITH RECURSIVE
+           |g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |${RasterOps.poolCte(1, 100)},
+           |p AS (SELECT t.x, t.y, greatest(
+           |    $terms) AS pmax
+           |  FROM g1 t
+           |  $slotJoins1
+           |  WHERE t.x BETWEEN 1 AND 48 AND t.y BETWEEN 1 AND (SELECT h FROM d) // 2 - 2),
+           |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+           |step AS (SELECT (y * 50 + x)::BIGINT AS id,
+           |  CASE WHEN dir >= 0
+           |       THEN ((y - (dir // 3 - 1)) * 50 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+           |  FROM dc),
+           |walk(anc, node) AS (
+           |  SELECT id, succ FROM step WHERE succ IS NOT NULL
+           |  UNION ALL
+           |  SELECT w.anc, s.succ FROM walk w
+           |  JOIN step s ON s.id = w.node AND s.succ IS NOT NULL),
+           |a AS (SELECT s.id, count(w.anc) AS acc
+           |      FROM step s LEFT JOIN walk w ON w.node = s.id GROUP BY 1)
+           |SELECT acc::BIGINT AS acc, count(*)::BIGINT AS n_cells,
+           |  sum(id)::BIGINT AS id_sum
+           |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_watershed" ->
       s"""WITH RECURSIVE
          |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
          |d AS (SELECT (count(*) // 100)::INT AS h FROM events),

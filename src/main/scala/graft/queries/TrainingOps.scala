@@ -274,6 +274,40 @@ object TrainingOps {
         expr("((n_shingles - n_distinct) * 1000L) div greatest(n_shingles, 1L)"))
       .orderBy("doc_id")
 
+  /** Composite quality GATE — the keep/drop decision an ingestion pipeline
+    * actually runs, composed from the individual signals above with a
+    * DETERMINISTIC verdict precedence (first failing rule names the
+    * verdict): too_short (n_tokens < 20), then low_stopword (stop ratio
+    * < 60/1000), then repetitive (repeated-3-gram fraction > 20/1000),
+    * else keep. Every compare is integer (the *1000 div ratios), so no
+    * tolerance sits near a cut line. Output is the per-(source, verdict)
+    * census (n_docs + token volume) — the dashboard a filtering run
+    * reports; one map-side-combinable groupBy after narrow per-row
+    * expressions. Cutoffs are this corpus's contract constants, shared
+    * verbatim with the oracle (a production run would configure them).
+    */
+  val qualityGate: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val inList = StopWords.map(w => s"'$w'").mkString(", ")
+    docs(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("stop_x1000",
+        expr(s"(size(filter(toks, t -> t IN ($inList))) * 1000L) div greatest(size(toks), 1)"))
+      .withColumn("shingles",
+        when(size(col("toks")) < 3, array().cast("array<string>"))
+          .otherwise(expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")))
+      .withColumn("rep_x1000",
+        expr("((size(shingles) - size(array_distinct(shingles))) * 1000L) div greatest(size(shingles), 1)"))
+      .withColumn("verdict",
+        when(col("n_tokens") < 20L, "too_short")
+          .when(col("stop_x1000") < 60L, "low_stopword")
+          .when(col("rep_x1000") > 20L, "repetitive")
+          .otherwise("keep"))
+      .groupBy("source", "verdict")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"))
+      .orderBy("source", "verdict")
+  }
+
   /** Corpus token-frequency spectrum (count-of-counts): for each occurrence
     * count, how many distinct vocabulary types occur exactly that often —
     * the classic Zipf diagnostic for corpus health (a natural corpus has a
@@ -1479,6 +1513,27 @@ object TrainingOps {
         |         'that', 'it', 'for', 'on', 'as', 'with', 'was', 'at', 'by', 'an', 'be',
         |         'this', 'are'))) * 1000) // greatest(len(ws), 1))::BIGINT AS stop_x1000
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_doc_quality_gate" ->
+      """WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |s AS (SELECT source, len(ws)::BIGINT AS n_tokens,
+        |        ((len(list_filter(ws, t -> t IN ('the', 'of', 'and', 'to', 'in', 'a', 'is',
+        |          'that', 'it', 'for', 'on', 'as', 'with', 'was', 'at', 'by', 'an', 'be',
+        |          'this', 'are'))) * 1000) // greatest(len(ws), 1))::BIGINT AS stop_x1000,
+        |        CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+        |             ELSE list_transform(range(1, len(ws) - 1),
+        |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sh
+        |      FROM t),
+        |v AS (SELECT source, n_tokens,
+        |        CASE WHEN n_tokens < 20 THEN 'too_short'
+        |             WHEN stop_x1000 < 60 THEN 'low_stopword'
+        |             WHEN (((len(sh) - len(list_distinct(sh))) * 1000)
+        |                     // greatest(len(sh), 1)) > 20 THEN 'repetitive'
+        |             ELSE 'keep' END AS verdict
+        |      FROM s)
+        |SELECT source, verdict, count(*)::BIGINT AS n_docs,
+        |       sum(n_tokens)::BIGINT AS tok_sum
+        |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_doc_rep_ngrams" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),

@@ -71,6 +71,29 @@ class LakeSpec extends AnyFunSuite {
     assert(ps(0).exterior == Goldens.multiExpected1.toSeq)
   }
 
+  test("time travel by seq; compaction rewrites files row-exactly and appends history") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("lake-tt").toString
+    val s0 = Lake.commit(spark, table, (1 to 100).toDF("x").repartition(8), "load")
+    val s1 = Lake.commit(spark, table, (1 to 60).toDF("x").repartition(8), "filter")
+    assert(s0.partitionRows.length == 8)
+    // time travel resolves BOTH snapshots by seq, bytes unchanged
+    assert(Lake.readAt(spark, table, s0.seq).as[Int].collect().sorted.toSeq == (1 to 100))
+    assert(Lake.readAt(spark, table, s1.seq).as[Int].collect().sorted.toSeq == (1 to 60))
+    // compaction: 8 files -> 2, same rows, new snapshot on top
+    val c = Lake.compact(spark, table, 2)
+    assert(c.op == "compact" && c.seq == s1.seq + 1 && c.parent == s1.id)
+    assert(c.rows == 60 && c.partitionRows.length == 2)
+    assert(Lake.read(spark, Lake.latest(spark, table).get)
+      .as[Int].collect().sorted.toSeq == (1 to 60))
+    // pre-compaction history stays readable until expired
+    assert(Lake.readAt(spark, table, s1.seq).as[Int].collect().sorted.toSeq == (1 to 60))
+    Lake.expireSnapshots(spark, table, keepLast = 1)
+    val gone = intercept[IllegalArgumentException](Lake.readAt(spark, table, s1.seq))
+    assert(gone.getMessage.contains("no complete snapshot"))
+    assert(Lake.readAt(spark, table, c.seq).count() == 60)
+  }
+
   test("torn/in-flight manifests are never observed; recovery frees the slot") {
     import spark.implicits._
     val table = Files.createTempDirectory("lake-torn").toString

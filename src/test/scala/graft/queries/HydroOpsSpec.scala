@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Flow accumulation: the doubled-composition pair enumeration is checked
+  * against a brute-force per-source path walk on random functional
+  * forests (terminal-outside-keyset and pit cases included), on a long
+  * chain that forces many doubling rounds, and end to end on the real
+  * level-1 grid against an independent local recompute.
+  */
+class HydroOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def pairsOf(succ: Map[Long, Long]): Set[(Long, Long)] = {
+    val out = scala.collection.mutable.Set.empty[(Long, Long)]
+    succ.keys.foreach { id =>
+      var cur = succ(id)
+      if (cur >= 0) {
+        out += ((id, cur))
+        while (succ.get(cur).exists(_ >= 0)) {
+          cur = succ(cur)
+          out += ((id, cur))
+        }
+      }
+    }
+    out.toSet
+  }
+
+  private def runEngine(succ: Map[Long, Long]): Seq[(Long, Long)] = {
+    import spark.implicits._
+    val df = succ.toSeq.toDF("id", "succ").repartition(5)
+    HydroOps.downstreamPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  test("downstreamPairs == brute-force path walk on random functional forests") {
+    val rng = new scala.util.Random(20260818L)
+    for (trial <- 0 until 8) {
+      val n = 20 + rng.nextInt(60)
+      // strictly-decreasing "elevation" by construction: succ(i) < i, so
+      // the graph is a forest; ~15% pits, ~10% drain to an out-of-keyset
+      // terminal (a "boundary" id >= n, like the raster's edge cells)
+      val succ = (0L until n.toLong).map { i =>
+        val r = rng.nextDouble()
+        val s = if (i == 0 || r < 0.15) -1L
+        else if (r < 0.25) n.toLong + rng.nextInt(5)
+        else rng.nextLong(i)
+        i -> s
+      }.toMap
+      val got = runEngine(succ)
+      assert(got.length == got.toSet.size, s"trial $trial: duplicate pairs")
+      assert(got.toSet == pairsOf(succ), s"trial $trial")
+    }
+  }
+
+  test("long chain forces multi-round doubling; acc(j) = j") {
+    import spark.implicits._
+    val n = 300L
+    val succ = (0L until n).map(i => i -> (if (i == n - 1) -1L else i + 1)).toMap
+    val got = runEngine(succ)
+    assert(got.length == (n * (n - 1) / 2).toInt)
+    val acc = got.groupBy(_._2).map { case (v, s) => (v, s.size.toLong) }
+    (1L until n).foreach(j => assert(acc(j) == j, s"node $j"))
+  }
+
+  test("flowAccum on sf0.001 == local recompute over the level-1 grid") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (c1, w1, h1) = RasterOps.level1Cells(spark, dir)
+    val cells = c1.collect()
+    val g = Array.ofDim[Double](w1 * h1)
+    cells.foreach { case (x, y, v) => g(y * w1 + x) = v }
+    def v(y: Int, x: Int) = g(y * w1 + x)
+    val Q = 1048576.0
+    val succ = (for (y <- 1 to h1 - 2; x <- 1 to w1 - 2) yield {
+      val packed = (for (o <- Seq(0, 1, 2, 3, 5, 6, 7, 8)) yield {
+        val dxo = o % 3 - 1; val dyo = o / 3 - 1
+        val dist = if (dxo != 0 && dyo != 0) math.sqrt(2.0) else 1.0
+        math.floor((v(y, x) - v(y - dyo, x - dxo)) / dist * Q).toLong * 16L + (8L - o)
+      }).max
+      val id = y.toLong * w1 + x
+      if (packed >= 16L) {
+        val d = 8L - packed % 16L
+        id -> ((y - (d / 3 - 1)) * w1 + (x - (d % 3 - 1)))
+      } else id -> -1L
+    }).toMap
+    val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    pairsOf(succ).foreach { case (_, node) => if (succ.contains(node)) acc(node) += 1L }
+    val want = succ.keys.toSeq.map(id => (id, acc(id)))
+      .groupBy(_._2).map { case (a, s) => (a, s.size.toLong, s.map(_._1).sum) }
+      .toSeq.sortBy(_._1)
+    val got = HydroOps.flowAccum(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.map(_._2).sum == ((w1 - 2).toLong * (h1 - 2)))
+  }
+}
