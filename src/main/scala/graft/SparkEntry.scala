@@ -629,6 +629,7 @@ object SparkEntry {
     "q_flow_accum" -> HydroOps.flowAccum,
     "q_convex_hull" -> HullOps.convexHull,
     "q_evt_sessionize" -> EventOps.sessionize,
+    "q_evt_trend" -> EventOps.trend,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,
     "q_top_events" -> StatsOps.topEvents,

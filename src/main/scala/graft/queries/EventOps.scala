@@ -217,6 +217,47 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Per-user activity TREND: the exact least-squares slope of quantized
+    * value over time, emitted as the EXACT RATIONAL pair
+    * num = n*Sxy - Sx*Sy, den = n*Sxx - Sx^2 (den >= 0 by Cauchy-Schwarz;
+    * slope = num/den where den > 0, constant-time users report den = 0) —
+    * no float division ever happens, so engine, oracle and spec agree bit
+    * for bit. x = whole MINUTES since the user's first event (rebasing is
+    * what keeps every product Long-safe — raw epoch microseconds would
+    * overflow three ways), y = floor(value * 2^20). One user_id
+    * partitioning serves both passes (min-x window, then the moment
+    * aggregation). LOUD BOUND, two layers: every |num| term is
+    * <= n^2 * x_max * |q|_max, which each user must keep under 2^62 —
+    * checked per user in decimal(38,0) through a raise_error filter (the
+    * q_evt_outliers idiom) — and independently, ANSI mode (Spark 4's
+    * default, on in every session here) throws ARITHMETIC_OVERFLOW on any
+    * Long product that wraps, so even a per-term x*q overflow upstream of
+    * the check fails the query rather than corrupting it (adversarially
+    * specced). This corpus passes with ~30x margin; a longer-horizon run
+    * rebases x to coarser units under the same contract.
+    */
+  val trend: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val dec = "decimal(38,0)"
+    val bound = lit("4611686018427387904").cast(dec) // 2^62
+    events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        floor(col("value") * Q20).cast("long").as("q"))
+      .withColumn("x", expr("(us - min(us) OVER (PARTITION BY user_id)) div 60000000"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("q").as("sy"),
+        sum(col("x") * col("q")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        max("x").as("xmax"), max(abs(col("q"))).as("qmax"))
+      .filter(when(
+        col("n").cast(dec) * col("n") * col("xmax") * col("qmax") >= bound,
+        raise_error(concat(lit("trend: user "), col("user_id"),
+          lit(" exceeds the n^2*xmax*qmax < 2^62 Long-safety contract"))))
+        .otherwise(lit(true)))
+      .select(col("user_id"), col("n").as("n_events"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .orderBy("user_id")
+  }
+
   /** Sweep-line concurrency load curve: how many sessions are open at
     * once, maxed per hour bucket. Sessions come from the [[sessionize]]
     * gap rule; each contributes +1 at start_us and -1 at end_us + 1
@@ -362,6 +403,25 @@ object EventOps {
       .orderBy("event_type")
 
   val oracleSql: Map[String, String] = Map(
+    // least-squares trend: the same exact-integer moment sums (rebased
+    // minute x, quantized y) — num/den are plain BIGINT expressions whose
+    // HUGEINT intermediates the ::BIGINT casts keep honest (an overflow
+    // errors instead of wrapping, mirroring the engine's raise_error)
+    "q_evt_trend" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |             floor(value * 1048576.0)::BIGINT AS q FROM events),
+        |b AS (SELECT user_id, q,
+        |        (us - min(us) OVER (PARTITION BY user_id)) // 60000000 AS x
+        |      FROM e),
+        |a AS (SELECT user_id, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |        sum(q)::BIGINT AS sy, sum(x * q)::BIGINT AS sxy,
+        |        sum(x * x)::BIGINT AS sxx
+        |      FROM b GROUP BY 1)
+        |SELECT user_id, n AS n_events,
+        |  (n * sxy - sx * sy)::BIGINT AS num,
+        |  (n * sxx - sx * sx)::BIGINT AS den
+        |FROM a ORDER BY user_id""".stripMargin,
+
     // regex parse of the JSON field — an independent extraction
     "q_evt_json" ->
       """WITH e AS (SELECT event_type,

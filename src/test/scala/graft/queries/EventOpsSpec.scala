@@ -233,4 +233,53 @@ class EventOpsSpec extends AnyFunSuite {
     assert(expected.exists(r => r._3 == 0L && r._2 > 1L),
       "some multi-event user must have none (exact-comparison path)")
   }
+
+  test("trend matches an exact local least-squares recompute; slopes go both ways") {
+    val expected = ev.groupBy(_._3).toSeq.map { case (u, es) =>
+      val mn = es.map(_._2).min
+      val pts = es.map(e => ((e._2 - mn) / 60000000L, math.floor(e._5 * 1048576.0).toLong))
+      val n = pts.length.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+      (u, n, n * sxy - sx * sy, n * sxx - sx * sx)
+    }.toSet
+    val got = EventOps.trend(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(expected.forall(_._4 >= 0L), "den >= 0 by Cauchy-Schwarz")
+    assert(expected.exists(_._3 > 0L) && expected.exists(_._3 < 0L),
+      "both trend directions must occur on real data")
+    // BigInt cross-check that no Long product wrapped anywhere
+    val big = ev.groupBy(_._3).toSeq.map { case (u, es) =>
+      val mn = es.map(_._2).min
+      val pts = es.map(e => (BigInt((e._2 - mn) / 60000000L),
+        BigInt(math.floor(e._5 * 1048576.0).toLong)))
+      val n = BigInt(pts.length)
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+      (u, pts.length.toLong, (n * sxy - sx * sy).toLong, (n * sxx - sx * sx).toLong)
+    }.toSet
+    assert(big == expected)
+  }
+
+  test("trend's Long-safety contract fails LOUDLY, never wraps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("trend-bound").toString
+    // one user, two events ~8000 years (~2^32 minutes) apart with huge
+    // quantized values (~2^32): n^2 * xmax * qmax ~ 2^66 >= 2^62
+    Seq((1L, 7L, "1970-01-01 00:00:00", "view", 5000.0),
+      (2L, 7L, "9970-01-01 00:00:00", "view", 5000.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ex = intercept[Exception](EventOps.trend(spark, dir).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // two loud layers: ANSI mode (Spark 4 default) throws ARITHMETIC_OVERFLOW
+    // on any Long product that wraps; the decimal raise_error names the
+    // operator's contract when the bound check runs first. Either way the
+    // query FAILS — never a silent wrap.
+    assert(msgs(ex).exists(m =>
+      m.contains("Long-safety contract") || m.contains("ARITHMETIC_OVERFLOW")
+        || m.contains("long overflow")), msgs(ex).mkString(" | "))
+  }
 }
