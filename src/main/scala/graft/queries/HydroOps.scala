@@ -95,10 +95,14 @@ object HydroOps {
     * the distances [s+1, 2s] — each pair lands ONCE (a functional graph
     * has one path per source, so (anc, node) has a unique distance and a
     * unique producing round): no dedup pass anywhere. O(log longest flow
-    * path) rounds, each one narrow equi-join; per-round lineage truncation
-    * via localCheckpoint like [[basinLabels]]. Total pair volume is the
-    * sum of path lengths — the same volume a topological peeling would
-    * shuffle over O(longest path) rounds, here in logarithmic rounds.
+    * path L) rounds, each one narrow equi-join; per-round lineage
+    * truncation via localCheckpoint like [[basinLabels]]. Exchange
+    * accounting, honestly: the OUTPUT pair volume is TC = the sum of path
+    * lengths, but each round's composition re-shuffles the accumulated
+    * pair set, so total exchange is O(TC log L) — vs topological
+    * peeling's O(TC) spread over O(L) rounds. The doubling trade wins
+    * when L is large (real DEM flow paths run the raster's diameter) and
+    * loses nothing here; a caller who knows L is small can peel instead.
     */
   private[graft] def downstreamPairs(succ: DataFrame): DataFrame = {
     val edges = succ.filter(col("succ") >= 0L).localCheckpoint(true)
