@@ -627,9 +627,11 @@ object SparkEntry {
     "q_dist_transform" -> RasterOps.distTransform,
     "q_watershed" -> HydroOps.watershed,
     "q_flow_accum" -> HydroOps.flowAccum,
+    "q_stream_power" -> HydroOps.streamPower,
     "q_convex_hull" -> HullOps.convexHull,
     "q_evt_sessionize" -> EventOps.sessionize,
     "q_evt_trend" -> EventOps.trend,
+    "q_evt_transitions" -> EventOps.transitions,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,
     "q_top_events" -> StatsOps.topEvents,

@@ -217,6 +217,27 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Session-scoped event-type TRANSITION MATRIX — the Markov-chain
+    * summary of user behavior paths: adjacent (from_type, to_type) pairs
+    * INSIDE each gap-session (the sessionizer's one definition of the gap
+    * rule via [[sessionizedEvents]]; a transition never crosses a session
+    * boundary), counted globally and by distinct exhibiting users. One
+    * lead window over the same (user, session) ordering the sessionizer
+    * already shuffled for, then a map-side-combinable groupBy over the
+    * |types|^2-bounded key space. Ordering inside a user is total by the
+    * (user_id, ts)-uniqueness premise the as-of spec pins at every sf.
+    */
+  val transitions: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val w = Window.partitionBy("user_id", "session_idx").orderBy("us")
+    sessionizedEvents(spark, dir)
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Per-user activity TREND: the exact least-squares slope of quantized
     * value over time, emitted as the EXACT RATIONAL pair
     * num = n*Sxy - Sx*Sy, den = n*Sxx - Sx^2 (den >= 0 by Cauchy-Schwarz;
@@ -421,6 +442,21 @@ object EventOps {
         |  (n * sxy - sx * sy)::BIGINT AS num,
         |  (n * sxx - sx * sx)::BIGINT AS den
         |FROM a ORDER BY user_id""".stripMargin,
+
+    // transition matrix: the same session chain as q_evt_overlap's CTE,
+    // lead within (user, session), counted per (from, to) pair
+    "q_evt_transitions" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         |m AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+         |s AS (SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > $GapUs THEN 1 ELSE 0 END)
+         |                  OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+         |      FROM m),
+         |t AS (SELECT user_id, event_type AS from_type,
+         |        lead(event_type) OVER (PARTITION BY user_id, session_idx ORDER BY us, event_id) AS to_type
+         |      FROM s)
+         |SELECT from_type, to_type, count(*)::BIGINT AS n_trans,
+         |  count(DISTINCT user_id)::BIGINT AS n_users
+         |FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // regex parse of the JSON field — an independent extraction
     "q_evt_json" ->

@@ -156,16 +156,53 @@ object HydroOps {
     * distinct accumulation values, with the id_sum discriminator pinning
     * WHICH cells carry each accumulation class.
     */
-  val flowAccum: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val (c1, w1, h1) = RasterOps.level1Cells(spark, dir)
-    val succ = RasterOps.d8SuccCellsTiledOf(c1, w1, h1, 25, 25)
+  /** Per-cell accumulation (id, acc) over every id of the successor
+    * table — headwaters report 0 through the left join. The composable
+    * feed shared by [[flowAccum]] and the stream-power composition.
+    */
+  private[graft] def accCells(succ: DataFrame): DataFrame = {
     val acc = downstreamPairs(succ)
       .groupBy(col("node").as("id")).agg(count(lit(1)).as("acc"))
     succ.select(col("id")).join(acc, Seq("id"), "left")
       .select(col("id"), coalesce(col("acc"), lit(0L)).as("acc"))
+  }
+
+  /** The level-1 D8 successor table — the feed shared by flowAccum and
+    * streamPower (ONE definition of the overview + tiling choice).
+    */
+  private[graft] def level1Succ(spark: SparkSession, dir: String): DataFrame = {
+    val (c1, w1, h1) = RasterOps.level1Cells(spark, dir)
+    RasterOps.d8SuccCellsTiledOf(c1, w1, h1, 25, 25)
+  }
+
+  val flowAccum: (SparkSession, String) => DataFrame = (spark, dir) =>
+    accCells(level1Succ(spark, dir))
       .groupBy("acc")
       .agg(count(lit(1)).as("n_cells"), sum(col("id")).as("id_sum"))
       .orderBy("acc")
+
+  /** Stream-power index — the hydrology composition on top of BOTH level-1
+    * feeds: per interior cell, spi = qslope * (acc + 1) (the integer-exact
+    * stand-in for the classic A^m * S^n erosion index at m = n = 1; the
+    * +1 counts the cell's own drainage, the standard convention) — the
+    * tiled Horn slope cells join the accumulation cells on the cell id
+    * (one narrow equi-join of two already-tiny per-cell integer tables),
+    * then fold to per-raster-row stats. Long headroom: qslope < 2^30,
+    * acc < cells, product far under 2^62 at any realistic overview; ANSI
+    * makes an overflow loud regardless.
+    */
+  val streamPower: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (c1, w1, h1) = RasterOps.level1Cells(spark, dir)
+    val slope = RasterOps.slopeCellsTiledOf(c1, w1, h1, 25, 25)
+      .select(col("point_id").as("id"), col("qv").as("qslope"))
+    val acc = accCells(RasterOps.d8SuccCellsTiledOf(c1, w1, h1, 25, 25))
+    slope.join(acc, Seq("id"))
+      .select(expr(s"id div $w1").as("y"),
+        (col("qslope") * (col("acc") + 1L)).as("spi"))
+      .groupBy("y")
+      .agg(count(lit(1)).as("n_cells"), sum("spi").as("spi_sum"),
+        max("spi").as("spi_max"))
+      .orderBy("y")
   }
 
   /** The oracle follows every cell's flow path step by step with a
@@ -218,6 +255,42 @@ object HydroOps {
            |SELECT acc::BIGINT AS acc, count(*)::BIGINT AS n_cells,
            |  sum(id)::BIGINT AS id_sum
            |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // stream power: the level-1 Horn-slope reconstruction joined to the
+      // recursive-walk accumulation on the cell id — both independent
+      // formulations of the engine's two tiled feeds — then spi =
+      // qslope * (acc + 1) folded per raster row
+      "q_stream_power" ->
+        s"""WITH RECURSIVE
+           |g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |${RasterOps.poolCte(1, 100)},
+           |p AS (SELECT t.x, t.y,
+           |  (((b0.v + b3.v * 2.0) + b6.v) - ((b2.v + b5.v * 2.0) + b8.v)) / 8.0 AS gx,
+           |  (((b0.v + b1.v * 2.0) + b2.v) - ((b6.v + b7.v * 2.0) + b8.v)) / 8.0 AS gy,
+           |  greatest(
+           |    $terms) AS pmax
+           |  FROM g1 t
+           |  $slotJoins1
+           |  WHERE t.x BETWEEN 1 AND 48 AND t.y BETWEEN 1 AND (SELECT h FROM d) // 2 - 2),
+           |sl AS (SELECT (y * 50 + x)::BIGINT AS id, y,
+           |  floor(sqrt(gx * gx + gy * gy) * 1048576.0)::BIGINT AS qslope FROM p),
+           |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+           |step AS (SELECT (y * 50 + x)::BIGINT AS id,
+           |  CASE WHEN dir >= 0
+           |       THEN ((y - (dir // 3 - 1)) * 50 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+           |  FROM dc),
+           |walk(anc, node) AS (
+           |  SELECT id, succ FROM step WHERE succ IS NOT NULL
+           |  UNION ALL
+           |  SELECT w.anc, s.succ FROM walk w
+           |  JOIN step s ON s.id = w.node AND s.succ IS NOT NULL),
+           |a AS (SELECT s.id, count(w.anc) AS acc
+           |      FROM step s LEFT JOIN walk w ON w.node = s.id GROUP BY 1)
+           |SELECT sl.y::BIGINT AS y, count(*)::BIGINT AS n_cells,
+           |  sum(sl.qslope * (a.acc + 1))::BIGINT AS spi_sum,
+           |  max(sl.qslope * (a.acc + 1))::BIGINT AS spi_max
+           |FROM sl JOIN a USING (id) GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_watershed" ->
       s"""WITH RECURSIVE

@@ -262,6 +262,29 @@ class EventOpsSpec extends AnyFunSuite {
     assert(big == expected)
   }
 
+  test("transitions matches a local session-scoped bigram recompute") {
+    val gap = 1800000000L
+    val trans = ev.groupBy(_._3).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._1))
+      var sid = 0L; var prev = Long.MinValue
+      val tagged = sorted.map { e =>
+        if (prev == Long.MinValue || e._2 - prev > gap) sid += 1
+        prev = e._2
+        (sid, e._4)
+      }
+      tagged.zip(tagged.drop(1)).collect {
+        case ((s1, a), (s2, b)) if s1 == s2 => ((a, b), u)
+      }
+    }
+    val expected = trans.groupBy(_._1).map { case ((a, b), s) =>
+      (a, b, s.size.toLong, s.map(_._2).distinct.size.toLong)
+    }.toSet
+    val got = EventOps.transitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(expected.size > 3, "several transition pairs must occur")
+  }
+
   test("trend's Long-safety contract fails LOUDLY, never wraps") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("trend-bound").toString

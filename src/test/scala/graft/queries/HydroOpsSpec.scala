@@ -95,4 +95,43 @@ class HydroOpsSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.map(_._2).sum == ((w1 - 2).toLong * (h1 - 2)))
   }
+
+  test("streamPower on sf0.001 == local slope x (acc + 1) recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val (c1, w1, h1) = RasterOps.level1Cells(spark, dir)
+    val cells = c1.collect()
+    val g = Array.ofDim[Double](w1 * h1)
+    cells.foreach { case (x, y, v) => g(y * w1 + x) = v }
+    def v(y: Int, x: Int) = g(y * w1 + x)
+    val Q = 1048576.0
+    def slot(y: Int, x: Int, o: Int) = v(y - (o / 3 - 1), x - (o % 3 - 1))
+    val succ = (for (y <- 1 to h1 - 2; x <- 1 to w1 - 2) yield {
+      val packed = (for (o <- Seq(0, 1, 2, 3, 5, 6, 7, 8)) yield {
+        val dxo = o % 3 - 1; val dyo = o / 3 - 1
+        val dist = if (dxo != 0 && dyo != 0) math.sqrt(2.0) else 1.0
+        math.floor((v(y, x) - v(y - dyo, x - dxo)) / dist * Q).toLong * 16L + (8L - o)
+      }).max
+      val id = y.toLong * w1 + x
+      if (packed >= 16L) {
+        val d = 8L - packed % 16L
+        id -> ((y - (d / 3 - 1)) * w1 + (x - (d % 3 - 1)))
+      } else id -> -1L
+    }).toMap
+    val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    pairsOf(succ).foreach { case (_, node) => if (succ.contains(node)) acc(node) += 1L }
+    val want = (for (y <- 1 to h1 - 2; x <- 1 to w1 - 2) yield {
+      def s(o: Int) = slot(y, x, o)
+      val gx = (((s(0) + s(3) * 2.0) + s(6)) - ((s(2) + s(5) * 2.0) + s(8))) / 8.0
+      val gy = (((s(0) + s(1) * 2.0) + s(2)) - ((s(6) + s(7) * 2.0) + s(8))) / 8.0
+      val q = math.floor(math.sqrt(gx * gx + gy * gy) * Q).toLong
+      val id = y.toLong * w1 + x
+      (y.toLong, q * (acc(id) + 1L))
+    }).groupBy(_._1).map { case (y, s) =>
+      (y, s.size.toLong, s.map(_._2).sum, s.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    val got = HydroOps.streamPower(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(want.exists(_._3 > 0))
+  }
 }
