@@ -285,6 +285,18 @@ class EventOpsSpec extends AnyFunSuite {
     assert(expected.size > 3, "several transition pairs must occur")
   }
 
+  test("trend's plan reuses the window partitioning: one hash exchange on user_id") {
+    // the min-x window partitions by user_id and the moment groupBy keys on
+    // user_id too — Catalyst must satisfy the aggregate from the window's
+    // partitioning, so the ONLY hash exchange is the window's; the final
+    // range exchange belongs to the 1500-row presentation orderBy
+    val plan = EventOps.trend(spark, sf).queryExecution.executedPlan.toString
+    val hashEx = """Exchange hashpartitioning\(([^,]*)""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(hashEx.size == 1 && hashEx.head.startsWith("user_id"),
+      s"hash exchanges: $hashEx\n${plan.take(800)}")
+  }
+
   test("trend's Long-safety contract fails LOUDLY, never wraps") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("trend-bound").toString
