@@ -129,7 +129,7 @@ object Bench {
   private val Ops7Queries =
     Seq("q_flow_accum", "q_convex_hull", "q_doc_quality_gate",
       "q_dist_transform", "q_evt_overlap", "q_evt_trend",
-      "q_stream_power", "q_evt_transitions")
+      "q_stream_power", "q_evt_transitions", "q_source_overlap")
 
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(

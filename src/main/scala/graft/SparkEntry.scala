@@ -588,6 +588,7 @@ object SparkEntry {
     "q_doc_chunks" -> TrainingOps.chunkDocs,
     "q_doc_stopwords" -> TrainingOps.stopwordStats,
     "q_doc_quality_gate" -> TrainingOps.qualityGate,
+    "q_source_overlap" -> TrainingOps.sourceOverlap,
     "q_doc_rep_ngrams" -> TrainingOps.repNgramStats,
     "q_doc_decontam" -> TrainingOps.decontam,
     "q_doc_token_runs" -> TrainingOps.tokenRuns,

@@ -308,6 +308,32 @@ object TrainingOps {
       .orderBy("source", "verdict")
   }
 
+  /** Cross-source vocabulary overlap — the corpus-similarity matrix a
+    * mixing pipeline reads before weighting sources: for every unordered
+    * source pair, the EXACT Jaccard of their vocabularies as the integer
+    * (|A n B| * 10^6) div |A u B| (the q_doc_char_terms div idiom — no
+    * float crosses the compare), alongside both raw sizes. Plan: distinct
+    * (source, token) pairs once (one shuffle), then a token-keyed
+    * self-join whose volume is sum over tokens of C(sources-containing,
+    * 2) — bounded by vocabulary x sources^2, fine wherever the source
+    * list is a real crawl registry (hundreds); pairs sharing nothing are
+    * absent by construction (inner join), the documented contract.
+    */
+  val sourceOverlap: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val st = docs(spark, dir)
+      .select(col("source"), explode(toks).as("tok")).distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+    st.as("a").join(st.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+        expr("(n_common * 1000000L) div ((n_a + n_b) - n_common)").as("jac_x1e6"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Corpus token-frequency spectrum (count-of-counts): for each occurrence
     * count, how many distinct vocabulary types occur exactly that often —
     * the classic Zipf diagnostic for corpus health (a natural corpus has a
@@ -1513,6 +1539,19 @@ object TrainingOps {
         |         'that', 'it', 'for', 'on', 'as', 'with', 'was', 'at', 'by', 'an', 'be',
         |         'this', 'are'))) * 1000) // greatest(len(ws), 1))::BIGINT AS stop_x1000
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH t0 AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |            FROM documents),
+        |t AS (SELECT DISTINCT source, tok FROM t0),
+        |n AS (SELECT source, count(*)::BIGINT AS n FROM t GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_common
+        |      FROM t a JOIN t b ON b.tok = a.tok AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.n_common, na.n AS n_a, nb.n AS n_b,
+        |  ((p.n_common * 1000000) // ((na.n + nb.n) - p.n_common))::BIGINT AS jac_x1e6
+        |FROM p JOIN n na ON na.source = p.src_a JOIN n nb ON nb.source = p.src_b
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_doc_quality_gate" ->
       """WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),

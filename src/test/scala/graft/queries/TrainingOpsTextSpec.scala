@@ -103,6 +103,30 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(gotChar == wantChar)
   }
 
+  test("sourceOverlap == local exact-Jaccard recompute; quality gate verdicts sane") {
+    import spark.implicits._
+    val bySource = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "text").as[(String, String)].collect()
+      .groupBy(_._1).map { case (s, ds) => s -> ds.flatMap(d => toks(d._2)).toSet }
+    val srcs = bySource.keys.toSeq.sorted
+    val want = (for {
+      i <- srcs.indices; j <- i + 1 until srcs.length
+      a = bySource(srcs(i)); b = bySource(srcs(j))
+      common = (a intersect b).size if common > 0
+    } yield (srcs(i), srcs(j), common.toLong, a.size.toLong, b.size.toLong,
+      common.toLong * 1000000L / (a.size + b.size - common))).toSet
+    val got = TrainingOps.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+    assert(want.nonEmpty && want.exists(_._6 < 1000000L),
+      "some pair must overlap partially")
+    val verdicts = TrainingOps.qualityGate(spark, sf).collect()
+      .map(_.getString(1)).toSet
+    assert(verdicts.contains("keep") && verdicts.size >= 2,
+      s"gate must split the corpus: $verdicts")
+  }
+
   test("tokenSpectrum and collocations == local recomputes") {
     val docs = docsLocal()
     val allToks = docs.flatMap { case (_, text) => toks(text) }
