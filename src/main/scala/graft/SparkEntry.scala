@@ -626,8 +626,11 @@ object SparkEntry {
     "q_viewshed" -> RasterOps.viewshed,
     "q_grid_cc" -> RasterOps.gridCc,
     "q_dist_transform" -> RasterOps.distTransform,
+    "q_hist_equalize" -> RasterOps.histEqualize,
+    "q_moran" -> RasterOps.moran,
     "q_watershed" -> HydroOps.watershed,
     "q_flow_accum" -> HydroOps.flowAccum,
+    "q_flow_len" -> HydroOps.flowLength,
     "q_stream_power" -> HydroOps.streamPower,
     "q_convex_hull" -> HullOps.convexHull,
     "q_evt_sessionize" -> EventOps.sessionize,
@@ -636,6 +639,9 @@ object SparkEntry {
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,
     "q_top_events" -> StatsOps.topEvents,
+    "q_evt_hll" -> StatsOps.hllRegisters,
+    "q_doc_simpson" -> TrainingOps.simpson,
+    "q_doc_kmv" -> TrainingOps.kmvSketch,
 
     // ---- composition: the auto-threshold ladder feeding the FULL contour
     //      pipeline (quantile selection -> tiling -> kernel -> stitch ->

@@ -492,4 +492,46 @@ object RasterKernel {
     }
     out.toSeq
   }
+
+  /** Per-cell Moran's-I partials over the tile's owned cells — the spatial
+    * autocorrelation feed: each cell quantizes q = floor(v * 2^20) and
+    * contributes, against the caller-supplied quantized mean qbar,
+    * (dev^2, dev * devEast + dev * devSouth, edge count). Rook adjacency
+    * with each undirected edge attributed to its unique WEST/NORTH cell,
+    * so every edge is counted exactly once across tiles; the east/south
+    * neighbours always sit inside the 1-sample halo (clipped at the grid
+    * edge, where the edge simply doesn't exist). Zero raster shuffle —
+    * only these per-cell integer triples feed a map-side-combinable
+    * DECIMAL(38,0) sum downstream. LOUD Long contract: |q| and |qbar|
+    * < 2^30 (|dev| < 2^31, every per-cell product < 2^62); the caller's
+    * value domain owns the bound, the kernel enforces it per cell.
+    */
+  def moranCells(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                 ox0: Int, oy0: Int, ow: Int, oh: Int,
+                 w: Int, h: Int, qbar: Long): Seq[(Long, Long, Long)] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    @inline def q(x: Int, y: Int): Long = {
+      val qq = math.floor(g(x, y) * Q20).toLong
+      require(math.abs(qq) < (1L << 30),
+        s"moranCells: |q| = $qq >= 2^30 at ($x, $y) breaks the Long product bound")
+      qq
+    }
+    require(math.abs(qbar) < (1L << 30), s"moranCells: |qbar| = $qbar >= 2^30")
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](ow * oh)
+    var y = oy0
+    while (y < oy0 + oh) {
+      var x = ox0
+      while (x < ox0 + ow) {
+        val dev = q(x, y) - qbar
+        var cross = 0L
+        var ne = 0L
+        if (x + 1 < w) { cross += dev * (q(x + 1, y) - qbar); ne += 1 }
+        if (y + 1 < h) { cross += dev * (q(x, y + 1) - qbar); ne += 1 }
+        out += ((dev * dev, cross, ne))
+        x += 1
+      }
+      y += 1
+    }
+    out.toSeq
+  }
 }

@@ -181,6 +181,70 @@ object HydroOps {
       .agg(count(lit(1)).as("n_cells"), sum(col("id")).as("id_sum"))
       .orderBy("acc")
 
+  /** Per-cell flow-path LENGTH to the terminal — the third classic D8
+    * derivative (hydrologic length grids): the number of cardinal and
+    * diagonal steps along each cell's flow path, EXACT as the integer
+    * pair (nc, nd) (a quantized-sqrt(2) scalar would lose the pair's
+    * information for free; callers weight nd however they like). The
+    * doubling here carries an ADDITIVE PAYLOAD through pointer jumping:
+    * the invariant of (id, cur, nc, nd) is "(nc, nd) counts the steps
+    * from id to cur", and composing a.cur = b.id sums the two compressed
+    * path segments — O(log longest flow path) rounds, same lineage
+    * truncation and static-key convergence count as [[basinLabels]].
+    * Pits report (0, 0) through the union domain.
+    */
+  private[graft] def flowLengths(succ: DataFrame, w: Int): DataFrame = {
+    val step = succ.filter(col("succ") >= 0L)
+      .withColumn("diag",
+        (col("succ") % w) =!= (col("id") % w) &&
+          expr(s"succ div ${w}L") =!= expr(s"id div ${w}L"))
+      .select(col("id"), col("succ").as("cur"),
+        when(col("diag"), 0L).otherwise(1L).as("nc"),
+        when(col("diag"), 1L).otherwise(0L).as("nd"))
+      .localCheckpoint(true)
+    val keys = step.select(col("id").as("kid")).localCheckpoint(true)
+    def undone(p: DataFrame): Long =
+      p.join(keys, p("cur") === keys("kid"), "left_semi").count()
+    var ptr = step
+    var left = undone(ptr)
+    var rounds = 0
+    while (left > 0 && rounds < MaxRounds) {
+      val jumped = ptr.as("a")
+        .join(ptr.select(col("id").as("bid"), col("cur").as("bcur"),
+            col("nc").as("bnc"), col("nd").as("bnd")).as("b"),
+          col("a.cur") === col("bid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("bcur"), col("a.cur")).as("cur"),
+          (col("a.nc") + coalesce(col("bnc"), lit(0L))).as("nc"),
+          (col("a.nd") + coalesce(col("bnd"), lit(0L))).as("nd"))
+        .localCheckpoint(true)
+      left = undone(jumped)
+      ptr.unpersist(blocking = false)
+      ptr = jumped
+      rounds += 1
+    }
+    require(left == 0, s"flowLengths: unresolved pointers after $MaxRounds doubling rounds")
+    keys.unpersist(blocking = false)
+    val pits = succ.filter(col("succ") === -1L)
+      .select(col("id"), lit(0L).as("nc"), lit(0L).as("nd"))
+    ptr.select(col("id"), col("nc"), col("nd")).unionByName(pits)
+  }
+
+  /** Contract output: the path-length histogram over the level-1 overview
+    * — (steps = nc + nd, n_cells, diag_sum, id_sum); diag_sum pins the
+    * cardinal/diagonal split per length class and id_sum pins WHICH cells
+    * carry it. Oracle = the linear recursive walk with per-step diagonal
+    * classification, the independent algorithm.
+    */
+  val flowLength: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (c1, w1, h1) = RasterOps.level1Cells(spark, dir)
+    flowLengths(RasterOps.d8SuccCellsTiledOf(c1, w1, h1, 25, 25), w1)
+      .groupBy((col("nc") + col("nd")).as("steps"))
+      .agg(count(lit(1)).as("n_cells"), sum("nd").as("diag_sum"),
+        sum("id").as("id_sum"))
+      .orderBy("steps")
+  }
+
   /** Stream-power index — the hydrology composition on top of BOTH level-1
     * feeds: per interior cell, spi = qslope * (acc + 1) (the integer-exact
     * stand-in for the classic A^m * S^n erosion index at m = n = 1; the
@@ -255,6 +319,45 @@ object HydroOps {
            |SELECT acc::BIGINT AS acc, count(*)::BIGINT AS n_cells,
            |  sum(id)::BIGINT AS id_sum
            |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // flow length on the level-1 overview: the walk CTE advances one
+      // step per round, classifying each step cardinal/diagonal from the
+      // id arithmetic — the linear-round independent algorithm vs the
+      // engine's payload-carrying pointer doubling
+      "q_flow_len" ->
+        s"""WITH RECURSIVE
+           |g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |${RasterOps.poolCte(1, 100)},
+           |p AS (SELECT t.x, t.y, greatest(
+           |    $terms) AS pmax
+           |  FROM g1 t
+           |  $slotJoins1
+           |  WHERE t.x BETWEEN 1 AND 48 AND t.y BETWEEN 1 AND (SELECT h FROM d) // 2 - 2),
+           |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+           |step AS (SELECT (y * 50 + x)::BIGINT AS id,
+           |  CASE WHEN dir >= 0
+           |       THEN ((y - (dir // 3 - 1)) * 50 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+           |  FROM dc),
+           |walk(id, cur, nc, nd) AS (
+           |  SELECT id, succ,
+           |    CASE WHEN succ % 50 <> id % 50 AND succ // 50 <> id // 50 THEN 0 ELSE 1 END,
+           |    CASE WHEN succ % 50 <> id % 50 AND succ // 50 <> id // 50 THEN 1 ELSE 0 END
+           |  FROM step WHERE succ IS NOT NULL
+           |  UNION ALL
+           |  SELECT w.id, s.succ,
+           |    w.nc + CASE WHEN s.succ % 50 <> s.id % 50 AND s.succ // 50 <> s.id // 50 THEN 0 ELSE 1 END,
+           |    w.nd + CASE WHEN s.succ % 50 <> s.id % 50 AND s.succ // 50 <> s.id // 50 THEN 1 ELSE 0 END
+           |  FROM walk w JOIN step s ON s.id = w.cur AND s.succ IS NOT NULL),
+           |fin AS (
+           |  SELECT w.id, w.nc, w.nd FROM walk w
+           |  WHERE NOT EXISTS (SELECT 1 FROM step s
+           |                    WHERE s.id = w.cur AND s.succ IS NOT NULL)
+           |  UNION ALL
+           |  SELECT id, 0, 0 FROM step WHERE succ IS NULL)
+           |SELECT (nc + nd)::BIGINT AS steps, count(*)::BIGINT AS n_cells,
+           |  sum(nd)::BIGINT AS diag_sum, sum(id)::BIGINT AS id_sum
+           |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // stream power: the level-1 Horn-slope reconstruction joined to the
       // recursive-walk accumulation on the cell id — both independent

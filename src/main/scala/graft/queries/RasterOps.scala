@@ -1008,6 +1008,102 @@ object RasterOps {
     distTransformOf(c2.toDF("x", "y", "v"), EventsGrid.Thresholds)
   }
 
+  /** Global Moran's I — the classic spatial-autocorrelation statistic —
+    * over the events grid with rook adjacency, EXACT end to end: cells
+    * quantize to q = floor(v * 2^20), deviations are against the
+    * TRUNCATED quantized mean qbar = sum(q) div n (a stated contract —
+    * the exact-rational mean would push every product past 2^63; qbar is
+    * deterministic on both compare sides, and truncation semantics match
+    * DuckDB's `//`), per-cell products stay in Long (|q| < 2^30 enforced
+    * loudly in the kernel), and the sums run in DECIMAL(38,0) — the
+    * q_evt_outliers decimal-vs-HUGEINT idiom — so nothing wraps at any
+    * cell count up to ~10^17. The pair sums ride the HALO-TILED kernel
+    * (each undirected rook edge attributed to its unique west/north cell;
+    * zero raster shuffle — only per-cell integer triples feed one
+    * map-side-combinable aggregate). Output is one row: n, |W| (edge
+    * count), qbar, both decimal sums div 2^20 (the raw sums outgrow
+    * BIGINT already at small scale; the scaled truncations are exact on
+    * both compare sides and loud if a web-scale run outgrows even them),
+    * and the fixed-point index
+    * moran_x1e6 = (n * cross_ss * 10^6) div (|W| * dev_ss) — Moran's I
+    * with the standard row-normalized-free weights, scaled 10^6, no float
+    * anywhere. The oracle GATHERS the same edges via +1 self-joins — the
+    * independent formulation of the kernel's scatter.
+    */
+  /** Grid-agnostic core (property-tested on random dims/tilings against a
+    * brute-force recompute). Degenerate inputs — no rook edges, or a
+    * constant raster (dev_ss = 0) — fail LOUDLY in the ANSI zero-divide,
+    * the stated contract (Moran's I is undefined there).
+    */
+  private[graft] def moranOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
+                             tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    val mr = cells.toDF("x", "y", "v").agg(
+      sum(floor(col("v") * Q20).cast("decimal(38,0)")).as("s"),
+      count(lit(1)).as("n")).head()
+    val n = mr.getLong(1)
+    require(n > 0, "moran: empty grid")
+    // BigInt / truncates toward zero — same semantics as DuckDB's `//`
+    val qbar = (BigInt(mr.getDecimal(0).toBigInteger) / n).toLong
+    haloTilesFromCells(cells, w, h, tileW, tileH)
+      .flatMap(t => graft.core.RasterKernel.moranCells(t.values, t.bx0, t.by0,
+        t.bw, t.ox0, t.oy0, t.ow, t.oh, w, h, qbar))
+      .toDF("dev2", "cross", "ne")
+      .agg(sum(col("dev2").cast("decimal(38,0)")).as("dss"),
+        sum(col("cross").cast("decimal(38,0)")).as("css"),
+        sum(col("ne")).as("wsum"))
+      .select(lit(n).as("n_cells"), col("wsum").as("n_edges"),
+        lit(qbar).as("qbar"),
+        // the raw decimal sums exceed BIGINT already at small scale
+        // (dev^2 ~ 2^58 per cell); emit them div 2^20 — truncating
+        // division, identical on both compare sides
+        expr("dss div 1048576").as("dev_ss_q"),
+        expr("css div 1048576").as("cross_ss_q"),
+        expr(s"(${n}L * css * 1000000) div (wsum * dss)").as("moran_x1e6"))
+  }
+
+  val moran: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    moranOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
+  /** Histogram equalization — the classic raster contrast remap: each cell
+    * maps to level = (cells-in-strictly-lower-bins * L) div n, the exact
+    * integer CDF transform at L = 16 output levels. Input bins are the
+    * INTEGER value buckets floor(v) — the StatsOps histogram contract:
+    * bounded by the VALUE RANGE, never the row count (the O(range) frame
+    * a quantized-class histogram would not give; the events domain is
+    * finite by the q_auto_thresholds bucket contract). Plan: one
+    * map-side-combinable bin histogram; the CDF runs as a window over the
+    * O(range) bin table (single-partition by construction — the same
+    * bounded-frame trick as topEvents' rank, via a non-foldable constant
+    * partition key); the remap joins cells back to the O(range) level
+    * table — explicitly broadcast, correct at any DATA scale because the
+    * build side is range-bounded. Output folds to per-raster-row integer
+    * summaries: no float anywhere in the operator at all.
+    */
+  private[graft] val HistEqLevels = 16
+
+  val histEqualize: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val cells = baseCells(spark, dir)
+      .select(col("x"), col("y"), floor(col("v")).cast("long").as("bin"))
+    val hist = cells.groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val one = pmod(col("bin"), lit(1L)) // constant, non-foldable: bounded single-partition window
+    val wCum = Window.partitionBy(one).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(one)
+    val lvl = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .select(col("bin"), expr(s"((cum - cnt) * ${HistEqLevels}L) div total").as("level"))
+    cells.join(broadcast(lvl), "bin")
+      .groupBy(col("y").cast("long").as("y"))
+      .agg(count(lit(1)).as("n_cells"), sum("level").as("lvl_sum"),
+        min("level").as("lvl_min"), max("level").as("lvl_max"))
+      .orderBy("y")
+  }
+
   // w halves from the constant base W=100 (floor division composes:
   // 100 -> 50 -> 25 -> 12); h halves from the data-dependent base in `d`.
   private[graft] def poolCte(l: Int, prevW: Int): String =
@@ -1043,6 +1139,39 @@ object RasterOps {
       s"JOIN g1 b$o ON b$o.x = t.x - ($dx) AND b$o.y = t.y - ($dy)"
     }.mkString("\n  ")
     Map(
+      // histogram equalization: the CDF runs as plain window SQL over the
+      // integer-bin histogram; the remap is the same equi-join gathered the
+      // other way — every quantity a BIGINT (HUGEINT sums cast at the end)
+      "q_hist_equalize" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y,
+           |             floor(value)::BIGINT AS bin FROM events),
+           |h AS (SELECT bin, count(*)::BIGINT AS cnt FROM g GROUP BY 1),
+           |l AS (SELECT bin,
+           |        (((sum(cnt) OVER (ORDER BY bin) - cnt) * $HistEqLevels)
+           |          // (sum(cnt) OVER ()))::BIGINT AS level FROM h)
+           |SELECT g.y::BIGINT AS y, count(*)::BIGINT AS n_cells,
+           |  sum(l.level)::BIGINT AS lvl_sum, min(l.level)::BIGINT AS lvl_min,
+           |  max(l.level)::BIGINT AS lvl_max
+           |FROM g JOIN l USING (bin) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Moran's I: the oracle gathers east/south rook pairs via +1
+      // self-joins (vs the kernel's scatter), sums in HUGEINT, and runs
+      // the same truncated-mean / truncated-div fixed-point arithmetic
+      "q_moran" ->
+        """WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y,
+          |             floor(value * 1048576.0)::BIGINT AS q FROM events),
+          |m AS (SELECT (sum(q) // count(*))::BIGINT AS qbar, count(*)::BIGINT AS n FROM g),
+          |dv AS (SELECT x, y, q - (SELECT qbar FROM m) AS dev FROM g),
+          |e AS (SELECT a.dev * b.dev AS p FROM dv a JOIN dv b ON b.x = a.x + 1 AND b.y = a.y
+          |      UNION ALL
+          |      SELECT a.dev * b.dev FROM dv a JOIN dv b ON b.x = a.x AND b.y = a.y + 1),
+          |agg AS (SELECT count(*)::BIGINT AS w, sum(p) AS css FROM e),
+          |d2 AS (SELECT sum(dev * dev) AS dss FROM dv)
+          |SELECT m.n AS n_cells, agg.w AS n_edges, m.qbar AS qbar,
+          |  (d2.dss // 1048576)::BIGINT AS dev_ss_q, (agg.css // 1048576)::BIGINT AS cross_ss_q,
+          |  ((m.n * agg.css * 1000000) // (agg.w * d2.dss))::BIGINT AS moran_x1e6
+          |FROM m, agg, d2""".stripMargin,
+
       // CC labeling on the level-2 overview: the oracle derives g2 via the
       // same pool CTEs as q_grid_pyramid, builds the 4-adjacency edge list
       // per threshold, and takes min reachable cell id per node by a

@@ -166,7 +166,49 @@ object StatsOps {
       .orderBy("source")
   }
 
+  /** HyperLogLog register table over the event stream's user ids — the
+    * distinct-count sketch, DETERMINISTIC end to end so it sits on the
+    * exact-oracle surface: hash = the repo's standard 60-bit md5
+    * truncation, bucket = the low 6 bits (m = 64 registers), rank = the
+    * leading-zero count of the remaining 54 bits plus one (computed as
+    * 55 - bitlength via bin(), identical variable-width semantics in
+    * Spark and DuckDB; an all-zero remainder pins the max rank 55), and
+    * each register is the MAX rank seen — a map-side-combinable groupBy
+    * whose state is 64 longs TOTAL at any data scale (the whole point of
+    * HLL at 100 TB: one pass, O(m) memory, mergeable across partitions /
+    * days / sources by register max). The contract emits the registers
+    * themselves (plus per-bucket row counts pinning the hash
+    * distribution), not the float harmonic-mean estimate — the estimate
+    * is a deterministic driver-side function OF the registers, while the
+    * registers are what a production pipeline stores and merges. Only
+    * occupied buckets emit (both sides agree by construction).
+    */
+  val hllRegisters: (SparkSession, String) => DataFrame = (spark, dir) =>
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(expr(
+        "cast(conv(substring(md5(concat('hll#', cast(user_id as string))), 1, 15), 16, 10) as bigint)")
+        .as("h"))
+      .select((col("h") % 64).as("bucket"), expr("h div 64").as("rest"))
+      .select(col("bucket"),
+        when(col("rest") === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("rest")))).as("rank"))
+      .groupBy("bucket")
+      .agg(max("rank").as("register"), count(lit(1)).as("n_rows"))
+      .orderBy("bucket")
+
   val oracleSql: Map[String, String] = Map(
+    // HLL registers: same hash/bucket/rank pipeline in SQL — bin() has
+    // identical variable-width semantics in DuckDB, so the bitlength-based
+    // rank matches bit for bit
+    "q_evt_hll" ->
+      """WITH h AS (SELECT ('0x' || substring(md5('hll#' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |           FROM events),
+        |b AS (SELECT h % 64 AS bucket, h // 64 AS rest FROM h)
+        |SELECT bucket::BIGINT AS bucket,
+        |  max(CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END)::BIGINT AS register,
+        |  count(*)::BIGINT AS n_rows
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_group_quantiles" ->
       """WITH r AS (SELECT source, n_chars,
         |  row_number() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS rk,

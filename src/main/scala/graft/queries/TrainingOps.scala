@@ -142,6 +142,44 @@ object TrainingOps {
       org.apache.spark.sql.Encoders.scalaLong
   }
 
+  /** [[KthLargestCount]] mirrored to the k-th SMALLEST value — the KMV
+    * sketch fold: buffer = the k smallest values seen, ASCENDING, length
+    * <= k; map-side combinable, O(k) state per group. `finish` returns the
+    * k-th smallest (Long.MaxValue when the group has fewer than k rows —
+    * a sentinel the caller filters on via the exact count).
+    */
+  private final class KthSmallestValue(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Long] {
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], n: Long): Array[Long] = {
+      if (b.length >= k && n >= b(b.length - 1)) return b
+      val out = new Array[Long](math.min(b.length + 1, k))
+      var i = 0
+      while (i < b.length && b(i) <= n) { out(i) = b(i); i += 1 }
+      if (i < out.length) {
+        out(i) = n
+        var j = i + 1
+        while (j < out.length) { out(j) = b(j - 1); j += 1 }
+      }
+      out
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length) {
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { out(o) = a(i); i += 1 }
+        else { out(o) = b(j); j += 1 }
+        o += 1
+      }
+      out
+    }
+    def finish(b: Array[Long]): Long = if (b.length < k) Long.MaxValue else b(k - 1)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
   /** The k most frequent tokens per source, exactly, with a fully
     * deterministic rank (count DESC, token ASC — no sketch, no tie
     * ambiguity). Scale shape: the heavy reduction is the map-side
@@ -332,6 +370,67 @@ object TrainingOps {
       .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
         expr("(n_common * 1000000L) div ((n_a + n_b) - n_common)").as("jac_x1e6"))
       .orderBy("src_a", "src_b")
+  }
+
+  /** Simpson lexical diversity per source — the probability that two
+    * tokens drawn without replacement are the same type, as the EXACT
+    * RATIONAL (num, den) = (sum n_i*(n_i-1), N*(N-1)) over the source's
+    * token counts, plus the (num * 10^6) div den fixed-point index (the
+    * q_doc_char_terms div idiom — no float/log ever crosses the compare;
+    * this is why Simpson rather than Shannon entropy carries the
+    * "diversity" contract: entropy's log is libm-rounded, Simpson is pure
+    * integer arithmetic). Low index = diverse vocabulary; boilerplate
+    * sources pile mass on few types and score high. Scale shape: ONE
+    * map-side-combinable (source, token) groupBy (the explode never
+    * shuffles raw text, only partial counts), then a source-keyed fold
+    * over the vocabulary-sized count table. LOUD BOUND: the index
+    * numerator needs num * 10^6 < 2^63 (num <= N^2), fine to ~3e6 tokens
+    * per source; a web-scale source drops the 10^6 scale or compares
+    * rationals cross-multiplied (ANSI makes an overflow loud, never a
+    * wrap) — the collocations-score contract genus.
+    */
+  val simpson: (SparkSession, String) => DataFrame = (spark, dir) =>
+    docs(spark, dir)
+      .select(col("source"), explode(toks).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(expr("n * (n - 1L)")).as("num"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("num"),
+        expr("(num * 1000000L) div (n_tokens * (n_tokens - 1L))").as("simpson_x1e6"))
+      .orderBy("source")
+
+  /** KMV (k-minimum-values) distinct sketch per source — the theta-sketch
+    * primitive: the k smallest md5-derived 60-bit hash values of the
+    * source's DISTINCT token set estimate its cardinality as
+    * est = (k-1) * 2^60 div hv_k (the k-th smallest value). Everything on
+    * the compare is a deterministic integer — the hash is the repo's
+    * standard conv(substring(md5, 1, 15)) 60-bit truncation, dedup is on
+    * the HASH value (so a truncation collision cannot diverge the two
+    * sides), and the estimate is one integer div ((k-1) * 2^60 < 2^63 for
+    * k = 8). The exact count rides alongside, so the contract row itself
+    * documents the sketch's error. Scale shape: ONE distinct pass over
+    * (source, hv) — map-side combinable — then a bounded O(k)-state
+    * aggregator (the topTerms KthLargestCount mirrored to k-th SMALLEST)
+    * folds each source's sketch: no window ever sees the vocabulary, and
+    * sketch state is k longs per source at any corpus size — the whole
+    * point of KMV at 100 TB. Sources with fewer than k distinct values
+    * are absent by contract (their exact count is already the answer).
+    */
+  val kmvSketch: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val k = 8
+    val hv = expr("cast(conv(substring(md5(concat('kmv#', tok)), 1, 15), 16, 10) as bigint)")
+    docs(spark, dir)
+      .select(col("source"), explode(toks).as("tok"))
+      .select(col("source"), hv.as("hv")).distinct()
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_exact"),
+        udaf(new KthSmallestValue(k)).apply(col("hv")).as("kth_hv"))
+      .filter(col("n_exact") >= k)
+      .select(col("source"), col("n_exact"), col("kth_hv"),
+        expr(s"(${k - 1}L * 1152921504606846976L) div kth_hv").as("kmv_est"))
+      .orderBy("source")
   }
 
   /** Corpus token-frequency spectrum (count-of-counts): for each occurrence
@@ -1539,6 +1638,35 @@ object TrainingOps {
         |         'that', 'it', 'for', 'on', 'as', 'with', 'was', 'at', 'by', 'an', 'be',
         |         'this', 'are'))) * 1000) // greatest(len(ws), 1))::BIGINT AS stop_x1000
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Simpson diversity: the same (source, token) count frame folded per
+    // source; DuckDB sums into HUGEINT, so every product stays exact and
+    // only the final BIGINT casts cross the compare
+    "q_doc_simpson" ->
+      """WITH t AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |            FROM documents),
+        |c AS (SELECT source, tok, count(*)::BIGINT AS n FROM t GROUP BY 1, 2)
+        |SELECT source, sum(n)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        |  sum(n * (n - 1))::BIGINT AS num,
+        |  ((sum(n * (n - 1)) * 1000000) // (sum(n) * (sum(n) - 1)))::BIGINT AS simpson_x1e6
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // KMV sketch: the k-th smallest is located by a per-source row_number
+    // over the distinct hash set — the independent (window) formulation of
+    // the engine's bounded O(k) aggregator fold
+    "q_doc_kmv" ->
+      """WITH t0 AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |            FROM documents),
+        |h AS (SELECT DISTINCT source,
+        |        ('0x' || substring(md5('kmv#' || tok), 1, 15))::BIGINT AS hv
+        |      FROM t0),
+        |r AS (SELECT source, hv,
+        |        row_number() OVER (PARTITION BY source ORDER BY hv) AS rk,
+        |        count(*) OVER (PARTITION BY source) AS n
+        |      FROM h)
+        |SELECT source, n::BIGINT AS n_exact, hv::BIGINT AS kth_hv,
+        |  ((7 * 1152921504606846976) // hv)::BIGINT AS kmv_est
+        |FROM r WHERE rk = 8 AND n >= 8 ORDER BY source""".stripMargin,
 
     "q_source_overlap" ->
       """WITH t0 AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

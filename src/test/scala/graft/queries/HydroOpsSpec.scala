@@ -54,6 +54,53 @@ class HydroOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("flowLengths == local step walk on random forests (payload doubling)") {
+    import spark.implicits._
+    val w = 7 // diag classification decodes from id arithmetic at this width
+    def diag(id: Long, succ: Long): Boolean =
+      succ % w != id % w && succ / w != id / w
+    val rng = new scala.util.Random(20260819L)
+    for (trial <- 0 until 6) {
+      val n = 20 + rng.nextInt(60)
+      val succ = (0L until n.toLong).map { i =>
+        val r = rng.nextDouble()
+        val s = if (i == 0 || r < 0.15) -1L
+        else if (r < 0.25) n.toLong + rng.nextInt(5)
+        else rng.nextLong(i)
+        i -> s
+      }.toMap
+      val want = succ.keys.map { id =>
+        var cur = succ(id); var nc = 0L; var nd = 0L
+        if (cur >= 0) {
+          if (diag(id, cur)) nd += 1 else nc += 1
+          while (succ.get(cur).exists(_ >= 0)) {
+            val nxt = succ(cur)
+            if (diag(cur, nxt)) nd += 1 else nc += 1
+            cur = nxt
+          }
+        }
+        (id, nc, nd)
+      }.toSet
+      val df = succ.toSeq.toDF("id", "succ").repartition(5)
+      val got = HydroOps.flowLengths(df, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("flowLengths long chain: multi-round payload accumulation stays exact") {
+    import spark.implicits._
+    val w = 7
+    val n = 300L
+    val succ = (0L until n).map(i => i -> (if (i == n - 1) -1L else i + 1)).toMap
+    val df = succ.toSeq.toDF("id", "succ").repartition(5)
+    val got = HydroOps.flowLengths(df, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1) + r.getLong(2))).toMap
+    // +1 steps are never diagonal at width 7 except across a row wrap —
+    // total steps from i is always n-1-i either way
+    (0L until n).foreach(i => assert(got(i) == n - 1 - i, s"cell $i"))
+  }
+
   test("long chain forces multi-round doubling; acc(j) = j") {
     import spark.implicits._
     val n = 300L

@@ -331,4 +331,73 @@ class RasterOpsSpec extends AnyFunSuite {
       assert(got == expected, s"segW=$segW")
     }
   }
+
+  test("histEqualize == local integer CDF remap (16 levels)") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect()
+    val n = ev.length.toLong
+    val cells = ev.map { case (id, v) =>
+      ((id % 100).toInt, (id / 100).toInt, math.floor(v).toLong)
+    }
+    val hist = cells.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val bins = hist.keys.toSeq.sorted
+    val cumBelow = bins.zip(bins.scanLeft(0L)((acc, b) => acc + hist(b))).toMap
+    val level = bins.map(b => b -> cumBelow(b) * 16L / n).toMap
+    val expected = cells.groupBy(_._2).map { case (y, cs) =>
+      val ls = cs.map(c => level(c._3))
+      (y.toLong, cs.length.toLong, ls.sum, ls.min, ls.max)
+    }.toSeq.sortBy(_._1)
+    val got = RasterOps.histEqualize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // the remap uses the full level range (0 and 15 both present)
+    assert(expected.map(_._4).min == 0L && expected.map(_._5).max == 15L)
+  }
+
+  private def moranBrute(vals: Array[Double], w: Int, h: Int)
+      : (Long, Long, Long, Long, Long, Long) = {
+    val q = vals.map(v => math.floor(v * 1048576.0).toLong)
+    val n = q.length.toLong
+    val s = q.map(BigInt(_)).sum
+    val qbar = (s / n).toLong // BigInt / truncates toward zero, like div
+    val dev = q.map(x => BigInt(x - qbar))
+    var css = BigInt(0); var dss = BigInt(0); var wsum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = dev(y * w + x)
+      dss += d * d
+      if (x + 1 < w) { css += d * dev(y * w + x + 1); wsum += 1 }
+      if (y + 1 < h) { css += d * dev((y + 1) * w + x); wsum += 1 }
+    }
+    (n, wsum, qbar, (dss / 1048576).toLong, (css / 1048576).toLong,
+      ((BigInt(n) * css * 1000000) / (BigInt(wsum) * dss)).toLong)
+  }
+
+  test("moran == brute force on the events grid and on random dims/tilings") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val w = 100; val h = ev.length / w
+    val expected = moranBrute(ev.map(_._2), w, h)
+    val got = RasterOps.moran(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(expected))
+
+    // random dims x tilings, incl. tiles smaller than the halo and
+    // single-row/column grids (edges in one direction only); negative
+    // values exercise the signed truncating divisions
+    val rng = new scala.util.Random(20260818L)
+    for (trial <- 0 until 8) {
+      val rw = 2 + rng.nextInt(8); val rh = 2 + rng.nextInt(8)
+      val vals = Array.fill(rw * rh)(
+        math.floor((rng.nextDouble() * 512.0 - 256.0) * 64.0) / 64.0)
+      val cells = spark.createDataset(
+        for (y <- 0 until rh; x <- 0 until rw) yield (x, y, vals(y * rw + x)))
+      val tw = 1 + rng.nextInt(4); val th = 1 + rng.nextInt(4)
+      val gotR = RasterOps.moranOf(cells, rw, rh, tw, th).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(gotR.toSeq == Seq(moranBrute(vals, rw, rh)),
+        s"trial $trial ${rw}x$rh tile ${tw}x$th")
+    }
+  }
 }

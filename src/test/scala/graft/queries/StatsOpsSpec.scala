@@ -83,4 +83,35 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(expected.length > 1, "multiple sources expected")
     assert(expected.forall(r => r._3 <= r._4), "p50 <= p90")
   }
+
+  test("hllRegisters == local md5 register recompute; estimate within HLL error") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val uids = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").as[Long].collect()
+    val expected = uids.map { u =>
+      val h = java.lang.Long.parseLong(md5hex("hll#" + u).take(15), 16)
+      val rest = h / 64
+      (h % 64, if (rest == 0L) 55L else 55L - java.lang.Long.toBinaryString(rest).length)
+    }.groupBy(_._1).map { case (b, rs) =>
+      (b, rs.map(_._2).max, rs.length.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = StatsOps.hllRegisters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the registers ARE the contract; still sanity-check that the classic
+    // harmonic estimate they induce lands near the true distinct count
+    // (HLL standard error at m = 64 is ~13%; allow 3 sigma)
+    val m = 64
+    val regs = Array.fill(m)(0L)
+    got.foreach { case (b, r, _) => regs(b.toInt) = r }
+    val z = 1.0 / regs.map(r => math.pow(2.0, -r.toDouble)).sum
+    val raw = 0.709 * m * m * z
+    val zeros = regs.count(_ == 0L)
+    val est = if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+    val truth = uids.distinct.length.toDouble
+    assert(math.abs(est - truth) / truth < 0.40, s"est $est vs $truth")
+  }
 }

@@ -313,4 +313,48 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(want.groupBy(_._1).values.exists(_.size > 1),
       "some source must keep an incomparable PAIR (the non-total-order path)")
   }
+
+  private def srcDocs(): Seq[(String, String)] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "text").as[(String, String)].collect().toSeq
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("simpson == local exact rational recompute") {
+    val want = srcDocs().groupBy(_._1).map { case (src, ds) =>
+      val counts = ds.flatMap(d => toks(d._2)).groupBy(identity)
+        .map(_._2.length.toLong)
+      val nTok = counts.sum
+      val num = counts.map(c => c * (c - 1)).sum
+      (src, nTok, counts.size.toLong, num, num * 1000000L / (nTok * (nTok - 1)))
+    }.toSeq.sortBy(_._1)
+    val got = TrainingOps.simpson(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    // diversity sanity: every index far below 10^6 (no degenerate source)
+    assert(want.forall(_._5 < 100000L))
+  }
+
+  test("kmvSketch == local sorted-distinct-hash recompute (k = 8)") {
+    val want = srcDocs().groupBy(_._1).flatMap { case (src, ds) =>
+      val hvs = ds.flatMap(d => toks(d._2)).distinct
+        .map(t => java.lang.Long.parseLong(md5hex("kmv#" + t).take(15), 16))
+        .distinct.sorted
+      if (hvs.length >= 8)
+        Some((src, hvs.length.toLong, hvs(7), 7L * 1152921504606846976L / hvs(7)))
+      else None
+    }.toSeq.sortBy(_._1)
+    val got = TrainingOps.kmvSketch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(want.nonEmpty)
+    // KMV at k = 8 has ~38% standard error; just pin the order of magnitude
+    want.foreach { case (src, exact, _, est) =>
+      assert(est > exact / 10 && est < exact * 10, s"$src: est $est vs exact $exact")
+    }
+  }
 }
