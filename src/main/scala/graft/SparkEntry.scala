@@ -640,8 +640,10 @@ object SparkEntry {
     "q_auto_thresholds" -> StatsOps.autoThresholds,
     "q_top_events" -> StatsOps.topEvents,
     "q_evt_hll" -> StatsOps.hllRegisters,
+    "q_evt_cms" -> StatsOps.cmsSketch,
     "q_doc_simpson" -> TrainingOps.simpson,
     "q_doc_kmv" -> TrainingOps.kmvSketch,
+    "q_doc_bloom" -> TrainingOps.bloomCheck,
 
     // ---- composition: the auto-threshold ladder feeding the FULL contour
     //      pipeline (quantile selection -> tiling -> kernel -> stitch ->

@@ -183,20 +183,65 @@ object StatsOps {
     * registers are what a production pipeline stores and merges. Only
     * occupied buckets emit (both sides agree by construction).
     */
-  val hllRegisters: (SparkSession, String) => DataFrame = (spark, dir) =>
-    spark.read.parquet(s"$dir/events.parquet")
-      .select(expr(
-        "cast(conv(substring(md5(concat('hll#', cast(user_id as string))), 1, 15), 16, 10) as bigint)")
-        .as("h"))
+  /** The register pipeline over a one-column `uid` frame — shared VERBATIM
+    * by the batch contract query and streaming.StreamingDistinct (the
+    * same aggregation runs as a streaming COMPLETE-mode query: max/count
+    * merge monotonically, so Spark's aggregation state IS the sketch —
+    * bounded at m rows on an unbounded stream, no watermark needed).
+    */
+  private[graft] def hllRegisterTable(ids: DataFrame): DataFrame = {
+    val h = conv(substring(md5(concat(lit("hll#"), col("uid").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    ids.select(h.as("h"))
       .select((col("h") % 64).as("bucket"), expr("h div 64").as("rest"))
       .select(col("bucket"),
         when(col("rest") === 0L, lit(55L))
           .otherwise(lit(55L) - length(bin(col("rest")))).as("rank"))
       .groupBy("bucket")
       .agg(max("rank").as("register"), count(lit(1)).as("n_rows"))
+  }
+
+  val hllRegisters: (SparkSession, String) => DataFrame = (spark, dir) =>
+    hllRegisterTable(spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").as("uid")))
       .orderBy("bucket")
 
+  /** Count-min sketch over the event stream's user ids — the frequency
+    * companion of [[hllRegisters]] (every cell deterministic, so the whole
+    * sketch sits on the exact-oracle surface): depth d = 2 independent
+    * md5-derived hash rows, width w = 64; cell (i, j) counts events whose
+    * hash_i lands in column j. One narrow 2x explode of (row, col) pairs
+    * into a map-side-combinable groupBy — state is 128 longs TOTAL at any
+    * data scale, mergeable by cell addition across partitions/days (the
+    * production use). The point-query estimate min_i cnt(i, h_i(u)) >=
+    * true frequency is the classic CMS theorem — asserted for every user
+    * in the spec; the contract emits the sketch cells themselves.
+    */
+  val cmsSketch: (SparkSession, String) => DataFrame = (spark, dir) => {
+    def cell(i: Int) = struct(lit(i.toLong).as("r"),
+      expr(s"cast(conv(substring(md5(concat('cms$i#', cast(user_id as string))), " +
+        s"1, 15), 16, 10) as bigint) % 64").as("c"))
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(explode(array(cell(0), cell(1))).as("cell"))
+      .groupBy(col("cell.r").as("sketch_row"), col("cell.c").as("sketch_col"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("sketch_row", "sketch_col")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // CMS cells: the same two hash rows unioned and counted in SQL
+    "q_evt_cms" ->
+      """WITH c AS (
+        |  SELECT 0 AS sketch_row,
+        |    ('0x' || substring(md5('cms0#' || user_id::VARCHAR), 1, 15))::BIGINT % 64 AS sketch_col
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 1, ('0x' || substring(md5('cms1#' || user_id::VARCHAR), 1, 15))::BIGINT % 64
+        |  FROM events)
+        |SELECT sketch_row::BIGINT AS sketch_row, sketch_col::BIGINT AS sketch_col,
+        |  count(*)::BIGINT AS cnt
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // HLL registers: same hash/bucket/rank pipeline in SQL — bin() has
     // identical variable-width semantics in DuckDB, so the bitlength-based
     // rank matches bit for bit

@@ -433,6 +433,50 @@ object TrainingOps {
       .orderBy("source")
   }
 
+  /** Bloom-filter membership accounting — the third sketch family member
+    * (HLL = distinct, KMV = theta, Bloom = membership): the eval split's
+    * vocabulary (the q_doc_decontam doc_id % 7 probe convention) builds an
+    * m = 4096-bit filter with k = 3 md5-derived positions per token, and
+    * every training-split (source, token) probes it. A token is
+    * bloom-positive iff ALL its positions are set — formulated
+    * COLLISION-SAFELY as "no position missing" (a token whose two hash
+    * positions collide still probes correctly) via one anti-join against
+    * the set-bit table. The contract output is the per-source census a
+    * production filter report shows: distinct tokens checked,
+    * bloom-positives, true members, and false positives (bloom has no
+    * false negatives, so n_false_pos = n_bloom - n_true >= 0 by theorem —
+    * the spec asserts it). Scale shape: the bit table is <= m rows at ANY
+    * corpus size (broadcast forever); the train side is one distinct pass;
+    * both anti/semi joins are token-keyed equi-joins. Everything integer,
+    * everything deterministic.
+    */
+  val bloomCheck: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val m = 4096
+    def pos(i: Int) =
+      expr(s"cast(conv(substring(md5(concat('bloom$i#', tok)), 1, 15), 16, 10) as bigint) % $m")
+    val st = docs(spark, dir)
+      .select(col("doc_id"), col("source"), explode(toks).as("tok"))
+    val evalVocab = st.filter(col("doc_id") % 7 === 0).select("tok").distinct()
+    val bits = evalVocab
+      .select(explode(array(pos(0), pos(1), pos(2))).as("p")).distinct()
+    val train = st.filter(col("doc_id") % 7 =!= 0)
+      .select(col("source"), col("tok")).distinct()
+    val missing = train
+      .select(col("source"), col("tok"), explode(array(pos(0), pos(1), pos(2))).as("p"))
+      .join(broadcast(bits), Seq("p"), "left_anti")
+      .select("source", "tok").distinct()
+    val base = train.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+    val bloom = train.join(missing, Seq("source", "tok"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_bloom_hits"))
+    val tru = train.join(evalVocab, Seq("tok"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_true_hits"))
+    base.join(bloom, Seq("source"), "left").join(tru, Seq("source"), "left")
+      .na.fill(0L, Seq("n_bloom_hits", "n_true_hits"))
+      .select(col("source"), col("n_tokens"), col("n_bloom_hits"), col("n_true_hits"),
+        (col("n_bloom_hits") - col("n_true_hits")).as("n_false_pos"))
+      .orderBy("source")
+  }
+
   /** Corpus token-frequency spectrum (count-of-counts): for each occurrence
     * count, how many distinct vocabulary types occur exactly that often —
     * the classic Zipf diagnostic for corpus health (a natural corpus has a
@@ -1638,6 +1682,35 @@ object TrainingOps {
         |         'that', 'it', 'for', 'on', 'as', 'with', 'was', 'at', 'by', 'an', 'be',
         |         'this', 'are'))) * 1000) // greatest(len(ws), 1))::BIGINT AS stop_x1000
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Bloom membership: bits / probes rebuilt relationally; the
+    // bloom-positive predicate is the same "no position missing"
+    // formulation via NOT EXISTS over the miss set
+    "q_doc_bloom" ->
+      """WITH t0 AS (SELECT doc_id, source,
+        |              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |            FROM documents),
+        |ev AS (SELECT DISTINCT tok FROM t0 WHERE doc_id % 7 = 0),
+        |bits AS (SELECT DISTINCT p FROM (
+        |  SELECT ('0x' || substring(md5('bloom0#' || tok), 1, 15))::BIGINT % 4096 AS p FROM ev
+        |  UNION SELECT ('0x' || substring(md5('bloom1#' || tok), 1, 15))::BIGINT % 4096 FROM ev
+        |  UNION SELECT ('0x' || substring(md5('bloom2#' || tok), 1, 15))::BIGINT % 4096 FROM ev)),
+        |tr AS (SELECT DISTINCT source, tok FROM t0 WHERE doc_id % 7 <> 0),
+        |pp AS (SELECT source, tok, unnest([
+        |         ('0x' || substring(md5('bloom0#' || tok), 1, 15))::BIGINT % 4096,
+        |         ('0x' || substring(md5('bloom1#' || tok), 1, 15))::BIGINT % 4096,
+        |         ('0x' || substring(md5('bloom2#' || tok), 1, 15))::BIGINT % 4096]) AS p
+        |       FROM tr),
+        |miss AS (SELECT DISTINCT source, tok FROM pp
+        |         WHERE p NOT IN (SELECT p FROM bits))
+        |SELECT tr.source, count(*)::BIGINT AS n_tokens,
+        |  count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM miss m
+        |    WHERE m.source = tr.source AND m.tok = tr.tok))::BIGINT AS n_bloom_hits,
+        |  count(*) FILTER (WHERE tok IN (SELECT tok FROM ev))::BIGINT AS n_true_hits,
+        |  (count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM miss m
+        |     WHERE m.source = tr.source AND m.tok = tr.tok))
+        |   - count(*) FILTER (WHERE tok IN (SELECT tok FROM ev)))::BIGINT AS n_false_pos
+        |FROM tr GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Simpson diversity: the same (source, token) count frame folded per
     // source; DuckDB sums into HUGEINT, so every product stays exact and

@@ -84,6 +84,30 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(expected.forall(r => r._3 <= r._4), "p50 <= p90")
   }
 
+  test("cmsSketch == local cell recompute; point queries overestimate (theorem)") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def colOf(i: Int, u: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"cms$i#" + u).take(15), 16) % 64L
+    val uids = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").as[Long].collect()
+    val expected = uids.flatMap(u => Seq((0L, colOf(0, u)), (1L, colOf(1, u))))
+      .groupBy(identity).map { case ((r, c), xs) => (r, c, xs.length.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = StatsOps.cmsSketch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // CMS theorem: for every user, min over rows of its cell >= true count
+    val cells = expected.map(t => (t._1, t._2) -> t._3).toMap
+    val truth = uids.groupBy(identity).view.mapValues(_.length.toLong)
+    truth.foreach { case (u, n) =>
+      val est = math.min(cells((0L, colOf(0, u))), cells((1L, colOf(1, u))))
+      assert(est >= n, s"user $u: est $est < true $n")
+    }
+  }
+
   test("hllRegisters == local md5 register recompute; estimate within HLL error") {
     import spark.implicits._
     def md5hex(s: String): String =

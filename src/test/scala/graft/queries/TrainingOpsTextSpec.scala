@@ -339,6 +339,28 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(want.forall(_._5 < 100000L))
   }
 
+  test("bloomCheck == local bit-set recompute; no false negatives (theorem)") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "source", "text").as[(Long, String, String)].collect().toSeq
+    def positions(t: String): Seq[Long] =
+      (0 to 2).map(i => java.lang.Long.parseLong(md5hex(s"bloom$i#" + t).take(15), 16) % 4096L)
+    val evalVocab = rows.filter(_._1 % 7 == 0).flatMap(d => toks(d._3)).toSet
+    val bits = evalVocab.flatMap(positions)
+    val train = rows.filter(_._1 % 7 != 0)
+      .flatMap(d => toks(d._3).map(t => (d._2, t))).distinct
+    val want = train.groupBy(_._1).map { case (src, ts) =>
+      val nBloom = ts.count(t => positions(t._2).forall(bits.contains))
+      val nTrue = ts.count(t => evalVocab.contains(t._2))
+      (src, ts.length.toLong, nBloom.toLong, nTrue.toLong, (nBloom - nTrue).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = TrainingOps.bloomCheck(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    assert(want.forall(_._5 >= 0L), "bloom must never produce a false negative")
+    assert(want.exists(_._4 > 0L), "some true members expected")
+  }
+
   test("kmvSketch == local sorted-distinct-hash recompute (k = 8)") {
     val want = srcDocs().groupBy(_._1).flatMap { case (src, ds) =>
       val hvs = ds.flatMap(d => toks(d._2)).distinct
