@@ -131,11 +131,20 @@ object Bench {
       "q_dist_transform", "q_evt_overlap", "q_evt_trend",
       "q_stream_power", "q_evt_transitions", "q_source_overlap")
 
+  /** The round-5 eighth wave: the sketch family (HLL registers, count-min
+    * cells, KMV per source, Bloom membership census), Moran's I through
+    * the tiled kernel, histogram equalization, payload-doubled flow
+    * length, and the segment-crossing overlay.
+    */
+  private val Ops8Queries =
+    Seq("q_evt_hll", "q_evt_cms", "q_doc_kmv", "q_doc_bloom", "q_moran",
+      "q_hist_equalize", "q_flow_len", "q_seg_crossings", "q_doc_simpson")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
     "ops4" -> Ops4Queries, "ops5" -> Ops5Queries, "ops6" -> Ops6Queries,
-    "ops7" -> Ops7Queries)
+    "ops7" -> Ops7Queries, "ops8" -> Ops8Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -471,6 +471,15 @@ object SparkEntry {
     //      the closest one, via the cell-bucketed neighbor join (oracle:
     //      brute force over the segs2 reconstruction with a sound bbox
     //      prune, same distance expression tree) ----
+    // ---- vector overlay: proper segment crossings between the smoothed
+    //      contour layer and its (0.5, 0.25)-translated copy, counted per
+    //      threshold with an exact integer orientation predicate (oracle:
+    //      brute force behind the sound |start delta| <= 4 prune) ----
+    "q_seg_crossings" -> ((spark, dir) => {
+      val cts = engine(spark).contours(eventTiles(spark, dir))
+      graft.engine.SpatialOps.segCrossings(spark, cts, 0.5, 0.25)
+    }),
+
     "q_contour_near_dist" -> ((spark, dir) => {
       import spark.implicits._
       val cts = engine(spark).contours(eventTiles(spark, dir))
@@ -1155,6 +1164,41 @@ object SparkEntry {
     // and the SAME clamped-projection distance tree, so the bucketing's
     // coverage claim is itself under test. Degenerate segments included
     // on both sides (t = 0 branch).
+    // proper crossings vs the translated copy: quantize AFTER the exact
+    // f64 translation, then the same four integer orientation terms with
+    // strict sign opposition; the |start delta| <= 4 prune is sound
+    // (crossing segments' starts lie within 2*sqrt(2) per axis)
+    "q_seg_crossings" ->
+      s"""WITH ${startsAndEndsCte(tsAllSql)},
+         |segs2 AS (
+         |  SELECT s.threshold, s.px AS spx, s.py AS spy, e.px AS epx, e.py AS epy
+         |  FROM pts s JOIN pts e
+         |    ON e.threshold = s.threshold AND e.cx = s.cx AND e.cy = s.cy
+         |   AND e.segid = s.segid AND s.role = 0 AND e.role = 1),
+         |a AS (SELECT threshold, spx, spy,
+         |        floor(spx * 1048576.0)::BIGINT AS a1x, floor(spy * 1048576.0)::BIGINT AS a1y,
+         |        floor(epx * 1048576.0)::BIGINT AS a2x, floor(epy * 1048576.0)::BIGINT AS a2y
+         |      FROM segs2),
+         |b AS (SELECT threshold, spx + 0.5 AS bspx, spy + 0.25 AS bspy,
+         |        floor((spx + 0.5) * 1048576.0)::BIGINT AS b1x,
+         |        floor((spy + 0.25) * 1048576.0)::BIGINT AS b1y,
+         |        floor((epx + 0.5) * 1048576.0)::BIGINT AS b2x,
+         |        floor((epy + 0.25) * 1048576.0)::BIGINT AS b2y
+         |      FROM segs2),
+         |o AS (SELECT a.threshold,
+         |        (a2x - a1x) * (b1y - a1y) - (b1x - a1x) * (a2y - a1y) AS oa1,
+         |        (a2x - a1x) * (b2y - a1y) - (b2x - a1x) * (a2y - a1y) AS oa2,
+         |        (b2x - b1x) * (a1y - b1y) - (a1x - b1x) * (b2y - b1y) AS ob1,
+         |        (b2x - b1x) * (a2y - b1y) - (a2x - b1x) * (b2y - b1y) AS ob2
+         |      FROM a JOIN b ON b.threshold = a.threshold
+         |        AND b.bspx >= a.spx - 4.0 AND b.bspx <= a.spx + 4.0
+         |        AND b.bspy >= a.spy - 4.0 AND b.bspy <= a.spy + 4.0)
+         |SELECT threshold, count(*)::BIGINT AS n_crossings, sum(oa1)::BIGINT AS o_sum
+         |FROM o
+         |WHERE ((oa1 > 0 AND oa2 < 0) OR (oa1 < 0 AND oa2 > 0))
+         |  AND ((ob1 > 0 AND ob2 < 0) OR (ob1 < 0 AND ob2 > 0))
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_contour_near_dist" ->
       s"""WITH ${startsAndEndsCte(tsAllSql)},
          |segs2 AS (

@@ -334,6 +334,73 @@ object SpatialOps {
       }
     }
 
+  /** Exact segment-crossing counts between a contour layer and its
+    * TRANSLATED copy — the vector-overlay primitive (the ST_Intersects /
+    * ST_Crosses counting analog): every smoothed ring segment of layer A
+    * is tested for PROPER crossing against every segment of layer B (= A
+    * shifted by (dx, dy), both exact binary fractions so the translation
+    * is IEEE-exact) at the same threshold. The predicate runs ENTIRELY in
+    * the quantized integer domain — endpoints floor(c * 2^20) first, then
+    * the four orientation cross products with strict sign-opposition
+    * tests (no o1*o2 product, which could overflow; touching/collinear
+    * pairs are excluded by contract) — so no float tolerance sits within
+    * an ulp of a crossing decision. Plan: the q_contour_near_dist
+    * cell-bucket idiom — a smoothed marching-squares segment spans
+    * <= sqrt(2), so two crossing segments' start points lie within
+    * 2*sqrt(2) < 4 of each other; layer B buckets by start into 4-cells,
+    * layer A probes its 3x3 neighborhood (each (A, B) pair tested at most
+    * once: A's probe set covers B's single home cell), and the bucket
+    * locality also bounds every orientation operand under 2^24 (products
+    * < 2^46 — Long-safe with 2^17 headroom). The oracle brute-forces the
+    * join behind the sound |start delta| <= 4 bbox prune: a different
+    * candidate superset, the same exact predicate, therefore the same
+    * crossing set. Output per threshold: crossing-pair count plus the
+    * order-free integer sum of each pair's first orientation term (the
+    * discriminator pinning WHICH pairs crossed).
+    */
+  def segCrossings(spark: SparkSession, contours: Dataset[ContourRow],
+                   dx: Double, dy: Double): DataFrame = {
+    import spark.implicits._
+    val segs = contours.flatMap { c =>
+      ringEdges(c).map { case (ax, ay, bx, by) => (c.threshold, ax, ay, bx, by) }
+    }.toDF("threshold", "ax", "ay", "bx", "by")
+    def q(c: org.apache.spark.sql.Column) = floor(c * RasterQ20).cast("long")
+    val s = 4.0
+    val a = segs.select(col("threshold"),
+      q(col("ax")).as("a1x"), q(col("ay")).as("a1y"),
+      q(col("bx")).as("a2x"), q(col("by")).as("a2y"),
+      floor(col("ax") / s).cast("long").as("acx"),
+      floor(col("ay") / s).cast("long").as("acy"))
+      .withColumn("o", explode(lit((0 until 9).toArray)))
+      .select(col("threshold"), col("a1x"), col("a1y"), col("a2x"), col("a2y"),
+        (col("acx") + col("o") % 3 - 1).as("cx"),
+        (col("acy") + col("o").divide(3).cast("int") - 1).as("cy"))
+    val b = segs.select(col("threshold"),
+      q(col("ax") + dx).as("b1x"), q(col("ay") + dy).as("b1y"),
+      q(col("bx") + dx).as("b2x"), q(col("by") + dy).as("b2y"),
+      floor((col("ax") + dx) / s).cast("long").as("cx"),
+      floor((col("ay") + dy) / s).cast("long").as("cy"))
+    def orient(px: org.apache.spark.sql.Column, py: org.apache.spark.sql.Column,
+               qx: org.apache.spark.sql.Column, qy: org.apache.spark.sql.Column,
+               rx: org.apache.spark.sql.Column, ry: org.apache.spark.sql.Column) =
+      (qx - px) * (ry - py) - (rx - px) * (qy - py)
+    def opposite(o1: org.apache.spark.sql.Column, o2: org.apache.spark.sql.Column) =
+      (o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)
+    a.join(b, Seq("threshold", "cx", "cy"))
+      .withColumn("oa1", orient(col("a1x"), col("a1y"), col("a2x"), col("a2y"),
+        col("b1x"), col("b1y")))
+      .withColumn("oa2", orient(col("a1x"), col("a1y"), col("a2x"), col("a2y"),
+        col("b2x"), col("b2y")))
+      .withColumn("ob1", orient(col("b1x"), col("b1y"), col("b2x"), col("b2y"),
+        col("a1x"), col("a1y")))
+      .withColumn("ob2", orient(col("b1x"), col("b1y"), col("b2x"), col("b2y"),
+        col("a2x"), col("a2y")))
+      .filter(opposite(col("oa1"), col("oa2")) && opposite(col("ob1"), col("ob2")))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_crossings"), sum(col("oa1")).as("o_sum"))
+      .orderBy("threshold")
+  }
+
   /** Vertices of every ring of a contour set, deduplicated per threshold
     * (the closing duplicate dropped), as (threshold, vx, vy).
     */

@@ -543,4 +543,43 @@ class SpatialOpsSpec extends AnyFunSuite {
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got2 == Seq((0.5, 0L, 1L), (0.5, 1L, 1L)))
   }
+
+  test("segCrossings == local quadratic all-pairs recompute (volcano)") {
+    import spark.implicits._
+    val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
+    val tiles = GridSynth.tilesFromArray(spark, "gx", data, w, h, 16, 16)
+    val thresholds = Seq(100.0, 140.0, 170.0)
+    val cts = new ContourEngine(spark, JobConfig(thresholds, smooth = true)).contours(tiles)
+    val (dx, dy) = (0.5, 0.25)
+    // brute force over ALL pairs — no bucketing, the coverage claim of the
+    // engine's 3x3 probe is itself under test
+    val segs = cts.collect().flatMap { c =>
+      c.polygons.flatMap(p => p.exterior +: p.holes).flatMap { ring =>
+        (0 until ring.length / 2 - 1).map { i =>
+          (c.threshold, ring(2 * i), ring(2 * i + 1), ring(2 * i + 2), ring(2 * i + 3))
+        }
+      }
+    }
+    def q(v: Double) = math.floor(v * 1048576.0).toLong
+    def orient(px: Long, py: Long, qx: Long, qy: Long, rx: Long, ry: Long) =
+      (qx - px) * (ry - py) - (rx - px) * (qy - py)
+    def opp(a: Long, b: Long) = (a > 0 && b < 0) || (a < 0 && b > 0)
+    val want = (for {
+      (t, ax, ay, bx, by) <- segs
+      (t2, cx2, cy2, dx2, dy2) <- segs if t2 == t
+      (a1x, a1y, a2x, a2y) = (q(ax), q(ay), q(bx), q(by))
+      (b1x, b1y, b2x, b2y) = (q(cx2 + dx), q(cy2 + dy), q(dx2 + dx), q(dy2 + dy))
+      oa1 = orient(a1x, a1y, a2x, a2y, b1x, b1y)
+      oa2 = orient(a1x, a1y, a2x, a2y, b2x, b2y)
+      ob1 = orient(b1x, b1y, b2x, b2y, a1x, a1y)
+      ob2 = orient(b1x, b1y, b2x, b2y, a2x, a2y)
+      if opp(oa1, oa2) && opp(ob1, ob2)
+    } yield (t, oa1)).groupBy(_._1)
+      .map { case (t, xs) => (t, xs.length.toLong, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val got = SpatialOps.segCrossings(spark, cts, dx, dy).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(want.forall(_._2 > 0L), "every threshold should cross its shifted copy")
+  }
 }
