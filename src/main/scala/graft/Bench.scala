@@ -140,11 +140,20 @@ object Bench {
     Seq("q_evt_hll", "q_evt_cms", "q_doc_kmv", "q_doc_bloom", "q_moran",
       "q_hist_equalize", "q_flow_len", "q_seg_crossings", "q_doc_simpson")
 
+  /** The round-5 ninth wave: degree-ordered triangle counting over the
+    * LSH pair graph, per-type MAD via the double histogram-window
+    * selection, the focal majority (mode) and local Moran (LISA) tiled
+    * kernels, and the per-user CUSUM change-point statistic.
+    */
+  private val Ops9Queries =
+    Seq("q_doc_triangles", "q_evt_mad", "q_focal_majority", "q_local_moran",
+      "q_evt_cusum")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
     "ops4" -> Ops4Queries, "ops5" -> Ops5Queries, "ops6" -> Ops6Queries,
-    "ops7" -> Ops7Queries, "ops8" -> Ops8Queries)
+    "ops7" -> Ops7Queries, "ops8" -> Ops8Queries, "ops9" -> Ops9Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum
@@ -234,6 +243,28 @@ object Bench {
         System.err.println(f"[bench] pass=$pass ${name}_pipeline cpus=$opsCpus elapsed=$el%.2fs rows=${opsRows(name)}")
         opsBest(name) = math.min(opsBest(name), el)
       } finally s.stop()
+    }
+    // SPARK_GRAFT_BENCH_OPS_ONLY=ops8,ops9 (or "all"): run just the named
+    // ops legs, skip the isoband curve — the fast iteration loop when a
+    // wave adds a leg. Interleaving (min across passes) is kept.
+    sys.env.get("SPARK_GRAFT_BENCH_OPS_ONLY").foreach { sel =>
+      val keep = sel.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      val legs = if (keep("all")) OpsLegs else OpsLegs.filter(t => keep(t._1))
+      for (pass <- 0 until passes) {
+        val s = session(opsCpus)
+        try legs.foreach { case (name, queries) =>
+          val t0 = System.nanoTime()
+          opsRows(name) = runQueriesOnce(s, sfDir, queries)
+          val el = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] pass=$pass ${name}_pipeline cpus=$opsCpus elapsed=$el%.2fs rows=${opsRows(name)}")
+          opsBest(name) = math.min(opsBest(name), el)
+        } finally s.stop()
+      }
+      val legJson = legs.map { case (name, _) =>
+        s""""${name}_pipeline_c$opsCpus":${opsBest(name)},"${name}_pipeline_rows":${opsRows(name)}"""
+      }.mkString(",")
+      println(s"""{"metric":"ops_only","value":0,"unit":"sec","queries":{$legJson},"sf":"$sfDir"}""")
+      return
     }
     for (pass <- 0 until passes) {
       for ((cpus, grids) <- legsOf(pass)) runLeg(pass, cpus, grids)

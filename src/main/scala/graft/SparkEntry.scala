@@ -608,6 +608,7 @@ object SparkEntry {
     "q_doc_pack" -> TrainingOps.packDocs,
     "q_doc_skyline" -> TrainingOps.skyline,
     "q_doc_pagerank" -> TrainingOps.pagerank,
+    "q_doc_triangles" -> TrainingOps.triangles,
     "q_evt_window_join" -> EventOps.windowJoin,
     "q_evt_funnel" -> EventOps.funnel,
     "q_evt_retention" -> EventOps.retention,
@@ -620,6 +621,7 @@ object SparkEntry {
     "q_kmeans_update" -> TrainingOps.kmeansUpdate,
     "q_integral" -> RasterOps.integralImage,
     "q_group_quantiles" -> StatsOps.groupQuantiles,
+    "q_evt_mad" -> StatsOps.madStats,
     "q_grid_pyramid" -> RasterOps.gridPyramid,
     "q_focal_mean" -> RasterOps.focalMean,
     "q_grid_slope" -> RasterOps.hornSlope,
@@ -630,6 +632,7 @@ object SparkEntry {
     "q_flow_dir" -> RasterOps.d8FlowDir,
     "q_pyramid_slope" -> RasterOps.pyramidSlope,
     "q_focal_median" -> RasterOps.focalMedian,
+    "q_focal_majority" -> RasterOps.focalMajority,
     "q_morphology" -> RasterOps.morphology,
     "q_row_prefix" -> RasterOps.rowPrefix,
     "q_viewshed" -> RasterOps.viewshed,
@@ -637,6 +640,7 @@ object SparkEntry {
     "q_dist_transform" -> RasterOps.distTransform,
     "q_hist_equalize" -> RasterOps.histEqualize,
     "q_moran" -> RasterOps.moran,
+    "q_local_moran" -> RasterOps.localMoran,
     "q_watershed" -> HydroOps.watershed,
     "q_flow_accum" -> HydroOps.flowAccum,
     "q_flow_len" -> HydroOps.flowLength,
@@ -644,6 +648,7 @@ object SparkEntry {
     "q_convex_hull" -> HullOps.convexHull,
     "q_evt_sessionize" -> EventOps.sessionize,
     "q_evt_trend" -> EventOps.trend,
+    "q_evt_cusum" -> EventOps.cusum,
     "q_evt_transitions" -> EventOps.transitions,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,

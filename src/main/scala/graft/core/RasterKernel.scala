@@ -357,6 +357,55 @@ object RasterKernel {
     out.toSeq
   }
 
+  /** 3x3 focal MAJORITY (mode filter) over the same interior — the
+    * classifier-smoothing analog of [[medianRows]]: each window sample
+    * bins to floor(v) (the INTEGER VALUE buckets of the histogram
+    * contract — a mode over raw doubles would be vacuously all-distinct),
+    * the mode is the most frequent bin with the SMALLEST-BIN tie-break (a
+    * stated convention, so engine/oracle/spec agree exactly), and per-row
+    * partials summarize the mode values. Pure counting + selection — no
+    * arithmetic touches the values, so nothing quantizes beyond the bin
+    * floor itself. O(81) per cell: each of the 9 bins counted against the
+    * window by two nested constant loops — no allocation, no sort.
+    */
+  def majorityRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                   ox0: Int, oy0: Int, ow: Int, oh: Int,
+                   w: Int, h: Int): Seq[RowStat] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val b = new Array[Long](9)
+    val out = new scala.collection.mutable.ArrayBuffer[RowStat](math.max(tyHi - tyLo + 1, 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var n = 0L; var qsum = 0L
+      var qmin = Long.MaxValue; var qmax = Long.MinValue
+      var tx = txLo
+      while (tx <= txHi) {
+        var o = 0
+        while (o < 9) {
+          b(o) = math.floor(g(tx - (o % 3 - 1), ty - (o / 3 - 1))).toLong
+          o += 1
+        }
+        var best = 0L; var bestCnt = 0
+        var i = 0
+        while (i < 9) {
+          var c = 0; var j = 0
+          while (j < 9) { if (b(j) == b(i)) c += 1; j += 1 }
+          if (c > bestCnt || (c == bestCnt && b(i) < best)) { best = b(i); bestCnt = c }
+          i += 1
+        }
+        n += 1; qsum += best
+        if (best < qmin) qmin = best
+        if (best > qmax) qmax = best
+        tx += 1
+      }
+      if (n > 0) out += ((ty.toLong, n, qsum, qmin, qmax))
+      ty += 1
+    }
+    out.toSeq
+  }
+
   /** Binary 3x3 morphology counts over the same interior, one row per
     * threshold: (threshold, n_mask, n_erode, n_dilate) where the mask is
     * v >= threshold, erosion keeps a center iff ALL 9 window samples are in
@@ -506,6 +555,50 @@ object RasterKernel {
     * < 2^30 (|dev| < 2^31, every per-cell product < 2^62); the caller's
     * value domain owns the bound, the kernel enforces it per cell.
     */
+  /** Local Moran's I (LISA hotspot analysis) over the tile's owned
+    * INTERIOR cells — the per-cell companion of [[moranCells]]:
+    * li = dev_c * (dev_N + dev_S + dev_E + dev_W) against the caller's
+    * truncated quantized mean, emitted as per-row partials of
+    * liq = li / 2^20 (Long division truncates toward zero — DuckDB's `//`
+    * semantics). All four rook neighbours sit inside the 1-sample halo.
+    * Arithmetic is EXACT-OR-LOUD: |q| < 2^30 is enforced like moranCells,
+    * and the product runs through multiplyExact, so an input outside the
+    * provable bound throws instead of wrapping.
+    */
+  def localMoranRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                     ox0: Int, oy0: Int, ow: Int, oh: Int,
+                     w: Int, h: Int, qbar: Long): Seq[RowStat] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    @inline def dev(x: Int, y: Int): Long = {
+      val qq = math.floor(g(x, y) * Q20).toLong
+      require(math.abs(qq) < (1L << 30),
+        s"localMoranRows: |q| = $qq >= 2^30 at ($x, $y) breaks the product bound")
+      qq - qbar
+    }
+    require(math.abs(qbar) < (1L << 30), s"localMoranRows: |qbar| = $qbar >= 2^30")
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val out = new scala.collection.mutable.ArrayBuffer[RowStat](math.max(tyHi - tyLo + 1, 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var n = 0L; var sum = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      var tx = txLo
+      while (tx <= txHi) {
+        val nb = Math.addExact(Math.addExact(dev(tx, ty - 1), dev(tx, ty + 1)),
+          Math.addExact(dev(tx + 1, ty), dev(tx - 1, ty)))
+        val liq = Math.multiplyExact(dev(tx, ty), nb) / 1048576L
+        n += 1; sum += liq
+        if (liq < mn) mn = liq
+        if (liq > mx) mx = liq
+        tx += 1
+      }
+      if (n > 0) out += ((ty.toLong, n, sum, mn, mx))
+      ty += 1
+    }
+    out.toSeq
+  }
+
   def moranCells(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
                  ox0: Int, oy0: Int, ow: Int, oh: Int,
                  w: Int, h: Int, qbar: Long): Seq[(Long, Long, Long)] = {

@@ -279,6 +279,48 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Per-user CUSUM change-point statistic — the exact-integer form of
+    * "where does this user's value level shift": over the user's events
+    * in time order, stat_k = |n * P_k - k * S| (P_k = prefix sum of the
+    * first k quantized values, S = the user's total) is n^2 times the
+    * classic CUSUM deviation |P_k/k-mean prefix drift|, maximized over
+    * the interior split points k in [1, n-1]. Emitted per user: n_events,
+    * cusum_max, and k_at_max = the SMALLEST maximizing k (a stated
+    * tie-break, so engine/oracle/spec agree exactly). Single-event users
+    * have no interior split and are omitted (stated contract). Plan: ONE
+    * user_id exchange serves everything — the ordered prefix window, the
+    * whole-partition n/S/max windows, and the final groupBy all share the
+    * partitioning. LOUD BOUND (the trend idiom): |stat| <= 2*n^2*qmax, so
+    * each user must keep n^2 * qmax < 2^61, checked per row in
+    * decimal(38,0) through raise_error; ANSI mode backstops any product
+    * that would wrap upstream of the check.
+    */
+  val cusum: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val dec = "decimal(38,0)"
+    val bound = lit("2305843009213693952").cast(dec) // 2^61
+    val wOrd = Window.partitionBy("user_id").orderBy("ts")
+    val wAll = Window.partitionBy("user_id")
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), floor(col("value") * Q20).cast("long").as("q"))
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("pk", sum("q").over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum("q").over(wAll))
+      .withColumn("qmax", max(abs(col("q"))).over(wAll))
+      .filter(col("k") < col("n"))
+      .filter(when(col("n").cast(dec) * col("n") * col("qmax") >= bound,
+        raise_error(concat(lit("cusum: user "), col("user_id"),
+          lit(" exceeds the n^2*qmax < 2^61 Long-safety contract"))))
+        .otherwise(lit(true)))
+      .withColumn("stat", abs(col("n") * col("pk") - col("k") * col("s")))
+      .withColumn("mxs", max("stat").over(wAll))
+      .filter(col("stat") === col("mxs"))
+      .groupBy("user_id")
+      .agg(max("n").as("n_events"), max("stat").as("cusum_max"),
+        min("k").as("k_at_max"))
+      .orderBy("user_id")
+  }
+
   /** Sweep-line concurrency load curve: how many sessions are open at
     * once, maxed per hour bucket. Sessions come from the [[sessionize]]
     * gap rule; each contributes +1 at start_us and -1 at end_us + 1
@@ -442,6 +484,24 @@ object EventOps {
         |  (n * sxy - sx * sy)::BIGINT AS num,
         |  (n * sxx - sx * sx)::BIGINT AS den
         |FROM a ORDER BY user_id""".stripMargin,
+
+    // CUSUM: the same prefix/total windows in SQL; HUGEINT intermediates
+    // collapse to the identical BIGINT values inside the stated bound
+    "q_evt_cusum" ->
+      """WITH e AS (SELECT user_id, ts, floor(value * 1048576.0)::BIGINT AS q FROM events),
+        |p AS (SELECT user_id,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts) AS k,
+        |        sum(q) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS pk,
+        |        count(*) OVER (PARTITION BY user_id) AS n,
+        |        sum(q) OVER (PARTITION BY user_id) AS s
+        |      FROM e),
+        |st AS (SELECT user_id, n, k, abs(n * pk - k * s) AS stat FROM p WHERE k < n),
+        |mx AS (SELECT user_id, max(n)::BIGINT AS n_events, max(stat) AS m FROM st GROUP BY 1)
+        |SELECT mx.user_id, mx.n_events, mx.m::BIGINT AS cusum_max,
+        |  min(st.k)::BIGINT AS k_at_max
+        |FROM mx JOIN st ON st.user_id = mx.user_id AND st.stat = mx.m
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
     // transition matrix: the same session chain as q_evt_overlap's CTE,
     // lead within (user, session), counted per (from, to) pair

@@ -794,6 +794,20 @@ object RasterOps {
     focalMedianTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
+  private[graft] def focalMajorityTiledOf(cells: Dataset[(Int, Int, Double)],
+                                          w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    mergeRowStats(haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+      graft.core.RasterKernel.majorityRows(t.values, t.bx0, t.by0, t.bw,
+        t.ox0, t.oy0, t.ow, t.oh, w, h)))
+  }
+
+  val focalMajority: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    focalMajorityTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
   val morphology: (SparkSession, String) => DataFrame = (spark, dir) => {
     import spark.implicits._
     val (w, h) = EventsGrid.dims(spark, dir)
@@ -1035,16 +1049,24 @@ object RasterOps {
     * constant raster (dev_ss = 0) — fail LOUDLY in the ANSI zero-divide,
     * the stated contract (Moran's I is undefined there).
     */
-  private[graft] def moranOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
-                             tileW: Int = 50, tileH: Int = 50): DataFrame = {
-    import cells.sparkSession.implicits._
+  /** The truncated quantized mean shared by the global and local Moran
+    * operators: (qbar = sum(floor(v * 2^20)) div n, n) — one tiny
+    * two-column aggregate collected to the driver (bounded at one row).
+    */
+  private def truncatedQbar(cells: Dataset[(Int, Int, Double)]): (Long, Long) = {
     val mr = cells.toDF("x", "y", "v").agg(
       sum(floor(col("v") * Q20).cast("decimal(38,0)")).as("s"),
       count(lit(1)).as("n")).head()
     val n = mr.getLong(1)
     require(n > 0, "moran: empty grid")
     // BigInt / truncates toward zero — same semantics as DuckDB's `//`
-    val qbar = (BigInt(mr.getDecimal(0).toBigInteger) / n).toLong
+    ((BigInt(mr.getDecimal(0).toBigInteger) / n).toLong, n)
+  }
+
+  private[graft] def moranOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
+                             tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    val (qbar, n) = truncatedQbar(cells)
     haloTilesFromCells(cells, w, h, tileW, tileH)
       .flatMap(t => graft.core.RasterKernel.moranCells(t.values, t.bx0, t.by0,
         t.bw, t.ox0, t.oy0, t.ow, t.oh, w, h, qbar))
@@ -1066,6 +1088,34 @@ object RasterOps {
     import spark.implicits._
     val (w, h) = EventsGrid.dims(spark, dir)
     moranOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
+  /** Local Moran's I (LISA hotspot analysis) — the per-cell companion of
+    * [[moranOf]], the statistic a hotspot map is drawn from: for every
+    * INTERIOR cell, liq = (dev_c * (dev_N + dev_S + dev_E + dev_W)) div
+    * 2^20 against the SAME truncated quantized mean as the global index
+    * (one shared driver-side two-column aggregate). Interior-only is a
+    * stated contract: every scored cell has exactly four rook neighbours,
+    * so no per-cell weight-count normalization forks engine vs oracle at
+    * the grid rim. Per-row integer summaries (n_cells, sum, min, max of
+    * liq) ride the halo-tiled kernel — zero raster shuffle; the only
+    * exchange is the O(tiles x tile-rows) row-partial merge. The oracle
+    * GATHERS the four neighbours via +-1 self-joins (vs the kernel's
+    * in-tile halo reads) and runs the identical truncating divisions.
+    */
+  private[graft] def localMoranOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
+                                  tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    val (qbar, _) = truncatedQbar(cells)
+    mergeRowStats(haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+      graft.core.RasterKernel.localMoranRows(t.values, t.bx0, t.by0, t.bw,
+        t.ox0, t.oy0, t.ow, t.oh, w, h, qbar)))
+  }
+
+  val localMoran: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    localMoranOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
   /** Histogram equalization — the classic raster contrast remap: each cell
@@ -1171,6 +1221,28 @@ object RasterOps {
           |  (d2.dss // 1048576)::BIGINT AS dev_ss_q, (agg.css // 1048576)::BIGINT AS cross_ss_q,
           |  ((m.n * agg.css * 1000000) // (agg.w * d2.dss))::BIGINT AS moran_x1e6
           |FROM m, agg, d2""".stripMargin,
+
+      // local Moran (LISA): the four rook neighbours gathered per interior
+      // cell via +-1 self-joins, the same truncated qbar and truncating
+      // per-cell division, summarized per grid row
+      "q_local_moran" ->
+        """WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y,
+          |             floor(value * 1048576.0)::BIGINT AS q FROM events),
+          |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+          |m AS (SELECT (sum(q) // count(*))::BIGINT AS qbar FROM g),
+          |dv AS (SELECT x, y, q - (SELECT qbar FROM m) AS dev FROM g),
+          |li AS (SELECT c.x, c.y,
+          |         ((c.dev * (nn.dev + ss.dev + ee.dev + ww.dev)) // 1048576)::BIGINT AS liq
+          |       FROM dv c
+          |       JOIN dv nn ON nn.x = c.x AND nn.y = c.y - 1
+          |       JOIN dv ss ON ss.x = c.x AND ss.y = c.y + 1
+          |       JOIN dv ee ON ee.x = c.x + 1 AND ee.y = c.y
+          |       JOIN dv ww ON ww.x = c.x - 1 AND ww.y = c.y
+          |       WHERE c.x BETWEEN 1 AND 98
+          |         AND c.y BETWEEN 1 AND (SELECT h FROM d) - 2)
+          |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells, sum(liq)::BIGINT AS qsum,
+          |  min(liq)::BIGINT AS qmin, max(liq)::BIGINT AS qmax
+          |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // CC labeling on the level-2 overview: the oracle derives g2 via the
       // same pool CTEs as q_grid_pyramid, builds the 4-adjacency edge list
@@ -1443,6 +1515,27 @@ object RasterOps {
            |  min(floor(med * 1048576.0)::BIGINT) AS qmin,
            |  max(floor(med * 1048576.0)::BIGINT) AS qmax
            |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // focal majority: the window's integer bins unnested and counted per
+      // cell, mode picked by (count DESC, bin) rank — the gather/group
+      // formulation of the kernel's in-place counting loops
+      "q_focal_majority" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |f AS (SELECT t.x, t.y,
+           |  [floor(b0.v), floor(b1.v), floor(b2.v), floor(b3.v), floor(t.v),
+           |   floor(b5.v), floor(b6.v), floor(b7.v), floor(b8.v)] AS ls
+           |  FROM g t
+           |  $slotJoins
+           |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+           |u AS (SELECT x, y, unnest(ls)::BIGINT AS bin FROM f),
+           |c AS (SELECT x, y, bin, count(*) AS cnt FROM u GROUP BY 1, 2, 3),
+           |m AS (SELECT x, y, bin,
+           |        row_number() OVER (PARTITION BY x, y ORDER BY cnt DESC, bin) AS rn
+           |      FROM c)
+           |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells, sum(bin)::BIGINT AS qsum,
+           |  min(bin)::BIGINT AS qmin, max(bin)::BIGINT AS qmax
+           |FROM m WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // binary 3x3 morphology: mask/erode/dilate counts are exact selections
       // (least/greatest) + exact compares — nothing quantizes anywhere

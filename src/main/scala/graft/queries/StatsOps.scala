@@ -166,6 +166,44 @@ object StatsOps {
       .orderBy("source")
   }
 
+  /** Per-type MEDIAN ABSOLUTE DEVIATION — the robust spread statistic an
+    * outlier report wants when 3-sigma is poisoned by the outliers
+    * themselves. Exact end to end over q = floor(value * 2^20): the LOW
+    * median (smallest value class whose cumulative count passes
+    * (n-1) div 2 — the [[groupQuantiles]] rank contract) via the
+    * histogram-window idiom twice — once over the (type, q) classes, once
+    * over the (type, |q - med|) deviation classes. Both window frames are
+    * bounded by a type's DISTINCT VALUE CLASSES, never its row count, and
+    * both reductions combine map-side. The median join-back broadcasts —
+    * one row per event type, registry-sized at any data scale. The oracle
+    * ranks each type's rows globally (row_number), the independent
+    * formulation of the same order statistics.
+    */
+  val madStats: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), floor(col("value") * 1048576.0).cast("long").as("q"))
+    // low median of df's `v` per event_type, plus the group's row count
+    def lowMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val hist = df.groupBy(col("event_type"), col(v)).agg(count(lit(1)).as("n"))
+      val wCum = Window.partitionBy("event_type").orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      hist.withColumn("cum", sum(col("n")).over(wCum))
+        .withColumn("total", sum(col("n")).over(wAll))
+        .groupBy("event_type")
+        .agg(max(col("total")).as(s"${out}_n"),
+          min(when(col("cum") > expr("(total - 1) div 2"), col(v))).as(out))
+    }
+    val med = lowMedian(ev, "q", "med_q")
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("q") - col("med_q")).as("d"))
+    val mad = lowMedian(dev, "d", "mad_q")
+    med.join(mad, "event_type")
+      .select(col("event_type"), col("med_q_n").as("n_events"),
+        col("med_q"), col("mad_q"))
+      .orderBy("event_type")
+  }
+
   /** HyperLogLog register table over the event stream's user ids — the
     * distinct-count sketch, DETERMINISTIC end to end so it sits on the
     * exact-oracle surface: hash = the repo's standard 60-bit md5
@@ -253,6 +291,28 @@ object StatsOps {
         |  max(CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END)::BIGINT AS register,
         |  count(*)::BIGINT AS n_rows
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // MAD: each type ranked twice by row_number — values, then absolute
+    // deviations from the low median — the gather formulation of the
+    // engine's histogram-window selection
+    "q_evt_mad" ->
+      """WITH e AS (SELECT event_type, floor(value * 1048576.0)::BIGINT AS q FROM events),
+        |r AS (SELECT event_type, q,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY q) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |m AS (SELECT event_type, max(n)::BIGINT AS n_events,
+        |        min(CASE WHEN rn > (n - 1) // 2 THEN q END)::BIGINT AS med_q
+        |      FROM r GROUP BY 1),
+        |d AS (SELECT e.event_type, abs(e.q - m.med_q) AS dv
+        |      FROM e JOIN m USING (event_type)),
+        |r2 AS (SELECT event_type, dv,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY dv) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |m2 AS (SELECT event_type,
+        |         min(CASE WHEN rn > (n - 1) // 2 THEN dv END)::BIGINT AS mad_q
+        |       FROM r2 GROUP BY 1)
+        |SELECT m.event_type, m.n_events, m.med_q, m2.mad_q
+        |FROM m JOIN m2 USING (event_type) ORDER BY 1""".stripMargin,
 
     "q_group_quantiles" ->
       """WITH r AS (SELECT source, n_chars,

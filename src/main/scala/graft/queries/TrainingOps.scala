@@ -715,6 +715,64 @@ object TrainingOps {
     pr.select(col("doc_id"), col("deg"), col("pr")).orderBy("doc_id")
   }
 
+  // ---- exact triangle counting over the LSH duplicate pair graph ----
+
+  /** Per-doc triangle count + local clustering coefficient over the
+    * undirected LSH candidate pair graph — the graph-shape statistic that
+    * separates "one giant template cluster" from "many small near-dup
+    * families" in a dedup report. Exact, via the DEGREE-ORDERED
+    * ORIENTATION formulation (the standard distributed plan): each
+    * undirected edge is directed from the lower (deg, id) endpoint to the
+    * higher, every wedge is built at its lowest-ranked corner (one
+    * self-join of the oriented edge list on src), and a wedge closes into
+    * a triangle iff its (dst1, dst2) pair is itself an oriented edge (one
+    * more equi-join). Each triangle is found EXACTLY once — at its
+    * minimum-rank corner — and the orientation caps out-degree at
+    * O(sqrt(m)), so wedge volume is sum outdeg^2 <= m^1.5, never the
+    * unoriented sum deg^2 a hub would explode. Clustering coefficient is
+    * emitted exact fixed-point: cc_x1e6 = (2 * n_tri * 10^6) div
+    * (deg * (deg - 1)), 0 when deg < 2 (stated contract). The oracle
+    * brute-forces the three-way a < b < c join over the same cand CTE —
+    * the independent quadratic formulation of the engine's oriented
+    * wedges.
+    */
+  val triangles: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val cand = bandCandidates(spark, dir)
+    val both = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = both.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("doc_id"), col("deg"))
+    // orient by (deg, id): u -> v iff (deg_u, u) < (deg_v, v)
+    val withDeg = cand
+      .join(deg.select(col("doc_id").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(deg.select(col("doc_id").as("doc_b"), col("deg").as("db")), "doc_b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("doc_a") < col("doc_b")),
+        col("doc_a")).otherwise(col("doc_b")).as("u"),
+      when(col("da") < col("db") || (col("da") === col("db") && col("doc_a") < col("doc_b")),
+        col("doc_b")).otherwise(col("doc_a")).as("v"))
+    val e1 = oriented.select(col("u"), col("v").as("v1"))
+    val e2 = oriented.select(col("u"), col("v").as("v2"))
+    val wedges = e1.join(e2, "u").filter(col("v1") < col("v2"))
+    val closing = oriented.select(col("u").as("cu"), col("v").as("cv"))
+    val tris = wedges.join(closing,
+      // the closing edge's orientation between v1 and v2 is unknown a
+      // priori — match either direction (exactly one can exist)
+      (col("cu") === col("v1") && col("cv") === col("v2")) ||
+        (col("cu") === col("v2") && col("cv") === col("v1")))
+      .select(col("u"), col("v1"), col("v2"))
+    val corner = tris.select(col("u").as("doc_id"))
+      .union(tris.select(col("v1").as("doc_id")))
+      .union(tris.select(col("v2").as("doc_id")))
+    val triCnt = corner.groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    deg.join(triCnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") < 2, lit(0L)).otherwise(
+          expr("2 * coalesce(n_tri, 0L) * 1000000 div (deg * (deg - 1))")).as("cc_x1e6"))
+      .orderBy("doc_id")
+  }
+
   // ---- deterministic stratified sampling: stable splits from a hash ----
 
   /** Per-language keep rates in percent (en downsampled, the rest at half).
@@ -1647,6 +1705,37 @@ object TrainingOps {
         |         (150000 + 85 * coalesce(m3.msum, 0) // 100)::BIGINT AS pr
         |       FROM deg d LEFT JOIN m3 ON m3.doc_id = d.src)
         |SELECT doc_id, deg::BIGINT AS deg, pr FROM p3 ORDER BY 1""".stripMargin,
+
+    // triangles: the brute three-way a < b < c join over the same cand
+    // construction — the independent quadratic formulation of the
+    // engine's degree-ordered oriented wedges
+    "q_doc_triangles" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+        |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+        |sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS minhash
+        |         FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, (seed // 4)::INT AS band,
+        |                 string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, ',' ORDER BY seed) AS bkey
+        |          FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        |      UNION ALL SELECT doc_b, doc_a FROM cand),
+        |deg AS (SELECT src AS doc_id, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+        |tri AS (SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+        |        FROM cand ab JOIN cand bc ON bc.doc_a = ab.doc_b
+        |        JOIN cand ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+        |corner AS (SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri
+        |           UNION ALL SELECT c FROM tri),
+        |tc AS (SELECT doc_id, count(*)::BIGINT AS n_tri FROM corner GROUP BY 1)
+        |SELECT d.doc_id, d.deg, coalesce(tc.n_tri, 0)::BIGINT AS n_tri,
+        |  (CASE WHEN d.deg < 2 THEN 0
+        |        ELSE (2 * coalesce(tc.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+        |   END)::BIGINT AS cc_x1e6
+        |FROM deg d LEFT JOIN tc USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_doc_dup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),

@@ -234,6 +234,27 @@ class EventOpsSpec extends AnyFunSuite {
       "some multi-event user must have none (exact-comparison path)")
   }
 
+  test("cusum matches an exact local recompute (BigInt, smallest-k tie-break)") {
+    val expected = ev.groupBy(_._3).toSeq.flatMap { case (u, es) =>
+      val qs = es.sortBy(_._2).map(e => BigInt(math.floor(e._5 * 1048576.0).toLong))
+      val n = qs.length
+      if (n < 2) None
+      else {
+        val s = qs.sum
+        val prefix = qs.scanLeft(BigInt(0))(_ + _).tail // P_1..P_n
+        val stats = (1 until n).map(k =>
+          ((BigInt(n) * prefix(k - 1) - BigInt(k) * s).abs, k.toLong))
+        val m = stats.map(_._1).max
+        Some((u, n.toLong, m.toLong, stats.filter(_._1 == m).map(_._2).min))
+      }
+    }.toSet
+    val got = EventOps.cusum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(expected.forall(r => r._4 >= 1L && r._4 < r._2), "k_at_max is interior")
+    assert(expected.exists(_._3 > 0L), "a nonzero change-point statistic exists")
+  }
+
   test("trend matches an exact local least-squares recompute; slopes go both ways") {
     val expected = ev.groupBy(_._3).toSeq.map { case (u, es) =>
       val mn = es.map(_._2).min

@@ -373,6 +373,91 @@ class RasterOpsSpec extends AnyFunSuite {
       ((BigInt(n) * css * 1000000) / (BigInt(wsum) * dss)).toLong)
   }
 
+  private def majorityBrute(vals: Array[Double], w: Int, h: Int)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    def bin(x: Int, y: Int) = math.floor(vals(y * w + x)).toLong
+    (1 until h - 1).flatMap { y =>
+      val modes = (1 until w - 1).map { x =>
+        val bs = for (dy <- -1 to 1; dx <- -1 to 1) yield bin(x + dx, y + dy)
+        // mode, smallest-bin tie-break
+        bs.groupBy(identity).toSeq.map { case (b, xs) => (-xs.length, b) }.min._2
+      }
+      if (modes.nonEmpty)
+        Some((y.toLong, modes.length.toLong, modes.sum, modes.min, modes.max))
+      else None
+    }
+  }
+
+  test("focalMajority == brute mode recompute on the events grid and random dims/tilings") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val w = 100; val h = ev.length / w
+    val expected = majorityBrute(ev.map(_._2), w, h)
+    val got = RasterOps.focalMajority(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected)
+
+    // random SMALL-RANGE grids force heavy bin ties — the tie-break path
+    val rng = new scala.util.Random(424242L)
+    for (trial <- 0 until 8) {
+      val rw = 2 + rng.nextInt(10); val rh = 2 + rng.nextInt(10)
+      val vals = Array.fill(rw * rh)(rng.nextInt(4).toDouble + rng.nextDouble() * 0.9)
+      val cells = spark.createDataset(
+        for (y <- 0 until rh; x <- 0 until rw) yield (x, y, vals(y * rw + x)))
+      val tw = 1 + rng.nextInt(4); val th = 1 + rng.nextInt(4)
+      val gotR = RasterOps.focalMajorityTiledOf(cells, rw, rh, tw, th).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(gotR.toSeq == majorityBrute(vals, rw, rh),
+        s"trial $trial ${rw}x$rh tile ${tw}x$th")
+    }
+  }
+
+  private def localMoranBrute(vals: Array[Double], w: Int, h: Int)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val q = vals.map(v => math.floor(v * 1048576.0).toLong)
+    val qbar = (q.map(BigInt(_)).sum / q.length).toLong
+    def dev(x: Int, y: Int) = BigInt(q(y * w + x) - qbar)
+    (1 until h - 1).flatMap { y =>
+      val liqs = (1 until w - 1).map { x =>
+        val nb = dev(x, y - 1) + dev(x, y + 1) + dev(x + 1, y) + dev(x - 1, y)
+        // BigInt / truncates toward zero, like the kernel's Long /
+        ((dev(x, y) * nb) / 1048576).toLong
+      }
+      if (liqs.nonEmpty)
+        Some((y.toLong, liqs.length.toLong, liqs.sum, liqs.min, liqs.max))
+      else None
+    }
+  }
+
+  test("localMoran == brute force on the events grid and on random dims/tilings") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val w = 100; val h = ev.length / w
+    val expected = localMoranBrute(ev.map(_._2), w, h)
+    val got = RasterOps.localMoran(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected)
+    assert(expected.exists(_._4 < 0L), "anticorrelated cells should exist")
+
+    // random dims x tilings; w or h of 2 makes the interior EMPTY in that
+    // direction (zero output rows) — the rim contract's edge case
+    val rng = new scala.util.Random(20260818L)
+    for (trial <- 0 until 8) {
+      val rw = 2 + rng.nextInt(8); val rh = 2 + rng.nextInt(8)
+      val vals = Array.fill(rw * rh)(
+        math.floor((rng.nextDouble() * 512.0 - 256.0) * 64.0) / 64.0)
+      val cells = spark.createDataset(
+        for (y <- 0 until rh; x <- 0 until rw) yield (x, y, vals(y * rw + x)))
+      val tw = 1 + rng.nextInt(4); val th = 1 + rng.nextInt(4)
+      val gotR = RasterOps.localMoranOf(cells, rw, rh, tw, th).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(gotR.toSeq == localMoranBrute(vals, rw, rh),
+        s"trial $trial ${rw}x$rh tile ${tw}x$th")
+    }
+  }
+
   test("moran == brute force on the events grid and on random dims/tilings") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$sf/events.parquet")

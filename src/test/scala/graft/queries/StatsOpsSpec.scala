@@ -84,6 +84,24 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(expected.forall(r => r._3 <= r._4), "p50 <= p90")
   }
 
+  test("madStats == per-type local full-sort low-median-of-deviations") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_type", "cast(floor(value * 1048576.0) as long)")
+      .as[(String, Long)].collect()
+    def lowMed(xs: Seq[Long]): Long = xs.sorted.apply(((xs.length - 1) / 2).toInt)
+    val expected = rows.groupBy(_._1).map { case (t, xs) =>
+      val qs = xs.map(_._2).toSeq
+      val med = lowMed(qs)
+      (t, qs.length.toLong, med, lowMed(qs.map(q => math.abs(q - med))))
+    }.toSeq.sortBy(_._1)
+    val got = StatsOps.madStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(expected.length > 1 && expected.forall(_._4 > 0L),
+      "every type should have nonzero spread")
+  }
+
   test("cmsSketch == local cell recompute; point queries overestimate (theorem)") {
     import spark.implicits._
     def md5hex(s: String): String =

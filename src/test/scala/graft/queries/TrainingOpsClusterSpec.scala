@@ -213,4 +213,32 @@ class TrainingOpsClusterSpec extends AnyFunSuite {
     assert(want.nonEmpty && want.exists(_._2 > 1L),
       "graph must have a node with several neighbors")
   }
+
+  test("triangles == local brute force over the LSH pairs") {
+    val pairs = TrainingOps.minhashDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val eset = pairs.toSet
+    val deg = pairs.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nodes = deg.keys.toSeq.sorted
+    val tris = for {
+      (a, b) <- pairs
+      c <- nodes if c > b && eset((a, c)) && eset((b, c))
+    } yield (a, b, c)
+    val triCnt = tris.flatMap { case (a, b, c) => Seq(a, b, c) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = nodes.map { n =>
+      val d = deg(n); val t = triCnt.getOrElse(n, 0L)
+      (n, d, t, if (d < 2) 0L else 2L * t * 1000000L / (d * (d - 1)))
+    }
+    val got = TrainingOps.triangles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // the LSH graph is (near-)unions of band cliques: assert both extremes
+    // exist — a closed corner (cc = 1 exactly, so the fixed-point division
+    // ran with t > 0) and a triangle-free node
+    assert(want.exists(t => t._3 > 0L && t._4 == 1000000L),
+      "LSH band cliques must close at least one triangle")
+    assert(want.exists(_._3 == 0L), "a triangle-free node must exist")
+  }
 }
