@@ -149,11 +149,20 @@ object Bench {
     Seq("q_doc_triangles", "q_evt_mad", "q_focal_majority", "q_local_moran",
       "q_evt_cusum")
 
+  /** The round-5 tenth wave: Geary's C and the Morton block index through
+    * the raster family, shingle novelty, LSH-graph degree assortativity,
+    * and the per-type Spearman rank drift statistic.
+    */
+  private val Ops10Queries =
+    Seq("q_geary", "q_morton", "q_doc_novelty", "q_doc_assort",
+      "q_evt_spearman")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
     "ops4" -> Ops4Queries, "ops5" -> Ops5Queries, "ops6" -> Ops6Queries,
-    "ops7" -> Ops7Queries, "ops8" -> Ops8Queries, "ops9" -> Ops9Queries)
+    "ops7" -> Ops7Queries, "ops8" -> Ops8Queries, "ops9" -> Ops9Queries,
+    "ops10" -> Ops10Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

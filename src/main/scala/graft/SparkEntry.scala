@@ -609,6 +609,8 @@ object SparkEntry {
     "q_doc_skyline" -> TrainingOps.skyline,
     "q_doc_pagerank" -> TrainingOps.pagerank,
     "q_doc_triangles" -> TrainingOps.triangles,
+    "q_doc_novelty" -> TrainingOps.novelty,
+    "q_doc_assort" -> TrainingOps.assortativity,
     "q_evt_window_join" -> EventOps.windowJoin,
     "q_evt_funnel" -> EventOps.funnel,
     "q_evt_retention" -> EventOps.retention,
@@ -641,6 +643,8 @@ object SparkEntry {
     "q_hist_equalize" -> RasterOps.histEqualize,
     "q_moran" -> RasterOps.moran,
     "q_local_moran" -> RasterOps.localMoran,
+    "q_geary" -> RasterOps.geary,
+    "q_morton" -> RasterOps.morton,
     "q_watershed" -> HydroOps.watershed,
     "q_flow_accum" -> HydroOps.flowAccum,
     "q_flow_len" -> HydroOps.flowLength,
@@ -649,6 +653,7 @@ object SparkEntry {
     "q_evt_sessionize" -> EventOps.sessionize,
     "q_evt_trend" -> EventOps.trend,
     "q_evt_cusum" -> EventOps.cusum,
+    "q_evt_spearman" -> EventOps.spearman,
     "q_evt_transitions" -> EventOps.transitions,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,

@@ -599,6 +599,47 @@ object RasterKernel {
     out.toSeq
   }
 
+  /** Geary's C partials over the tile's owned cells — the DIFFERENCE-based
+    * companion of [[moranCells]] (Moran correlates deviations, Geary sums
+    * squared neighbour differences, so C is the statistic that catches
+    * local roughness a global correlation washes out). Per owned cell:
+    * (dev^2, sum over the in-grid east+south rook edges of (q_c - q_nb)^2,
+    * edge count) — each unordered edge counted exactly once, at its
+    * west/north endpoint, mirroring moranCells' scatter. dev^2 needs the
+    * caller's truncated quantized mean; the difference term needs no mean
+    * at all (translation-invariant). Same |q| < 2^30 loud bound: diff^2 <
+    * 2^62 per edge, two edges per cell < 2^63, addExact backstops.
+    */
+  def gearyCells(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                 ox0: Int, oy0: Int, ow: Int, oh: Int,
+                 w: Int, h: Int, qbar: Long): Seq[(Long, Long, Long)] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    @inline def q(x: Int, y: Int): Long = {
+      val qq = math.floor(g(x, y) * Q20).toLong
+      require(math.abs(qq) < (1L << 30),
+        s"gearyCells: |q| = $qq >= 2^30 at ($x, $y) breaks the Long product bound")
+      qq
+    }
+    require(math.abs(qbar) < (1L << 30), s"gearyCells: |qbar| = $qbar >= 2^30")
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](ow * oh)
+    var y = oy0
+    while (y < oy0 + oh) {
+      var x = ox0
+      while (x < ox0 + ow) {
+        val qc = q(x, y)
+        val dev = qc - qbar
+        var diff2 = 0L
+        var ne = 0L
+        if (x + 1 < w) { val d = qc - q(x + 1, y); diff2 = Math.addExact(diff2, d * d); ne += 1 }
+        if (y + 1 < h) { val d = qc - q(x, y + 1); diff2 = Math.addExact(diff2, d * d); ne += 1 }
+        out += ((dev * dev, diff2, ne))
+        x += 1
+      }
+      y += 1
+    }
+    out.toSeq
+  }
+
   def moranCells(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
                  ox0: Int, oy0: Int, ow: Int, oh: Int,
                  w: Int, h: Int, qbar: Long): Seq[(Long, Long, Long)] = {

@@ -321,6 +321,41 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Per-type SPEARMAN rank correlation between arrival order and value —
+    * the rank-based drift detector that complements [[trend]]'s
+    * least-squares slope (robust to any monotone value transform and to
+    * outliers the residual sum is hostage to). EXACT by construction:
+    * both rankings are row_number over STATED total orders — arrival
+    * (ts, event_id), value (q, ts, event_id) with q = floor(value*2^20) —
+    * so ties are broken identically on engine, oracle, and spec, the
+    * ranks are permutations, and the classic rho = 1 - 6*sum d^2 /
+    * (n(n^2-1)) is a rational emitted as ONE truncating division:
+    * rho_x1e6 = ((n(n^2-1) - 6*sd2) * 10^6) div (n(n^2-1)). All
+    * intermediates decimal(38,0) (n^3 * 10^6 brushes 2^63 already at
+    * n ~ 20k). Single-event types (den = 0) fail LOUDLY in the ANSI
+    * zero-divide — rho is undefined there, the stated contract. Plan: ONE
+    * event_type exchange serves both rank windows (two in-partition sorts,
+    * zero extra shuffles) and the final registry-sized groupBy.
+    */
+  val spearman: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val dec = "decimal(38,0)"
+    val wT = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val wV = Window.partitionBy("event_type").orderBy(col("q"), col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * Q20).cast("long").as("q"))
+      .withColumn("rt", row_number().over(wT).cast("long"))
+      .withColumn("rv", row_number().over(wV).cast("long"))
+      .withColumn("d", col("rt") - col("rv"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("d") * col("d")).cast(dec)).as("sd2"))
+      .select(col("event_type"), col("n_events"),
+        expr("((cast(n_events as decimal(38,0)) * (n_events * n_events - 1) - 6 * sd2) * 1000000) " +
+          "div (cast(n_events as decimal(38,0)) * (n_events * n_events - 1))").as("rho_x1e6"))
+      .orderBy("event_type")
+  }
+
   /** Sweep-line concurrency load curve: how many sessions are open at
     * once, maxed per hour bucket. Sessions come from the [[sessionize]]
     * gap rule; each contributes +1 at start_us and -1 at end_us + 1
@@ -502,6 +537,23 @@ object EventOps {
         |  min(st.k)::BIGINT AS k_at_max
         |FROM mx JOIN st ON st.user_id = mx.user_id AND st.stat = mx.m
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // Spearman: the same two stated total-order rankings, HUGEINT sums
+    // collapsing to identical BIGINTs inside the decimal contract
+    "q_evt_spearman" ->
+      """WITH e AS (SELECT event_type, ts, event_id,
+        |             floor(value * 1048576.0)::BIGINT AS q FROM events),
+        |r AS (SELECT event_type,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rt,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY q, ts, event_id) AS rv,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM e),
+        |a AS (SELECT event_type, max(n)::BIGINT AS n_events,
+        |        sum((rt - rv) * (rt - rv)) AS sd2 FROM r GROUP BY 1)
+        |SELECT event_type, n_events,
+        |  (((n_events * (n_events * n_events - 1) - 6 * sd2) * 1000000)
+        |    // (n_events * (n_events * n_events - 1)))::BIGINT AS rho_x1e6
+        |FROM a ORDER BY 1""".stripMargin,
 
     // transition matrix: the same session chain as q_evt_overlap's CTE,
     // lead within (user, session), counted per (from, to) pair

@@ -1084,6 +1084,76 @@ object RasterOps {
         expr(s"(${n}L * css * 1000000) div (wsum * dss)").as("moran_x1e6"))
   }
 
+  /** Geary's C — the difference-based global autocorrelation companion of
+    * [[moranOf]]: C = (n-1) * sum_ij w_ij (x_i-x_j)^2 / (2 W sum dev^2)
+    * with rook weights. Same zero-shuffle halo-tiled shape: per-cell
+    * integer partials (dev^2, east/south squared differences, edge count)
+    * merge through one order-free decimal(38,0) aggregate; the shared
+    * truncated-quantized-mean contract feeds dev^2 (the difference term is
+    * translation-invariant and never sees the mean). With each unordered
+    * edge counted once (ess, ne) and the ordered weight sum W = 2 ne, the
+    * fixed-point index collapses to geary_x1e6 = ((n-1) * ess * 10^6) div
+    * (2 * ne * dss) — no float anywhere. Degenerate inputs (no edges, or a
+    * constant raster) fail LOUDLY in the ANSI zero-divide, the stated
+    * contract (C is undefined there). The oracle gathers the same
+    * east/south pairs via +1 self-joins — the independent formulation of
+    * the kernel's scatter.
+    */
+  private[graft] def gearyOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
+                             tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    val (qbar, n) = truncatedQbar(cells)
+    haloTilesFromCells(cells, w, h, tileW, tileH)
+      .flatMap(t => graft.core.RasterKernel.gearyCells(t.values, t.bx0, t.by0,
+        t.bw, t.ox0, t.oy0, t.ow, t.oh, w, h, qbar))
+      .toDF("dev2", "diff2", "ne")
+      .agg(sum(col("dev2").cast("decimal(38,0)")).as("dss"),
+        sum(col("diff2").cast("decimal(38,0)")).as("ess"),
+        sum(col("ne")).as("wsum"))
+      .select(lit(n).as("n_cells"), col("wsum").as("n_edges"),
+        lit(qbar).as("qbar"),
+        expr("dss div 1048576").as("dev_ss_q"),
+        expr("ess div 1048576").as("diff_ss_q"),
+        expr(s"((${n}L - 1L) * ess * 1000000) div (2 * wsum * dss)").as("geary_x1e6"))
+  }
+
+  val geary: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    gearyOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
+  /** Morton (Z-order) block index — the locality-preserving key a 100 TB
+    * spatial table is bucketed/sorted by so that 2-D-near cells land in
+    * the same file/partition: interleave the 16-bit x and y via the
+    * parallel-prefix magic-shift spread (x bits at even positions, y at
+    * odd), then aggregate per 16x16 LOCALITY BLOCK (morton div 256 — bit
+    * interleaving makes that exactly a 16x16 spatial block). Narrow
+    * per-row integer bit arithmetic + ONE map-side-combinable groupBy on
+    * the block key — the cheapest distributed shape, and the emitted
+    * m_min/m_max per block exhibit the range-query property (a block's
+    * codes are a contiguous [block*256, block*256+255] span). The oracle
+    * builds the code by the independent BIT-GATHER formulation: sum over
+    * bit positions of ((x >> i) & 1) * 4^i + 2 * ((y >> i) & 1) * 4^i.
+    */
+  val morton: (SparkSession, String) => DataFrame = (spark, dir) => {
+    // spread 16-bit v to even bit positions (Morton parallel-prefix)
+    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val s1 = shiftleft(c, 8).bitwiseOR(c).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = shiftleft(s1, 4).bitwiseOR(s1).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = shiftleft(s2, 2).bitwiseOR(s2).bitwiseAND(lit(0x33333333L))
+      shiftleft(s3, 1).bitwiseOR(s3).bitwiseAND(lit(0x55555555L))
+    }
+    baseCells(spark, dir)
+      .select(col("x").cast("long").as("x"), col("y").cast("long").as("y"),
+        floor(col("v") * Q20).cast("long").as("q"))
+      .withColumn("morton", spread(col("x")).bitwiseOR(shiftleft(spread(col("y")), 1)))
+      .groupBy(expr("morton div 256").as("zblock"))
+      .agg(count(lit(1)).as("n_cells"), sum("q").as("q_sum"),
+        min("morton").as("m_min"), max("morton").as("m_max"))
+      .orderBy("zblock")
+  }
+
   val moran: (SparkSession, String) => DataFrame = (spark, dir) => {
     import spark.implicits._
     val (w, h) = EventsGrid.dims(spark, dir)
@@ -1221,6 +1291,43 @@ object RasterOps {
           |  (d2.dss // 1048576)::BIGINT AS dev_ss_q, (agg.css // 1048576)::BIGINT AS cross_ss_q,
           |  ((m.n * agg.css * 1000000) // (agg.w * d2.dss))::BIGINT AS moran_x1e6
           |FROM m, agg, d2""".stripMargin,
+
+      // Geary's C: east/south squared neighbour differences gathered via
+      // +1 self-joins (vs the kernel's scatter), HUGEINT sums, the same
+      // truncated-mean / truncating-division fixed point
+      "q_geary" ->
+        """WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y,
+          |             floor(value * 1048576.0)::BIGINT AS q FROM events),
+          |m AS (SELECT (sum(q) // count(*))::BIGINT AS qbar, count(*)::BIGINT AS n FROM g),
+          |e AS (SELECT (a.q - b.q) * (a.q - b.q) AS d2
+          |      FROM g a JOIN g b ON b.x = a.x + 1 AND b.y = a.y
+          |      UNION ALL
+          |      SELECT (a.q - b.q) * (a.q - b.q)
+          |      FROM g a JOIN g b ON b.x = a.x AND b.y = a.y + 1),
+          |agg AS (SELECT count(*)::BIGINT AS ne, sum(d2) AS ess FROM e),
+          |ds AS (SELECT sum((q - (SELECT qbar FROM m)) * (q - (SELECT qbar FROM m))) AS dss FROM g)
+          |SELECT m.n AS n_cells, agg.ne AS n_edges, m.qbar AS qbar,
+          |  (ds.dss // 1048576)::BIGINT AS dev_ss_q,
+          |  (agg.ess // 1048576)::BIGINT AS diff_ss_q,
+          |  (((m.n - 1) * agg.ess * 1000000) // (2 * agg.ne * ds.dss))::BIGINT AS geary_x1e6
+          |FROM m, agg, ds""".stripMargin,
+
+      // Morton block index: the oracle builds each code by the BIT-GATHER
+      // formulation (per-bit cross join against a 16-row power table) —
+      // the independent counterpart of the engine's magic-shift spread
+      "q_morton" ->
+        """WITH g AS (SELECT (event_id % 100)::BIGINT AS x, (event_id // 100)::BIGINT AS y,
+          |             floor(value * 1048576.0)::BIGINT AS q FROM events),
+          |b AS (SELECT i, (1::BIGINT << (2 * i)::INT) AS p4
+          |      FROM (SELECT unnest(range(0, 16)) AS i)),
+          |mc AS (SELECT g.x, g.y, min(g.q) AS q,
+          |         sum(((g.x >> b.i::INT) & 1) * b.p4
+          |             + ((g.y >> b.i::INT) & 1) * 2 * b.p4)::BIGINT AS morton
+          |       FROM g CROSS JOIN b GROUP BY g.x, g.y)
+          |SELECT (morton // 256)::BIGINT AS zblock, count(*)::BIGINT AS n_cells,
+          |  sum(q)::BIGINT AS q_sum, min(morton)::BIGINT AS m_min,
+          |  max(morton)::BIGINT AS m_max
+          |FROM mc GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // local Moran (LISA): the four rook neighbours gathered per interior
       // cell via +-1 self-joins, the same truncated qbar and truncating

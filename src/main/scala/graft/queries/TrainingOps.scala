@@ -773,6 +773,69 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** Per-doc shingle NOVELTY — the contamination/redundancy curve a corpus
+    * ingestion run reads before deciding how much of a new source to keep:
+    * over the distinct word-3-gram shingles of each doc (set semantics —
+    * vocabulary novelty, not occurrence counts), a shingle is NOVEL to the
+    * doc iff the doc is its first occurrence corpus-wide (minimum doc_id —
+    * ingestion order, the stated convention). Emitted per doc: distinct
+    * shingle count, novel count, and novelty_x1000 = n_novel * 1000 div
+    * n_shingles. Docs under 3 tokens have no shingles and are omitted (the
+    * repNgramStats contract). Plan: one (doc_id, shingle) distinct, one
+    * map-side-combinable min per shingle, one shingle-keyed equi-join
+    * back, one doc groupBy — every stage keyed and linear, nothing
+    * all-pairs, no driver state.
+    */
+  val novelty: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val sh = docs(spark, dir)
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")).as("s"))
+      .distinct()
+    val first = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_x1000", expr("(n_novel * 1000L) div n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  /** Degree ASSORTATIVITY of the LSH candidate-pair graph — one number
+    * answering "do heavy near-dup hubs link to other hubs (template
+    * farms) or to leaves (hub-and-spoke mirror sites)". For a SYMMETRIC
+    * edge list the Pearson correlation of endpoint degrees loses its
+    * square root (Sx = Sy, Sxx = Syy), so the statistic is EXACTLY
+    * rational: r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2) over the M ordered
+    * edges — emitted as assort_x1e6 = num * 10^6 div den, all
+    * decimal(38,0) intermediates (degree products at web scale exceed
+    * Long), BIGINT out. Pearson's affine invariance makes full-degree vs
+    * Newman's excess-degree the SAME r — stated so the convention is
+    * pinned. A degree-regular graph has den = 0 and fails LOUDLY in the
+    * ANSI zero-divide (r is undefined there), the stated contract. Plan:
+    * degree table joined twice along the oriented edge list (doc-keyed
+    * equi-joins), one global 4-column aggregate — no all-pairs anywhere.
+    */
+  val assortativity: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val dec = "decimal(38,0)"
+    val cand = bandCandidates(spark, dir)
+    val both = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = both.groupBy("src").agg(count(lit(1)).as("deg"))
+    both
+      .join(deg.select(col("src"), col("deg").as("du")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("dv")), "dst")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("du").cast(dec)).as("sx"),
+        sum((col("du").cast(dec) * col("du"))).as("sxx"),
+        sum((col("du").cast(dec) * col("dv"))).as("sxy"))
+      .select(col("n_edges"),
+        expr("cast(sx as bigint)").as("deg_sum"),
+        expr("((n_edges * sxy - sx * sx) * 1000000) div (n_edges * sxx - sx * sx)")
+          .as("assort_x1e6"))
+  }
+
   // ---- deterministic stratified sampling: stable splits from a hash ----
 
   /** Per-language keep rates in percent (en downsampled, the rest at half).
@@ -1736,6 +1799,45 @@ object TrainingOps {
         |        ELSE (2 * coalesce(tc.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
         |   END)::BIGINT AS cc_x1e6
         |FROM deg d LEFT JOIN tc USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // novelty: the same distinct-shingle construction, first occurrence by
+    // min(doc_id), counted per doc — the gather formulation
+    "q_doc_novelty" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+        |f AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  ((sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 1000)
+        |    // count(*))::BIGINT AS novelty_x1000
+        |FROM sh JOIN f USING (s) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // assortativity: endpoint degrees joined along the same cand edge
+    // list, the square-root-free symmetric Pearson ratio in HUGEINT
+    "q_doc_assort" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+        |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+        |sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS minhash
+        |         FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, (seed // 4)::INT AS band,
+        |                 string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, ',' ORDER BY seed) AS bkey
+        |          FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        |      UNION ALL SELECT doc_b, doc_a FROM cand),
+        |deg AS (SELECT src AS doc_id, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+        |j AS (SELECT du.deg AS du, dv.deg AS dv FROM e
+        |      JOIN deg du ON du.doc_id = e.src JOIN deg dv ON dv.doc_id = e.dst),
+        |a AS (SELECT count(*)::BIGINT AS m, sum(du) AS sx, sum(du * du) AS sxx,
+        |             sum(du * dv) AS sxy FROM j)
+        |SELECT m AS n_edges, sx::BIGINT AS deg_sum,
+        |  (((m * sxy - sx * sx) * 1000000) // (m * sxx - sx * sx))::BIGINT AS assort_x1e6
+        |FROM a""".stripMargin,
 
     "q_doc_dup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),

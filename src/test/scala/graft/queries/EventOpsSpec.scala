@@ -255,6 +255,26 @@ class EventOpsSpec extends AnyFunSuite {
     assert(expected.exists(_._3 > 0L), "a nonzero change-point statistic exists")
   }
 
+  test("spearman matches an exact local rank recompute (stated total-order tie-breaks)") {
+    val expected = ev.groupBy(_._4).toSeq.map { case (etype, es) =>
+      val rows = es.map(e => (e._2, e._1, math.floor(e._5 * 1048576.0).toLong))
+      val rt = rows.sortBy(r => (r._1, r._2)).zipWithIndex
+        .map { case (r, i) => r._2 -> (i + 1L) }.toMap
+      val rv = rows.sortBy(r => (r._3, r._1, r._2)).zipWithIndex
+        .map { case (r, i) => r._2 -> (i + 1L) }.toMap
+      val sd2 = rows.map { r => val d = BigInt(rt(r._2) - rv(r._2)); d * d }.sum
+      val n = rows.length
+      val den = BigInt(n) * (BigInt(n) * n - 1)
+      (etype, n.toLong, ((den - 6 * sd2) * 1000000 / den).toLong)
+    }.sortBy(_._1)
+    val got = EventOps.spearman(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // rho must be a genuine fraction, not a degenerate +-1e6 or untouched 0
+    assert(expected.forall(r => math.abs(r._3) < 1000000L))
+    assert(expected.exists(_._3 != 0L))
+  }
+
   test("trend matches an exact local least-squares recompute; slopes go both ways") {
     val expected = ev.groupBy(_._3).toSeq.map { case (u, es) =>
       val mn = es.map(_._2).min
@@ -315,6 +335,17 @@ class EventOpsSpec extends AnyFunSuite {
     val hashEx = """Exchange hashpartitioning\(([^,]*)""".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(hashEx.size == 1 && hashEx.head.startsWith("user_id"),
+      s"hash exchanges: $hashEx\n${plan.take(800)}")
+  }
+
+  test("spearman's plan reuses the window partitioning: one hash exchange on event_type") {
+    // both rank windows and the final groupBy key on event_type — the two
+    // different window orderings are in-partition SORTS under one hash
+    // exchange, and the aggregate is satisfied from the same partitioning
+    val plan = EventOps.spearman(spark, sf).queryExecution.executedPlan.toString
+    val hashEx = """Exchange hashpartitioning\(([^,]*)""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(hashEx.size == 1 && hashEx.head.startsWith("event_type"),
       s"hash exchanges: $hashEx\n${plan.take(800)}")
   }
 

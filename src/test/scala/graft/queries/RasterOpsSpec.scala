@@ -458,6 +458,68 @@ class RasterOpsSpec extends AnyFunSuite {
     }
   }
 
+  private def gearyBrute(vals: Array[Double], w: Int, h: Int)
+      : (Long, Long, Long, Long, Long, Long) = {
+    val q = vals.map(v => math.floor(v * 1048576.0).toLong)
+    val n = q.length.toLong
+    val qbar = (q.map(BigInt(_)).sum / n).toLong
+    var ess = BigInt(0); var dss = BigInt(0); var ne = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = BigInt(q(y * w + x) - qbar)
+      dss += d * d
+      if (x + 1 < w) { val dd = BigInt(q(y * w + x) - q(y * w + x + 1)); ess += dd * dd; ne += 1 }
+      if (y + 1 < h) { val dd = BigInt(q(y * w + x) - q((y + 1) * w + x)); ess += dd * dd; ne += 1 }
+    }
+    (n, ne, qbar, (dss / 1048576).toLong, (ess / 1048576).toLong,
+      ((BigInt(n - 1) * ess * 1000000) / (BigInt(2 * ne) * dss)).toLong)
+  }
+
+  test("geary == brute force on the events grid and on random dims/tilings") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val w = 100; val h = ev.length / w
+    val got = RasterOps.geary(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(gearyBrute(ev.map(_._2), w, h)))
+
+    val rng = new scala.util.Random(101010L)
+    for (trial <- 0 until 8) {
+      val rw = 2 + rng.nextInt(8); val rh = 2 + rng.nextInt(8)
+      val vals = Array.fill(rw * rh)(
+        math.floor((rng.nextDouble() * 512.0 - 256.0) * 64.0) / 64.0)
+      val cells = spark.createDataset(
+        for (y <- 0 until rh; x <- 0 until rw) yield (x, y, vals(y * rw + x)))
+      val tw = 1 + rng.nextInt(4); val th = 1 + rng.nextInt(4)
+      val gotR = RasterOps.gearyOf(cells, rw, rh, tw, th).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(gotR.toSeq == Seq(gearyBrute(vals, rw, rh)),
+        s"trial $trial ${rw}x$rh tile ${tw}x$th")
+    }
+  }
+
+  test("morton == local bit-interleave recompute; blocks are 16x16 and code-contiguous") {
+    import spark.implicits._
+    // independent local formulation: per-bit gather, like the oracle
+    def code(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect()
+    val expected = ev.map { case (id, v) =>
+      (code(id % 100, id / 100), math.floor(v * 1048576.0).toLong)
+    }.groupBy(_._1 / 256).toSeq.map { case (blk, cs) =>
+      (blk, cs.length.toLong, cs.map(_._2).sum, cs.map(_._1).min, cs.map(_._1).max)
+    }.sortBy(_._1)
+    val got = RasterOps.morton(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected)
+    // every block's codes decode to one 16x16 spatial block (the locality
+    // contract a Z-ordered layout is bucketed by)
+    for ((blk, _, _, mMin, mMax) <- got) {
+      assert(mMin >= blk * 256 && mMax < (blk + 1) * 256)
+    }
+  }
+
   test("moran == brute force on the events grid and on random dims/tilings") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$sf/events.parquet")

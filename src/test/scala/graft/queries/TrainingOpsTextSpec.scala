@@ -21,6 +21,44 @@ class TrainingOpsTextSpec extends AnyFunSuite {
   private def toks(text: String): Array[String] =
     "[a-z0-9]+".r.findAllIn(text.toLowerCase).toArray
 
+  test("novelty == local first-occurrence recompute (distinct shingles, min doc_id)") {
+    val ds = docsLocal()
+    val docShingles = ds.map { case (id, text) =>
+      val ts = toks(text)
+      (id, ts.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty)
+    val firstDoc = docShingles.flatMap { case (id, ss) => ss.map(s => (s, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = docShingles.map { case (id, ss) =>
+      val novel = ss.count(s => firstDoc(s) == id).toLong
+      (id, ss.size.toLong, novel, novel * 1000L / ss.size)
+    }.sortBy(_._1)
+    val got = TrainingOps.novelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the curve must bend: a fully-novel doc and a partially-stale doc
+    assert(expected.exists(_._4 == 1000L), "a fully novel doc must exist")
+    assert(expected.exists(_._4 < 1000L), "a doc with repeated content must exist")
+  }
+
+  test("assortativity == local BigInt recompute over the LSH pairs") {
+    val pairs = TrainingOps.minhashDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val m = BigInt(edges.size)
+    val sx = edges.map(e => BigInt(deg(e._1))).sum
+    val sxx = edges.map(e => BigInt(deg(e._1)) * deg(e._1)).sum
+    val sxy = edges.map(e => BigInt(deg(e._1)) * deg(e._2)).sum
+    val num = m * sxy - sx * sx
+    val den = m * sxx - sx * sx
+    assert(den != 0, "test graph must not be degree-regular")
+    val want = (edges.size.toLong, sx.toLong, (num * 1000000 / den).toLong)
+    val got = TrainingOps.assortativity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(want))
+  }
+
   test("chunkDocs == local sliding-window recompute (size 50, stride 40)") {
     val want = docsLocal().flatMap { case (id, text) =>
       val ws = toks(text)
