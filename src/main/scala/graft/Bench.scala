@@ -157,12 +157,19 @@ object Bench {
     Seq("q_geary", "q_morton", "q_doc_novelty", "q_doc_assort",
       "q_evt_spearman")
 
+  /** The round-5 eleventh wave: the Laplacian tiled kernel, the hour
+    * burst ratio, dup-cluster source mix, the bucketed-global-sort
+    * neighbour LCP, and (spec-only) streaming exact top-k.
+    */
+  private val Ops11Queries =
+    Seq("q_laplacian", "q_evt_spike", "q_cluster_mix", "q_doc_lcp")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
     "ops4" -> Ops4Queries, "ops5" -> Ops5Queries, "ops6" -> Ops6Queries,
     "ops7" -> Ops7Queries, "ops8" -> Ops8Queries, "ops9" -> Ops9Queries,
-    "ops10" -> Ops10Queries)
+    "ops10" -> Ops10Queries, "ops11" -> Ops11Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -611,6 +611,8 @@ object SparkEntry {
     "q_doc_triangles" -> TrainingOps.triangles,
     "q_doc_novelty" -> TrainingOps.novelty,
     "q_doc_assort" -> TrainingOps.assortativity,
+    "q_doc_lcp" -> TrainingOps.lcpNeighbors,
+    "q_cluster_mix" -> TrainingOps.clusterMix,
     "q_evt_window_join" -> EventOps.windowJoin,
     "q_evt_funnel" -> EventOps.funnel,
     "q_evt_retention" -> EventOps.retention,
@@ -645,6 +647,7 @@ object SparkEntry {
     "q_local_moran" -> RasterOps.localMoran,
     "q_geary" -> RasterOps.geary,
     "q_morton" -> RasterOps.morton,
+    "q_laplacian" -> RasterOps.laplacian,
     "q_watershed" -> HydroOps.watershed,
     "q_flow_accum" -> HydroOps.flowAccum,
     "q_flow_len" -> HydroOps.flowLength,
@@ -654,6 +657,7 @@ object SparkEntry {
     "q_evt_trend" -> EventOps.trend,
     "q_evt_cusum" -> EventOps.cusum,
     "q_evt_spearman" -> EventOps.spearman,
+    "q_evt_spike" -> EventOps.spike,
     "q_evt_transitions" -> EventOps.transitions,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,

@@ -640,6 +640,44 @@ object RasterKernel {
     out.toSeq
   }
 
+  /** Discrete 4-neighbour Laplacian over the tile's owned INTERIOR cells
+    * — the second-derivative edge/ridge detector (zero on linear ramps,
+    * extreme at peaks, pits and edges): lap = qN + qS + qE + qW - 4*qC
+    * over the per-cell quantized values, per-row integer partials.
+    * Interior-only is the stated contract (every scored cell has all four
+    * rook neighbours inside the 1-sample halo). |q| < 2^52 keeps the
+    * 5-term combination exact in Long with room to spare; addExact
+    * backstops loudly.
+    */
+  def laplacianRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                    ox0: Int, oy0: Int, ow: Int, oh: Int,
+                    w: Int, h: Int): Seq[RowStat] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    @inline def q(x: Int, y: Int): Long = math.floor(g(x, y) * Q20).toLong
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val out = new scala.collection.mutable.ArrayBuffer[RowStat](math.max(tyHi - tyLo + 1, 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var n = 0L; var sum = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      var tx = txLo
+      while (tx <= txHi) {
+        val lap = Math.subtractExact(
+          Math.addExact(Math.addExact(q(tx, ty - 1), q(tx, ty + 1)),
+            Math.addExact(q(tx + 1, ty), q(tx - 1, ty))),
+          Math.multiplyExact(4L, q(tx, ty)))
+        n += 1; sum = Math.addExact(sum, lap)
+        if (lap < mn) mn = lap
+        if (lap > mx) mx = lap
+        tx += 1
+      }
+      if (n > 0) out += ((ty.toLong, n, sum, mn, mx))
+      ty += 1
+    }
+    out.toSeq
+  }
+
   def moranCells(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
                  ox0: Int, oy0: Int, ow: Int, oh: Int,
                  w: Int, h: Int, qbar: Long): Seq[(Long, Long, Long)] = {

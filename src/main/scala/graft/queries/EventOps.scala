@@ -356,6 +356,32 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Per-(type, hour-of-day) BURST ratio — the rate-anomaly detector an
+    * ops dashboard wants without the Poisson z-score's sqrt: for each
+    * event type and wall-clock hour, spike_x1e6 = (cnt * (n_hours - 1) *
+    * 10^6) div (total - cnt) — the hour's count against the MEAN of the
+    * type's other hours, exactly rational (10^6 = an unremarkable hour).
+    * n_hours counts only hours the type actually fired in (stated
+    * contract — silent hours aren't diluted in). A type entirely inside
+    * one hour has total - cnt = 0 and fails LOUDLY in the ANSI
+    * zero-divide (the ratio is undefined), the stated contract. Plan: one
+    * map-side-combinable (type, hour) groupBy — at most 24 rows per type
+    * regardless of data size — then per-type totals via an unbounded
+    * window over those registry-sized rows; ONE exchange end to end.
+    */
+  val spike: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val wT = Window.partitionBy("event_type")
+    events(spark, dir)
+      .select(col("event_type"), hour(col("ts").cast("timestamp")).as("hr"))
+      .groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("total", sum("n_events").over(wT))
+      .withColumn("n_hours", count(lit(1)).over(wT))
+      .select(col("event_type"), col("hr").cast("long").as("hr"), col("n_events"),
+        expr("(n_events * (n_hours - 1) * 1000000L) div (total - n_events)").as("spike_x1e6"))
+      .orderBy("event_type", "hr")
+  }
+
   /** Sweep-line concurrency load curve: how many sessions are open at
     * once, maxed per hour bucket. Sessions come from the [[sessionize]]
     * gap rule; each contributes +1 at start_us and -1 at end_us + 1
@@ -554,6 +580,20 @@ object EventOps {
         |  (((n_events * (n_events * n_events - 1) - 6 * sd2) * 1000000)
         |    // (n_events * (n_events * n_events - 1)))::BIGINT AS rho_x1e6
         |FROM a ORDER BY 1""".stripMargin,
+
+    // spike: the same (type, hour) census, per-type totals via a scalar
+    // re-aggregation instead of the engine's window — HUGEINT products
+    // collapse to the identical BIGINTs
+    "q_evt_spike" ->
+      """WITH c AS (SELECT event_type, hour(ts::TIMESTAMP)::BIGINT AS hr,
+        |             count(*)::BIGINT AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(n_events) AS total,
+        |        count(*)::BIGINT AS n_hours FROM c GROUP BY 1)
+        |SELECT c.event_type, c.hr, c.n_events,
+        |  ((c.n_events * (t.n_hours - 1) * 1000000)
+        |    // (t.total - c.n_events))::BIGINT AS spike_x1e6
+        |FROM c JOIN t USING (event_type) ORDER BY 1, 2""".stripMargin,
 
     // transition matrix: the same session chain as q_evt_overlap's CTE,
     // lead within (user, session), counted per (from, to) pair

@@ -808,6 +808,25 @@ object RasterOps {
     focalMajorityTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
+  /** Discrete Laplacian (edge/ridge detector) — per-row partials of
+    * lap = qN + qS + qE + qW - 4*qC over interior cells, through the same
+    * zero-shuffle halo-tiled kernel family; oracle gathers the four rook
+    * neighbours by +-1 self-joins.
+    */
+  private[graft] def laplacianTiledOf(cells: Dataset[(Int, Int, Double)],
+                                      w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    mergeRowStats(haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+      graft.core.RasterKernel.laplacianRows(t.values, t.bx0, t.by0, t.bw,
+        t.ox0, t.oy0, t.ow, t.oh, w, h)))
+  }
+
+  val laplacian: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    laplacianTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
   val morphology: (SparkSession, String) => DataFrame = (spark, dir) => {
     import spark.implicits._
     val (w, h) = EventsGrid.dims(spark, dir)
@@ -1328,6 +1347,25 @@ object RasterOps {
           |  sum(q)::BIGINT AS q_sum, min(morton)::BIGINT AS m_min,
           |  max(morton)::BIGINT AS m_max
           |FROM mc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Laplacian: the four rook neighbours gathered per interior cell by
+      // +-1 self-joins — the gather formulation of the kernel's halo reads
+      "q_laplacian" ->
+        """WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y,
+          |             floor(value * 1048576.0)::BIGINT AS q FROM events),
+          |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+          |li AS (SELECT c.x, c.y,
+          |         (nn.q + ss.q + ee.q + ww.q - 4 * c.q)::BIGINT AS lap
+          |       FROM g c
+          |       JOIN g nn ON nn.x = c.x AND nn.y = c.y - 1
+          |       JOIN g ss ON ss.x = c.x AND ss.y = c.y + 1
+          |       JOIN g ee ON ee.x = c.x + 1 AND ee.y = c.y
+          |       JOIN g ww ON ww.x = c.x - 1 AND ww.y = c.y
+          |       WHERE c.x BETWEEN 1 AND 98
+          |         AND c.y BETWEEN 1 AND (SELECT h FROM d) - 2)
+          |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells, sum(lap)::BIGINT AS qsum,
+          |  min(lap)::BIGINT AS qmin, max(lap)::BIGINT AS qmax
+          |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // local Moran (LISA): the four rook neighbours gathered per interior
       // cell via +-1 self-joins, the same truncated qbar and truncating

@@ -682,6 +682,34 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** Per-dup-cluster SOURCE MIX — does a near-dup family live inside one
+    * source (internal boilerplate, deduplicate freely) or span sources
+    * (syndicated/scraped content, where dropping "duplicates" changes the
+    * source mix a training run was weighted for)? Over the hash-min
+    * connected components of the LSH candidate graph: n_docs, n_sources,
+    * and the exact Simpson concentration same_src_x1e6 = (sum over
+    * sources of n_i*(n_i-1)) * 10^6 div (N*(N-1)) — the probability two
+    * random docs of the cluster share a source (10^6 = single-source).
+    * Every cluster has N >= 2 by construction (components of a pair
+    * graph), so the denominator never vanishes. Plan: the CC labeling's
+    * rounds are the dominant cost (diameter-bounded); the mix itself is
+    * one doc-keyed join to the doc registry + two map-side-combinable
+    * groupBys over (cluster, source) counts.
+    */
+  val clusterMix: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val cc = connectedComponents(bandCandidates(spark, dir))
+    val bySrc = cc.join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("cluster_id", "source")
+      .agg(count(lit(1)).as("ns"))
+    bySrc.groupBy("cluster_id")
+      .agg(sum("ns").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(expr("ns * (ns - 1)")).as("pairs_same"))
+      .select(col("cluster_id"), col("n_docs"), col("n_sources"),
+        expr("(pairs_same * 1000000L) div (n_docs * (n_docs - 1))").as("same_src_x1e6"))
+      .orderBy("cluster_id")
+  }
+
   // ---- integer-exact PageRank over the LSH duplicate pair graph ----
 
   /** PageRank, 3 unrolled iterations, ENTIRELY in integer arithmetic so
@@ -834,6 +862,55 @@ object TrainingOps {
         expr("cast(sx as bigint)").as("deg_sum"),
         expr("((n_edges * sxy - sx * sx) * 1000000) div (n_edges * sxx - sx * sx)")
           .as("assort_x1e6"))
+  }
+
+  /** Lexicographic-neighbour LONGEST COMMON PREFIX — the template-prefix
+    * detector behind prefix-dedup passes (boilerplate headers, scraped
+    * navigation chrome): sort all docs by (text, doc_id) and report, per
+    * doc, its successor and their common prefix length CAPPED AT 64 chars
+    * (the stated contract — a bounded compare, so the operator never
+    * scans two full documents; i is also clamped to both lengths, so
+    * equal short texts report their true length, not the cap). The
+    * GLOBAL sort is realized distributively: docs bucket by their first
+    * 4 text chars; successors WITHIN a bucket come from one lead window
+    * per bucket, and the per-bucket boundary pairs (bucket max -> next
+    * bucket's min) are stitched with a window over the one-row-per-bucket
+    * extremes table — single-partition but bounded by the 4-char-prefix
+    * alphabet, never by data size (the topEvents pmod idiom keeps the
+    * plan warning-free); cross-bucket texts differ inside their first 4
+    * chars, so the same capped compare is exact there too. The corpus's
+    * lexicographic maximum has no successor and is omitted. The oracle is
+    * the direct global formulation — lead() over ORDER BY (text, doc_id)
+    * with LCP as the MINIMUM FIRST-MISMATCH position (vs the engine's
+    * count-of-agreeing-prefixes fold).
+    */
+  val lcpNeighbors: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val lcpExpr = "size(filter(sequence(1, 64), i -> " +
+      "i <= least(length(text), length(nt)) and substring(text, 1, i) = substring(nt, 1, i)))"
+    val base = docs(spark, dir)
+      .select(col("doc_id"), col("text"), substring(col("text"), 1, 4).as("bk"))
+    val wB = Window.partitionBy("bk").orderBy(col("text"), col("doc_id"))
+    val within = base
+      .withColumn("nt", lead("text", 1).over(wB))
+      .withColumn("nd", lead("doc_id", 1).over(wB))
+      .withColumn("rn", row_number().over(wB))
+    val inner = within.filter(col("nt").isNotNull)
+      .select(col("doc_id"), col("text"), col("nd").as("next_doc"), col("nt"))
+    // bucket extremes: one row per bucket; lead over the bounded bucket
+    // list pairs each bucket's max with the NEXT bucket's min
+    val maxRows = within.filter(col("nt").isNull)
+      .select(col("bk"), col("doc_id"), col("text"))
+    val minRows = within.filter(col("rn") === 1)
+      .select(col("bk").as("nbk"), col("doc_id").as("next_doc"), col("text").as("nt"))
+    val wG = Window.partitionBy(pmod(length(col("bk")), lit(1))).orderBy("bk")
+    val boundary = maxRows
+      .withColumn("nbk", lead("bk", 1).over(wG))
+      .filter(col("nbk").isNotNull)
+      .join(minRows, "nbk")
+      .select(col("doc_id"), col("text"), col("next_doc"), col("nt"))
+    inner.union(boundary)
+      .select(col("doc_id"), col("next_doc"), expr(lcpExpr).cast("long").as("lcp64"))
+      .orderBy("doc_id")
   }
 
   // ---- deterministic stratified sampling: stable splits from a hash ----
@@ -1862,6 +1939,54 @@ object TrainingOps {
         |sz AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM cc GROUP BY 1)
         |SELECT cc.doc_id, cc.cluster_id, sz.csize
         |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+
+    // neighbour LCP: the direct global formulation — lead over ORDER BY
+    // (text, doc_id), LCP as minimum first-mismatch position (vs the
+    // engine's bucketed windows and agreeing-prefix count)
+    "q_doc_lcp" ->
+      """WITH p AS (SELECT doc_id, text,
+        |        lead(doc_id) OVER (ORDER BY text, doc_id) AS next_doc,
+        |        lead(text) OVER (ORDER BY text, doc_id) AS nt
+        |      FROM documents),
+        |q AS (SELECT doc_id, next_doc, text AS a, nt AS b FROM p
+        |      WHERE next_doc IS NOT NULL),
+        |mm AS (SELECT q.doc_id, q.next_doc,
+        |         min(CASE WHEN u.i > len(q.a) OR u.i > len(q.b)
+        |                   OR substr(q.a, u.i::INT, 1) <> substr(q.b, u.i::INT, 1)
+        |              THEN u.i END) AS fm
+        |       FROM q, unnest(range(1, 66)) AS u(i) GROUP BY 1, 2)
+        |SELECT doc_id, next_doc, least(coalesce(fm, 66) - 1, 64)::BIGINT AS lcp64
+        |FROM mm ORDER BY doc_id""".stripMargin,
+
+    // cluster source mix: the same recursive-CTE hash-min CC as
+    // q_doc_dup_clusters, joined to sources and concentrated via the
+    // exact Simpson pair count
+    "q_cluster_mix" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+        |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+        |sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS minhash
+        |         FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, (seed // 4)::INT AS band,
+        |                 string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, ',' ORDER BY seed) AS bkey
+        |          FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        |      UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach(node, lbl) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+        |cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+        |m AS (SELECT cc.cluster_id, d.source, count(*)::BIGINT AS ns
+        |      FROM cc JOIN documents d USING (doc_id) GROUP BY 1, 2)
+        |SELECT cluster_id, sum(ns)::BIGINT AS n_docs, count(*)::BIGINT AS n_sources,
+        |  ((sum(ns * (ns - 1)) * 1000000)
+        |    // (sum(ns) * (sum(ns) - 1)))::BIGINT AS same_src_x1e6
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_doc_stopwords" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents)

@@ -275,6 +275,29 @@ class EventOpsSpec extends AnyFunSuite {
     assert(expected.exists(_._3 != 0L))
   }
 
+  test("spike matches an exact local recompute; both burst and quiet hours exist") {
+    // hour-of-day from the wall-clock ts string, like hour(ts::TIMESTAMP)
+    val evH = {
+      import spark.implicits._
+      spark.read.parquet(s"$sf/events.parquet")
+        .selectExpr("event_type", "hour(cast(ts as timestamp))")
+        .as[(String, Int)].collect()
+    }
+    val expected = evH.groupBy(_._1).toSeq.flatMap { case (et, rows) =>
+      val byHr = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val total = rows.size.toLong
+      val nh = byHr.size.toLong
+      byHr.toSeq.map { case (hr, cnt) =>
+        (et, hr.toLong, cnt, cnt * (nh - 1) * 1000000L / (total - cnt))
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = EventOps.spike(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._4 > 1000000L) && expected.exists(_._4 < 1000000L),
+      "both above- and below-mean hours must exist")
+  }
+
   test("trend matches an exact local least-squares recompute; slopes go both ways") {
     val expected = ev.groupBy(_._3).toSeq.map { case (u, es) =>
       val mn = es.map(_._2).min

@@ -458,6 +458,51 @@ class RasterOpsSpec extends AnyFunSuite {
     }
   }
 
+  private def laplacianBrute(vals: Array[Double], w: Int, h: Int)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val q = vals.map(v => math.floor(v * 1048576.0).toLong)
+    (1 until h - 1).flatMap { y =>
+      val laps = (1 until w - 1).map { x =>
+        q((y - 1) * w + x) + q((y + 1) * w + x) +
+          q(y * w + x + 1) + q(y * w + x - 1) - 4 * q(y * w + x)
+      }
+      if (laps.nonEmpty)
+        Some((y.toLong, laps.length.toLong, laps.sum, laps.min, laps.max))
+      else None
+    }
+  }
+
+  test("laplacian == brute force on the events grid and random dims/tilings; zero on a ramp") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val w = 100; val h = ev.length / w
+    val got = RasterOps.laplacian(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == laplacianBrute(ev.map(_._2), w, h))
+
+    val rng = new scala.util.Random(111111L)
+    for (trial <- 0 until 8) {
+      val rw = 2 + rng.nextInt(8); val rh = 2 + rng.nextInt(8)
+      val vals = Array.fill(rw * rh)(
+        math.floor((rng.nextDouble() * 512.0 - 256.0) * 64.0) / 64.0)
+      val cells = spark.createDataset(
+        for (y <- 0 until rh; x <- 0 until rw) yield (x, y, vals(y * rw + x)))
+      val tw = 1 + rng.nextInt(4); val th = 1 + rng.nextInt(4)
+      val gotR = RasterOps.laplacianTiledOf(cells, rw, rh, tw, th).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(gotR.toSeq == laplacianBrute(vals, rw, rh),
+        s"trial $trial ${rw}x$rh tile ${tw}x$th")
+    }
+
+    // a linear ramp has zero Laplacian everywhere — the second-derivative
+    // identity that distinguishes this kernel from the focal family
+    val ramp = spark.createDataset(
+      for (y <- 0 until 6; x <- 0 until 6) yield (x, y, (3 * x + 2 * y).toDouble))
+    val gotRamp = RasterOps.laplacianTiledOf(ramp, 6, 6, 4, 4).collect()
+    assert(gotRamp.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L))
+  }
+
   private def gearyBrute(vals: Array[Double], w: Int, h: Int)
       : (Long, Long, Long, Long, Long, Long) = {
     val q = vals.map(v => math.floor(v * 1048576.0).toLong)

@@ -214,6 +214,29 @@ class TrainingOpsClusterSpec extends AnyFunSuite {
       "graph must have a node with several neighbors")
   }
 
+  test("clusterMix == local union-find + source-count recompute") {
+    import spark.implicits._
+    val pairs = TrainingOps.minhashDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val roots = unionFind(pairs)
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "source").as[(Long, String)].collect().toMap
+    val expected = roots.toSeq.groupBy(_._2).toSeq.map { case (root, members) =>
+      val srcs = members.map(m => srcOf(m._1)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val n = members.size.toLong
+      val same = srcs.values.map(c => c * (c - 1)).sum
+      (root, n, srcs.size.toLong, same * 1000000L / (n * (n - 1)))
+    }.sortBy(_._1)
+    val got = TrainingOps.clusterMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the statistic must separate: a single-source cluster (1e6) and a
+    // genuinely mixed one
+    assert(expected.exists(_._4 == 1000000L) && expected.exists(_._4 < 1000000L),
+      "both pure and mixed clusters must exist")
+  }
+
   test("triangles == local brute force over the LSH pairs") {
     val pairs = TrainingOps.minhashDupPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -59,6 +59,46 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(got == Seq(want))
   }
 
+  private def lcpLocal(ds: Seq[(Long, String)]): Seq[(Long, Long, Long)] = {
+    val sorted = ds.sortBy { case (id, t) => (t, id) }
+    sorted.zip(sorted.tail).map { case ((id, a), (nid, b)) =>
+      val lim = math.min(64, math.min(a.length, b.length))
+      var i = 0
+      while (i < lim && a(i) == b(i)) i += 1
+      (id, nid, i.toLong)
+    }.sortBy(_._1)
+  }
+
+  test("lcpNeighbors == local sorted-successor recompute on the corpus") {
+    val got = TrainingOps.lcpNeighbors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == lcpLocal(docsLocal()))
+    assert(got.exists(_._3 > 0L), "some shared prefix must exist")
+  }
+
+  test("lcpNeighbors handles bucket boundaries, equal texts, empties and the 64 cap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lcp-adv").toString
+    val docs = Seq[(Long, String)](
+      (1L, ""),                        // empty text, sorts first
+      (2L, "ab"),                      // shorter than the bucket key
+      (3L, "abcdXXX"), (4L, "abceYYY"), // cross-bucket pair sharing 3 chars
+      (5L, "dup"), (6L, "dup"),        // equal texts -> lcp = len, not cap
+      (7L, "p" * 100 + "A"), (8L, "p" * 100 + "B"), // same bucket, cap at 64
+      (9L, "zzz")                      // lexicographic max: omitted
+    )
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TrainingOps.lcpNeighbors(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == lcpLocal(docs))
+    val byDoc = got.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byDoc(3L) == (4L, 3L), "cross-bucket pair must report its true 3-char prefix")
+    assert(byDoc(5L) == (6L, 3L), "equal short texts report their length, not the cap")
+    assert(byDoc(7L) == (8L, 64L), "long shared prefixes cap at 64")
+    assert(!byDoc.contains(9L), "the corpus maximum has no successor")
+  }
+
   test("chunkDocs == local sliding-window recompute (size 50, stride 40)") {
     val want = docsLocal().flatMap { case (id, text) =>
       val ws = toks(text)
