@@ -164,12 +164,19 @@ object Bench {
   private val Ops11Queries =
     Seq("q_laplacian", "q_evt_spike", "q_cluster_mix", "q_doc_lcp")
 
+  /** The round-5 twelfth wave: the Sobel tiled kernel, the inter-arrival
+    * gap spectrum, Zipf head coverage, and the embedding energy census.
+    */
+  private val Ops12Queries =
+    Seq("q_sobel", "q_evt_gaps", "q_doc_head_cov", "q_emb_energy")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
     "ops4" -> Ops4Queries, "ops5" -> Ops5Queries, "ops6" -> Ops6Queries,
     "ops7" -> Ops7Queries, "ops8" -> Ops8Queries, "ops9" -> Ops9Queries,
-    "ops10" -> Ops10Queries, "ops11" -> Ops11Queries)
+    "ops10" -> Ops10Queries, "ops11" -> Ops11Queries,
+    "ops12" -> Ops12Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

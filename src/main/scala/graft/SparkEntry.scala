@@ -613,6 +613,8 @@ object SparkEntry {
     "q_doc_assort" -> TrainingOps.assortativity,
     "q_doc_lcp" -> TrainingOps.lcpNeighbors,
     "q_cluster_mix" -> TrainingOps.clusterMix,
+    "q_doc_head_cov" -> TrainingOps.headCoverage,
+    "q_emb_energy" -> TrainingOps.embEnergy,
     "q_evt_window_join" -> EventOps.windowJoin,
     "q_evt_funnel" -> EventOps.funnel,
     "q_evt_retention" -> EventOps.retention,
@@ -648,6 +650,7 @@ object SparkEntry {
     "q_geary" -> RasterOps.geary,
     "q_morton" -> RasterOps.morton,
     "q_laplacian" -> RasterOps.laplacian,
+    "q_sobel" -> RasterOps.sobel,
     "q_watershed" -> HydroOps.watershed,
     "q_flow_accum" -> HydroOps.flowAccum,
     "q_flow_len" -> HydroOps.flowLength,
@@ -658,6 +661,7 @@ object SparkEntry {
     "q_evt_cusum" -> EventOps.cusum,
     "q_evt_spearman" -> EventOps.spearman,
     "q_evt_spike" -> EventOps.spike,
+    "q_evt_gaps" -> EventOps.gaps,
     "q_evt_transitions" -> EventOps.transitions,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,

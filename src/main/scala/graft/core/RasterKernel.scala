@@ -640,6 +640,50 @@ object RasterKernel {
     out.toSeq
   }
 
+  /** Sobel gradient magnitude (L1) over the tile's owned INTERIOR cells —
+    * the first-derivative edge detector pairing [[laplacianRows]]:
+    * gx = (qNE + 2qE + qSE) - (qNW + 2qW + qSW),
+    * gy = (qSW + 2qS + qSE) - (qNW + 2qN + qNE), and the emitted
+    * magnitude is the L1 norm |gx| + |gy| — the stated contract (the
+    * Euclidean norm's sqrt would leave the exact-integer surface). Same
+    * per-row partials, same interior-only contract; addExact backstops
+    * every combination.
+    */
+  def sobelRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                ox0: Int, oy0: Int, ow: Int, oh: Int,
+                w: Int, h: Int): Seq[RowStat] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    @inline def q(x: Int, y: Int): Long = math.floor(g(x, y) * Q20).toLong
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val out = new scala.collection.mutable.ArrayBuffer[RowStat](math.max(tyHi - tyLo + 1, 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var n = 0L; var sum = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      var tx = txLo
+      while (tx <= txHi) {
+        val nw = q(tx - 1, ty - 1); val nn = q(tx, ty - 1); val ne = q(tx + 1, ty - 1)
+        val ww = q(tx - 1, ty); val ee = q(tx + 1, ty)
+        val sw = q(tx - 1, ty + 1); val ss = q(tx, ty + 1); val se = q(tx + 1, ty + 1)
+        val gx = Math.subtractExact(
+          Math.addExact(Math.addExact(ne, Math.multiplyExact(2L, ee)), se),
+          Math.addExact(Math.addExact(nw, Math.multiplyExact(2L, ww)), sw))
+        val gy = Math.subtractExact(
+          Math.addExact(Math.addExact(sw, Math.multiplyExact(2L, ss)), se),
+          Math.addExact(Math.addExact(nw, Math.multiplyExact(2L, nn)), ne))
+        val g1 = Math.addExact(math.abs(gx), math.abs(gy))
+        n += 1; sum = Math.addExact(sum, g1)
+        if (g1 < mn) mn = g1
+        if (g1 > mx) mx = g1
+        tx += 1
+      }
+      if (n > 0) out += ((ty.toLong, n, sum, mn, mx))
+      ty += 1
+    }
+    out.toSeq
+  }
+
   /** Discrete 4-neighbour Laplacian over the tile's owned INTERIOR cells
     * — the second-derivative edge/ridge detector (zero on linear ramps,
     * extreme at peaks, pits and edges): lap = qN + qS + qE + qW - 4*qC

@@ -382,6 +382,32 @@ object EventOps {
       .orderBy("event_type", "hr")
   }
 
+  /** Per-type INTER-ARRIVAL gap spectrum — the traffic-shape fingerprint
+    * (burstiness vs steady drip) in power-of-two microsecond buckets:
+    * consecutive events of a type under the stated total order (us,
+    * event_id) yield gaps >= 0; bucket = floor(log2(gap + 1)) computed as
+    * length(bin(gap + 1)) - 1 — the HLL register family's variable-width
+    * bin() idiom, identical in Spark and DuckDB, no float log anywhere.
+    * Per (type, bucket): count, min, max, sum (gap_sum < n * 2^(b+1)
+    * stays far inside Long for any stream that fits microsecond
+    * timestamps). Plan: ONE event_type exchange serves the lag window and
+    * the (type, bucket) groupBy; each type's first event has no
+    * predecessor and contributes no gap (stated contract).
+    */
+  val gaps: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val wT = Window.partitionBy("event_type").orderBy(col("us"), col("event_id"))
+    events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(wT))
+      .filter(col("gap").isNotNull)
+      .withColumn("bucket", (length(bin(col("gap") + 1)) - 1).cast("long"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_gaps"), min("gap").as("gap_min"),
+        max("gap").as("gap_max"), sum("gap").as("gap_sum"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** Sweep-line concurrency load curve: how many sessions are open at
     * once, maxed per hour bucket. Sessions come from the [[sessionize]]
     * gap rule; each contributes +1 at start_us and -1 at end_us + 1
@@ -594,6 +620,20 @@ object EventOps {
         |  ((c.n_events * (t.n_hours - 1) * 1000000)
         |    // (t.total - c.n_events))::BIGINT AS spike_x1e6
         |FROM c JOIN t USING (event_type) ORDER BY 1, 2""".stripMargin,
+
+    // gap spectrum: the same lag-under-total-order gaps, the same bin()
+    // bucket rule (the engines' variable-width bin agreement carries it)
+    "q_evt_gaps" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts::TIMESTAMP) AS us, event_id FROM events),
+        |p AS (SELECT event_type,
+        |        us - lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id) AS gap
+        |      FROM e),
+        |b AS (SELECT event_type, (length(bin(gap + 1)) - 1)::BIGINT AS bucket, gap
+        |      FROM p WHERE gap IS NOT NULL)
+        |SELECT event_type, bucket, count(*)::BIGINT AS n_gaps,
+        |  min(gap)::BIGINT AS gap_min, max(gap)::BIGINT AS gap_max,
+        |  sum(gap)::BIGINT AS gap_sum
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // transition matrix: the same session chain as q_evt_overlap's CTE,
     // lead within (user, session), counted per (from, to) pair

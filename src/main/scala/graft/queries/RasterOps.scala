@@ -827,6 +827,24 @@ object RasterOps {
     laplacianTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
+  /** Sobel L1 gradient magnitude — per-row partials of |gx| + |gy| over
+    * interior cells through the tiled kernel; oracle gathers the eight
+    * window slots via the fixed slot joins.
+    */
+  private[graft] def sobelTiledOf(cells: Dataset[(Int, Int, Double)],
+                                  w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    mergeRowStats(haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+      graft.core.RasterKernel.sobelRows(t.values, t.bx0, t.by0, t.bw,
+        t.ox0, t.oy0, t.ow, t.oh, w, h)))
+  }
+
+  val sobel: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    sobelTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
   val morphology: (SparkSession, String) => DataFrame = (spark, dir) => {
     import spark.implicits._
     val (w, h) = EventsGrid.dims(spark, dir)
@@ -1659,6 +1677,23 @@ object RasterOps {
            |  sum(floor(med * 1048576.0)::BIGINT)::BIGINT AS qsum,
            |  min(floor(med * 1048576.0)::BIGINT) AS qmin,
            |  max(floor(med * 1048576.0)::BIGINT) AS qmax
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Sobel L1 magnitude: the eight window slots gathered by the shared
+      // slot joins (slot o = value at (x - dx_o, y - dy_o), so NW=b8,
+      // N=b7, NE=b6, W=b5, E=b3, SW=b2, S=b1, SE=b0), same |gx| + |gy|
+      "q_sobel" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y,
+           |             floor(value * 1048576.0)::BIGINT AS q FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |f AS (SELECT t.x, t.y,
+           |        abs((b6.q + 2 * b3.q + b0.q) - (b8.q + 2 * b5.q + b2.q))
+           |        + abs((b2.q + 2 * b1.q + b0.q) - (b8.q + 2 * b7.q + b6.q)) AS g1
+           |      FROM g t
+           |  $slotJoins
+           |      WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2)
+           |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells, sum(g1)::BIGINT AS qsum,
+           |  min(g1)::BIGINT AS qmin, max(g1)::BIGINT AS qmax
            |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // focal majority: the window's integer bins unnested and counted per

@@ -210,6 +210,51 @@ object TrainingOps {
       .orderBy("source", "rank")
   }
 
+  /** Zipf HEAD COVERAGE per source — what fraction of a source's token
+    * mass its top-10 term types carry (boilerplate-heavy sources
+    * concentrate; natural text spreads into the tail): composes the
+    * [[topTerms]] selection VERBATIM (one definition of the top-10
+    * contract, engine-side reuse mirrored by the oracle's shared CTE
+    * shape) with the per-source occurrence totals;
+    * head_x1000 = head_n * 1000 div n_tokens, all integers. Sources with
+    * fewer than 10 term types report their full vocabulary as the head
+    * (stated contract). Plan: the totals reduce map-side from the same
+    * scan shape; the head side is the bounded 10-rows-per-source
+    * topTerms output — the join is registry-sized.
+    */
+  val headCoverage: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val totals = docs(spark, dir)
+      .select(col("source"), explode(toks).as("tok"))
+      .groupBy("source").agg(count(lit(1)).as("n_tokens"))
+    topTerms(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_head_terms"), sum("n").as("head_n"))
+      .join(totals, "source")
+      .select(col("source"), col("n_tokens"), col("n_head_terms"), col("head_n"),
+        expr("(head_n * 1000L) div n_tokens").as("head_x1000"))
+      .orderBy("source")
+  }
+
+  /** Per-label embedding ENERGY census — the cheap health check a vector
+    * pipeline runs before ANN indexing (collapsed or exploded embeddings
+    * show up as degenerate norms): per vector, the exact integer energy
+    * e = sum over dims of floor(x_i * 2^10)^2 (per-dim quantization
+    * BEFORE squaring — the repo's quantize-then-integer rule, so the fold
+    * is order-free and engine/oracle agree exactly); per label: count,
+    * e_sum, e_min, e_max. One narrow higher-order `aggregate` over the
+    * array column (never an explode — the raw floats don't shuffle), one
+    * map-side-combinable groupBy on the label registry.
+    */
+  val embEnergy: (SparkSession, String) => DataFrame = (spark, dir) =>
+    embeddings(spark, dir)
+      .select(col("label"),
+        expr("aggregate(embedding, 0L, (acc, x) -> acc + " +
+          "cast(floor(x * 1024.0d) as bigint) * cast(floor(x * 1024.0d) as bigint))").as("e"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("e").as("e_sum"),
+        min("e").as("e_min"), max("e").as("e_max"))
+      .orderBy("label")
+
   /** Characteristic terms per document — the TF-IDF idea with an
     * INTEGER-EXACT score: score = (tf * 1_000_000) div df (tf = term count
     * in the doc, df = number of docs containing the term). Monotone in
@@ -2165,6 +2210,34 @@ object TrainingOps {
         |      FROM c)
         |SELECT source, rank::BIGINT AS rank, tok, n
         |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+
+    // head coverage: the same per-source rank CTE as q_doc_top_terms,
+    // summed against the occurrence totals
+    "q_doc_head_cov" ->
+      """WITH t AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |           FROM documents),
+        |c AS (SELECT source, tok, count(*)::BIGINT AS n FROM t GROUP BY 1, 2),
+        |r AS (SELECT source, n,
+        |             row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rank
+        |      FROM c),
+        |hd AS (SELECT source, count(*)::BIGINT AS n_head_terms, sum(n) AS head_n
+        |       FROM r WHERE rank <= 10 GROUP BY 1),
+        |tot AS (SELECT source, count(*)::BIGINT AS n_tokens FROM t GROUP BY 1)
+        |SELECT tot.source, tot.n_tokens, hd.n_head_terms, hd.head_n::BIGINT AS head_n,
+        |  ((hd.head_n * 1000) // tot.n_tokens)::BIGINT AS head_x1000
+        |FROM tot JOIN hd USING (source) ORDER BY source""".stripMargin,
+
+    // embedding energy: the same quantize-then-square fold as a DuckDB
+    // list_transform over the double-cast vectors
+    "q_emb_energy" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT label,
+        |        list_sum(list_transform(v,
+        |          x -> floor(x * 1024.0)::BIGINT * floor(x * 1024.0)::BIGINT)) AS e
+        |      FROM e)
+        |SELECT label, count(*)::BIGINT AS n_vecs, sum(e)::BIGINT AS e_sum,
+        |  min(e)::BIGINT AS e_min, max(e)::BIGINT AS e_max
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_doc_source_stats" ->
       """SELECT CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,

@@ -298,6 +298,23 @@ class EventOpsSpec extends AnyFunSuite {
       "both above- and below-mean hours must exist")
   }
 
+  test("gaps matches an exact local recompute (power-of-two buckets, bin() rule)") {
+    val expected = ev.groupBy(_._4).toSeq.flatMap { case (et, es) =>
+      val sorted = es.sortBy(e => (e._2, e._1))
+      val gs = sorted.zip(sorted.tail).map { case (a, b) => b._2 - a._2 }
+      gs.groupBy(g => 63 - java.lang.Long.numberOfLeadingZeros(g + 1))
+        .toSeq.map { case (bkt, grp) =>
+          (et, bkt.toLong, grp.size.toLong, grp.min, grp.max, grp.sum)
+        }
+    }.sortBy(r => (r._1, r._2))
+    val got = EventOps.gaps(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    assert(expected.map(_._1).distinct.size > 1 && expected.size > 10,
+      "several types and several buckets must appear")
+  }
+
   test("trend matches an exact local least-squares recompute; slopes go both ways") {
     val expected = ev.groupBy(_._3).toSeq.map { case (u, es) =>
       val mn = es.map(_._2).min

@@ -503,6 +503,53 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(gotRamp.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L))
   }
 
+  private def sobelBrute(vals: Array[Double], w: Int, h: Int)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val q = vals.map(v => math.floor(v * 1048576.0).toLong)
+    def g(x: Int, y: Int) = q(y * w + x)
+    (1 until h - 1).flatMap { y =>
+      val gs = (1 until w - 1).map { x =>
+        val gx = (g(x + 1, y - 1) + 2 * g(x + 1, y) + g(x + 1, y + 1)) -
+          (g(x - 1, y - 1) + 2 * g(x - 1, y) + g(x - 1, y + 1))
+        val gy = (g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1)) -
+          (g(x - 1, y - 1) + 2 * g(x, y - 1) + g(x + 1, y - 1))
+        math.abs(gx) + math.abs(gy)
+      }
+      if (gs.nonEmpty) Some((y.toLong, gs.length.toLong, gs.sum, gs.min, gs.max))
+      else None
+    }
+  }
+
+  test("sobel == brute force on the events grid and random dims/tilings; zero on a constant") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val w = 100; val h = ev.length / w
+    val got = RasterOps.sobel(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == sobelBrute(ev.map(_._2), w, h))
+
+    val rng = new scala.util.Random(121212L)
+    for (trial <- 0 until 8) {
+      val rw = 2 + rng.nextInt(8); val rh = 2 + rng.nextInt(8)
+      val vals = Array.fill(rw * rh)(
+        math.floor((rng.nextDouble() * 512.0 - 256.0) * 64.0) / 64.0)
+      val cells = spark.createDataset(
+        for (y <- 0 until rh; x <- 0 until rw) yield (x, y, vals(y * rw + x)))
+      val tw = 1 + rng.nextInt(4); val th = 1 + rng.nextInt(4)
+      val gotR = RasterOps.sobelTiledOf(cells, rw, rh, tw, th).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(gotR.toSeq == sobelBrute(vals, rw, rh),
+        s"trial $trial ${rw}x$rh tile ${tw}x$th")
+    }
+
+    // a constant raster has zero gradient everywhere
+    val const = spark.createDataset(
+      for (y <- 0 until 5; x <- 0 until 5) yield (x, y, 7.25))
+    assert(RasterOps.sobelTiledOf(const, 5, 5, 3, 3).collect()
+      .forall(r => r.getLong(2) == 0L && r.getLong(4) == 0L))
+  }
+
   private def gearyBrute(vals: Array[Double], w: Int, h: Int)
       : (Long, Long, Long, Long, Long, Long) = {
     val q = vals.map(v => math.floor(v * 1048576.0).toLong)

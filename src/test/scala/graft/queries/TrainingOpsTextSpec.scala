@@ -99,6 +99,41 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(!byDoc.contains(9L), "the corpus maximum has no successor")
   }
 
+  test("headCoverage == local top-10 mass recompute") {
+    import spark.implicits._
+    val bySrc = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "text").as[(String, String)].collect()
+      .groupBy(_._1)
+    val expected = bySrc.toSeq.map { case (src, ds) =>
+      val counts = ds.flatMap(d => toks(d._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toSeq
+      val total = counts.map(_._2).sum
+      val head = counts.sortBy { case (tok, n) => (-n, tok) }.take(10)
+      (src, total, head.size.toLong, head.map(_._2).sum,
+        head.map(_._2).sum * 1000L / total)
+    }.sortBy(_._1)
+    val got = TrainingOps.headCoverage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(expected.forall(r => r._5 > 0L && r._5 < 1000L))
+  }
+
+  test("embEnergy == local quantize-then-square recompute") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("label", "embedding").as[(Int, Seq[Float])].collect()
+    val expected = vecs.groupBy(_._1).toSeq.map { case (lbl, vs) =>
+      val es = vs.map(_._2.map { x =>
+        val q = math.floor(x.toDouble * 1024.0).toLong; q * q
+      }.sum)
+      (lbl, es.size.toLong, es.sum, es.min, es.max)
+    }.sortBy(_._1)
+    val got = TrainingOps.embEnergy(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(expected.exists(r => r._4 != r._5), "energies must vary within a label")
+  }
+
   test("chunkDocs == local sliding-window recompute (size 50, stride 40)") {
     val want = docsLocal().flatMap { case (id, text) =>
       val ws = toks(text)
