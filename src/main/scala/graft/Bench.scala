@@ -170,13 +170,20 @@ object Bench {
   private val Ops12Queries =
     Seq("q_sobel", "q_evt_gaps", "q_doc_head_cov", "q_emb_energy")
 
+  /** The round-5 thirteenth wave: box counting through the contour
+    * pipeline, the trailing-7-day active curve, and the user lifespan
+    * census (the lake snapshot diff is spec-only).
+    */
+  private val Ops13Queries =
+    Seq("q_box_count", "q_evt_dau7", "q_evt_lifespan")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
     "ops4" -> Ops4Queries, "ops5" -> Ops5Queries, "ops6" -> Ops6Queries,
     "ops7" -> Ops7Queries, "ops8" -> Ops8Queries, "ops9" -> Ops9Queries,
     "ops10" -> Ops10Queries, "ops11" -> Ops11Queries,
-    "ops12" -> Ops12Queries)
+    "ops12" -> Ops12Queries, "ops13" -> Ops13Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -185,6 +185,13 @@ object SparkEntry {
       graft.engine.SpatialOps.contourMomentStats(
         spark, engine(spark).contours(eventTiles(spark, dir)), EventsGrid.Thresholds)),
 
+    // ---- box counting (smooth=true): occupied boxes at sides 1/2/4 over
+    //      the ring vertex cloud; floor of power-of-two divisions keeps
+    //      every box key exact on both compare sides ----
+    "q_box_count" -> ((spark, dir) =>
+      graft.engine.SpatialOps.boxCountStats(
+        spark, engine(spark).contours(eventTiles(spark, dir)), EventsGrid.Thresholds)),
+
     // ---- one-pass Visvalingam simplification (smooth=true): per-vertex
     //      effective triangle area vs its ring neighbours, KEEP decided in
     //      the quantized integer domain (tolerance = SimplifyEps2Q) ----
@@ -662,6 +669,8 @@ object SparkEntry {
     "q_evt_spearman" -> EventOps.spearman,
     "q_evt_spike" -> EventOps.spike,
     "q_evt_gaps" -> EventOps.gaps,
+    "q_evt_dau7" -> EventOps.dau7,
+    "q_evt_lifespan" -> EventOps.lifespan,
     "q_evt_transitions" -> EventOps.transitions,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,
@@ -1172,6 +1181,25 @@ object SparkEntry {
          |  COALESCE(agg.qa2_sum, 0)::BIGINT AS qa2_sum,
          |  COALESCE(agg.qmx_sum, 0)::BIGINT AS qmx_sum,
          |  COALESCE(agg.qmy_sum, 0)::BIGINT AS qmy_sum
+         |FROM ($tsAllSql) t LEFT JOIN agg ON agg.threshold = t.threshold
+         |ORDER BY t.threshold""".stripMargin,
+
+    // box counting: the vertex cloud is exactly the role-0 segment starts
+    // (each ring vertex starts one directed segment); box keys as strings
+    // of the same exact floors, counted DISTINCT per scale
+    "q_box_count" ->
+      s"""WITH ${startsAndEndsCte(tsAllSql)},
+         |st AS (SELECT threshold, px, py FROM pts WHERE role = 0),
+         |agg AS (SELECT threshold, count(*)::BIGINT AS n_pts,
+         |  count(DISTINCT floor(px)::BIGINT || ':' || floor(py)::BIGINT)::BIGINT AS nb1,
+         |  count(DISTINCT floor(px / 2)::BIGINT || ':' || floor(py / 2)::BIGINT)::BIGINT AS nb2,
+         |  count(DISTINCT floor(px / 4)::BIGINT || ':' || floor(py / 4)::BIGINT)::BIGINT AS nb4
+         |  FROM st GROUP BY 1)
+         |SELECT t.threshold, COALESCE(agg.n_pts, 0)::BIGINT AS n_pts,
+         |  COALESCE(agg.nb1, 0)::BIGINT AS nb1, COALESCE(agg.nb2, 0)::BIGINT AS nb2,
+         |  COALESCE(agg.nb4, 0)::BIGINT AS nb4,
+         |  (CASE WHEN COALESCE(agg.nb2, 0) = 0 THEN 0
+         |        ELSE (agg.nb1 * 1000000) // agg.nb2 END)::BIGINT AS dim_x1e6
          |FROM ($tsAllSql) t LEFT JOIN agg ON agg.threshold = t.threshold
          |ORDER BY t.threshold""".stripMargin,
 

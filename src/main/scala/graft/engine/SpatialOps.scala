@@ -256,6 +256,43 @@ object SpatialOps {
       .orderBy("threshold")
   }
 
+  /** BOX-COUNTING statistics per threshold — the fractal-dimension
+    * diagnostic of a contour layer (a smooth boundary halves its box
+    * count when the box doubles; a space-filling one quarters it): over
+    * the ring VERTEX cloud (each ring vertex is the start of exactly one
+    * directed segment, closing duplicates dropped), the number of
+    * occupied boxes at side 1, 2 and 4 — box keys are floor(px / s)
+    * pairs, EXACT because /2 and /4 are power-of-two f64 divisions and
+    * floor is a deterministic function of the (bit-exact) smoothed
+    * coordinate on both compare sides. dim_x1e6 = nb1 * 10^6 div nb2 is
+    * the 1-vs-2 occupancy ratio (2^d for dimension d); thresholds with no
+    * rings report all zeros (stated contract — no zero-divide leaves the
+    * fill row). Plan: one narrow vertex flatMap; the three distinct
+    * counts expand the (threshold, box) stream map-side and reduce on the
+    * threshold-cardinality key — no vertex ever joins anything.
+    */
+  def boxCountStats(spark: SparkSession, contours: Dataset[ContourRow],
+                    thresholds: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    val verts = contours.flatMap { c =>
+      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
+        val n = ring.length / 2 - 1
+        (0 until n).iterator.map(i => (c.threshold, ring(2 * i), ring(2 * i + 1)))
+      }
+    }.toDF("threshold", "px", "py")
+    verts.groupBy("threshold").agg(
+        count(lit(1)).as("n_pts"),
+        countDistinct(floor(col("px")), floor(col("py"))).as("nb1"),
+        countDistinct(floor(col("px") / 2), floor(col("py") / 2)).as("nb2"),
+        countDistinct(floor(col("px") / 4), floor(col("py") / 4)).as("nb4"))
+      .join(thresholds.toDF("threshold"), Seq("threshold"), "right")
+      .na.fill(0L, Seq("n_pts", "nb1", "nb2", "nb4"))
+      .select(col("threshold"), col("n_pts"), col("nb1"), col("nb2"), col("nb4"),
+        when(col("nb2") === 0L, 0L)
+          .otherwise(expr("(nb1 * 1000000L) div nb2")).as("dim_x1e6"))
+      .orderBy("threshold")
+  }
+
   /** One-pass Visvalingam–Whyatt simplification statistics: for every ring
     * vertex, the doubled area of the triangle it forms with its two ring
     * neighbours (cyclic), and the count of vertices that SURVIVE a single

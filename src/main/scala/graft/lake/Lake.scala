@@ -2,6 +2,7 @@ package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 
 import java.nio.charset.StandardCharsets
 
@@ -300,6 +301,28 @@ object Lake {
     require(snap.rows == last.rows,
       s"compact: row count changed ${last.rows} -> ${snap.rows} in $table")
     snap
+  }
+
+  /** CDC-style SNAPSHOT DIFF — the incremental-read primitive an
+    * downstream consumer wants instead of re-scanning the table: the
+    * MULTISET delta between two committed versions, as the row set plus a
+    * `change` column ('insert' = in `toSeq` but not `fromSeq`, 'delete' =
+    * the reverse), duplicate rows accounted per occurrence (exceptAll —
+    * a set-based except would silently collapse legitimate duplicate
+    * rows). Snapshots here are full rewrites, so the diff is two
+    * hash-partitioned anti-folds over the two versions — the schema must
+    * match (loud require; a schema-evolving diff is a different
+    * operation). Both seqs resolve through the torn-manifest-safe
+    * [[readAt]], so an expired or in-flight version fails loudly.
+    */
+  def diffSnapshots(spark: SparkSession, table: String,
+                    fromSeq: Long, toSeq: Long): DataFrame = {
+    val from = readAt(spark, table, fromSeq)
+    val to = readAt(spark, table, toSeq)
+    require(from.schema == to.schema,
+      s"diffSnapshots: schema mismatch between seq $fromSeq and $toSeq in $table")
+    to.exceptAll(from).withColumn("change", lit("insert"))
+      .unionByName(from.exceptAll(to).withColumn("change", lit("delete")))
   }
 
   /** Lineage chain of a snapshot, oldest first. */

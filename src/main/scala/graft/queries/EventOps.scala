@@ -408,6 +408,57 @@ object EventOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** Trailing-7-day ACTIVE USERS per calendar day — the DAU/WAU engagement
+    * curve computed EXACTLY (no sketch, no approximation): a user active
+    * on day a is "7-day active" for the trailing windows of days a..a+6,
+    * so each distinct (user, active-day) expands into its ≤ 7 covered
+    * days (a bounded narrow explode — the standard exact formulation; a
+    * distinct-over-sliding-window would re-scan raw events per day),
+    * deduplicates, and counts per day. dau1 rides alongside from the
+    * unexpanded (user, day) pairs; trailing days beyond a user's last
+    * event are part of the window semantics and are emitted (dau1 = 0
+    * there, stated contract). Day keys are formatted strings so both
+    * compare sides carry the identical calendar value. Plan: one
+    * (user, day) distinct, a ×7 narrow expansion, map-side-combinable
+    * counts — the raw events shuffle once, nothing else ever does.
+    */
+  val dau7: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val act = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts").cast("timestamp")).as("d"))
+      .distinct()
+    val cov = act
+      .select(col("user_id"), explode(expr("sequence(0, 6)")).as("i"), col("d"))
+      .select(col("user_id"), date_format(expr("date_add(d, i)"), "yyyy-MM-dd").as("day"))
+      .distinct()
+    val d7 = cov.groupBy("day").agg(count(lit(1)).as("dau7"))
+    val d1 = act.groupBy(date_format(col("d"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("dau1"))
+    d7.join(d1, Seq("day"), "left")
+      .na.fill(0L, Seq("dau1"))
+      .select(col("day"), col("dau1"), col("dau7"))
+      .orderBy("day")
+  }
+
+  /** Per-user LIFESPAN census — the lifecycle row a retention model is
+    * fed: first/last active calendar day, distinct active days, span
+    * days (inclusive), and density_x1000 = n_active * 1000 div span —
+    * all integers, day keys as formatted strings. One (user, day)
+    * distinct + one user groupBy; single exchange.
+    */
+  val lifespan: (SparkSession, String) => DataFrame = (spark, dir) =>
+    events(spark, dir)
+      .select(col("user_id"), to_date(col("ts").cast("timestamp")).as("d"))
+      .distinct()
+      .groupBy("user_id")
+      .agg(min("d").as("fd"), max("d").as("ld"), count(lit(1)).as("n_active"))
+      .select(col("user_id"),
+        date_format(col("fd"), "yyyy-MM-dd").as("first_day"),
+        date_format(col("ld"), "yyyy-MM-dd").as("last_day"),
+        col("n_active"),
+        (datediff(col("ld"), col("fd")) + 1).cast("long").as("span_days"),
+        expr("(n_active * 1000L) div (datediff(ld, fd) + 1)").as("density_x1000"))
+      .orderBy("user_id")
+
   /** Sweep-line concurrency load curve: how many sessions are open at
     * once, maxed per hour bucket. Sessions come from the [[sessionize]]
     * gap rule; each contributes +1 at start_us and -1 at end_us + 1
@@ -634,6 +685,31 @@ object EventOps {
         |  min(gap)::BIGINT AS gap_min, max(gap)::BIGINT AS gap_max,
         |  sum(gap)::BIGINT AS gap_sum
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // dau7: the same expansion in SQL — distinct (user, day), range(0,7)
+    // cover, counted per day; day strings via strftime
+    "q_evt_dau7" ->
+      """WITH a AS (SELECT DISTINCT user_id, ts::TIMESTAMP::DATE AS d FROM events),
+        |cov AS (SELECT DISTINCT user_id, d + u.i::INT AS day
+        |        FROM a, unnest(range(0, 7)) AS u(i)),
+        |d7 AS (SELECT strftime(day, '%Y-%m-%d') AS day, count(*)::BIGINT AS dau7
+        |       FROM cov GROUP BY 1),
+        |d1 AS (SELECT strftime(d, '%Y-%m-%d') AS day, count(*)::BIGINT AS dau1
+        |       FROM a GROUP BY 1)
+        |SELECT d7.day, COALESCE(d1.dau1, 0)::BIGINT AS dau1, d7.dau7
+        |FROM d7 LEFT JOIN d1 USING (day) ORDER BY 1""".stripMargin,
+
+    // lifespan: the same distinct-day census per user; DuckDB date
+    // subtraction is integer days
+    "q_evt_lifespan" ->
+      """WITH a AS (SELECT DISTINCT user_id, ts::TIMESTAMP::DATE AS d FROM events)
+        |SELECT user_id,
+        |  strftime(min(d), '%Y-%m-%d') AS first_day,
+        |  strftime(max(d), '%Y-%m-%d') AS last_day,
+        |  count(*)::BIGINT AS n_active,
+        |  (max(d) - min(d) + 1)::BIGINT AS span_days,
+        |  ((count(*) * 1000) // (max(d) - min(d) + 1))::BIGINT AS density_x1000
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // transition matrix: the same session chain as q_evt_overlap's CTE,
     // lead within (user, session), counted per (from, to) pair

@@ -242,6 +242,38 @@ class SpatialOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("boxCountStats == in-memory recompute; box counts shrink monotonically with scale") {
+    import spark.implicits._
+    val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
+    val tiles = GridSynth.tilesFromArray(spark, "gb", data, w, h, 16, 16)
+    val thresholds = Seq(110.0, 150.0, 1000.0) // 1000: no rings -> zero row
+    val cts = new ContourEngine(spark, JobConfig(thresholds, smooth = true)).contours(tiles)
+    val got = SpatialOps.boxCountStats(spark, cts, thresholds)
+      .as[(Double, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val byT = cts.collect().map { c =>
+      val vs = c.polygons.iterator
+        .flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
+          val n = ring.length / 2 - 1
+          (0 until n).iterator.map(i => (ring(2 * i), ring(2 * i + 1)))
+        }.toSeq
+      def nb(s: Double) =
+        vs.map { case (x, y) => (math.floor(x / s), math.floor(y / s)) }.distinct.size.toLong
+      c.threshold -> ((vs.size.toLong, nb(1), nb(2), nb(4)))
+    }.toMap
+    val want = thresholds.sorted.map { t =>
+      val (np, b1, b2, b4) = byT.getOrElse(t, (0L, 0L, 0L, 0L))
+      (t, np, b1, b2, b4, if (b2 == 0) 0L else b1 * 1000000L / b2)
+    }
+    assert(got == want)
+    // occupancy can only shrink as boxes grow; the dim proxy sits in
+    // (1x, 4x) for a genuine curve
+    got.filter(_._2 > 0).foreach { case (t, _, b1, b2, b4, dim) =>
+      assert(b1 >= b2 && b2 >= b4, s"non-monotone boxes at t=$t")
+      assert(dim > 1000000L && dim < 4000000L, s"dim proxy out of range at t=$t: $dim")
+    }
+    assert(got.find(_._1 == 1000.0).get._2 == 0L)
+  }
+
   test("simplifyStats == in-memory recompute; eps=0 keeps all, huge eps keeps none") {
     import spark.implicits._
     val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")

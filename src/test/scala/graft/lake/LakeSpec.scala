@@ -94,6 +94,26 @@ class LakeSpec extends AnyFunSuite {
     assert(Lake.readAt(spark, table, c.seq).count() == 60)
   }
 
+  test("diffSnapshots: multiset CDC between versions; schema drift is loud") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("lake-diff").toString
+    // v0 holds 1..10 plus a DUPLICATE 7; v1 drops 1..3 and ONE of the 7s,
+    // adds 20 twice — multiset semantics must count occurrences
+    val s0 = Lake.commit(spark, table, ((1 to 10) :+ 7).toDF("x"), "load")
+    val s1 = Lake.commit(spark, table, ((4 to 10) ++ Seq(20, 20)).toDF("x"), "merge")
+    val diff = Lake.diffSnapshots(spark, table, s0.seq, s1.seq)
+      .as[(Int, String)].collect().sorted.toSeq
+    assert(diff == Seq((1, "delete"), (2, "delete"), (3, "delete"),
+      (7, "delete"), (20, "insert"), (20, "insert")))
+    // identical versions diff to nothing
+    assert(Lake.diffSnapshots(spark, table, s1.seq, s1.seq).count() == 0L)
+    // schema drift fails loudly, not silently
+    Lake.commit(spark, table, (1 to 3).toDF("renamed"), "evolve")
+    val ex = intercept[IllegalArgumentException](
+      Lake.diffSnapshots(spark, table, s1.seq, s1.seq + 1))
+    assert(ex.getMessage.contains("schema mismatch"))
+  }
+
   test("torn/in-flight manifests are never observed; recovery frees the slot") {
     import spark.implicits._
     val table = Files.createTempDirectory("lake-torn").toString

@@ -315,6 +315,38 @@ class EventOpsSpec extends AnyFunSuite {
       "several types and several buckets must appear")
   }
 
+  test("dau7 and lifespan match exact local recomputes") {
+    import spark.implicits._
+    val ud = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "cast(to_date(cast(ts as timestamp)) as string)")
+      .as[(Long, String)].collect().distinct
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    def plus(day: String, i: Int) = java.time.LocalDate.parse(day, fmt).plusDays(i).format(fmt)
+
+    val cov = ud.flatMap { case (u, d) => (0 to 6).map(i => (u, plus(d, i))) }.distinct
+    val d7 = cov.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val d1 = ud.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val wantDau = d7.toSeq.map { case (day, n7) => (day, d1.getOrElse(day, 0L), n7) }
+      .sortBy(_._1)
+    val gotDau = EventOps.dau7(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotDau == wantDau)
+    assert(wantDau.exists(_._2 == 0L), "trailing-only days (dau1 = 0) must appear")
+
+    val wantLife = ud.groupBy(_._1).toSeq.map { case (u, ds) =>
+      val days = ds.map(_._2).sorted
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(days.head, fmt),
+        java.time.LocalDate.parse(days.last, fmt)) + 1
+      (u, days.head, days.last, days.size.toLong, span, days.size * 1000L / span)
+    }.sortBy(_._1)
+    val gotLife = EventOps.lifespan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(gotLife == wantLife)
+    assert(wantLife.exists(r => r._4 < r._5), "a user with inactive days must exist")
+  }
+
   test("trend matches an exact local least-squares recompute; slopes go both ways") {
     val expected = ev.groupBy(_._3).toSeq.map { case (u, es) =>
       val mn = es.map(_._2).min
