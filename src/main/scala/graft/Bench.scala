@@ -177,13 +177,27 @@ object Bench {
   private val Ops13Queries =
     Seq("q_box_count", "q_evt_dau7", "q_evt_lifespan")
 
+  /** The round-5 fourteenth wave: Getis-Ord hotspot share, Hilbert block
+    * index, the K-halo cost-distance horizon, and the PII scrub census.
+    */
+  private val Ops14Queries =
+    Seq("q_getis", "q_hilbert", "q_cost_horizon", "q_doc_scrub")
+
+  /** The round-5 fifteenth wave: the isochrone composition (K-halo cost
+    * relaxation through the full contour pipeline) and 2-core peeling
+    * (rebuilds the LSH graph — the standalone-contract cost, like
+    * cluster_mix).
+    */
+  private val Ops15Queries = Seq("q_isochrone", "q_doc_kcore")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
     "ops4" -> Ops4Queries, "ops5" -> Ops5Queries, "ops6" -> Ops6Queries,
     "ops7" -> Ops7Queries, "ops8" -> Ops8Queries, "ops9" -> Ops9Queries,
     "ops10" -> Ops10Queries, "ops11" -> Ops11Queries,
-    "ops12" -> Ops12Queries, "ops13" -> Ops13Queries)
+    "ops12" -> Ops12Queries, "ops13" -> Ops13Queries,
+    "ops14" -> Ops14Queries, "ops15" -> Ops15Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

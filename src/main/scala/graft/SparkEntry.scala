@@ -25,6 +25,11 @@ object SparkEntry {
     */
   private val SimplifyEps2Q = 10485L
 
+  /** Isochrone cost thresholds (quantized travel costs — ~p30/p60/p90 of
+    * the 8-hop field across all sfs), shared verbatim with the oracle.
+    */
+  private val IsoThresholds = Seq(20000.0, 50000.0, 100000.0)
+
   /** events grid -> interleaved doc table -> decode (codec always on path) */
   private def eventTiles(spark: SparkSession, dir: String): Dataset[TileRow] = {
     implicit val s = spark
@@ -206,6 +211,20 @@ object SparkEntry {
       val (cells, w, h) = RasterOps.level1Cells(spark, dir)
       val tiles = EventsGrid.tilesFromCells(spark, cells, "pyr1", w, h, 25, 25)
       contourChecksumDf(spark, engine(spark).contours(tiles))
+    }),
+
+    // ---- isochrone contours: the full contour pipeline COMPOSED over the
+    //      8-hop cost-distance field (weighted travel-cost rings — the
+    //      drive-time-polygon product); the cost field is exact integers
+    //      as f64, unreached cells carry the CostInf sentinel level ----
+    "q_isochrone" -> ((spark, dir) => {
+      import spark.implicits._
+      val (w, h) = EventsGrid.dims(spark, dir)
+      val cost = RasterOps.costCellsOf(
+        RasterOps.baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+      val tiles = EventsGrid.tilesFromCells(spark, cost, "isoc", w, h, 25, 25)
+      val eng = new ContourEngine(spark, JobConfig(IsoThresholds, smooth = true))
+      contourChecksumDf(spark, eng.contours(tiles))
     }),
 
     // ---- full Douglas–Peucker simplification through the distributed
@@ -590,6 +609,9 @@ object SparkEntry {
     "q_doc_exact_dup" -> TrainingOps.exactDup,
     "q_doc_token_stats" -> TrainingOps.tokenStats,
     "q_doc_quality" -> TrainingOps.qualityScore,
+    "q_doc_scrub" -> TrainingOps.scrubCensus,
+    "q_doc_kcore" -> TrainingOps.kcore,
+    "q_emb_separation" -> TrainingOps.embSeparation,
     "q_doc_lang_id" -> TrainingOps.langId,
     "q_doc_minhash" -> TrainingOps.minhashSignatures,
     "q_doc_minhash_pairs" -> TrainingOps.minhashDupPairs,
@@ -654,6 +676,10 @@ object SparkEntry {
     "q_hist_equalize" -> RasterOps.histEqualize,
     "q_moran" -> RasterOps.moran,
     "q_local_moran" -> RasterOps.localMoran,
+    "q_getis" -> RasterOps.getis,
+    "q_hilbert" -> RasterOps.hilbert,
+    "q_cost_horizon" -> RasterOps.costHorizon,
+    "q_variogram" -> RasterOps.variogram,
     "q_geary" -> RasterOps.geary,
     "q_morton" -> RasterOps.morton,
     "q_laplacian" -> RasterOps.laplacian,
@@ -671,6 +697,7 @@ object SparkEntry {
     "q_evt_gaps" -> EventOps.gaps,
     "q_evt_dau7" -> EventOps.dau7,
     "q_evt_lifespan" -> EventOps.lifespan,
+    "q_evt_growth" -> EventOps.growth,
     "q_evt_transitions" -> EventOps.transitions,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,
@@ -1039,8 +1066,33 @@ object SparkEntry {
       "SELECT x, y, v FROM g1")
   }
 
+  /** The isochrone oracle: the q_cost_horizon relaxation CTEs (renamed to
+    * avoid the contour reconstruction's own g/cells/starts names) derive
+    * the cost grid in SQL — unreached cells COALESCE to the CostInf level
+    * — then feed the unchanged marching-squares + smoothing chain at the
+    * cost thresholds.
+    */
+  private val isochroneSql: String = {
+    val k = graft.queries.RasterOps.CostRounds
+    val prefix =
+      s"""gq AS MATERIALIZED (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y,
+         |       value AS v, (floor(value * 1024.0)::BIGINT + 1024) AS qc FROM events),
+         |cq0 AS MATERIALIZED (SELECT x, y, 0::BIGINT AS cost FROM gq
+         |       WHERE v >= ${graft.queries.RasterOps.CostSrcThreshold}),
+         |${graft.queries.RasterOps.costRoundCtes("gq", "cq")},
+         |cg AS (SELECT b.x, b.y,
+         |         COALESCE(c.cost, ${graft.core.RasterKernel.CostInf})::DOUBLE AS v
+         |       FROM gq b LEFT JOIN cq$k c ON c.x = b.x AND c.y = b.y),
+         |""".stripMargin
+    smoothChecksumOver(prefix,
+      "SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events",
+      "SELECT x, y, v FROM cg",
+      s"SELECT unnest([${IsoThresholds.mkString(",")}]::DOUBLE[]) AS threshold")
+  }
+
   /** DuckDB-equivalent SQL per query (omit => weaker rows-only check). */
   def oracleSql: Map[String, String] = Map(
+    "q_isochrone" -> isochroneSql,
     "q_contours_stats" -> smoothChecksumSql,
     "q_auto_contours" -> smoothChecksumOver("",
       "SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events",

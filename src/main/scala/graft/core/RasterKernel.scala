@@ -750,4 +750,245 @@ object RasterKernel {
     }
     out.toSeq
   }
+
+  /** Getis–Ord Gi* partials over the tile's owned INTERIOR cells — the
+    * hotspot-share statistic pairing [[localMoranRows]] (LISA finds
+    * clustering of deviations; Gi* measures each neighbourhood's share of
+    * the global mass): giq = (win * 10^8) div qtot where win is the 5-cell
+    * rook-plus-self quantized window sum and qtot the caller's global
+    * quantized total. The z-score normalization of the textbook Gi* needs
+    * a sqrt; the stated contract here is the exact fixed-point share (the
+    * same monotone ranking, no float anywhere). Interior-only, same rim
+    * contract as LISA. EXACT-OR-LOUD: |q| < 2^30 keeps win * 10^8 < 2^60;
+    * multiplyExact backstops, qtot = 0 is refused (share undefined), and
+    * Long `/` truncates toward zero — DuckDB's `//` semantics.
+    */
+  def getisRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                ox0: Int, oy0: Int, ow: Int, oh: Int,
+                w: Int, h: Int, qtot: Long): Seq[RowStat] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    @inline def q(x: Int, y: Int): Long = {
+      val qq = math.floor(g(x, y) * Q20).toLong
+      require(math.abs(qq) < (1L << 30),
+        s"getisRows: |q| = $qq >= 2^30 at ($x, $y) breaks the Long product bound")
+      qq
+    }
+    require(qtot != 0L, "getisRows: qtot = 0 — the Gi* share is undefined")
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val out = new scala.collection.mutable.ArrayBuffer[RowStat](math.max(tyHi - tyLo + 1, 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var n = 0L; var sum = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      var tx = txLo
+      while (tx <= txHi) {
+        val win = Math.addExact(q(tx, ty),
+          Math.addExact(Math.addExact(q(tx, ty - 1), q(tx, ty + 1)),
+            Math.addExact(q(tx + 1, ty), q(tx - 1, ty))))
+        val giq = Math.multiplyExact(win, 100000000L) / qtot
+        n += 1; sum = Math.addExact(sum, giq)
+        if (giq < mn) mn = giq
+        if (giq > mx) mx = giq
+        tx += 1
+      }
+      if (n > 0) out += ((ty.toLong, n, sum, mn, mx))
+      ty += 1
+    }
+    out.toSeq
+  }
+
+  /** K-round COST-DISTANCE horizon over the tile's owned cells — the
+    * isochrone primitive (cost-weighted travel distance from every source
+    * cell, truncated at K hops): sources are cells with v >= srcThreshold
+    * at cost 0; stepping INTO cell c adds its positive integer entry cost
+    * qc = floor(v * 2^10) + 2^10; after exactly `rounds` SYNCHRONOUS
+    * min-plus relaxations, each cell holds the min cost over all source
+    * paths of <= `rounds` rook steps (unreached cells are dropped). The
+    * K-hop dependency footprint is the Manhattan-K ball, so a K-cell halo
+    * makes owned cells EXACT with zero raster shuffle (the round-r value
+    * of a cell at distance d from an owned cell only feeds it through
+    * rounds r <= K - d — the standard stencil-composition argument); the
+    * caller owes halo >= rounds. Entry costs must be positive (loud
+    * require — a zero-cost cycle would make even the full closure
+    * ill-posed). Emitted as per-owned-row partials over REACHED cells.
+    */
+  /** Sentinel for an unreached cell in the K-round cost relaxation (also
+    * the isochrone composition's grid value for such cells — comfortably
+    * above any reachable K-hop cost yet exactly representable).
+    */
+  val CostInf: Long = 1000000000L
+
+  /** The shared K-round synchronous min-plus relaxation over a buffer —
+    * see [[costHorizonRows]] for the semantics and exactness argument.
+    */
+  private def relaxedCosts(vals: Array[Double], bw: Int,
+                           rounds: Int, srcThreshold: Double): Array[Long] = {
+    val bh = vals.length / bw
+    val n = bw * bh
+    val Inf = CostInf
+    val qc = new Array[Long](n)
+    var cost = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val q = math.floor(vals(i) * 1024.0).toLong + 1024L
+      require(q > 0 && q <= (CostInf - 1) / rounds,
+        s"relaxedCosts: entry cost $q outside (0, (CostInf-1)/rounds] (v = ${vals(i)}) " +
+          "— any <= rounds-hop path must stay strictly below the CostInf sentinel")
+      qc(i) = q
+      cost(i) = if (vals(i) >= srcThreshold) 0L else Inf
+      i += 1
+    }
+    var r = 0
+    while (r < rounds) {
+      val next = new Array[Long](n)
+      var y = 0
+      while (y < bh) {
+        var x = 0
+        while (x < bw) {
+          val idx = y * bw + x
+          var nb = Inf
+          if (x > 0 && cost(idx - 1) < nb) nb = cost(idx - 1)
+          if (x + 1 < bw && cost(idx + 1) < nb) nb = cost(idx + 1)
+          if (y > 0 && cost(idx - bw) < nb) nb = cost(idx - bw)
+          if (y + 1 < bh && cost(idx + bw) < nb) nb = cost(idx + bw)
+          var best = cost(idx)
+          if (nb < Inf) {
+            val cand = nb + qc(idx)
+            if (cand < best) best = cand
+          }
+          next(idx) = best
+          x += 1
+        }
+        y += 1
+      }
+      cost = next
+      r += 1
+    }
+    cost
+  }
+
+  def costHorizonRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                      ox0: Int, oy0: Int, ow: Int, oh: Int,
+                      w: Int, h: Int, rounds: Int, srcThreshold: Double): Seq[RowStat] = {
+    val Inf = CostInf
+    val cost = relaxedCosts(vals, bw, rounds, srcThreshold)
+    val out = new scala.collection.mutable.ArrayBuffer[RowStat](oh)
+    var ty = oy0
+    while (ty < oy0 + oh) {
+      var cnt = 0L; var sum = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      var tx = ox0
+      while (tx < ox0 + ow) {
+        val c = cost((ty - by0) * bw + (tx - bx0))
+        if (c < Inf) {
+          cnt += 1; sum = Math.addExact(sum, c)
+          if (c < mn) mn = c
+          if (c > mx) mx = c
+        }
+        tx += 1
+      }
+      if (cnt > 0) out += ((ty.toLong, cnt, sum, mn, mx))
+      ty += 1
+    }
+    out.toSeq
+  }
+
+  /** Directional empirical SEMIVARIOGRAM contributions over the tile's
+    * owned cells — the geostatistics primitive (the curve a kriging model
+    * is fit to): for lags 1/2/4/8 in the east (dir 0) and south (dir 1)
+    * directions, each valid pair's squared quantized difference, keyed by
+    * idx = dir * 4 + log2(lag). Every pair is counted exactly once at its
+    * west/north endpoint (the moranCells attribution rule), and the
+    * partner always sits inside the caller's max-lag halo. Per-PAIR
+    * emission keeps every value provably inside Long (|q| < 2^30 gives
+    * d^2 < 2^62, loudly required); the downstream sum runs in
+    * decimal(38,0) on the lag-cardinality key — map-side combinable,
+    * nothing wide ever shuffles.
+    */
+  def variogramCells(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                     ox0: Int, oy0: Int, ow: Int, oh: Int,
+                     w: Int, h: Int): Seq[(Int, Long)] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    @inline def q(x: Int, y: Int): Long = {
+      val qq = math.floor(g(x, y) * Q20).toLong
+      require(math.abs(qq) < (1L << 30),
+        s"variogramCells: |q| = $qq >= 2^30 at ($x, $y) breaks the Long product bound")
+      qq
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Long)](ow * oh * 8)
+    var y = oy0
+    while (y < oy0 + oh) {
+      var x = ox0
+      while (x < ox0 + ow) {
+        val qc = q(x, y)
+        var li = 0
+        while (li < 4) {
+          val lag = 1 << li
+          if (x + lag < w) { val d = qc - q(x + lag, y); out += ((li, d * d)) }
+          if (y + lag < h) { val d = qc - q(x, y + lag); out += ((4 + li, d * d)) }
+          li += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out.toSeq
+  }
+
+  /** The K-round cost FIELD per owned cell — the isochrone composition's
+    * grid feed: (x, y, cost) with unreached cells carrying the
+    * [[CostInf]] sentinel VALUE (so the downstream contour engine sees a
+    * dense grid where the reachability frontier is a genuine level set).
+    * Costs are integers exactly representable as f64 (< 2^53 by the
+    * relaxation's loud bound), so the handoff to the f64 contour pipeline
+    * is exact. Same relaxation, same halo-width-K contract as
+    * [[costHorizonRows]].
+    */
+  def costCellsK(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                 ox0: Int, oy0: Int, ow: Int, oh: Int,
+                 w: Int, h: Int, rounds: Int, srcThreshold: Double): Seq[(Int, Int, Double)] = {
+    val cost = relaxedCosts(vals, bw, rounds, srcThreshold)
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Int, Double)](ow * oh)
+    var ty = oy0
+    while (ty < oy0 + oh) {
+      var tx = ox0
+      while (tx < ox0 + ow) {
+        out += ((tx, ty, cost((ty - by0) * bw + (tx - bx0)).toDouble))
+        tx += 1
+      }
+      ty += 1
+    }
+    out.toSeq
+  }
+
+  /** Hilbert-curve index of a point on the 2^bits x 2^bits grid — the
+    * locality key that strictly beats [[graft.queries.RasterOps.morton]]'s
+    * Z-order for range scans (no Z-jump discontinuities: consecutive codes
+    * are always rook-adjacent cells). The classic mask-and-rotate descent:
+    * per level s = 2^(bits-1)..1, quadrant digit (3*rx) XOR ry weighs
+    * s^2, then the Gray-code frame rotation (reflect-then-swap when
+    * ry = 0) re-bases the remaining low bits. Pure integer arithmetic —
+    * bit-identical on every platform; bits <= 31 keeps s*s and the
+    * accumulated d inside Long exactly.
+    */
+  def hilbertIndex(bits: Int, x0: Int, y0: Int): Long = {
+    require(bits >= 1 && bits <= 31, s"hilbertIndex: bits = $bits out of [1, 31]")
+    val n = 1 << bits
+    require(x0 >= 0 && x0 < n && y0 >= 0 && y0 < n,
+      s"hilbertIndex: ($x0, $y0) outside the 2^$bits grid")
+    var x = x0; var y = y0; var d = 0L
+    var s = n >>> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s.toLong * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>>= 1
+    }
+    d
+  }
 }

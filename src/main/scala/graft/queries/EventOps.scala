@@ -459,6 +459,35 @@ object EventOps {
         expr("(n_active * 1000L) div (datediff(ld, fd) + 1)").as("density_x1000"))
       .orderBy("user_id")
 
+  /** GROWTH ACCOUNTING per calendar day — the new/retained/resurrected
+    * decomposition every growth dashboard leads with: over distinct
+    * (user, active-day) pairs, a user is NEW on their first day,
+    * RETAINED when active the previous calendar day, RESURRECTED after a
+    * gap of >= 2 days (the three classes partition actives exactly:
+    * n_active = n_new + n_retained + n_resurrected — asserted by the
+    * spec). One (user, day) distinct + one per-user lag window (per-user
+    * state = distinct active days, calendar-bounded) + one
+    * map-side-combinable day rollup. Day keys as formatted strings,
+    * everything else integer.
+    */
+  val growth: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val wu = Window.partitionBy("user_id").orderBy("d")
+    events(spark, dir)
+      .select(col("user_id"), to_date(col("ts").cast("timestamp")).as("d"))
+      .distinct()
+      .withColumn("prev", lag("d", 1).over(wu))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        when(col("prev").isNull, 1L).otherwise(0L).as("is_new"),
+        when(col("prev").isNotNull && datediff(col("d"), col("prev")) === 1, 1L)
+          .otherwise(0L).as("is_ret"),
+        when(col("prev").isNotNull && datediff(col("d"), col("prev")) >= 2, 1L)
+          .otherwise(0L).as("is_res"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"), sum("is_new").as("n_new"),
+        sum("is_ret").as("n_retained"), sum("is_res").as("n_resurrected"))
+      .orderBy("day")
+  }
+
   /** Sweep-line concurrency load curve: how many sessions are open at
     * once, maxed per hour bucket. Sessions come from the [[sessionize]]
     * gap rule; each contributes +1 at start_us and -1 at end_us + 1
@@ -710,6 +739,17 @@ object EventOps {
         |  (max(d) - min(d) + 1)::BIGINT AS span_days,
         |  ((count(*) * 1000) // (max(d) - min(d) + 1))::BIGINT AS density_x1000
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // growth accounting: the same per-user lag over distinct days
+    "q_evt_growth" ->
+      """WITH a AS (SELECT DISTINCT user_id, ts::TIMESTAMP::DATE AS d FROM events),
+        |l AS (SELECT user_id, d,
+        |        lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev FROM a)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, count(*)::BIGINT AS n_active,
+        |  sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new,
+        |  sum(CASE WHEN prev IS NOT NULL AND d - prev = 1 THEN 1 ELSE 0 END)::BIGINT AS n_retained,
+        |  sum(CASE WHEN prev IS NOT NULL AND d - prev >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_resurrected
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // transition matrix: the same session chain as q_evt_overlap's CTE,
     // lead within (user, session), counted per (from, to) pair

@@ -637,28 +637,33 @@ object RasterOps {
   // tilings; both match the same DuckDB oracles).
 
   /** Route (x, y, v) cells of a w x h grid into RasterTiles with a
-    * symmetric 1-sample halo. A sample ships to its owner tile plus any
-    * edge-adjacent neighbours whose halo contains it (≤ 4 targets, only at
-    * tile borders). Dense-grid contract: every buffer slot must be filled,
-    * loudly required.
+    * symmetric `halo`-sample halo (default 1, the window-stencil case; the
+    * K-round propagation kernels ask for halo = K). A sample ships to its
+    * owner tile plus any edge-adjacent neighbours whose halo contains it
+    * (≤ 4 targets for halo ≤ tile dims, only within `halo` cells of a
+    * tile border — exchange stays perimeter-proportional). Dense-grid
+    * contract: every buffer slot must be filled, loudly required.
     */
   private[graft] def haloTilesFromCells(cells: Dataset[(Int, Int, Double)],
                                         w: Int, h: Int,
-                                        tileW: Int, tileH: Int): Dataset[RasterTile] = {
+                                        tileW: Int, tileH: Int,
+                                        halo: Int = 1): Dataset[RasterTile] = {
     import cells.sparkSession.implicits._
-    val (tw, th) = (tileW, tileH)
+    val (tw, th, k) = (tileW, tileH, halo)
+    require(k >= 1 && k <= tw && k <= th,
+      s"haloTiles: halo $k outside [1, min(tileW, tileH) = ${math.min(tw, th)}]")
     val nx = (w + tw - 1) / tw
     val ny = (h + th - 1) / th
     val routed = cells.flatMap { case (x, y, v) =>
-      // owner c/t always; left/top neighbour iff the sample is its right/
-      // bottom halo column (c % t == 0); right/bottom neighbour iff it is
-      // its left/top halo column (c % t == t - 1)
+      // owner c/t always; left/top neighbour iff the sample sits in its
+      // k-wide right/bottom halo band (c % t < k); right/bottom neighbour
+      // iff in its left/top band (c % t >= t - k)
       def targets(c: Int, t: Int, n: Int): Seq[Int] = {
         val own = c / t
         val b = Seq.newBuilder[Int]
         b += own
-        if (c % t == 0 && own > 0) b += own - 1
-        if (c % t == t - 1 && own + 1 < n) b += own + 1
+        if (c % t < k && own > 0) b += own - 1
+        if (c % t >= t - k && own + 1 < n) b += own + 1
         b.result()
       }
       for (tx <- targets(x, tw, nx); ty <- targets(y, th, ny)) yield (tx, ty, x, y, v)
@@ -668,9 +673,9 @@ object RasterOps {
         val (tx, ty) = key
         val ox0 = tx * tw; val oy0 = ty * th
         val ow = math.min(tw, w - ox0); val oh = math.min(th, h - oy0)
-        val bx0 = math.max(ox0 - 1, 0); val by0 = math.max(oy0 - 1, 0)
-        val bw = math.min(ox0 + ow + 1, w) - bx0
-        val bh = math.min(oy0 + oh + 1, h) - by0
+        val bx0 = math.max(ox0 - k, 0); val by0 = math.max(oy0 - k, 0)
+        val bw = math.min(ox0 + ow + k, w) - bx0
+        val bh = math.min(oy0 + oh + k, h) - by0
         val vals = new Array[Double](bw * bh)
         // per-SLOT fill tracking (not a message count): a duplicated cell
         // paired with a missing one must fail loudly, not leave a silent
@@ -1225,6 +1230,180 @@ object RasterOps {
     localMoranOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
+  /** Getis–Ord Gi* hotspot census — the per-cell neighbourhood-share
+    * companion of [[localMoranOf]] (LISA scores deviation clustering, Gi*
+    * scores each 5-cell rook-plus-self window's share of the global mass —
+    * the statistic a hot/cold-spot map thresholds). Exact fixed-point
+    * contract: giq = (win * 10^8) div qtot with qtot the truncated global
+    * quantized sum (one tiny driver-side aggregate, the same shape as the
+    * Moran mean); the z-score's sqrt is deliberately left out (identical
+    * ranking, integer-exact surface). Zero raster shuffle: per-row RowStat
+    * partials ride the halo-tiled kernel; the only exchange is the
+    * O(tiles x tile-rows) merge. Oracle: +-1 self-join gathers vs the
+    * kernel's halo reads.
+    */
+  private[graft] def getisOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
+                             tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    val tr = cells.toDF("x", "y", "v")
+      .agg(sum(floor(col("v") * Q20).cast("decimal(38,0)")).as("s")).head()
+    val qtotB = BigInt(tr.getDecimal(0).toBigInteger)
+    require(qtotB.isValidLong, s"getis: quantized total $qtotB exceeds Long")
+    val qtot = qtotB.toLong
+    mergeRowStats(haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+      graft.core.RasterKernel.getisRows(t.values, t.bx0, t.by0, t.bw,
+        t.ox0, t.oy0, t.ow, t.oh, w, h, qtot)))
+  }
+
+  val getis: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    getisOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
+  /** K-hop horizon for [[costHorizonOf]]; the tile router ships a K-cell
+    * halo, so the whole K-round relaxation is ZERO raster shuffle.
+    */
+  private[graft] val CostRounds = 8
+  private[graft] val CostSrcThreshold = 100.0
+
+  /** Cost-distance ISOCHRONE census — the weighted generalization of the
+    * L1 distance transform (q_dist_transform): min cost to reach each cell
+    * from any source (v >= 100) within K = 8 rook hops, where entering a
+    * cell costs its quantized value (floor(v * 2^10) + 2^10 > 0). The
+    * bounded horizon is the stated contract (the reach of a K-step
+    * traversal — a drive-time ring), and it is what makes the op
+    * shuffle-free: [[graft.core.RasterKernel.costHorizonRows]] runs all K
+    * synchronous min-plus rounds inside a K-cell-halo tile, so the raster
+    * never crosses an exchange — only per-row partials of reached cells
+    * do. The oracle unrolls the same K rounds as chained CTEs of
+    * 4-direction equi-join gathers (the independent formulation of the
+    * kernel's in-buffer sweeps).
+    */
+  private[graft] def costHorizonOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
+                                   tileW: Int = 50, tileH: Int = 50,
+                                   rounds: Int = CostRounds): DataFrame = {
+    import cells.sparkSession.implicits._
+    require(rounds <= math.min(tileW, tileH),
+      s"costHorizon: rounds $rounds exceeds the tile halo capacity")
+    haloTilesFromCells(cells, w, h, tileW, tileH, halo = rounds)
+      .flatMap(t => graft.core.RasterKernel.costHorizonRows(t.values, t.bx0, t.by0,
+        t.bw, t.ox0, t.oy0, t.ow, t.oh, w, h, rounds, CostSrcThreshold))
+      .toDF("y", "n", "cs", "cn", "cx")
+      .groupBy("y")
+      .agg(sum(col("n")).as("n_reached"), sum(col("cs")).as("cost_sum"),
+        min(col("cn")).as("cost_min"), max(col("cx")).as("cost_max"))
+      .orderBy("y")
+  }
+
+  val costHorizon: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    costHorizonOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
+  /** The K-round cost FIELD as dense (x, y, cost) cells — the isochrone
+    * composition's grid feed (unreached = the CostInf sentinel value).
+    * Same K-halo zero-shuffle shape as [[costHorizonOf]].
+    */
+  private[graft] def costCellsOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
+                                 tileW: Int = 50, tileH: Int = 50,
+                                 rounds: Int = CostRounds): Dataset[(Int, Int, Double)] = {
+    import cells.sparkSession.implicits._
+    require(rounds <= math.min(tileW, tileH),
+      s"costCells: rounds $rounds exceeds the tile halo capacity")
+    haloTilesFromCells(cells, w, h, tileW, tileH, halo = rounds)
+      .flatMap(t => graft.core.RasterKernel.costCellsK(t.values, t.bx0, t.by0,
+        t.bw, t.ox0, t.oy0, t.ow, t.oh, w, h, rounds, CostSrcThreshold))
+  }
+
+  /** Directional empirical SEMIVARIOGRAM at lags 1/2/4/8, east + south —
+    * the geostatistics curve (spatial continuity vs distance) a kriging
+    * or tile-size decision reads: gamma(dir, lag) = sum of squared
+    * quantized pair differences div (2 * n_pairs), every quantity exact
+    * integer. Zero raster shuffle: pairs resolve inside max-lag-halo
+    * tiles ([[graft.core.RasterKernel.variogramCells]]); only (idx, d2)
+    * contributions feed a map-side-combinable decimal sum on the
+    * 8-element key. Oracle: +lag self-join gathers per (dir, lag).
+    */
+  private[graft] val VarioLags = Seq(1, 2, 4, 8)
+
+  private[graft] def variogramOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
+                                 tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    haloTilesFromCells(cells, w, h, tileW, tileH, halo = VarioLags.max)
+      .flatMap(t => graft.core.RasterKernel.variogramCells(t.values, t.bx0, t.by0,
+        t.bw, t.ox0, t.oy0, t.ow, t.oh, w, h))
+      .toDF("idx", "d2")
+      .groupBy("idx")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("d2").cast("decimal(38,0)")).as("ss"))
+      .select(expr("idx div 4").cast("long").as("dir"),
+        expr("shiftleft(1L, idx % 4)").as("lag"),
+        col("n_pairs"),
+        expr("ss div 1048576").as("d2q"),
+        expr("ss div (2 * n_pairs)").as("gamma_q"))
+      .orderBy("dir", "lag")
+  }
+
+  val variogram: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    variogramOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
+  /** The K unrolled min-plus relaxation CTE rounds over a base CTE `$g`
+    * (columns x, y, qc) into `$c0..$cK` — shared by the q_cost_horizon
+    * oracle and the isochrone composition's oracle (which renames to
+    * avoid colliding with the contour reconstruction's own CTEs).
+    * MATERIALIZED throughout: DuckDB otherwise inlines each round's five
+    * references exponentially.
+    */
+  private[graft] def costRoundCtes(g: String, c: String): String =
+    (1 to CostRounds).map { r =>
+      val p = s"$c${r - 1}"
+      s"""$c$r AS MATERIALIZED (SELECT x, y, min(cost) AS cost FROM (
+         |  SELECT x, y, cost FROM $p
+         |  UNION ALL SELECT $g.x, $g.y, p.cost + $g.qc FROM $p p JOIN $g ON $g.x = p.x + 1 AND $g.y = p.y
+         |  UNION ALL SELECT $g.x, $g.y, p.cost + $g.qc FROM $p p JOIN $g ON $g.x = p.x - 1 AND $g.y = p.y
+         |  UNION ALL SELECT $g.x, $g.y, p.cost + $g.qc FROM $p p JOIN $g ON $g.x = p.x AND $g.y = p.y + 1
+         |  UNION ALL SELECT $g.x, $g.y, p.cost + $g.qc FROM $p p JOIN $g ON $g.x = p.x AND $g.y = p.y - 1
+         |) GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+
+  /** Hilbert block index — the curve-order upgrade of [[morton]]: the same
+    * 100 TB bucketing/sort-key role, but consecutive codes are ALWAYS
+    * rook-adjacent cells (Z-order's quadrant jumps are what make Hilbert
+    * the better range-scan key, the documented reason Spark itself offers
+    * hilbert clustering for OPTIMIZE ZORDER-style layouts). Codes come
+    * from the exact integer mask-and-rotate descent
+    * ([[graft.core.RasterKernel.hilbertIndex]], bits = 16) in a typed map
+    * — the per-row sequential rotate state is the genuinely
+    * non-Catalyst-expressible part; everything after is one
+    * map-side-combinable groupBy on the 256-code block key. Each block
+    * also emits its cell bbox area — the locality evidence (a contiguous
+    * curve run stays in a compact spatial window). The oracle is the
+    * independent RECURSIVE-CTE formulation: rows iterate the 17 (s, x, y,
+    * d) states in SQL and the s = 0 fixpoint carries the code.
+    */
+  private[graft] val HilbertBits = 16
+
+  val hilbert: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    baseCells(spark, dir)
+      .select(col("x"), col("y"), floor(col("v") * Q20).cast("long").as("q"))
+      .as[(Int, Int, Long)]
+      .map { case (x, y, q) =>
+        (graft.core.RasterKernel.hilbertIndex(HilbertBits, x, y), q, x.toLong, y.toLong)
+      }
+      .toDF("hkey", "q", "x", "y")
+      .groupBy(expr("hkey div 256").as("hblock"))
+      .agg(count(lit(1)).as("n_cells"), sum("q").as("q_sum"),
+        min("hkey").as("h_min"), max("hkey").as("h_max"),
+        ((max("x") - min("x") + lit(1L)) * (max("y") - min("y") + lit(1L)))
+          .as("bbox_area"))
+      .orderBy("hblock")
+  }
+
   /** Histogram equalization — the classic raster contrast remap: each cell
     * maps to level = (cells-in-strictly-lower-bins * L) div n, the exact
     * integer CDF transform at L = 16 output levels. Input bins are the
@@ -1295,6 +1474,10 @@ object RasterOps {
       val dx = o % 3 - 1; val dy = o / 3 - 1
       s"JOIN g1 b$o ON b$o.x = t.x - ($dx) AND b$o.y = t.y - ($dy)"
     }.mkString("\n  ")
+    // one synchronous min-plus round per CTE: keep-or-improve via the four
+    // gathered rook neighbours (the unrolled counterpart of the kernel's
+    // in-buffer sweep; c_r's support is exactly the <= r-hop reach)
+    val costCtes = costRoundCtes("g", "c")
     Map(
       // histogram equalization: the CDF runs as plain window SQL over the
       // integer-bin histogram; the remap is the same equi-join gathered the
@@ -1406,6 +1589,87 @@ object RasterOps {
           |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells, sum(liq)::BIGINT AS qsum,
           |  min(liq)::BIGINT AS qmin, max(liq)::BIGINT AS qmax
           |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Getis-Ord Gi*: the 5-cell rook-plus-self window gathered per
+      // interior cell via +-1 self-joins, divided (truncating) into the
+      // global quantized total — the independent formulation of the
+      // kernel's halo-read scatter
+      "q_getis" ->
+        """WITH g AS MATERIALIZED (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y,
+          |             floor(value * 1048576.0)::BIGINT AS q FROM events),
+          |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+          |t AS MATERIALIZED (SELECT sum(q)::BIGINT AS qtot FROM g),
+          |gi AS (SELECT c.x, c.y,
+          |         (((c.q + nn.q + ss.q + ee.q + ww.q) * 100000000)
+          |           // t.qtot)::BIGINT AS giq
+          |       FROM g c
+          |       JOIN g nn ON nn.x = c.x AND nn.y = c.y - 1
+          |       JOIN g ss ON ss.x = c.x AND ss.y = c.y + 1
+          |       JOIN g ee ON ee.x = c.x + 1 AND ee.y = c.y
+          |       JOIN g ww ON ww.x = c.x - 1 AND ww.y = c.y
+          |       CROSS JOIN t
+          |       WHERE c.x BETWEEN 1 AND 98
+          |         AND c.y BETWEEN 1 AND (SELECT h FROM d) - 2)
+          |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells, sum(giq)::BIGINT AS qsum,
+          |  min(giq)::BIGINT AS qmin, max(giq)::BIGINT AS qmax
+          |FROM gi GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Hilbert block index: the oracle walks the 17 mask-and-rotate
+      // states per cell through a RECURSIVE CTE (vs the engine's in-row
+      // loop) — the s = 0 fixpoint row carries the finished code
+      "q_hilbert" ->
+        """WITH RECURSIVE g AS (SELECT (event_id % 100)::INT AS cx, (event_id // 100)::INT AS cy,
+          |             floor(value * 1048576.0)::BIGINT AS q FROM events),
+          |hil(cx, cy, q, x, y, d, s) AS (
+          |  SELECT cx, cy, q, cx::BIGINT, cy::BIGINT, 0::BIGINT, 32768::BIGINT FROM g
+          |  UNION ALL
+          |  SELECT cx, cy, q,
+          |    CASE WHEN (y & s) = 0
+          |         THEN (CASE WHEN (x & s) > 0 THEN 65535 - y ELSE y END)
+          |         ELSE x END,
+          |    CASE WHEN (y & s) = 0
+          |         THEN (CASE WHEN (x & s) > 0 THEN 65535 - x ELSE x END)
+          |         ELSE y END,
+          |    d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END)::BIGINT,
+          |                    (CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)::BIGINT),
+          |    s // 2
+          |  FROM hil WHERE s > 0),
+          |hc AS (SELECT cx, cy, q, d AS hkey FROM hil WHERE s = 0)
+          |SELECT (hkey // 256)::BIGINT AS hblock, count(*)::BIGINT AS n_cells,
+          |  sum(q)::BIGINT AS q_sum, min(hkey)::BIGINT AS h_min, max(hkey)::BIGINT AS h_max,
+          |  ((max(cx) - min(cx) + 1) * (max(cy) - min(cy) + 1))::BIGINT AS bbox_area
+          |FROM hc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // variogram: +lag self-join gathers per (dir, lag) — the gather
+      // formulation of the kernel's in-halo reads; HUGEINT sums, the
+      // same truncating divisions
+      "q_variogram" -> {
+        val pairs = VarioLags.flatMap(l => Seq(
+          s"""SELECT 0::BIGINT AS dir, ${l}::BIGINT AS lag, (a.q - b.q) * (a.q - b.q) AS d2
+             |      FROM g a JOIN g b ON b.x = a.x + $l AND b.y = a.y""".stripMargin,
+          s"""SELECT 1::BIGINT AS dir, ${l}::BIGINT AS lag, (a.q - b.q) * (a.q - b.q) AS d2
+             |      FROM g a JOIN g b ON b.x = a.x AND b.y = a.y + $l""".stripMargin))
+          .mkString("\n      UNION ALL ")
+        s"""WITH g AS MATERIALIZED (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y,
+           |             floor(value * 1048576.0)::BIGINT AS q FROM events),
+           |p AS ($pairs)
+           |SELECT dir, lag, count(*)::BIGINT AS n_pairs,
+           |  (sum(d2) // 1048576)::BIGINT AS d2q,
+           |  (sum(d2) // (2 * count(*)))::BIGINT AS gamma_q
+           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      },
+
+      // cost horizon: sources at cost 0, K unrolled min-plus rounds, the
+      // per-row census over the round-K reach
+      "q_cost_horizon" ->
+        s"""WITH g AS MATERIALIZED (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y,
+           |             value AS v, (floor(value * 1024.0)::BIGINT + 1024) AS qc FROM events),
+           |c0 AS MATERIALIZED (SELECT x, y, 0::BIGINT AS cost FROM g WHERE v >= $CostSrcThreshold),
+           |$costCtes
+           |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_reached,
+           |  sum(cost)::BIGINT AS cost_sum, min(cost)::BIGINT AS cost_min,
+           |  max(cost)::BIGINT AS cost_max
+           |FROM c$CostRounds GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // CC labeling on the level-2 overview: the oracle derives g2 via the
       // same pool CTEs as q_grid_pyramid, builds the 4-adjacency edge list

@@ -56,6 +56,36 @@ object TrainingOps {
           .cast("long").as("ttr_x1000"))
       .orderBy("doc_id")
 
+  // ---- PII / pattern scrub census: the per-source risk scan a pipeline
+  //      runs BEFORE deciding what needs redaction ----
+  /** Per-source pattern census over the raw text: digit characters, '@'
+    * characters, 'http' link hits and email-shaped bigrams
+    * (`[a-z0-9]@[a-z0-9]`, a deliberately narrow marker — full address
+    * grammars differ across regex engines; this class-literal pattern is
+    * identical in Java regex and RE2), plus the integer digit ratio per
+    * 1000 chars. One narrow per-row scan + one map-side-combinable
+    * source-keyed aggregate — nothing wider than the source registry ever
+    * shuffles. The oracle counts the same patterns via
+    * len(regexp_extract_all); counts are engine-independent because every
+    * pattern is a single-char class or a literal.
+    */
+  val scrubCensus: (SparkSession, String) => DataFrame = (spark, dir) =>
+    docs(spark, dir)
+      .select(col("source"),
+        length(col("text")).cast("long").as("nc"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("digits"),
+        regexp_count(col("text"), lit("@")).cast("long").as("ats"),
+        regexp_count(col("text"), lit("http")).cast("long").as("urls"),
+        regexp_count(col("text"), lit("[a-z0-9]@[a-z0-9]")).cast("long").as("emailish"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nc").as("total_chars"),
+        sum("digits").as("digit_chars"), sum("ats").as("at_chars"),
+        sum("urls").as("url_hits"), sum("emailish").as("email_hits"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("digit_chars"), col("at_chars"), col("url_hits"), col("email_hits"),
+        expr("(digit_chars * 1000L) div total_chars").as("digit_ratio_x1000"))
+      .orderBy("source")
+
   // ---- language id: marker-token voting (heuristic; engine-only) ----
   val langId: (SparkSession, String) => DataFrame = (spark, dir) => {
     val markers = Map(
@@ -254,6 +284,39 @@ object TrainingOps {
       .agg(count(lit(1)).as("n_vecs"), sum("e").as("e_sum"),
         min("e").as("e_min"), max("e").as("e_max"))
       .orderBy("label")
+
+  /** Per-label SEPARATION MATRIX over the embedding space — the
+    * cluster-quality diagnostic an embedding pipeline reads before
+    * trusting labels for stratification: off-diagonal rows (a < b) carry
+    * the exact squared distance between the two labels' quantized
+    * centroids (centroid = per-dim sum(q) div n, truncated); diagonal
+    * rows carry the mean within-label squared distance to the own
+    * centroid (sum div n) — the within/between contrast without a single
+    * float. Plan: one narrow posexplode to (label, dim, q) partials
+    * (map-side combinable to the k x dims centroid table, which is
+    * broadcast back); the matrix itself is a k^2-bounded self-join.
+    */
+  val embSeparation: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("label"), col("i"),
+        expr("cast(floor(x * 1024.0d) as bigint)").as("q"))
+    val c = d.groupBy("label", "i")
+      .agg(expr("sum(q) div count(1)").as("c"), count(lit(1)).as("n"))
+    val m = c.select(col("label").as("la"), col("i"), col("c").as("ca"))
+      .join(c.select(col("label").as("lb"), col("i"), col("c").as("cb")), "i")
+      .filter(col("la") < col("lb"))
+      .groupBy("la", "lb")
+      .agg(sum(expr("(ca - cb) * (ca - cb)")).as("d2"))
+    val diag = d.join(broadcast(c), Seq("label", "i"))
+      .groupBy("label")
+      .agg(expr("sum((q - c) * (q - c)) div max(n)").as("d2"))
+      .select(col("label").as("la"), col("label").as("lb"), col("d2"))
+    m.unionByName(diag)
+      .select(col("la").as("label_a"), col("lb").as("label_b"), col("d2"))
+      .orderBy("label_a", "label_b")
+  }
 
   /** Characteristic terms per document — the TF-IDF idea with an
     * INTEGER-EXACT score: score = (tf * 1_000_000) div df (tf = term count
@@ -786,6 +849,48 @@ object TrainingOps {
           (lit(150000L) + expr("85 * coalesce(msum, 0L) div 100")).as("pr"))
     }
     pr.select(col("doc_id"), col("deg"), col("pr")).orderBy("doc_id")
+  }
+
+  // ---- k-core peeling census over the LSH duplicate pair graph ----
+
+  /** 2-CORE PEELING census, 3 unrolled rounds — the robustness filter a
+    * dedup report runs before trusting cluster structure (degree-1
+    * pendants are usually borderline LSH hits; the 2-core is the part of
+    * the graph where every doc has >= 2 independent collision witnesses).
+    * Round r: drop every node of current degree < 2, keep an edge iff
+    * BOTH endpoints survive; emit (round, n_nodes, n_edges) for rounds
+    * 0..3 — the peeling curve (a FIXED round count like pagerank's: full
+    * convergence is a diameter-bounded fixpoint this census deliberately
+    * truncates, stated contract). Each round is one map-side-combinable
+    * degree count + two semi-joins on the edge keys; rounds run EAGERLY
+    * over localCheckpoint'd edge frames (the connectedComponents lineage
+    * idiom — a lazy unroll would re-derive the LSH candidate chain once
+    * per lineage branch, 2^rounds times), and the census itself is a
+    * rounds-bounded 4-row driver collect. The oracle unrolls the same
+    * rounds as HAVING >= 2 CTEs over the shared candidate construction.
+    */
+  val kcore: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val cand = bandCandidates(spark, dir)
+    var edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (r <- 0 to 3) {
+      val row = edges.agg(countDistinct(col("src")), expr("count(1) div 2")).head()
+      stats += ((r.toLong, row.getLong(0), row.getLong(1)))
+      if (r < 3) {
+        val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2).select(col("src").as("kid"))
+        val next = edges.join(keep, col("src") === col("kid"), "left_semi")
+          .join(keep, col("dst") === col("kid"), "left_semi")
+          .localCheckpoint(true)
+        edges.unpersist(blocking = false)
+        edges = next
+      }
+    }
+    edges.unpersist(blocking = false)
+    stats.toSeq.toDF("round", "n_nodes", "n_edges").orderBy("round")
   }
 
   // ---- exact triangle counting over the LSH duplicate pair graph ----
@@ -1552,6 +1657,21 @@ object TrainingOps {
 
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracleSql: Map[String, String] = Map(
+    // scrub census: the same single-char-class / literal patterns counted
+    // via len(regexp_extract_all) — engine-independent by construction
+    "q_doc_scrub" ->
+      """WITH t AS (SELECT source, length(text)::BIGINT AS nc,
+        |    len(regexp_extract_all(text, '[0-9]'))::BIGINT AS digits,
+        |    len(regexp_extract_all(text, '@'))::BIGINT AS ats,
+        |    len(regexp_extract_all(text, 'http'))::BIGINT AS urls,
+        |    len(regexp_extract_all(text, '[a-z0-9]@[a-z0-9]'))::BIGINT AS emailish
+        |  FROM documents)
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(nc)::BIGINT AS total_chars,
+        |  sum(digits)::BIGINT AS digit_chars, sum(ats)::BIGINT AS at_chars,
+        |  sum(urls)::BIGINT AS url_hits, sum(emailish)::BIGINT AS email_hits,
+        |  ((sum(digits) * 1000) // sum(nc))::BIGINT AS digit_ratio_x1000
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // independent quadratic dominance formulation of the skyline
     "q_doc_skyline" ->
       """WITH t AS (SELECT source, doc_id,
@@ -1891,6 +2011,40 @@ object TrainingOps {
         |       FROM deg d LEFT JOIN m3 ON m3.doc_id = d.src)
         |SELECT doc_id, deg::BIGINT AS deg, pr FROM p3 ORDER BY 1""".stripMargin,
 
+    // k-core: the same peeling rounds unrolled as HAVING >= 2 CTEs over
+    // the shared candidate construction (gathered keep-sets vs the
+    // engine's semi-joins)
+    "q_doc_kcore" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+        |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+        |sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS minhash
+        |         FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, (seed // 4)::INT AS band,
+        |                 string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, ',' ORDER BY seed) AS bkey
+        |          FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |e0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
+        |      UNION ALL SELECT doc_b, doc_a FROM cand),
+        |k0 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 2),
+        |e1 AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e
+        |      JOIN k0 a ON a.src = e.src JOIN k0 b ON b.src = e.dst),
+        |k1 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 2),
+        |e2 AS MATERIALIZED (SELECT e.src, e.dst FROM e1 e
+        |      JOIN k1 a ON a.src = e.src JOIN k1 b ON b.src = e.dst),
+        |k2 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 2),
+        |e3 AS MATERIALIZED (SELECT e.src, e.dst FROM e2 e
+        |      JOIN k2 a ON a.src = e.src JOIN k2 b ON b.src = e.dst)
+        |SELECT 0::BIGINT AS round, count(DISTINCT src)::BIGINT AS n_nodes,
+        |  (count(*) // 2)::BIGINT AS n_edges FROM e0
+        |UNION ALL SELECT 1::BIGINT, count(DISTINCT src)::BIGINT, (count(*) // 2)::BIGINT FROM e1
+        |UNION ALL SELECT 2::BIGINT, count(DISTINCT src)::BIGINT, (count(*) // 2)::BIGINT FROM e2
+        |UNION ALL SELECT 3::BIGINT, count(DISTINCT src)::BIGINT, (count(*) // 2)::BIGINT FROM e3
+        |ORDER BY round""".stripMargin,
+
     // triangles: the brute three-way a < b < c join over the same cand
     // construction — the independent quadratic formulation of the
     // engine's degree-ordered oriented wedges
@@ -2226,6 +2380,25 @@ object TrainingOps {
         |SELECT tot.source, tot.n_tokens, hd.n_head_terms, hd.head_n::BIGINT AS head_n,
         |  ((hd.head_n * 1000) // tot.n_tokens)::BIGINT AS head_x1000
         |FROM tot JOIN hd USING (source) ORDER BY source""".stripMargin,
+
+    // separation matrix: the same centroid/within sums via the 1-based
+    // subscript unnest (vs the engine's 0-based posexplode — the index is
+    // an internal join key on both sides, never compared)
+    "q_emb_separation" ->
+      """WITH e AS (SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (SELECT vec_id, label, i, floor(v[i] * 1024.0)::BIGINT AS q
+        |      FROM e, unnest(range(1, len(v) + 1)) AS u(i)),
+        |c AS (SELECT label, i, (sum(q) // count(*))::BIGINT AS c, count(*)::BIGINT AS n
+        |      FROM d GROUP BY 1, 2),
+        |m AS (SELECT a.label AS la, b.label AS lb,
+        |        sum((a.c - b.c) * (a.c - b.c))::BIGINT AS d2
+        |      FROM c a JOIN c b ON a.i = b.i AND a.label < b.label GROUP BY 1, 2),
+        |w AS (SELECT d.label AS la, d.label AS lb,
+        |        (sum((d.q - c.c) * (d.q - c.c)) // max(c.n))::BIGINT AS d2
+        |      FROM d JOIN c ON c.label = d.label AND c.i = d.i GROUP BY 1, 2)
+        |SELECT la AS label_a, lb AS label_b, d2 FROM m
+        |UNION ALL SELECT la AS label_a, lb AS label_b, d2 FROM w
+        |ORDER BY 1, 2""".stripMargin,
 
     // embedding energy: the same quantize-then-square fold as a DuckDB
     // list_transform over the double-cast vectors

@@ -639,4 +639,221 @@ class RasterOpsSpec extends AnyFunSuite {
         s"trial $trial ${rw}x$rh tile ${tw}x$th")
     }
   }
+
+  private def getisBrute(vals: Array[Double], w: Int, h: Int)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val q = vals.map(v => math.floor(v * 1048576.0).toLong)
+    val qtot = q.map(BigInt(_)).sum
+    def qq(x: Int, y: Int) = BigInt(q(y * w + x))
+    (1 until h - 1).flatMap { y =>
+      val gs = (1 until w - 1).map { x =>
+        val win = qq(x, y) + (qq(x, y - 1) + qq(x, y + 1)) + (qq(x + 1, y) + qq(x - 1, y))
+        // BigInt / truncates toward zero, like the kernel's Long /
+        ((win * 100000000) / qtot).toLong
+      }
+      if (gs.nonEmpty) Some((y.toLong, gs.length.toLong, gs.sum, gs.min, gs.max))
+      else None
+    }
+  }
+
+  test("getis == brute force on the events grid and on random dims/tilings") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val w = 100; val h = ev.length / w
+    val expected = getisBrute(ev.map(_._2), w, h)
+    val got = RasterOps.getis(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected)
+
+    // positive random grids (the share statistic's domain: qtot != 0)
+    val rng = new scala.util.Random(20260818L)
+    for (trial <- 0 until 8) {
+      val rw = 2 + rng.nextInt(8); val rh = 2 + rng.nextInt(8)
+      val vals = Array.fill(rw * rh)(
+        math.floor((rng.nextDouble() * 512.0 + 1.0) * 64.0) / 64.0)
+      val cells = spark.createDataset(
+        for (y <- 0 until rh; x <- 0 until rw) yield (x, y, vals(y * rw + x)))
+      val tw = 1 + rng.nextInt(4); val th = 1 + rng.nextInt(4)
+      val gotR = RasterOps.getisOf(cells, rw, rh, tw, th).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(gotR.toSeq == getisBrute(vals, rw, rh),
+        s"trial $trial ${rw}x$rh tile ${tw}x$th")
+    }
+  }
+
+  test("hilbert: base case, 32x32 bijection with unit steps, blocks == local recompute") {
+    import spark.implicits._
+    import graft.core.RasterKernel.hilbertIndex
+    // first-order curve: the U through (0,0) -> (0,1) -> (1,1) -> (1,0)
+    assert(Seq((0, 0), (0, 1), (1, 1), (1, 0)).map { case (x, y) =>
+      hilbertIndex(1, x, y) } == Seq(0L, 1L, 2L, 3L))
+    // bits = 5: a full 32x32 grid is a bijection onto [0, 1024) and every
+    // consecutive code pair is rook-adjacent — the property that defines
+    // the curve (and that Z-order fails)
+    val m = for (y <- 0 until 32; x <- 0 until 32)
+      yield ((x, y), hilbertIndex(5, x, y))
+    assert(m.map(_._2).sorted == (0L until 1024L))
+    val byCode = m.map(_.swap).toMap
+    (0L until 1023L).foreach { d =>
+      val (x1, y1) = byCode(d); val (x2, y2) = byCode(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at code $d")
+    }
+    // contract query == local recompute of the block census
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val w = 100
+    val rows = ev.map { case (id, v) =>
+      val x = (id % w).toInt; val y = (id / w).toInt
+      (hilbertIndex(16, x, y), math.floor(v * 1048576.0).toLong, x.toLong, y.toLong)
+    }
+    val expected = rows.groupBy(_._1 / 256).toSeq.map { case (b, rs) =>
+      (b, rs.length.toLong, rs.map(_._2).sum, rs.map(_._1).min, rs.map(_._1).max,
+        (rs.map(_._3).max - rs.map(_._3).min + 1) * (rs.map(_._4).max - rs.map(_._4).min + 1))
+    }.sortBy(_._1)
+    val got = RasterOps.hilbert(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(got == expected)
+    // locality evidence: every block's bbox stays compact (vs the 100-wide
+    // row-major stripes a linear id would give)
+    assert(got.forall(_._6 <= 512L), "a block bbox blew past the locality bound")
+  }
+
+  private def costBrute(vals: Array[Double], w: Int, h: Int,
+                        rounds: Int, thr: Double): Seq[(Long, Long, Long, Long, Long)] = {
+    val Inf = Long.MaxValue / 4
+    val qc = vals.map(v => math.floor(v * 1024.0).toLong + 1024L)
+    var cost = vals.map(v => if (v >= thr) 0L else Inf)
+    for (_ <- 0 until rounds) {
+      val next = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        var nb = Inf
+        if (x > 0) nb = math.min(nb, cost(i - 1))
+        if (x + 1 < w) nb = math.min(nb, cost(i + 1))
+        if (y > 0) nb = math.min(nb, cost(i - w))
+        if (y + 1 < h) nb = math.min(nb, cost(i + w))
+        if (nb < Inf) math.min(cost(i), nb + qc(i)) else cost(i)
+      }
+      cost = next
+    }
+    (0 until h).flatMap { y =>
+      val cs = (0 until w).flatMap(x =>
+        if (cost(y * w + x) < Inf) Some(cost(y * w + x)) else None)
+      if (cs.nonEmpty) Some((y.toLong, cs.size.toLong, cs.sum, cs.min, cs.max))
+      else None
+    }
+  }
+
+  test("costHorizon == brute synchronous K-round relaxation; sourceless grids are empty") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val w = 100; val h = ev.length / w
+    val expected = costBrute(ev.map(_._2), w, h, 8, 100.0)
+    val got = RasterOps.costHorizon(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected)
+    // non-source cells accumulate positive path costs (sf0.001's dense
+    // sources reach everything within 8 hops; the random trials below
+    // exercise the partial-reach horizon)
+    assert(expected.exists(_._5 > 0L), "no positive-cost cell - sources everywhere?")
+
+    // random dims x tilings x horizons (rounds <= min tile dim, the halo
+    // contract); value range makes sources sparse-but-present usually
+    val rng = new scala.util.Random(20260818L)
+    for (trial <- 0 until 8) {
+      val rw = 2 + rng.nextInt(8); val rh = 2 + rng.nextInt(8)
+      val vals = Array.fill(rw * rh)(
+        math.floor(rng.nextDouble() * 150.0 * 64.0) / 64.0)
+      val cells = spark.createDataset(
+        for (y <- 0 until rh; x <- 0 until rw) yield (x, y, vals(y * rw + x)))
+      val tw = 1 + rng.nextInt(4); val th = 1 + rng.nextInt(4)
+      val rounds = 1 + rng.nextInt(math.min(tw, th))
+      val gotR = RasterOps.costHorizonOf(cells, rw, rh, tw, th, rounds)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(gotR.toSeq == costBrute(vals, rw, rh, rounds, 100.0),
+        s"trial $trial ${rw}x$rh tile ${tw}x$th rounds $rounds")
+    }
+
+    // no sources at all -> empty frame, not a zero row
+    val dead = spark.createDataset(
+      for (y <- 0 until 4; x <- 0 until 4) yield (x, y, 1.5))
+    assert(RasterOps.costHorizonOf(dead, 4, 4, 2, 2, 2).count() == 0L)
+  }
+
+  private def bruteCostField(vals: Array[Double], w: Int, h: Int, rounds: Int): Array[Long] = {
+    val Inf = graft.core.RasterKernel.CostInf
+    val qc = vals.map(v => math.floor(v * 1024.0).toLong + 1024L)
+    var cost = vals.map(v => if (v >= 100.0) 0L else Inf)
+    for (_ <- 0 until rounds) {
+      val prev = cost
+      cost = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        var nb = Inf
+        if (x > 0) nb = math.min(nb, prev(i - 1))
+        if (x + 1 < w) nb = math.min(nb, prev(i + 1))
+        if (y > 0) nb = math.min(nb, prev(i - w))
+        if (y + 1 < h) nb = math.min(nb, prev(i + w))
+        if (nb < Inf) math.min(prev(i), nb + qc(i)) else prev(i)
+      }
+    }
+    cost
+  }
+
+  test("costCellsOf == brute field incl. sentinel; isochrone == single-node reference") {
+    import spark.implicits._
+    val Inf = graft.core.RasterKernel.CostInf
+    // a single corner source at 1 round leaves far cells on the sentinel
+    val craft = Array.tabulate(16)(i => if (i == 0) 120.0 else 1.0)
+    val craftCells = spark.createDataset(
+      for (y <- 0 until 4; x <- 0 until 4) yield (x, y, craft(y * 4 + x)))
+    val gotCraft = RasterOps.costCellsOf(craftCells, 4, 4, 2, 2, 1)
+      .collect().toSeq.sorted
+    val wantCraft = (for (y <- 0 until 4; x <- 0 until 4)
+      yield (x, y, bruteCostField(craft, 4, 4, 1)(y * 4 + x).toDouble)).sorted
+    assert(gotCraft == wantCraft)
+    assert(wantCraft.count(_._3 == Inf.toDouble) == 13, "far cells must stay on the sentinel")
+
+    val rng = new scala.util.Random(151515L)
+    for (trial <- 0 until 8) {
+      val rw = 2 + rng.nextInt(8); val rh = 2 + rng.nextInt(8)
+      val vals = Array.fill(rw * rh)(
+        math.floor(rng.nextDouble() * 150.0 * 64.0) / 64.0)
+      val cells = spark.createDataset(
+        for (y <- 0 until rh; x <- 0 until rw) yield (x, y, vals(y * rw + x)))
+      val tw = 1 + rng.nextInt(4); val th = 1 + rng.nextInt(4)
+      val rounds = 1 + rng.nextInt(math.min(tw, th))
+      val field = bruteCostField(vals, rw, rh, rounds)
+      val want = (for (y <- 0 until rh; x <- 0 until rw)
+        yield (x, y, field(y * rw + x).toDouble)).sorted
+      val got = RasterOps.costCellsOf(cells, rw, rh, tw, th, rounds).collect().toSeq.sorted
+      assert(got == want, s"trial $trial ${rw}x$rh tile ${tw}x$th rounds $rounds")
+    }
+
+    // the isochrone COMPOSITION must equal the single-node CoreContour
+    // reference run over the locally relaxed cost field — end-to-end
+    // (distributed relaxation -> tiling -> stitch -> smoothing) vs the
+    // bit-exact in-memory path
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val w = 100; val h = ev.length / w
+    val costD = bruteCostField(ev.map(_._2), w, h, 8).map(_.toDouble)
+    val core = new graft.core.CoreContour(graft.core.ContourConfig(w, h, smooth = true))
+    val want2 = core.contours(costD, Array(20000.0, 50000.0, 100000.0)).map { cr =>
+      val vs = cr.polygons.iterator
+        .flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
+          val n = ring.length / 2 - 1
+          (0 until n).iterator.map(i => (ring(2 * i), ring(2 * i + 1)))
+        }.toSeq
+      (cr.threshold, vs.size.toLong,
+        vs.map(v => math.floor(v._1 * 1048576.0).toLong).sum,
+        vs.map(v => math.floor(v._2 * 1048576.0).toLong).sum)
+    }
+    val got2 = graft.SparkEntry.queries("q_isochrone")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got2 == want2)
+    assert(got2.exists(_._2 > 0L), "the cost field must produce rings")
+  }
 }

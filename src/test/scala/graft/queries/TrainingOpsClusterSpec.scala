@@ -264,4 +264,25 @@ class TrainingOpsClusterSpec extends AnyFunSuite {
       "LSH band cliques must close at least one triangle")
     assert(want.exists(_._3 == 0L), "a triangle-free node must exist")
   }
+
+  test("kcore == local 3-round peeling recompute; census is non-increasing") {
+    val pairs = TrainingOps.minhashDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    var edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val want = (0 to 3).map { r =>
+      val stat = (r.toLong, edges.map(_._1).distinct.size.toLong, edges.size.toLong / 2)
+      if (r < 3) {
+        val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= 2).keySet
+        edges = edges.filter(e => keep(e._1) && keep(e._2))
+      }
+      stat
+    }
+    val got = TrainingOps.kcore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(want.head._3 > 0L, "the pair graph must be non-empty")
+    assert(want.sliding(2).forall(s => s(0)._2 >= s(1)._2 && s(0)._3 >= s(1)._3),
+      "peeling can only shrink the graph")
+  }
 }

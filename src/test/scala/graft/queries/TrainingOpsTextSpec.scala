@@ -492,4 +492,31 @@ class TrainingOpsTextSpec extends AnyFunSuite {
       assert(est > exact / 10 && est < exact * 10, s"$src: est $est vs exact $exact")
     }
   }
+
+  test("scrubCensus == local pattern-count recompute per source") {
+    import spark.implicits._
+    val ds = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "text").as[(String, String)].collect().toSeq
+    val emailish = java.util.regex.Pattern.compile("[a-z0-9]@[a-z0-9]")
+    def nonOverlap(p: java.util.regex.Pattern, t: String): Long = {
+      val m = p.matcher(t); var n = 0L
+      while (m.find()) n += 1
+      n
+    }
+    val want = ds.groupBy(_._1).toSeq.map { case (src, rows) =>
+      val nc = rows.map(_._2.length.toLong).sum
+      val digits = rows.map(_._2.count(c => c >= '0' && c <= '9').toLong).sum
+      val ats = rows.map(_._2.count(_ == '@').toLong).sum
+      val urls = rows.map(r => nonOverlap(java.util.regex.Pattern.compile("http"), r._2)).sum
+      val emails = rows.map(r => nonOverlap(emailish, r._2)).sum
+      (src, rows.size.toLong, nc, digits, ats, urls, emails, digits * 1000L / nc)
+    }.sortBy(_._1)
+    val got = TrainingOps.scrubCensus(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == want)
+    // the sf0.001 synthetic corpus happens to carry no ASCII digits — the
+    // zero counts crossing the equality above IS the regression guard
+    assert(want.nonEmpty && want.map(_._3).sum > 0L)
+  }
 }
