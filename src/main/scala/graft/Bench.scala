@@ -190,6 +190,11 @@ object Bench {
     */
   private val Ops15Queries = Seq("q_isochrone", "q_doc_kcore")
 
+  /** The round-5 sixteenth wave: directional variogram, growth
+    * accounting, embedding label-separation matrix.
+    */
+  private val Ops16Queries = Seq("q_variogram", "q_evt_growth", "q_emb_separation")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -197,7 +202,8 @@ object Bench {
     "ops7" -> Ops7Queries, "ops8" -> Ops8Queries, "ops9" -> Ops9Queries,
     "ops10" -> Ops10Queries, "ops11" -> Ops11Queries,
     "ops12" -> Ops12Queries, "ops13" -> Ops13Queries,
-    "ops14" -> Ops14Queries, "ops15" -> Ops15Queries)
+    "ops14" -> Ops14Queries, "ops15" -> Ops15Queries,
+    "ops16" -> Ops16Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

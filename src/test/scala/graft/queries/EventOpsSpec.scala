@@ -441,4 +441,34 @@ class EventOpsSpec extends AnyFunSuite {
       m.contains("Long-safety contract") || m.contains("ARITHMETIC_OVERFLOW")
         || m.contains("long overflow")), msgs(ex).mkString(" | "))
   }
+
+  test("growth accounting == local lag recompute; classes partition actives") {
+    import spark.implicits._
+    val ud = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "cast(to_date(cast(ts as timestamp)) as string)")
+      .as[(Long, String)].collect().distinct
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    def day(s: String) = java.time.LocalDate.parse(s, fmt)
+    val classed = ud.groupBy(_._1).toSeq.flatMap { case (_, ds) =>
+      val days = ds.map(_._2).sorted
+      days.zipWithIndex.map { case (d, i) =>
+        val cls = if (i == 0) 0
+          else {
+            val gap = java.time.temporal.ChronoUnit.DAYS.between(day(days(i - 1)), day(d))
+            if (gap == 1L) 1 else 2
+          }
+        (d, cls)
+      }
+    }
+    val want = classed.groupBy(_._1).toSeq.map { case (d, cs) =>
+      (d, cs.size.toLong, cs.count(_._2 == 0).toLong,
+        cs.count(_._2 == 1).toLong, cs.count(_._2 == 2).toLong)
+    }.sortBy(_._1)
+    val got = EventOps.growth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    assert(want.forall(r => r._2 == r._3 + r._4 + r._5),
+      "new/retained/resurrected must partition actives")
+    assert(want.exists(_._5 > 0L), "a resurrected user must exist")
+  }
 }

@@ -856,4 +856,52 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(got2 == want2)
     assert(got2.exists(_._2 > 0L), "the cost field must produce rings")
   }
+
+  private def variogramBrute(vals: Array[Double], w: Int, h: Int)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val q = vals.map(v => math.floor(v * 1048576.0).toLong)
+    (for (dir <- 0 to 1; li <- 0 to 3) yield {
+      val lag = 1 << li
+      val ds = (for (y <- 0 until h; x <- 0 until w) yield {
+        if (dir == 0 && x + lag < w) Some(BigInt(q(y * w + x) - q(y * w + x + lag)))
+        else if (dir == 1 && y + lag < h) Some(BigInt(q(y * w + x) - q((y + lag) * w + x)))
+        else None
+      }).flatten
+      val ss = ds.map(d => d * d).sum
+      val n = ds.size.toLong
+      (dir.toLong, lag.toLong, n, (ss / 1048576).toLong,
+        if (n > 0) (ss / (2 * n)).toLong else 0L)
+    }).filter(_._3 > 0)
+  }
+
+  test("variogram == brute pair recompute on the events grid and on random dims/tilings") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val w = 100; val h = ev.length / w
+    val expected = variogramBrute(ev.map(_._2), w, h)
+    val got = RasterOps.variogram(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected)
+    // structural: longer lags have strictly fewer pairs per direction
+    val east = expected.filter(_._1 == 0L).map(_._3)
+    assert(east == east.sorted.reverse && east.distinct == east,
+      "n_pairs must strictly shrink with lag")
+
+    // random dims x tilings (tiles >= the max lag, the halo contract);
+    // tiny grids drop whole (dir, lag) rows — the empty-pair edge
+    val rng = new scala.util.Random(161616L)
+    for (trial <- 0 until 8) {
+      val rw = 2 + rng.nextInt(14); val rh = 2 + rng.nextInt(14)
+      val vals = Array.fill(rw * rh)(
+        math.floor((rng.nextDouble() * 512.0 - 256.0) * 64.0) / 64.0)
+      val cells = spark.createDataset(
+        for (y <- 0 until rh; x <- 0 until rw) yield (x, y, vals(y * rw + x)))
+      val tw = 8 + rng.nextInt(5); val th = 8 + rng.nextInt(5)
+      val gotR = RasterOps.variogramOf(cells, rw, rh, tw, th).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(gotR.toSeq == variogramBrute(vals, rw, rh),
+        s"trial $trial ${rw}x$rh tile ${tw}x$th")
+    }
+  }
 }

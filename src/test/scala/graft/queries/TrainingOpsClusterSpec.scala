@@ -285,4 +285,36 @@ class TrainingOpsClusterSpec extends AnyFunSuite {
     assert(want.sliding(2).forall(s => s(0)._2 >= s(1)._2 && s(0)._3 >= s(1)._3),
       "peeling can only shrink the graph")
   }
+
+  test("embSeparation == local centroid/within recompute") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("label", "embedding").as[(Int, Array[Float])].collect().toSeq
+    val q = vecs.map { case (l, v) =>
+      (l.toLong, v.map(x => math.floor(x.toDouble * 1024.0).toLong))
+    }
+    val byL = q.groupBy(_._1)
+    val cents = byL.map { case (l, vs) =>
+      val dims = vs.head._2.length
+      l -> Array.tabulate(dims)(i => vs.map(_._2(i)).sum / vs.size)
+    }
+    val labels = cents.keys.toSeq.sorted
+    val off = for (a <- labels; b <- labels if a < b) yield {
+      val (ca, cb) = (cents(a), cents(b))
+      (a, b, ca.indices.map(i => (ca(i) - cb(i)) * (ca(i) - cb(i))).sum)
+    }
+    val diag = labels.map { l =>
+      val c = cents(l); val vs = byL(l)
+      val ssw = vs.map(_._2).map(v => v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum).sum
+      (l, l, ssw / vs.size)
+    }
+    val want = (off ++ diag).sortBy(r => (r._1, r._2))
+    val got = TrainingOps.embSeparation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // structural: full upper triangle plus the diagonal, all non-negative
+    val k = labels.size
+    assert(got.size == k * (k - 1) / 2 + k)
+    assert(got.forall(_._3 >= 0L) && diag.forall(_._3 > 0L))
+  }
 }
