@@ -195,6 +195,21 @@ object Bench {
     */
   private val Ops16Queries = Seq("q_variogram", "q_evt_growth", "q_emb_separation")
 
+  /** The round-5 seventeenth wave: multi-scale TPI landform census,
+    * exact activity Gini, the linear-time label Hamming matrix, and the
+    * prefix-filtered exact set-similarity join.
+    */
+  private val Ops17Queries =
+    Seq("q_tpi", "q_evt_gini", "q_emb_hamming", "q_doc_setsim")
+
+  /** The round-5 eighteenth wave: product-quantization assignment census,
+    * post-dedup corpus census (rebuilds the LSH keep-list — the
+    * standalone-contract cost), and the hour-of-week load profile
+    * (streaming quantile locator is spec-only).
+    */
+  private val Ops18Queries =
+    Seq("q_emb_pq", "q_doc_dedup_census", "q_evt_hourweek")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -203,7 +218,8 @@ object Bench {
     "ops10" -> Ops10Queries, "ops11" -> Ops11Queries,
     "ops12" -> Ops12Queries, "ops13" -> Ops13Queries,
     "ops14" -> Ops14Queries, "ops15" -> Ops15Queries,
-    "ops16" -> Ops16Queries)
+    "ops16" -> Ops16Queries, "ops17" -> Ops17Queries,
+    "ops18" -> Ops18Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

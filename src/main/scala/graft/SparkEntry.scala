@@ -612,6 +612,10 @@ object SparkEntry {
     "q_doc_scrub" -> TrainingOps.scrubCensus,
     "q_doc_kcore" -> TrainingOps.kcore,
     "q_emb_separation" -> TrainingOps.embSeparation,
+    "q_emb_hamming" -> TrainingOps.embHamming,
+    "q_emb_pq" -> TrainingOps.pqAssign,
+    "q_doc_setsim" -> TrainingOps.setsimPairs,
+    "q_doc_dedup_census" -> TrainingOps.dedupCensus,
     "q_doc_lang_id" -> TrainingOps.langId,
     "q_doc_minhash" -> TrainingOps.minhashSignatures,
     "q_doc_minhash_pairs" -> TrainingOps.minhashDupPairs,
@@ -677,6 +681,7 @@ object SparkEntry {
     "q_moran" -> RasterOps.moran,
     "q_local_moran" -> RasterOps.localMoran,
     "q_getis" -> RasterOps.getis,
+    "q_tpi" -> RasterOps.tpi,
     "q_hilbert" -> RasterOps.hilbert,
     "q_cost_horizon" -> RasterOps.costHorizon,
     "q_variogram" -> RasterOps.variogram,
@@ -698,6 +703,8 @@ object SparkEntry {
     "q_evt_dau7" -> EventOps.dau7,
     "q_evt_lifespan" -> EventOps.lifespan,
     "q_evt_growth" -> EventOps.growth,
+    "q_evt_gini" -> EventOps.gini,
+    "q_evt_hourweek" -> EventOps.hourWeek,
     "q_evt_transitions" -> EventOps.transitions,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,

@@ -972,6 +972,60 @@ object RasterKernel {
     * bit-identical on every platform; bits <= 31 keeps s*s and the
     * accumulated d inside Long exactly.
     */
+  /** Multi-scale Topographic Position Index landform census over the
+    * tile's owned interior cells — the Weiss landform classifier: at each
+    * window radius r (scale = r), tpi_num = q*K - S where q = the cell's
+    * PER-CELL quantization floor(v * 2^20), K = (2r+1)^2, and S = the sum
+    * of q over the full window INCLUDING the center (so tpi_num =
+    * K * (q - window mean), never a float mean — the whole operator is
+    * integer after the per-cell quantize). A cell is a RIDGE when
+    * tpi_num > K * 2^20 (the cell sits more than 1.0 value unit above its
+    * neighborhood mean), a VALLEY when tpi_num < -K * 2^20, flat
+    * otherwise. Emits per-(scale, row) partials
+    * (scale, y, n, n_ridge, n_valley, tpi_sum); the caller's halo must be
+    * >= r. |q| < 2^30 is loudly required so q*K and the window sums stay
+    * far inside Long.
+    */
+  def tpiRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+              ox0: Int, oy0: Int, ow: Int, oh: Int,
+              w: Int, h: Int, r: Int): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    @inline def q(x: Int, y: Int): Long = {
+      val qq = math.floor(vals((y - by0) * bw + (x - bx0)) * Q20).toLong
+      require(math.abs(qq) < (1L << 30),
+        s"tpiRows: |q| = $qq >= 2^30 at ($x, $y) breaks the Long window bound")
+      qq
+    }
+    val k = (2L * r + 1L) * (2L * r + 1L)
+    val thr = k * 1048576L
+    val txLo = math.max(ox0, r); val txHi = math.min(ox0 + ow - 1, w - 1 - r)
+    val tyLo = math.max(oy0, r); val tyHi = math.min(oy0 + oh - 1, h - 1 - r)
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long, Long)](
+      math.max(tyHi - tyLo + 1, 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var n = 0L; var nRidge = 0L; var nValley = 0L; var tpiSum = 0L
+      var tx = txLo
+      while (tx <= txHi) {
+        var s = 0L
+        var dy = -r
+        while (dy <= r) {
+          var dx = -r
+          while (dx <= r) { s += q(tx + dx, ty + dy); dx += 1 }
+          dy += 1
+        }
+        val tpi = q(tx, ty) * k - s
+        n += 1
+        if (tpi > thr) nRidge += 1
+        else if (tpi < -thr) nValley += 1
+        tpiSum = Math.addExact(tpiSum, tpi)
+        tx += 1
+      }
+      if (n > 0) out += ((r.toLong, ty.toLong, n, nRidge, nValley, tpiSum))
+      ty += 1
+    }
+    out.toSeq
+  }
+
   def hilbertIndex(bits: Int, x0: Int, y0: Int): Long = {
     require(bits >= 1 && bits <= 31, s"hilbertIndex: bits = $bits out of [1, 31]")
     val n = 1 << bits

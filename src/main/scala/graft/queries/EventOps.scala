@@ -488,6 +488,72 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** HOUR-OF-WEEK load profile with integer uniformity deviation — the
+    * 168-cell heatmap a capacity planner reads (and the seasonality
+    * feature a forecaster consumes). The cell key derives ENTIRELY in
+    * epoch integer arithmetic — how = ((days + 4) % 7) * 24 + hour with
+    * days = us div 86400000000 (1970-01-01 was a Thursday; dow 0 =
+    * Sunday) — so no calendar/timezone function sits on the compare path
+    * on either side. dev168 = n_cell * 168 - total (positive = hot cell)
+    * keeps the deviation exact; the total rides the constant-key bounded
+    * window over the <= 168-row profile. One map-side-combinable groupBy.
+    */
+  val hourWeek: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val prof = events(spark, dir)
+      .select(expr(
+        """((unix_micros(cast(ts as timestamp)) div 86400000000 + 4) % 7) * 24
+          | + (unix_micros(cast(ts as timestamp)) % 86400000000) div 3600000000""".stripMargin)
+        .as("how"))
+      .groupBy("how").agg(count(lit(1)).as("n_events"))
+    val one = pmod(col("how"), lit(1L)) // constant, non-foldable: the profile is <= 168 rows
+    prof
+      .withColumn("total", sum(col("n_events")).over(Window.partitionBy(one)))
+      .select(col("how"), col("n_events"),
+        (col("n_events") * 168L - col("total")).as("dev168"))
+      .orderBy("how")
+  }
+
+  /** Exact GINI COEFFICIENT of per-user activity — the inequality summary
+    * a capacity/abuse dashboard reads (0 = uniform load, ->1 = one user is
+    * the workload). Textbook form: with per-user counts x_1 <= ... <= x_n
+    * (ties broken anyhow — see below), gini_num = sum_i (2i - n - 1) x_i
+    * and G = gini_num / (n * total). The distributed plan NEVER ranks
+    * users: for a COUNT CLASS (count value c held by m users whose ranks
+    * start after o predecessors), the rank-sum telescopes to
+    * c * m * (2o + m - n) — rank-assignment invariant within the class, so
+    * the whole statistic computes on the O(#distinct count values) class
+    * table: one groupBy(user) shuffle, one map-side-combinable
+    * groupBy(count), the class-offset cumulative over the tiny table (the
+    * histEqualize constant-key bounded window), and one fold. Sums ride
+    * decimal(38,0) (n * total and the class products clear 2^63 long
+    * before a real cluster's row counts do) and land as the oracle's
+    * ::BIGINT casts. The oracle is the independent textbook formulation:
+    * row_number() over (cnt, user_id) and the literal rank-sum.
+    */
+  val gini: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val classes = events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .groupBy("cnt").agg(count(lit(1)).as("m"))
+    val one = pmod(col("cnt"), lit(1L)) // constant, non-foldable: the class table is O(distinct counts)
+    val wPre = Window.partitionBy(one).orderBy("cnt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(one)
+    classes
+      .withColumn("o", coalesce(sum(col("m")).over(wPre), lit(0L)))
+      .withColumn("n", sum(col("m")).over(wAll))
+      .select(col("m").cast("decimal(38,0)").as("m"),
+        col("cnt").cast("decimal(38,0)").as("cnt"),
+        col("o").cast("decimal(38,0)").as("o"),
+        col("n").cast("decimal(38,0)").as("n"))
+      .agg(max(col("n")).as("nd"),
+        sum(col("m") * col("cnt")).as("tot"),
+        sum(col("cnt") * col("m") * (col("o") * 2 + col("m") - col("n"))).as("gnum"))
+      .select(col("nd").cast("long").as("n_users"),
+        col("tot").cast("long").as("n_events"),
+        col("gnum").cast("long").as("gini_num"),
+        expr("(gnum * 1000000) div (nd * tot)").cast("long").as("gini_x1e6"))
+  }
+
   /** Sweep-line concurrency load curve: how many sessions are open at
     * once, maxed per hour bucket. Sessions come from the [[sessionize]]
     * gap rule; each contributes +1 at start_us and -1 at end_us + 1
@@ -669,6 +735,32 @@ object EventOps {
         |  min(st.k)::BIGINT AS k_at_max
         |FROM mx JOIN st ON st.user_id = mx.user_id AND st.stat = mx.m
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // hour-of-week: the same pure-integer epoch derivation (no calendar
+    // function either side); total via a scalar CTE instead of the
+    // engine's bounded window
+    "q_evt_hourweek" ->
+      """WITH e AS (SELECT epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |b AS (SELECT ((us // 86400000000 + 4) % 7) * 24
+        |             + (us % 86400000000) // 3600000000 AS how FROM e),
+        |h AS (SELECT how, count(*)::BIGINT AS n_events FROM b GROUP BY 1),
+        |t AS (SELECT sum(n_events)::BIGINT AS tot FROM h)
+        |SELECT how::BIGINT AS how, n_events,
+        |  (n_events * 168 - t.tot)::BIGINT AS dev168
+        |FROM h CROSS JOIN t ORDER BY how""".stripMargin,
+
+    // Gini: the independent textbook formulation — rank every user by
+    // (cnt, user_id) with row_number and take the literal rank-sum
+    // sum((2i - n - 1) * x_i); the engine's class-telescoped form is
+    // rank-assignment invariant within count ties, so the totals agree
+    "q_evt_gini" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rn FROM c),
+        |n AS (SELECT count(*)::BIGINT AS nu, sum(cnt)::BIGINT AS tot FROM c)
+        |SELECT n.nu AS n_users, n.tot AS n_events,
+        |  sum((2 * rn - n.nu - 1) * cnt)::BIGINT AS gini_num,
+        |  ((sum((2 * rn - n.nu - 1) * cnt) * 1000000) // (n.nu * n.tot))::BIGINT AS gini_x1e6
+        |FROM r CROSS JOIN n GROUP BY n.nu, n.tot""".stripMargin,
 
     // Spearman: the same two stated total-order rankings, HUGEINT sums
     // collapsing to identical BIGINTs inside the decimal contract

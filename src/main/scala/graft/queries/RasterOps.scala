@@ -1351,6 +1351,39 @@ object RasterOps {
     variogramOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
+  /** Multi-scale Topographic Position Index landform census (Weiss TPI) —
+    * the terrain classifier a landform map runs: at window radii r = 1 and
+    * r = 2 (scales 1/2), tpi_num = q*K - S over the K = (2r+1)^2 window
+    * (center included, q = floor(v * 2^20) PER CELL — the operator is
+    * all-integer after the quantize, so no float mean ever crosses the
+    * compare), ridge when tpi_num > K * 2^20, valley below -K * 2^20.
+    * Zero raster shuffle: both scales ride ONE r = 2 halo tiling
+    * ([[graft.core.RasterKernel.tpiRows]] twice per tile); only
+    * per-(scale, row) integer partials (census counts + tpi sum) cross the
+    * exchange. Oracle: the (scale, r, K) VALUES frame range-join gather.
+    */
+  private[graft] val TpiRadii = Seq(1, 2)
+
+  private[graft] def tpiOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
+                           tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    haloTilesFromCells(cells, w, h, tileW, tileH, halo = TpiRadii.max)
+      .flatMap(t => TpiRadii.flatMap(r =>
+        graft.core.RasterKernel.tpiRows(t.values, t.bx0, t.by0, t.bw,
+          t.ox0, t.oy0, t.ow, t.oh, w, h, r)))
+      .toDF("scale", "y", "n", "nr", "nv", "ts")
+      .groupBy("scale", "y")
+      .agg(sum(col("n")).as("n_cells"), sum(col("nr")).as("n_ridge"),
+        sum(col("nv")).as("n_valley"), sum(col("ts")).as("tpi_sum"))
+      .orderBy("scale", "y")
+  }
+
+  val tpi: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    tpiOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
   /** The K unrolled min-plus relaxation CTE rounds over a base CTE `$g`
     * (columns x, y, qc) into `$c0..$cK` — shared by the q_cost_horizon
     * oracle and the isochrone composition's oracle (which renames to
@@ -1639,6 +1672,27 @@ object RasterOps {
           |  sum(q)::BIGINT AS q_sum, min(hkey)::BIGINT AS h_min, max(hkey)::BIGINT AS h_max,
           |  ((max(cx) - min(cx) + 1) * (max(cy) - min(cy) + 1))::BIGINT AS bbox_area
           |FROM hc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // TPI: range-join window gathers per (scale, r, K) VALUES row — the
+      // gather formulation of the kernel's in-halo window sums; center
+      // included both sides (tpi = q*K - sum(window)), pure integer
+      "q_tpi" ->
+        """WITH g AS MATERIALIZED (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y,
+          |             floor(value * 1048576.0)::BIGINT AS q FROM events),
+          |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+          |s(scale, r, k) AS (VALUES (1, 1, 9), (2, 2, 25)),
+          |t AS (SELECT s.scale, s.k, c.y, c.q * s.k - sum(n.q) AS tpi
+          |      FROM g c CROSS JOIN s
+          |      JOIN g n ON n.x >= c.x - s.r AND n.x <= c.x + s.r
+          |              AND n.y >= c.y - s.r AND n.y <= c.y + s.r
+          |      WHERE c.x >= s.r AND c.x <= 99 - s.r
+          |        AND c.y >= s.r AND c.y <= (SELECT h FROM d) - 1 - s.r
+          |      GROUP BY s.scale, s.k, c.x, c.y, c.q)
+          |SELECT scale::BIGINT AS scale, y::BIGINT AS y, count(*)::BIGINT AS n_cells,
+          |  sum(CASE WHEN tpi > k * 1048576 THEN 1 ELSE 0 END)::BIGINT AS n_ridge,
+          |  sum(CASE WHEN tpi < -(k * 1048576) THEN 1 ELSE 0 END)::BIGINT AS n_valley,
+          |  sum(tpi)::BIGINT AS tpi_sum
+          |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // variogram: +lag self-join gathers per (dir, lag) — the gather
       // formulation of the kernel's in-halo reads; HUGEINT sums, the

@@ -50,7 +50,7 @@ object StatsOps {
     * histogram contract); the raise_error branch costs one codegen'd
     * comparison per row.
     */
-  private def bucketCol: org.apache.spark.sql.Column =
+  private[graft] def bucketCol: org.apache.spark.sql.Column =
     when(isnan(col("value")), lit(Long.MaxValue))
       .when(abs(col("value")) >= lit(Long.MaxValue.toDouble),
         raise_error(concat(lit("StatsOps bucket key: |value| >= 2^63 saturates the " +
@@ -70,20 +70,29 @@ object StatsOps {
     hist
   }
 
-  val autoThresholds: (SparkSession, String) => DataFrame = (spark, dir) => {
-    import spark.implicits._
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("value"), bucketCol.as("bkt"))
-    val hist = bucketHistogram(ev)
+  /** The driver-side LOCATE step shared by [[autoThresholds]] and the
+    * streaming quantile locator: for each ladder quantile, the target
+    * 1-based rank k, its bucket, and the within-bucket offset. Pure
+    * integer walk over the sorted (bucket, count) histogram.
+    */
+  private[graft] def locateLadder(hist: Array[(Long, Long)]): Seq[(Double, Long, Long, Long)] = {
     val n = hist.iterator.map(_._2).sum
-    require(n > 0, "autoThresholds: empty events table")
-    val located = Qs.map { q =>
+    require(n > 0, "locateLadder: empty histogram")
+    Qs.map { q =>
       val k = math.floor(q * (n - 1).toDouble).toLong + 1L
       var cum = 0L
       var i = 0
       while (cum + hist(i)._2 < k) { cum += hist(i)._2; i += 1 }
       (q, k, hist(i)._1, k - cum)
     }
+  }
+
+  val autoThresholds: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("value"), bucketCol.as("bkt"))
+    val hist = bucketHistogram(ev)
+    val located = locateLadder(hist)
     val need = located.toDF("q", "k", "nbkt", "off")
     val hit = located.map(_._3).distinct
     val w = Window.partitionBy("bkt").orderBy("value")

@@ -318,6 +318,59 @@ object TrainingOps {
       .orderBy("label_a", "label_b")
   }
 
+  /** Label-pair HAMMING-DISTANCE matrix over 16-bit sign-LSH sketches —
+    * the binarized companion of [[embSeparation]] (how separable the
+    * labels remain after the embedding collapses to a 16-bit code, i.e.
+    * whether an LSH/bit-sliced index can stand in for float vectors).
+    * The trick that makes an ALL-PAIRS statistic linear: the total
+    * Hamming distance over every cross-label vector pair decomposes
+    * per bit position b into cA_b*(nB - cB_b) + (nA - cA_b)*cB_b (set
+    * bits in A against unset in B and vice versa), so one scan builds
+    * the per-(label, bit) count table and the pair matrix is an O(L^2)
+    * fold over an L-row frame — no vector pair is ever materialized.
+    * Intra-label rows count each unordered pair once:
+    * sum_b cA_b*(nA - cA_b) over nA*(nA-1)/2 pairs. Codes come from the
+    * [[bucketed]] sign fold at 16 seeded planes (seed 11 — independent of
+    * the IVF family's 4). Pair arithmetic rides decimal(38,0) and lands
+    * as BIGINT (the loud-overflow posture: outputs bound the contract —
+    * ham_sum <= 16 * n_pairs). The L x L join is a label-cardinality
+    * nested loop by construction — L is a label-vocabulary constant,
+    * never data-sized.
+    */
+  private[graft] val HammingBits = 16
+  private[graft] val HammingPlanes: Array[Array[Double]] = ivfPlanes(HammingBits, seed = 11)
+
+  val embHamming: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val codes = embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("planes", typedLit(HammingPlanes.map(_.toSeq).toSeq))
+      .withColumn("code",
+        expr("aggregate(transform(planes, p -> if(aggregate(zip_with(p, v, (x, y) -> x * y), 0D, (acc, d) -> acc + d) >= 0D, 1, 0)), 0, (acc, b) -> acc * 2 + b)").cast("long"))
+      .select("label", "code")
+    val bitCols = (0 until HammingBits).map(b =>
+      sum(expr(s"(code >> $b) & 1")).cast("decimal(38,0)").as(s"c$b"))
+    val lc = codes.groupBy("label")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"), bitCols: _*)
+    val aSide = lc.select(col("label").as("label_a") +: col("n").as("na") +:
+      (0 until HammingBits).map(b => col(s"c$b").as(s"a$b")): _*)
+    val bSide = lc.select(col("label").as("label_b") +: col("n").as("nb") +:
+      (0 until HammingBits).map(b => col(s"c$b").as(s"b$b")): _*)
+    val interSum = (0 until HammingBits)
+      .map(k => s"(a$k * (nb - b$k) + (na - a$k) * b$k)").mkString(" + ")
+    val intraSum = (0 until HammingBits)
+      .map(k => s"(a$k * (na - a$k))").mkString(" + ")
+    aSide.join(bSide, col("label_a") <= col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        when(col("label_a") === col("label_b"),
+          expr("(na * (na - 1)) div 2").cast("decimal(38,0)"))
+          .otherwise(expr("na * nb").cast("decimal(38,0)")).cast("long").as("n_pairs"),
+        when(col("label_a") === col("label_b"), expr(intraSum))
+          .otherwise(expr(interSum)).cast("long").as("ham_sum"))
+      .withColumn("mean_hx1000", expr("(ham_sum * 1000) div greatest(n_pairs, 1)"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Characteristic terms per document — the TF-IDF idea with an
     * INTEGER-EXACT score: score = (tf * 1_000_000) div df (tf = term count
     * in the doc, df = number of docs containing the term). Monotone in
@@ -1207,8 +1260,11 @@ object TrainingOps {
   val jaccardPairs: (SparkSession, String) => DataFrame = (spark, dir) =>
     jaccardOf(spark, bandCandidates(spark, dir), dir)
 
-  /** Exact Jaccard for the given candidate (doc_a < doc_b) pairs. */
-  private def jaccardOf(spark: SparkSession, cand: DataFrame, dir: String): DataFrame = {
+  /** Exact Jaccard for the given candidate (doc_a < doc_b) pairs,
+    * thresholded at jaccard_x1000 >= thresh.
+    */
+  private def jaccardOf(spark: SparkSession, cand: DataFrame, dir: String,
+                        thresh: Int = 100): DataFrame = {
     val sh = shingled(spark, dir).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
@@ -1220,7 +1276,7 @@ object TrainingOps {
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
       .withColumn("jaccard_x1000", expr("(inter * 1000) div (sza + szb - inter)"))
-      .filter(col("jaccard_x1000") >= 100)
+      .filter(col("jaccard_x1000") >= thresh)
       .select("doc_a", "doc_b", "jaccard_x1000")
       .orderBy("doc_a", "doc_b")
   }
@@ -1228,12 +1284,51 @@ object TrainingOps {
   /** The unpruned full shingle self-join (reference plan for the recall
     * assertion; not wired as a contract query).
     */
-  private[graft] def jaccardPairsExact(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def jaccardPairsExact(spark: SparkSession, dir: String,
+                                       thresh: Int = 100): DataFrame = {
     val sh = shingled(spark, dir).distinct()
     val cand = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-    jaccardOf(spark, cand, dir)
+    jaccardOf(spark, cand, dir, thresh)
+  }
+
+  /** EXACT set-similarity self-join by PREFIX FILTERING (the
+    * AllPairs/PPJoin family) — unlike the MinHash-LSH pipeline above this
+    * is LOSSLESS: every shingle-set pair with Jaccard >= 0.5 is found,
+    * with no probabilistic recall caveat. The classic prefix lemma does
+    * the pruning: order the vocabulary by (df ASC, shingle ASC)
+    * (rare-first — the order that shrinks candidate lists most) and keep,
+    * per doc of set size z, only the first p = z - ceil(t*z) + 1 tokens;
+    * any pair meeting the threshold MUST collide on at least one prefix
+    * token (overlap >= ceil(t * max(|A|, |B|)), and each side's own
+    * ceil(t*z) is <= that, so both prefixes reach past the worst-case
+    * miss — SetSimSpec asserts equality with the unpruned exact join).
+    * Scale shape: df is a map-side-combinable shingle groupBy; the df
+    * join back is shingle-keyed; the per-doc sort is a LOCAL array sort
+    * (no global ranking pass — any consistent total order satisfies the
+    * lemma, and (df, shingle) needs no dense integer ranks); the
+    * candidate join is equi on rare prefix tokens; verification is the
+    * same intersect-count equi-join jaccardPairs uses. The oracle is the
+    * independent brute-force formulation (full shingle self-join), so a
+    * prefix bug that DROPS a pair fails the gate.
+    */
+  private[graft] val SetSimThreshX1000 = 500
+
+  val setsimPairs: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val t = SetSimThreshX1000
+    val sh = shingled(spark, dir).distinct()
+    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(df, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"))
+      .select(col("doc_id"), explode(expr(
+        s"slice(ord, 1, int(size(ord) - ((${t}L * size(ord) + 999L) div 1000L) + 1L))")).as("p"))
+      .select(col("doc_id"), col("p.s").as("s"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    jaccardOf(spark, cand, dir, t)
   }
 
   /** Embedding-cosine near-duplicate pairs. The exact/approximate boundary
@@ -1462,6 +1557,66 @@ object TrainingOps {
       .agg(count(lit(1)).as("n_vecs"), sum(col("qd")).as("qd_sum"),
         min(col("qd")).as("qd_min"), max(col("qd")).as("qd_max"))
       .orderBy("centroid_id")
+
+  /** PRODUCT-QUANTIZATION assignment census (the PQ/IVF-PQ compression
+    * step every billion-vector ANN index actually runs): the 64-dim
+    * vector splits into M = 4 contiguous 16-dim subspaces, each subspace
+    * has its own 8-centroid codebook (deterministically seeded from the
+    * vec_id < 8 vectors' slices — the [[kmeansAssign]] convention, so
+    * reruns agree), and each vector picks its nearest sub-centroid per
+    * subspace by the same packed-argmin idiom (pk = floor(d2 * 2^20) * 8
+    * + cid, min — ties to the smallest centroid id with zero float
+    * compares on the argmin path). Output is the per-(subspace, centroid)
+    * census with the quantized distortion sums — the codebook-balance /
+    * reconstruction-error dashboard. Scale shape: the codebook is
+    * constant-sized (M * 8 slices) and explicitly broadcast; per vector
+    * the M sub-distances come from ONE narrow posexplode (vectors never
+    * self-join); the argmin groupBy keys on (vec_id, subspace) and the
+    * census groupBy is map-side combinable on 32 keys.
+    */
+  private[graft] val PqSubspaces = 4
+  private[graft] val PqSubDim = 16
+
+  val pqAssign: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val e = vectors(spark, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val d2s = expr(
+      s"""transform(sequence(0, ${PqSubspaces - 1}), m ->
+         |  aggregate(zip_with(slice(cv, m * $PqSubDim + 1, $PqSubDim),
+         |                     slice(v, m * $PqSubDim + 1, $PqSubDim),
+         |    (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p))""".stripMargin)
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), posexplode(d2s).as(Seq("m", "d2")))
+      .select(col("vec_id"), col("m").cast("long").as("subspace"),
+        (floor(col("d2") * 1048576.0).cast("long") * 8L + col("cid")).as("pk"))
+      .groupBy("vec_id", "subspace").agg(min("pk").as("pmin"))
+      .groupBy(col("subspace"), (col("pmin") % 8L).as("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"), sum(expr("pmin div 8")).as("qd_sum"),
+        min(expr("pmin div 8")).as("qd_min"), max(expr("pmin div 8")).as("qd_max"))
+      .orderBy("subspace", "centroid_id")
+  }
+
+  /** POST-DEDUP corpus census — the composition a dedup pipeline reports
+    * after applying [[keepList]]: per source, how many docs (and how much
+    * token volume) survive vs drop. One left join of the corpus against
+    * the keep table (cluster-member-bounded, same shape note as
+    * keepList) and a map-side-combinable source rollup; the verdict
+    * census mirrors q_doc_quality_gate's dashboard contract.
+    */
+  val dedupCensus: (SparkSession, String) => DataFrame = (spark, dir) =>
+    docs(spark, dir)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .join(keepList(spark, dir).select(col("doc_id"), col("keep_reason")),
+        Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep_reason").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep_reason").isNotNull, col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"),
+        sum(when(col("keep_reason").isNull, col("n_tokens")).otherwise(0L))
+          .as("dropped_tokens"))
+      .orderBy("source")
 
   /** The k-means UPDATE step (Lloyd M-step) in exact integers: per
     * (centroid, dimension), the assigned-vector count and the sum of
@@ -1745,6 +1900,56 @@ object TrainingOps {
         |  sum(pmin // 16)::BIGINT AS qd_sum, min(pmin // 16)::BIGINT AS qd_min,
         |  max(pmin // 16)::BIGINT AS qd_max
         |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // PQ: the same packed argmin per (vector, subspace) through 1-based
+    // list subscripts over the slice windows; the VALUES frame is the
+    // subspace axis
+    "q_emb_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, m.m, c.cid,
+        |        floor(list_sum(list_transform(range(1, 17),
+        |          i -> (cv[m.m * 16 + i] - v[m.m * 16 + i])
+        |             * (cv[m.m * 16 + i] - v[m.m * 16 + i]))) * 1048576.0)::BIGINT AS qd
+        |      FROM e CROSS JOIN c CROSS JOIN (VALUES (0), (1), (2), (3)) m(m)),
+        |pk AS (SELECT vec_id, m, min(qd * 8 + cid) AS pmin FROM d GROUP BY 1, 2)
+        |SELECT m::BIGINT AS subspace, (pmin % 8)::BIGINT AS centroid_id,
+        |  count(*)::BIGINT AS n_vecs, sum(pmin // 8)::BIGINT AS qd_sum,
+        |  min(pmin // 8)::BIGINT AS qd_min, max(pmin // 8)::BIGINT AS qd_max
+        |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // post-dedup census: the q_doc_keep_list CTEs verbatim, joined back to
+    // the corpus and rolled up per source
+    "q_doc_dedup_census" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+        |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+        |sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS minhash
+        |         FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, (seed // 4)::INT AS band,
+        |                 string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, ',' ORDER BY seed) AS bkey
+        |          FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |ed AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        |       UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach(node, lbl) AS (
+        |  SELECT src, src FROM ed
+        |  UNION
+        |  SELECT ed.dst, r.lbl FROM reach r JOIN ed ON ed.src = r.node),
+        |cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+        |keep AS (SELECT d.doc_id FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        |         WHERE cc.doc_id IS NULL OR cc.cluster_id = d.doc_id),
+        |tk AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens,
+        |              source, doc_id IN (SELECT doc_id FROM keep) AS kept
+        |       FROM documents)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  sum(CASE WHEN kept THEN n_tokens ELSE 0 END)::BIGINT AS kept_tokens,
+        |  sum(CASE WHEN kept THEN 0 ELSE n_tokens END)::BIGINT AS dropped_tokens
+        |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the M-step over the same assignment CTEs: per-(centroid, dim)
     // integer sums of per-coordinate quantized values
@@ -2399,6 +2604,55 @@ object TrainingOps {
         |SELECT la AS label_a, lb AS label_b, d2 FROM m
         |UNION ALL SELECT la AS label_a, lb AS label_b, d2 FROM w
         |ORDER BY 1, 2""".stripMargin,
+
+    // label-pair Hamming matrix: the same 16 seeded planes as exact f64
+    // literals, the same sign fold, and the same per-bit count
+    // decomposition — but through DuckDB's 1-based list subscripts and
+    // HUGEINT arithmetic collapsing to the engine's decimal-checked
+    // BIGINTs
+    "q_emb_hamming" -> {
+      val planesSql = HammingPlanes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      val bitCols = (0 until HammingBits)
+        .map(b => s"sum((code >> $b) & 1) AS c$b").mkString(", ")
+      val intra = (0 until HammingBits)
+        .map(k => s"(a.c$k * (a.n - a.c$k))").mkString(" + ")
+      val inter = (0 until HammingBits)
+        .map(k => s"(a.c$k * (b.n - b.c$k) + (a.n - a.c$k) * b.c$k)").mkString(" + ")
+      s"""WITH e AS (SELECT label::BIGINT AS label, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT $planesSql::DOUBLE[][] AS ps),
+         |n AS (SELECT label,
+         |        list_sum(list_transform(range(1, ${HammingBits + 1}), i ->
+         |          CASE WHEN list_sum(list_transform(range(1, 65), j -> ps[i][j] * v[j])) >= 0.0
+         |               THEN (1 << ($HammingBits - i)) ELSE 0 END))::BIGINT AS code
+         |      FROM e CROSS JOIN p),
+         |lc AS (SELECT label, count(*)::BIGINT AS n, $bitCols FROM n GROUP BY 1),
+         |pr AS (SELECT a.label AS label_a, b.label AS label_b,
+         |         CASE WHEN a.label = b.label THEN (a.n * (a.n - 1)) // 2
+         |              ELSE a.n * b.n END AS n_pairs,
+         |         CASE WHEN a.label = b.label THEN $intra
+         |              ELSE $inter END AS ham_sum
+         |       FROM lc a JOIN lc b ON a.label <= b.label)
+         |SELECT label_a, label_b, n_pairs::BIGINT AS n_pairs, ham_sum::BIGINT AS ham_sum,
+         |  ((ham_sum * 1000) // greatest(n_pairs, 1))::BIGINT AS mean_hx1000
+         |FROM pr ORDER BY 1, 2""".stripMargin
+    },
+
+    // setsim: the independent BRUTE-FORCE formulation — the full shingle
+    // self-join with no prefix filter at all, so an engine prefix that
+    // drops any qualifying pair hash-mismatches here
+    "q_doc_setsim" ->
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+         |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+         |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+         |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, ((i * 1000) // (sa.c + sb.c - i))::BIGINT AS jaccard_x1000
+         |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE (i * 1000) // (sa.c + sb.c - i) >= $SetSimThreshX1000
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // embedding energy: the same quantize-then-square fold as a DuckDB
     // list_transform over the double-cast vectors

@@ -471,4 +471,46 @@ class EventOpsSpec extends AnyFunSuite {
       "new/retained/resurrected must partition actives")
     assert(want.exists(_._5 > 0L), "a resurrected user must exist")
   }
+
+  test("hourWeek == local epoch-arithmetic recompute; counts partition the table") {
+    val how = ev.map { case (_, us, _, _, _) =>
+      ((us / 86400000000L + 4L) % 7L) * 24L + (us % 86400000000L) / 3600000000L
+    }
+    val total = how.length.toLong
+    val want = how.groupBy(identity).toSeq.map { case (h, xs) =>
+      (h, xs.length.toLong, xs.length.toLong * 168L - total)
+    }.sortBy(_._1)
+    val got = EventOps.hourWeek(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.map(_._2).sum == total)
+    assert(got.forall(r => r._1 >= 0L && r._1 < 168L))
+    assert(got.exists(_._3 > 0L) && got.exists(_._3 < 0L),
+      "a non-uniform profile must have both hot and cold cells")
+  }
+
+  test("gini == textbook sorted rank-sum recompute; bounds and degenerate cases hold") {
+    val counts = ev.groupBy(_._3).values.map(_.size.toLong).toSeq.sorted
+    val n = counts.size.toLong
+    val tot = counts.sum
+    val num = counts.zipWithIndex.map { case (c, i0) =>
+      BigInt(2L * (i0 + 1) - n - 1) * c
+    }.sum
+    val want = (n, tot, num.toLong, (num * 1000000 / (BigInt(n) * tot)).toLong)
+    val got = EventOps.gini(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(want))
+    assert(want._3 >= 0L && want._4 < 1000000L, "0 <= G < 1 for positive counts")
+
+    // degenerate: uniform counts give exactly zero on the engine's
+    // class-telescoped form (one class, o = 0, m = n)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("gini").toString
+    spark.createDataset((1L to 12L).flatMap(u => (1 to 5).map(i => (u, s"e$i"))))
+      .toDF("user_id", "x").write.mode("overwrite")
+      .parquet(s"$tmp/events.parquet")
+    val uni = EventOps.gini(spark, tmp).collect().head
+    assert((uni.getLong(0), uni.getLong(1), uni.getLong(2), uni.getLong(3))
+      == ((12L, 60L, 0L, 0L)))
+  }
 }

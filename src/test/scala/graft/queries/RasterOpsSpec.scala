@@ -904,4 +904,48 @@ class RasterOpsSpec extends AnyFunSuite {
         s"trial $trial ${rw}x$rh tile ${tw}x$th")
     }
   }
+
+  private def tpiBrute(vals: Array[Double], w: Int, h: Int)
+      : Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val q = vals.map(v => math.floor(v * 1048576.0).toLong)
+    (for (r <- Seq(1, 2); y <- r until h - r) yield {
+      val k = (2L * r + 1L) * (2L * r + 1L)
+      val thr = k * 1048576L
+      val tpis = for (x <- r until w - r) yield {
+        val s = (for (dy <- -r to r; dx <- -r to r) yield q((y + dy) * w + (x + dx))).sum
+        q(y * w + x) * k - s
+      }
+      (r.toLong, y.toLong, tpis.size.toLong,
+        tpis.count(_ > thr).toLong, tpis.count(_ < -thr).toLong, tpis.sum)
+    }).filter(_._3 > 0)
+  }
+
+  test("tpi == brute multi-scale window recompute on the events grid and random dims/tilings") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val w = 100; val h = ev.length / w
+    val expected = tpiBrute(ev.map(_._2), w, h)
+    val got = RasterOps.tpi(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == expected)
+    assert(expected.exists(e => e._4 > 0 || e._5 > 0),
+      "the events grid must classify some ridge/valley cells or the thresholds are vacuous")
+
+    // random dims x tilings (tile >= the r = 2 halo); grids narrower than
+    // 2*r+1 drop that scale's rows entirely — the empty-interior edge
+    val rng = new scala.util.Random(171717L)
+    for (trial <- 0 until 8) {
+      val rw = 3 + rng.nextInt(13); val rh = 3 + rng.nextInt(13)
+      val vals = Array.fill(rw * rh)(
+        math.floor((rng.nextDouble() * 512.0 - 256.0) * 64.0) / 64.0)
+      val cells = spark.createDataset(
+        for (y <- 0 until rh; x <- 0 until rw) yield (x, y, vals(y * rw + x)))
+      val tw = 2 + rng.nextInt(9); val th = 2 + rng.nextInt(9)
+      val gotR = RasterOps.tpiOf(cells, rw, rh, tw, th).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(gotR.toSeq == tpiBrute(vals, rw, rh),
+        s"trial $trial ${rw}x$rh tile ${tw}x$th")
+    }
+  }
 }

@@ -317,4 +317,83 @@ class TrainingOpsClusterSpec extends AnyFunSuite {
     assert(got.size == k * (k - 1) / 2 + k)
     assert(got.forall(_._3 >= 0L) && diag.forall(_._3 > 0L))
   }
+
+  test("pqAssign == local per-subspace packed-argmin recompute (same fold order)") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>)")
+      .as[(Long, Array[Double])].collect().toSeq.sortBy(_._1)
+    val cents = vecs.filter(_._1 < 8)
+    val assigns = for {
+      (_, v) <- vecs
+      m <- 0 until 4
+    } yield {
+      val pmin = cents.map { case (cid, cv) =>
+        val d2 = (0 until 16).foldLeft(0.0) { (acc, i) =>
+          val d = cv(m * 16 + i) - v(m * 16 + i); acc + d * d
+        }
+        math.floor(d2 * 1048576.0).toLong * 8L + cid
+      }.min
+      (m.toLong, pmin % 8L, pmin / 8L)
+    }
+    val want = assigns.groupBy(a => (a._1, a._2)).toSeq.map { case ((m, cid), xs) =>
+      val qs = xs.map(_._3)
+      (m, cid, qs.size.toLong, qs.sum, qs.min, qs.max)
+    }.sortBy(r => (r._1, r._2))
+    val got = TrainingOps.pqAssign(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // structural: every vector contributes once per subspace
+    assert(want.groupBy(_._1).forall(_._2.map(_._3).sum == vecs.size.toLong))
+  }
+
+  test("dedupCensus == keepList join recompute; kept + dropped partition the corpus") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "source",
+        "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")
+      .as[(Long, String, Int)].collect().toSeq
+    val kept = TrainingOps.keepList(spark, sf).collect().map(_.getLong(0)).toSet
+    val want = docs.groupBy(_._2).toSeq.map { case (src, ds) =>
+      (src, ds.size.toLong, ds.count(d => kept(d._1)).toLong,
+        ds.filter(d => kept(d._1)).map(_._3.toLong).sum,
+        ds.filterNot(d => kept(d._1)).map(_._3.toLong).sum)
+    }.sortBy(_._1)
+    val got = TrainingOps.dedupCensus(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    assert(got.map(_._2).sum == docs.size.toLong)
+    assert(got.exists(r => r._2 > r._3), "some source must drop a duplicate")
+  }
+
+  test("embHamming == brute all-pairs popcount recompute (per-bit decomposition is exact)") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("label", "cast(embedding as array<double>)")
+      .as[(Int, Array[Double])].collect().toSeq
+    val planes = TrainingOps.HammingPlanes
+    val coded = vecs.map { case (l, v) =>
+      val code = planes.foldLeft(0L) { (acc, p) =>
+        val dot = v.indices.foldLeft(0.0)((a, j) => a + p(j) * v(j))
+        acc * 2 + (if (dot >= 0.0) 1 else 0)
+      }
+      (l.toLong, code)
+    }
+    val brute = (for {
+      i <- coded.indices; j <- coded.indices if i < j
+      (la, ca) = coded(i); (lb, cb) = coded(j)
+    } yield ((math.min(la, lb), math.max(la, lb)),
+      java.lang.Long.bitCount(ca ^ cb).toLong))
+      .groupBy(_._1).toSeq.map { case ((a, b), hs) =>
+        val n = hs.size.toLong; val s = hs.map(_._2).sum
+        (a, b, n, s, s * 1000 / n)
+      }.sortBy(r => (r._1, r._2))
+    val got = TrainingOps.embHamming(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == brute)
+    val k = coded.map(_._1).distinct.size
+    assert(got.size == k * (k - 1) / 2 + k)
+    assert(got.forall(r => r._5 >= 0L && r._5 <= 16000L))
+    assert(got.exists(_._4 > 0L), "some pair must differ in at least one bit")
+  }
 }

@@ -46,8 +46,19 @@ class TrainingOpsScaleSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("prefix-filtered setsimPairs equals the unpruned exact join (lossless recall)") {
+    val pruned = TrainingOps.setsimPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = TrainingOps.jaccardPairsExact(spark, sf, thresh = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pruned == exact, s"pruned ${pruned.size} vs exact ${exact.size}")
+    assert(pruned.nonEmpty)
+    assert(pruned.forall(_._3 >= 500L))
+  }
+
   test("dedup plans carry no all-pairs join") {
     assertNoAllPairs(TrainingOps.embNearDup(spark, sf), "embNearDup")
+    assertNoAllPairs(TrainingOps.setsimPairs(spark, sf), "setsimPairs")
     assertNoAllPairs(TrainingOps.jaccardPairs(spark, sf), "jaccardPairs")
     assertNoAllPairs(TrainingOps.minhashDupPairs(spark, sf), "minhashDupPairs")
     assertNoAllPairs(TrainingOps.minhashSignatures(spark, sf), "minhashSignatures")
