@@ -210,6 +210,13 @@ object Bench {
   private val Ops18Queries =
     Seq("q_emb_pq", "q_doc_dedup_census", "q_evt_hourweek")
 
+  /** The round-5 nineteenth wave: PQ-ADC recall harness, language-ID
+    * confusion matrix, Markov stationary power iteration, tile-skew
+    * audit.
+    */
+  private val Ops19Queries =
+    Seq("q_ann_pq_recall", "q_doc_lang_confusion", "q_evt_markov", "q_tile_skew")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -219,7 +226,7 @@ object Bench {
     "ops12" -> Ops12Queries, "ops13" -> Ops13Queries,
     "ops14" -> Ops14Queries, "ops15" -> Ops15Queries,
     "ops16" -> Ops16Queries, "ops17" -> Ops17Queries,
-    "ops18" -> Ops18Queries)
+    "ops18" -> Ops18Queries, "ops19" -> Ops19Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

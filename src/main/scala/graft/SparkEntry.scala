@@ -614,6 +614,8 @@ object SparkEntry {
     "q_emb_separation" -> TrainingOps.embSeparation,
     "q_emb_hamming" -> TrainingOps.embHamming,
     "q_emb_pq" -> TrainingOps.pqAssign,
+    "q_ann_pq_recall" -> TrainingOps.annPqRecall,
+    "q_doc_lang_confusion" -> TrainingOps.langConfusion,
     "q_doc_setsim" -> TrainingOps.setsimPairs,
     "q_doc_dedup_census" -> TrainingOps.dedupCensus,
     "q_doc_lang_id" -> TrainingOps.langId,
@@ -682,6 +684,7 @@ object SparkEntry {
     "q_local_moran" -> RasterOps.localMoran,
     "q_getis" -> RasterOps.getis,
     "q_tpi" -> RasterOps.tpi,
+    "q_tile_skew" -> RasterOps.tileSkew,
     "q_hilbert" -> RasterOps.hilbert,
     "q_cost_horizon" -> RasterOps.costHorizon,
     "q_variogram" -> RasterOps.variogram,
@@ -705,6 +708,7 @@ object SparkEntry {
     "q_evt_growth" -> EventOps.growth,
     "q_evt_gini" -> EventOps.gini,
     "q_evt_hourweek" -> EventOps.hourWeek,
+    "q_evt_markov" -> EventOps.markov,
     "q_evt_transitions" -> EventOps.transitions,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,

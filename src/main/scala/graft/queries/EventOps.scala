@@ -238,6 +238,47 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** 3-round MARKOV stationary-distribution power iteration over the
+    * session transition graph — "where does a user journey settle": start
+    * uniform (p0 = 10^6 div |types|, integer), and each round moves mass
+    * along the transition counts, per-edge contribution
+    * (p * n(i, j)) div out(i) — pure integer, deterministic truncation
+    * (mass can only leak, never appear), types with no outgoing
+    * transitions retain their mass. A FIXED round count like
+    * q_doc_pagerank's (full convergence is a mixing-time fixpoint this
+    * census deliberately truncates — stated contract). Scale shape: after
+    * the one sessionize pass, everything runs on the type-registry-sized
+    * transition table (localCheckpoint'd so three lazy round references
+    * don't re-derive the sessionize chain); the |types| count is a
+    * registry-bounded driver read; p * n stays in Long for p <= 10^6 and
+    * n < 2^43 edges per pair, and ANSI mode fails loudly past that.
+    */
+  val markov: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val w = Window.partitionBy("user_id", "session_idx").orderBy("us")
+    val trn = sessionizedEvents(spark, dir)
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val out = trn.groupBy("from_type").agg(sum(col("n")).as("outn"))
+    val types = trn.select(col("from_type").as("t"))
+      .union(trn.select(col("to_type").as("t"))).distinct().localCheckpoint()
+    val nT = types.count() // type registry cardinality, never data-sized
+    var p = types.select(col("t"), lit(1000000L / nT).as("p"))
+    for (_ <- 1 to 3) {
+      val inflow = trn.join(out, "from_type")
+        .join(p.select(col("t").as("from_type"), col("p")), "from_type")
+        .select(col("to_type").as("t"), expr("(p * n) div outn").as("m"))
+        .groupBy("t").agg(sum(col("m")).as("inflow"))
+      val kept = p.join(out.select(col("from_type").as("t"), col("outn")), Seq("t"), "left")
+        .select(col("t"), when(col("outn").isNull, col("p")).otherwise(lit(0L)).as("keep"))
+      p = kept.join(inflow, Seq("t"), "left")
+        .select(col("t"), (col("keep") + coalesce(col("inflow"), lit(0L))).as("p"))
+    }
+    p.select(col("t").as("event_type"), col("p").as("p3")).orderBy("event_type")
+  }
+
   /** Per-user activity TREND: the exact least-squares slope of quantized
     * value over time, emitted as the EXACT RATIONAL pair
     * num = n*Sxy - Sx*Sy, den = n*Sxx - Sx^2 (den >= 0 by Cauchy-Schwarz;
@@ -857,6 +898,42 @@ object EventOps {
          |SELECT from_type, to_type, count(*)::BIGINT AS n_trans,
          |  count(DISTINCT user_id)::BIGINT AS n_users
          |FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Markov: the q_evt_transitions CTEs, then the three unrolled
+    // mass-passing rounds as LEFT-JOIN frames (absorbing types keep their
+    // mass; HUGEINT products collapse to the engine's Longs in-contract)
+    "q_evt_markov" -> {
+      val rounds = (1 to 3).map { r =>
+        val prev = s"p${r - 1}"
+        s"""p$r AS (SELECT ty.t,
+           |  (coalesce(CASE WHEN o.from_type IS NULL THEN pp.p ELSE 0 END, 0)
+           |   + coalesce(inf.m, 0))::BIGINT AS p
+           |  FROM ty
+           |  LEFT JOIN outn o ON o.from_type = ty.t
+           |  LEFT JOIN $prev pp ON pp.t = ty.t
+           |  LEFT JOIN (SELECT tr.to_type AS t, sum(($prev.p * tr.n) // outn.outn) AS m
+           |             FROM tr JOIN outn USING (from_type)
+           |             JOIN $prev ON $prev.t = tr.from_type
+           |             GROUP BY 1) inf ON inf.t = ty.t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         |m AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+         |s AS (SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > $GapUs THEN 1 ELSE 0 END)
+         |                  OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+         |      FROM m),
+         |t AS (SELECT user_id, event_type AS from_type,
+         |        lead(event_type) OVER (PARTITION BY user_id, session_idx ORDER BY us, event_id) AS to_type
+         |      FROM s),
+         |tr AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+         |       FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |outn AS (SELECT from_type, sum(n)::BIGINT AS outn FROM tr GROUP BY 1),
+         |ty AS (SELECT DISTINCT t FROM (SELECT from_type AS t FROM tr
+         |                               UNION ALL SELECT to_type FROM tr)),
+         |nt AS (SELECT count(*) AS k FROM ty),
+         |p0 AS (SELECT t, (1000000 // (SELECT k FROM nt))::BIGINT AS p FROM ty),
+         |$rounds
+         |SELECT t AS event_type, p AS p3 FROM p3 ORDER BY 1""".stripMargin
+    },
 
     // regex parse of the JSON field — an independent extraction
     "q_evt_json" ->

@@ -1437,6 +1437,44 @@ object RasterOps {
       .orderBy("hblock")
   }
 
+  /** TILE-SKEW AUDIT — the partition-balance question every 100 TB run
+    * asks of its shuffle key, answered exactly over the engine's own
+    * 50x50 stitch tiling: per-tile quantized value mass, folded to ONE
+    * audit row — tile count, total/max mass, the max/mean imbalance
+    * ratio (x1000), and the Gini coefficient of the mass distribution
+    * (x1e6) via the q_evt_gini class-telescoped rank-sum (no ranking
+    * pass; the cumulative window rides the O(distinct masses) class
+    * table — bounded by the TILE REGISTRY, the same cardinality as any
+    * per-tile summary, never by rows). Products ride decimal(38,0) and
+    * land as loud BIGINT casts. The oracle is the independent textbook
+    * row_number rank-sum over the same per-tile masses.
+    */
+  val tileSkew: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val classes = baseCells(spark, dir)
+      .groupBy(expr("x div 50").as("tx"), expr("y div 50").as("ty"))
+      .agg(sum(floor(col("v") * Q20).cast("long")).as("q"))
+      .groupBy("q").agg(count(lit(1)).as("m"))
+    val one = pmod(col("q"), lit(1L)) // constant, non-foldable: class table is tile-registry-sized
+    val wPre = Window.partitionBy(one).orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(one)
+    classes
+      .withColumn("o", coalesce(sum(col("m")).over(wPre), lit(0L)))
+      .withColumn("nt", sum(col("m")).over(wAll))
+      .select(col("m").cast("decimal(38,0)").as("m"),
+        col("q").cast("decimal(38,0)").as("q"),
+        col("o").cast("decimal(38,0)").as("o"),
+        col("nt").cast("decimal(38,0)").as("nt"))
+      .agg(max(col("nt")).as("ntd"), sum(col("m") * col("q")).as("tot"),
+        max(col("q")).as("mq"),
+        sum(col("q") * col("m") * (col("o") * 2 + col("m") - col("nt"))).as("gnum"))
+      .select(col("ntd").cast("long").as("n_tiles"),
+        col("tot").cast("long").as("q_total"),
+        col("mq").cast("long").as("q_max"),
+        expr("(mq * ntd * 1000) div tot").cast("long").as("imb_x1000"),
+        expr("(gnum * 1000000) div (ntd * tot)").cast("long").as("gini_x1e6"))
+  }
+
   /** Histogram equalization — the classic raster contrast remap: each cell
     * maps to level = (cells-in-strictly-lower-bins * L) div n, the exact
     * integer CDF transform at L = 16 output levels. Input bins are the
@@ -1672,6 +1710,22 @@ object RasterOps {
           |  sum(q)::BIGINT AS q_sum, min(hkey)::BIGINT AS h_min, max(hkey)::BIGINT AS h_max,
           |  ((max(cx) - min(cx) + 1) * (max(cy) - min(cy) + 1))::BIGINT AS bbox_area
           |FROM hc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // tile skew: the textbook row_number rank-sum Gini over the same
+      // per-tile masses (ties broken by (q, tx, ty) — rank-assignment
+      // invariant, so it matches the engine's class-telescoped form)
+      "q_tile_skew" ->
+        """WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y,
+          |             floor(value * 1048576.0)::BIGINT AS q FROM events),
+          |tl AS (SELECT x // 50 AS tx, y // 50 AS ty, sum(q)::BIGINT AS q
+          |       FROM g GROUP BY 1, 2),
+          |r AS (SELECT q, row_number() OVER (ORDER BY q, tx, ty) AS rn FROM tl),
+          |n AS (SELECT count(*)::BIGINT AS nt, sum(q)::BIGINT AS tot,
+          |             max(q)::BIGINT AS mq FROM tl)
+          |SELECT n.nt AS n_tiles, n.tot AS q_total, n.mq AS q_max,
+          |  ((n.mq * n.nt * 1000) // n.tot)::BIGINT AS imb_x1000,
+          |  ((sum((2 * rn - n.nt - 1) * q) * 1000000) // (n.nt * n.tot))::BIGINT AS gini_x1e6
+          |FROM r CROSS JOIN n GROUP BY n.nt, n.tot, n.mq""".stripMargin,
 
       // TPI: range-join window gathers per (scale, r, K) VALUES row — the
       // gather formulation of the kernel's in-halo window sums; center

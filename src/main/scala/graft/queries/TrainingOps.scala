@@ -1577,8 +1577,12 @@ object TrainingOps {
   private[graft] val PqSubspaces = 4
   private[graft] val PqSubDim = 16
 
-  val pqAssign: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val e = vectors(spark, dir)
+  /** Quantized per-subspace distances of `e`'s vectors against the
+    * vec_id < 8 codebook: (vec_id, subspace, cid, qd) — the shared core of
+    * [[pqAssign]] (argmin over cid) and [[annPqRecall]] (the query-side
+    * ADC lookup table).
+    */
+  private def pqSubDists(e: DataFrame): DataFrame = {
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val d2s = expr(
@@ -1588,14 +1592,89 @@ object TrainingOps {
          |    (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p))""".stripMargin)
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), posexplode(d2s).as(Seq("m", "d2")))
-      .select(col("vec_id"), col("m").cast("long").as("subspace"),
-        (floor(col("d2") * 1048576.0).cast("long") * 8L + col("cid")).as("pk"))
-      .groupBy("vec_id", "subspace").agg(min("pk").as("pmin"))
-      .groupBy(col("subspace"), (col("pmin") % 8L).as("centroid_id"))
-      .agg(count(lit(1)).as("n_vecs"), sum(expr("pmin div 8")).as("qd_sum"),
-        min(expr("pmin div 8")).as("qd_min"), max(expr("pmin div 8")).as("qd_max"))
-      .orderBy("subspace", "centroid_id")
+      .select(col("vec_id"), col("m").cast("long").as("subspace"), col("cid"),
+        floor(col("d2") * 1048576.0).cast("long").as("qd"))
   }
+
+  /** Per-(vector, subspace) PQ code: the packed argmin over [[pqSubDists]]. */
+  private def pqCodes(e: DataFrame): DataFrame =
+    pqSubDists(e)
+      .select(col("vec_id"), col("subspace"), (col("qd") * 8L + col("cid")).as("pk"))
+      .groupBy("vec_id", "subspace").agg(min("pk").as("pmin"))
+      .select(col("vec_id"), col("subspace"),
+        (col("pmin") % 8L).as("cid"), expr("pmin div 8").as("qd"))
+
+  val pqAssign: (SparkSession, String) => DataFrame = (spark, dir) =>
+    pqCodes(vectors(spark, dir))
+      .groupBy(col("subspace"), col("cid").as("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qd")).as("qd_sum"),
+        min(col("qd")).as("qd_min"), max(col("qd")).as("qd_max"))
+      .orderBy("subspace", "centroid_id")
+
+  /** PQ-ADC RECALL harness — the evaluation every PQ deployment runs
+    * before trusting compressed search: for the 10 contract queries
+    * (vec_id < 10), rank the corpus by the ASYMMETRIC DISTANCE
+    * approximation (adc(q, v) = sum over subspaces of the quantized
+    * distance from q's subvector to v's ASSIGNED sub-centroid — the FAISS
+    * ADC table lookup, here an integer sum of [[pqSubDists]] rows keyed by
+    * v's [[pqCodes]]) and report how many of the exact quantized-L2
+    * top-10 neighbors the PQ top-10 retains (recall_x100). Every ranking
+    * key is an exact integer (floor(d2 * 2^20), ties to the smaller
+    * vec_id), so engine and oracle agree bit for bit. Scale shape: the
+    * ADC table is queries x M x 8 rows (broadcast by construction); the
+    * candidate scoring joins codes (N x M rows) against it — linear in N
+    * per query like every documented query-batch baseline here; the exact
+    * side is the same 10-broadcast-queries brute scan q_ann_topk uses;
+    * both rankings window per query (10 bounded partitions). A production
+    * index would IVF-prune candidates first (q_ann_ivf_topk) — this
+    * operator is the RECALL MEASUREMENT, deliberately unpruned so the
+    * number it reports is the compression loss alone.
+    */
+  val annPqRecall: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val e = vectors(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // ADC lookup table: quantized sub-distance from each QUERY subvector
+    // to each codebook centroid
+    val adc = pqSubDists(queries.select(col("query_id").as("vec_id"), col("qv").as("v")))
+      .select(col("vec_id").as("query_id"), col("subspace"), col("cid"), col("qd"))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val approx = pqCodes(e).select("vec_id", "subspace", "cid")
+      .join(broadcast(adc), Seq("subspace", "cid"))
+      .groupBy("query_id", "vec_id").agg(sum(col("qd")).as("adist"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wApprox))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("qd2").asc, col("vec_id").asc)
+    val exact = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("qd2", floor(
+        expr("aggregate(zip_with(qv, v, (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p)")
+          * 1048576.0).cast("long"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      .join(queries.select("query_id"), Seq("query_id"), "right")
+      .na.fill(0L, Seq("hits"))
+      .select(col("query_id"), (col("hits") * 10L).as("recall_x100"))
+      .orderBy("query_id")
+  }
+
+  /** Language-ID CONFUSION MATRIX — the classifier evaluation over
+    * [[langId]]'s marker-vote predictions vs the declared lang column:
+    * per (lang_given, lang_pred), the doc count. One map-side-combinable
+    * groupBy over the langId frame.
+    */
+  val langConfusion: (SparkSession, String) => DataFrame = (spark, dir) =>
+    langId(spark, dir)
+      .groupBy("lang_given", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang_given", "lang_pred")
 
   /** POST-DEDUP corpus census — the composition a dedup pipeline reports
     * after applying [[keepList]]: per source, how many docs (and how much
@@ -1918,6 +1997,42 @@ object TrainingOps {
         |  min(pmin // 8)::BIGINT AS qd_min, max(pmin // 8)::BIGINT AS qd_max
         |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // PQ-ADC recall: the q_emb_pq assignment CTEs, the ADC table as the
+    // query rows of the same sub-distance frame, both rankings as global
+    // row_number windows (vs the engine's broadcast joins + per-query
+    // windows)
+    "q_ann_pq_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, m.m, c.cid,
+        |        floor(list_sum(list_transform(range(1, 17),
+        |          i -> (cv[m.m * 16 + i] - v[m.m * 16 + i])
+        |             * (cv[m.m * 16 + i] - v[m.m * 16 + i]))) * 1048576.0)::BIGINT AS qd
+        |      FROM e CROSS JOIN c CROSS JOIN (VALUES (0), (1), (2), (3)) m(m)),
+        |pk AS (SELECT vec_id, m, min(qd * 8 + cid) AS pmin FROM d GROUP BY 1, 2),
+        |codes AS (SELECT vec_id, m, (pmin % 8)::BIGINT AS cid FROM pk),
+        |adc AS (SELECT vec_id AS query_id, m, (cid)::BIGINT AS cid, qd FROM d WHERE vec_id < 10),
+        |ad AS (SELECT adc.query_id, codes.vec_id, sum(adc.qd) AS adist
+        |       FROM codes JOIN adc ON adc.m = codes.m AND adc.cid = codes.cid
+        |       WHERE codes.vec_id != adc.query_id GROUP BY 1, 2),
+        |apprR AS (SELECT query_id, vec_id,
+        |            row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rnk
+        |          FROM ad),
+        |ex AS (SELECT q.vec_id AS query_id, e.vec_id,
+        |         floor(list_sum(list_transform(range(1, 65),
+        |           i -> (q.v[i] - e.v[i]) * (q.v[i] - e.v[i]))) * 1048576.0)::BIGINT AS qd2
+        |       FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id != q.vec_id),
+        |exR AS (SELECT query_id, vec_id,
+        |          row_number() OVER (PARTITION BY query_id ORDER BY qd2, vec_id) AS rnk
+        |        FROM ex),
+        |hits AS (SELECT a.query_id, count(*) AS h
+        |         FROM apprR a JOIN exR x ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+        |         WHERE a.rnk <= 10 AND x.rnk <= 10 GROUP BY 1)
+        |SELECT q.vec_id AS query_id, (coalesce(h, 0) * 10)::BIGINT AS recall_x100
+        |FROM (SELECT vec_id FROM e WHERE vec_id < 10) q
+        |LEFT JOIN hits ON hits.query_id = q.vec_id
+        |ORDER BY 1""".stripMargin,
+
     // post-dedup census: the q_doc_keep_list CTEs verbatim, joined back to
     // the corpus and rolled up per source
     "q_doc_dedup_census" ->
@@ -2030,6 +2145,27 @@ object TrainingOps {
         |      FROM s)
         |SELECT doc_id, lang_given, lang AS lang_pred, (lang = lang_given) AS agree
         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // confusion matrix: the q_doc_lang_id CTEs rolled up per
+    // (declared, predicted) pair
+    "q_doc_lang_confusion" ->
+      """WITH t AS (SELECT doc_id, lang AS lang_given,
+        |                  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |           FROM documents),
+        |m(lang, mk) AS (VALUES
+        |  ('de', ['der','und','die','nicht','ein']),
+        |  ('en', ['the','and','of','fast','table']),
+        |  ('es', ['el','y','los','una','que']),
+        |  ('fr', ['le','la','et','des','une']),
+        |  ('zh', ['de','shi','le','zai','he'])),
+        |s AS (SELECT doc_id, lang_given, m.lang,
+        |             len(list_filter(ws, w -> list_contains(m.mk, w))) AS score
+        |      FROM t CROSS JOIN m),
+        |r AS (SELECT doc_id, lang_given, lang,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+        |      FROM s)
+        |SELECT lang_given, lang AS lang_pred, count(*)::BIGINT AS n_docs
+        |FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_ann_ivf_topk" ->
       s"""WITH $ivfCtes

@@ -398,6 +398,44 @@ class EventOpsSpec extends AnyFunSuite {
     assert(expected.size > 3, "several transition pairs must occur")
   }
 
+  test("markov == local 3-round integer mass-passing recompute; mass only leaks") {
+    val gap = 1800000000L
+    val trans = ev.groupBy(_._3).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._1))
+      var sid = 0L; var prev = Long.MinValue
+      val tagged = sorted.map { e =>
+        if (prev == Long.MinValue || e._2 - prev > gap) sid += 1
+        prev = e._2
+        (sid, e._4)
+      }
+      tagged.zip(tagged.drop(1)).collect { case ((s1, a), (s2, b)) if s1 == s2 => (a, b) }
+    }
+    val n = trans.groupBy(identity).map { case (k, xs) => (k, xs.size.toLong) }
+    val out = n.groupBy(_._1._1).map { case (f, xs) => (f, xs.values.sum) }
+    val types = (n.keys.map(_._1) ++ n.keys.map(_._2)).toSeq.distinct.sorted
+    var p = types.map(t => (t, 1000000L / types.size)).toMap
+    val masses = Seq.newBuilder[Long]
+    masses += p.values.sum
+    for (_ <- 1 to 3) {
+      p = types.map { t =>
+        val keep = if (out.contains(t)) 0L else p(t)
+        val inflow = n.collect {
+          case ((f, to), c) if to == t => (p(f) * c) / out(f)
+        }.sum
+        (t, keep + inflow)
+      }.toMap
+      masses += p.values.sum
+    }
+    val want = types.map(t => (t, p(t)))
+    val got = EventOps.markov(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    val ms = masses.result()
+    assert(ms.zip(ms.drop(1)).forall { case (a, b) => b <= a },
+      "integer truncation can only leak mass, never create it")
+    assert(want.map(_._2).sum > 900000L, "3 rounds must retain most of the mass")
+  }
+
   test("trend's plan reuses the window partitioning: one hash exchange on user_id") {
     // the min-x window partitions by user_id and the moment groupBy keys on
     // user_id too — Catalyst must satisfy the aggregate from the window's

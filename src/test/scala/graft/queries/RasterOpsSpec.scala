@@ -905,6 +905,29 @@ class RasterOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tileSkew == textbook rank-sum Gini over local per-tile masses") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val masses = ev.map { case (id, v) =>
+      val x = (id % 100).toInt; val y = (id / 100).toInt
+      ((x / 50, y / 50), math.floor(v * 1048576.0).toLong)
+    }.groupBy(_._1).map { case (_, xs) => xs.map(_._2).sum }.toSeq.sorted
+    val nt = masses.size.toLong
+    val tot = masses.sum
+    val mq = masses.max
+    val gnum = masses.zipWithIndex.map { case (q, i0) =>
+      BigInt(2L * (i0 + 1) - nt - 1) * q
+    }.sum
+    val want = (nt, tot, mq, mq * nt * 1000L / tot,
+      (gnum * 1000000 / (BigInt(nt) * tot)).toLong)
+    val got = RasterOps.tileSkew(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(want))
+    assert(want._4 >= 1000L, "the max tile is at least the mean by definition")
+    assert(want._5 >= 0L && want._5 < 1000000L)
+  }
+
   private def tpiBrute(vals: Array[Double], w: Int, h: Int)
       : Seq[(Long, Long, Long, Long, Long, Long)] = {
     val q = vals.map(v => math.floor(v * 1048576.0).toLong)

@@ -366,6 +366,70 @@ class TrainingOpsClusterSpec extends AnyFunSuite {
     assert(got.exists(r => r._2 > r._3), "some source must drop a duplicate")
   }
 
+  test("annPqRecall == brute ADC-vs-exact recompute; compression loses some recall") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>)")
+      .as[(Long, Array[Double])].collect().toSeq.sortBy(_._1)
+    val cents = vecs.filter(_._1 < 8)
+    def subQd(a: Array[Double], b: Array[Double], m: Int): Long =
+      math.floor((0 until 16).foldLeft(0.0) { (acc, i) =>
+        val d = a(m * 16 + i) - b(m * 16 + i); acc + d * d
+      } * 1048576.0).toLong
+    // per-(vector, subspace) code by packed argmin
+    val centMap = cents.toMap
+    val code = vecs.map { case (id, v) =>
+      id -> (0 until 4).map(m =>
+        cents.map { case (cid, cv) => subQd(cv, v, m) * 8L + cid }.min % 8L)
+    }.toMap
+    val queries = vecs.filter(_._1 < 10)
+    def top10(scores: Seq[(Long, Long)]): Seq[Long] =
+      scores.sortBy { case (d, id) => (d, id) }.take(10).map(_._2)
+    val want = queries.map { case (qid, qv) =>
+      val approx = top10(vecs.filter(_._1 != qid).map { case (id, _) =>
+        ((0 until 4).map(m => subQd(qv, centMap(code(id)(m)), m)).sum, id)
+      })
+      val exact = top10(vecs.filter(_._1 != qid).map { case (id, v) =>
+        (math.floor(v.indices.foldLeft(0.0) { (acc, i) =>
+          val d = qv(i) - v(i); acc + d * d
+        } * 1048576.0).toLong, id)
+      })
+      (qid, approx.toSet.intersect(exact.toSet).size.toLong * 10L)
+    }
+    val got = TrainingOps.annPqRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    assert(want.forall(r => r._2 >= 0L && r._2 <= 100L))
+    assert(want.exists(_._2 < 100L), "PQ at 4x16 must lose some recall on this data")
+    assert(want.exists(_._2 > 0L), "PQ must retain some recall")
+  }
+
+  test("langConfusion == local marker-vote recompute; matrix totals the corpus") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("lang", "lower(text)").as[(String, String)].collect().toSeq
+    val markers = Map(
+      "en" -> Seq("the", "and", "of", "fast", "table"),
+      "fr" -> Seq("le", "la", "et", "des", "une"),
+      "de" -> Seq("der", "und", "die", "nicht", "ein"),
+      "es" -> Seq("el", "y", "los", "una", "que"),
+      "zh" -> Seq("de", "shi", "le", "zai", "he"))
+    val want = docs.map { case (given, text) =>
+      val toks = "[a-z0-9]+".r.findAllIn(text).toSeq
+      // greatest(struct(score, lang)): max score, ties to the LARGEST lang
+      val pred = markers.toSeq.map { case (l, ws) =>
+        (ws.map(w => toks.count(_ == w)).sum, l)
+      }.max._2
+      (given, pred)
+    }.groupBy(identity).toSeq.map { case ((g, p), xs) => (g, p, xs.size.toLong) }
+      .sortBy(r => (r._1, r._2))
+    val got = TrainingOps.langConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.map(_._3).sum == docs.size.toLong, "matrix must total the corpus")
+    assert(got.exists(r => r._1 != r._2), "some document must be misclassified")
+  }
+
   test("embHamming == brute all-pairs popcount recompute (per-bit decomposition is exact)") {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
