@@ -217,6 +217,13 @@ object Bench {
   private val Ops19Queries =
     Seq("q_ann_pq_recall", "q_doc_lang_confusion", "q_evt_markov", "q_tile_skew")
 
+  /** The round-5 twentieth wave: time-to-convert quantiles, the LSH
+    * recall audit (rebuilds BOTH exact and band pair pipelines — the
+    * standalone-contract cost), and the Lloyd iteration census.
+    */
+  private val Ops20Queries =
+    Seq("q_evt_convert", "q_doc_lsh_recall", "q_kmeans_iterate")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -226,7 +233,8 @@ object Bench {
     "ops12" -> Ops12Queries, "ops13" -> Ops13Queries,
     "ops14" -> Ops14Queries, "ops15" -> Ops15Queries,
     "ops16" -> Ops16Queries, "ops17" -> Ops17Queries,
-    "ops18" -> Ops18Queries, "ops19" -> Ops19Queries)
+    "ops18" -> Ops18Queries, "ops19" -> Ops19Queries,
+    "ops20" -> Ops20Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

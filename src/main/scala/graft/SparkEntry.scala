@@ -615,6 +615,8 @@ object SparkEntry {
     "q_emb_hamming" -> TrainingOps.embHamming,
     "q_emb_pq" -> TrainingOps.pqAssign,
     "q_ann_pq_recall" -> TrainingOps.annPqRecall,
+    "q_doc_lsh_recall" -> TrainingOps.lshRecall,
+    "q_kmeans_iterate" -> TrainingOps.kmeansIterate,
     "q_doc_lang_confusion" -> TrainingOps.langConfusion,
     "q_doc_setsim" -> TrainingOps.setsimPairs,
     "q_doc_dedup_census" -> TrainingOps.dedupCensus,
@@ -709,6 +711,7 @@ object SparkEntry {
     "q_evt_gini" -> EventOps.gini,
     "q_evt_hourweek" -> EventOps.hourWeek,
     "q_evt_markov" -> EventOps.markov,
+    "q_evt_convert" -> EventOps.convert,
     "q_evt_transitions" -> EventOps.transitions,
     "q_evt_asof" -> EventOps.asofViewPurchase,
     "q_auto_thresholds" -> StatsOps.autoThresholds,

@@ -238,6 +238,38 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** TIME-TO-CONVERT quantiles — the funnel-latency curve a growth team
+    * reads: per user, the delay (whole HOURS) from first signup to the
+    * first purchase strictly after it; the quartile + P90 ladder of those
+    * delays comes from the StatsOps two-pass selection SPECIALIZED to an
+    * integer domain — delays are exact hour integers, so the value-bucket
+    * histogram is lossless (bucket == value) and the located bucket IS
+    * the k-th order statistic: no second ranking pass at all. The driver
+    * reads only the O(delay range) histogram (the loud StatsOps bound);
+    * everything upstream is two per-user aggregations and one user-keyed
+    * equi-join. The oracle ranks delays globally (row_number), the
+    * independent formulation.
+    */
+  val convert: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val e = events(spark, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+    val s = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("sus"))
+    val delays = e.filter(col("event_type") === "purchase")
+      .join(s, "user_id")
+      .filter(col("us") > col("sus"))
+      .groupBy("user_id").agg(min(col("us")).as("pus"), min(col("sus")).as("su"))
+      .select(expr("(pus - su) div 3600000000").as("dh"))
+    val h = delays.groupBy("dh").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(h.length <= 65536,
+      s"convert: delay histogram has ${h.length} buckets — the driver read must stay O(range)")
+    graft.queries.StatsOps.locateLadder(h)
+      .map { case (q, k, bucket, _) => (q, k, bucket) }
+      .toDF("q", "k", "delay_h").orderBy("q")
+  }
+
   /** 3-round MARKOV stationary-distribution power iteration over the
     * session transition graph — "where does a user journey settle": start
     * uniform (p0 = 10^6 div |types|, integer), and each round moves mass
@@ -898,6 +930,23 @@ object EventOps {
          |SELECT from_type, to_type, count(*)::BIGINT AS n_trans,
          |  count(DISTINCT user_id)::BIGINT AS n_users
          |FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // time-to-convert: global row_number rank selection over the same
+    // per-user hour delays (the independent formulation of the engine's
+    // lossless integer-bucket locate)
+    "q_evt_convert" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s AS (SELECT user_id, min(us) AS sus FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS pus, min(sus) AS sus
+        |      FROM e JOIN s USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > sus GROUP BY 1),
+        |d AS (SELECT (pus - sus) // 3600000000 AS dh FROM p),
+        |n AS (SELECT count(*)::BIGINT AS n FROM d),
+        |qs(q) AS (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.75::DOUBLE), (0.9::DOUBLE)),
+        |k AS (SELECT q, (floor(q * (n - 1))::BIGINT + 1)::BIGINT AS k FROM qs CROSS JOIN n),
+        |r AS (SELECT dh, row_number() OVER (ORDER BY dh)::BIGINT AS rn FROM d)
+        |SELECT k.q, k.k, r.dh::BIGINT AS delay_h
+        |FROM k JOIN r ON r.rn = k.k ORDER BY k.q""".stripMargin,
 
     // Markov: the q_evt_transitions CTEs, then the three unrolled
     // mass-passing rounds as LEFT-JOIN frames (absorbing types keep their

@@ -1331,6 +1331,65 @@ object TrainingOps {
     jaccardOf(spark, cand, dir, t)
   }
 
+  /** LSH RECALL AUDIT — the number a MinHash-LSH deployment must publish:
+    * of the pairs a LOSSLESS join finds at Jaccard >= 0.5
+    * ([[setsimPairs]], the prefix-filtered exact self-join), how many does
+    * the 4x4 band scheme ([[bandCandidates]]) actually surface?
+    * One left join between two pair sets already bounded by the dedup
+    * candidate volume, folded to a single audit row
+    * (n_exact, n_found, recall_x1000). The engine's own exact join is the
+    * ground truth here; the ORACLE recomputes BOTH sides independently
+    * (brute-force all-pairs exact + the band replication), so a recall
+    * bug in either engine pipeline fails the gate.
+    */
+  val lshRecall: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val exact = setsimPairs(spark, dir).select("doc_a", "doc_b")
+    val found = bandCandidates(spark, dir).withColumn("hit", lit(1L))
+    exact.join(found, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("n_exact"), col("n_found"),
+        expr("(n_found * 1000) div greatest(n_exact, 1)").as("recall_x1000"))
+  }
+
+  /** ONE FULL LLOYD ITERATION convergence census — the signal a k-means
+    * driver loop checks each round: after the float-domain E-step
+    * ([[kmeansAssignments]]) and an integer-domain M-step (per-(centroid,
+    * dim) mean, quantized at 2^10 — the embSeparation centroid
+    * convention), re-assign every vector against the UPDATED centroids
+    * entirely in integers (d2 = sum of (qx - cq)^2 over quantized
+    * coordinates; packed argmin d2 * 8 + cid, in-Long by the 2^10 bound)
+    * and report per centroid: population before, movers out, population
+    * after, and the post-update quantized distortion sum. Scale shape:
+    * the updated codebook is 8 x 64 rows broadcast back; the re-score
+    * join fans each (vector, dim) row across 8 centroids — the same
+    * documented footprint as the E-step's crossJoin(broadcast(cents)) —
+    * and only (vec, cid) integer partials shuffle.
+    */
+  val kmeansIterate: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val e = vectors(spark, dir)
+    val a1 = kmeansAssignments(e).select(col("vec_id"), col("centroid_id").as("c1"))
+    val q = e.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), floor(col("x") * 1024.0).cast("long").as("qx"))
+    val cents2 = a1.join(q, "vec_id")
+      .groupBy(col("c1").as("cid"), col("i"))
+      .agg(expr("sum(qx) div count(1)").as("cq"))
+    val a2 = q.join(broadcast(cents2), "i")
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("d2"))
+      .select(col("vec_id"), (col("d2") * 8L + col("cid")).as("pk"))
+      .groupBy("vec_id").agg(min(col("pk")).as("pmin"))
+      .select(col("vec_id"), (col("pmin") % 8L).as("c2"), expr("pmin div 8").as("qd2"))
+    val moved = a1.join(a2, "vec_id")
+    val before = moved.groupBy(col("c1").as("centroid_id"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("c2") =!= col("c1"), 1L).otherwise(0L)).as("n_moved_out"))
+    val after = moved.groupBy(col("c2").as("centroid_id"))
+      .agg(count(lit(1)).as("n_after"), sum(col("qd2")).as("qd2_sum"))
+    before.join(after, Seq("centroid_id"), "full")
+      .na.fill(0L, Seq("n_before", "n_moved_out", "n_after", "qd2_sum"))
+      .orderBy("centroid_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs. The exact/approximate boundary
     * is a PARAMETER, not a comment:
     *
@@ -1979,6 +2038,69 @@ object TrainingOps {
         |  sum(pmin // 16)::BIGINT AS qd_sum, min(pmin // 16)::BIGINT AS qd_min,
         |  max(pmin // 16)::BIGINT AS qd_max
         |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // LSH recall audit: BOTH sides recomputed independently — the
+    // brute-force exact >= 0.5 pairs and the band replication — then the
+    // same left-join rollup
+    "q_doc_lsh_recall" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+        |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |ex AS (SELECT doc_a, doc_b FROM inter
+        |       JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |       WHERE (i * 1000) // (sa.c + sb.c - i) >= 500),
+        |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+        |sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS minhash
+        |         FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, (seed // 4)::INT AS band,
+        |                 string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, ',' ORDER BY seed) AS bkey
+        |          FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |j AS (SELECT ex.doc_a, CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |      FROM ex LEFT JOIN cand USING (doc_a, doc_b))
+        |SELECT count(*)::BIGINT AS n_exact, sum(hit)::BIGINT AS n_found,
+        |  ((sum(hit) * 1000) // greatest(count(*), 1))::BIGINT AS recall_x1000
+        |FROM j""".stripMargin,
+
+    // Lloyd iteration: the q_kmeans_assign float argmin CTEs, the 2^10
+    // integer M-step, the all-integer second argmin, and the full-join
+    // census rollup
+    "q_kmeans_iterate" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |pk AS (SELECT e.vec_id,
+        |  min(floor(list_sum(list_transform(range(1, 65),
+        |        i -> (cv[i] - v[i]) * (cv[i] - v[i]))) * 1048576.0)::BIGINT * 16 + cid) AS pmin
+        |  FROM e CROSS JOIN c GROUP BY 1),
+        |a1 AS (SELECT vec_id, (pmin % 16)::BIGINT AS c1 FROM pk),
+        |qd AS (SELECT vec_id, i, floor(v[i] * 1024.0)::BIGINT AS qx
+        |       FROM e, unnest(range(1, 65)) AS u(i)),
+        |c2 AS (SELECT a1.c1 AS cid, i, (sum(qx) // count(*))::BIGINT AS cq
+        |       FROM a1 JOIN qd USING (vec_id) GROUP BY 1, 2),
+        |d2 AS (SELECT qd.vec_id, c2.cid, sum((qx - cq) * (qx - cq)) AS d2
+        |       FROM qd JOIN c2 USING (i) GROUP BY 1, 2),
+        |pk2 AS (SELECT vec_id, min(d2 * 8 + cid) AS pmin FROM d2 GROUP BY 1),
+        |a2 AS (SELECT vec_id, (pmin % 8)::BIGINT AS c2v, (pmin // 8)::BIGINT AS qd2 FROM pk2),
+        |m AS (SELECT a1.vec_id, c1, c2v, qd2 FROM a1 JOIN a2 USING (vec_id)),
+        |b AS (SELECT c1 AS centroid_id, count(*)::BIGINT AS n_before,
+        |        sum(CASE WHEN c2v != c1 THEN 1 ELSE 0 END)::BIGINT AS n_moved_out
+        |      FROM m GROUP BY 1),
+        |a AS (SELECT c2v AS centroid_id, count(*)::BIGINT AS n_after,
+        |        sum(qd2)::BIGINT AS qd2_sum FROM m GROUP BY 1)
+        |SELECT centroid_id,
+        |  coalesce(n_before, 0)::BIGINT AS n_before,
+        |  coalesce(n_moved_out, 0)::BIGINT AS n_moved_out,
+        |  coalesce(n_after, 0)::BIGINT AS n_after,
+        |  coalesce(qd2_sum, 0)::BIGINT AS qd2_sum
+        |FROM b FULL JOIN a USING (centroid_id)
+        |ORDER BY 1""".stripMargin,
 
     // PQ: the same packed argmin per (vector, subspace) through 1-based
     // list subscripts over the slice windows; the VALUES frame is the

@@ -398,6 +398,29 @@ class EventOpsSpec extends AnyFunSuite {
     assert(expected.size > 3, "several transition pairs must occur")
   }
 
+  test("convert == local sorted k-th order statistic over per-user hour delays") {
+    val byUser = ev.groupBy(_._3)
+    val delays = byUser.toSeq.flatMap { case (_, es) =>
+      val signups = es.filter(_._4 == "signup").map(_._2)
+      if (signups.isEmpty) None
+      else {
+        val s = signups.min
+        val ps = es.filter(e => e._4 == "purchase" && e._2 > s).map(_._2)
+        if (ps.isEmpty) None else Some((ps.min - s) / 3600000000L)
+      }
+    }.sorted
+    val n = delays.length
+    assert(n > 0, "the corpus must have converting users")
+    val want = Seq(0.25, 0.5, 0.75, 0.9).map { q =>
+      val k = math.floor(q * (n - 1).toDouble).toLong + 1L
+      (q, k, delays((k - 1).toInt))
+    }
+    val got = EventOps.convert(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(want.map(_._3) == want.map(_._3).sorted, "the ladder is monotone")
+  }
+
   test("markov == local 3-round integer mass-passing recompute; mass only leaks") {
     val gap = 1800000000L
     val trans = ev.groupBy(_._3).toSeq.flatMap { case (_, es) =>

@@ -366,6 +366,54 @@ class TrainingOpsClusterSpec extends AnyFunSuite {
     assert(got.exists(r => r._2 > r._3), "some source must drop a duplicate")
   }
 
+  test("kmeansIterate == local Lloyd-round recompute (float E1, integer M + E2)") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>)")
+      .as[(Long, Array[Double])].collect().toSeq.sortBy(_._1)
+    val cents = vecs.filter(_._1 < 8)
+    // E1: the kmeansAssign float packed argmin (2^20, pack 16)
+    val a1 = vecs.map { case (id, v) =>
+      val pmin = cents.map { case (cid, cv) =>
+        val d2 = v.indices.foldLeft(0.0) { (acc, i) =>
+          val d = cv(i) - v(i); acc + d * d
+        }
+        math.floor(d2 * 1048576.0).toLong * 16L + cid
+      }.min
+      (id, pmin % 16L)
+    }.toMap
+    // M: per-(centroid, dim) integer mean at 2^10
+    val qx = vecs.map { case (id, v) => id -> v.map(x => math.floor(x * 1024.0).toLong) }.toMap
+    val dims = vecs.head._2.length
+    val c2 = (0L until 8L).map { cid =>
+      val members = vecs.filter(v => a1(v._1) == cid).map(v => qx(v._1))
+      cid -> Array.tabulate(dims)(i => members.map(_(i)).sum / members.size)
+    }.toMap
+    // E2: all-integer packed argmin over the updated centroids
+    val a2 = vecs.map { case (id, _) =>
+      val pmin = c2.toSeq.map { case (cid, cq) =>
+        val d2 = (0 until dims).map { i =>
+          val d = qx(id)(i) - cq(i); d * d
+        }.sum
+        d2 * 8L + cid
+      }.min
+      (id, pmin % 8L, pmin / 8L)
+    }
+    val want = (0L until 8L).map { cid =>
+      val nb = a1.values.count(_ == cid).toLong
+      val movedOut = vecs.count(v => a1(v._1) == cid
+        && a2.find(_._1 == v._1).get._2 != cid).toLong
+      val into = a2.filter(_._2 == cid)
+      (cid, nb, movedOut, into.size.toLong, into.map(_._3).sum)
+    }.filter(r => r._2 > 0 || r._4 > 0)
+    val got = TrainingOps.kmeansIterate(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    assert(want.map(_._2).sum == vecs.size.toLong
+      && want.map(_._4).sum == vecs.size.toLong, "both assignments partition the corpus")
+    assert(want.exists(_._3 > 0L), "one Lloyd round must move some vector on this data")
+  }
+
   test("annPqRecall == brute ADC-vs-exact recompute; compression loses some recall") {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")

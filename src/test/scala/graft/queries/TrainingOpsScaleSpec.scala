@@ -56,6 +56,20 @@ class TrainingOpsScaleSpec extends AnyFunSuite {
     assert(pruned.forall(_._3 >= 500L))
   }
 
+  test("lshRecall audit row == recompute from the exact and band pair sets") {
+    val exact = TrainingOps.setsimPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bands = TrainingOps.minhashDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = exact.intersect(bands).size.toLong
+    val want = (exact.size.toLong, found,
+      found * 1000L / math.max(exact.size.toLong, 1L))
+    val got = TrainingOps.lshRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(want))
+    assert(want._1 > 0L && want._3 > 0L && want._3 <= 1000L)
+  }
+
   test("dedup plans carry no all-pairs join") {
     assertNoAllPairs(TrainingOps.embNearDup(spark, sf), "embNearDup")
     assertNoAllPairs(TrainingOps.setsimPairs(spark, sf), "setsimPairs")
