@@ -224,6 +224,13 @@ object Bench {
   private val Ops20Queries =
     Seq("q_evt_convert", "q_doc_lsh_recall", "q_kmeans_iterate")
 
+  /** The round-5 twenty-first wave: the relational warehouse family
+    * (Q1-shaped pricing, three-hop nation revenue, registry top-k,
+    * EXISTS priority audit).
+    */
+  private val Ops21Queries =
+    Seq("q_rel_pricing", "q_rel_revenue_nation", "q_rel_top_suppliers", "q_rel_priority")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -234,7 +241,7 @@ object Bench {
     "ops14" -> Ops14Queries, "ops15" -> Ops15Queries,
     "ops16" -> Ops16Queries, "ops17" -> Ops17Queries,
     "ops18" -> Ops18Queries, "ops19" -> Ops19Queries,
-    "ops20" -> Ops20Queries)
+    "ops20" -> Ops20Queries, "ops21" -> Ops21Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

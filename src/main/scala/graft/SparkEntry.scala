@@ -4,7 +4,7 @@ import graft.core.{Cases, Clip, GeoJson, MarchingSquares, Poly, ContourResult, T
 import graft.docs.DocCodec
 import graft.engine.ContourEngine
 import graft.model._
-import graft.queries.{EventOps, EventsGrid, HullOps, HydroOps, MultimodalOps, RasterOps, StatsOps, TrainingOps}
+import graft.queries.{EventOps, EventsGrid, HullOps, HydroOps, MultimodalOps, RasterOps, RelOps, StatsOps, TrainingOps}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -721,6 +721,12 @@ object SparkEntry {
     "q_doc_simpson" -> TrainingOps.simpson,
     "q_doc_kmv" -> TrainingOps.kmvSketch,
     "q_doc_bloom" -> TrainingOps.bloomCheck,
+
+    // ---- relational analytics over the TPC-H-shaped warehouse tables ----
+    "q_rel_pricing" -> RelOps.pricing,
+    "q_rel_revenue_nation" -> RelOps.revenueNation,
+    "q_rel_top_suppliers" -> RelOps.topSuppliers,
+    "q_rel_priority" -> RelOps.priority,
 
     // ---- composition: the auto-threshold ladder feeding the FULL contour
     //      pipeline (quantile selection -> tiling -> kernel -> stitch ->
@@ -1676,7 +1682,8 @@ object SparkEntry {
         |  sum(floor(v / d2 * 1048576.0)::BIGINT)::BIGINT AS qwv_sum
         |FROM p GROUP BY 1 ORDER BY tid""".stripMargin
   ) ++ TrainingOps.oracleSql ++ RasterOps.oracleSql ++ EventOps.oracleSql ++
-    StatsOps.oracleSql ++ HydroOps.oracleSql ++ HullOps.oracleSql
+    StatsOps.oracleSql ++ HydroOps.oracleSql ++ HullOps.oracleSql ++
+    RelOps.oracleSql
 
   /** Staged Morton bit-spread CTE chain (DuckDB): takes a CTE `src` with
     * BIGINT columns `px`, `py` (non-negative, 31-bit) plus `carry` columns
