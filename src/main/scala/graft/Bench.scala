@@ -231,6 +231,18 @@ object Bench {
   private val Ops21Queries =
     Seq("q_rel_pricing", "q_rel_revenue_nation", "q_rel_top_suppliers", "q_rel_priority")
 
+  /** The round-5 twenty-second wave: weekly region revenue trend (the
+    * full four-hop dimension chain) and the per-part-type margin census.
+    */
+  private val Ops22Queries = Seq("q_rel_weekly_trend", "q_rel_part_margin")
+
+  /** The round-5 twenty-third wave: dual-chain local revenue, trailing
+    * left-outer customer distribution, conditional promo share, and the
+    * mean-threshold anti-join balance audit.
+    */
+  private val Ops23Queries =
+    Seq("q_rel_local_revenue", "q_rel_cust_dist", "q_rel_promo_share", "q_rel_balance_audit")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -241,7 +253,8 @@ object Bench {
     "ops14" -> Ops14Queries, "ops15" -> Ops15Queries,
     "ops16" -> Ops16Queries, "ops17" -> Ops17Queries,
     "ops18" -> Ops18Queries, "ops19" -> Ops19Queries,
-    "ops20" -> Ops20Queries, "ops21" -> Ops21Queries)
+    "ops20" -> Ops20Queries, "ops21" -> Ops21Queries,
+    "ops22" -> Ops22Queries, "ops23" -> Ops23Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -727,6 +727,12 @@ object SparkEntry {
     "q_rel_revenue_nation" -> RelOps.revenueNation,
     "q_rel_top_suppliers" -> RelOps.topSuppliers,
     "q_rel_priority" -> RelOps.priority,
+    "q_rel_weekly_trend" -> RelOps.weeklyTrend,
+    "q_rel_part_margin" -> RelOps.partMargin,
+    "q_rel_local_revenue" -> RelOps.localRevenue,
+    "q_rel_cust_dist" -> RelOps.custDist,
+    "q_rel_promo_share" -> RelOps.promoShare,
+    "q_rel_balance_audit" -> RelOps.balanceAudit,
 
     // ---- composition: the auto-threshold ladder feeding the FULL contour
     //      pipeline (quantile selection -> tiling -> kernel -> stitch ->

@@ -131,7 +131,226 @@ object RelOps {
       .orderBy("o_orderpriority")
   }
 
+  /** Weekly revenue trend per REGION — the time-bucketed rollup with the
+    * whole dimension chain (lineitem -> orders -> customer -> nation ->
+    * region): week = epoch-days div 7 (pure integer bucketing, no
+    * calendar function on the compare path), fixed-point revenue. The
+    * nation->region hop is a 25-row broadcast; output is
+    * O(weeks x regions).
+    */
+  val weeklyTrend: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val rev = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 604800000000").as("week"),
+        (q100(col("l_extendedprice")) * (lit(100L) - q100(col("l_discount")))).as("qrev"))
+    rev.join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region").select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("week", "r_name")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("qrev").cast("decimal(38,0)")).cast("long").as("revenue"))
+      .orderBy("week", "r_name")
+  }
+
+  /** Per-part-type MARGIN census — the lineitem -> part join (the part
+    * dimension is key-equality; Catalyst broadcasts it at contract scale):
+    * margin = revenue - retail cost in the SAME x10000 fixed-point scale
+    * (qrev = price_cents * (100 - disc_cents); qcost = retail_cents *
+    * qty_x100 — both cents x100, so the subtraction is scale-consistent
+    * and exact).
+    */
+  val partMargin: (SparkSession, String) => DataFrame = (spark, dir) => {
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        (q100(col("l_extendedprice")) * (lit(100L) - q100(col("l_discount")))).as("qrev"),
+        q100(col("l_quantity")).as("qqty"))
+      .join(t(spark, dir, "part").select(col("p_partkey"), col("p_type"),
+        q100(col("p_retailprice")).as("qretail")), col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"), col("qrev"),
+        (col("qretail") * col("qqty")).as("qcost"))
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("qrev").cast("decimal(38,0)")).cast("long").as("revenue"),
+        sum((col("qrev") - col("qcost")).cast("decimal(38,0)")).cast("long").as("margin"))
+      .orderBy("p_type")
+  }
+
+  /** Q5-shaped LOCAL revenue — the dual-dimension-chain topology the
+    * family lacks elsewhere: the fact row joins its supplier (l_suppkey)
+    * AND its customer's nation chain, and only rows whose two chains land
+    * in the SAME nation survive (c_nationkey = s_nationkey — a
+    * cross-dimension equality, not a join key). Supplier (registry) and
+    * nation are explicit broadcasts; the orders/customer hops are
+    * key-equality joins that degrade to shuffle equi-joins at warehouse
+    * scale.
+    */
+  val localRevenue: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val rev = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (q100(col("l_extendedprice")) * (lit(100L) - q100(col("l_discount")))).as("qrev"))
+    rev.join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("qrev").cast("decimal(38,0)")).cast("long").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Q13-shaped customer order-count distribution over the trailing
+    * 365-day window (cutoff = max orderdate - 365d, pure epoch integer
+    * arithmetic) — the LEFT-OUTER histogram: customers with NO recent
+    * orders land in the n_orders = 0 bucket instead of vanishing. Two
+    * map-side-combinable aggregations (custkey, then the count-class
+    * registry); nothing wider than the recent-orders projection ever
+    * shuffles.
+    */
+  val custDist: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("ous"))
+    val cut = o.select((max(col("ous")) - 365L * 86400000000L).as("cut"))
+    val recent = o.crossJoin(broadcast(cut)).filter(col("ous") > col("cut"))
+      .select(col("o_custkey"))
+    t(spark, dir, "customer").select(col("c_custkey"))
+      .join(recent, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_custkey")).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy("n_orders")
+  }
+
+  /** Q14-shaped PROMO revenue share per 365-day epoch bucket (yr365 =
+    * epoch-micros div 365d — a fixed-width bucket, deliberately NOT a
+    * calendar year, keeping calendar functions off the compare path):
+    * conditional aggregation (CASE-sum) + the x1000 integer share,
+    * decimal(38,0) accumulation so the div matches DuckDB's HUGEINT //.
+    * The part dimension is a broadcast; the fact table crosses only its
+    * yr365 aggregation.
+    */
+  val promoShare: (SparkSession, String) => DataFrame = (spark, dir) => {
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 31536000000000").as("yr365"),
+        (q100(col("l_extendedprice")) * (lit(100L) - q100(col("l_discount")))).as("qrev"))
+      .join(broadcast(t(spark, dir, "part").select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("yr365")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("p_type") === "PROMO", col("qrev")).otherwise(lit(0L))
+          .cast("decimal(38,0)")).as("dpromo"),
+        sum(col("qrev").cast("decimal(38,0)")).as("dtotal"))
+      .select(col("yr365"), col("n_lines"),
+        col("dpromo").cast("long").as("promo_rev"),
+        col("dtotal").cast("long").as("total_rev"),
+        expr("(dpromo * 1000) div dtotal").as("promo_x1000"))
+      .orderBy("yr365")
+  }
+
+  /** Q22-shaped dormant-balance audit: customers whose fixed-point
+    * balance exceeds the positive-balance MEAN (threshold = cents-sum div
+    * count — one scalar pre-pass, integer division both sides) and who
+    * placed NO order in the trailing 180 days — the ANTI-join topology
+    * (priority covers EXISTS; this is NOT EXISTS). Per-segment customer
+    * count and balance sum.
+    */
+  val balanceAudit: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), q100(col("c_acctbal")).as("qbal"))
+    val thr = c.filter(col("qbal") > 0L)
+      .agg(sum(col("qbal").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
+      .select(expr("s div n").as("thr"))
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("ous"))
+    val cut = o.select((max(col("ous")) - 180L * 86400000000L).as("cut"))
+    val recent = o.crossJoin(broadcast(cut)).filter(col("ous") > col("cut"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(thr))
+      .filter(col("qbal") > col("thr"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("qbal").cast("decimal(38,0)")).cast("long").as("bal_sum"))
+      .orderBy("c_mktsegment")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_rel_local_revenue" ->
+      """SELECT n_name, count(*)::BIGINT AS n_lines,
+        |  sum(floor(l_extendedprice * 100)::BIGINT
+        |      * (100 - floor(l_discount * 100)::BIGINT))::BIGINT AS revenue
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE c_nationkey = s_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rel_cust_dist" ->
+      """WITH cu AS (SELECT max(epoch_us(o_orderdate)) - 365 * 86400000000 AS cutus FROM orders),
+        |ro AS (SELECT o_custkey FROM orders CROSS JOIN cu WHERE epoch_us(o_orderdate) > cutus),
+        |d AS (SELECT c_custkey, count(ro.o_custkey)::BIGINT AS n_orders
+        |      FROM customer LEFT JOIN ro ON o_custkey = c_custkey GROUP BY 1)
+        |SELECT n_orders, count(*)::BIGINT AS n_custs FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rel_promo_share" ->
+      """WITH li AS (SELECT epoch_us(l_shipdate) // 31536000000000 AS yr365, p_type,
+        |        floor(l_extendedprice * 100)::BIGINT
+        |          * (100 - floor(l_discount * 100)::BIGINT) AS qrev
+        |      FROM lineitem JOIN part ON p_partkey = l_partkey)
+        |SELECT yr365, count(*)::BIGINT AS n_lines,
+        |  sum(CASE WHEN p_type = 'PROMO' THEN qrev ELSE 0 END)::BIGINT AS promo_rev,
+        |  sum(qrev)::BIGINT AS total_rev,
+        |  (sum(CASE WHEN p_type = 'PROMO' THEN qrev ELSE 0 END) * 1000
+        |    // sum(qrev))::BIGINT AS promo_x1000
+        |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rel_balance_audit" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |        floor(c_acctbal * 100)::BIGINT AS qbal FROM customer),
+        |th AS (SELECT (sum(qbal) // count(*))::BIGINT AS thr FROM c WHERE qbal > 0),
+        |cu AS (SELECT max(epoch_us(o_orderdate)) - 180 * 86400000000 AS cutus FROM orders),
+        |ro AS (SELECT DISTINCT o_custkey FROM orders CROSS JOIN cu
+        |       WHERE epoch_us(o_orderdate) > cutus)
+        |SELECT c_mktsegment, count(*)::BIGINT AS n_custs, sum(qbal)::BIGINT AS bal_sum
+        |FROM c CROSS JOIN th
+        |WHERE qbal > thr AND NOT EXISTS (SELECT 1 FROM ro WHERE ro.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rel_weekly_trend" ->
+      """SELECT epoch_us(l_shipdate) // 604800000000 AS week, r_name,
+        |  count(*)::BIGINT AS n_lines,
+        |  sum(floor(l_extendedprice * 100)::BIGINT
+        |      * (100 - floor(l_discount * 100)::BIGINT))::BIGINT AS revenue
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_rel_part_margin" ->
+      """WITH li AS (SELECT p_type,
+        |        floor(l_extendedprice * 100)::BIGINT
+        |          * (100 - floor(l_discount * 100)::BIGINT) AS qrev,
+        |        floor(p_retailprice * 100)::BIGINT * floor(l_quantity * 100)::BIGINT AS qcost
+        |      FROM lineitem JOIN part ON p_partkey = l_partkey)
+        |SELECT p_type, count(*)::BIGINT AS n_lines, sum(qrev)::BIGINT AS revenue,
+        |  sum(qrev - qcost)::BIGINT AS margin
+        |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_rel_pricing" ->
       """WITH li AS (SELECT l_returnflag, l_linestatus, epoch_us(l_shipdate) AS us,
         |             floor(l_quantity * 100)::BIGINT AS qqty,

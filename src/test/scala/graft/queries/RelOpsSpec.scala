@@ -74,6 +74,49 @@ class RelOpsSpec extends AnyFunSuite {
     assert(want.map(_._3) == want.map(_._3).sorted.reverse)
   }
 
+  test("weeklyTrend == local epoch-week recompute through the full dimension chain") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey").as[(Long, Long)].collect().toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "c_nationkey").as[(Long, Int)].collect().toMap
+    val natReg = spark.read.parquet(s"$sf/nation.parquet")
+      .selectExpr("n_nationkey", "n_regionkey").as[(Int, Int)].collect().toMap
+    val regions = spark.read.parquet(s"$sf/region.parquet")
+      .selectExpr("r_regionkey", "r_name").as[(Int, String)].collect().toMap
+    val want = li.map { l =>
+      ((l._9 / 604800000000L, regions(natReg(cust(orders(l._1))))),
+        q100(l._4) * (100L - q100(l._5)))
+    }.groupBy(_._1).toSeq.map { case ((w, r), xs) =>
+      (w, r, xs.size.toLong, xs.map(x => BigInt(x._2)).sum.toLong)
+    }.sortBy(r => (r._1, r._2))
+    val got = RelOps.weeklyTrend(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(want.map(_._1).distinct.size > 1, "several weeks must exist")
+  }
+
+  test("partMargin == local scale-consistent fixed-point recompute") {
+    import spark.implicits._
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .selectExpr("p_partkey", "p_type", "p_retailprice")
+      .as[(Long, String, Double)].collect().map(p => p._1 -> (p._2, q100(p._3))).toMap
+    val liP = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    val want = liP.map { l =>
+      val (ptype, qretail) = parts(l._1)
+      (ptype, q100(l._3) * (100L - q100(l._4)), qretail * q100(l._2))
+    }.groupBy(_._1).toSeq.map { case (t, xs) =>
+      (t, xs.size.toLong, xs.map(x => BigInt(x._2)).sum.toLong,
+        xs.map(x => BigInt(x._2 - x._3)).sum.toLong)
+    }.sortBy(_._1)
+    val got = RelOps.partMargin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(want.exists(_._4 < 0L) || want.exists(_._4 > 0L), "margins must be non-trivial")
+  }
+
   test("priority == local EXISTS semi-join recompute") {
     import spark.implicits._
     val orders = spark.read.parquet(s"$sf/orders.parquet")
@@ -89,5 +132,91 @@ class RelOpsSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.exists(r => r._3 > 0L && r._3 < r._2),
       "late shipments must exist but not be universal")
+  }
+
+  test("localRevenue == local dual-chain recompute (c_nation == s_nation only)") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey").as[(Long, Long)].collect().toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "c_nationkey").as[(Long, Int)].collect().toMap
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .selectExpr("s_suppkey", "s_nationkey").as[(Long, Int)].collect().toMap
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .selectExpr("n_nationkey", "n_name").as[(Int, String)].collect().toMap
+    val kept = li.filter(l => cust(orders(l._1)) == supp(l._2))
+    val want = kept.map { l =>
+      (nation(supp(l._2)), q100(l._4) * (100L - q100(l._5)))
+    }.groupBy(_._1).toSeq.map { case (n, xs) =>
+      (n, xs.size.toLong, xs.map(x => BigInt(x._2)).sum.toLong)
+    }.sortBy(_._1)
+    val got = RelOps.localRevenue(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(kept.nonEmpty && kept.size < li.size,
+      "the cross-dimension equality must keep a strict, non-empty subset")
+  }
+
+  test("custDist == local trailing-365d left-outer histogram incl. the zero bucket") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey", "unix_micros(cast(o_orderdate as timestamp))")
+      .as[(Long, Long)].collect().toSeq
+    val custs = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey").as[Long].collect().toSeq
+    val cut = orders.map(_._2).max - 365L * 86400000000L
+    val perCust = orders.filter(_._2 > cut).groupBy(_._1).map { case (k, xs) => k -> xs.size.toLong }
+    val want = custs.map(c => perCust.getOrElse(c, 0L)).groupBy(identity).toSeq
+      .map { case (n, xs) => (n, xs.size.toLong) }.sortBy(_._1)
+    val got = RelOps.custDist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    assert(want.head._1 == 0L && want.head._2 > 0L,
+      "the left outer must surface a non-empty zero-order bucket")
+  }
+
+  test("promoShare == local conditional-share recompute per 365d bucket") {
+    import spark.implicits._
+    val ptype = spark.read.parquet(s"$sf/part.parquet")
+      .selectExpr("p_partkey", "p_type").as[(Long, String)].collect().toMap
+    val liP = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_partkey", "l_extendedprice", "l_discount",
+        "unix_micros(cast(l_shipdate as timestamp))")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    val want = liP.map { l =>
+      (l._4 / 31536000000000L, ptype(l._1) == "PROMO", q100(l._2) * (100L - q100(l._3)))
+    }.groupBy(_._1).toSeq.map { case (y, xs) =>
+      val promo = xs.filter(_._2).map(x => BigInt(x._3)).sum
+      val total = xs.map(x => BigInt(x._3)).sum
+      (y, xs.size.toLong, promo.toLong, total.toLong, ((promo * 1000) / total).toLong)
+    }.sortBy(_._1)
+    val got = RelOps.promoShare(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    assert(want.forall(r => r._5 > 0L && r._5 < 1000L),
+      "promo share must be a proper fraction in every bucket")
+  }
+
+  test("balanceAudit == local mean-threshold anti-join recompute") {
+    import spark.implicits._
+    val custs = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "c_mktsegment", "c_acctbal")
+      .as[(Long, String, Double)].collect().toSeq.map(c => (c._1, c._2, q100(c._3)))
+    val pos = custs.map(_._3).filter(_ > 0L)
+    val thr = (pos.map(BigInt(_)).sum / pos.size).toLong
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey", "unix_micros(cast(o_orderdate as timestamp))")
+      .as[(Long, Long)].collect().toSeq
+    val cut = orders.map(_._2).max - 180L * 86400000000L
+    val active = orders.filter(_._2 > cut).map(_._1).toSet
+    val kept = custs.filter(c => c._3 > thr && !active.contains(c._1))
+    val want = kept.groupBy(_._2).toSeq.map { case (seg, xs) =>
+      (seg, xs.size.toLong, xs.map(x => BigInt(x._3)).sum.toLong)
+    }.sortBy(_._1)
+    val got = RelOps.balanceAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(kept.nonEmpty && kept.size < custs.count(_._3 > thr),
+      "the anti-join must drop some above-threshold customers but not all")
   }
 }
