@@ -243,6 +243,11 @@ object Bench {
   private val Ops23Queries =
     Seq("q_rel_local_revenue", "q_rel_cust_dist", "q_rel_promo_share", "q_rel_balance_audit")
 
+  /** The round-5 twenty-fourth wave: ROLLUP grouping sets, per-customer
+    * running revenue window, HAVING + rejoin big-order report.
+    */
+  private val Ops24Queries = Seq("q_rel_rollup", "q_rel_running", "q_rel_big_orders")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -254,7 +259,8 @@ object Bench {
     "ops16" -> Ops16Queries, "ops17" -> Ops17Queries,
     "ops18" -> Ops18Queries, "ops19" -> Ops19Queries,
     "ops20" -> Ops20Queries, "ops21" -> Ops21Queries,
-    "ops22" -> Ops22Queries, "ops23" -> Ops23Queries)
+    "ops22" -> Ops22Queries, "ops23" -> Ops23Queries,
+    "ops24" -> Ops24Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -733,6 +733,9 @@ object SparkEntry {
     "q_rel_cust_dist" -> RelOps.custDist,
     "q_rel_promo_share" -> RelOps.promoShare,
     "q_rel_balance_audit" -> RelOps.balanceAudit,
+    "q_rel_rollup" -> RelOps.revenueRollup,
+    "q_rel_running" -> RelOps.runningRevenue,
+    "q_rel_big_orders" -> RelOps.bigOrders,
 
     // ---- composition: the auto-threshold ladder feeding the FULL contour
     //      pipeline (quantile selection -> tiling -> kernel -> stitch ->

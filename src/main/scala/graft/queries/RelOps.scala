@@ -285,7 +285,103 @@ object RelOps {
       .orderBy("c_mktsegment")
   }
 
+  /** Hierarchical ROLLUP revenue — the grouping-sets face: per (region,
+    * nation) detail rows PLUS per-region subtotals PLUS the grand total in
+    * one pass (Spark's Expand feeds one aggregation; no re-scan per
+    * level). Rolled-up keys surface as the 'ALL' sentinel (the dimension
+    * names never collide with it), keeping NULL-ordering quirks off the
+    * compare path.
+    */
+  val revenueRollup: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val rev = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (q100(col("l_extendedprice")) * (lit(100L) - q100(col("l_discount")))).as("qrev"))
+    rev.join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region").select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("qrev").cast("decimal(38,0)")).cast("long").as("revenue"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        col("n_lines"), col("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Per-customer RUNNING revenue — the ordered analytic window over the
+    * orders fact: cumulative cents total per customer in deterministic
+    * (orderdate, orderkey) order (orderkey breaks date ties, so the
+    * prefix is a total order and every running value is exact). The
+    * window partitions by custkey — keyed state, shuffle-bounded by the
+    * customer registry, no global sort.
+    */
+  val runningRevenue: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ous"),
+        q100(col("o_totalprice")).as("qtotal"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ous"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        sum(col("qtotal").cast("decimal(38,0)")).over(w).cast("long").as("run_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q18-shaped BIG-ORDER report — HAVING semantics over the aggregated
+    * fact (per-order quantity sum > 200.00 units in cents) joined BACK to
+    * its dimensions: the aggregate-then-filter-then-rejoin topology. The
+    * fact crosses only its orderkey aggregation; the survivor set is a
+    * small fraction (~6%) that then joins orders/customer by key.
+    */
+  val bigOrders: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val qty = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), q100(col("l_quantity")).as("qqty"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("qqty")).as("sum_qty"))
+      .filter(col("sum_qty") > 20000L)
+    qty.join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        q100(col("o_totalprice")).as("qtotal")), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer").select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("qtotal"), col("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_rel_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+        |  count(*)::BIGINT AS n_lines,
+        |  sum(floor(l_extendedprice * 100)::BIGINT
+        |      * (100 - floor(l_discount * 100)::BIGINT))::BIGINT AS revenue
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""".stripMargin,
+
+    "q_rel_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  sum(floor(o_totalprice * 100)::BIGINT) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_total
+        |FROM orders ORDER BY 1, 2""".stripMargin,
+
+    "q_rel_big_orders" ->
+      """WITH s AS (SELECT l_orderkey, sum(floor(l_quantity * 100)::BIGINT)::BIGINT AS sum_qty
+        |           FROM lineitem GROUP BY 1
+        |           HAVING sum(floor(l_quantity * 100)::BIGINT) > 20000)
+        |SELECT o_orderkey, c_name, floor(o_totalprice * 100)::BIGINT AS qtotal, sum_qty
+        |FROM s JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY 1""".stripMargin,
+
     "q_rel_local_revenue" ->
       """SELECT n_name, count(*)::BIGINT AS n_lines,
         |  sum(floor(l_extendedprice * 100)::BIGINT

@@ -219,4 +219,66 @@ class RelOpsSpec extends AnyFunSuite {
     assert(kept.nonEmpty && kept.size < custs.count(_._3 > thr),
       "the anti-join must drop some above-threshold customers but not all")
   }
+
+  test("revenueRollup == detail + region subtotals + grand total, one consistent pass") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey").as[(Long, Long)].collect().toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "c_nationkey").as[(Long, Int)].collect().toMap
+    val nat = spark.read.parquet(s"$sf/nation.parquet")
+      .selectExpr("n_nationkey", "n_name", "n_regionkey").as[(Int, String, Int)]
+      .collect().map(n => n._1 -> (n._2, n._3)).toMap
+    val reg = spark.read.parquet(s"$sf/region.parquet")
+      .selectExpr("r_regionkey", "r_name").as[(Int, String)].collect().toMap
+    val rows = li.map { l =>
+      val (nn, rk) = nat(cust(orders(l._1)))
+      (reg(rk), nn, q100(l._4) * (100L - q100(l._5)))
+    }
+    def agg(xs: Seq[(String, String, Long)], r: String, n: String) =
+      (r, n, xs.size.toLong, xs.map(x => BigInt(x._3)).sum.toLong)
+    val detail = rows.groupBy(x => (x._1, x._2)).toSeq.map { case ((r, n), xs) => agg(xs, r, n) }
+    val regionTot = rows.groupBy(_._1).toSeq.map { case (r, xs) => agg(xs, r, "ALL") }
+    val want = (detail ++ regionTot :+ agg(rows, "ALL", "ALL")).sortBy(x => (x._1, x._2))
+    val got = RelOps.revenueRollup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.count(_._2 == "ALL") == regionTot.size + 1, "one subtotal per region + grand")
+  }
+
+  test("runningRevenue == per-customer sorted prefix sums (date then orderkey)") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey", "o_orderkey",
+        "unix_micros(cast(o_orderdate as timestamp))", "o_totalprice")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val want = orders.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      val sorted = os.sortBy(o => (o._3, o._2))
+      sorted.scanLeft((0L, BigInt(0))) { case ((_, acc), o) =>
+        (o._2, acc + q100(o._4))
+      }.tail.map { case (ok, run) => (ck, ok, run.toLong) }
+    }.sortBy(r => (r._1, r._2))
+    val got = RelOps.runningRevenue(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(orders.groupBy(_._1).values.exists(_.size > 2), "multi-order customers must exist")
+  }
+
+  test("bigOrders == local HAVING + rejoin recompute, strict non-empty subset") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey", "o_totalprice")
+      .as[(Long, Long, Double)].collect().map(o => o._1 -> (o._2, q100(o._3))).toMap
+    val names = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "c_name").as[(Long, String)].collect().toMap
+    val sums = li.groupBy(_._1).map { case (k, xs) => k -> xs.map(l => q100(l._3)).sum }
+    val want = sums.filter(_._2 > 20000L).toSeq.map { case (ok, sq) =>
+      val (ck, qt) = orders(ok)
+      (ok, names(ck), qt, sq)
+    }.sortBy(_._1)
+    val got = RelOps.bigOrders(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(want.nonEmpty && want.size < sums.size, "HAVING must keep a strict non-empty subset")
+  }
 }
