@@ -248,6 +248,11 @@ object Bench {
     */
   private val Ops24Queries = Seq("q_rel_rollup", "q_rel_running", "q_rel_big_orders")
 
+  /** The round-5 twenty-fifth wave: Q7 bilateral trade matrix and the
+    * per-nation argmax customer.
+    */
+  private val Ops25Queries = Seq("q_rel_trade_matrix", "q_rel_top_customer")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -260,7 +265,7 @@ object Bench {
     "ops18" -> Ops18Queries, "ops19" -> Ops19Queries,
     "ops20" -> Ops20Queries, "ops21" -> Ops21Queries,
     "ops22" -> Ops22Queries, "ops23" -> Ops23Queries,
-    "ops24" -> Ops24Queries)
+    "ops24" -> Ops24Queries, "ops25" -> Ops25Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -736,6 +736,8 @@ object SparkEntry {
     "q_rel_rollup" -> RelOps.revenueRollup,
     "q_rel_running" -> RelOps.runningRevenue,
     "q_rel_big_orders" -> RelOps.bigOrders,
+    "q_rel_trade_matrix" -> RelOps.tradeMatrix,
+    "q_rel_top_customer" -> RelOps.topCustomerPerNation,
 
     // ---- composition: the auto-threshold ladder feeding the FULL contour
     //      pipeline (quantile selection -> tiling -> kernel -> stitch ->

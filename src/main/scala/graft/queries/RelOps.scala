@@ -353,7 +353,83 @@ object RelOps {
       .orderBy("o_orderkey")
   }
 
+  /** Q7-shaped bilateral TRADE matrix: revenue by (supplier nation,
+    * customer nation) — BOTH dimension chains resolved per fact row (the
+    * supplier hop directly, the customer hop through orders), two aliased
+    * broadcasts of the same 25-row nation registry. Output is the
+    * O(nations^2) flow matrix; the diagonal is localRevenue's domain, the
+    * off-diagonal is cross-border flow.
+    */
+  val tradeMatrix: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val rev = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (q100(col("l_extendedprice")) * (lit(100L) - q100(col("l_discount")))).as("qrev"))
+    rev.join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .join(broadcast(t(spark, dir, "nation")
+          .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .groupBy("supp_nation", "cust_nation")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("qrev").cast("decimal(38,0)")).cast("long").as("revenue"))
+      .orderBy("supp_nation", "cust_nation")
+  }
+
+  /** Per-nation TOP customer by lifetime order value — the per-group
+    * ARGMAX face: the orders fact crosses only its custkey aggregation
+    * (map-side combinable), the rank window rides the customer-registry
+    * table partitioned by nationkey, tie-break (total DESC, custkey ASC)
+    * is a total order so the winner is deterministic.
+    */
+  val topCustomerPerNation: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val totals = t(spark, dir, "orders")
+      .select(col("o_custkey"), q100(col("o_totalprice")).as("qtotal"))
+      .groupBy("o_custkey")
+      .agg(sum(col("qtotal").cast("decimal(38,0)")).cast("long").as("total"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("total").desc, col("c_custkey").asc)
+    totals.join(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_name"), col("total"))
+      .orderBy("n_name")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_rel_trade_matrix" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  count(*)::BIGINT AS n_lines,
+        |  sum(floor(l_extendedprice * 100)::BIGINT
+        |      * (100 - floor(l_discount * 100)::BIGINT))::BIGINT AS revenue
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_rel_top_customer" ->
+      """WITH s AS (SELECT o_custkey, sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS total
+        |           FROM orders GROUP BY 1),
+        |r AS (SELECT n_name, c_name, total,
+        |        row_number() OVER (PARTITION BY c_nationkey
+        |                           ORDER BY total DESC, c_custkey) AS rn
+        |      FROM s JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation ON n_nationkey = c_nationkey)
+        |SELECT n_name, c_name, total FROM r WHERE rn = 1 ORDER BY n_name""".stripMargin,
+
     "q_rel_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
         |  count(*)::BIGINT AS n_lines,

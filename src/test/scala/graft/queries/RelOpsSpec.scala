@@ -281,4 +281,49 @@ class RelOpsSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.nonEmpty && want.size < sums.size, "HAVING must keep a strict non-empty subset")
   }
+
+  test("tradeMatrix == local bilateral-flow recompute; off-diagonal dominates") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey").as[(Long, Long)].collect().toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "c_nationkey").as[(Long, Int)].collect().toMap
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .selectExpr("s_suppkey", "s_nationkey").as[(Long, Int)].collect().toMap
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .selectExpr("n_nationkey", "n_name").as[(Int, String)].collect().toMap
+    val want = li.map { l =>
+      ((nation(supp(l._2)), nation(cust(orders(l._1)))), q100(l._4) * (100L - q100(l._5)))
+    }.groupBy(_._1).toSeq.map { case ((s, c), xs) =>
+      (s, c, xs.size.toLong, xs.map(x => BigInt(x._2)).sum.toLong)
+    }.sortBy(r => (r._1, r._2))
+    val got = RelOps.tradeMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    val offDiag = want.filter(r => r._1 != r._2).map(_._3).sum
+    assert(offDiag > want.filter(r => r._1 == r._2).map(_._3).sum,
+      "cross-border flow must dominate the diagonal (24/25 of random pairs)")
+  }
+
+  test("topCustomerPerNation == local per-nation argmax with the deterministic tie-break") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey", "o_totalprice").as[(Long, Double)].collect().toSeq
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "c_name", "c_nationkey").as[(Long, String, Int)].collect().toSeq
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .selectExpr("n_nationkey", "n_name").as[(Int, String)].collect().toMap
+    val totals = orders.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.map(o => BigInt(q100(o._2))).sum.toLong
+    }
+    val want = cust.map(c => (c._3, c._1, c._2, totals.getOrElse(c._1, 0L)))
+      .groupBy(_._1).toSeq.map { case (nk, xs) =>
+        val win = xs.minBy(x => (-x._4, x._2))
+        (nation(nk), win._3, win._4)
+      }.sortBy(_._1)
+    val got = RelOps.topCustomerPerNation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.map(_._2).distinct.size == got.size, "one distinct winner per nation")
+  }
 }
