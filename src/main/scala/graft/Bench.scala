@@ -253,6 +253,11 @@ object Bench {
     */
   private val Ops25Queries = Seq("q_rel_trade_matrix", "q_rel_top_customer")
 
+  /** The round-5 twenty-seventh wave: full-outer reconciliation, the
+    * static-list pivot, and the (user, day) set-EXCEPT rollup.
+    */
+  private val Ops27Queries = Seq("q_rel_reconcile", "q_rel_pivot", "q_evt_click_no_buy")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -265,7 +270,8 @@ object Bench {
     "ops18" -> Ops18Queries, "ops19" -> Ops19Queries,
     "ops20" -> Ops20Queries, "ops21" -> Ops21Queries,
     "ops22" -> Ops22Queries, "ops23" -> Ops23Queries,
-    "ops24" -> Ops24Queries, "ops25" -> Ops25Queries)
+    "ops24" -> Ops24Queries, "ops25" -> Ops25Queries,
+    "ops27" -> Ops27Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

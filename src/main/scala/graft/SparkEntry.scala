@@ -738,6 +738,9 @@ object SparkEntry {
     "q_rel_big_orders" -> RelOps.bigOrders,
     "q_rel_trade_matrix" -> RelOps.tradeMatrix,
     "q_rel_top_customer" -> RelOps.topCustomerPerNation,
+    "q_rel_reconcile" -> RelOps.reconcile,
+    "q_rel_pivot" -> RelOps.revenuePivot,
+    "q_evt_click_no_buy" -> EventOps.clickNoBuy,
 
     // ---- composition: the auto-threshold ladder feeding the FULL contour
     //      pipeline (quantile selection -> tiling -> kernel -> stitch ->

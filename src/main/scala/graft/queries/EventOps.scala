@@ -771,7 +771,39 @@ object EventOps {
         countDistinct(col("k")).as("k_distinct"))
       .orderBy("event_type")
 
+  /** Unconverted click-days — the set-EXCEPT face: the distinct
+    * (user, epoch-day) pairs with a click minus those with a same-day
+    * purchase (Catalyst plans `except` as distinct + left-anti — the
+    * set-op API over the keyed-join machinery), rolled up to a per-user
+    * count. Both sides reduce to distinct day pairs BEFORE the except, so
+    * the anti-join touches O(user-days), never raw events.
+    */
+  val clickNoBuy: (SparkSession, String) => DataFrame = (spark, dir) => {
+    def dayPairs(tpe: String): DataFrame =
+      events(spark, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+        .distinct()
+    dayPairs("click").except(dayPairs("purchase"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_unconverted_days"), min("day").as("first_day"),
+        max("day").as("last_day"))
+      .orderBy("user_id")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_evt_click_no_buy" ->
+      """WITH c AS (SELECT DISTINCT user_id,
+        |             epoch_us(ts) // 86400000000 AS day
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |      FROM events WHERE event_type = 'purchase'),
+        |x AS (SELECT * FROM c EXCEPT SELECT * FROM p)
+        |SELECT user_id, count(*)::BIGINT AS n_unconverted_days,
+        |  min(day)::BIGINT AS first_day, max(day)::BIGINT AS last_day
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // least-squares trend: the same exact-integer moment sums (rebased
     // minute x, quantized y) — num/den are plain BIGINT expressions whose
     // HUGEINT intermediates the ::BIGINT casts keep honest (an overflow

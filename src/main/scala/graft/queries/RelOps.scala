@@ -406,7 +406,80 @@ object RelOps {
       .orderBy("n_name")
   }
 
+  /** Orders-vs-shipments RECONCILIATION — the FULL OUTER face: per
+    * epoch-day, how many orders were placed and how many lines shipped,
+    * with one-sided days surfacing as zeros instead of vanishing (order
+    * books open before shipping starts and shipping outlives the last
+    * order, so BOTH one-sided regions exist by construction). Each side
+    * pre-aggregates to day granularity first, so the outer join touches
+    * O(days), never the facts.
+    */
+  val reconcile: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+      .select(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("oday"))
+      .groupBy("oday").agg(count(lit(1)).as("n_orders"))
+    val l = t(spark, dir, "lineitem")
+      .select(expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").as("lday"))
+      .groupBy("lday").agg(count(lit(1)).as("n_shipped"))
+    o.join(l, col("oday") === col("lday"), "full_outer")
+      .select(coalesce(col("oday"), col("lday")).as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+      .orderBy("day")
+  }
+
+  /** Revenue PIVOT — nation rows x return-flag columns through Spark's
+    * pivot API (explicit value list, so the schema is static and no
+    * distinct-values pre-pass runs — the required form at scale: an
+    * unlisted pivot is a driver-side distinct over the fact table).
+    * Absent cells coalesce to 0, matching the oracle's CASE-sum (which
+    * sums an empty set of 0 contributions, not NULL).
+    */
+  val revenuePivot: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val base = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (q100(col("l_extendedprice")) * (lit(100L) - q100(col("l_discount")))).as("qrev"))
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+    base.groupBy("n_name")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("qrev").cast("decimal(38,0)")))
+      .select(col("n_name"),
+        coalesce(col("A").cast("long"), lit(0L)).as("rev_a"),
+        coalesce(col("N").cast("long"), lit(0L)).as("rev_n"),
+        coalesce(col("R").cast("long"), lit(0L)).as("rev_r"))
+      .orderBy("n_name")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_rel_reconcile" ->
+      """WITH o AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |             count(*)::BIGINT AS n_orders FROM orders GROUP BY 1),
+        |l AS (SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+        |        count(*)::BIGINT AS n_shipped FROM lineitem GROUP BY 1)
+        |SELECT coalesce(o.day, l.day)::BIGINT AS day,
+        |  coalesce(n_orders, 0)::BIGINT AS n_orders,
+        |  coalesce(n_shipped, 0)::BIGINT AS n_shipped
+        |FROM o FULL JOIN l ON o.day = l.day ORDER BY 1""".stripMargin,
+
+    "q_rel_pivot" ->
+      """WITH li AS (SELECT n_name, l_returnflag,
+        |        floor(l_extendedprice * 100)::BIGINT
+        |          * (100 - floor(l_discount * 100)::BIGINT) AS qrev
+        |      FROM lineitem
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation ON n_nationkey = c_nationkey)
+        |SELECT n_name,
+        |  sum(CASE WHEN l_returnflag = 'A' THEN qrev ELSE 0 END)::BIGINT AS rev_a,
+        |  sum(CASE WHEN l_returnflag = 'N' THEN qrev ELSE 0 END)::BIGINT AS rev_n,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN qrev ELSE 0 END)::BIGINT AS rev_r
+        |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_rel_trade_matrix" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  count(*)::BIGINT AS n_lines,

@@ -574,4 +574,18 @@ class EventOpsSpec extends AnyFunSuite {
     assert((uni.getLong(0), uni.getLong(1), uni.getLong(2), uni.getLong(3))
       == ((12L, 60L, 0L, 0L)))
   }
+
+  test("clickNoBuy == local (user, day) set difference rollup") {
+    def dayPairs(tpe: String): Set[(Long, Long)] =
+      ev.filter(_._4 == tpe).map(e => (e._3, e._2 / 86400000000L)).toSet
+    val diff = dayPairs("click") -- dayPairs("purchase")
+    val want = diff.groupBy(_._1).toSeq.map { case (u, ds) =>
+      (u, ds.size.toLong, ds.map(_._2).min, ds.map(_._2).max)
+    }.sortBy(_._1)
+    val got = EventOps.clickNoBuy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(diff.nonEmpty && diff.size < dayPairs("click").size,
+      "the except must keep a strict, non-empty subset of click-days")
+  }
 }

@@ -326,4 +326,42 @@ class RelOpsSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.map(_._2).distinct.size == got.size, "one distinct winner per nation")
   }
+
+  test("reconcile == local full-outer day merge; both one-sided regions exist") {
+    import spark.implicits._
+    val odays = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("unix_micros(cast(o_orderdate as timestamp))").as[Long]
+      .collect().toSeq.map(_ / 86400000000L)
+    val ldays = li.map(_._9 / 86400000000L)
+    val oc = odays.groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    val lc = ldays.groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    val want = (oc.keySet ++ lc.keySet).toSeq.sorted
+      .map(d => (d, oc.getOrElse(d, 0L), lc.getOrElse(d, 0L)))
+    val got = RelOps.reconcile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(want.exists(r => r._2 == 0L && r._3 > 0L), "ship-only days must exist")
+    assert(want.exists(r => r._2 > 0L && r._3 == 0L), "order-only days must exist")
+  }
+
+  test("revenuePivot == local flag-conditional sums; columns cover A/N/R") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey").as[(Long, Long)].collect().toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "c_nationkey").as[(Long, Int)].collect().toMap
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .selectExpr("n_nationkey", "n_name").as[(Int, String)].collect().toMap
+    val want = li.map { l =>
+      (nation(cust(orders(l._1))), l._7, q100(l._4) * (100L - q100(l._5)))
+    }.groupBy(_._1).toSeq.map { case (n, xs) =>
+      def s(f: String) = xs.filter(_._2 == f).map(x => BigInt(x._3)).sum.toLong
+      (n, s("A"), s("N"), s("R"))
+    }.sortBy(_._1)
+    val got = RelOps.revenuePivot(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(want.forall(r => r._2 > 0L && r._3 > 0L && r._4 > 0L),
+      "every nation must carry all three flags at contract scale")
+  }
 }
