@@ -792,7 +792,39 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Converted click-days — clickNoBuy's INTERSECT complement: the
+    * distinct (user, epoch-day) pairs carrying BOTH a click and a same-day
+    * purchase (Catalyst plans `intersect` as distinct + left-semi). The
+    * two queries partition the click-day set exactly:
+    * clickNoBuy.n_unconverted_days + clickAndBuy.n_converted_days =
+    * per-user distinct click-days (asserted in the spec).
+    */
+  val clickAndBuy: (SparkSession, String) => DataFrame = (spark, dir) => {
+    def dayPairs(tpe: String): DataFrame =
+      events(spark, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+        .distinct()
+    dayPairs("click").intersect(dayPairs("purchase"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_converted_days"), min("day").as("first_day"),
+        max("day").as("last_day"))
+      .orderBy("user_id")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_evt_click_and_buy" ->
+      """WITH c AS (SELECT DISTINCT user_id,
+        |             epoch_us(ts) // 86400000000 AS day
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |      FROM events WHERE event_type = 'purchase'),
+        |x AS (SELECT * FROM c INTERSECT SELECT * FROM p)
+        |SELECT user_id, count(*)::BIGINT AS n_converted_days,
+        |  min(day)::BIGINT AS first_day, max(day)::BIGINT AS last_day
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_evt_click_no_buy" ->
       """WITH c AS (SELECT DISTINCT user_id,
         |             epoch_us(ts) // 86400000000 AS day

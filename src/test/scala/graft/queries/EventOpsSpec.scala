@@ -588,4 +588,26 @@ class EventOpsSpec extends AnyFunSuite {
     assert(diff.nonEmpty && diff.size < dayPairs("click").size,
       "the except must keep a strict, non-empty subset of click-days")
   }
+
+  test("clickAndBuy == local intersection rollup; except + intersect partition click-days") {
+    def dayPairs(tpe: String): Set[(Long, Long)] =
+      ev.filter(_._4 == tpe).map(e => (e._3, e._2 / 86400000000L)).toSet
+    val both = dayPairs("click") & dayPairs("purchase")
+    val want = both.groupBy(_._1).toSeq.map { case (u, ds) =>
+      (u, ds.size.toLong, ds.map(_._2).min, ds.map(_._2).max)
+    }.sortBy(_._1)
+    val got = EventOps.clickAndBuy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // the two set-op queries partition each user's click-days exactly
+    val noBuy = EventOps.clickNoBuy(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val andBuy = got.map(r => r._1 -> r._2).toMap
+    val clickDays = dayPairs("click").groupBy(_._1).map { case (u, ds) => u -> ds.size.toLong }
+    clickDays.foreach { case (u, n) =>
+      assert(noBuy.getOrElse(u, 0L) + andBuy.getOrElse(u, 0L) == n,
+        s"user $u: except + intersect must partition the click-day set")
+    }
+    assert(both.nonEmpty, "converted click-days must exist")
+  }
 }
