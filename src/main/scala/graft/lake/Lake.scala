@@ -283,6 +283,40 @@ object Lake {
     read(spark, snapshotAt(spark, table, seq).getOrElse(
       throw new IllegalArgumentException(s"readAt: no complete snapshot at seq $seq in $table")))
 
+  /** SCHEMA-EVOLVED time travel: the snapshot at `seq` read under the
+    * LATEST snapshot's schema (the Iceberg read contract for evolved
+    * tables). Columns added since `seq` backfill as typed NULLs; columns
+    * since dropped are pruned; surviving columns match BY NAME and must
+    * be cast-compatible (Cast.canUpCast — a widening like int -> long is
+    * legal and applied; anything lossy fails LOUDLY rather than
+    * reinterpreting history). Each snapshot's parquet stays immutable —
+    * evolution is a property of the read, which is what keeps old
+    * snapshots forever readable with zero rewrite at any table size.
+    */
+  def readConformed(spark: SparkSession, table: String, seq: Long): DataFrame = {
+    val cur = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"readConformed: $table has no snapshot"))
+    val target = read(spark, cur).schema
+    val old = readAt(spark, table, seq)
+    val oldByName = old.schema.map(f => f.name -> f).toMap
+    val cols = target.map { f =>
+      oldByName.get(f.name) match {
+        case None =>
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+        case Some(g) if g.dataType == f.dataType =>
+          org.apache.spark.sql.functions.col(f.name)
+        case Some(g) if org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(g.dataType, f.dataType) =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
+        case Some(g) =>
+          throw new IllegalArgumentException(
+            s"readConformed: column ${f.name} evolved ${g.dataType} -> ${f.dataType}, " +
+              "which is not a lossless upcast; refusing to reinterpret history")
+      }
+    }
+    old.select(cols: _*)
+  }
+
   /** Small-file compaction: rewrite the LATEST snapshot's data as a new
     * `op = "compact"` snapshot with `numFiles` files (coalesce — a narrow
     * rewrite, no shuffle), verified row-exact against the parent via the

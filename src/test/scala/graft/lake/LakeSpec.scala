@@ -256,6 +256,35 @@ class LakeSpec extends AnyFunSuite {
     assert(!left.map(_.id).contains(dropped.head.id))
   }
 
+  test("readConformed: old snapshots read under the evolved schema; lossy evolution is loud") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("lake-evolve").toString
+    // v0: (x: int, tag: string)
+    Lake.commit(spark, table,
+      (1 to 10).map(i => (i, s"t$i")).toDF("x", "tag"), "load")
+    // v1 evolves: x widens int -> long, `tag` is dropped, `score` appears
+    Lake.commit(spark, table,
+      (11L to 20L).map(i => (i, i * 2L)).toDF("x", "score"), "evolve")
+
+    val oldConf = Lake.readConformed(spark, table, 0L)
+    val cur = Lake.read(spark, Lake.latest(spark, table).get)
+    assert(oldConf.schema == cur.schema,
+      "the conformed read must carry exactly the latest schema")
+    val rows = oldConf.orderBy("x").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L), "widened column values preserved")
+    assert(rows.forall(_.isNullAt(1)), "added column backfills as NULL")
+    // unevolved seq conforms to itself
+    assert(Lake.readConformed(spark, table, 1L).orderBy("x").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == (11L to 20L).map(i => (i, i * 2L)))
+    // lossy evolution (long -> int would narrow history) refuses loudly
+    Lake.commit(spark, table,
+      (1 to 3).map(i => (i, i.toLong)).toDF("score", "x").select(col("x").cast("int").as("x"),
+        col("score")), "narrow")
+    val e = intercept[IllegalArgumentException](Lake.readConformed(spark, table, 1L))
+    assert(e.getMessage.contains("not a lossless upcast"))
+  }
+
   private implicit class IterOps[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
