@@ -253,12 +253,13 @@ object Bench {
     */
   private val Ops25Queries = Seq("q_rel_trade_matrix", "q_rel_top_customer")
 
-  /** The round-5 twenty-seventh + twenty-eighth waves: full-outer
-    * reconciliation, the static-list pivot, and the (user, day)
-    * set-EXCEPT / set-INTERSECT rollups.
+  /** The round-5 twenty-seventh/eighth/thirtieth waves: full-outer
+    * reconciliation, the static-list pivot, the (user, day) set-EXCEPT /
+    * set-INTERSECT rollups, and the ntile quartile census.
     */
   private val Ops27Queries =
-    Seq("q_rel_reconcile", "q_rel_pivot", "q_evt_click_no_buy", "q_evt_click_and_buy")
+    Seq("q_rel_reconcile", "q_rel_pivot", "q_evt_click_no_buy", "q_evt_click_and_buy",
+      "q_evt_ntile")
 
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(

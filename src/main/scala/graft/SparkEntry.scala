@@ -742,6 +742,7 @@ object SparkEntry {
     "q_rel_pivot" -> RelOps.revenuePivot,
     "q_evt_click_no_buy" -> EventOps.clickNoBuy,
     "q_evt_click_and_buy" -> EventOps.clickAndBuy,
+    "q_evt_ntile" -> EventOps.ntileCensus,
 
     // ---- composition: the auto-threshold ladder feeding the FULL contour
     //      pipeline (quantile selection -> tiling -> kernel -> stitch ->

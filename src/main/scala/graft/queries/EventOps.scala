@@ -813,7 +813,38 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Per-type value QUARTILES via ntile — the bucketed-rank window face:
+    * each event type's values split into 4 equal-count buckets over the
+    * (value, event_id) TOTAL order (event_id breaks value ties, so the
+    * SQL-standard ntile sizing — first n mod k buckets get the extra row —
+    * is deterministic and engine/oracle identical). Output is the
+    * per-(type, quartile) census with quantized value sums; the window
+    * partitions by the type registry, never globally.
+    */
+  val ntileCensus: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        floor(col("value") * Q20).cast("long").as("qv"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("event_type", "quartile")
+      .agg(count(lit(1)).as("n_events"), sum("qv").as("qv_sum"),
+        min("qv").as("qv_min"), max("qv").as("qv_max"))
+      .orderBy("event_type", "quartile")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_evt_ntile" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |             floor(value * 1048576.0)::BIGINT AS qv,
+        |             ntile(4) OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id)::BIGINT AS quartile
+        |           FROM events)
+        |SELECT event_type, quartile, count(*)::BIGINT AS n_events,
+        |  sum(qv)::BIGINT AS qv_sum, min(qv)::BIGINT AS qv_min, max(qv)::BIGINT AS qv_max
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_evt_click_and_buy" ->
       """WITH c AS (SELECT DISTINCT user_id,
         |             epoch_us(ts) // 86400000000 AS day

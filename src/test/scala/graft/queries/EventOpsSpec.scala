@@ -610,4 +610,25 @@ class EventOpsSpec extends AnyFunSuite {
     }
     assert(both.nonEmpty, "converted click-days must exist")
   }
+
+  test("ntileCensus == local SQL-standard quartile recompute over the total order") {
+    def q20(x: Double): Long = math.floor(x * 1048576.0).toLong
+    val want = ev.groupBy(_._4).toSeq.flatMap { case (tpe, xs) =>
+      val sorted = xs.sortBy(e => (e._5, e._1)).map(e => q20(e._5))
+      val n = sorted.length
+      val base = n / 4; val extra = n % 4
+      // SQL-standard ntile: the first n mod k buckets carry one extra row
+      val bounds = (0 to 4).map(b => b * base + math.min(b, extra))
+      (1 to 4).map { b =>
+        val slice = sorted.slice(bounds(b - 1), bounds(b))
+        (tpe, b.toLong, slice.size.toLong, slice.sum, slice.min, slice.max)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = EventOps.ntileCensus(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    assert(want.map(_._1).distinct.size == 5 && want.size == 20,
+      "4 quartiles for each of the 5 event types")
+  }
 }
