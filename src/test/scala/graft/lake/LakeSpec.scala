@@ -285,6 +285,36 @@ class LakeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a lossless upcast"))
   }
 
+  test("maintainSums: CDC-folded materialized aggregate == from-scratch rollup at every step") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("lake-ivm").toString
+    def df(rows: Seq[(String, Long, Long)]) = rows.toDF("k", "a", "b")
+    // v0: three keys, x carrying duplicates (multiset semantics matter)
+    val v0 = Seq(("x", 1L, 10L), ("x", 1L, 10L), ("y", 2L, 20L), ("z", 3L, 30L))
+    // v1: one x-duplicate removed, y grows, z VANISHES (count -> 0 drop), w appears
+    val v1 = Seq(("x", 1L, 10L), ("y", 2L, 20L), ("y", 5L, 50L), ("w", 7L, 70L))
+    // v2: w flips sign values; x unchanged; y loses a row
+    val v2 = Seq(("x", 1L, 10L), ("y", 5L, 50L), ("w", -7L, -70L))
+    Lake.commit(spark, table, df(v0), "load")
+    Lake.commit(spark, table, df(v1), "update")
+    Lake.commit(spark, table, df(v2), "update")
+
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, Long)] =
+      d.select("k", "n_rows", "a_sum", "b_sum").as[(String, Long, Long, Long)]
+        .collect().toSeq.sortBy(_._1)
+    val keys = Seq("k"); val sums = Seq("a", "b")
+    val m0 = Lake.fullSums(Lake.readAt(spark, table, 0L), keys, sums)
+    val m1 = Lake.maintainSums(spark, table, m0, 0L, 1L, keys, sums)
+    assert(canon(m1) == canon(Lake.fullSums(Lake.readAt(spark, table, 1L), keys, sums)),
+      "maintained view at seq 1 != from-scratch rollup")
+    assert(!canon(m1).exists(_._1 == "z"), "a key whose count reaches 0 must drop out")
+    val m2 = Lake.maintainSums(spark, table, m1, 1L, 2L, keys, sums)
+    assert(canon(m2) == canon(Lake.fullSums(Lake.readAt(spark, table, 2L), keys, sums)),
+      "maintained view at seq 2 != from-scratch rollup")
+    assert(canon(m2).exists(r => r._1 == "w" && r._3 == -7L && r._4 == -70L),
+      "signed sums must fold through the delta exactly")
+  }
+
   private implicit class IterOps[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
