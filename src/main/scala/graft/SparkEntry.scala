@@ -743,6 +743,7 @@ object SparkEntry {
     "q_evt_click_no_buy" -> EventOps.clickNoBuy,
     "q_evt_click_and_buy" -> EventOps.clickAndBuy,
     "q_evt_ntile" -> EventOps.ntileCensus,
+    "q_lake_skip" -> RelOps.lakeSkip,
 
     // ---- composition: the auto-threshold ladder feeding the FULL contour
     //      pipeline (quantile selection -> tiling -> kernel -> stitch ->

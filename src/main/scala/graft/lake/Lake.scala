@@ -45,6 +45,13 @@ object Lake {
                             path: String, rows: Long,
                             partitionRows: Seq[Long], ts: Long)
 
+  /** Zone map of one committed data file: per BIGINT column, the merged
+    * (min, max) of every row group — recorded from the parquet footers at
+    * commit time (metadata only, no data scan) and carried in the
+    * manifest so a reader can prune files WITHOUT opening them.
+    */
+  final case class FileStat(file: String, cols: Map[String, (Long, Long)])
+
   private def conf(spark: SparkSession) = spark.sessionState.newHadoopConf()
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(conf(spark))
@@ -85,21 +92,66 @@ object Lake {
     // reads only, no second scan of the snapshot's data
     val hc = conf(spark)
     val fs = dd.getFileSystem(hc)
-    val parts = fs.listStatus(dd).iterator
+    val fileMeta = fs.listStatus(dd).iterator
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .toSeq.sortBy(_.getPath.getName)
       .map { st =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, hc))
-        try r.getRecordCount finally r.close()
+        try {
+          val blocks = {
+            val it = r.getFooter.getBlocks.iterator()
+            val b = Seq.newBuilder[org.apache.parquet.hadoop.metadata.BlockMetaData]
+            while (it.hasNext) b += it.next()
+            b.result()
+          }
+          // zone map: per top-level INT64 column, min/max merged across row
+          // groups — kept only when EVERY row group carries usable non-null
+          // statistics (an all-null or stats-less group makes the column
+          // unprunable for this file, which readSkipping treats as "keep")
+          val perBlock: Seq[Map[String, (Long, Long)]] = blocks.map { b =>
+            val cit = b.getColumns.iterator()
+            val m = Map.newBuilder[String, (Long, Long)]
+            while (cit.hasNext) {
+              val c = cit.next()
+              val path = c.getPath.toDotString
+              val s = c.getStatistics
+              if (!path.contains('.') &&
+                  c.getPrimitiveType.getPrimitiveTypeName ==
+                    org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 &&
+                  s != null && !s.isEmpty && s.hasNonNullValue)
+                m += path -> (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                              s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            }
+            m.result()
+          }
+          val prunable =
+            if (perBlock.isEmpty) Set.empty[String]
+            else perBlock.map(_.keySet).reduce(_ intersect _)
+          val cols = prunable.toSeq.sorted.map { k =>
+            val vs = perBlock.map(_(k))
+            k -> (vs.map(_._1).min, vs.map(_._2).max)
+          }.toMap
+          (FileStat(st.getPath.getName, cols), blocks.map(_.getRowCount).sum)
+        } finally r.close()
       }
+    val parts = fileMeta.map(_._2)
     val rows = parts.sum
     val snap = Snapshot(seq, id, parent, op, dd.toString, rows, parts,
       System.currentTimeMillis())
+    // "stats" goes LAST (before the eof trailer): parse() is
+    // first-occurrence-per-key, so arbitrary column names inside the zone
+    // maps can never shadow a manifest key that precedes them
+    val statsJson = fileMeta.map { case (fst, _) =>
+      val cs = fst.cols.toSeq.sortBy(_._1)
+        .map { case (k, (mn, mx)) => s""""${esc(k)}":[$mn,$mx]""" }.mkString(",")
+      s"""{"f":"${esc(fst.file)}","c":{$cs}}"""
+    }.mkString(",")
     val json =
       s"""{"seq":$seq,"id":"${esc(id)}","parent":"${esc(parent)}","op":"${esc(op)}",""" +
         s""""path":"${esc(snap.path)}","rows":$rows,""" +
-        s""""partitionRows":[${parts.mkString(",")}],"ts":${snap.ts},"eof":true}"""
+        s""""partitionRows":[${parts.mkString(",")}],"ts":${snap.ts},""" +
+        s""""stats":[$statsJson],"eof":true}"""
     val sd = snapshotsDir(table)
     val sfs = fsOf(spark, sd)
     sfs.mkdirs(sd)
@@ -282,6 +334,98 @@ object Lake {
   def readAt(spark: SparkSession, table: String, seq: Long): DataFrame =
     read(spark, snapshotAt(spark, table, seq).getOrElse(
       throw new IllegalArgumentException(s"readAt: no complete snapshot at seq $seq in $table")))
+
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case e => b += e; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.result()
+  }
+
+  /** The zone maps recorded in the manifest at `seq` (empty for a legacy
+    * manifest committed before stats existed — every reader treats the
+    * absence as "nothing prunable", never as an error).
+    */
+  def fileStats(spark: SparkSession, table: String, seq: Long): Seq[FileStat] = {
+    val dir = snapshotsDir(table)
+    val fs = fsOf(spark, dir)
+    manifestFiles(fs, dir).filter(_._1 == seq).iterator
+      .map { case (_, p) => readFully(fs, p) }
+      .filter(_.endsWith("\"eof\":true}"))
+      .find(b => parse(b).seq == seq)
+      .toSeq.flatMap(parseStats)
+  }
+
+  private def parseStats(json: String): Seq[FileStat] = {
+    """"stats":\[(.*)\],"eof":true\}$""".r.findFirstMatchIn(json).map(_.group(1)) match {
+      case None => Nil // legacy manifest: no zone maps recorded
+      case Some(region) =>
+        """\{"f":"((?:[^"\\]|\\.)*)","c":\{([^}]*)\}\}""".r.findAllMatchIn(region).map { m =>
+          val cols = """"((?:[^"\\]|\\.)*)":\[(-?\d+),(-?\d+)\]""".r
+            .findAllMatchIn(m.group(2))
+            .map(c => unesc(c.group(1)) -> (c.group(2).toLong, c.group(3).toLong))
+            .toMap
+          FileStat(unesc(m.group(1)), cols)
+        }.toSeq
+    }
+  }
+
+  /** A zone-map-pruned scan: `df` is the rows of snapshot `seq` with
+    * `lo <= column <= hi`, reading ONLY `keptFiles` of `totalFiles`.
+    */
+  final case class SkipScan(df: DataFrame, keptFiles: Seq[String], totalFiles: Int) {
+    def prunedFiles: Int = totalFiles - keptFiles.size
+  }
+
+  /** DATA SKIPPING: read snapshot `seq` under the range predicate
+    * `column BETWEEN lo AND hi`, opening only the data files whose
+    * manifest zone map overlaps the range. Pruning is EXACT, not
+    * approximate: a skipped file's [min, max] excludes the range, so no
+    * row in it can satisfy the predicate (NULLs satisfy no range
+    * predicate, so null-bearing files prune on their non-null range); a
+    * file with no usable zone map for `column` — all-null row group,
+    * stats-less legacy manifest, non-BIGINT column — is conservatively
+    * read. The predicate is still applied to the kept files (file
+    * granularity over-approximates), so the result equals
+    * `readAt(...).filter(...)` exactly while the I/O scales with the
+    * SELECTED key range, not the table: on range-clustered data (e.g. a
+    * [[commit]] of a `repartitionByRange` layout) a narrow predicate
+    * against a 100 TB table opens a handful of files, from the manifest
+    * alone.
+    */
+  def readSkipping(spark: SparkSession, table: String, seq: Long,
+                   column: String, lo: Long, hi: Long): SkipScan = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = snapshotAt(spark, table, seq).getOrElse(
+      throw new IllegalArgumentException(
+        s"readSkipping: no complete snapshot at seq $seq in $table"))
+    val stats = fileStats(spark, table, seq).map(f => f.file -> f.cols).toMap
+    val dd = new Path(snap.path)
+    val fs = dd.getFileSystem(conf(spark))
+    val files = fs.listStatus(dd).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).toSeq.sortBy(_.getName)
+    val kept = files.filter { p =>
+      stats.get(p.getName).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no zone map -> cannot prune, must read
+      }
+    }
+    val pred = col(column) >= lo && col(column) <= hi
+    val df =
+      if (kept.isEmpty) read(spark, snap).where(lit(false)) // schema-preserving empty
+      else spark.read.parquet(kept.map(_.toString): _*).where(pred)
+    SkipScan(df, kept.map(_.getName), files.size)
+  }
 
   /** SCHEMA-EVOLVED time travel: the snapshot at `seq` read under the
     * LATEST snapshot's schema (the Iceberg read contract for evolved

@@ -455,7 +455,40 @@ object RelOps {
       .orderBy("n_name")
   }
 
+  /** ZONE-MAP DATA SKIPPING end to end: lineitem committed into a
+    * throwaway lake table range-clustered by l_orderkey (8 files with
+    * disjoint key ranges), then read back through [[graft.lake.Lake
+    * .readSkipping]] under `l_orderkey BETWEEN 100 AND 799` — the
+    * manifest's per-file min/max zone maps let the scan OPEN only the
+    * files whose range overlaps the predicate (require-asserted: at
+    * least one file pruned, so the manifest stats are provably live),
+    * then the standard fixed-point rollup. The oracle sees only the
+    * final algebra: the skipping layer must be invisible in the result
+    * while the I/O scales with the selected key range, not the table.
+    */
+  def lakeSkip(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), q100(col("l_quantity")).as("qqty"))
+    val table = java.nio.file.Files.createTempDirectory("graft-lake-skip").toString
+    graft.lake.Lake.commit(spark, table, li.repartitionByRange(8, col("l_orderkey")), "load")
+    val scan = graft.lake.Lake.readSkipping(spark, table, 0L, "l_orderkey", 100L, 799L)
+    require(scan.keptFiles.size < scan.totalFiles,
+      s"zone-map skipping pruned nothing (${scan.keptFiles.size} of ${scan.totalFiles} files kept)")
+    scan.df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("qqty").cast("decimal(38,0)")).cast("long").as("sum_qqty"),
+        sum(col("l_orderkey").cast("decimal(38,0)")).cast("long").as("sum_okey"))
+      .orderBy("l_returnflag")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_lake_skip" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+        |  sum(floor(l_quantity * 100)::BIGINT)::BIGINT AS sum_qqty,
+        |  sum(l_orderkey)::BIGINT AS sum_okey
+        |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 799
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_rel_reconcile" ->
       """WITH o AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
         |             count(*)::BIGINT AS n_orders FROM orders GROUP BY 1),

@@ -315,6 +315,76 @@ class LakeSpec extends AnyFunSuite {
       "signed sums must fold through the delta exactly")
   }
 
+  test("readSkipping: zone-map pruning is exact and actually prunes on range-clustered data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val table = Files.createTempDirectory("lake-skip").toString
+    val df = spark.range(0, 10000).select(col("id").as("k"),
+      (col("id") % 7).as("v"), concat(lit("s"), col("id")).as("s"))
+    Lake.commit(spark, table, df.repartitionByRange(8, col("k")), "load")
+    val scan = Lake.readSkipping(spark, table, 0L, "k", 1200L, 2400L)
+    assert(scan.totalFiles == 8)
+    assert(scan.keptFiles.size < scan.totalFiles, "clustered narrow range must prune files")
+    val got = scan.df.select("k", "v", "s").as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    val want = Lake.readAt(spark, table, 0L).where(col("k") >= 1200 && col("k") <= 2400)
+      .select("k", "v", "s").as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got == want, "pruned scan must equal the full-scan filter exactly")
+    assert(got.length == 1201)
+    // a range beyond every zone map prunes ALL files: empty result, schema kept
+    val none = Lake.readSkipping(spark, table, 0L, "k", 100000L, 200000L)
+    assert(none.keptFiles.isEmpty && none.prunedFiles == 8)
+    assert(none.df.count() == 0L)
+    assert(none.df.columns.toSeq == Seq("k", "v", "s"))
+    // string columns carry no zone map (BIGINT only)
+    val stats = Lake.fileStats(spark, table, 0L)
+    assert(stats.size == 8 && stats.forall(f => f.cols.contains("k") && !f.cols.contains("s")))
+  }
+
+  test("readSkipping: conservative paths — unclustered files, all-null group, legacy manifest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // unclustered (round-robin) layout: every file spans the key range, so
+    // nothing prunes — but the result is still exact
+    val t1 = Files.createTempDirectory("lake-skip-rr").toString
+    val scattered = spark.range(0, 4000).select(
+      (col("id") * 2654435761L % 4096).as("k"), col("id").as("v"))
+    Lake.commit(spark, t1, scattered.repartition(6), "load")
+    val s1 = Lake.readSkipping(spark, t1, 0L, "k", 100L, 300L)
+    assert(s1.keptFiles.size == s1.totalFiles, "overlapping zone maps must not prune")
+    val got1 = s1.df.as[(Long, Long)].collect().toSeq.sorted
+    val want1 = Lake.readAt(spark, t1, 0L).where(col("k").between(100, 300))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got1 == want1 && got1.nonEmpty)
+
+    // a file whose column is ALL null gets no zone map for it -> kept
+    // conservatively; NULLs satisfy no range predicate, so still exact
+    val t2 = Files.createTempDirectory("lake-skip-null").toString
+    val nulled = spark.range(0, 4000).select(col("id").as("k"),
+      when(col("id") < 1000, lit(null)).otherwise(col("id")).cast("long").as("n"))
+    Lake.commit(spark, t2, nulled.repartitionByRange(4, col("k")), "load")
+    val statless = Lake.fileStats(spark, t2, 0L).filter(f => !f.cols.contains("n")).map(_.file)
+    assert(statless.nonEmpty, "the all-null file must carry no zone map for n")
+    val s2 = Lake.readSkipping(spark, t2, 0L, "n", 1000L, 1499L)
+    assert(statless.forall(s2.keptFiles.contains), "stat-less files must be kept")
+    val got2 = s2.df.select("k", "n").as[(Long, Long)].collect().toSeq.sorted
+    val want2 = Lake.readAt(spark, t2, 0L).where(col("n").between(1000, 1499))
+      .select("k", "n").as[(Long, Long)].collect().toSeq.sorted
+    assert(got2 == want2 && got2.length == 500)
+
+    // legacy manifest (pre-stats): fileStats empty, nothing prunes, exact
+    val t3 = Files.createTempDirectory("lake-skip-legacy").toString
+    val sd = java.nio.file.Paths.get(t3, "snapshots")
+    Files.createDirectories(sd)
+    val dataPath = Lake.snapshotAt(spark, t2, 0L).get.path
+    Files.writeString(sd.resolve("000000000000.json"),
+      s"""{"seq":0,"id":"legacylegacy","parent":"","op":"load","path":"$dataPath",""" +
+        s""""rows":4000,"partitionRows":[],"ts":0,"eof":true}""")
+    assert(Lake.fileStats(spark, t3, 0L).isEmpty)
+    val s3 = Lake.readSkipping(spark, t3, 0L, "k", 0L, 99L)
+    assert(s3.keptFiles.size == s3.totalFiles, "legacy manifest must read everything")
+    assert(s3.df.count() == 100L)
+  }
+
   private implicit class IterOps[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
