@@ -744,6 +744,7 @@ object SparkEntry {
     "q_evt_click_and_buy" -> EventOps.clickAndBuy,
     "q_evt_ntile" -> EventOps.ntileCensus,
     "q_lake_skip" -> RelOps.lakeSkip,
+    "q_lake_merge" -> RelOps.lakeMerge,
 
     // ---- composition: the auto-threshold ladder feeding the FULL contour
     //      pipeline (quantile selection -> tiling -> kernel -> stitch ->

@@ -88,8 +88,15 @@ object Lake {
     val id = java.util.UUID.randomUUID().toString.take(12)
     val dd = dataDir(table, id)
     df.write.mode("overwrite").parquet(dd.toString)
-    // per-partition metrics from the committed parquet FOOTERS — metadata
-    // reads only, no second scan of the snapshot's data
+    publish(spark, table, dd, id, parent, seq, op)
+  }
+
+  /** Manifest a fully-written data directory as snapshot `seq` of `table`.
+    * Per-partition metrics and zone maps come from the parquet FOOTERS —
+    * metadata reads only, no second scan of the snapshot's data.
+    */
+  private def publish(spark: SparkSession, table: String, dd: Path, id: String,
+                      parent: String, seq: Long, op: String): Snapshot = {
     val hc = conf(spark)
     val fs = dd.getFileSystem(hc)
     val fileMeta = fs.listStatus(dd).iterator
@@ -479,6 +486,78 @@ object Lake {
     require(snap.rows == last.rows,
       s"compact: row count changed ${last.rows} -> ${snap.rows} in $table")
     snap
+  }
+
+  /** What [[merge]] did: the committed snapshot plus how much of the
+    * parent's data it actually rewrote vs carried forward untouched.
+    */
+  final case class MergeResult(snapshot: Snapshot, rewroteFiles: Int, carriedFiles: Int)
+
+  /** COPY-ON-WRITE MERGE (upsert by key): commit a new snapshot equal to
+    * the current table with every key present in `source` REPLACED by the
+    * source's rows for that key (all target rows of a source key drop,
+    * all source rows land — delete-insert semantics, so multi-row keys
+    * replace wholesale) and absent keys inserted.
+    *
+    * The rewrite is ZONE-MAP-PRUNED: only parent files whose [min, max]
+    * for `key` overlaps the source's key range are decoded, anti-joined
+    * against the source keys and rewritten; every other file is carried
+    * into the new snapshot BYTE-FOR-BYTE (a raw filesystem copy — no
+    * decode/encode, and object stores execute it server-side). A file
+    * with no usable zone map is conservatively rewritten. That makes a
+    * keyed merge against a range-clustered 100 TB table cost
+    * O(touched key range), not O(table) decode — while each snapshot
+    * still owns its whole directory, so expiry/orphan-sweep/lineage
+    * semantics are untouched and time travel to the parent keeps reading
+    * the pre-merge rows forever.
+    *
+    * Loud on: an empty table, a schema mismatch, or a source with no
+    * non-null key (an unkeyed merge is a different operation — use
+    * [[commit]]).
+    */
+  def merge(spark: SparkSession, table: String, source: DataFrame, key: String): MergeResult = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val last = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"merge: $table has no snapshot"))
+    val cur = read(spark, last)
+    // compare (name, type) pairs, not StructTypes: parquet round-trips
+    // flip nullability, which is irrelevant to merge semantics
+    require(cur.schema.map(f => (f.name, f.dataType)).sortBy(_._1) ==
+        source.schema.map(f => (f.name, f.dataType)).sortBy(_._1),
+      s"merge: source schema ${source.schema.simpleString} != table schema ${cur.schema.simpleString}")
+    val range = source.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head()
+    require(!range.isNullAt(0), s"merge: source carries no non-null $key")
+    val (lo, hi) = (range.getLong(0), range.getLong(1))
+    val stats = fileStats(spark, table, last.seq).map(f => f.file -> f.cols).toMap
+    val hc = conf(spark)
+    val pd = new Path(last.path)
+    val fs = pd.getFileSystem(hc)
+    val files = fs.listStatus(pd).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).toSeq.sortBy(_.getName)
+    val (touched, untouched) = files.partition { p =>
+      stats.get(p.getName).flatMap(_.get(key)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no zone map -> may hold source keys, must rewrite
+      }
+    }
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val dd = dataDir(table, id)
+    val touchedDf =
+      if (touched.isEmpty) cur.where(lit(false))
+      else spark.read.parquet(touched.map(_.toString): _*)
+    // left_anti keeps the left schema untouched; unionByName aligns the
+    // source by name, so the table's column order survives the merge
+    val srcKeys = source.select(col(key).as("__merge_key")).distinct()
+    val rewritten = touchedDf
+      .join(srcKeys, col(key) === col("__merge_key"), "left_anti")
+      .unionByName(source)
+    rewritten.write.mode("overwrite").parquet(dd.toString)
+    untouched.foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(dd, p.getName), false, hc)
+    }
+    val snap = publish(spark, table, dd, id, last.id, last.seq + 1, "merge")
+    MergeResult(snap, touched.size, untouched.size)
   }
 
   /** CDC-style SNAPSHOT DIFF — the incremental-read primitive an

@@ -481,7 +481,40 @@ object RelOps {
       .orderBy("l_returnflag")
   }
 
+  /** COPY-ON-WRITE MERGE end to end: lineitem committed range-clustered,
+    * then upserted through [[graft.lake.Lake.merge]] with every line of
+    * orderkeys 100..799 re-priced (+7 cents of quantity) — the merge
+    * decodes and rewrites ONLY the files whose zone map overlaps the
+    * source's key range (require-asserted: at least one file carried
+    * forward byte-for-byte), and the post-merge snapshot is rolled up
+    * whole. The oracle replays the upsert as a CASE expression over the
+    * raw table: the merged lake must be indistinguishable from it.
+    */
+  def lakeMerge(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), q100(col("l_quantity")).as("qqty"))
+    val table = java.nio.file.Files.createTempDirectory("graft-lake-merge").toString
+    graft.lake.Lake.commit(spark, table, li.repartitionByRange(8, col("l_orderkey")), "load")
+    val source = li.where(col("l_orderkey").between(100L, 799L))
+      .withColumn("qqty", col("qqty") + lit(7L))
+    val res = graft.lake.Lake.merge(spark, table, source, "l_orderkey")
+    require(res.carriedFiles >= 1,
+      s"merge rewrote everything (${res.rewroteFiles} rewritten, ${res.carriedFiles} carried)")
+    graft.lake.Lake.readAt(spark, table, 1L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("qqty").cast("decimal(38,0)")).cast("long").as("sum_qqty"))
+      .orderBy("l_returnflag")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_lake_merge" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+        |  sum(CASE WHEN l_orderkey BETWEEN 100 AND 799
+        |      THEN floor(l_quantity * 100)::BIGINT + 7
+        |      ELSE floor(l_quantity * 100)::BIGINT END)::BIGINT AS sum_qqty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_lake_skip" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n_lines,
         |  sum(floor(l_quantity * 100)::BIGINT)::BIGINT AS sum_qqty,

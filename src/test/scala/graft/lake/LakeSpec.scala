@@ -385,6 +385,53 @@ class LakeSpec extends AnyFunSuite {
     assert(s3.df.count() == 100L)
   }
 
+  test("merge: copy-on-write upsert rewrites only zone-map-touched files; history stays immutable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val table = Files.createTempDirectory("lake-merge").toString
+    // even keys 0..15998 so an odd key is a genuine INSERT inside the range
+    val base = spark.range(0, 8000).select((col("id") * 2).as("k"), (col("id") * 10).as("v"))
+    Lake.commit(spark, table, base.repartitionByRange(8, col("k")), "load")
+    val source = Seq((3000L, -1L), (3001L, -2L), (3004L, -3L)).toDF("k", "v")
+    val res = Lake.merge(spark, table, source, "k")
+    assert(res.snapshot.seq == 1L && res.snapshot.op == "merge")
+    assert(res.rewroteFiles + res.carriedFiles == 8)
+    assert(res.carriedFiles >= 6, s"narrow merge must carry most files, carried ${res.carriedFiles}")
+    val got = Lake.readAt(spark, table, 1L).as[(Long, Long)].collect().toSeq.sorted
+    val want = ((0L until 8000L).map(i => (i * 2, i * 10))
+      .filterNot(r => r._1 == 3000L || r._1 == 3004L) ++
+      Seq((3000L, -1L), (3001L, -2L), (3004L, -3L))).sorted
+    assert(got == want, "merged snapshot must equal upsert-by-key exactly")
+    // untouched files carried under their original names, byte-for-byte
+    def names(seq: Long): Set[String] = {
+      val p = java.nio.file.Paths.get(Lake.snapshotAt(spark, table, seq).get.path)
+      Files.list(p).iterator.asScala.map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    }
+    assert((names(0L) intersect names(1L)).size == res.carriedFiles)
+    // the merged snapshot has zone maps on every file (carried included),
+    // so data skipping keeps working downstream of a merge
+    assert(Lake.fileStats(spark, table, 1L).size == names(1L).size)
+    val scan = Lake.readSkipping(spark, table, 1L, "k", 3000L, 3004L)
+    assert(scan.keptFiles.size < scan.totalFiles)
+    assert(scan.df.as[(Long, Long)].collect().toSeq.sorted ==
+      Seq((3000L, -1L), (3001L, -2L), (3002L, 15010L), (3004L, -3L)))
+    // time travel: the parent snapshot still reads the pre-merge rows
+    assert(Lake.readAt(spark, table, 0L).where(col("k") === 3000L)
+      .as[(Long, Long)].collect().toSeq == Seq((3000L, 15000L)))
+    // delete-insert semantics: a multi-row source key replaces wholesale
+    Lake.merge(spark, table, Seq((3000L, 1L), (3000L, 2L)).toDF("k", "v"), "k")
+    assert(Lake.readAt(spark, table, 2L).where(col("k") === 3000L)
+      .as[(Long, Long)].collect().map(_._2).toSet == Set(1L, 2L))
+    // loud paths: schema drift and an all-null source key
+    intercept[IllegalArgumentException] {
+      Lake.merge(spark, table, source.select(col("k")), "k")
+    }
+    intercept[IllegalArgumentException] {
+      Lake.merge(spark, table,
+        spark.range(1).select(lit(null).cast("long").as("k"), lit(0L).as("v")), "k")
+    }
+  }
+
   private implicit class IterOps[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
