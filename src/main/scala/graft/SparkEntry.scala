@@ -745,6 +745,7 @@ object SparkEntry {
     "q_evt_ntile" -> EventOps.ntileCensus,
     "q_lake_skip" -> RelOps.lakeSkip,
     "q_lake_merge" -> RelOps.lakeMerge,
+    "q_rel_small_qty" -> RelOps.smallQty,
 
     // ---- composition: the auto-threshold ladder feeding the FULL contour
     //      pipeline (quantile selection -> tiling -> kernel -> stitch ->

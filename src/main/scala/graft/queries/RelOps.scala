@@ -507,7 +507,41 @@ object RelOps {
       .orderBy("l_returnflag")
   }
 
+  /** TPC-H Q17-shaped small-quantity audit: revenue carried by lines
+    * whose quantity is under 20% of their part's average — the
+    * correlated-scalar-subquery face, DECORRELATED into a per-part
+    * aggregate self-join (the plan a 100 TB fact demands: one shuffle of
+    * lineitem by l_partkey for the map-side-combinable aggregate, one
+    * for the join — never a per-row subquery). The fractional-average
+    * predicate is INTEGER-EXACT: qqty < 0.2 * (sum/n) over positives
+    * ⟺ 5 * qqty * n < sum — no float division on either side.
+    */
+  val smallQty: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val li = t(spark, dir, "lineitem").select(col("l_partkey"), col("l_returnflag"),
+      q100(col("l_quantity")).as("qqty"), q100(col("l_extendedprice")).as("qprice"))
+    val p = li.groupBy("l_partkey").agg(count(lit(1)).as("n"),
+      sum(col("qqty").cast("decimal(38,0)")).cast("long").as("sq"))
+    li.join(p, "l_partkey")
+      .where(col("qqty") * lit(5L) * col("n") < col("sq"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_small"),
+        sum(col("qprice").cast("decimal(38,0)")).cast("long").as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_rel_small_qty" ->
+      """WITH li AS (SELECT l_partkey, l_returnflag,
+        |        floor(l_quantity * 100)::BIGINT AS qqty,
+        |        floor(l_extendedprice * 100)::BIGINT AS qprice FROM lineitem),
+        |p AS (SELECT l_partkey, count(*)::BIGINT AS n, sum(qqty)::BIGINT AS sq
+        |      FROM li GROUP BY 1)
+        |SELECT l_returnflag, count(*)::BIGINT AS n_small,
+        |  sum(qprice)::BIGINT AS sum_price
+        |FROM li JOIN p USING (l_partkey)
+        |WHERE qqty * 5 * n < sq
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_lake_merge" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n_lines,
         |  sum(CASE WHEN l_orderkey BETWEEN 100 AND 799

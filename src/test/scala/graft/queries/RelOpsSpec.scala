@@ -364,4 +364,26 @@ class RelOpsSpec extends AnyFunSuite {
     assert(want.forall(r => r._2 > 0L && r._3 > 0L && r._4 > 0L),
       "every nation must carry all three flags at contract scale")
   }
+
+  test("smallQty == local integer-exact below-average recompute") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_partkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .as[(Long, String, Double, Double)].collect().toSeq
+    val perPart = rows.groupBy(_._1).map { case (pk, xs) =>
+      pk -> (xs.size.toLong, xs.map(x => q100(x._3)).sum)
+    }
+    val small = rows.filter { r =>
+      val (n, sq) = perPart(r._1)
+      q100(r._3) * 5L * n < sq
+    }
+    val want = small.groupBy(_._2).toSeq.map { case (rf, xs) =>
+      (rf, xs.size.toLong, xs.map(x => BigInt(q100(x._4))).sum.toLong)
+    }.sortBy(_._1)
+    val got = RelOps.smallQty(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(small.nonEmpty && small.size < rows.size,
+      "the 20%-of-average predicate must keep a strict non-empty subset")
+  }
 }
