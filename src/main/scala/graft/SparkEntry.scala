@@ -746,6 +746,7 @@ object SparkEntry {
     "q_lake_skip" -> RelOps.lakeSkip,
     "q_lake_merge" -> RelOps.lakeMerge,
     "q_rel_small_qty" -> RelOps.smallQty,
+    "q_rel_cube" -> RelOps.cubeRevenue,
 
     // ---- composition: the auto-threshold ladder feeding the FULL contour
     //      pipeline (quantile selection -> tiling -> kernel -> stitch ->

@@ -488,10 +488,50 @@ object Lake {
     snap
   }
 
-  /** What [[merge]] did: the committed snapshot plus how much of the
-    * parent's data it actually rewrote vs carried forward untouched.
+  /** What [[merge]] / [[compactSmall]] did: the committed snapshot plus
+    * how much of the parent's data was actually rewritten vs carried
+    * forward untouched.
     */
   final case class MergeResult(snapshot: Snapshot, rewroteFiles: Int, carriedFiles: Int)
+
+  /** BIN-PACK COMPACTION: rewrite ONLY the latest snapshot's files
+    * smaller than `smallBytes`, coalescing them into
+    * ceil(totalSmallBytes / smallBytes) files; every file already at
+    * size carries into the new snapshot byte-for-byte (raw copy, no
+    * decode — the same carry contract as [[merge]]). This is the
+    * maintenance job a streamed-into 100 TB table needs: micro-batch
+    * commits leave long tails of small files, and packing them must not
+    * cost a table rewrite — cost is O(small bytes), not O(table).
+    * Returns None (and commits NOTHING) when fewer than two small files
+    * exist — the no-op makes a scheduled run idempotent. Row-exact by
+    * the same footer-metric require as [[compact]].
+    */
+  def compactSmall(spark: SparkSession, table: String, smallBytes: Long): Option[MergeResult] = {
+    require(smallBytes > 0L, s"compactSmall: smallBytes must be > 0, got $smallBytes")
+    val last = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"compactSmall: $table has no snapshot"))
+    val hc = conf(spark)
+    val pd = new Path(last.path)
+    val fs = pd.getFileSystem(hc)
+    val files = fs.listStatus(pd).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .toSeq.sortBy(_.getPath.getName)
+    val (small, large) = files.partition(_.getLen < smallBytes)
+    if (small.size < 2) return None
+    val bins = math.max(1L, (small.map(_.getLen).sum + smallBytes - 1) / smallBytes).toInt
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val dd = dataDir(table, id)
+    spark.read.parquet(small.map(_.getPath.toString): _*)
+      .coalesce(bins).write.mode("overwrite").parquet(dd.toString)
+    large.foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new Path(dd, st.getPath.getName), false, hc)
+    }
+    val snap = publish(spark, table, dd, id, last.id, last.seq + 1, "compact")
+    require(snap.rows == last.rows,
+      s"compactSmall: row count changed ${last.rows} -> ${snap.rows} in $table")
+    Some(MergeResult(snap, small.size, large.size))
+  }
 
   /** COPY-ON-WRITE MERGE (upsert by key): commit a new snapshot equal to
     * the current table with every key present in `source` REPLACED by the

@@ -529,7 +529,37 @@ object RelOps {
       .orderBy("l_returnflag")
   }
 
+  /** Full CUBE over (returnflag, linestatus): all four grouping sets —
+    * the pair cells, both one-dimension margins, and the grand total —
+    * in ONE pass of the fact table (Spark expands grouping sets before
+    * the map-side combine, so lineitem is still read and shuffled once).
+    * Grouping NULLs land as the 'ALL' sentinel via coalesce on both the
+    * engine and oracle sides (the repo's rollup idiom; flags are
+    * non-null in the data, so the sentinel is unambiguous).
+    */
+  val cubeRevenue: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val li = t(spark, dir, "lineitem").select(
+      col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
+      (q100(col("l_extendedprice")) * (lit(100L) - q100(col("l_discount")))).as("qrev"))
+    li.cube(col("flag"), col("status"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("qrev").cast("decimal(38,0)")).cast("long").as("revenue"))
+      .select(coalesce(col("flag"), lit("ALL")).as("flag"),
+        coalesce(col("status"), lit("ALL")).as("status"),
+        col("n_lines"), col("revenue"))
+      .orderBy("flag", "status")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_rel_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*)::BIGINT AS n_lines,
+        |  sum(floor(l_extendedprice * 100)::BIGINT
+        |      * (100 - floor(l_discount * 100)::BIGINT))::BIGINT AS revenue
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+
     "q_rel_small_qty" ->
       """WITH li AS (SELECT l_partkey, l_returnflag,
         |        floor(l_quantity * 100)::BIGINT AS qqty,

@@ -432,6 +432,43 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("compactSmall: bin-packs only the small-file tail; large files carry; no-op is None") {
+    import org.apache.spark.sql.functions._
+    val table = Files.createTempDirectory("lake-packsmall").toString
+    // one fat range partition (scrambled keys defeat delta encoding, so
+    // the file is genuinely large) and eight 500-row crumbs
+    val df = spark.range(0, 1000000).select(
+      (col("id") * 2654435761L % 1000000007L).as("k"),
+      when(col("id") < 996000L, lit(0L)).otherwise(col("id") % 8L + 1L).as("p"))
+    Lake.commit(spark, table, df.repartitionByRange(9, col("p")), "load")
+    def names(seq: Long): Set[String] = {
+      val p = java.nio.file.Paths.get(Lake.snapshotAt(spark, table, seq).get.path)
+      Files.list(p).iterator.asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    def census(seq: Long): (Seq[(Long, Long)], java.math.BigDecimal) = {
+      val d = Lake.readAt(spark, table, seq)
+      (d.groupBy("p").count().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted,
+        d.agg(sum(col("k").cast("decimal(38,0)"))).head.getDecimal(0))
+    }
+    val before = census(0L)
+    // range sampling may fold some crumb boundaries together — count what
+    // the layout actually produced instead of assuming all 8 survived
+    val crumbs = names(0L).size - 1
+    assert(crumbs >= 3, s"need a small-file tail to pack, got $crumbs crumbs")
+    val res = Lake.compactSmall(spark, table, 100L * 1024L).get
+    assert(res.rewroteFiles == crumbs && res.carriedFiles == 1)
+    assert(res.snapshot.seq == 1L && res.snapshot.op == "compact" && res.snapshot.rows == 1000000L)
+    assert(names(1L).size == 2, s"crumbs must pack into one file: ${names(1L)}")
+    assert((names(0L) intersect names(1L)).size == 1, "the fat file must carry by name")
+    assert(census(1L) == before, "compaction must be content-exact")
+    assert(Lake.fileStats(spark, table, 1L).size == 2, "packed snapshot keeps zone maps")
+    // idempotent: the packed file is no longer a crumb-TAIL (size < 2)
+    assert(Lake.compactSmall(spark, table, 100L * 1024L).isEmpty)
+    // nothing qualifies under a 1-byte threshold
+    assert(Lake.compactSmall(spark, table, 1L).isEmpty)
+  }
+
   private implicit class IterOps[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }

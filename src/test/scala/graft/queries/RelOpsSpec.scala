@@ -365,6 +365,23 @@ class RelOpsSpec extends AnyFunSuite {
       "every nation must carry all three flags at contract scale")
   }
 
+  test("cubeRevenue == local four-grouping-set recompute; cardinality is the cube closure") {
+    val cells = li.map(l => (l._7, l._8, BigInt(q100(l._4)) * (100L - q100(l._5))))
+    def agg(f: ((String, String, BigInt)) => (String, String)) =
+      cells.groupBy(f).toSeq.map { case ((a, b), xs) =>
+        (a, b, xs.size.toLong, xs.map(_._3).sum.toLong)
+      }
+    val want = (agg(c => (c._1, c._2)) ++ agg(c => (c._1, "ALL")) ++
+      agg(c => ("ALL", c._2)) ++ agg(_ => ("ALL", "ALL")))
+      .sortBy(r => (r._1, r._2))
+    val got = RelOps.cubeRevenue(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    val nf = cells.map(_._1).distinct.size
+    val ns = cells.map(_._2).distinct.size
+    assert(got.size == cells.map(c => (c._1, c._2)).distinct.size + nf + ns + 1)
+  }
+
   test("smallQty == local integer-exact below-average recompute") {
     import spark.implicits._
     val rows = spark.read.parquet(s"$sf/lineitem.parquet")
