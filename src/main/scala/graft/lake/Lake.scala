@@ -650,15 +650,29 @@ object Lake {
     import org.apache.spark.sql.functions._
     val delta = diffSnapshots(spark, table, fromSeq, toSeq)
       .withColumn("sign", when(col("change") === "insert", lit(1L)).otherwise(lit(-1L)))
-    val dAggs = sum(col("sign")).as("d_n") +:
+    val dAggs = sum(col("sign")).as("n_rows") +:
       sumCols.map(c =>
-        sum(col(c).cast("decimal(38,0)") * col("sign")).cast("long").as(s"d_$c"))
+        sum(col(c).cast("decimal(38,0)") * col("sign")).cast("long").as(s"${c}_sum"))
     val dAgg = delta.groupBy(keyCols.map(col): _*).agg(dAggs.head, dAggs.tail: _*)
-    val rolled = keyCols.map(col) ++
-      Seq((coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_rows")) ++
-      sumCols.map(c =>
-        (coalesce(col(s"${c}_sum"), lit(0L)) + coalesce(col(s"d_$c"), lit(0L))).as(s"${c}_sum"))
-    matAgg.join(dAgg, keyCols, "full_outer")
+    foldSums(matAgg, dAgg, keyCols, sumCols)
+  }
+
+  /** The abelian-group MERGE of two keyed aggregates in [[fullSums]]'s
+    * schema (counts/sums may be signed on the delta side): per-key
+    * component-wise addition through a full-outer join, keys whose
+    * count reaches zero dropping out. Shared by the CDC maintenance path
+    * ([[maintainSums]]) and the streaming IVM face
+    * (`streaming.StreamingIvm`) — one fold, two delta producers.
+    */
+  def foldSums(matAgg: DataFrame, deltaAgg: DataFrame,
+               keyCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val measures = "n_rows" +: sumCols.map(c => s"${c}_sum")
+    val d = deltaAgg.select(
+      (keyCols.map(col) ++ measures.map(c => col(c).as(s"d_$c"))): _*)
+    val rolled = keyCols.map(col) ++ measures.map(c =>
+      (coalesce(col(c), lit(0L)) + coalesce(col(s"d_$c"), lit(0L))).as(c))
+    matAgg.join(d, keyCols, "full_outer")
       .select(rolled: _*)
       .filter(col("n_rows") > 0L)
   }
