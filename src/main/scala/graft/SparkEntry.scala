@@ -747,6 +747,7 @@ object SparkEntry {
     "q_lake_merge" -> RelOps.lakeMerge,
     "q_rel_small_qty" -> RelOps.smallQty,
     "q_rel_cube" -> RelOps.cubeRevenue,
+    "q_lake_zorder" -> EventOps.lakeZorder,
 
     // ---- composition: the auto-threshold ladder feeding the FULL contour
     //      pipeline (quantile selection -> tiling -> kernel -> stitch ->

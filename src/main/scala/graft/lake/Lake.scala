@@ -410,8 +410,19 @@ object Lake {
     * alone.
     */
   def readSkipping(spark: SparkSession, table: String, seq: Long,
-                   column: String, lo: Long, hi: Long): SkipScan = {
+                   column: String, lo: Long, hi: Long): SkipScan =
+    readSkippingBox(spark, table, seq, Seq((column, lo, hi)))
+
+  /** Multi-dimensional data skipping: the conjunction of range
+    * predicates `(column, lo, hi)*` — a file survives only when EVERY
+    * predicate's range overlaps its zone map, so on a [[clusterBy]]
+    * z-ordered layout a box predicate prunes in all clustered
+    * dimensions at once. Same exactness contract as [[readSkipping]].
+    */
+  def readSkippingBox(spark: SparkSession, table: String, seq: Long,
+                      preds: Seq[(String, Long, Long)]): SkipScan = {
     import org.apache.spark.sql.functions.{col, lit}
+    require(preds.nonEmpty, "readSkippingBox: at least one range predicate required")
     val snap = snapshotAt(spark, table, seq).getOrElse(
       throw new IllegalArgumentException(
         s"readSkipping: no complete snapshot at seq $seq in $table"))
@@ -422,16 +433,70 @@ object Lake {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath).toSeq.sortBy(_.getName)
     val kept = files.filter { p =>
-      stats.get(p.getName).flatMap(_.get(column)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true // no zone map -> cannot prune, must read
+      preds.forall { case (column, lo, hi) =>
+        stats.get(p.getName).flatMap(_.get(column)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true // no zone map -> cannot prune, must read
+        }
       }
     }
-    val pred = col(column) >= lo && col(column) <= hi
+    val pred = preds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
     val df =
       if (kept.isEmpty) read(spark, snap).where(lit(false)) // schema-preserving empty
       else spark.read.parquet(kept.map(_.toString): _*).where(pred)
     SkipScan(df, kept.map(_.getName), files.size)
+  }
+
+  /** Bit-interleaved Morton (z-order) value of two non-negative columns
+    * (< 2^bits each) — pure column arithmetic (shift/mask/add over
+    * disjoint bit positions), so it stays inside whole-stage codegen.
+    */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             bits: Int = 21): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 31, s"zValue: bits must be in [1, 31], got $bits")
+    (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i),
+          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Z-ORDER CLUSTERING: rewrite the latest snapshot range-partitioned
+    * and sorted by the bit-interleaved ([[zValue]]) of two columns, as a
+    * new `op = "cluster"` snapshot. Because consecutive z-values trace
+    * compact rectangles, each written file covers a tight range in BOTH
+    * dimensions — so the per-file zone maps become selective for both
+    * columns at once and [[readSkippingBox]] prunes a box predicate in
+    * two dimensions from the manifest alone (single-column range layout
+    * can only ever prune its one sort key). This is the layout
+    * maintenance that makes multi-dimension point/box lookups on a
+    * 100 TB table open a handful of files. Loud when either column's
+    * observed domain leaves [0, 2^bits) — silent wraparound would
+    * corrupt the ordering, never the data.
+    */
+  def clusterBy(spark: SparkSession, table: String, colA: String, colB: String,
+                numFiles: Int, bits: Int = 21): Snapshot = {
+    import org.apache.spark.sql.functions._
+    require(numFiles >= 1, s"clusterBy: numFiles must be >= 1, got $numFiles")
+    val last = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"clusterBy: $table has no snapshot"))
+    val df = read(spark, last)
+    val dom = df.agg(min(col(colA)), max(col(colA)), min(col(colB)), max(col(colB))).head()
+    val lim = 1L << bits
+    for (i <- 0 until 4) {
+      val v = dom.getLong(i)
+      require(v >= 0L && v < lim,
+        s"clusterBy: ${if (i < 2) colA else colB} domain value $v outside [0, $lim)")
+    }
+    val clustered = df.withColumn("__z", zValue(col(colA), col(colB), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val snap = commit(spark, table, clustered, "cluster")
+    require(snap.rows == last.rows,
+      s"clusterBy: row count changed ${last.rows} -> ${snap.rows} in $table")
+    snap
   }
 
   /** SCHEMA-EVOLVED time travel: the snapshot at `seq` read under the

@@ -834,7 +834,42 @@ object EventOps {
       .orderBy("event_type", "quartile")
   }
 
+  /** Z-ORDER BOX LOOKUP end to end: the events grid (x = id % 100,
+    * y = id div 100) committed row-major into a throwaway lake table,
+    * then REWRITTEN z-ordered by (x, y) via [[graft.lake.Lake
+    * .clusterBy]] — bit-interleaving makes each file a compact
+    * rectangle, so the manifest zone maps are selective in BOTH
+    * dimensions and the box read ([[graft.lake.Lake.readSkippingBox]])
+    * opens only the files whose rectangle intersects the box
+    * (require-asserted: at least one file pruned). The oracle replays
+    * the box predicate arithmetically over raw events: the clustered
+    * rewrite must be invisible in the result.
+    */
+  val lakeZorder: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val ev = events(spark, dir).select(col("event_id"),
+      (col("event_id") % 100L).as("x"), expr("event_id div 100").as("y"),
+      floor(col("value") * Q20).cast("long").as("qval"))
+    val table = java.nio.file.Files.createTempDirectory("graft-lake-z").toString
+    graft.lake.Lake.commit(spark, table, ev.repartitionByRange(8, col("event_id")), "load")
+    val snap = graft.lake.Lake.clusterBy(spark, table, "x", "y", 8)
+    val scan = graft.lake.Lake.readSkippingBox(spark, table, snap.seq,
+      Seq(("x", 10L, 39L), ("y", 2L, 5L)))
+    require(scan.keptFiles.size < scan.totalFiles,
+      s"z-order box pruned nothing (${scan.keptFiles.size} of ${scan.totalFiles} files kept)")
+    scan.df.agg(count(lit(1)).as("n_events"),
+      sum(col("qval").cast("decimal(38,0)")).cast("long").as("sum_qval"),
+      sum(col("event_id").cast("decimal(38,0)")).cast("long").as("sum_id"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_lake_zorder" ->
+      """SELECT count(*)::BIGINT AS n_events,
+        |  sum(floor(value * 1048576)::BIGINT)::BIGINT AS sum_qval,
+        |  sum(event_id)::BIGINT AS sum_id
+        |FROM events
+        |WHERE event_id % 100 BETWEEN 10 AND 39
+        |  AND event_id // 100 BETWEEN 2 AND 5""".stripMargin,
+
     "q_evt_ntile" ->
       """WITH e AS (SELECT event_type, event_id,
         |             floor(value * 1048576.0)::BIGINT AS qv,

@@ -469,6 +469,42 @@ class LakeSpec extends AnyFunSuite {
     assert(Lake.compactSmall(spark, table, 1L).isEmpty)
   }
 
+  test("clusterBy: z-order makes BOTH dimensions skippable; box reads prune and stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val table = Files.createTempDirectory("lake-zorder").toString
+    // 256x256 grid committed ROW-MAJOR: y-slabs per file, so y prunes but
+    // x cannot (every file spans the full x range)
+    val grid = spark.range(0, 65536).select(
+      (col("id") % 256L).as("x"), (col("id") / lit(256L)).cast("long").as("y"), col("id").as("v"))
+    Lake.commit(spark, table, grid.repartitionByRange(16, col("id")), "load")
+    val rowMajorX = Lake.readSkipping(spark, table, 0L, "x", 16L, 31L)
+    assert(rowMajorX.keptFiles.size == rowMajorX.totalFiles,
+      "row-major layout must NOT be x-skippable (that is the point)")
+    val snap = Lake.clusterBy(spark, table, "x", "y", 16)
+    assert(snap.seq == 1L && snap.op == "cluster" && snap.rows == 65536L)
+    // both single dimensions now prune
+    val zx = Lake.readSkipping(spark, table, 1L, "x", 16L, 31L)
+    val zy = Lake.readSkipping(spark, table, 1L, "y", 16L, 31L)
+    assert(zx.keptFiles.size < zx.totalFiles, s"x must prune: ${zx.keptFiles.size}/${zx.totalFiles}")
+    assert(zy.keptFiles.size < zy.totalFiles, s"y must prune: ${zy.keptFiles.size}/${zy.totalFiles}")
+    // the box prunes harder than either dimension alone
+    val box = Lake.readSkippingBox(spark, table, 1L,
+      Seq(("x", 16L, 31L), ("y", 16L, 31L)))
+    assert(box.keptFiles.size <= math.min(zx.keptFiles.size, zy.keptFiles.size))
+    val got = box.df.select("x", "y", "v").as[(Long, Long, Long)].collect().toSeq.sorted
+    val want = (for (x <- 16L to 31L; y <- 16L to 31L) yield (x, y, y * 256L + x)).sorted
+    assert(got == want, "box read must be exact")
+    // the clustered rewrite is content-exact
+    assert(Lake.readAt(spark, table, 1L).agg(sum(col("v").cast("decimal(38,0)"))).head ==
+      Lake.readAt(spark, table, 0L).agg(sum(col("v").cast("decimal(38,0)"))).head)
+    // domain violation is loud, not wrapped around
+    val bad = Files.createTempDirectory("lake-zorder-bad").toString
+    Lake.commit(spark, bad,
+      spark.range(1).select(lit(-1L).as("x"), lit(0L).as("y")), "load")
+    intercept[IllegalArgumentException] { Lake.clusterBy(spark, bad, "x", "y", 2) }
+  }
+
   private implicit class IterOps[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
