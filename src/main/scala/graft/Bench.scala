@@ -260,7 +260,7 @@ object Bench {
   private val Ops27Queries =
     Seq("q_rel_reconcile", "q_rel_pivot", "q_evt_click_no_buy", "q_evt_click_and_buy",
       "q_evt_ntile", "q_lake_skip", "q_lake_merge", "q_rel_small_qty", "q_rel_cube",
-      "q_lake_zorder")
+      "q_lake_zorder", "q_lake_delete", "q_lake_stats")
 
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(

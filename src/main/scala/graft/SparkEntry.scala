@@ -748,6 +748,8 @@ object SparkEntry {
     "q_rel_small_qty" -> RelOps.smallQty,
     "q_rel_cube" -> RelOps.cubeRevenue,
     "q_lake_zorder" -> EventOps.lakeZorder,
+    "q_lake_delete" -> RelOps.lakeDelete,
+    "q_lake_stats" -> RelOps.lakeStats,
 
     // ---- composition: the auto-threshold ladder feeding the FULL contour
     //      pipeline (quantile selection -> tiling -> kernel -> stitch ->

@@ -665,6 +665,80 @@ object Lake {
     MergeResult(snap, touched.size, untouched.size)
   }
 
+  /** COPY-ON-WRITE DELETE: commit a new snapshot equal to the current
+    * table minus every row with `lo <= key <= hi` — the third DML verb
+    * next to [[commit]] (insert) and [[merge]] (upsert). Zone-map-pruned
+    * like merge: only files whose key range overlaps the deletion range
+    * are decoded and rewritten under the complement filter (NULL keys
+    * are never in a range, so they are KEPT — the filter is
+    * null-safe, not three-valued); every other file carries
+    * byte-for-byte. Returns None (commits nothing) when no file
+    * overlaps — a no-op delete leaves no snapshot behind.
+    */
+  def deleteRange(spark: SparkSession, table: String, key: String,
+                  lo: Long, hi: Long): Option[MergeResult] = {
+    import org.apache.spark.sql.functions.col
+    val last = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"deleteRange: $table has no snapshot"))
+    val stats = fileStats(spark, table, last.seq).map(f => f.file -> f.cols).toMap
+    val hc = conf(spark)
+    val pd = new Path(last.path)
+    val fs = pd.getFileSystem(hc)
+    val files = fs.listStatus(pd).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).toSeq.sortBy(_.getName)
+    val (touched, untouched) = files.partition { p =>
+      stats.get(p.getName).flatMap(_.get(key)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no zone map -> may hold in-range keys, must rewrite
+      }
+    }
+    if (touched.isEmpty) return None
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val dd = dataDir(table, id)
+    spark.read.parquet(touched.map(_.toString): _*)
+      .where(col(key).isNull || col(key) < lo || col(key) > hi)
+      .write.mode("overwrite").parquet(dd.toString)
+    untouched.foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(dd, p.getName), false, hc)
+    }
+    val snap = publish(spark, table, dd, id, last.id, last.seq + 1, "delete")
+    Some(MergeResult(snap, touched.size, untouched.size))
+  }
+
+  /** METADATA-ONLY row count of snapshot `seq` — the manifest's footer
+    * metric; no data file is opened. The O(1)-I/O answer to
+    * `SELECT count(*)` that a 100 TB table deserves.
+    */
+  def rowsAt(spark: SparkSession, table: String, seq: Long): Long =
+    snapshotAt(spark, table, seq).getOrElse(
+      throw new IllegalArgumentException(s"rowsAt: no complete snapshot at seq $seq in $table")
+    ).rows
+
+  /** METADATA-ONLY min/max of a BIGINT column at snapshot `seq`, merged
+    * from the manifest zone maps — exact because parquet INT64 footer
+    * statistics are exact over non-null values, which is precisely SQL
+    * min/max semantics. Returns None (caller falls back to a scan)
+    * when ANY non-empty file lacks a zone map for the column — an
+    * all-null file or a legacy manifest are indistinguishable from
+    * unknown data, and guessing is not an option. Empty files (zero
+    * rows) contribute nothing and are ignored; an empty or fully-null
+    * snapshot yields None (SQL would say NULL — the caller decides).
+    */
+  def minMaxAt(spark: SparkSession, table: String, seq: Long,
+               column: String): Option[(Long, Long)] = {
+    val snap = snapshotAt(spark, table, seq).getOrElse(
+      throw new IllegalArgumentException(s"minMaxAt: no complete snapshot at seq $seq in $table"))
+    val stats = fileStats(spark, table, seq)
+    if (stats.isEmpty && snap.rows > 0L) return None // legacy manifest
+    val nonEmpty = stats.zip(snap.partitionRows).filter(_._2 > 0L).map(_._1)
+    if (nonEmpty.isEmpty) return None
+    val ranges = nonEmpty.map(_.cols.get(column))
+    if (ranges.exists(_.isEmpty)) return None // some file is unknowable
+    val rs = ranges.flatten
+    Some((rs.map(_._1).min, rs.map(_._2).max))
+  }
+
   /** CDC-style SNAPSHOT DIFF — the incremental-read primitive an
     * downstream consumer wants instead of re-scanning the table: the
     * MULTISET delta between two committed versions, as the row set plus a

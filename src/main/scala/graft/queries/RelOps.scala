@@ -550,7 +550,62 @@ object RelOps {
       .orderBy("flag", "status")
   }
 
+  /** COPY-ON-WRITE DELETE end to end: lineitem committed range-clustered,
+    * orderkeys 100..799 deleted through [[graft.lake.Lake.deleteRange]]
+    * (zone maps confine the rewrite to the overlapping files —
+    * require-asserted that at least one file carried), then the
+    * post-delete snapshot rolled up whole. The oracle replays the delete
+    * as a NOT BETWEEN over raw lineitem.
+    */
+  def lakeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), q100(col("l_quantity")).as("qqty"))
+    val table = java.nio.file.Files.createTempDirectory("graft-lake-del").toString
+    graft.lake.Lake.commit(spark, table, li.repartitionByRange(8, col("l_orderkey")), "load")
+    val res = graft.lake.Lake.deleteRange(spark, table, "l_orderkey", 100L, 799L)
+      .getOrElse(throw new IllegalStateException("delete touched nothing"))
+    require(res.carriedFiles >= 1,
+      s"delete rewrote everything (${res.rewroteFiles} rewritten, ${res.carriedFiles} carried)")
+    graft.lake.Lake.readAt(spark, table, 1L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("qqty").cast("decimal(38,0)")).cast("long").as("sum_qqty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** METADATA-ONLY AGGREGATES end to end: count answered by the
+    * manifest's footer metric, min/max by the merged zone maps — the
+    * whole query opens ZERO data files after the initial commit, the
+    * O(1)-I/O answer a 100 TB table gives to `count/min/max`. The
+    * oracle computes the same three aggregates by scanning raw lineitem.
+    */
+  def lakeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val table = java.nio.file.Files.createTempDirectory("graft-lake-stats").toString
+    graft.lake.Lake.commit(spark, table, li.repartitionByRange(8, col("l_orderkey")), "load")
+    val rows = graft.lake.Lake.rowsAt(spark, table, 0L)
+    val (okLo, okHi) = graft.lake.Lake.minMaxAt(spark, table, 0L, "l_orderkey")
+      .getOrElse(throw new IllegalStateException("l_orderkey zone maps missing"))
+    val (skLo, skHi) = graft.lake.Lake.minMaxAt(spark, table, 0L, "l_suppkey")
+      .getOrElse(throw new IllegalStateException("l_suppkey zone maps missing"))
+    Seq((rows, okLo, okHi, skLo, skHi))
+      .toDF("n_rows", "min_okey", "max_okey", "min_skey", "max_skey")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_lake_delete" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+        |  sum(floor(l_quantity * 100)::BIGINT)::BIGINT AS sum_qqty
+        |FROM lineitem WHERE l_orderkey NOT BETWEEN 100 AND 799
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_lake_stats" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  min(l_orderkey)::BIGINT AS min_okey, max(l_orderkey)::BIGINT AS max_okey,
+        |  min(l_suppkey)::BIGINT AS min_skey, max(l_suppkey)::BIGINT AS max_skey
+        |FROM lineitem""".stripMargin,
+
     "q_rel_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,

@@ -505,6 +505,45 @@ class LakeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Lake.clusterBy(spark, bad, "x", "y", 2) }
   }
 
+  test("deleteRange: pruned copy-on-write delete; null keys survive; metadata aggregates exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val table = Files.createTempDirectory("lake-delete").toString
+    val base = spark.range(0, 8000).select(col("id").as("k"), (col("id") * 3L).as("v"))
+    Lake.commit(spark, table, base.repartitionByRange(8, col("k")), "load")
+    // metadata-only aggregates: count from the footer metric, min/max from
+    // the merged zone maps — no data file opened
+    assert(Lake.rowsAt(spark, table, 0L) == 8000L)
+    assert(Lake.minMaxAt(spark, table, 0L, "k").contains((0L, 7999L)))
+    assert(Lake.minMaxAt(spark, table, 0L, "nope").isEmpty)
+    val res = Lake.deleteRange(spark, table, "k", 1000L, 1999L).get
+    assert(res.snapshot.op == "delete" && res.snapshot.seq == 1L)
+    assert(res.rewroteFiles + res.carriedFiles == 8 && res.carriedFiles >= 6,
+      s"narrow delete must carry most files, carried ${res.carriedFiles}")
+    val got = Lake.readAt(spark, table, 1L).as[(Long, Long)].collect().toSeq.sorted
+    val want = (0L until 8000L).filterNot(i => i >= 1000L && i <= 1999L).map(i => (i, i * 3L))
+    assert(got == want.toSeq, "delete must drop exactly the range")
+    assert(Lake.rowsAt(spark, table, 1L) == 7000L)
+    assert(Lake.minMaxAt(spark, table, 1L, "k").contains((0L, 7999L)))
+    // a range beyond every zone map is a no-op: nothing committed
+    assert(Lake.deleteRange(spark, table, "k", 100000L, 200000L).isEmpty)
+    assert(Lake.latest(spark, table).get.seq == 1L)
+
+    // NULL keys are never "in range": a sweep of the whole known domain
+    // keeps them (three-valued logic would silently drop them)
+    val t2 = Files.createTempDirectory("lake-delete-null").toString
+    val withNulls = spark.range(0, 10).select(
+      when(col("id") < 3L, lit(null)).otherwise(col("id")).cast("long").as("k"),
+      col("id").as("v"))
+    Lake.commit(spark, t2, withNulls.coalesce(1), "load")
+    val r2 = Lake.deleteRange(spark, t2, "k", 0L, 100L).get
+    val left = Lake.readAt(spark, t2, 1L).select("v").as[Long].collect().toSeq.sorted
+    assert(left == Seq(0L, 1L, 2L), s"null-key rows must survive, got $left")
+    assert(r2.rewroteFiles == 1)
+    // the survivor file is all-null in k -> min/max is unknowable -> None
+    assert(Lake.minMaxAt(spark, t2, 1L, "k").isEmpty)
+  }
+
   private implicit class IterOps[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
