@@ -255,12 +255,21 @@ object Bench {
 
   /** The round-5 twenty-seventh/eighth/thirtieth waves: full-outer
     * reconciliation, the static-list pivot, the (user, day) set-EXCEPT /
-    * set-INTERSECT rollups, and the ntile quartile census.
+    * set-INTERSECT rollups, and the ntile quartile census — plus waves
+    * 35/36's relational faces (Q17-shaped small-quantity audit, full
+    * CUBE rollup).
     */
   private val Ops27Queries =
     Seq("q_rel_reconcile", "q_rel_pivot", "q_evt_click_no_buy", "q_evt_click_and_buy",
-      "q_evt_ntile", "q_lake_skip", "q_lake_merge", "q_rel_small_qty", "q_rel_cube",
-      "q_lake_zorder", "q_lake_delete", "q_lake_stats")
+      "q_evt_ntile", "q_rel_small_qty", "q_rel_cube")
+
+  /** The round-5 lake-DML waves (33/34/38/39): each query COMMITS the
+    * fact table into a throwaway lake table first, so this leg measures
+    * snapshot write + zone-map-pruned rewrite cost, deliberately apart
+    * from the read-algebra legs.
+    */
+  private val Ops33Queries =
+    Seq("q_lake_skip", "q_lake_merge", "q_lake_zorder", "q_lake_delete", "q_lake_stats")
 
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
@@ -275,7 +284,7 @@ object Bench {
     "ops20" -> Ops20Queries, "ops21" -> Ops21Queries,
     "ops22" -> Ops22Queries, "ops23" -> Ops23Queries,
     "ops24" -> Ops24Queries, "ops25" -> Ops25Queries,
-    "ops27" -> Ops27Queries)
+    "ops27" -> Ops27Queries, "ops33" -> Ops33Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum
