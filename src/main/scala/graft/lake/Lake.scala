@@ -499,6 +499,51 @@ object Lake {
     snap
   }
 
+  /** Time travel by TIMESTAMP: the newest complete snapshot whose commit
+    * time is <= `asOfMillis` (ties resolve to the highest seq) — the
+    * Iceberg as-of-timestamp contract next to [[snapshotAt]]'s by-seq
+    * one. None when the table has no snapshot that old.
+    */
+  def snapshotAsOf(spark: SparkSession, table: String, asOfMillis: Long): Option[Snapshot] =
+    snapshots(spark, table).filter(_.ts <= asOfMillis).lastOption
+
+  /** Time-travel read by timestamp; loud when nothing that old exists. */
+  def readAsOf(spark: SparkSession, table: String, asOfMillis: Long): DataFrame =
+    read(spark, snapshotAsOf(spark, table, asOfMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"readAsOf: no complete snapshot at or before $asOfMillis in $table")))
+
+  /** ROLLBACK: commit a NEW snapshot whose contents equal snapshot
+    * `seq`, every data file carried byte-for-byte (raw copy, no
+    * decode/encode) — history is append-only, so the undone snapshots
+    * stay time-travelable until expired and the lineage chain stays
+    * linear (parent = the snapshot being rolled back FROM). The cheap
+    * "undo" a 100 TB table can afford: cost is a file copy (server-side
+    * on object stores), never a table rewrite.
+    */
+  def rollback(spark: SparkSession, table: String, seq: Long): Snapshot = {
+    val target = snapshotAt(spark, table, seq).getOrElse(
+      throw new IllegalArgumentException(s"rollback: no complete snapshot at seq $seq in $table"))
+    val last = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"rollback: $table has no snapshot"))
+    val hc = conf(spark)
+    val td = new Path(target.path)
+    val fs = td.getFileSystem(hc)
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val dd = dataDir(table, id)
+    fs.mkdirs(dd)
+    fs.listStatus(td).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new Path(dd, st.getPath.getName), false, hc)
+      }
+    val snap = publish(spark, table, dd, id, last.id, last.seq + 1, "rollback")
+    require(snap.rows == target.rows,
+      s"rollback: row count ${snap.rows} != target ${target.rows} in $table")
+    snap
+  }
+
   /** SCHEMA-EVOLVED time travel: the snapshot at `seq` read under the
     * LATEST snapshot's schema (the Iceberg read contract for evolved
     * tables). Columns added since `seq` backfill as typed NULLs; columns

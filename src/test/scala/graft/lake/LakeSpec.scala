@@ -544,6 +544,43 @@ class LakeSpec extends AnyFunSuite {
     assert(Lake.minMaxAt(spark, t2, 1L, "k").isEmpty)
   }
 
+  test("readAsOf resolves by commit time; rollback is a carry-only commit that keeps history") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("lake-asof").toString
+    def v(n: Int) = spark.range(0, 10L * n).select(col("id").as("k"))
+    val s0 = Lake.commit(spark, table, v(1), "load")
+    Thread.sleep(10) // force distinct commit timestamps
+    val s1 = Lake.commit(spark, table, v(2), "update")
+    Thread.sleep(10)
+    val s2 = Lake.commit(spark, table, v(3), "update")
+    assert(s0.ts < s1.ts && s1.ts < s2.ts)
+    // as-of semantics: newest snapshot at or before t
+    assert(Lake.snapshotAsOf(spark, table, s0.ts - 1).isEmpty)
+    intercept[IllegalArgumentException] { Lake.readAsOf(spark, table, s0.ts - 1) }
+    assert(Lake.readAsOf(spark, table, s0.ts).count() == 10L)
+    assert(Lake.readAsOf(spark, table, s1.ts).count() == 20L)
+    assert(Lake.readAsOf(spark, table, (s1.ts + s2.ts) / 2).count() == 20L)
+    assert(Lake.readAsOf(spark, table, Long.MaxValue).count() == 30L)
+    // rollback to v0: new snapshot, identical content, carried file names
+    val rb = Lake.rollback(spark, table, 0L)
+    assert(rb.seq == 3L && rb.op == "rollback" && rb.parent == s2.id && rb.rows == 10L)
+    assert(Lake.readAt(spark, table, 3L).as[Long].collect().toSeq.sorted ==
+      Lake.readAt(spark, table, 0L).as[Long].collect().toSeq.sorted)
+    def names(seq: Long): Set[String] = {
+      val p = java.nio.file.Paths.get(Lake.snapshotAt(spark, table, seq).get.path)
+      Files.list(p).iterator.asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    assert(names(3L) == names(0L), "rollback must carry files byte-for-byte by name")
+    // zone maps survive the carry (publish re-reads footers)
+    assert(Lake.fileStats(spark, table, 3L).size == names(3L).size)
+    assert(Lake.minMaxAt(spark, table, 3L, "k").contains((0L, 9L)))
+    // history is untouched: the undone snapshots still time-travel
+    assert(Lake.readAt(spark, table, 2L).count() == 30L)
+    intercept[IllegalArgumentException] { Lake.rollback(spark, table, 99L) }
+  }
+
   private implicit class IterOps[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
