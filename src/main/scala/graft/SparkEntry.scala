@@ -750,6 +750,7 @@ object SparkEntry {
     "q_lake_zorder" -> EventOps.lakeZorder,
     "q_lake_delete" -> RelOps.lakeDelete,
     "q_lake_stats" -> RelOps.lakeStats,
+    "q_rel_trailing" -> RelOps.trailingRevenue,
 
     // ---- composition: the auto-threshold ladder feeding the FULL contour
     //      pipeline (quantile selection -> tiling -> kernel -> stitch ->

@@ -593,7 +593,41 @@ object RelOps {
       .toDF("n_rows", "min_okey", "max_okey", "min_skey", "max_skey")
   }
 
+  /** 7-day TRAILING revenue — the value-based RANGE window frame (every
+    * prior window face in the repo is row- or rank-based): per ship day,
+    * the revenue of that day plus the six CALENDAR days before it,
+    * which differs from ROWS 6 PRECEDING exactly where days are absent
+    * (gaps shrink the row frame but not the range frame — the spec
+    * asserts such a gap exists). Shape at scale: the fact table reduces
+    * to a per-day rollup first (map-side combinable, day domain is
+    * years-bounded), so the window runs over a registry-sized frame via
+    * the constant-partition idiom; sums ride decimal(38,0) across the
+    * frame like every other fixed-point fold.
+    */
+  val trailingRevenue: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val byDay = t(spark, dir, "lineitem")
+      .select(expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").as("day"),
+        (q100(col("l_extendedprice")) * (lit(100L) - q100(col("l_discount")))).as("qrev"))
+      .groupBy("day")
+      .agg(sum(col("qrev").cast("decimal(38,0)")).cast("long").as("rev"))
+    val w = Window.partitionBy(pmod(col("day"), lit(1L)))
+      .orderBy(col("day")).rangeBetween(-6L, 0L)
+    byDay.select(col("day"), col("rev"),
+      sum(col("rev").cast("decimal(38,0)")).over(w).cast("long").as("rev_7d"))
+      .orderBy("day")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_rel_trailing" ->
+      """WITH d AS (SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+        |  sum(floor(l_extendedprice * 100)::BIGINT
+        |      * (100 - floor(l_discount * 100)::BIGINT))::BIGINT AS rev
+        |  FROM lineitem GROUP BY 1)
+        |SELECT day::BIGINT AS day, rev,
+        |  sum(rev) OVER (ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT AS rev_7d
+        |FROM d ORDER BY day""".stripMargin,
+
     "q_lake_delete" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n_lines,
         |  sum(floor(l_quantity * 100)::BIGINT)::BIGINT AS sum_qqty

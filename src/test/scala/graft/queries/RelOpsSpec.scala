@@ -382,6 +382,29 @@ class RelOpsSpec extends AnyFunSuite {
     assert(got.size == cells.map(c => (c._1, c._2)).distinct.size + nf + ns + 1)
   }
 
+  test("trailingRevenue == local range-frame recompute; day gaps make RANGE differ from ROWS") {
+    val byDay = li.groupBy(l => l._9 / 86400000000L).toSeq.map { case (d, xs) =>
+      (d, xs.map(l => BigInt(q100(l._4)) * (100L - q100(l._5))).sum.toLong)
+    }.sortBy(_._1)
+    val want = byDay.map { case (d, r) =>
+      (d, r, byDay.filter(x => x._1 >= d - 6L && x._1 <= d).map(x => BigInt(x._2)).sum.toLong)
+    }
+    val got = RelOps.trailingRevenue(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // non-trivial: a calendar gap must exist, and on some day the RANGE
+    // frame therefore spans fewer than 7 present days (ROWS would differ)
+    val days = byDay.map(_._1)
+    assert(days.zip(days.drop(1)).exists { case (a, b) => b - a > 1L },
+      "need a calendar gap for the RANGE-vs-ROWS distinction")
+    val idx = days.zipWithIndex.toMap
+    val rangeNarrower = byDay.zipWithIndex.exists { case ((d, _), i) =>
+      i >= 6 && days.slice(i - 6, i + 1).exists(_ < d - 6L)
+    }
+    assert(rangeNarrower, "some warmed-up day must have a 7-row frame wider than 7 calendar days")
+    assert(idx.size == byDay.size)
+  }
+
   test("smallQty == local integer-exact below-average recompute") {
     import spark.implicits._
     val rows = spark.read.parquet(s"$sf/lineitem.parquet")
