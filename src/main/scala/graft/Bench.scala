@@ -257,11 +257,14 @@ object Bench {
     * reconciliation, the static-list pivot, the (user, day) set-EXCEPT /
     * set-INTERSECT rollups, and the ntile quartile census — plus waves
     * 35/36's relational faces (Q17-shaped small-quantity audit, full
-    * CUBE rollup).
+    * CUBE rollup), wave 41's RANGE-frame trailing revenue, and wave
+    * 42's Q21-shaped waiting-supplier audit, Q11-shaped share-of-total
+    * threshold and the pivot->unpivot round trip.
     */
   private val Ops27Queries =
     Seq("q_rel_reconcile", "q_rel_pivot", "q_evt_click_no_buy", "q_evt_click_and_buy",
-      "q_evt_ntile", "q_rel_small_qty", "q_rel_cube", "q_rel_trailing")
+      "q_evt_ntile", "q_rel_small_qty", "q_rel_cube", "q_rel_trailing",
+      "q_rel_waiting", "q_rel_share", "q_rel_unpivot")
 
   /** The round-5 lake-DML waves (33/34/38/39): each query COMMITS the
     * fact table into a throwaway lake table first, so this leg measures

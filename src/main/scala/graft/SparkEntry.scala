@@ -751,6 +751,9 @@ object SparkEntry {
     "q_lake_delete" -> RelOps.lakeDelete,
     "q_lake_stats" -> RelOps.lakeStats,
     "q_rel_trailing" -> RelOps.trailingRevenue,
+    "q_rel_waiting" -> RelOps.waitingSuppliers,
+    "q_rel_share" -> RelOps.revenueShare,
+    "q_rel_unpivot" -> RelOps.revenueUnpivot,
 
     // ---- composition: the auto-threshold ladder feeding the FULL contour
     //      pipeline (quantile selection -> tiling -> kernel -> stitch ->

@@ -617,7 +617,138 @@ object RelOps {
       .orderBy("day")
   }
 
+  /** Q21-shaped WAITING-SUPPLIER audit — the double-correlated
+    * (EXISTS + NOT EXISTS) self-join topology, the one join shape the
+    * family lacked: per supplier, the count of orders where THAT
+    * supplier shipped late (more than 60 days after the order date,
+    * pure epoch-integer arithmetic) while at least one OTHER supplier
+    * participated in the order (the EXISTS) and NO other supplier was
+    * also late (the NOT EXISTS — sole blame). Decorrelated the
+    * scale-safe way: both correlated subqueries collapse into ONE
+    * per-order aggregate (distinct participating suppliers, distinct
+    * late suppliers — each bounded by lines-per-order, never rows),
+    * so the fact table shuffles once on its natural orderkey and the
+    * late candidates re-join the order-sized summary; the supplier
+    * name resolves through the registry-bounded broadcast. The oracle
+    * keeps the textbook correlated EXISTS/NOT EXISTS formulation —
+    * genuinely independent plans for the same semantics.
+    */
+  val waitingSuppliers: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      .join(t(spark, dir, "orders")
+          .select(col("o_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("ord_us")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("ship_us") > col("ord_us") + lit(60L * 86400000000L)).as("late"))
+    val perOrder = li.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+    val cand = li.filter(col("late")).select(col("l_orderkey"), col("l_suppkey")).distinct()
+    cand.join(perOrder, "l_orderkey")
+      .filter(col("n_supp") >= 2L && col("n_late") === 1L)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy("s_name")
+  }
+
+  /** Q11-shaped SHARE-OF-TOTAL threshold — the scalar-subquery-in-HAVING
+    * face: parts whose revenue exceeds 1.25x the average part's share of
+    * total revenue (rev * n_parts * 4 > total * 5 — scale-FREE, unlike
+    * Q11's fixed fraction, so the predicate keeps a strict non-empty
+    * subset at every SF; the inequality is cross-multiplied so no
+    * division ever crosses the compare, and both sides ride
+    * decimal(38,0) — rev * n_parts overflows a BIGINT on a web-scale
+    * part registry). One map-side-combinable partkey rollup; the
+    * total + count scalar re-aggregates the ALREADY-REDUCED per-part
+    * frame (never a second fact scan) and broadcasts.
+    */
+  val revenueShare: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val perPart = t(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        (q100(col("l_extendedprice")) * (lit(100L) - q100(col("l_discount")))).as("qrev"))
+      .groupBy("l_partkey")
+      .agg(sum(col("qrev").cast("decimal(38,0)")).as("rev"))
+    val tot = perPart.agg(sum(col("rev")).as("total"),
+      count(lit(1)).cast("decimal(38,0)").as("n_parts"))
+    perPart.crossJoin(broadcast(tot))
+      .filter(col("rev") * col("n_parts") * lit(4L) > col("total") * lit(5L))
+      .select(col("l_partkey"), col("rev").cast("long").as("revenue"))
+      .orderBy("l_partkey")
+  }
+
+  /** Revenue UNPIVOT — the wide->long melt face (the inverse of
+    * [[revenuePivot]], and the normalization every metrics pipeline
+    * runs when a wide table must become tidy rows): the pivot's
+    * nation x flag matrix unpivots through Spark's native `unpivot`
+    * API (a single Expand node — each input row fans out to its three
+    * (flag, value) rows in one narrow pass, no join and no shuffle
+    * beyond the pivot's own), flag names mapped back to the dimension
+    * values. Zero-filled cells SURVIVE the round trip (the long-form
+    * groupBy would omit them) — the oracle therefore builds the full
+    * nation x flag grid with explicit zeros.
+    */
+  val revenueUnpivot: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val wide = revenuePivot(spark, dir)
+    wide.unpivot(
+        Array(col("n_name")),
+        Array(col("rev_a"), col("rev_n"), col("rev_r")),
+        "flag_col", "revenue")
+      .select(col("n_name"),
+        upper(substring(col("flag_col"), 5, 1)).as("flag"),
+        col("revenue"))
+      .orderBy("n_name", "flag")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_rel_waiting" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+        |        epoch_us(l_shipdate) AS ship_us FROM lineitem),
+        |o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS ord_us FROM orders),
+        |late AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |         FROM li JOIN o ON o_orderkey = l_orderkey
+        |         WHERE ship_us > ord_us + 60 * 86400000000)
+        |SELECT s_name, count(*)::BIGINT AS numwait
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM li l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rel_share" ->
+      """WITH p AS (SELECT l_partkey,
+        |        sum(floor(l_extendedprice * 100)::BIGINT
+        |            * (100 - floor(l_discount * 100)::BIGINT))::HUGEINT AS rev
+        |      FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(rev)::HUGEINT AS total, count(*)::HUGEINT AS n_parts FROM p)
+        |SELECT l_partkey, rev::BIGINT AS revenue
+        |FROM p, t WHERE rev * n_parts * 4 > total * 5
+        |ORDER BY 1""".stripMargin,
+
+    "q_rel_unpivot" ->
+      """WITH li AS (SELECT n_name, l_returnflag AS flag,
+        |        floor(l_extendedprice * 100)::BIGINT
+        |          * (100 - floor(l_discount * 100)::BIGINT) AS qrev
+        |      FROM lineitem
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation ON n_nationkey = c_nationkey),
+        |grid AS (SELECT DISTINCT n_name FROM li),
+        |flags AS (SELECT unnest(['A', 'N', 'R']) AS flag)
+        |SELECT g.n_name, f.flag,
+        |  coalesce((SELECT sum(qrev) FROM li
+        |            WHERE li.n_name = g.n_name AND li.flag = f.flag), 0)::BIGINT AS revenue
+        |FROM grid g CROSS JOIN flags f
+        |ORDER BY 1, 2""".stripMargin,
+
     "q_rel_trailing" ->
       """WITH d AS (SELECT epoch_us(l_shipdate) // 86400000000 AS day,
         |  sum(floor(l_extendedprice * 100)::BIGINT

@@ -426,4 +426,65 @@ class RelOpsSpec extends AnyFunSuite {
     assert(small.nonEmpty && small.size < rows.size,
       "the 20%-of-average predicate must keep a strict non-empty subset")
   }
+
+  test("waitingSuppliers == local exists/not-exists recompute; both correlates bite") {
+    import spark.implicits._
+    val ordUs = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "unix_micros(cast(o_orderdate as timestamp))")
+      .as[(Long, Long)].collect().toMap
+    val sName = spark.read.parquet(s"$sf/supplier.parquet")
+      .selectExpr("s_suppkey", "s_name").as[(Long, String)].collect().toMap
+    val byOrder = li.groupBy(_._1)
+    val late = li.filter(l => l._9 > ordUs(l._1) + 60L * 86400000000L)
+      .map(l => (l._1, l._2)).distinct
+    val lateByOrder = late.groupBy(_._1)
+    val waiting = late.filter { case (ok, sk) =>
+      byOrder(ok).exists(_._2 != sk) && !lateByOrder(ok).exists(_._2 != sk)
+    }
+    val want = waiting.groupBy(_._2).toSeq
+      .map { case (sk, xs) => (sName(sk), xs.size.toLong) }.sortBy(_._1)
+    val got = RelOps.waitingSuppliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // non-trivial: the EXISTS must drop sole-supplier orders somewhere and
+    // the NOT EXISTS must drop multi-late orders somewhere
+    assert(waiting.nonEmpty && waiting.size < late.size,
+      "the two correlates must keep a strict non-empty subset of late pairs")
+    assert(late.exists { case (ok, sk) => lateByOrder(ok).exists(_._2 != sk) },
+      "a multi-late order must exist for the NOT EXISTS to bite")
+    assert(late.exists { case (ok, _) => byOrder(ok).map(_._2).distinct.size == 1 },
+      "a sole-supplier late order must exist for the EXISTS to bite")
+  }
+
+  test("revenueShare == local scale-free share-threshold recompute; strict subset") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_partkey", "l_extendedprice", "l_discount")
+      .as[(Long, Double, Double)].collect().toSeq
+    val rev = rows.groupBy(_._1).map { case (pk, xs) =>
+      pk -> xs.map(x => BigInt(q100(x._2)) * (100L - q100(x._3))).sum
+    }
+    val total = rev.values.sum
+    val n = BigInt(rev.size)
+    val want = rev.toSeq.filter { case (_, r) => r * n * 4 > total * 5 }
+      .map { case (pk, r) => (pk, r.toLong) }.sortBy(_._1)
+    val got = RelOps.revenueShare(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    assert(want.nonEmpty && want.size < rev.size,
+      "the 1.25x-average share threshold must keep a strict non-empty subset")
+  }
+
+  test("revenueUnpivot round-trips the pivot: wide x 3 flags, zero cells survive") {
+    val wide = RelOps.revenuePivot(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = wide.flatMap { case (n, a, nn, rr) =>
+      Seq((n, "A", a), (n, "N", nn), (n, "R", rr))
+    }.sortBy(r => (r._1, r._2)).toSeq
+    val got = RelOps.revenueUnpivot(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.size == wide.length * 3, "every wide row must fan out to exactly 3 long rows")
+    assert(got.map(_._2).distinct.sorted == Seq("A", "N", "R"))
+  }
 }
