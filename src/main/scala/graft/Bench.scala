@@ -159,10 +159,13 @@ object Bench {
 
   /** The round-5 eleventh wave: the Laplacian tiled kernel, the hour
     * burst ratio, dup-cluster source mix, the bucketed-global-sort
-    * neighbour LCP, and (spec-only) streaming exact top-k.
+    * neighbour LCP, and (spec-only) streaming exact top-k — plus wave
+    * 43's neighbour edit distance (the same successor frame) and the
+    * pairwise source total-variation matrix.
     */
   private val Ops11Queries =
-    Seq("q_laplacian", "q_evt_spike", "q_cluster_mix", "q_doc_lcp")
+    Seq("q_laplacian", "q_evt_spike", "q_cluster_mix", "q_doc_lcp",
+      "q_doc_edit_dist", "q_source_tv")
 
   /** The round-5 twelfth wave: the Sobel tiled kernel, the inter-arrival
     * gap spectrum, Zipf head coverage, and the embedding energy census.

@@ -649,6 +649,8 @@ object SparkEntry {
     "q_doc_novelty" -> TrainingOps.novelty,
     "q_doc_assort" -> TrainingOps.assortativity,
     "q_doc_lcp" -> TrainingOps.lcpNeighbors,
+    "q_doc_edit_dist" -> TrainingOps.editNeighbors,
+    "q_source_tv" -> TrainingOps.sourceTv,
     "q_cluster_mix" -> TrainingOps.clusterMix,
     "q_doc_head_cov" -> TrainingOps.headCoverage,
     "q_emb_energy" -> TrainingOps.embEnergy,

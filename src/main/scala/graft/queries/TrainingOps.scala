@@ -1090,6 +1090,20 @@ object TrainingOps {
   val lcpNeighbors: (SparkSession, String) => DataFrame = (spark, dir) => {
     val lcpExpr = "size(filter(sequence(1, 64), i -> " +
       "i <= least(length(text), length(nt)) and substring(text, 1, i) = substring(nt, 1, i)))"
+    neighborPairs(spark, dir)
+      .select(col("doc_id"), col("next_doc"), expr(lcpExpr).cast("long").as("lcp64"))
+      .orderBy("doc_id")
+  }
+
+  /** The distributed lexicographic-successor frame shared by
+    * [[lcpNeighbors]] and [[editNeighbors]]: one (doc_id, text,
+    * next_doc, nt) row per doc in (text, doc_id) order except the global
+    * maximum — successors within a 4-char-prefix bucket from one lead
+    * window per bucket, cross-bucket successors stitched over the
+    * bounded bucket-extremes table (see lcpNeighbors' Scaladoc for the
+    * exactness argument).
+    */
+  private def neighborPairs(spark: SparkSession, dir: String): DataFrame = {
     val base = docs(spark, dir)
       .select(col("doc_id"), col("text"), substring(col("text"), 1, 4).as("bk"))
     val wB = Window.partitionBy("bk").orderBy(col("text"), col("doc_id"))
@@ -1112,8 +1126,78 @@ object TrainingOps {
       .join(minRows, "nbk")
       .select(col("doc_id"), col("text"), col("next_doc"), col("nt"))
     inner.union(boundary)
-      .select(col("doc_id"), col("next_doc"), expr(lcpExpr).cast("long").as("lcp64"))
+  }
+
+  /** Lexicographic-neighbour EDIT DISTANCE — the near-duplicate grader
+    * beside [[lcpNeighbors]]'s prefix detector: two docs can share a
+    * long prefix yet diverge wholly after it (LCP alone over-flags), or
+    * differ in their first character yet be one edit apart (LCP alone
+    * under-flags); the Levenshtein distance of the 64-char prefixes
+    * separates the cases. The cap is the SAME bounded-compare contract
+    * as lcp64 — the operator never scans two full documents, so the
+    * per-pair cost is O(64^2) regardless of doc length (the property
+    * that keeps it runnable on a 100 TB corpus), and `levenshtein` is a
+    * codegen'd built-in on both sides of the compare (Spark and DuckDB
+    * agree exactly on this ASCII corpus; both count single-character
+    * insert/delete/substitute edits). Pairs come from the SAME
+    * distributed successor frame — adjacent docs in the global (text,
+    * doc_id) order, where prefix-near duplicates provably land next to
+    * each other.
+    */
+  val editNeighbors: (SparkSession, String) => DataFrame = (spark, dir) =>
+    neighborPairs(spark, dir)
+      .select(col("doc_id"), col("next_doc"),
+        levenshtein(substring(col("text"), 1, 64), substring(col("nt"), 1, 64))
+          .cast("long").as("edit64"))
       .orderBy("doc_id")
+
+  /** Pairwise SOURCE DISTRIBUTION DISTANCE — exact total variation
+    * between per-source unigram distributions, the statistic a corpus-
+    * mixing pipeline weighs sources by (TV chosen over KL/JS precisely
+    * because no log crosses the compare — the Simpson-over-entropy
+    * contract again): TV(P1, P2) = (1/2) * sum_t |p1(t) - p2(t)|
+    * = sum_t |c1*N2 - c2*N1| / (2*N1*N2), an EXACT integer before the
+    * one truncating division. The union-of-supports sum DECOMPOSES over
+    * the inner join only: tokens present in both contribute
+    * |c1*N2 - c2*N1|; tokens private to one side contribute their whole
+    * mass cross-scaled, i.e. (N1 - S1b)*N2 + (N2 - S2b)*N1 where S1b/S2b
+    * are the shared-token masses — so the engine never materializes the
+    * full pair x vocabulary grid (the oracle DOES, as the independent
+    * gather formulation). Scale shape: one map-side-combinable
+    * (source, token) groupBy; the self-join volume is
+    * sum-over-tokens C(sources-with-token, 2), bounded by the
+    * registry-sized source list; every sum rides decimal(38,0) since
+    * c*N overflows BIGINT on a web-scale corpus. Pairs sharing no token
+    * (TV exactly 1) still surface via the registry cross frame.
+    */
+  val sourceTv: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val dec = "decimal(38,0)"
+    val counts = docs(spark, dir)
+      .select(col("source"), explode(toks).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source").agg(sum(col("c")).as("n"))
+    val cn = counts.join(totals, "source")
+    val shared = cn.as("a").join(cn.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(abs(col("a.c").cast(dec) * col("b.n") - col("b.c").cast(dec) * col("a.n")))
+          .as("both_term"),
+        sum(col("a.c").cast(dec)).as("s1b"),
+        sum(col("b.c").cast(dec)).as("s2b"))
+    val pairs = broadcast(totals.select(col("source").as("src_a"), col("n").cast(dec).as("n_a")))
+      .crossJoin(broadcast(totals.select(col("source").as("src_b"), col("n").cast(dec).as("n_b"))))
+      .filter(col("src_a") < col("src_b"))
+    pairs.join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        ((coalesce(col("both_term"), lit(0L).cast(dec))
+          + (col("n_a") - coalesce(col("s1b"), lit(0L).cast(dec))) * col("n_b")
+          + (col("n_b") - coalesce(col("s2b"), lit(0L).cast(dec))) * col("n_a"))
+          * lit(1000000L)).as("num"),
+        (lit(2L).cast(dec) * col("n_a") * col("n_b")).as("den"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        expr("cast(num div den as bigint)").as("tv_x1e6"))
+      .orderBy("src_a", "src_b")
   }
 
   // ---- deterministic stratified sampling: stable splits from a hash ----
@@ -1950,6 +2034,40 @@ object TrainingOps {
 
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracleSql: Map[String, String] = Map(
+    // neighbor edit distance: the direct global lead() formulation (vs the
+    // engine's bucketed distributed sort); DuckDB's levenshtein and
+    // Spark's agree exactly on this ASCII corpus
+    "q_doc_edit_dist" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    lead(doc_id) OVER (ORDER BY text, doc_id) AS next_doc,
+        |    lead(text) OVER (ORDER BY text, doc_id) AS nt
+        |  FROM documents)
+        |SELECT doc_id, next_doc,
+        |  levenshtein(text[1:64], nt[1:64])::BIGINT AS edit64
+        |FROM s WHERE next_doc IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // source total variation: the independent GATHER formulation — the
+    // full pairs x union-of-tokens grid with explicit zero coalesces (vs
+    // the engine's inner-join decomposition)
+    "q_source_tv" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, count(*)::HUGEINT AS c FROM tk GROUP BY 1, 2),
+        |n AS (SELECT source, sum(c)::HUGEINT AS n FROM c GROUP BY 1),
+        |u AS (SELECT DISTINCT tok FROM c),
+        |p AS (SELECT a.source AS s1, a.n AS n1, b.source AS s2, b.n AS n2
+        |      FROM n a, n b WHERE a.source < b.source)
+        |SELECT s1 AS src_a, s2 AS src_b,
+        |  n1::BIGINT AS n_a, n2::BIGINT AS n_b,
+        |  ((sum(abs(coalesce(c1.c, 0)::HUGEINT * n2
+        |            - coalesce(c2.c, 0)::HUGEINT * n1)) * 1000000)
+        |   // (2 * n1 * n2))::BIGINT AS tv_x1e6
+        |FROM p CROSS JOIN u
+        |LEFT JOIN c c1 ON c1.source = p.s1 AND c1.tok = u.tok
+        |LEFT JOIN c c2 ON c2.source = p.s2 AND c2.tok = u.tok
+        |GROUP BY 1, 2, n1, n2 ORDER BY 1, 2""".stripMargin,
+
     // scrub census: the same single-char-class / literal patterns counted
     // via len(regexp_extract_all) — engine-independent by construction
     "q_doc_scrub" ->

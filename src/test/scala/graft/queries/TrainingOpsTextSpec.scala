@@ -99,6 +99,79 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(!byDoc.contains(9L), "the corpus maximum has no successor")
   }
 
+  private def levenshtein(a: String, b: String): Int = {
+    val prev = Array.tabulate(b.length + 1)(identity)
+    val cur = new Array[Int](b.length + 1)
+    for (i <- 1 to a.length) {
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      Array.copy(cur, 0, prev, 0, cur.length)
+    }
+    prev(b.length)
+  }
+
+  test("editNeighbors == local DP Levenshtein over the sorted successors (64-char cap)") {
+    val sorted = docsLocal().sortBy { case (id, t) => (t, id) }
+    val want = sorted.zip(sorted.tail).map { case ((id, a), (nid, b)) =>
+      (id, nid, levenshtein(a.take(64), b.take(64)).toLong)
+    }.sortBy(_._1)
+    val got = TrainingOps.editNeighbors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.exists(_._3 > 0L), "distinct neighbors must cost at least one edit")
+    assert(got.map(_._3).max > 1L, "some neighbor pair must differ by more than one edit")
+  }
+
+  test("editNeighbors adversarial: equal texts, empties, cap, first-char divergence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edit-adv").toString
+    val docs = Seq[(Long, String)](
+      (1L, ""), (2L, "a"),                       // empty -> one insert
+      (3L, "dup"), (4L, "dup"),                  // equal -> 0 edits
+      (5L, "p" * 100 + "A"), (6L, "p" * 100 + "B"), // beyond-cap difference invisible
+      (7L, "xabcdefg"), (8L, "yabcdefg")         // first-char divergence = 1 edit
+    )
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TrainingOps.editNeighbors(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (2L, 1L))
+    assert(got(3L) == (4L, 0L))
+    assert(got(5L) == (6L, 0L), "a difference past the 64-char cap must be invisible")
+    assert(got(7L) == (8L, 1L), "LCP 0 but edit distance 1 — the case LCP alone misses")
+  }
+
+  test("sourceTv == local union-of-supports total-variation recompute") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "text").as[(String, String)].collect().toSeq
+    val counts = rows.flatMap { case (s, t) => toks(t).map(s -> _) }
+      .groupBy(identity).map { case ((s, tk), xs) => (s, tk) -> BigInt(xs.size) }
+    val totals = counts.groupBy(_._1._1).map { case (s, xs) => s -> xs.values.sum }
+    val srcs = totals.keys.toSeq.sorted
+    val vocab = counts.keys.map(_._2).toSet
+    val want = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+      (s1, s2) = (srcs(i), srcs(j))
+      (n1, n2) = (totals(s1), totals(s2))
+    } yield {
+      val num = vocab.toSeq.map { tk =>
+        val c1 = counts.getOrElse((s1, tk), BigInt(0))
+        val c2 = counts.getOrElse((s2, tk), BigInt(0))
+        (c1 * n2 - c2 * n1).abs
+      }.sum
+      (s1, s2, n1.toLong, n2.toLong, (num * 1000000 / (2 * n1 * n2)).toLong)
+    }).sortBy(r => (r._1, r._2))
+    val got = TrainingOps.sourceTv(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    assert(got.forall(r => r._5 > 0L && r._5 < 1000000L),
+      "distinct same-generator sources must land strictly inside (0, 1)")
+    assert(got.size == srcs.size * (srcs.size - 1) / 2, "every source pair must surface")
+  }
+
   test("headCoverage == local top-10 mass recompute") {
     import spark.implicits._
     val bySrc = spark.read.parquet(s"$sf/documents.parquet")
