@@ -178,7 +178,7 @@ object Bench {
     * census (the lake snapshot diff is spec-only).
     */
   private val Ops13Queries =
-    Seq("q_box_count", "q_evt_dau7", "q_evt_lifespan")
+    Seq("q_box_count", "q_evt_dau7", "q_evt_lifespan", "q_compactness")
 
   /** The round-5 fourteenth wave: Getis-Ord hotspot share, Hilbert block
     * index, the K-halo cost-distance horizon, and the PII scrub census.

@@ -197,6 +197,14 @@ object SparkEntry {
       graft.engine.SpatialOps.boxCountStats(
         spark, engine(spark).contours(eventTiles(spark, dir)), EventsGrid.Thresholds)),
 
+    // ---- isoperimetric compactness (smooth=true): A/P^2 per threshold
+    //      as one fused pass over the ring edges — area cross terms and
+    //      segment lengths quantize exactly like the moments/length
+    //      operators, one truncating decimal division at the end ----
+    "q_compactness" -> ((spark, dir) =>
+      graft.engine.SpatialOps.compactnessStats(
+        spark, engine(spark).contours(eventTiles(spark, dir)), EventsGrid.Thresholds)),
+
     // ---- one-pass Visvalingam simplification (smooth=true): per-vertex
     //      effective triangle area vs its ring neighbours, KEEP decided in
     //      the quantized integer domain (tolerance = SimplifyEps2Q) ----
@@ -1282,6 +1290,32 @@ object SparkEntry {
          |  COALESCE(agg.qa2_sum, 0)::BIGINT AS qa2_sum,
          |  COALESCE(agg.qmx_sum, 0)::BIGINT AS qmx_sum,
          |  COALESCE(agg.qmy_sum, 0)::BIGINT AS qmy_sum
+         |FROM ($tsAllSql) t LEFT JOIN agg ON agg.threshold = t.threshold
+         |ORDER BY t.threshold""".stripMargin,
+
+    // isoperimetric compactness: the moments and length reconstructions
+    // fused — the same segs2 endpoints, the same per-edge quantizations
+    // (cross mirrors q_contour_moments, length mirrors q_contour_length),
+    // then A/P^2 as one truncating HUGEINT division in the exact
+    // quantized units; zero-perimeter thresholds report NULL by contract
+    "q_compactness" ->
+      s"""WITH ${startsAndEndsCte(tsAllSql)},
+         |segs2 AS (
+         |  SELECT s.threshold, s.px AS spx, s.py AS spy, e.px AS epx, e.py AS epy
+         |  FROM pts s JOIN pts e
+         |    ON e.threshold = s.threshold AND e.cx = s.cx AND e.cy = s.cy
+         |   AND e.segid = s.segid AND s.role = 0 AND e.role = 1),
+         |agg AS (SELECT threshold,
+         |  sum(floor((spx * epy - epx * spy) * 1048576.0)::BIGINT)::BIGINT AS qa2_sum,
+         |  sum(floor(sqrt((epx - spx) * (epx - spx) + (epy - spy) * (epy - spy))
+         |        * 1048576.0)::BIGINT)::BIGINT AS qlen_sum
+         |  FROM segs2 GROUP BY 1)
+         |SELECT t.threshold, COALESCE(agg.qa2_sum, 0)::BIGINT AS qa2_sum,
+         |  COALESCE(agg.qlen_sum, 0)::BIGINT AS qlen_sum,
+         |  CASE WHEN COALESCE(agg.qlen_sum, 0) = 0 THEN NULL
+         |       ELSE ((abs(agg.qa2_sum::HUGEINT) * 1048576 * 1000000000)
+         |             // (2 * agg.qlen_sum::HUGEINT * agg.qlen_sum::HUGEINT))::BIGINT
+         |  END AS comp_x1e9
          |FROM ($tsAllSql) t LEFT JOIN agg ON agg.threshold = t.threshold
          |ORDER BY t.threshold""".stripMargin,
 

@@ -256,6 +256,53 @@ object SpatialOps {
       .orderBy("threshold")
   }
 
+  /** ISOPERIMETRIC COMPACTNESS per threshold — the shape-quality index a
+    * contour consumer thresholds on (a circle maximizes area/perimeter^2
+    * at 1/(4*pi) ~ 0.0796; fractal or filamentary layers score near 0):
+    * comp_x1e9 = floor(|qa2_sum| * 2^20 * 10^9 / (2 * qlen_sum^2)) —
+    * EXACTLY A / P^2 in the quantized units (qa2 ~ 2A*2^20, qlen ~
+    * P*2^20, so A/P^2 = qa2 * 2^20 / (2 * qlen^2); pi deliberately never
+    * enters — the integer-exact-surface contract, like the sqrt-free
+    * Getis share). BOTH sums come from ONE pass over the ring edges
+    * (the moments and length kernels share ringEdges; this operator
+    * fuses them, so the raster->contour pipeline runs once and a single
+    * threshold-cardinality groupBy carries integer partials): per edge,
+    * cross = ax*by - bx*ay quantized exactly like contourMomentStats and
+    * len = sqrt(dx^2 + dy^2) quantized exactly like contourLengthStats —
+    * degenerate edges contribute exact zeros to both, so the stats stay
+    * dedup-agnostic. |qa2| makes the index winding-agnostic (holes still
+    * subtract INSIDE the sum first — net interior area, the standard
+    * definition). The numerator rides decimal(38,0) (qa2 * 2^20 * 10^9
+    * overflows BIGINT on continent-sized layers); thresholds with no
+    * rings report zeros with a NULL index (stated contract — never a
+    * zero-divide).
+    */
+  def compactnessStats(spark: SparkSession, contours: Dataset[ContourRow],
+                       thresholds: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val edges = contours.flatMap { c =>
+      ringEdges(c).map { case (ax, ay, bx, by) =>
+        val cross = ax * by - bx * ay
+        val len = math.sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+        (c.threshold,
+          math.floor(cross * 1048576.0).toLong,
+          math.floor(len * 1048576.0).toLong)
+      }
+    }.toDF("threshold", "qa2", "qlen")
+      .groupBy("threshold")
+      .agg(sum(col("qa2")).as("qa2_sum"), sum(col("qlen")).as("qlen_sum"))
+    edges.join(thresholds.toDF("threshold"), Seq("threshold"), "right")
+      .na.fill(0L, Seq("qa2_sum", "qlen_sum"))
+      .select(col("threshold"), col("qa2_sum"), col("qlen_sum"),
+        when(col("qlen_sum") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            s"cast((abs(cast(qa2_sum as $dec)) * 1048576 * 1000000000) div " +
+            s"(2 * cast(qlen_sum as $dec) * cast(qlen_sum as $dec)) as bigint)"))
+          .as("comp_x1e9"))
+      .orderBy("threshold")
+  }
+
   /** BOX-COUNTING statistics per threshold — the fractal-dimension
     * diagnostic of a contour layer (a smooth boundary halves its box
     * count when the box doubles; a space-filling one quarters it): over

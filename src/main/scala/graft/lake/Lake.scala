@@ -247,7 +247,12 @@ object Lake {
     val dir = snapshotsDir(table)
     val fs = fsOf(spark, dir)
     val all = snapshots(spark, table)
+    // tagged snapshots are PROTECTED (the Iceberg ref-retention contract):
+    // a pin like "the corpus v3 trained on" must survive any retention
+    // policy until its tag is explicitly dropped
+    val pinned = tags(spark, table).map(t => (t._2, t._3)).toSet
     val dropped = all.dropRight(keepLast)
+      .filterNot(s => pinned.contains((s.seq, s.id)))
     if (dropped.isEmpty) return Nil
     // manifests are matched by the PARSED (seq, id), not the filename seq:
     // a legacy pre-rename table can hold duplicate-seq fork siblings, and a
@@ -341,6 +346,84 @@ object Lake {
   def readAt(spark: SparkSession, table: String, seq: Long): DataFrame =
     read(spark, snapshotAt(spark, table, seq).getOrElse(
       throw new IllegalArgumentException(s"readAt: no complete snapshot at seq $seq in $table")))
+
+  // ---- named refs (tags): the Iceberg ref contract — a human-stable
+  //      name for a snapshot, which PROTECTS it from expiry ----
+
+  private def refsDir(table: String): Path = new Path(table, "refs")
+  private val RefName = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+
+  /** Create a named TAG pointing at complete snapshot `seq` — the
+    * audit/release pin ("the corpus we trained v3 on") that survives any
+    * amount of later history. Creation is COLLISION-SAFE the same way
+    * manifest commits are: the ref file is created with
+    * overwrite = false, so two racing taggers of the same name get one
+    * winner and one loud failure, never a silently replaced pin (retag =
+    * dropTag + tag, an explicit two-step). Refuses a name that doesn't
+    * resolve to a complete snapshot (a torn or expired seq can't be
+    * pinned). The ref records BOTH seq and snapshot id, so resolution can
+    * detect a reused slot and refuse rather than serve different data
+    * under an old pin.
+    */
+  def tag(spark: SparkSession, table: String, name: String, seq: Long): Unit = {
+    require(RefName.matches(name), s"tag: invalid ref name '$name'")
+    val snap = snapshotAt(spark, table, seq).getOrElse(
+      throw new IllegalArgumentException(s"tag: no complete snapshot at seq $seq in $table"))
+    val dir = refsDir(table)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(dir)
+    val body = s"""{"name":"${esc(name)}","seq":${snap.seq},"id":"${esc(snap.id)}","eof":true}"""
+    val out = fs.create(new Path(dir, s"$name.json"), false) // loud on collision
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** All complete tags of `table` as (name, seq, id) — one listing plus
+    * one read per ref; the ref set is human-sized by construction.
+    * Torn refs (a crashed tagger) are skipped like torn manifests.
+    */
+  def tags(spark: SparkSession, table: String): Seq[(String, Long, String)] = {
+    val dir = refsDir(table)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".json"))
+      .map(st => readFully(fs, st.getPath))
+      .filter(_.endsWith("\"eof\":true}"))
+      .map { body =>
+        val s = parse(body)
+        val name = """"name":"((?:[^"\\]|\\.)*)"""".r
+          .findFirstMatchIn(body).map(m => unesc(m.group(1))).getOrElse("")
+        (name, s.seq, s.id)
+      }.sortBy(_._1)
+  }
+
+  /** Resolve a tag to its snapshot — loud if the tag is absent, its
+    * target expired, or the seq slot holds a DIFFERENT snapshot than the
+    * one pinned (id mismatch — never serve changed data under a pin).
+    */
+  def snapshotRef(spark: SparkSession, table: String, name: String): Snapshot = {
+    val (_, seq, id) = tags(spark, table).find(_._1 == name).getOrElse(
+      throw new IllegalArgumentException(s"snapshotRef: no tag '$name' in $table"))
+    val snap = snapshotAt(spark, table, seq).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshotRef: tag '$name' targets seq $seq which no longer resolves in $table"))
+    require(snap.id == id,
+      s"snapshotRef: tag '$name' pinned snapshot ${id} but seq $seq now holds ${snap.id}")
+    snap
+  }
+
+  /** Read a table at a named tag. */
+  def readRef(spark: SparkSession, table: String, name: String): DataFrame =
+    read(spark, snapshotRef(spark, table, name))
+
+  /** Delete a tag (releasing its expiry protection); returns whether it
+    * existed.
+    */
+  def dropTag(spark: SparkSession, table: String, name: String): Boolean = {
+    require(RefName.matches(name), s"dropTag: invalid ref name '$name'")
+    val p = new Path(refsDir(table), s"$name.json")
+    val fs = fsOf(spark, p)
+    fs.exists(p) && fs.delete(p, false)
+  }
 
   private def unesc(s: String): String = {
     val b = new StringBuilder(s.length)

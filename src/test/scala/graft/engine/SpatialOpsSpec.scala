@@ -242,6 +242,37 @@ class SpatialOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compactnessStats fuses moments + length exactly; NULL index on empty thresholds") {
+    import spark.implicits._
+    val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")
+    val tiles = GridSynth.tilesFromArray(spark, "gc", data, w, h, 16, 16)
+    val thresholds = Seq(110.0, 150.0, 1000.0) // 1000: no rings -> NULL index
+    val cts = new ContourEngine(spark, JobConfig(thresholds, smooth = true)).contours(tiles)
+    val got = SpatialOps.compactnessStats(spark, cts, thresholds).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .sortBy(_._1).toSeq
+    // the fused pass must reproduce the two standalone operators' sums
+    val moments = SpatialOps.contourMomentStats(spark, cts, thresholds)
+      .as[(Double, Long, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val lengths = SpatialOps.contourLengthStats(spark, cts)
+      .as[(Double, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    got.foreach { case (t, qa2, qlen, comp) =>
+      assert(qa2 == moments(t), s"qa2 drift at t=$t")
+      assert(qlen == lengths.getOrElse(t, 0L), s"qlen drift at t=$t")
+      comp match {
+        case Some(c) =>
+          val want = (BigInt(qa2).abs * 1048576 * 1000000000L) / (2 * BigInt(qlen) * qlen)
+          assert(BigInt(c) == want, s"index drift at t=$t")
+          // a genuine closed layer sits strictly inside (0, 1/(4*pi)]
+          assert(c > 0L && c <= 79577472L, s"index out of the isoperimetric range at t=$t: $c")
+        case None => assert(qlen == 0L, "NULL index only on zero perimeter")
+      }
+    }
+    assert(got.count(_._4.isDefined) == 2 && got.count(_._4.isEmpty) == 1,
+      "both real thresholds score; the empty one is NULL")
+  }
+
   test("boxCountStats == in-memory recompute; box counts shrink monotonically with scale") {
     import spark.implicits._
     val (data, w, h) = Goldens.loadFixture("/fixtures/volcano.json")

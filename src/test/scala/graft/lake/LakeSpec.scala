@@ -581,6 +581,35 @@ class LakeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Lake.rollback(spark, table, 99L) }
   }
 
+  test("tags: named refs pin snapshots through expiry; collisions and stale pins are loud") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("lake-tags").toString
+    val s0 = Lake.commit(spark, table, (1 to 10).toDF("x"), "load")
+    val s1 = Lake.commit(spark, table, (1 to 20).toDF("x"), "update")
+    val s2 = Lake.commit(spark, table, (1 to 30).toDF("x"), "update")
+    // pin the original corpus
+    Lake.tag(spark, table, "train-v1", s0.seq)
+    assert(Lake.tags(spark, table) == Seq(("train-v1", s0.seq, s0.id)))
+    assert(Lake.readRef(spark, table, "train-v1").count() == 10L)
+    // a second tagger of the same name loses loudly, never silently retags
+    intercept[Exception] { Lake.tag(spark, table, "train-v1", s1.seq) }
+    assert(Lake.snapshotRef(spark, table, "train-v1").id == s0.id)
+    // tagging the void / bad names are loud
+    intercept[IllegalArgumentException] { Lake.tag(spark, table, "v9", 99L) }
+    intercept[IllegalArgumentException] { Lake.tag(spark, table, "../evil", s0.seq) }
+    // expiry keeps the pinned snapshot and drops the unpinned middle one
+    val dropped = Lake.expireSnapshots(spark, table, keepLast = 1)
+    assert(dropped.map(_.seq) == Seq(s1.seq), "only the unpinned old snapshot expires")
+    assert(Lake.readRef(spark, table, "train-v1").count() == 10L, "the pin still reads")
+    assert(Lake.readAt(spark, table, s2.seq).count() == 30L)
+    intercept[IllegalArgumentException] { Lake.readAt(spark, table, s1.seq) }
+    // dropping the tag releases protection; the next expiry reclaims it
+    assert(Lake.dropTag(spark, table, "train-v1"))
+    assert(!Lake.dropTag(spark, table, "train-v1"), "second drop reports absence")
+    assert(Lake.expireSnapshots(spark, table, keepLast = 1).map(_.seq) == Seq(s0.seq))
+    intercept[IllegalArgumentException] { Lake.readRef(spark, table, "train-v1") }
+  }
+
   private implicit class IterOps[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
