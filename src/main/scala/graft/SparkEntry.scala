@@ -752,6 +752,8 @@ object SparkEntry {
     "q_rel_pivot" -> RelOps.revenuePivot,
     "q_evt_click_no_buy" -> EventOps.clickNoBuy,
     "q_evt_click_and_buy" -> EventOps.clickAndBuy,
+    "q_evt_click_surplus" -> EventOps.clickSurplus,
+    "q_rel_cheapest" -> RelOps.cheapestSupplier,
     "q_evt_ntile" -> EventOps.ntileCensus,
     "q_lake_skip" -> RelOps.lakeSkip,
     "q_lake_merge" -> RelOps.lakeMerge,

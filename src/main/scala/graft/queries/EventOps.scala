@@ -813,6 +813,29 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Click-surplus census — the EXCEPT ALL (multiset difference) face
+    * beside clickNoBuy's distinct EXCEPT: per (user, epoch-day), every
+    * click OCCURRENCE minus purchase occurrences counts (three clicks
+    * and one purchase leave two surplus rows where the set version
+    * leaves zero — the spec asserts a day where the two genuinely
+    * disagree), rolled up per user. Catalyst plans `exceptAll` as a
+    * count-aggregate + replicate-generate — per-key counts shuffle, never
+    * raw occurrence rows beyond the first aggregation, the same scale
+    * shape as a grouped count. Occurrences deliberately do NOT distinct
+    * before the difference — that is the operator's semantics.
+    */
+  val clickSurplus: (SparkSession, String) => DataFrame = (spark, dir) => {
+    def dayOccurrences(tpe: String): DataFrame =
+      events(spark, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+    dayOccurrences("click").exceptAll(dayOccurrences("purchase"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_surplus"), countDistinct(col("day")).as("n_days"))
+      .orderBy("user_id")
+  }
+
   /** Per-type value QUARTILES via ntile — the bucketed-rank window face:
     * each event type's values split into 4 equal-count buckets over the
     * (value, event_id) TOTAL order (event_id breaks value ties, so the
@@ -879,6 +902,16 @@ object EventOps {
         |SELECT event_type, quartile, count(*)::BIGINT AS n_events,
         |  sum(qv)::BIGINT AS qv_sum, min(qv)::BIGINT AS qv_min, max(qv)::BIGINT AS qv_max
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_evt_click_surplus" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |      FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT * FROM c EXCEPT ALL SELECT * FROM p)
+        |SELECT user_id, count(*)::BIGINT AS n_surplus,
+        |  count(DISTINCT day)::BIGINT AS n_days
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_evt_click_and_buy" ->
       """WITH c AS (SELECT DISTINCT user_id,

@@ -682,6 +682,38 @@ object RelOps {
       .orderBy("l_partkey")
   }
 
+  /** Q2-shaped CHEAPEST-SUPPLIER census — the correlated-MIN-subquery
+    * (argmin) face, decorrelated as ONE ordered-struct aggregation: per
+    * part, the minimum-price line's supplier, selected by
+    * min(struct(qprice, suppkey)) — Spark orders structs
+    * lexicographically, so the single map-side-combinable aggregate IS
+    * the argmin with the smallest-suppkey tie-break built in (no rank
+    * window, no min + equality join-back — the fact table shuffles once
+    * on partkey and nothing re-joins it). The oracle deliberately keeps
+    * the textbook decorrelation — min per part, equality join-back,
+    * min(suppkey) over the tied lines — an independent two-pass plan for
+    * the same semantics. Output rolls up to the supplier-nation census:
+    * how many parts each nation supplies at the cheapest price, and the
+    * cheapest-price mass (integer cents).
+    */
+  val cheapestSupplier: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val best = t(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        struct(q100(col("l_extendedprice")).as("qprice"), col("l_suppkey").as("sk")).as("line"))
+      .groupBy("l_partkey")
+      .agg(min(col("line")).as("b"))
+      .select(col("l_partkey"), col("b.qprice").as("qprice"), col("b.sk").as("l_suppkey"))
+    best
+      .join(broadcast(t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("qprice").cast("decimal(38,0)")).cast("long").as("cheapest_sum"))
+      .orderBy("n_name")
+  }
+
   /** Revenue UNPIVOT — the wide->long melt face (the inverse of
     * [[revenuePivot]], and the normalization every metrics pipeline
     * runs when a wide table must become tidy rows): the pivot's
@@ -706,6 +738,18 @@ object RelOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_rel_cheapest" ->
+      """WITH li AS (SELECT l_partkey, l_suppkey,
+        |        floor(l_extendedprice * 100)::BIGINT AS qprice FROM lineitem),
+        |b AS (SELECT l_partkey, min(qprice) AS mp FROM li GROUP BY 1),
+        |c AS (SELECT li.l_partkey, min(li.l_suppkey) AS sk, min(li.qprice) AS qprice
+        |      FROM li JOIN b ON li.l_partkey = b.l_partkey AND li.qprice = b.mp
+        |      GROUP BY 1)
+        |SELECT n_name, count(*)::BIGINT AS n_parts, sum(c.qprice)::BIGINT AS cheapest_sum
+        |FROM c JOIN supplier ON s_suppkey = sk
+        |JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_rel_waiting" ->
       """WITH li AS (SELECT l_orderkey, l_suppkey,
         |        epoch_us(l_shipdate) AS ship_us FROM lineitem),

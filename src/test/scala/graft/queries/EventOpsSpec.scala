@@ -589,6 +589,27 @@ class EventOpsSpec extends AnyFunSuite {
       "the except must keep a strict, non-empty subset of click-days")
   }
 
+  test("clickSurplus == local MULTISET difference rollup; genuinely differs from the set version") {
+    def dayOcc(tpe: String): Seq[(Long, Long)] =
+      ev.filter(_._4 == tpe).map(e => (e._3, e._2 / 86400000000L)).toSeq
+    val buys = dayOcc("purchase").groupBy(identity).view.mapValues(_.size).toMap
+    val surplus = dayOcc("click").groupBy(identity).toSeq.flatMap { case (k, xs) =>
+      Seq.fill(math.max(0, xs.size - buys.getOrElse(k, 0)))(k)
+    }
+    val want = surplus.groupBy(_._1).toSeq.map { case (u, ks) =>
+      (u, ks.size.toLong, ks.distinct.size.toLong)
+    }.sortBy(_._1)
+    val got = EventOps.clickSurplus(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // non-trivial: some (user, day) must carry MORE surplus rows than the
+    // distinct version would (n clicks > n purchases >= 1, or 2+ clicks)
+    val multisetTotal = surplus.size
+    val setTotal = (dayOcc("click").toSet -- dayOcc("purchase").toSet).size
+    assert(multisetTotal > setTotal,
+      "EXCEPT ALL must keep occurrence rows the distinct EXCEPT collapses")
+  }
+
   test("clickAndBuy == local intersection rollup; except + intersect partition click-days") {
     def dayPairs(tpe: String): Set[(Long, Long)] =
       ev.filter(_._4 == tpe).map(e => (e._3, e._2 / 86400000000L)).toSet

@@ -475,6 +475,47 @@ class RelOpsSpec extends AnyFunSuite {
       "the 1.25x-average share threshold must keep a strict non-empty subset")
   }
 
+  test("cheapestSupplier == local argmin recompute through the nation census") {
+    import spark.implicits._
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .selectExpr("s_suppkey", "s_nationkey").as[(Long, Int)].collect().toMap
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .selectExpr("n_nationkey", "n_name").as[(Int, String)].collect().toMap
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_partkey", "l_suppkey", "l_extendedprice")
+      .as[(Long, Long, Double)].collect().toSeq
+    val best = rows.groupBy(_._1).map { case (_, xs) =>
+      xs.map(x => (q100(x._3), x._2)).min // (qprice, suppkey) lexicographic
+    }
+    val want = best.groupBy(b => nation(supp(b._2))).toSeq.map { case (n, xs) =>
+      (n, xs.size.toLong, xs.map(x => BigInt(x._1)).sum.toLong)
+    }.sortBy(_._1)
+    val got = RelOps.cheapestSupplier(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.map(_._2).sum == rows.map(_._1).distinct.size,
+      "every part must be counted exactly once across nations")
+  }
+
+  test("cheapestSupplier tie-break: equal minimum prices pick the smallest suppkey") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cheap-tie").toString
+    Seq[(Long, Long, Double)](
+      (1L, 5L, 10.0), (1L, 3L, 10.0), (1L, 7L, 20.0), // tie at 10.00 -> supp 3
+      (2L, 7L, 5.0), (2L, 3L, 6.0))                   // plain min -> supp 7
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq[(Long, Int)]((3L, 0), (5L, 1), (7L, 1))
+      .toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((0, "AAA"), (1, "BBB")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val got = RelOps.cheapestSupplier(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("AAA", 1L, 1000L), ("BBB", 1L, 500L)),
+      "the tied minimum must resolve to the smallest suppkey (nation AAA)")
+  }
+
   test("revenueUnpivot round-trips the pivot: wide x 3 flags, zero cells survive") {
     val wide = RelOps.revenuePivot(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
