@@ -753,7 +753,9 @@ object SparkEntry {
     "q_evt_click_no_buy" -> EventOps.clickNoBuy,
     "q_evt_click_and_buy" -> EventOps.clickAndBuy,
     "q_evt_click_surplus" -> EventOps.clickSurplus,
+    "q_evt_locf" -> EventOps.locf,
     "q_rel_cheapest" -> RelOps.cheapestSupplier,
+    "q_rel_dominant" -> RelOps.dominantSuppliers,
     "q_evt_ntile" -> EventOps.ntileCensus,
     "q_lake_skip" -> RelOps.lakeSkip,
     "q_lake_merge" -> RelOps.lakeMerge,

@@ -813,6 +813,48 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Daily LOCF (last-observation-carried-forward) — the gap-fill
+    * operator every sparse time series is densified by before modeling:
+    * for EVERY calendar day in a user's [first event, last event] span
+    * (absent days included — the densify), the quantized value of their
+    * most recent event at or before that day. Three exact pieces, one
+    * user_id exchange total: (1) each day's closing value is the ARGMAX
+    * by timestamp via max(struct(us, qv)) — (user_id, ts) uniqueness
+    * (spec-pinned at every SF) makes the selection total-order
+    * deterministic; (2) the calendar densifies via sequence() over the
+    * span, BOUNDED by construction (a stream's retention horizon; a
+    * corrupt epoch-zero timestamp would explode it, so spans past 36500
+    * days raise rather than materialize — the trend raise_error idiom);
+    * (3) the carry is last(qv, ignoreNulls) over the per-user day order —
+    * frames never cross users, so the window rides the same exchange as
+    * the span aggregate. The first span day always holds an event, so the
+    * carried value is never NULL. The oracle is the independent
+    * correlated formulation — for each calendar cell, the latest
+    * at-or-before event by ORDER BY us DESC LIMIT 1.
+    */
+  val locf: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val e = events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"),
+        expr("floor(value * 1048576.0)").cast("long").as("qv"))
+      .withColumn("day", expr("us div 86400000000"))
+    val daily = e.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"), max(struct(col("us"), col("qv"))).as("last"))
+      .select(col("user_id"), col("day"), col("n_events"), col("last.qv").as("day_qv"))
+    val cal = e.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr(
+        "CASE WHEN d1 - d0 >= 36500 THEN raise_error('locf: calendar span exceeds 36500 days') " +
+        "ELSE sequence(d0, d1) END")).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .select(col("user_id"), col("day"), col("n_events"),
+        last(col("day_qv"), ignoreNulls = true).over(w).as("locf_qv"))
+      .orderBy("user_id", "day")
+  }
+
   /** Click-surplus census — the EXCEPT ALL (multiset difference) face
     * beside clickNoBuy's distinct EXCEPT: per (user, epoch-day), every
     * click OCCURRENCE minus purchase occurrences counts (three clicks
@@ -902,6 +944,21 @@ object EventOps {
         |SELECT event_type, quartile, count(*)::BIGINT AS n_events,
         |  sum(qv)::BIGINT AS qv_sum, min(qv)::BIGINT AS qv_min, max(qv)::BIGINT AS qv_max
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_evt_locf" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |        floor(value * 1048576.0)::BIGINT AS qv FROM events),
+        |d AS (SELECT user_id, min(us) // 86400000000 AS d0,
+        |        max(us) // 86400000000 AS d1 FROM e GROUP BY 1),
+        |cal AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM d)
+        |SELECT c.user_id, c.day::BIGINT AS day,
+        |  (SELECT count(*) FROM e
+        |   WHERE e.user_id = c.user_id AND e.us // 86400000000 = c.day)::BIGINT
+        |    AS n_events,
+        |  (SELECT qv FROM e
+        |   WHERE e.user_id = c.user_id AND e.us // 86400000000 <= c.day
+        |   ORDER BY e.us DESC LIMIT 1) AS locf_qv
+        |FROM cal c ORDER BY 1, 2""".stripMargin,
 
     "q_evt_click_surplus" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day

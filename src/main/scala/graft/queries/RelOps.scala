@@ -714,6 +714,43 @@ object RelOps {
       .orderBy("n_name")
   }
 
+  /** Q20-shaped DOMINANT-SUPPLIER audit — the EXISTS-over-NESTED-AGGREGATE
+    * topology (a subquery aggregating a subquery's aggregates): suppliers
+    * that ship more than TWICE the fair share of at least one
+    * multi-supplier part's quantity (q * nsupp > 2 * tot — scale-free
+    * like the share threshold, cross-multiplied so no division crosses
+    * the compare), rolled up per supplier nation with distinct dominant
+    * suppliers and total dominations. Decorrelated as TWO STACKED
+    * map-side-combinable aggregations on the same partkey exchange — the
+    * (part, supplier) rollup re-aggregates to the per-part total, and the
+    * dominance filter joins the two REDUCED frames (the fact table
+    * shuffles once, nothing ever re-joins it); the oracle keeps the
+    * correlated EXISTS form over a windowed share. decimal(38,0) on the
+    * cross-multiplied compare: q * nsupp overflows BIGINT at a web-scale
+    * supplier registry.
+    */
+  val dominantSuppliers: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val dec = "decimal(38,0)"
+    val ps = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), q100(col("l_quantity")).as("qqty"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("qqty")).as("q"))
+    val pt = ps.groupBy("l_partkey")
+      .agg(sum(col("q")).as("tot"), count(lit(1)).as("nsupp"))
+      .filter(col("nsupp") > 1L)
+    val dom = ps.join(pt, "l_partkey")
+      .filter(col("q").cast(dec) * col("nsupp") > lit(2L).cast(dec) * col("tot"))
+    dom
+      .join(broadcast(t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(countDistinct(col("l_suppkey")).as("n_dom_suppliers"),
+        count(lit(1)).as("n_dominations"))
+      .orderBy("n_name")
+  }
+
   /** Revenue UNPIVOT — the wide->long melt face (the inverse of
     * [[revenuePivot]], and the normalization every metrics pipeline
     * runs when a wide table must become tidy rows): the pivot's
@@ -738,6 +775,22 @@ object RelOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_rel_dominant" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |        sum(floor(l_quantity * 100)::BIGINT)::BIGINT AS q
+        |      FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT l_partkey, l_suppkey, q,
+        |        sum(q) OVER (PARTITION BY l_partkey) AS tot,
+        |        count(*) OVER (PARTITION BY l_partkey) AS nsupp
+        |      FROM ps),
+        |dom AS (SELECT l_partkey, l_suppkey FROM w
+        |        WHERE nsupp > 1 AND q::HUGEINT * nsupp > 2 * tot::HUGEINT)
+        |SELECT n_name, count(DISTINCT l_suppkey)::BIGINT AS n_dom_suppliers,
+        |  count(*)::BIGINT AS n_dominations
+        |FROM dom JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_rel_cheapest" ->
       """WITH li AS (SELECT l_partkey, l_suppkey,
         |        floor(l_extendedprice * 100)::BIGINT AS qprice FROM lineitem),

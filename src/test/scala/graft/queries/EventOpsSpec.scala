@@ -589,6 +589,29 @@ class EventOpsSpec extends AnyFunSuite {
       "the except must keep a strict, non-empty subset of click-days")
   }
 
+  test("locf == local carry recompute; gap days exist and carry the prior value") {
+    def q(v: Double): Long = math.floor(v * 1048576.0).toLong
+    val want = ev.groupBy(_._3).toSeq.flatMap { case (u, xs) =>
+      val byDay = xs.groupBy(_._2 / 86400000000L)
+      val (d0, d1) = (byDay.keys.min, byDay.keys.max)
+      var carry = 0L
+      (d0 to d1).map { day =>
+        val es = byDay.getOrElse(day, Array.empty[(Long, Long, Long, String, Double)])
+        if (es.nonEmpty) carry = q(es.maxBy(_._2)._5)
+        (u, day, es.length.toLong, carry)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = EventOps.locf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // densify must be real: some day row has no events yet carries a value
+    val gaps = got.filter(_._3 == 0L)
+    assert(gaps.nonEmpty, "a calendar gap day must exist for LOCF to be non-trivial")
+    val byUserDay = got.map(r => (r._1, r._2) -> r._4).toMap
+    assert(gaps.forall(g => byUserDay(g._1 -> (g._2 - 1)) == g._4),
+      "every gap day must carry its predecessor's value unchanged")
+  }
+
   test("clickSurplus == local MULTISET difference rollup; genuinely differs from the set version") {
     def dayOcc(tpe: String): Seq[(Long, Long)] =
       ev.filter(_._4 == tpe).map(e => (e._3, e._2 / 86400000000L)).toSeq

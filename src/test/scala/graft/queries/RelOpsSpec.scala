@@ -516,6 +516,37 @@ class RelOpsSpec extends AnyFunSuite {
       "the tied minimum must resolve to the smallest suppkey (nation AAA)")
   }
 
+  test("dominantSuppliers == local nested-aggregate recompute; strict non-empty subset") {
+    import spark.implicits._
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .selectExpr("s_suppkey", "s_nationkey").as[(Long, Int)].collect().toMap
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .selectExpr("n_nationkey", "n_name").as[(Int, String)].collect().toMap
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_partkey", "l_suppkey", "l_quantity")
+      .as[(Long, Long, Double)].collect().toSeq
+    val ps = rows.groupBy(r => (r._1, r._2)).map { case ((pk, sk), xs) =>
+      (pk, sk, xs.map(x => q100(x._3)).sum)
+    }.toSeq
+    val pt = ps.groupBy(_._1).map { case (pk, xs) =>
+      pk -> (xs.map(_._3).sum, xs.size)
+    }
+    val dom = ps.filter { case (pk, _, q) =>
+      val (tot, nsupp) = pt(pk)
+      nsupp > 1 && BigInt(q) * nsupp > BigInt(2) * tot
+    }
+    val want = dom.groupBy(d => nation(supp(d._2))).toSeq.map { case (n, xs) =>
+      (n, xs.map(_._2).distinct.size.toLong, xs.size.toLong)
+    }.sortBy(_._1)
+    val got = RelOps.dominantSuppliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(dom.nonEmpty && dom.size < ps.size,
+      "the twice-fair-share predicate must keep a strict non-empty subset")
+    assert(dom.exists { case (pk, _, _) => pt(pk)._2 > 2 },
+      "dominance over a 3+-supplier part must occur (not just 2-supplier splits)")
+  }
+
   test("revenueUnpivot round-trips the pivot: wide x 3 flags, zero cells survive") {
     val wide = RelOps.revenuePivot(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
