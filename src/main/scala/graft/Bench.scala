@@ -278,6 +278,12 @@ object Bench {
   private val Ops33Queries =
     Seq("q_lake_skip", "q_lake_merge", "q_lake_zorder", "q_lake_delete", "q_lake_stats")
 
+  /** The round-5 forty-seventh wave: the LBP texture histogram through
+    * the tiled kernel and the lag-7 autocovariance census of daily event
+    * counts.
+    */
+  private val Ops34Queries = Seq("q_lbp_hist", "q_evt_autocov")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -291,7 +297,8 @@ object Bench {
     "ops20" -> Ops20Queries, "ops21" -> Ops21Queries,
     "ops22" -> Ops22Queries, "ops23" -> Ops23Queries,
     "ops24" -> Ops24Queries, "ops25" -> Ops25Queries,
-    "ops27" -> Ops27Queries, "ops33" -> Ops33Queries)
+    "ops27" -> Ops27Queries, "ops33" -> Ops33Queries,
+    "ops34" -> Ops34Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -704,6 +704,7 @@ object SparkEntry {
     "q_morton" -> RasterOps.morton,
     "q_laplacian" -> RasterOps.laplacian,
     "q_sobel" -> RasterOps.sobel,
+    "q_lbp_hist" -> RasterOps.lbpHist,
     "q_watershed" -> HydroOps.watershed,
     "q_flow_accum" -> HydroOps.flowAccum,
     "q_flow_len" -> HydroOps.flowLength,
@@ -711,6 +712,7 @@ object SparkEntry {
     "q_convex_hull" -> HullOps.convexHull,
     "q_evt_sessionize" -> EventOps.sessionize,
     "q_evt_trend" -> EventOps.trend,
+    "q_evt_autocov" -> EventOps.autocov,
     "q_evt_cusum" -> EventOps.cusum,
     "q_evt_spearman" -> EventOps.spearman,
     "q_evt_spike" -> EventOps.spike,

@@ -1026,6 +1026,47 @@ object RasterKernel {
     out.toSeq
   }
 
+  /** Local-binary-pattern texture codes over the tile's owned interior:
+    * each of the eight non-center window slots compares QUANTIZED
+    * (floor(v * 2^20), the shared per-cell quantization) against the
+    * quantized center — slot o (the mirrored labeling s(o) = value at
+    * (x - (o%3 - 1), y - (o/3 - 1)) shared with every other kernel)
+    * contributes bit (o < 4 ? o : o - 1) when q_o > q_center — so every
+    * interior cell maps to a texture code in [0, 255]. Emitted as
+    * per-code integer partials (code, n, center-q sum): comparisons and
+    * sums of already-quantized longs only, so tiled == any other
+    * evaluation order bit-for-bit and == the oracle's eight self-joins.
+    */
+  def lbpCodes(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+               ox0: Int, oy0: Int, ow: Int, oh: Int,
+               w: Int, h: Int): Seq[(Long, Long, Long)] = {
+    @inline def q(x: Int, y: Int): Long =
+      math.floor(vals((y - by0) * bw + (x - bx0)) * Q20).toLong
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val n = new Array[Long](256); val qc = new Array[Long](256)
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var tx = txLo
+      while (tx <= txHi) {
+        val c = q(tx, ty)
+        var code = 0
+        var o = 0
+        while (o < 9) {
+          if (o != 4 && q(tx - (o % 3 - 1), ty - (o / 3 - 1)) > c)
+            code |= 1 << (if (o < 4) o else o - 1)
+          o += 1
+        }
+        n(code) += 1L
+        qc(code) = Math.addExact(qc(code), c)
+        tx += 1
+      }
+      ty += 1
+    }
+    (0 until 256).iterator.filter(n(_) > 0L)
+      .map(c => (c.toLong, n(c), qc(c))).toSeq
+  }
+
   def hilbertIndex(bits: Int, x0: Int, y0: Int): Long = {
     require(bits >= 1 && bits <= 31, s"hilbertIndex: bits = $bits out of [1, 31]")
     val n = 1 << bits

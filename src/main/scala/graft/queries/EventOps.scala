@@ -352,6 +352,46 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Lag-7 AUTOCOVARIANCE census of daily event counts per event type —
+    * the weekly-periodicity probe: days are epoch days (us div 86400e6),
+    * x_d the day's event count, and a pair is (d, d+7) where BOTH days
+    * observed >= 1 event (a stated pairs-on-observed-days contract —
+    * absent days are not zero-filled, matching the oracle's inner join).
+    * Emitted per type: n_pairs, the lag/lead count sums and their product
+    * sum, and the scaled covariance numerator n*Σxy - Σx*Σy (the
+    * fractional autocovariance is num / n^2; a positive num on this
+    * weekday-patterned data means same-weekday days co-move). Plan: raw
+    * events reduce to one row per (type, day) FIRST (map-side-combined
+    * count, key space |types| x |days|), so the lag self-join and the
+    * final rollup run on the tiny reduced frame — per-day counts cross
+    * the wire, never raw events. The trend-style decimal guard makes the
+    * Long products loud instead of wrapped at any scale.
+    */
+  val autocov: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val dec = "decimal(38,0)"
+    val bound = lit("4611686018427387904").cast(dec) // 2^62
+    val daily = events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("x"))
+    val lead = daily.select(col("event_type"), (col("day") - 7).as("day"),
+      col("x").as("y"))
+    daily.join(lead, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        max("x").as("xmax"), max("y").as("ymax"))
+      .filter(when(
+        col("n_pairs").cast(dec) * col("n_pairs") * col("xmax") * col("ymax") >= bound,
+        raise_error(concat(lit("autocov: type "), col("event_type"),
+          lit(" exceeds the n^2*xmax*ymax < 2^62 Long-safety contract"))))
+        .otherwise(lit(true)))
+      .select(col("event_type"), col("n_pairs"), col("sx"), col("sy"), col("sxy"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("cov_num"))
+      .orderBy("event_type")
+  }
+
   /** Per-user CUSUM change-point statistic — the exact-integer form of
     * "where does this user's value level shift": over the user's events
     * in time order, stat_k = |n * P_k - k * S| (P_k = prefix sum of the
@@ -1010,6 +1050,21 @@ object EventOps {
         |  (n * sxy - sx * sy)::BIGINT AS num,
         |  (n * sxx - sx * sx)::BIGINT AS den
         |FROM a ORDER BY user_id""".stripMargin,
+
+    // lag-7 autocovariance: the same per-(type, day) counts, the lag pair
+    // gathered by a day+7 self-join (inner — pairs on observed days only),
+    // HUGEINT intermediates kept honest by the ::BIGINT casts
+    "q_evt_autocov" ->
+      """WITH c AS (SELECT event_type,
+        |             epoch_us(ts) // 86400000000 AS day,
+        |             count(*)::BIGINT AS x
+        |           FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, count(*)::BIGINT AS n_pairs,
+        |  sum(a.x)::BIGINT AS sx, sum(b.x)::BIGINT AS sy,
+        |  sum(a.x * b.x)::BIGINT AS sxy,
+        |  (count(*) * sum(a.x * b.x) - sum(a.x) * sum(b.x))::BIGINT AS cov_num
+        |FROM c a JOIN c b ON b.event_type = a.event_type AND b.day = a.day + 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // CUSUM: the same prefix/total windows in SQL; HUGEINT intermediates
     // collapse to the identical BIGINT values inside the stated bound

@@ -856,6 +856,37 @@ object RasterOps {
     morphTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
+  /** Local-binary-pattern TEXTURE HISTOGRAM: each interior cell's eight
+    * quantized neighbours compare (>) against its quantized center under
+    * the shared mirrored slot labeling, packing a code in [0, 255]
+    * (bit o for o < 4, bit o-1 for o > 4 — the center contributes no
+    * bit); the grid summarizes to one row per OCCURRING code carrying its
+    * cell count and summed center q. The tiled kernel pre-aggregates the
+    * whole 256-bucket histogram per tile, so the only exchange after the
+    * perimeter-proportional halo routing is <= 256 tiny partial rows per
+    * tile — at any raster scale the shuffled bytes are O(tiles), not
+    * O(cells). Integer-exact end to end (quantize-then-compare, Long
+    * sums), so it equals the oracle's eight-way self-join gather
+    * bit-for-bit.
+    */
+  private[graft] def lbpHistTiledOf(cells: Dataset[(Int, Int, Double)],
+                                    w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+        graft.core.RasterKernel.lbpCodes(t.values, t.bx0, t.by0, t.bw,
+          t.ox0, t.oy0, t.ow, t.oh, w, h))
+      .toDF("code", "n", "qc")
+      .groupBy("code")
+      .agg(sum(col("n")).as("n_cells"), sum(col("qc")).as("qc_sum"))
+      .orderBy("code")
+  }
+
+  val lbpHist: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    lbpHistTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
   private[graft] def d8FlowDirTiledOf(cells: Dataset[(Int, Int, Double)],
                                       w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
     import cells.sparkSession.implicits._
@@ -1637,6 +1668,37 @@ object RasterOps {
           |         AND c.y BETWEEN 1 AND (SELECT h FROM d) - 2)
           |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells, sum(lap)::BIGINT AS qsum,
           |  min(lap)::BIGINT AS qmin, max(lap)::BIGINT AS qmax
+          |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // LBP texture histogram: the eight window slots gathered per
+      // interior cell by the fixed +-1 self-joins, bits summed as CASE
+      // terms — the gather formulation of the kernel's halo-read pack
+      "q_lbp_hist" ->
+        """WITH g AS MATERIALIZED (SELECT (event_id % 100)::INT AS x,
+          |             (event_id // 100)::INT AS y,
+          |             floor(value * 1048576.0)::BIGINT AS q FROM events),
+          |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+          |li AS (SELECT c.q,
+          |         ((CASE WHEN s0.q > c.q THEN 1 ELSE 0 END)
+          |        + (CASE WHEN s1.q > c.q THEN 2 ELSE 0 END)
+          |        + (CASE WHEN s2.q > c.q THEN 4 ELSE 0 END)
+          |        + (CASE WHEN s3.q > c.q THEN 8 ELSE 0 END)
+          |        + (CASE WHEN s5.q > c.q THEN 16 ELSE 0 END)
+          |        + (CASE WHEN s6.q > c.q THEN 32 ELSE 0 END)
+          |        + (CASE WHEN s7.q > c.q THEN 64 ELSE 0 END)
+          |        + (CASE WHEN s8.q > c.q THEN 128 ELSE 0 END))::BIGINT AS code
+          |       FROM g c
+          |       JOIN g s0 ON s0.x = c.x + 1 AND s0.y = c.y + 1
+          |       JOIN g s1 ON s1.x = c.x     AND s1.y = c.y + 1
+          |       JOIN g s2 ON s2.x = c.x - 1 AND s2.y = c.y + 1
+          |       JOIN g s3 ON s3.x = c.x + 1 AND s3.y = c.y
+          |       JOIN g s5 ON s5.x = c.x - 1 AND s5.y = c.y
+          |       JOIN g s6 ON s6.x = c.x + 1 AND s6.y = c.y - 1
+          |       JOIN g s7 ON s7.x = c.x     AND s7.y = c.y - 1
+          |       JOIN g s8 ON s8.x = c.x - 1 AND s8.y = c.y - 1
+          |       WHERE c.x BETWEEN 1 AND 98
+          |         AND c.y BETWEEN 1 AND (SELECT h FROM d) - 2)
+          |SELECT code, count(*)::BIGINT AS n_cells, sum(q)::BIGINT AS qc_sum
           |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // local Moran (LISA): the four rook neighbours gathered per interior

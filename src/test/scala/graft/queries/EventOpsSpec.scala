@@ -375,6 +375,33 @@ class EventOpsSpec extends AnyFunSuite {
     assert(big == expected)
   }
 
+  test("autocov == local lag-7 day-count recompute; the observed-days contract bites") {
+    val counts = ev.groupBy(e => (e._4, e._2 / 86400000000L))
+      .map { case (k, es) => (k, es.length.toLong) }
+    val expected = counts.keys.groupBy(_._1).map { case (tpe, _) =>
+      val pairs = counts.toSeq.collect {
+        case ((t, d), x) if t == tpe && counts.contains((t, d + 7)) =>
+          (x, counts((t, d + 7)))
+      }
+      val n = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      (tpe, n, sx, sy, sxy, n * sxy - sx * sy)
+    }.filter(_._2 > 0L).toSet
+    val got = EventOps.autocov(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    // the inner-join contract must actually bite: some (type, day) has no
+    // observed day+7 partner, so n_pairs < n_days for that type
+    val bites = counts.keys.groupBy(_._1).exists { case (tpe, ks) =>
+      ks.exists { case (_, d) => !counts.contains((tpe, d + 7)) }
+    }
+    assert(bites, "every (type, day) has a day+7 partner — contract untested")
+    assert(expected.nonEmpty && expected.exists(_._6 != 0L),
+      "autocovariance must be non-degenerate on real data")
+  }
+
   test("transitions matches a local session-scoped bigram recompute") {
     val gap = 1800000000L
     val trans = ev.groupBy(_._3).toSeq.flatMap { case (u, es) =>

@@ -161,6 +161,35 @@ class RasterRandomSpec extends AnyFunSuite {
     }
   }
 
+  test("lbpHist on random dims and tilings == local bit-pack recompute") {
+    import spark.implicits._
+    val rng = new scala.util.Random(470470L)
+    for (trial <- 0 until 10) {
+      val w = 1 + rng.nextInt(24)
+      val h = 1 + rng.nextInt(24)
+      val g = randGrid(rng, w, h)
+      def q(y: Int, x: Int) = math.floor(g(y * w + x) * Q).toLong
+      // local reference: quantize-then-compare, bit o for o < 4 / o - 1
+      // for o > 4 under the mirrored slot labeling
+      val want = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+        val c = q(y, x)
+        val code = (for (o <- Seq(0, 1, 2, 3, 5, 6, 7, 8)
+                         if q(y - (o / 3 - 1), x - (o % 3 - 1)) > c)
+          yield 1L << (if (o < 4) o else o - 1)).sum
+        (code, c)
+      }).groupBy(_._1).map { case (code, cs) =>
+        (code, cs.length.toLong, cs.map(_._2).sum)
+      }.toSeq.sortBy(_._1)
+      val typed = (0 until w * h).map(i => (i % w, i / w, g(i))).toDS()
+      def got(tw: Int, th: Int) =
+        RasterOps.lbpHistTiledOf(typed, w, h, tw, th).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val tw = 1 + rng.nextInt(9); val th = 1 + rng.nextInt(9)
+      assert(got(tw, th) == want, s"lbp trial $trial ${w}x$h tiles ${tw}x$th")
+      assert(got(50, 50) == want, s"lbp trial $trial ${w}x$h single tile")
+    }
+  }
+
   test("rowPrefix scan on random dims and segment widths == local in-order recompute") {
     import spark.implicits._
     val rng = new scala.util.Random(909090L)
