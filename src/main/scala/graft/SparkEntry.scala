@@ -758,6 +758,8 @@ object SparkEntry {
     "q_evt_locf" -> EventOps.locf,
     "q_rel_cheapest" -> RelOps.cheapestSupplier,
     "q_rel_dominant" -> RelOps.dominantSuppliers,
+    "q_rel_diversity" -> RelOps.supplierDiversity,
+    "q_rel_brand_revenue" -> RelOps.brandRevenue,
     "q_evt_ntile" -> EventOps.ntileCensus,
     "q_lake_skip" -> RelOps.lakeSkip,
     "q_lake_merge" -> RelOps.lakeMerge,

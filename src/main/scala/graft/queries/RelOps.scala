@@ -774,7 +774,92 @@ object RelOps {
       .orderBy("n_name", "flag")
   }
 
+  /** Q16-shaped SUPPLIER-DIVERSITY census: distinct suppliers shipping
+    * each (brand, size) slice of the catalog, excluding suppliers in
+    * arrears (acctbal < 0) — the NOT-IN + COUNT-DISTINCT topology. The
+    * NOT IN decorrelates as a LEFT ANTI against the in-arrears key set
+    * (exact because s_suppkey is a non-null key — the stated premise
+    * under which NOT IN == anti-join; a nullable probe would need the
+    * three-valued form). Part prunes to the brand/size predicate BEFORE
+    * the fact join, so the broadcast build side ships only matching
+    * parts; the anti build side is the tiny arrears key set; the
+    * distinct count is the standard two-level aggregate — the
+    * (brand, size, suppkey) de-dup reduces fact rows first, and only
+    * the reduced frame reaches the final exchange. supplier_cnt DESC
+    * ordering is presentation-only (ties broken by brand, size).
+    */
+  val supplierDiversity: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val sizes = Seq(1, 9, 14, 19, 23, 36, 45, 49)
+    val parts = t(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#45" && col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_size").cast("long").as("p_size"))
+    val arrears = t(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(arrears), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** Q19-shaped DISJUNCTIVE-PREDICATE revenue: three brand-specific
+    * (size-range x quantity-range) branches OR'd into one residual over
+    * the part equi-join — the classic "the join key is conjunctive, the
+    * business predicate is disjunctive" face. The equi-key carries the
+    * join (broadcast part build side); the OR evaluates as a codegen'd
+    * residual filter, never a fan-out; branches are brand-disjoint by
+    * construction so each output row belongs to exactly one branch and
+    * the rollup groups by brand. Money is fixed-point cents
+    * (floor(x * 100)); revenue = qprice * (100 - qdisc) summed in Long
+    * exactly like [[pricing]]'s sum_disc_price.
+    */
+  val brandRevenue: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val li = t(spark, dir, "lineitem").select(col("l_partkey"), col("l_quantity"),
+      q100(col("l_quantity")).as("qqty"),
+      (q100(col("l_extendedprice")) * (lit(100L) - q100(col("l_discount")))).as("qrev"))
+    val parts = t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val branch =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 20)
+        && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)
+        && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#4" && col("p_size").between(1, 15)
+        && col("l_quantity").between(20, 30))
+    li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"), sum("qqty").as("sum_qty"),
+        sum("qrev").as("revenue"))
+      .orderBy("p_brand")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_rel_diversity" ->
+      """SELECT p_brand, p_size::BIGINT AS p_size,
+        |  count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2""".stripMargin,
+
+    "q_rel_brand_revenue" ->
+      """SELECT p_brand, count(*)::BIGINT AS n_lines,
+        |  sum(floor(l_quantity * 100))::BIGINT AS sum_qty,
+        |  sum(floor(l_extendedprice * 100)::BIGINT
+        |      * (100 - floor(l_discount * 100)::BIGINT))::BIGINT AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 20
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_rel_dominant" ->
       """WITH ps AS (SELECT l_partkey, l_suppkey,
         |        sum(floor(l_quantity * 100)::BIGINT)::BIGINT AS q

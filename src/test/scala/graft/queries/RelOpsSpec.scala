@@ -559,4 +559,60 @@ class RelOpsSpec extends AnyFunSuite {
     assert(got.size == wide.length * 3, "every wide row must fan out to exactly 3 long rows")
     assert(got.map(_._2).distinct.sorted == Seq("A", "N", "R"))
   }
+
+  test("supplierDiversity == local NOT-IN + count-distinct recompute; the exclusion bites") {
+    import spark.implicits._
+    // sf0.01, not the suite's usual sf0.001: no supplier is in arrears at
+    // sf0.001, so the NOT-IN leg would be vacuous there
+    val sf01 = "/root/testdata/sf0.01"
+    val parts = spark.read.parquet(s"$sf01/part.parquet")
+      .selectExpr("p_partkey", "p_brand", "p_size")
+      .as[(Long, String, Int)].collect().map(p => (p._1, (p._2, p._3))).toMap
+    val arrears = spark.read.parquet(s"$sf01/supplier.parquet")
+      .filter("s_acctbal < 0").selectExpr("s_suppkey").as[Long].collect().toSet
+    val ps = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .selectExpr("l_partkey", "l_suppkey").as[(Long, Long)].collect()
+    val sizes = Set(1, 9, 14, 19, 23, 36, 45, 49)
+    def census(excl: Set[Long]) = ps.collect {
+      case (pk, sk) if !excl.contains(sk) && parts.contains(pk) &&
+        parts(pk)._1 != "Brand#45" && sizes.contains(parts(pk)._2) =>
+        ((parts(pk)._1, parts(pk)._2.toLong), sk)
+    }.groupBy(_._1).map { case (k, xs) => (k._1, k._2, xs.map(_._2).distinct.length.toLong) }
+      .toSeq.sortBy(r => (-r._3, r._1, r._2))
+    val want = census(arrears)
+    val got = RelOps.supplierDiversity(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(arrears.nonEmpty, "no supplier in arrears — exclusion untested")
+    assert(census(Set.empty).map(_._3).sum > want.map(_._3).sum,
+      "the NOT-IN exclusion must strictly shrink some distinct count")
+  }
+
+  test("brandRevenue == local disjunctive-branch recompute; all three branches occur") {
+    import spark.implicits._
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .selectExpr("p_partkey", "p_brand", "p_size")
+      .as[(Long, String, Int)].collect().map(p => (p._1, (p._2, p._3))).toMap
+    val lp = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .as[(Long, Double, Double, Double)].collect()
+    def in(b: String, s0: Int, s1: Int, q0: Double, q1: Double,
+           brand: String, size: Int, qty: Double) =
+      brand == b && size >= s0 && size <= s1 && qty >= q0 && qty <= q1
+    val want = lp.collect {
+      case (pk, qty, price, disc) if parts.contains(pk) && {
+        val (b, s) = parts(pk)
+        in("Brand#12", 1, 20, 1, 11, b, s, qty) ||
+          in("Brand#23", 1, 25, 10, 20, b, s, qty) ||
+          in("Brand#4", 1, 15, 20, 30, b, s, qty)
+      } => (parts(pk)._1, q100(qty), q100(price) * (100L - q100(disc)))
+    }.groupBy(_._1).map { case (b, xs) =>
+      (b, xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    val got = RelOps.brandRevenue(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.map(_._1) == Seq("Brand#12", "Brand#23", "Brand#4"),
+      "all three disjunctive branches must be non-empty")
+  }
 }
