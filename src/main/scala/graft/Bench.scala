@@ -279,11 +279,14 @@ object Bench {
   private val Ops33Queries =
     Seq("q_lake_skip", "q_lake_merge", "q_lake_zorder", "q_lake_delete", "q_lake_stats")
 
-  /** The round-5 forty-seventh wave: the LBP texture histogram through
-    * the tiled kernel and the lag-7 autocovariance census of daily event
-    * counts.
+  /** The round-5 waves 47/49/50: the LBP texture histogram and the
+    * critical-point census through the tiled kernel, the lag-7
+    * autocovariance census of daily event counts, and the R-clipped
+    * Hausdorff drift census between consecutive-threshold contours
+    * (rebuilds the contour pipeline — the standalone-contract cost).
     */
-  private val Ops34Queries = Seq("q_lbp_hist", "q_evt_autocov")
+  private val Ops34Queries =
+    Seq("q_lbp_hist", "q_evt_autocov", "q_critical_points", "q_contour_hausdorff")
 
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(

@@ -526,6 +526,12 @@ object SparkEntry {
       graft.engine.SpatialOps.nearSegmentDist(spark, points, cts, radius = 8.0)
     }),
 
+    // ---- R-clipped Hausdorff between consecutive-threshold contours ----
+    "q_contour_hausdorff" -> ((spark, dir) => {
+      val cts = engine(spark).contours(eventTiles(spark, dir))
+      graft.engine.SpatialOps.contourHausdorff(spark, cts, EventsGrid.Thresholds)
+    }),
+
     // ---- kNN join against emitted contour vertices ----
     "q_knn_vertices" -> ((spark, dir) => {
       import spark.implicits._
@@ -705,6 +711,7 @@ object SparkEntry {
     "q_laplacian" -> RasterOps.laplacian,
     "q_sobel" -> RasterOps.sobel,
     "q_lbp_hist" -> RasterOps.lbpHist,
+    "q_critical_points" -> RasterOps.criticalPoints,
     "q_watershed" -> HydroOps.watershed,
     "q_flow_accum" -> HydroOps.flowAccum,
     "q_flow_len" -> HydroOps.flowLength,
@@ -1458,6 +1465,60 @@ object SparkEntry {
     // checksum oracles reconstruct; min/max need no dedup handling
     // (contour rings never dedup) and presence is symmetric (GROUP BY
     // emits no row where no segments exist, matching the engine's filter)
+    // R-clipped Hausdorff: the same smoothed-vertex reconstruction,
+    // DISTINCT quantized points, the 3x3 cell-window min via a BETWEEN
+    // join (a different candidate enumeration than the engine's 9-way
+    // explode — same exact window), the same Rq2 = 2^44 resolve clip
+    "q_contour_hausdorff" ->
+      s"""WITH ${startsCte(tsAllSql)},
+         |$smoothPtsCte,
+         |qp AS MATERIALIZED (
+         |  SELECT DISTINCT threshold, floor(px * 1048576.0)::BIGINT AS qx,
+         |         floor(py * 1048576.0)::BIGINT AS qy FROM pts),
+         |qc AS MATERIALIZED (
+         |  SELECT threshold, qx, qy, floor(qx / 4194304.0)::BIGINT AS cx,
+         |         floor(qy / 4194304.0)::BIGINT AS cy FROM qp),
+         |prs AS (SELECT 25.0 AS t_lo, 50.0 AS t_hi
+         |        UNION ALL SELECT 50.0, 75.0 UNION ALL SELECT 75.0, 100.0),
+         |abm AS (SELECT p.t_lo, p.t_hi, a.qx, a.qy,
+         |          min((a.qx - b.qx) * (a.qx - b.qx)
+         |              + (a.qy - b.qy) * (a.qy - b.qy)) AS mind2
+         |        FROM prs p
+         |        JOIN qc a ON a.threshold = p.t_lo
+         |        JOIN qc b ON b.threshold = p.t_hi
+         |          AND b.cx BETWEEN a.cx - 1 AND a.cx + 1
+         |          AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+         |        GROUP BY 1, 2, 3, 4),
+         |ab AS (SELECT t_lo, t_hi, count(*)::BIGINT AS n_res,
+         |         max(mind2)::BIGINT AS h
+         |       FROM abm WHERE mind2 < 4194304::BIGINT * 4194304 GROUP BY 1, 2),
+         |bam AS (SELECT p.t_lo, p.t_hi, a.qx, a.qy,
+         |          min((a.qx - b.qx) * (a.qx - b.qx)
+         |              + (a.qy - b.qy) * (a.qy - b.qy)) AS mind2
+         |        FROM prs p
+         |        JOIN qc a ON a.threshold = p.t_hi
+         |        JOIN qc b ON b.threshold = p.t_lo
+         |          AND b.cx BETWEEN a.cx - 1 AND a.cx + 1
+         |          AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+         |        GROUP BY 1, 2, 3, 4),
+         |ba AS (SELECT t_lo, t_hi, count(*)::BIGINT AS n_res,
+         |         max(mind2)::BIGINT AS h
+         |       FROM bam WHERE mind2 < 4194304::BIGINT * 4194304 GROUP BY 1, 2),
+         |nn AS (SELECT p.t_lo, p.t_hi,
+         |         (SELECT count(*) FROM qc WHERE threshold = p.t_lo)::BIGINT AS n_lo,
+         |         (SELECT count(*) FROM qc WHERE threshold = p.t_hi)::BIGINT AS n_hi
+         |       FROM prs p)
+         |SELECT nn.t_lo, nn.t_hi, nn.n_lo, nn.n_hi,
+         |  (nn.n_lo - COALESCE(ab.n_res, 0))::BIGINT AS far_ab,
+         |  (nn.n_hi - COALESCE(ba.n_res, 0))::BIGINT AS far_ba,
+         |  COALESCE(ab.h, 0)::BIGINT AS h_ab_q2,
+         |  COALESCE(ba.h, 0)::BIGINT AS h_ba_q2,
+         |  greatest(COALESCE(ab.h, 0), COALESCE(ba.h, 0))::BIGINT AS haus_q2
+         |FROM nn
+         |LEFT JOIN ab ON ab.t_lo = nn.t_lo AND ab.t_hi = nn.t_hi
+         |LEFT JOIN ba ON ba.t_lo = nn.t_lo AND ba.t_hi = nn.t_hi
+         |ORDER BY nn.t_lo""".stripMargin,
+
     "q_contour_extent" ->
       s"""WITH ${startsCte(tsAllSql)},
          |$smoothPtsCte

@@ -1067,6 +1067,51 @@ object RasterKernel {
       .map(c => (c.toLong, n(c), qc(c))).toSeq
   }
 
+  /** Critical-point census over the tile's owned interior: a cell is a
+    * strict local MAXIMUM when all eight quantized neighbours are < its
+    * quantized center, a strict local MINIMUM when all are > — compares
+    * run on floor(v * 2^20) (the shared per-cell quantization), so
+    * plateau ties after quantization disqualify strictness (stated
+    * contract, mirrored by the oracle's same quantized compares). Per-row
+    * integer partials: (y, n, n_max, n_min, sum of extremal centers'
+    * q) — comparisons and Long sums only, tiled == cell order-free.
+    */
+  def criticalRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                   ox0: Int, oy0: Int, ow: Int, oh: Int,
+                   w: Int, h: Int): Seq[(Long, Long, Long, Long, Long)] = {
+    @inline def q(x: Int, y: Int): Long =
+      math.floor(vals((y - by0) * bw + (x - bx0)) * Q20).toLong
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)](
+      math.max(tyHi - tyLo + 1, 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var n = 0L; var nMax = 0L; var nMin = 0L; var qxSum = 0L
+      var tx = txLo
+      while (tx <= txHi) {
+        val c = q(tx, ty)
+        var allBelow = true; var allAbove = true
+        var o = 0
+        while (o < 9) {
+          if (o != 4) {
+            val nv = q(tx - (o % 3 - 1), ty - (o / 3 - 1))
+            if (nv >= c) allBelow = false
+            if (nv <= c) allAbove = false
+          }
+          o += 1
+        }
+        n += 1
+        if (allBelow) { nMax += 1; qxSum = Math.addExact(qxSum, c) }
+        if (allAbove) { nMin += 1; qxSum = Math.addExact(qxSum, c) }
+        tx += 1
+      }
+      if (n > 0) out += ((ty.toLong, n, nMax, nMin, qxSum))
+      ty += 1
+    }
+    out.toSeq
+  }
+
   def hilbertIndex(bits: Int, x0: Int, y0: Int): Long = {
     require(bits >= 1 && bits <= 31, s"hilbertIndex: bits = $bits out of [1, 31]")
     val n = 1 << bits

@@ -913,4 +913,94 @@ object SpatialOps {
       .agg(count(lit(1)).as("n_rings"))
       .orderBy("threshold", "depth")
   }
+
+  /** R-CLIPPED HAUSDORFF census between the vertex sets of CONSECUTIVE
+    * contour thresholds — the shape-drift statistic "how far did the
+    * isoline move from level t to level t+1". Works on the DISTINCT
+    * QUANTIZED vertex sets (floor(c * 2^20) per coordinate, the shared
+    * quantization): for each vertex a of the lower threshold, the exact
+    * min squared quantized distance to the upper threshold's vertices
+    * found inside a's 3x3 cell window (cells of width 4 raster units ==
+    * 2^22 quantized units, derived from the QUANTIZED coords by exact
+    * f64 floor division so both sides bucket identically, negatives
+    * included). EXACTNESS OF THE CLIP: any vertex outside the window
+    * differs by >= 2^22 in some axis, so its d2q >= Rq2 = 2^44; a
+    * window-min < Rq2 is therefore the TRUE global min (resolved), and a
+    * vertex with an empty window or window-min >= Rq2 counts as FAR
+    * (its true min is known only to be >= Rq2 — the clip). Per pair the
+    * census reports both directed clipped maxima h_*_q2 = max over
+    * resolved vertices of the exact min (0 when none resolve), the far
+    * counts, and haus_q2 = max(h_ab, h_ba) — equal to the true
+    * (quantized) Hausdorff distance squared whenever both far counts are
+    * 0. Everything after quantization is integer compares and integer
+    * min/max — no float crosses the engine/oracle line.
+    *
+    * Scale: the only joins are cell-bucketed equi-joins with a fixed 9x
+    * probe fan-out — per-vertex candidate volume is bounded by window
+    * occupancy, never |A| x |B|; the per-vertex min and per-pair max are
+    * map-side-combinable aggregations on the (pair, vertex) and pair
+    * keys. Dense isoline tiles skew some cells; the aggregation key
+    * includes the vertex so AQE's skew split applies cleanly.
+    */
+  def contourHausdorff(spark: SparkSession, contours: Dataset[ContourRow],
+                       thresholds: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    val cellQ = 4194304.0 // 4 raster units * 2^20, exact power of two
+    val rq2 = lit(4194304L * 4194304L) // outside-window d2q lower bound
+    val v = contourVertices(spark, contours)
+      .select(col("threshold"),
+        floor(col("vx") * RasterQ20).cast("long").as("qx"),
+        floor(col("vy") * RasterQ20).cast("long").as("qy"))
+      .distinct()
+      .withColumn("cx", floor(col("qx") / cellQ).cast("long"))
+      .withColumn("cy", floor(col("qy") / cellQ).cast("long"))
+    val ts = thresholds.sorted
+    val pairs = ts.zip(ts.tail).toDF("t_lo", "t_hi")
+
+    // one direction: for every src vertex, the window-min d2q against tgt;
+    // per pair: resolved count and clipped max (pairs with nothing
+    // resolved emit no row here — the final left join zero-fills them)
+    def directed(src: DataFrame, tgt: DataFrame): DataFrame = {
+      val probe = src
+        .withColumn("o", explode(lit((0 until 9).toArray)))
+        .select(col("t_lo"), col("t_hi"), col("qx").as("aqx"), col("qy").as("aqy"),
+          (col("cx") + col("o") % 3 - 1).as("cx"),
+          (col("cy") + col("o").divide(3).cast("int") - 1).as("cy"))
+      probe
+        .join(tgt.select(col("t_lo"), col("t_hi"), col("qx").as("bqx"),
+          col("qy").as("bqy"), col("cx"), col("cy")), Seq("t_lo", "t_hi", "cx", "cy"))
+        .select(col("t_lo"), col("t_hi"), col("aqx"), col("aqy"),
+          ((col("aqx") - col("bqx")) * (col("aqx") - col("bqx"))
+            + (col("aqy") - col("bqy")) * (col("aqy") - col("bqy"))).as("d2"))
+        .groupBy("t_lo", "t_hi", "aqx", "aqy")
+        .agg(min(col("d2")).as("mind2"))
+        .filter(col("mind2") < rq2)
+        .groupBy("t_lo", "t_hi")
+        .agg(count(lit(1)).as("n_resolved"), max(col("mind2")).as("h_q2"))
+    }
+
+    val lo = v.join(pairs, v("threshold") === pairs("t_lo")).drop("threshold")
+    val hi = v.join(pairs, v("threshold") === pairs("t_hi")).drop("threshold")
+    val perT = v.groupBy("threshold").agg(count(lit(1)).as("n"))
+    val counts = pairs
+      .join(perT.select(col("threshold"), col("n").as("n_lo")),
+        pairs("t_lo") === perT("threshold"), "left").drop("threshold")
+      .join(perT.select(col("threshold"), col("n").as("n_hi")),
+        col("t_hi") === perT("threshold"), "left").drop("threshold")
+      .na.fill(0L, Seq("n_lo", "n_hi"))
+    val ab = directed(lo, hi)
+      .withColumnsRenamed(Map("n_resolved" -> "res_ab", "h_q2" -> "h_ab_q2"))
+    val ba = directed(hi, lo)
+      .withColumnsRenamed(Map("n_resolved" -> "res_ba", "h_q2" -> "h_ba_q2"))
+    counts
+      .join(ab, Seq("t_lo", "t_hi"), "left")
+      .join(ba, Seq("t_lo", "t_hi"), "left")
+      .na.fill(0L, Seq("res_ab", "res_ba", "h_ab_q2", "h_ba_q2"))
+      .select(col("t_lo"), col("t_hi"), col("n_lo"), col("n_hi"),
+        (col("n_lo") - col("res_ab")).as("far_ab"),
+        (col("n_hi") - col("res_ba")).as("far_ba"),
+        col("h_ab_q2"), col("h_ba_q2"),
+        greatest(col("h_ab_q2"), col("h_ba_q2")).as("haus_q2"))
+      .orderBy("t_lo")
+  }
 }

@@ -887,6 +887,34 @@ object RasterOps {
     lbpHistTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
+  /** CRITICAL-POINT census — strict local maxima / minima of the surface
+    * (the morphometric peak/pit count): a cell is a strict max when all
+    * eight quantized neighbours compare <, a strict min when all compare
+    * > (plateau ties disqualify, a stated contract both sides share).
+    * Per grid row: interior cell count, n_maxima, n_minima, and the
+    * extremal centers' q sum as the checksum. Same tiled posture as the
+    * window family: kernels emit per-row integer partials, the only
+    * exchange is the tiny per-row merge.
+    */
+  private[graft] def criticalPointsTiledOf(cells: Dataset[(Int, Int, Double)],
+                                           w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+        graft.core.RasterKernel.criticalRows(t.values, t.bx0, t.by0, t.bw,
+          t.ox0, t.oy0, t.ow, t.oh, w, h))
+      .toDF("y", "n", "nmax", "nmin", "qx")
+      .groupBy("y")
+      .agg(sum(col("n")).as("n_cells"), sum(col("nmax")).as("n_maxima"),
+        sum(col("nmin")).as("n_minima"), sum(col("qx")).as("qx_sum"))
+      .orderBy("y")
+  }
+
+  val criticalPoints: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    criticalPointsTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
   private[graft] def d8FlowDirTiledOf(cells: Dataset[(Int, Int, Double)],
                                       w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
     import cells.sparkSession.implicits._
@@ -1699,6 +1727,36 @@ object RasterOps {
           |       WHERE c.x BETWEEN 1 AND 98
           |         AND c.y BETWEEN 1 AND (SELECT h FROM d) - 2)
           |SELECT code, count(*)::BIGINT AS n_cells, sum(q)::BIGINT AS qc_sum
+          |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // critical points: the eight window slots gathered per interior
+      // cell by the fixed +-1 self-joins; strictness as conjunctive
+      // compares over the same quantized values
+      "q_critical_points" ->
+        """WITH g AS MATERIALIZED (SELECT (event_id % 100)::INT AS x,
+          |             (event_id // 100)::INT AS y,
+          |             floor(value * 1048576.0)::BIGINT AS q FROM events),
+          |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+          |li AS (SELECT c.y, c.q,
+          |         (s0.q < c.q AND s1.q < c.q AND s2.q < c.q AND s3.q < c.q
+          |          AND s5.q < c.q AND s6.q < c.q AND s7.q < c.q AND s8.q < c.q) AS ismax,
+          |         (s0.q > c.q AND s1.q > c.q AND s2.q > c.q AND s3.q > c.q
+          |          AND s5.q > c.q AND s6.q > c.q AND s7.q > c.q AND s8.q > c.q) AS ismin
+          |       FROM g c
+          |       JOIN g s0 ON s0.x = c.x + 1 AND s0.y = c.y + 1
+          |       JOIN g s1 ON s1.x = c.x     AND s1.y = c.y + 1
+          |       JOIN g s2 ON s2.x = c.x - 1 AND s2.y = c.y + 1
+          |       JOIN g s3 ON s3.x = c.x + 1 AND s3.y = c.y
+          |       JOIN g s5 ON s5.x = c.x - 1 AND s5.y = c.y
+          |       JOIN g s6 ON s6.x = c.x + 1 AND s6.y = c.y - 1
+          |       JOIN g s7 ON s7.x = c.x     AND s7.y = c.y - 1
+          |       JOIN g s8 ON s8.x = c.x - 1 AND s8.y = c.y - 1
+          |       WHERE c.x BETWEEN 1 AND 98
+          |         AND c.y BETWEEN 1 AND (SELECT h FROM d) - 2)
+          |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells,
+          |  sum(CASE WHEN ismax THEN 1 ELSE 0 END)::BIGINT AS n_maxima,
+          |  sum(CASE WHEN ismin THEN 1 ELSE 0 END)::BIGINT AS n_minima,
+          |  sum(CASE WHEN ismax OR ismin THEN q ELSE 0 END)::BIGINT AS qx_sum
           |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // local Moran (LISA): the four rook neighbours gathered per interior

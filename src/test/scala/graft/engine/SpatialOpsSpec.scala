@@ -645,4 +645,51 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.forall(_._2 > 0L), "every threshold should cross its shifted copy")
   }
+
+  test("contourHausdorff == local brute-force clip; far vertices and empty thresholds handled") {
+    import spark.implicits._
+    import graft.model.{ContourRow, PolyRow}
+    // threshold 1: unit-ish square; threshold 2: the same square nudged by
+    // (0.5, 0.25) PLUS a far ring 50 units away (every far-ring vertex is
+    // beyond the 4-unit clip from threshold 1 and vice versa); threshold 3
+    // exists in the list but has NO contours (zero-vertex side)
+    val sq1 = Seq(0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0, 0.0, 0.0)
+    val sq2 = Seq(0.5, 0.25, 2.5, 0.25, 2.5, 2.25, 0.5, 2.25, 0.5, 0.25)
+    val far = Seq(50.0, 50.0, 52.0, 50.0, 52.0, 52.0, 50.0, 52.0, 50.0, 50.0)
+    val cts = spark.createDataset(Seq(
+      ContourRow("hd", 1.0, Seq(PolyRow(sq1, Seq.empty))),
+      ContourRow("hd", 2.0, Seq(PolyRow(sq2, Seq.empty), PolyRow(far, Seq.empty)))))
+    val got = SpatialOps.contourHausdorff(spark, cts, Seq(1.0, 2.0, 3.0)).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+
+    // local recompute: distinct quantized vertices, plain O(n^2) true min,
+    // clip at Rq2 = 2^44 (the window guarantee makes engine == this)
+    val rq2 = 4194304L * 4194304L
+    def qv(ring: Seq[Double]): Seq[(Long, Long)] =
+      ring.dropRight(2).grouped(2).map(p =>
+        (math.floor(p(0) * 1048576.0).toLong, math.floor(p(1) * 1048576.0).toLong)).toSeq
+    val vs = Map(1.0 -> qv(sq1).distinct, 2.0 -> (qv(sq2) ++ qv(far)).distinct,
+      3.0 -> Seq.empty[(Long, Long)])
+    def clip(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): (Long, Long) = {
+      val mins = a.map(p => b.map(q =>
+        (p._1 - q._1) * (p._1 - q._1) + (p._2 - q._2) * (p._2 - q._2))
+        .foldLeft(Long.MaxValue)(math.min))
+      val res = mins.filter(_ < rq2)
+      ((a.length - res.length).toLong, if (res.isEmpty) 0L else res.max)
+    }
+    val want = Seq((1.0, 2.0), (2.0, 3.0)).map { case (lo, hi) =>
+      val (fab, hab) = clip(vs(lo), vs(hi))
+      val (fba, hba) = clip(vs(hi), vs(lo))
+      (lo, hi, vs(lo).length.toLong, vs(hi).length.toLong, fab, fba, hab, hba,
+        math.max(hab, hba))
+    }
+    assert(got == want)
+    // the scenario must exercise every contract branch: far vertices on
+    // both directions of pair 1 (the far ring), a fully-far pair 2 (empty
+    // side), and a nonzero clipped Hausdorff on pair 1
+    assert(want.head._5 == 0L && want.head._6 == 4L, "far ring: 4 far vertices hi->lo")
+    assert(want.head._9 > 0L)
+    assert(want(1)._3 > 0L && want(1)._4 == 0L && want(1)._9 == 0L)
+  }
 }

@@ -190,6 +190,34 @@ class RasterRandomSpec extends AnyFunSuite {
     }
   }
 
+  test("criticalPoints on random dims and tilings == local strict-extrema recompute") {
+    import spark.implicits._
+    val rng = new scala.util.Random(490490L)
+    for (trial <- 0 until 10) {
+      val w = 1 + rng.nextInt(24)
+      val h = 1 + rng.nextInt(24)
+      val g = randGrid(rng, w, h)
+      def q(y: Int, x: Int) = math.floor(g(y * w + x) * Q).toLong
+      val want = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+        val c = q(y, x)
+        val nbrs = for (o <- Seq(0, 1, 2, 3, 5, 6, 7, 8))
+          yield q(y - (o / 3 - 1), x - (o % 3 - 1))
+        val isMax = nbrs.forall(_ < c); val isMin = nbrs.forall(_ > c)
+        (y.toLong, if (isMax) 1L else 0L, if (isMin) 1L else 0L,
+          if (isMax || isMin) c else 0L)
+      }).groupBy(_._1).map { case (y, rs) =>
+        (y, rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum)
+      }.toSeq.sortBy(_._1)
+      val typed = (0 until w * h).map(i => (i % w, i / w, g(i))).toDS()
+      val tw = 1 + rng.nextInt(9); val th = 1 + rng.nextInt(9)
+      def got(a: Int, b: Int) =
+        RasterOps.criticalPointsTiledOf(typed, w, h, a, b).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(got(tw, th) == want, s"critical trial $trial ${w}x$h tiles ${tw}x$th")
+      assert(got(50, 50) == want, s"critical trial $trial ${w}x$h single tile")
+    }
+  }
+
   test("rowPrefix scan on random dims and segment widths == local in-order recompute") {
     import spark.implicits._
     val rng = new scala.util.Random(909090L)
