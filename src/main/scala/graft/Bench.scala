@@ -269,7 +269,7 @@ object Bench {
       "q_evt_ntile", "q_rel_small_qty", "q_rel_cube", "q_rel_trailing",
       "q_rel_waiting", "q_rel_share", "q_rel_unpivot",
       "q_rel_cheapest", "q_evt_click_surplus", "q_rel_dominant",
-      "q_rel_diversity", "q_rel_brand_revenue")
+      "q_rel_diversity", "q_rel_brand_revenue", "q_rel_benford")
 
   /** The round-5 lake-DML waves (33/34/38/39): each query COMMITS the
     * fact table into a throwaway lake table first, so this leg measures
@@ -279,14 +279,16 @@ object Bench {
   private val Ops33Queries =
     Seq("q_lake_skip", "q_lake_merge", "q_lake_zorder", "q_lake_delete", "q_lake_stats")
 
-  /** The round-5 waves 47/49/50: the LBP texture histogram and the
+  /** The round-5 waves 47/49/50/51: the LBP texture histogram and the
     * critical-point census through the tiled kernel, the lag-7
-    * autocovariance census of daily event counts, and the R-clipped
-    * Hausdorff drift census between consecutive-threshold contours
-    * (rebuilds the contour pipeline — the standalone-contract cost).
+    * autocovariance census of daily event counts, the R-clipped
+    * Hausdorff drift census between consecutive-threshold contours, and
+    * the turning (convexity) census over the rings (the latter two
+    * rebuild the contour pipeline — the standalone-contract cost).
     */
   private val Ops34Queries =
-    Seq("q_lbp_hist", "q_evt_autocov", "q_critical_points", "q_contour_hausdorff")
+    Seq("q_lbp_hist", "q_evt_autocov", "q_critical_points", "q_contour_hausdorff",
+      "q_contour_turning")
 
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(

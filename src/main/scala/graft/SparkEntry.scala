@@ -532,6 +532,12 @@ object SparkEntry {
       graft.engine.SpatialOps.contourHausdorff(spark, cts, EventsGrid.Thresholds)
     }),
 
+    // ---- turning (convexity) census over the contour rings ----
+    "q_contour_turning" -> ((spark, dir) => {
+      val cts = engine(spark).contours(eventTiles(spark, dir))
+      graft.engine.SpatialOps.turningCensus(spark, cts, EventsGrid.Thresholds)
+    }),
+
     // ---- kNN join against emitted contour vertices ----
     "q_knn_vertices" -> ((spark, dir) => {
       import spark.implicits._
@@ -767,6 +773,7 @@ object SparkEntry {
     "q_rel_dominant" -> RelOps.dominantSuppliers,
     "q_rel_diversity" -> RelOps.supplierDiversity,
     "q_rel_brand_revenue" -> RelOps.brandRevenue,
+    "q_rel_benford" -> RelOps.benford,
     "q_evt_ntile" -> EventOps.ntileCensus,
     "q_lake_skip" -> RelOps.lakeSkip,
     "q_lake_merge" -> RelOps.lakeMerge,
@@ -1284,6 +1291,42 @@ object SparkEntry {
          |  sum(floor(sqrt((epx - spx) * (epx - spx) + (epy - spy) * (epy - spy))
          |        * 1048576.0)::BIGINT)::BIGINT AS qlen_sum
          |FROM segs2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // turning census: consecutive ring edges pair by the successor join
+    // (b.sk = a.ek — start keys are unique per threshold), endpoints
+    // quantize first, then one integer cross per shared vertex — the
+    // independent counterpart of the engine's in-ring triple walk
+    "q_contour_turning" ->
+      s"""WITH ${startsAndEndsCte(tsAllSql)},
+         |segk AS MATERIALIZED (
+         |  SELECT s.threshold,
+         |    s.pk AS sk, e.pk AS ek,
+         |    floor(s.px * 1048576.0)::BIGINT AS sqx,
+         |    floor(s.py * 1048576.0)::BIGINT AS sqy,
+         |    floor(e.px * 1048576.0)::BIGINT AS eqx,
+         |    floor(e.py * 1048576.0)::BIGINT AS eqy
+         |  FROM pts s JOIN pts e
+         |    ON e.threshold = s.threshold AND e.cx = s.cx AND e.cy = s.cy
+         |   AND e.segid = s.segid AND s.role = 0 AND e.role = 1),
+         |turns AS (
+         |  SELECT a.threshold,
+         |    (a.eqx - a.sqx) * (b.eqy - b.sqy)
+         |      - (b.eqx - b.sqx) * (a.eqy - a.sqy) AS cr
+         |  FROM segk a JOIN segk b
+         |    ON b.threshold = a.threshold AND b.sk = a.ek),
+         |agg AS (SELECT threshold, count(*)::BIGINT AS n_vertices,
+         |  sum(CASE WHEN cr > 0 THEN 1 ELSE 0 END)::BIGINT AS n_left,
+         |  sum(CASE WHEN cr < 0 THEN 1 ELSE 0 END)::BIGINT AS n_right,
+         |  sum(CASE WHEN cr = 0 THEN 1 ELSE 0 END)::BIGINT AS n_straight,
+         |  sum(cr)::BIGINT AS qcross_sum
+         |  FROM turns GROUP BY 1)
+         |SELECT t.threshold, COALESCE(agg.n_vertices, 0)::BIGINT AS n_vertices,
+         |  COALESCE(agg.n_left, 0)::BIGINT AS n_left,
+         |  COALESCE(agg.n_right, 0)::BIGINT AS n_right,
+         |  COALESCE(agg.n_straight, 0)::BIGINT AS n_straight,
+         |  COALESCE(agg.qcross_sum, 0)::BIGINT AS qcross_sum
+         |FROM ($tsAllSql) t LEFT JOIN agg ON agg.threshold = t.threshold
+         |ORDER BY t.threshold""".stripMargin,
 
     // every directed segment is one ring edge (contour rings never dedup);
     // each edge's shoelace terms quantize independently and a degenerate

@@ -1003,4 +1003,46 @@ object SpatialOps {
         greatest(col("h_ab_q2"), col("h_ba_q2")).as("haus_q2"))
       .orderBy("t_lo")
   }
+
+  /** TURNING census of the contour rings — the convexity fingerprint:
+    * at every ring vertex the cross product of the incoming and outgoing
+    * edge vectors, computed on QUANTIZED endpoints (floor(c * 2^20) per
+    * coordinate first, then integer vector subtraction and one integer
+    * cross — edge vectors are stencil-short so |cross| < 2^44,
+    * order-free Long sums after that). Per threshold: vertex count,
+    * left/right/straight turn counts (cross > 0 / < 0 / == 0 — collapsed
+    * zero-length edges classify straight, matching the oracle's
+    * successor-join semantics since contour rings keep them), and the
+    * summed cross as the discriminating checksum. One narrow flatMap
+    * over assembled rings + a threshold-cardinality rollup — no
+    * shuffle beyond the tiny reduced frame. Oracle: the directed-segment
+    * graph's successor join (b.sk = a.ek — start keys are unique per
+    * threshold), the same quantize-then-cross at the shared vertex.
+    */
+  def turningCensus(spark: SparkSession, contours: Dataset[ContourRow],
+                    thresholds: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    val t = contours.flatMap { c =>
+      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
+        val n = ring.length / 2 - 1 // closing duplicate dropped; cyclic
+        (0 until n).iterator.map { i =>
+          val ip = (i + n - 1) % n; val in = (i + 1) % n
+          @inline def qx(j: Int) = math.floor(ring(2 * j) * RasterQ20).toLong
+          @inline def qy(j: Int) = math.floor(ring(2 * j + 1) * RasterQ20).toLong
+          val ax = qx(i) - qx(ip); val ay = qy(i) - qy(ip)
+          val bx = qx(in) - qx(i); val by = qy(in) - qy(i)
+          val cross = ax * by - bx * ay
+          (c.threshold, 1L, if (cross > 0L) 1L else 0L,
+            if (cross < 0L) 1L else 0L, if (cross == 0L) 1L else 0L, cross)
+        }
+      }
+    }.toDF("threshold", "v", "l", "r", "st", "cross")
+      .groupBy("threshold")
+      .agg(sum(col("v")).as("n_vertices"), sum(col("l")).as("n_left"),
+        sum(col("r")).as("n_right"), sum(col("st")).as("n_straight"),
+        sum(col("cross")).as("qcross_sum"))
+    t.join(thresholds.toDF("threshold"), Seq("threshold"), "right")
+      .na.fill(0L, Seq("n_vertices", "n_left", "n_right", "n_straight", "qcross_sum"))
+      .orderBy("threshold")
+  }
 }

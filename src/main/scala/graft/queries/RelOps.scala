@@ -836,7 +836,39 @@ object RelOps {
       .orderBy("p_brand")
   }
 
+  /** BENFORD first-digit audit over extended prices — the data-quality
+    * face every warehouse runs on money columns: count per (returnflag,
+    * leading digit of the CENTS fixed-point price), with an integer
+    * permille share n * 1000 div flag-total. The digit comes from the
+    * decimal string of the quantized Long (no float log10 anywhere);
+    * the flag total re-aggregates the 27-row reduced frame, so the fact
+    * table is touched once and shuffles only per-(flag, digit) partial
+    * counts.
+    */
+  val benford: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val counts = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        substring(q100(col("l_extendedprice")).cast("string"), 1, 1).as("digit"))
+      .groupBy("l_returnflag", "digit")
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy("l_returnflag").agg(sum(col("n")).as("tot"))
+    counts.join(tot, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("digit"), col("n"),
+        expr("n * 1000L div tot").as("permille"))
+      .orderBy("l_returnflag", "digit")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_rel_benford" ->
+      """WITH d AS (SELECT l_returnflag,
+        |        substr(floor(l_extendedprice * 100)::BIGINT::VARCHAR, 1, 1) AS digit,
+        |        count(*)::BIGINT AS n
+        |      FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT l_returnflag, sum(n)::BIGINT AS tot FROM d GROUP BY 1)
+        |SELECT d.l_returnflag, d.digit, d.n,
+        |  (d.n * 1000 // t.tot)::BIGINT AS permille
+        |FROM d JOIN t USING (l_returnflag) ORDER BY 1, 2""".stripMargin,
+
     "q_rel_diversity" ->
       """SELECT p_brand, p_size::BIGINT AS p_size,
         |  count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt

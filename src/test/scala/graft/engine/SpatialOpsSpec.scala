@@ -692,4 +692,38 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(want.head._9 > 0L)
     assert(want(1)._3 > 0L && want(1)._4 == 0L && want(1)._9 == 0L)
   }
+
+  test("turningCensus == local triple-walk recompute; reflex, collinear and hole turns occur") {
+    import spark.implicits._
+    import graft.model.{ContourRow, PolyRow}
+    // an L-shaped CCW hexagon: 5 convex vertices + 1 reflex; a collinear
+    // vertex spliced into one edge; plus a CW square hole (all right turns)
+    val ell = Seq(0.0, 0.0, 4.0, 0.0, 4.0, 2.0, 2.0, 2.0, 2.0, 4.0, 1.0, 4.0,
+      0.0, 4.0, 0.0, 0.0)
+    val hole = Seq(0.5, 0.5, 0.5, 1.5, 1.5, 1.5, 1.5, 0.5, 0.5, 0.5)
+    val cts = spark.createDataset(Seq(
+      ContourRow("tc", 1.0, Seq(PolyRow(ell, Seq(hole))))))
+    val got = SpatialOps.turningCensus(spark, cts, Seq(1.0, 2.0)).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    def census(rings: Seq[Seq[Double]]): (Long, Long, Long, Long, Long) = {
+      val ts = rings.flatMap { ring =>
+        val n = ring.length / 2 - 1
+        (0 until n).map { i =>
+          val ip = (i + n - 1) % n; val in = (i + 1) % n
+          def qx(j: Int) = math.floor(ring(2 * j) * 1048576.0).toLong
+          def qy(j: Int) = math.floor(ring(2 * j + 1) * 1048576.0).toLong
+          (qx(i) - qx(ip)) * (qy(in) - qy(i)) - (qx(in) - qx(i)) * (qy(i) - qy(ip))
+        }
+      }
+      (ts.length.toLong, ts.count(_ > 0L).toLong, ts.count(_ < 0L).toLong,
+        ts.count(_ == 0L).toLong, ts.sum)
+    }
+    val (nv, nl, nr, ns, qs) = census(Seq(ell, hole))
+    assert(got == Seq((1.0, nv, nl, nr, ns, qs), (2.0, 0L, 0L, 0L, 0L, 0L)))
+    // the scenario must exercise every class: 5 convex CCW corners turn
+    // left, the L's reflex corner turns right, the collinear splice is
+    // straight, and the CW hole's 4 corners all turn right
+    assert(nv == 11L && nl == 5L && nr == 5L && ns == 1L)
+  }
 }

@@ -615,4 +615,23 @@ class RelOpsSpec extends AnyFunSuite {
     assert(got.map(_._1) == Seq("Brand#12", "Brand#23", "Brand#4"),
       "all three disjunctive branches must be non-empty")
   }
+
+  test("benford == local first-digit recompute; permille shares sum to ~1000 per flag") {
+    val want = li.map(l => (l._7, q100(l._4).toString.take(1)))
+      .groupBy(identity).map { case ((f, d), xs) => ((f, d), xs.size.toLong) }
+    val tots = want.groupBy(_._1._1).map { case (f, m) => (f, m.values.sum) }
+    val rows = want.toSeq.map { case ((f, d), n) =>
+      (f, d, n, n * 1000L / tots(f))
+    }.sortBy(r => (r._1, r._2))
+    val got = RelOps.benford(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == rows)
+    // real prices spread over several leading digits, and truncating
+    // permilles must sum close to (but never over) 1000 per flag
+    assert(rows.map(_._2).distinct.size >= 5)
+    rows.groupBy(_._1).foreach { case (f, rs) =>
+      val s = rs.map(_._4).sum
+      assert(s <= 1000L && s > 1000L - rs.size, s"flag $f permille sum $s")
+    }
+  }
 }
