@@ -774,6 +774,9 @@ object SparkEntry {
     "q_rel_diversity" -> RelOps.supplierDiversity,
     "q_rel_brand_revenue" -> RelOps.brandRevenue,
     "q_rel_benford" -> RelOps.benford,
+    "q_rel_ship_priority" -> RelOps.shipPriority,
+    "q_rel_returned" -> RelOps.returnedCustomers,
+    "q_rel_lateness" -> RelOps.latenessPriority,
     "q_evt_ntile" -> EventOps.ntileCensus,
     "q_lake_skip" -> RelOps.lakeSkip,
     "q_lake_merge" -> RelOps.lakeMerge,

@@ -858,7 +858,146 @@ object RelOps {
       .orderBy("l_returnflag", "digit")
   }
 
+  /** Q3-shaped shipping-priority report: the top-10 highest-revenue
+    * orders from BUILDING-segment customers that were placed before the
+    * cutoff date but still have lines shipping after it. Both date
+    * predicates sit directly on their scans (pushed filters); the
+    * segment restriction is a LEFT SEMI on custkey (never multiplies
+    * orders); revenue aggregates per order in fixed-point cents through
+    * decimal(38,0); the top-10 is orderBy+limit — Spark plans it as
+    * TakeOrderedAndProject (per-partition heaps + a k-row driver merge),
+    * never a global sort. Ties are impossible to underspecify: revenue
+    * ties break by (order day, orderkey) and orderkey is unique.
+    * Order day is epoch-integer so the compare is dtype-exact.
+    */
+  val shipPriority: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val bld = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ords = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < cut)
+      .join(bld, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("o_day"),
+        col("o_orderpriority"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        (q100(col("l_extendedprice")) * (lit(100L) - q100(col("l_discount")))).as("qrev"))
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_day", "o_orderpriority")
+      .agg(sum(col("qrev").cast("decimal(38,0)")).cast("long").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_day").asc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Q10-shaped returned-item report: the 20 customers losing the most
+    * revenue to returns ('R' lines of orders placed in 1997-Q4), with
+    * their nation and fixed-point account balance. The scale-critical
+    * move: the top-20 selection (TakeOrderedAndProject) runs on the
+    * per-custkey REDUCED frame BEFORE any dimension join, so customer
+    * and nation only ever see a 20-row broadcast side — never the full
+    * per-customer revenue table. Ties break by custkey (unique).
+    */
+  val returnedCustomers: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val lo = lit("1997-10-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val ords = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val top = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (q100(col("l_extendedprice")) * (lit(100L) - q100(col("l_discount")))).as("qrev"))
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("qrev").cast("decimal(38,0)")).cast("long").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_custkey").asc)
+      .limit(20)
+    broadcast(top)
+      .join(t(spark, dir, "customer").select(col("c_custkey"), col("c_name"),
+          q100(col("c_acctbal")).as("qbal"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("qbal"), col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+  }
+
+  /** Q12-shaped lateness x priority matrix: every shipped line classed
+    * by integer ship latency (days from order to ship date: <= 30 FAST,
+    * <= 90 NORMAL, else SLOW), counting critical-priority (1-URGENT /
+    * 2-HIGH) vs lower-priority lines per class — Q12's CASE-sum shape
+    * with the one fact-fact equi-join the query genuinely needs
+    * (lineitem x orders on orderkey; at warehouse scale a shuffle
+    * equi-join AQE can re-plan, never a multiply). Day arithmetic is
+    * pure integer datediff, so class edges are exact on both sides.
+    */
+  val latenessPriority: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val ords = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")) <= 30, "FAST")
+          .when(datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")) <= 90, "NORMAL")
+          .otherwise("SLOW").as("ship_class"),
+        when(crit, 1L).otherwise(0L).as("hi"),
+        when(crit, 0L).otherwise(1L).as("lo"))
+      .groupBy("ship_class")
+      .agg(sum(col("hi")).as("high_line_count"), sum(col("lo")).as("low_line_count"))
+      .orderBy("ship_class")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_rel_ship_priority" ->
+      """WITH rev AS (
+        |  SELECT l.l_orderkey,
+        |    date_diff('day', DATE '1970-01-01', o.o_orderdate::DATE)::BIGINT AS o_day,
+        |    o.o_orderpriority,
+        |    sum(floor(l.l_extendedprice * 100)::BIGINT
+        |        * (100 - floor(l.l_discount * 100)::BIGINT))::BIGINT AS revenue
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2, 3)
+        |SELECT l_orderkey AS o_orderkey, o_day, o_orderpriority, revenue
+        |FROM rev ORDER BY revenue DESC, o_day, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_rel_returned" ->
+      """WITH rev AS (
+        |  SELECT o.o_custkey,
+        |    sum(floor(l.l_extendedprice * 100)::BIGINT
+        |        * (100 - floor(l.l_discount * 100)::BIGINT))::BIGINT AS revenue
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE l.l_returnflag = 'R'
+        |    AND o.o_orderdate >= TIMESTAMP '1997-10-01'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1
+        |  ORDER BY revenue DESC, o_custkey LIMIT 20)
+        |SELECT c.c_custkey, c.c_name, floor(c.c_acctbal * 100)::BIGINT AS qbal,
+        |  n.n_name, rev.revenue
+        |FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |ORDER BY rev.revenue DESC, c.c_custkey""".stripMargin,
+
+    "q_rel_lateness" ->
+      """SELECT CASE
+        |    WHEN date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE) <= 30 THEN 'FAST'
+        |    WHEN date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE) <= 90 THEN 'NORMAL'
+        |    ELSE 'SLOW' END AS ship_class,
+        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_rel_benford" ->
       """WITH d AS (SELECT l_returnflag,
         |        substr(floor(l_extendedprice * 100)::BIGINT::VARCHAR, 1, 1) AS digit,

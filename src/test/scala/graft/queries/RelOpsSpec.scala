@@ -616,6 +616,70 @@ class RelOpsSpec extends AnyFunSuite {
       "all three disjunctive branches must be non-empty")
   }
 
+  test("shipPriority/returnedCustomers/latenessPriority == local Q3/Q10/Q12 recomputes") {
+    import spark.implicits._
+    val ords = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey",
+        "datediff(cast(o_orderdate as date), date'1970-01-01')", "o_orderpriority")
+      .as[(Long, Long, Int, String)].collect().toSeq
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "c_name", "c_acctbal", "c_nationkey", "c_mktsegment")
+      .as[(Long, String, Double, Int, String)].collect().toSeq
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .selectExpr("n_nationkey", "n_name").as[(Int, String)].collect().toMap
+    val om = ords.map(o => o._1 -> o).toMap
+    def shipDay(us: Long): Long = us / 86400000000L // UTC, midnight-aligned
+    def rev(l: (Long, Long, Double, Double, Double, Double, String, String, Long)): Long =
+      q100(l._4) * (100L - q100(l._5))
+
+    // Q3: building-segment orders placed before the cutoff, lines shipping after
+    val cutDay = java.time.LocalDate.of(1998, 1, 1).toEpochDay
+    val bld = cust.filter(_._5 == "BUILDING").map(_._1).toSet
+    val q3 = li.filter(l => shipDay(l._9) > cutDay).flatMap { l =>
+      om.get(l._1).filter(o => bld(o._2) && o._3 < cutDay)
+        .map(o => ((l._1, o._3.toLong, o._4), rev(l)))
+    }.groupBy(_._1).toSeq.map { case ((k, d, p), xs) =>
+      (k, d, p, xs.map(x => BigInt(x._2)).sum.toLong)
+    }.sortBy(r => (-r._4, r._2, r._1)).take(10)
+    val dfQ3 = RelOps.shipPriority(spark, sf)
+    val gotQ3 = dfQ3.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(gotQ3 == q3)
+    assert(q3.size == 10 && q3.map(_._4).distinct.size > 1)
+    assert(dfQ3.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "the top-10 must plan as a bounded take (per-partition heaps), never a global sort")
+
+    // Q10: returned revenue per customer in 1997-Q4, top 20, dims joined after
+    val (qlo, qhi) = (java.time.LocalDate.of(1997, 10, 1).toEpochDay,
+      java.time.LocalDate.of(1998, 1, 1).toEpochDay)
+    val q10 = li.filter(_._7 == "R").flatMap { l =>
+      om.get(l._1).filter(o => o._3 >= qlo && o._3 < qhi).map(o => (o._2, rev(l)))
+    }.groupBy(_._1).toSeq.map { case (ck, xs) => (ck, xs.map(x => BigInt(x._2)).sum.toLong) }
+      .sortBy(r => (-r._2, r._1)).take(20).map { case (ck, r) =>
+        val c = cust.find(_._1 == ck).get
+        (ck, c._2, q100(c._3), nation(c._4), r)
+      }
+    val gotQ10 = RelOps.returnedCustomers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getLong(4))).toSeq
+    assert(gotQ10 == q10)
+    assert(q10.size == 20)
+
+    // Q12: lateness class x priority criticality counts
+    val q12 = li.map { l =>
+      val o = om(l._1)
+      val days = shipDay(l._9) - o._3
+      val cls = if (days <= 30) "FAST" else if (days <= 90) "NORMAL" else "SLOW"
+      (cls, o._4 == "1-URGENT" || o._4 == "2-HIGH")
+    }.groupBy(_._1).toSeq.map { case (cls, xs) =>
+      (cls, xs.count(_._2).toLong, xs.count(!_._2).toLong)
+    }.sortBy(_._1)
+    val gotQ12 = RelOps.latenessPriority(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotQ12 == q12)
+    assert(q12.map(_._1) == Seq("FAST", "NORMAL", "SLOW"),
+      "all three latency classes must occur")
+  }
+
   test("benford == local first-digit recompute; permille shares sum to ~1000 per flag") {
     val want = li.map(l => (l._7, q100(l._4).toString.take(1)))
       .groupBy(identity).map { case ((f, d), xs) => ((f, d), xs.size.toLong) }
