@@ -270,7 +270,8 @@ object Bench {
       "q_rel_waiting", "q_rel_share", "q_rel_unpivot",
       "q_rel_cheapest", "q_evt_click_surplus", "q_rel_dominant",
       "q_rel_diversity", "q_rel_brand_revenue", "q_rel_benford",
-      "q_rel_ship_priority", "q_rel_returned", "q_rel_lateness")
+      "q_rel_ship_priority", "q_rel_returned", "q_rel_lateness",
+      "q_rel_market_share", "q_rel_profit")
 
   /** The round-5 lake-DML waves (33/34/38/39): each query COMMITS the
     * fact table into a throwaway lake table first, so this leg measures

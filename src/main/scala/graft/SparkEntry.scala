@@ -777,6 +777,8 @@ object SparkEntry {
     "q_rel_ship_priority" -> RelOps.shipPriority,
     "q_rel_returned" -> RelOps.returnedCustomers,
     "q_rel_lateness" -> RelOps.latenessPriority,
+    "q_rel_market_share" -> RelOps.marketShare,
+    "q_rel_profit" -> RelOps.partProfit,
     "q_evt_ntile" -> EventOps.ntileCensus,
     "q_lake_skip" -> RelOps.lakeSkip,
     "q_lake_merge" -> RelOps.lakeMerge,

@@ -951,7 +951,115 @@ object RelOps {
       .orderBy("ship_class")
   }
 
+  /** Q8-shaped national market share: within the ASIA market (orders by
+    * customers of ASIA nations), the per-order-year revenue share of
+    * lines supplied by NATION_12 suppliers — integer permille
+    * num * 1000 div den over fixed-point cents. The market restriction
+    * is a LEFT SEMI against the ASIA customer key set (never multiplies
+    * facts); the supplier-side flag joins the 100-row supplier registry
+    * with its 25-row nation tag (broadcast); numerator and denominator
+    * are CONDITIONAL SUMS of one grouped pass over the joined facts —
+    * one orderkey equi-join and one year-keyed rollup, no second scan.
+    */
+  val marketShare: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val nat = t(spark, dir, "nation")
+    val asiaKeys = nat.join(broadcast(t(spark, dir, "region")
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+      col("n_regionkey") === col("r_regionkey")).select(col("n_nationkey"))
+    val asiaCust = t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(asiaKeys), col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"))
+    val ords = t(spark, dir, "orders")
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val supFlag = t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), (col("n_name") === "NATION_12").as("is_target"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (q100(col("l_extendedprice")) * (lit(100L) - q100(col("l_discount")))).as("qrev"))
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supFlag), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(sum(when(col("is_target"), col("qrev")).otherwise(0L)
+          .cast("decimal(38,0)")).cast("long").as("nation_rev"),
+        sum(col("qrev").cast("decimal(38,0)")).cast("long").as("market_rev"))
+      .select(col("o_year"), col("nation_rev"), col("market_rev"),
+        expr("nation_rev * 1000L div market_rev").as("share_permille"))
+      .orderBy("o_year")
+  }
+
+  /** Q9-shaped product-line profit: per (supplier nation, order year)
+    * over parts whose name contains 'red', profit in cents-x-100 fixed
+    * point: qprice * (100 - qdisc) - q100(retail) * q100(qty) — the
+    * reference Q9 shape with p_retailprice standing in for the absent
+    * partsupp supply cost. The part predicate prunes the part registry
+    * BEFORE its fact join (an inner equi-join that also filters the
+    * fact table); supplier+nation tag by broadcast; orders joins on
+    * orderkey for the year only; one (nation, year) rollup, decimal
+    * accumulators. Profit can be negative — the spec pins that.
+    */
+  val partProfit: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val redParts = t(spark, dir, "part")
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), q100(col("p_retailprice")).as("qretail"))
+    val supNat = t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val ords = t(spark, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        q100(col("l_quantity")).as("qqty"),
+        (q100(col("l_extendedprice")) * (lit(100L) - q100(col("l_discount")))).as("qrev"))
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name"), col("o_year"),
+        (col("qrev") - col("qretail") * col("qqty")).as("qprofit"))
+      .groupBy("n_name", "o_year")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("qprofit").cast("decimal(38,0)")).cast("long").as("profit"))
+      .orderBy("n_name", "o_year")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_rel_market_share" ->
+      """WITH facts AS (
+        |  SELECT year(o.o_orderdate)::BIGINT AS o_year,
+        |    floor(l.l_extendedprice * 100)::BIGINT
+        |      * (100 - floor(l.l_discount * 100)::BIGINT) AS qrev,
+        |    sn.n_name = 'NATION_12' AS is_target
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation sn ON sn.n_nationkey = s.s_nationkey)
+        |SELECT o_year,
+        |  sum(CASE WHEN is_target THEN qrev ELSE 0 END)::BIGINT AS nation_rev,
+        |  sum(qrev)::BIGINT AS market_rev,
+        |  (sum(CASE WHEN is_target THEN qrev ELSE 0 END) * 1000
+        |     // sum(qrev))::BIGINT AS share_permille
+        |FROM facts GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rel_profit" ->
+      """SELECT sn.n_name, year(o.o_orderdate)::BIGINT AS o_year,
+        |  count(*)::BIGINT AS n_lines,
+        |  sum(floor(l.l_extendedprice * 100)::BIGINT
+        |        * (100 - floor(l.l_discount * 100)::BIGINT)
+        |      - floor(p.p_retailprice * 100)::BIGINT
+        |        * floor(l.l_quantity * 100)::BIGINT)::BIGINT AS profit
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_rel_ship_priority" ->
       """WITH rev AS (
         |  SELECT l.l_orderkey,

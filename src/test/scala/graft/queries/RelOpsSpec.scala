@@ -680,6 +680,71 @@ class RelOpsSpec extends AnyFunSuite {
       "all three latency classes must occur")
   }
 
+  test("marketShare/partProfit == local Q8/Q9 recomputes; share non-degenerate, losses occur") {
+    import spark.implicits._
+    val ords = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey", "year(o_orderdate)")
+      .as[(Long, Long, Int)].collect().map(o => o._1 -> (o._2, o._3.toLong)).toMap
+    val custNat = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "c_nationkey").as[(Long, Int)].collect().toMap
+    val natName = spark.read.parquet(s"$sf/nation.parquet")
+      .selectExpr("n_nationkey", "n_name").as[(Int, String)].collect().toMap
+    val natRegion = spark.read.parquet(s"$sf/nation.parquet")
+      .selectExpr("n_nationkey", "n_regionkey").as[(Int, Int)].collect().toMap
+    val regionName = spark.read.parquet(s"$sf/region.parquet")
+      .selectExpr("r_regionkey", "r_name").as[(Int, String)].collect().toMap
+    val supNat = spark.read.parquet(s"$sf/supplier.parquet")
+      .selectExpr("s_suppkey", "s_nationkey").as[(Long, Int)].collect().toMap
+    val partRed = spark.read.parquet(s"$sf/part.parquet")
+      .selectExpr("p_partkey", "p_name", "p_retailprice")
+      .as[(Long, String, Double)].collect()
+      .filter(_._2.contains("red")).map(p => p._1 -> q100(p._3)).toMap
+    // Q8: ASIA market, NATION_12 supplier share per order year
+    val q8 = li.filter(l => regionName(natRegion(custNat(ords(l._1)._1))) == "ASIA")
+      .map { l =>
+        val r = BigInt(q100(l._4) * (100L - q100(l._5)))
+        (ords(l._1)._2, if (natName(supNat(l._2)) == "NATION_12") r else BigInt(0), r)
+      }.groupBy(_._1).toSeq.map { case (y, xs) =>
+        val (num, den) = (xs.map(_._2).sum.toLong, xs.map(_._3).sum.toLong)
+        (y, num, den, num * 1000L / den)
+      }.sortBy(_._1)
+    val gotQ8 = RelOps.marketShare(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotQ8 == q8)
+    // sf0.001's thin boundary year (2001 stops in August) can miss
+    // NATION_7 entirely, so pin non-degeneracy on MOST years, not all
+    assert(q8.count(r => r._2 > 0L && r._2 < r._3) >= q8.size - 1 && q8.size >= 5,
+      "the share must be non-degenerate (neither 0 nor the whole market) in all but at most one year")
+
+    // Q9: red-part profit per (supplier nation, order year) — re-read the
+    // lines WITH partkey (the shared li fixture doesn't carry it)
+    val liFull = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_suppkey", "l_partkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    val want9 = liFull.flatMap { l =>
+      partRed.get(l._3).map { qretail =>
+        val profit = BigInt(q100(l._5) * (100L - q100(l._6))) - BigInt(qretail) * q100(l._4)
+        ((natName(supNat(l._2)), ords(l._1)._2), profit)
+      }
+    }.groupBy(_._1).toSeq.map { case ((n, y), xs) =>
+      (n, y, xs.size.toLong, xs.map(_._2).sum.toLong)
+    }.sortBy(r => (r._1, r._2))
+    val gotQ9 = RelOps.partProfit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotQ9 == want9)
+    // individual LINES lose money against retail cost (so the subtraction
+    // genuinely bites both ways), even though every (nation, year) cell
+    // nets positive on this data
+    val lineProfits = liFull.flatMap { l =>
+      partRed.get(l._3).map(qr => BigInt(q100(l._5) * (100L - q100(l._6))) - BigInt(qr) * q100(l._4))
+    }
+    assert(lineProfits.exists(_ < 0) && lineProfits.exists(_ > 0),
+      "line-level profits must carry both signs")
+    assert(want9.nonEmpty && want9.map(_._1).distinct.size >= 5,
+      "several supplier nations must appear")
+  }
+
   test("benford == local first-digit recompute; permille shares sum to ~1000 per flag") {
     val want = li.map(l => (l._7, q100(l._4).toString.take(1)))
       .groupBy(identity).map { case ((f, d), xs) => ((f, d), xs.size.toLong) }
