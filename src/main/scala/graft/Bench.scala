@@ -292,6 +292,14 @@ object Bench {
     Seq("q_lbp_hist", "q_evt_autocov", "q_critical_points", "q_contour_hausdorff",
       "q_contour_turning")
 
+  /** Fifty-fourth/fifty-fifth waves: the K=2-halo binomial blur + the
+    * saddle census (both zero-raster-shuffle tiled kernels), and the
+    * BM25 retrieval scoring + chi-square keyword extraction over the
+    * documents (candidate-filtered vs vocabulary-windowed text plans).
+    */
+  private val Ops35Queries =
+    Seq("q_blur5", "q_saddle_points", "q_doc_bm25", "q_doc_chi_terms")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -306,7 +314,7 @@ object Bench {
     "ops22" -> Ops22Queries, "ops23" -> Ops23Queries,
     "ops24" -> Ops24Queries, "ops25" -> Ops25Queries,
     "ops27" -> Ops27Queries, "ops33" -> Ops33Queries,
-    "ops34" -> Ops34Queries)
+    "ops34" -> Ops34Queries, "ops35" -> Ops35Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -651,6 +651,8 @@ object SparkEntry {
     "q_doc_token_spectrum" -> TrainingOps.tokenSpectrum,
     "q_doc_collocations" -> TrainingOps.collocations,
     "q_doc_char_terms" -> TrainingOps.charTerms,
+    "q_doc_bm25" -> TrainingOps.bm25,
+    "q_doc_chi_terms" -> TrainingOps.chiTerms,
     "q_doc_chunks" -> TrainingOps.chunkDocs,
     "q_doc_stopwords" -> TrainingOps.stopwordStats,
     "q_doc_quality_gate" -> TrainingOps.qualityGate,
@@ -718,6 +720,8 @@ object SparkEntry {
     "q_sobel" -> RasterOps.sobel,
     "q_lbp_hist" -> RasterOps.lbpHist,
     "q_critical_points" -> RasterOps.criticalPoints,
+    "q_saddle_points" -> RasterOps.saddlePoints,
+    "q_blur5" -> RasterOps.blur5,
     "q_watershed" -> HydroOps.watershed,
     "q_flow_accum" -> HydroOps.flowAccum,
     "q_flow_len" -> HydroOps.flowLength,

@@ -1112,6 +1112,108 @@ object RasterKernel {
     out.toSeq
   }
 
+  /** Binomial 5x5 blur (the integer Gaussian approximation: 1-4-6-4-1
+    * separable weights, total mass 256) over the tile's owned DEEP
+    * interior (tx in [2, w-3], ty in [2, h-3] — every scored cell has
+    * the full 5x5 window inside the 2-sample halo, the K-halo router's
+    * window-stencil case beside costCellsK's propagation case). The
+    * per-cell quantization runs FIRST (q = floor(v * 2^20)), so the
+    * 25-term weighted sum is exact integer arithmetic and agrees with
+    * any evaluation order — the kernel computes it directly while the
+    * oracle composes the two 1-D passes (rows then columns), putting the
+    * separability identity itself under test. The raw weighted sum (mass
+    * 256) is reported undivided: dividing would truncate per cell and
+    * break separability. |blur| <= 256 * 2^52 needs no headroom care,
+    * but addExact backstops loudly like the Laplacian's. Per-row
+    * partials (y, n, sum, min, max).
+    */
+  def binomialRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                   ox0: Int, oy0: Int, ow: Int, oh: Int,
+                   w: Int, h: Int): Seq[RowStat] = {
+    @inline def q(x: Int, y: Int): Long =
+      math.floor(vals((y - by0) * bw + (x - bx0)) * Q20).toLong
+    val wt = Array(1L, 4L, 6L, 4L, 1L)
+    val txLo = math.max(ox0, 2); val txHi = math.min(ox0 + ow - 1, w - 3)
+    val tyLo = math.max(oy0, 2); val tyHi = math.min(oy0 + oh - 1, h - 3)
+    val out = new scala.collection.mutable.ArrayBuffer[RowStat](math.max(tyHi - tyLo + 1, 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var n = 0L; var sum = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      var tx = txLo
+      while (tx <= txHi) {
+        var blur = 0L
+        var j = -2
+        while (j <= 2) {
+          var i = -2
+          while (i <= 2) {
+            blur = Math.addExact(blur,
+              Math.multiplyExact(wt(i + 2) * wt(j + 2), q(tx + i, ty + j)))
+            i += 1
+          }
+          j += 1
+        }
+        n += 1; sum = Math.addExact(sum, blur)
+        if (blur < mn) mn = blur
+        if (blur > mx) mx = blur
+        tx += 1
+      }
+      if (n > 0) out += ((ty.toLong, n, sum, mn, mx))
+      ty += 1
+    }
+    out.toSeq
+  }
+
+  /** Saddle-point census over the tile's owned interior — the Morse
+    * completion of [[criticalRows]] (maxima and minima are where the
+    * gradient vanishes with definite curvature; saddles are where it
+    * vanishes with indefinite curvature, the pass points contour
+    * topology changes through): walk the eight neighbours in the FIXED
+    * CYCLIC ring order N, NE, E, SE, S, SW, W, NW, take the binary mask
+    * b_i = (q_i > q_c) on the shared quantized values (ties fall on the
+    * <= side — stated contract, mirrored by the oracle's identical
+    * strict compares), and count cyclic sign changes; a cell is a saddle
+    * when the ring changes sign >= 4 times (two rising and two falling
+    * sectors). Comparisons and Long sums only, so tiled == cell order is
+    * free. Per-row partials: (y, n, n_saddles, sum of saddle centers' q).
+    */
+  def saddleRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                 ox0: Int, oy0: Int, ow: Int, oh: Int,
+                 w: Int, h: Int): Seq[(Long, Long, Long, Long)] = {
+    @inline def q(x: Int, y: Int): Long =
+      math.floor(vals((y - by0) * bw + (x - bx0)) * Q20).toLong
+    // clockwise ring from North; the cyclic successor of slot 7 is slot 0
+    val rdx = Array(0, 1, 1, 1, 0, -1, -1, -1)
+    val rdy = Array(-1, -1, 0, 1, 1, 1, 0, -1)
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)](
+      math.max(tyHi - tyLo + 1, 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var n = 0L; var nSad = 0L; var qsSum = 0L
+      var tx = txLo
+      while (tx <= txHi) {
+        val c = q(tx, ty)
+        var changes = 0
+        var prev = q(tx + rdx(7), ty + rdy(7)) > c
+        var i = 0
+        while (i < 8) {
+          val cur = q(tx + rdx(i), ty + rdy(i)) > c
+          if (cur != prev) changes += 1
+          prev = cur
+          i += 1
+        }
+        n += 1
+        if (changes >= 4) { nSad += 1; qsSum = Math.addExact(qsSum, c) }
+        tx += 1
+      }
+      if (n > 0) out += ((ty.toLong, n, nSad, qsSum))
+      ty += 1
+    }
+    out.toSeq
+  }
+
   def hilbertIndex(bits: Int, x0: Int, y0: Int): Long = {
     require(bits >= 1 && bits <= 31, s"hilbertIndex: bits = $bits out of [1, 31]")
     val n = 1 << bits

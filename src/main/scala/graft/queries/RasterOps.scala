@@ -915,6 +915,50 @@ object RasterOps {
     criticalPointsTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
   }
 
+  /** Binomial 5x5 blur through the K-HALO tile router (halo = 2, the
+    * window-stencil use of the generalized halo beside costHorizon's
+    * propagation use): zero raster shuffle, per-row integer partials
+    * only. The kernel evaluates the 25-term integer sum directly; the
+    * DuckDB oracle composes the two separable 1-D passes, so the
+    * separability identity is itself on the oracle surface.
+    */
+  private[graft] def binomialTiledOf(cells: Dataset[(Int, Int, Double)],
+                                     w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    mergeRowStats(haloTilesFromCells(cells, w, h, tileW, tileH, halo = 2).flatMap(t =>
+      graft.core.RasterKernel.binomialRows(t.values, t.bx0, t.by0, t.bw,
+        t.ox0, t.oy0, t.ow, t.oh, w, h)))
+  }
+
+  val blur5: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    binomialTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
+  /** Saddle-point census (the Morse completion of criticalPoints) through
+    * the 1-halo tiled kernels — cyclic sign changes of the 8-neighbour
+    * ring, >= 4 changes = saddle.
+    */
+  private[graft] def saddleTiledOf(cells: Dataset[(Int, Int, Double)],
+                                   w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+        graft.core.RasterKernel.saddleRows(t.values, t.bx0, t.by0, t.bw,
+          t.ox0, t.oy0, t.ow, t.oh, w, h))
+      .toDF("y", "n", "nsad", "qs")
+      .groupBy("y")
+      .agg(sum(col("n")).as("n_cells"), sum(col("nsad")).as("n_saddles"),
+        sum(col("qs")).as("qs_sum"))
+      .orderBy("y")
+  }
+
+  val saddlePoints: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    saddleTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
   private[graft] def d8FlowDirTiledOf(cells: Dataset[(Int, Int, Double)],
                                       w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
     import cells.sparkSession.implicits._
@@ -1696,6 +1740,70 @@ object RasterOps {
           |         AND c.y BETWEEN 1 AND (SELECT h FROM d) - 2)
           |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells, sum(lap)::BIGINT AS qsum,
           |  min(lap)::BIGINT AS qmin, max(lap)::BIGINT AS qmax
+          |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // binomial 5x5 blur: the oracle runs the SEPARABLE formulation —
+      // a 1-4-6-4-1 row pass, then the same pass down columns of the row
+      // results — vs the kernel's direct 25-term sum; quantize-first
+      // makes both exact integers, so the separability identity is the
+      // thing under test
+      "q_blur5" ->
+        """WITH g AS MATERIALIZED (SELECT (event_id % 100)::INT AS x,
+          |             (event_id // 100)::INT AS y,
+          |             floor(value * 1048576.0)::BIGINT AS q FROM events),
+          |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+          |r AS MATERIALIZED (SELECT m.x, m.y,
+          |         (l2.q + 4 * l1.q + 6 * m.q + 4 * r1.q + r2.q)::BIGINT AS rq
+          |       FROM g m
+          |       JOIN g l2 ON l2.y = m.y AND l2.x = m.x - 2
+          |       JOIN g l1 ON l1.y = m.y AND l1.x = m.x - 1
+          |       JOIN g r1 ON r1.y = m.y AND r1.x = m.x + 1
+          |       JOIN g r2 ON r2.y = m.y AND r2.x = m.x + 2
+          |       WHERE m.x BETWEEN 2 AND 97),
+          |li AS (SELECT m.y,
+          |         (u2.rq + 4 * u1.rq + 6 * m.rq + 4 * d1.rq + d2.rq)::BIGINT AS blur
+          |       FROM r m
+          |       JOIN r u2 ON u2.x = m.x AND u2.y = m.y - 2
+          |       JOIN r u1 ON u1.x = m.x AND u1.y = m.y - 1
+          |       JOIN r d1 ON d1.x = m.x AND d1.y = m.y + 1
+          |       JOIN r d2 ON d2.x = m.x AND d2.y = m.y + 2
+          |       WHERE m.y BETWEEN 2 AND (SELECT h FROM d) - 3)
+          |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells, sum(blur)::BIGINT AS qsum,
+          |  min(blur)::BIGINT AS qmin, max(blur)::BIGINT AS qmax
+          |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // saddle census: the eight ring neighbours gathered by the fixed
+      // +-1 self-joins; cyclic sign changes of (neighbour > center) as
+      // eight XOR-pair CASE terms in the SAME N, NE, E, SE, S, SW, W, NW
+      // ring order as the kernel
+      "q_saddle_points" ->
+        """WITH g AS MATERIALIZED (SELECT (event_id % 100)::INT AS x,
+          |             (event_id // 100)::INT AS y,
+          |             floor(value * 1048576.0)::BIGINT AS q FROM events),
+          |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+          |li AS (SELECT c.y, c.q,
+          |         ((CASE WHEN (n0.q > c.q) <> (n1.q > c.q) THEN 1 ELSE 0 END)
+          |        + (CASE WHEN (n1.q > c.q) <> (n2.q > c.q) THEN 1 ELSE 0 END)
+          |        + (CASE WHEN (n2.q > c.q) <> (n3.q > c.q) THEN 1 ELSE 0 END)
+          |        + (CASE WHEN (n3.q > c.q) <> (n4.q > c.q) THEN 1 ELSE 0 END)
+          |        + (CASE WHEN (n4.q > c.q) <> (n5.q > c.q) THEN 1 ELSE 0 END)
+          |        + (CASE WHEN (n5.q > c.q) <> (n6.q > c.q) THEN 1 ELSE 0 END)
+          |        + (CASE WHEN (n6.q > c.q) <> (n7.q > c.q) THEN 1 ELSE 0 END)
+          |        + (CASE WHEN (n7.q > c.q) <> (n0.q > c.q) THEN 1 ELSE 0 END)) AS changes
+          |       FROM g c
+          |       JOIN g n0 ON n0.x = c.x     AND n0.y = c.y - 1
+          |       JOIN g n1 ON n1.x = c.x + 1 AND n1.y = c.y - 1
+          |       JOIN g n2 ON n2.x = c.x + 1 AND n2.y = c.y
+          |       JOIN g n3 ON n3.x = c.x + 1 AND n3.y = c.y + 1
+          |       JOIN g n4 ON n4.x = c.x     AND n4.y = c.y + 1
+          |       JOIN g n5 ON n5.x = c.x - 1 AND n5.y = c.y + 1
+          |       JOIN g n6 ON n6.x = c.x - 1 AND n6.y = c.y
+          |       JOIN g n7 ON n7.x = c.x - 1 AND n7.y = c.y - 1
+          |       WHERE c.x BETWEEN 1 AND 98
+          |         AND c.y BETWEEN 1 AND (SELECT h FROM d) - 2)
+          |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells,
+          |  sum(CASE WHEN changes >= 4 THEN 1 ELSE 0 END)::BIGINT AS n_saddles,
+          |  sum(CASE WHEN changes >= 4 THEN q ELSE 0 END)::BIGINT AS qs_sum
           |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // LBP texture histogram: the eight window slots gathered per

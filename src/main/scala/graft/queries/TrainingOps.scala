@@ -401,6 +401,108 @@ object TrainingOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Fixed probe query terms for [[bm25]], shared verbatim with the
+    * oracle SQL (the StopWords convention).
+    */
+  private val Bm25Terms = Seq("spark", "join", "merge", "vector", "window")
+
+  /** BM25 retrieval scoring — the search-engine ranking function, made
+    * INTEGER-EXACT by clearing the textbook fractions: with k1 = 6/5 and
+    * b = 3/4, tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) over avgdl = S/N
+    * multiplies out to core = 22*tf*S / (10*tf*S + 3*S + 9*dl*N) — every
+    * operand a corpus integer (S = total tokens, N = docs, dl = doc
+    * length), evaluated as one truncating decimal(38,0) division at 10^6
+    * scale. The log-free idf companion is the probabilistic quotient
+    * (N - df + 0.5)/(df + 0.5) = (2(N-df)+1)/(2df+1), same fixed point.
+    * Final score = (core_x1e6 * idf_x1e6) div 10^6; top-5 docs per probe
+    * term, ties (score DESC, doc_id ASC). Scale shape: the token stream
+    * filters to the 5 probe terms BEFORE any shuffle (tf is a tiny
+    * term-keyed groupBy over candidates only); dl is one narrow per-doc
+    * size(); N/S is a single-row aggregate cross-joined in; df
+    * re-aggregates the candidate tf frame; the rank window partitions per
+    * term over that term's candidate docs only — the fact table is
+    * scanned twice (dl + tf) and nothing vocabulary-sized shuffles.
+    */
+  val bm25: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val base = docs(spark, dir).select(col("doc_id"), toks.as("tk"))
+    val dl = base.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tokens"))
+    val tf = base
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .filter(col("term").isInCollection(Bm25Terms))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("core_x1e6",
+        expr("""cast(cast(22 as decimal(38,0)) * tf * s_tokens * 1000000
+               | div (cast(10 as decimal(38,0)) * tf * s_tokens
+               |      + cast(3 as decimal(38,0)) * s_tokens
+               |      + cast(9 as decimal(38,0)) * dl * n_docs) as long)""".stripMargin))
+      .withColumn("idf_x1e6", expr("((2 * (n_docs - df) + 1) * 1000000L) div (2 * df + 1)"))
+      .withColumn("score", expr("(core_x1e6 * idf_x1e6) div 1000000"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("term"), col("rank"), col("doc_id"), col("tf"), col("dl"),
+        col("df"), col("core_x1e6"), col("idf_x1e6"), col("score"))
+      .orderBy("term", "rank")
+  }
+
+  /** Chi-square keyword extraction per source — the classic
+    * feature-selection statistic over the 2x2 document-frequency
+    * contingency table (a = source docs containing the token, b = other
+    * docs containing it, c = source docs without, d = others without):
+    * chi2 = N*(ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)), emitted as the
+    * truncating decimal(38,0) fixed point chi2_x1e6. Presence is
+    * per-doc-DISTINCT tokens (a contingency table counts documents, not
+    * occurrences). Top-3 tokens per source by (chi2 DESC, token ASC)
+    * among tokens with a >= 3. PER-DOMAIN SCORING CONTRACT (the
+    * collocations convention): the numerator N*(ad-bc)^2*10^6 is bounded
+    * by N^5*10^6, so decimal(38,0) is exact for corpora up to ~10^6 docs
+    * — beyond that, rescale the fixed point or bucket the corpus. Scale
+    * shape: one distinct (doc, source, token) pass, then everything
+    * re-aggregates vocabulary-sized frames; the per-source rank window
+    * sees that source's vocabulary (the charTerms posture — honest, not
+    * hidden; a web-scale caller pre-filters by df).
+    */
+  val chiTerms: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val pres = docs(spark, dir)
+      .select(col("source"), col("doc_id"), explode(toks).as("tok"))
+      .distinct()
+    val a = pres.groupBy("source", "tok").agg(count(lit(1)).as("a"))
+    val dfTot = a.groupBy("tok").agg(sum(col("a")).as("df_t"))
+    val nSrc = docs(spark, dir).groupBy("source").agg(count(lit(1)).as("n_s"))
+    val nAll = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("chi2_x1e6").desc, col("tok").asc)
+    a.join(dfTot, "tok")
+      .join(broadcast(nSrc), "source")
+      .crossJoin(broadcast(nAll))
+      // a >= 3 is the support floor; df_t < n_docs drops corpus-universal
+      // tokens, whose contingency column (c+d) is empty — chi2 is
+      // undefined there (zero divisor under ANSI) and they separate
+      // nothing anyway
+      .filter(col("a") >= 3 && col("df_t") < col("n_docs"))
+      .withColumn("bq", expr("df_t - a"))
+      .withColumn("cq", expr("n_s - a"))
+      .withColumn("dq", expr("n_docs - df_t - n_s + a"))
+      .withColumn("chi2_x1e6",
+        expr("""cast(cast(n_docs as decimal(38,0))
+               |  * (cast(a as decimal(38,0)) * dq - cast(bq as decimal(38,0)) * cq)
+               |  * (cast(a as decimal(38,0)) * dq - cast(bq as decimal(38,0)) * cq)
+               |  * 1000000
+               | div (cast(df_t as decimal(38,0)) * (cq + dq)
+               |      * n_s * (bq + dq)) as long)""".stripMargin))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("source"), col("rank"), col("tok"), col("a"), col("df_t"),
+        col("chi2_x1e6"))
+      .orderBy("source", "rank")
+  }
+
   // ---- document chunking: fixed token windows for sequence packing ----
 
   /** Split each document into overlapping token chunks (size 50, stride
@@ -2909,6 +3011,61 @@ object TrainingOps {
         |      FROM s)
         |SELECT doc_id, rank::BIGINT AS rank, tok, tf, df, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // BM25: the same cleared-fraction fixed point (k1 = 6/5, b = 3/4 ->
+    // core = 22*tf*S / (10*tf*S + 3*S + 9*dl*N)) in HUGEINT, candidates
+    // gathered by the IN-list filter, rank per probe term
+    "q_doc_bm25" ->
+      """WITH base AS MATERIALIZED (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS tk FROM documents),
+        |dl AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM base),
+        |tot AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS s_tokens FROM dl),
+        |tf AS (SELECT tok AS term, doc_id, count(*)::BIGINT AS tf
+        |       FROM (SELECT doc_id, unnest(tk) AS tok FROM base)
+        |       WHERE tok IN ('spark', 'join', 'merge', 'vector', 'window')
+        |       GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT t.term, t.doc_id, t.tf, dl.dl, dfq.df,
+        |         ((22::HUGEINT * t.tf * tot.s_tokens * 1000000)
+        |          // (10::HUGEINT * t.tf * tot.s_tokens + 3::HUGEINT * tot.s_tokens
+        |              + 9::HUGEINT * dl.dl * tot.n_docs))::BIGINT AS core_x1e6,
+        |         (((2 * (tot.n_docs - dfq.df) + 1) * 1000000) // (2 * dfq.df + 1))::BIGINT AS idf_x1e6
+        |       FROM tf t JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN tot),
+        |rk AS (SELECT *, ((core_x1e6::HUGEINT * idf_x1e6) // 1000000)::BIGINT AS score,
+        |         row_number() OVER (PARTITION BY term
+        |           ORDER BY ((core_x1e6::HUGEINT * idf_x1e6) // 1000000) DESC, doc_id) AS rnk
+        |       FROM sc)
+        |SELECT term, rnk::BIGINT AS rank, doc_id, tf, dl, df, core_x1e6, idf_x1e6, score
+        |FROM rk WHERE rnk <= 5 ORDER BY term, rnk""".stripMargin,
+
+    // chi-square keywords: the same 2x2 contingency in HUGEINT, with the
+    // oracle's denominator in the CLOSED marginal form (c+d = N - df_t,
+    // b+d = N - n_s) vs the engine's cellwise sums — algebraically equal,
+    // independently derived
+    "q_doc_chi_terms" ->
+      """WITH pres AS (SELECT DISTINCT source, doc_id, tok
+        |  FROM (SELECT source, doc_id,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS tok
+        |        FROM documents)),
+        |a AS (SELECT source, tok, count(*)::BIGINT AS a FROM pres GROUP BY 1, 2),
+        |dft AS (SELECT tok, sum(a)::BIGINT AS df_t FROM a GROUP BY 1),
+        |ns AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |sc AS (SELECT a.source, a.tok, a.a, dft.df_t,
+        |         ((nn.n_docs::HUGEINT
+        |           * (a.a::HUGEINT * (nn.n_docs - dft.df_t - ns.n_s + a.a)
+        |              - (dft.df_t - a.a)::HUGEINT * (ns.n_s - a.a))
+        |           * (a.a::HUGEINT * (nn.n_docs - dft.df_t - ns.n_s + a.a)
+        |              - (dft.df_t - a.a)::HUGEINT * (ns.n_s - a.a))
+        |           * 1000000)
+        |          // (dft.df_t::HUGEINT * (nn.n_docs - dft.df_t)
+        |              * ns.n_s * (nn.n_docs - ns.n_s)))::BIGINT AS chi2_x1e6
+        |       FROM a JOIN dft USING (tok) JOIN ns USING (source) CROSS JOIN nn
+        |       WHERE a.a >= 3 AND dft.df_t < nn.n_docs),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+        |         ORDER BY chi2_x1e6 DESC, tok) AS rnk FROM sc)
+        |SELECT source, rnk::BIGINT AS rank, tok, a, df_t, chi2_x1e6
+        |FROM rk WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
 
     // Same two-stage count-of-counts; DuckDB's unnest path vs the engine's
     // explode is the only (cosmetic) difference.

@@ -218,6 +218,63 @@ class RasterRandomSpec extends AnyFunSuite {
     }
   }
 
+  test("saddlePoints on random dims and tilings == local ring-sign-change recompute") {
+    import spark.implicits._
+    val rng = new scala.util.Random(540540L)
+    val rdx = Array(0, 1, 1, 1, 0, -1, -1, -1)
+    val rdy = Array(-1, -1, 0, 1, 1, 1, 0, -1)
+    for (trial <- 0 until 10) {
+      val w = 1 + rng.nextInt(24)
+      val h = 1 + rng.nextInt(24)
+      val g = randGrid(rng, w, h)
+      def q(y: Int, x: Int) = math.floor(g(y * w + x) * Q).toLong
+      val want = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+        val c = q(y, x)
+        val b = (0 until 8).map(i => q(y + rdy(i), x + rdx(i)) > c)
+        val changes = (0 until 8).count(i => b(i) != b((i + 1) % 8))
+        (y.toLong, if (changes >= 4) 1L else 0L, if (changes >= 4) c else 0L)
+      }).groupBy(_._1).map { case (y, rs) =>
+        (y, rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).sum)
+      }.toSeq.sortBy(_._1)
+      val typed = (0 until w * h).map(i => (i % w, i / w, g(i))).toDS()
+      val tw = 1 + rng.nextInt(9); val th = 1 + rng.nextInt(9)
+      def got(a: Int, b: Int) =
+        RasterOps.saddleTiledOf(typed, w, h, a, b).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got(tw, th) == want, s"saddle trial $trial ${w}x$h tiles ${tw}x$th")
+      assert(got(50, 50) == want, s"saddle trial $trial ${w}x$h single tile")
+    }
+  }
+
+  test("binomial5 blur on random dims and tilings == local separable recompute") {
+    import spark.implicits._
+    val rng = new scala.util.Random(550550L)
+    val wt = Array(1L, 4L, 6L, 4L, 1L)
+    for (trial <- 0 until 10) {
+      val w = 1 + rng.nextInt(24)
+      val h = 1 + rng.nextInt(24)
+      val g = randGrid(rng, w, h)
+      def q(y: Int, x: Int) = math.floor(g(y * w + x) * Q).toLong
+      // local reference is the SEPARABLE composition (rows then columns)
+      // — the engine kernel sums the 25 terms directly, so this pins the
+      // separability identity the oracle also rests on
+      def rowPass(y: Int, x: Int) = (-2 to 2).map(i => wt(i + 2) * q(y, x + i)).sum
+      val want = (for (y <- 2 to h - 3; x <- 2 to w - 3) yield {
+        (y.toLong, (-2 to 2).map(j => wt(j + 2) * rowPass(y + j, x)).sum)
+      }).groupBy(_._1).map { case (y, rs) =>
+        (y, rs.length.toLong, rs.map(_._2).sum, rs.map(_._2).min, rs.map(_._2).max)
+      }.toSeq.sortBy(_._1)
+      val typed = (0 until w * h).map(i => (i % w, i / w, g(i))).toDS()
+      // halo = 2 needs tile dims >= 2 (loudly required by the router)
+      val tw = 2 + rng.nextInt(8); val th = 2 + rng.nextInt(8)
+      def got(a: Int, b: Int) =
+        RasterOps.binomialTiledOf(typed, w, h, a, b).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(got(tw, th) == want, s"blur trial $trial ${w}x$h tiles ${tw}x$th")
+      assert(got(50, 50) == want, s"blur trial $trial ${w}x$h single tile")
+    }
+  }
+
   test("rowPrefix scan on random dims and segment widths == local in-order recompute") {
     import spark.implicits._
     val rng = new scala.util.Random(909090L)

@@ -363,6 +363,88 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(!got.exists(r => r._2 == 0))
   }
 
+  test("bm25 == local BigInt cleared-fraction recompute (k1 = 6/5, b = 3/4)") {
+    import spark.implicits._
+    val rows = docsLocal()
+    val terms = Seq("spark", "join", "merge", "vector", "window")
+    val dls = rows.map { case (id, t) => (id, toks(t).length.toLong) }.toMap
+    val n = BigInt(rows.length)
+    val s = BigInt(dls.values.sum)
+    val tf = rows.flatMap { case (id, t) =>
+      toks(t).filter(terms.contains).groupBy(identity)
+        .map { case (tok, xs) => (tok, id, xs.length.toLong) }
+    }
+    val dfm = tf.groupBy(_._1).map { case (t, xs) => (t, BigInt(xs.length)) }
+    val want = tf.groupBy(_._1).toSeq.flatMap { case (term, cand) =>
+      val df = dfm(term)
+      val idf = (2 * (n - df) + 1) * 1000000 / (2 * df + 1)
+      cand.map { case (_, id, tfv) =>
+        val dl = BigInt(dls(id))
+        val core = (22 * BigInt(tfv) * s * 1000000) /
+          (10 * BigInt(tfv) * s + 3 * s + 9 * dl * n)
+        (id, tfv, dl.toLong, df.toLong, core.toLong, idf.toLong,
+          (core * idf / 1000000).toLong)
+      }.sortBy { case (id, _, _, _, _, _, sc) => (-sc, id) }.take(5).zipWithIndex
+        .map { case ((id, tfv, dl, df2, core, idf2, sc), i) =>
+          (term, i + 1L, id, tfv, dl, df2, core, idf2, sc) }
+    }.sortBy(r => (r._1, r._2))
+    val got = TrainingOps.bm25(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+    assert(got == want)
+    // non-trivial: every probe term retrieves a full page and scores vary
+    assert(got.groupBy(_._1).forall(_._2.length == 5))
+    assert(got.map(_._9).distinct.length > 1)
+  }
+
+  test("chiTerms == local BigInt contingency recompute; universal tokens dropped") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "doc_id", "text").as[(String, Long, String)].collect()
+    val n = BigInt(rows.length)
+    val pres = rows.flatMap { case (src, id, t) =>
+      toks(t).distinct.map(tok => (src, id, tok)) }.distinct
+    val aMap = pres.groupBy(p => (p._1, p._3)).map { case (k, xs) => (k, BigInt(xs.length)) }
+    val dfT = pres.groupBy(_._3).map { case (t, xs) => (t, BigInt(xs.map(_._2).distinct.length)) }
+    val nS = rows.groupBy(_._1).map { case (s2, xs) => (s2, BigInt(xs.length)) }
+    val want = aMap.toSeq.collect {
+      case ((src, tok), a) if a >= 3 && dfT(tok) < n =>
+        val df = dfT(tok); val ns = nS(src)
+        val d = n - df - ns + a
+        val det = a * d - (df - a) * (ns - a)
+        val chi = n * det * det * 1000000 / (df * (n - df) * ns * (n - ns))
+        (src, tok, a.toLong, df.toLong, chi.toLong)
+    }.groupBy(_._1).toSeq.flatMap { case (src, xs) =>
+      xs.sortBy { case (_, tok, _, _, chi) => (-chi, tok) }.take(3).zipWithIndex
+        .map { case ((_, tok, a, df, chi), i) => (src, i + 1L, tok, a, df, chi) }
+    }.sortBy(r => (r._1, r._2))
+    val got = TrainingOps.chiTerms(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    assert(got.map(_._6).exists(_ > 0L), "chi2 should separate something")
+  }
+
+  test("chiTerms adversarial: a corpus-universal token is dropped, a marker survives") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("chi-adv").toString
+    // 'glue' is in EVERY doc (contingency column c+d empty -> zero divisor
+    // if scored); 'mark' is exclusive to srcA with a = 3
+    val docs = (0L until 6L).map { id =>
+      val src = if (id < 3) "srcA" else "srcB"
+      val t = if (id < 3) "glue mark filler" + id else "glue other filler" + id
+      (id, t, src)
+    }
+    docs.toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TrainingOps.chiTerms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(5))).toSeq
+    assert(!got.exists(_._3 == "glue"), "universal token must be excluded, not crash")
+    // mark: a=3, df=3, n_s=3, n=6 -> det = 3*3 - 0 = 9, chi2 = 6*81*1e6/(3*3*3*3) = 6e6
+    assert(got.contains(("srcA", 1L, "mark", 6000000L)))
+    assert(got.contains(("srcB", 1L, "other", 6000000L)))
+  }
+
   test("topTerms/charTerms plan shape: broadcast small sides, equi-joins only") {
     // topTerms: the per-source cutoff frame (one row per source) must
     // broadcast, and no join may degrade to a nested loop / cartesian
