@@ -950,4 +950,131 @@ object Lake {
     Iterator.iterate(byId.get(id))(cur => cur.flatMap(s => byId.get(s.parent)))
       .takeWhile(_.isDefined).map(_.get).toSeq.reverse
   }
+
+  // ---- write-audit-publish branches (the Iceberg WAP contract) ----
+  //
+  // A branch is a fully isolated table root at table/branches/<name> —
+  // its own snapshots/ and data/ dirs, so every existing primitive
+  // (commit, latest, time travel, expiry, orphan sweep) works on it
+  // verbatim, and nothing under the main root (snapshots listing,
+  // sweepOrphans over table/data) can ever see or delete staged data.
+  // The WAP flow: createBranch pins the fork point -> commitToBranch
+  // stages writes invisible to main readers -> the AUDIT is any read of
+  // readBranch (row counts, quality gates, oracle checks) -> on pass,
+  // fastForward publishes the branch head to main as one carry-only
+  // commit; on fail, dropBranch discards everything and main never saw a
+  // byte. fastForward is FAST-FORWARD-ONLY: if main advanced past the
+  // recorded fork point it refuses loudly — divergent history needs an
+  // explicit rebase decision, never a silent clobber.
+
+  private def branchRoot(table: String, name: String): String =
+    new Path(new Path(table, "branches"), name).toString
+  private def branchBase(table: String, name: String): Path =
+    new Path(branchRoot(table, name), "base.json")
+
+  /** Fork a branch at the current main head. Collision-safe like tags:
+    * the base file is created with overwrite = false, so two racing
+    * creators of the same name get one winner and one loud failure.
+    */
+  def createBranch(spark: SparkSession, table: String, name: String): Snapshot = {
+    require(RefName.matches(name), s"createBranch: invalid branch name '$name'")
+    val base = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"createBranch: $table has no snapshot to fork"))
+    val bp = branchBase(table, name)
+    val fs = fsOf(spark, bp)
+    fs.mkdirs(bp.getParent)
+    val body = s"""{"name":"${esc(name)}","seq":${base.seq},"id":"${esc(base.id)}","eof":true}"""
+    val out = fs.create(bp, false) // loud on collision
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    base
+  }
+
+  /** The (baseSeq, baseId) fork point of a branch — loud on an absent or
+    * torn branch.
+    */
+  private def baseOf(spark: SparkSession, table: String, name: String): (Long, String) = {
+    val bp = branchBase(table, name)
+    val fs = fsOf(spark, bp)
+    require(fs.exists(bp), s"branch '$name' does not exist in $table")
+    val body = readFully(fs, bp)
+    require(body.endsWith("\"eof\":true}"), s"branch '$name' base file is torn in $table")
+    val s = parse(body)
+    (s.seq, s.id)
+  }
+
+  /** Stage a commit on a branch — a full snapshot under the branch root,
+    * INVISIBLE to every main-root reader. Returns the branch snapshot.
+    */
+  def commitToBranch(spark: SparkSession, table: String, name: String,
+                     df: DataFrame, op: String): Snapshot = {
+    baseOf(spark, table, name) // loud on absent branch
+    commit(spark, branchRoot(table, name), df, op)
+  }
+
+  /** Branch head: the branch's own latest staged snapshot, or the main
+    * fork-point snapshot when nothing is staged yet (a fresh branch reads
+    * as its base, the Iceberg branch semantic).
+    */
+  def branchHead(spark: SparkSession, table: String, name: String): Snapshot = {
+    val (baseSeq, baseId) = baseOf(spark, table, name)
+    latest(spark, branchRoot(table, name)).getOrElse {
+      val snap = snapshotAt(spark, table, baseSeq).getOrElse(
+        throw new IllegalArgumentException(
+          s"branchHead: branch '$name' base seq $baseSeq no longer resolves in $table"))
+      require(snap.id == baseId,
+        s"branchHead: branch '$name' forked from ${baseId} but seq $baseSeq now holds ${snap.id}")
+      snap
+    }
+  }
+
+  /** Read a branch — the audit surface of the WAP flow. */
+  def readBranch(spark: SparkSession, table: String, name: String): DataFrame =
+    read(spark, branchHead(spark, table, name))
+
+  /** PUBLISH: fast-forward main to the branch head as one carry-only
+    * main commit (every data file copied byte-for-byte, the rollback
+    * idiom — cost is a file copy, never a rewrite). Refuses loudly when
+    * main has advanced past the branch's fork point (fast-forward-only),
+    * and when the branch has nothing staged (publishing a no-op is
+    * almost certainly a flow bug). The branch itself is left in place —
+    * dropping it is an explicit [[dropBranch]], like retagging.
+    */
+  def fastForward(spark: SparkSession, table: String, name: String): Snapshot = {
+    val (baseSeq, baseId) = baseOf(spark, table, name)
+    val head = latest(spark, branchRoot(table, name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"fastForward: branch '$name' has no staged commit in $table"))
+    val mainHead = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"fastForward: $table has no snapshot"))
+    require(mainHead.seq == baseSeq && mainHead.id == baseId,
+      s"fastForward: main advanced to seq ${mainHead.seq} (${mainHead.id}) past branch " +
+        s"'$name' fork point seq $baseSeq ($baseId) — rebase the branch explicitly")
+    val hc = conf(spark)
+    val hd = new Path(head.path)
+    val fs = hd.getFileSystem(hc)
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val dd = dataDir(table, id)
+    fs.mkdirs(dd)
+    fs.listStatus(hd).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new Path(dd, st.getPath.getName), false, hc)
+      }
+    val snap = publish(spark, table, dd, id, mainHead.id, mainHead.seq + 1, "wap_publish")
+    require(snap.rows == head.rows,
+      s"fastForward: row count ${snap.rows} != branch head ${head.rows} in $table")
+    snap
+  }
+
+  /** Discard a branch and every byte it staged (the audit-fail arm);
+    * returns whether it existed. Main history is untouched by
+    * construction — the branch root held everything.
+    */
+  def dropBranch(spark: SparkSession, table: String, name: String): Boolean = {
+    require(RefName.matches(name), s"dropBranch: invalid branch name '$name'")
+    val root = new Path(branchRoot(table, name))
+    val fs = fsOf(spark, root)
+    fs.exists(root) && fs.delete(root, true)
+  }
 }

@@ -264,16 +264,25 @@ object StatsOps {
     * true frequency is the classic CMS theorem — asserted for every user
     * in the spec; the contract emits the sketch cells themselves.
     */
-  val cmsSketch: (SparkSession, String) => DataFrame = (spark, dir) => {
+  /** The CMS cell aggregation over a frame carrying `user_id` — ONE
+    * definition shared verbatim by the batch contract query and
+    * streaming.StreamingCms (batch and stream cannot drift); counts are
+    * a commutative monoid, so the same plan is a valid complete-mode
+    * streaming aggregation with 128-long state.
+    */
+  private[graft] def cmsCellTable(events: DataFrame): DataFrame = {
     def cell(i: Int) = struct(lit(i.toLong).as("r"),
       expr(s"cast(conv(substring(md5(concat('cms$i#', cast(user_id as string))), " +
         s"1, 15), 16, 10) as bigint) % 64").as("c"))
-    spark.read.parquet(s"$dir/events.parquet")
+    events
       .select(explode(array(cell(0), cell(1))).as("cell"))
       .groupBy(col("cell.r").as("sketch_row"), col("cell.c").as("sketch_col"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy("sketch_row", "sketch_col")
   }
+
+  val cmsSketch: (SparkSession, String) => DataFrame = (spark, dir) =>
+    cmsCellTable(spark.read.parquet(s"$dir/events.parquet"))
+      .orderBy("sketch_row", "sketch_col")
 
   val oracleSql: Map[String, String] = Map(
     // CMS cells: the same two hash rows unioned and counted in SQL

@@ -610,6 +610,63 @@ class LakeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Lake.readRef(spark, table, "train-v1") }
   }
 
+  test("WAP branches: staged commits invisible to main; publish is a carry-only fast-forward") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("lake-wap").toString
+    val s0 = Lake.commit(spark, table, (1 to 10).toDF("x"), "load")
+    val s1 = Lake.commit(spark, table, (1 to 20).toDF("x"), "update")
+    // fork, stage two audit-candidate commits
+    assert(Lake.createBranch(spark, table, "audit").id == s1.id)
+    intercept[Exception] { Lake.createBranch(spark, table, "audit") } // collision is loud
+    // a fresh branch with nothing staged reads as its fork point
+    val b0 = Lake.commitToBranch(spark, table, "audit", (1 to 25).toDF("x"), "stage")
+    val b1 = Lake.commitToBranch(spark, table, "audit", (1 to 40).toDF("x"), "stage")
+    assert(b1.parent == b0.id, "branch lineage is its own linear chain")
+    // AUDIT: branch readers see the staged head, main readers see nothing
+    assert(Lake.readBranch(spark, table, "audit").count() == 40L)
+    assert(Lake.latest(spark, table).get.id == s1.id, "main head unmoved by staging")
+    assert(Lake.read(spark, Lake.latest(spark, table).get).count() == 20L)
+    assert(Lake.snapshots(spark, table).map(_.seq) == Seq(s0.seq, s1.seq),
+      "staged manifests never appear in the main listing")
+    // PUBLISH: one carry-only main commit equal to the branch head
+    val pub = Lake.fastForward(spark, table, "audit")
+    assert(pub.op == "wap_publish" && pub.parent == s1.id && pub.seq == s1.seq + 1)
+    assert(Lake.read(spark, Lake.latest(spark, table).get).count() == 40L)
+    assert(Lake.read(spark, pub).agg(org.apache.spark.sql.functions.sum("x"))
+      .head().getLong(0) == (1 to 40).map(_.toLong).sum)
+    assert(Lake.readAt(spark, table, s1.seq).count() == 20L, "history stays travelable")
+    // drop the published branch; staged bytes are reclaimed, main unaffected
+    assert(Lake.dropBranch(spark, table, "audit"))
+    assert(!Lake.dropBranch(spark, table, "audit"))
+    assert(Lake.read(spark, Lake.latest(spark, table).get).count() == 40L)
+    intercept[Exception] { Lake.readBranch(spark, table, "audit") }
+  }
+
+  test("WAP branches: audit-fail drop, fresh-branch reads, stale fork point refuses") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("lake-wap2").toString
+    val s0 = Lake.commit(spark, table, (1 to 10).toDF("x"), "load")
+    Lake.createBranch(spark, table, "bad")
+    // nothing staged yet: the branch reads as its base, publish refuses
+    assert(Lake.readBranch(spark, table, "bad").count() == 10L)
+    intercept[IllegalArgumentException] { Lake.fastForward(spark, table, "bad") }
+    Lake.commitToBranch(spark, table, "bad", (1 to 999).toDF("x"), "stage")
+    // audit fails -> drop; main never saw a byte and no orphan survives
+    assert(Lake.dropBranch(spark, table, "bad"))
+    assert(Lake.latest(spark, table).get.id == s0.id)
+    assert(Lake.sweepOrphans(spark, table).isEmpty, "staging left nothing under main data/")
+    // stale fork point: main advances while a branch is staged
+    Lake.createBranch(spark, table, "late")
+    Lake.commitToBranch(spark, table, "late", (1 to 5).toDF("x"), "stage")
+    Lake.commit(spark, table, (1 to 30).toDF("x"), "update")
+    val e = intercept[IllegalArgumentException] { Lake.fastForward(spark, table, "late") }
+    assert(e.getMessage.contains("rebase"), "divergence must name the remedy")
+    // staging on an absent branch is loud
+    intercept[IllegalArgumentException] {
+      Lake.commitToBranch(spark, table, "ghost", (1 to 3).toDF("x"), "stage")
+    }
+  }
+
   private implicit class IterOps[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
