@@ -295,10 +295,13 @@ object Bench {
   /** Fifty-fourth/fifty-fifth waves: the K=2-halo binomial blur + the
     * saddle census (both zero-raster-shuffle tiled kernels), and the
     * BM25 retrieval scoring + chi-square keyword extraction over the
-    * documents (candidate-filtered vs vocabulary-windowed text plans).
+    * documents (candidate-filtered vs vocabulary-windowed text plans),
+    * plus the day-split union-of-intervals coverage sweep and the
+    * explicit GROUPING SETS pass (waves 57).
     */
   private val Ops35Queries =
-    Seq("q_blur5", "q_saddle_points", "q_doc_bm25", "q_doc_chi_terms")
+    Seq("q_blur5", "q_saddle_points", "q_doc_bm25", "q_doc_chi_terms",
+      "q_evt_coverage", "q_rel_gsets")
 
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(

@@ -680,6 +680,7 @@ object SparkEntry {
     "q_evt_funnel" -> EventOps.funnel,
     "q_evt_retention" -> EventOps.retention,
     "q_evt_concurrency" -> EventOps.concurrency,
+    "q_evt_coverage" -> EventOps.coverage,
     "q_evt_twa" -> EventOps.timeWeighted,
     "q_evt_overlap" -> EventOps.sessionOverlaps,
     "q_evt_json" -> EventOps.jsonExtract,
@@ -788,6 +789,7 @@ object SparkEntry {
     "q_lake_merge" -> RelOps.lakeMerge,
     "q_rel_small_qty" -> RelOps.smallQty,
     "q_rel_cube" -> RelOps.cubeRevenue,
+    "q_rel_gsets" -> RelOps.gsetsRevenue,
     "q_lake_zorder" -> EventOps.lakeZorder,
     "q_lake_delete" -> RelOps.lakeDelete,
     "q_lake_stats" -> RelOps.lakeStats,

@@ -711,6 +711,59 @@ object EventOps {
       .orderBy("hour_bucket")
   }
 
+  /** Platform busy-time coverage per UTC day — the MEASURE of the union
+    * of all users' session intervals (the companion of [[concurrency]],
+    * which maxes the sweep where this integrates it): each session
+    * covers [start_us, end_us + 1), split EXACTLY at day boundaries
+    * (a midnight-spanning session contributes its in-day piece to each
+    * day — explode over sequence(d0, d1) with the locf raise_error guard
+    * against corrupt epoch spans), then per day the classic
+    * union-of-intervals sweep: +-1 deltas collapsed per distinct instant
+    * (no tie-order convention survives), one in-partition sorted window
+    * per day computing the running open count, covered_us = sum of
+    * inter-instant gaps where the count is positive, and n_islands = the
+    * number of 0 -> positive transitions (maximal busy intervals). Every
+    * quantity is an exact integer microsecond; day pieces make each
+    * day's deltas sum to zero, so the scan needs no cross-day carry.
+    * Scale shape: one user_id exchange (sessionize), one day-keyed
+    * exchange for the sweep whose per-day window is bounded by distinct
+    * delta instants; the oracle replays the same split + sweep as
+    * window SQL over the shared sessionize CTEs.
+    */
+  val coverage: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val dayUs = 86400000000L
+    val sess = sessionizedEvents(spark, dir)
+      .groupBy("user_id", "session_idx")
+      .agg(min("us").as("s"), (max("us") + lit(1L)).as("e"))
+    val pieces = sess
+      .withColumn("d0", expr(s"s div $dayUs"))
+      .withColumn("d1", expr(s"(e - 1) div $dayUs"))
+      .withColumn("day", explode(expr(
+        "CASE WHEN d1 - d0 >= 36500 THEN raise_error('coverage: session spans 36500 days') " +
+          "ELSE sequence(d0, d1) END")))
+      .select(col("day"),
+        greatest(col("s"), col("day") * dayUs).as("ps"),
+        least(col("e"), (col("day") + 1) * dayUs).as("pe"))
+    val deltas = pieces
+      .select(col("day"), explode(array(
+        struct(col("ps").as("t"), lit(1L).as("d")),
+        struct(col("pe").as("t"), lit(-1L).as("d")))).as("ev"))
+      .groupBy(col("day"), col("ev.t").as("t")).agg(sum("ev.d").as("d"))
+    val w = Window.partitionBy("day").orderBy("t")
+    deltas
+      .withColumn("run",
+        sum("d").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_t", lead("t", 1).over(w))
+      .withColumn("prev_run", coalesce(lag("run", 1).over(w), lit(0L)))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_instants"),
+        sum(when(col("run") > 0L && col("next_t").isNotNull,
+          col("next_t") - col("t")).otherwise(0L)).as("covered_us"),
+        sum(when(col("run") > 0L && col("prev_run") === 0L, 1L)
+          .otherwise(0L)).as("n_islands"))
+      .orderBy("day")
+  }
+
   /** Time-weighted value integral per (user, UTC day of interval start):
     * each event's quantized value holds until the user's next event (a
     * step function); the integral is sum(qv * dur_s) with dur_s the
@@ -1324,6 +1377,36 @@ object EventOps {
          |SELECT (t // 3600000000)::BIGINT AS hour_bucket, count(*)::BIGINT AS n_instants,
          |  max(run)::BIGINT AS max_concurrency
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // coverage: the same session construction (shared CTEs), day split
+    // via unnest(range) + greatest/least clamps, and the sweep replayed
+    // as window SQL — run, next instant and previous run per day
+    "q_evt_coverage" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         |m AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+         |s AS (SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > $GapUs THEN 1 ELSE 0 END)
+         |                  OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+         |      FROM m),
+         |sess AS (SELECT user_id, session_idx, min(us) AS st, max(us) + 1 AS en
+         |         FROM s GROUP BY 1, 2),
+         |dys AS (SELECT st, en,
+         |          unnest(range(st // 86400000000, (en - 1) // 86400000000 + 1)) AS day
+         |        FROM sess),
+         |pieces AS (SELECT day, greatest(st, day * 86400000000) AS ps,
+         |             least(en, (day + 1) * 86400000000) AS pe FROM dys),
+         |d0 AS (SELECT day, ps AS t, 1 AS d FROM pieces
+         |       UNION ALL SELECT day, pe, -1 FROM pieces),
+         |dd AS (SELECT day, t, sum(d)::BIGINT AS d FROM d0 GROUP BY 1, 2),
+         |r AS (SELECT day, t, d,
+         |        sum(d) OVER (PARTITION BY day ORDER BY t ROWS UNBOUNDED PRECEDING) AS run
+         |      FROM dd),
+         |r2 AS (SELECT *, lead(t) OVER (PARTITION BY day ORDER BY t) AS next_t,
+         |         coalesce(lag(run) OVER (PARTITION BY day ORDER BY t), 0) AS prev_run
+         |       FROM r)
+         |SELECT day::BIGINT AS day, count(*)::BIGINT AS n_instants,
+         |  sum(CASE WHEN run > 0 AND next_t IS NOT NULL THEN next_t - t ELSE 0 END)::BIGINT AS covered_us,
+         |  sum(CASE WHEN run > 0 AND prev_run = 0 THEN 1 ELSE 0 END)::BIGINT AS n_islands
+         |FROM r2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the same collapse -> window -> rollup, independently
     "q_evt_retention" ->

@@ -550,6 +550,31 @@ object RelOps {
       .orderBy("flag", "status")
   }
 
+  /** Explicit GROUPING SETS — the third grouping-analytics shape beside
+    * [[cubeRevenue]] (all subsets) and the rollup query (prefix chain):
+    * the set list ((flag, status), (status), ()) is NEITHER a cube (no
+    * (flag) set) nor a rollup of (flag, status) (whose chain would keep
+    * (flag), not (status)) — precisely the case the explicit API exists
+    * for. One Expand pass over the fact scan, subtotal rows relabeled
+    * through the same ALL sentinel as the cube (legal because the
+    * grouping columns are never NULL in the data), fixed-point cents
+    * through decimal(38,0).
+    */
+  val gsetsRevenue: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val li = t(spark, dir, "lineitem").select(
+      col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
+      (q100(col("l_extendedprice")) * (lit(100L) - q100(col("l_discount")))).as("qrev"))
+    li.groupingSets(
+        Seq(Seq(col("flag"), col("status")), Seq(col("status")), Seq.empty),
+        col("flag"), col("status"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("qrev").cast("decimal(38,0)")).cast("long").as("revenue"))
+      .select(coalesce(col("flag"), lit("ALL")).as("flag"),
+        coalesce(col("status"), lit("ALL")).as("status"),
+        col("n_lines"), col("revenue"))
+      .orderBy("flag", "status")
+  }
+
   /** COPY-ON-WRITE DELETE end to end: lineitem committed range-clustered,
     * orderkeys 100..799 deleted through [[graft.lake.Lake.deleteRange]]
     * (zone maps confine the rewrite to the overlapping files —
@@ -1239,6 +1264,16 @@ object RelOps {
         |  sum(floor(l_extendedprice * 100)::BIGINT
         |      * (100 - floor(l_discount * 100)::BIGINT))::BIGINT AS revenue
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_rel_gsets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*)::BIGINT AS n_lines,
+        |  sum(floor(l_extendedprice * 100)::BIGINT
+        |      * (100 - floor(l_discount * 100)::BIGINT))::BIGINT AS revenue
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         |ORDER BY 1, 2""".stripMargin,
 
     "q_rel_small_qty" ->

@@ -145,6 +145,47 @@ class EventOpsSpec extends AnyFunSuite {
     assert(expected.exists(_._3 > 1L), "overlapping sessions must occur")
   }
 
+  test("coverage matches a local union-of-intervals recompute; overlap genuinely collapses") {
+    val dayUs = 86400000000L
+    val sessions = ev.groupBy(_._3).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._1))
+      var idx = 0L
+      var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || e._2 - prev > 1800000000L) idx += 1
+        prev = e._2
+        (idx, e._2)
+      }.groupBy(_._1).values.map(ses => (ses.map(_._2).min, ses.map(_._2).max + 1L))
+    }
+    // split at day boundaries, then sweep per day over collapsed instants
+    val pieces = sessions.flatMap { case (s, e) =>
+      (s / dayUs to (e - 1) / dayUs).map { day =>
+        (day, math.max(s, day * dayUs), math.min(e, (day + 1) * dayUs))
+      }
+    }
+    val expected = pieces.groupBy(_._1).toSeq.map { case (day, ps) =>
+      val deltas = (ps.map(p => (p._2, 1L)) ++ ps.map(p => (p._3, -1L)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      var run = 0L; var covered = 0L; var islands = 0L
+      deltas.zipAll(deltas.tail.map(d => Some(d._1)), (0L, 0L), None).foreach {
+        case ((t, d), next) =>
+          val prevRun = run
+          run += d
+          if (run > 0L && prevRun == 0L) islands += 1
+          next.foreach(nt => if (run > 0L) covered += nt - t)
+      }
+      (day, deltas.size.toLong, covered, islands)
+    }.sortBy(_._1)
+    val got = EventOps.coverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the union must genuinely collapse overlap somewhere (covered < sum
+    // of piece lengths), and some day must split into multiple islands
+    val rawByDay = pieces.groupBy(_._1).view.mapValues(_.map(p => p._3 - p._2).sum)
+    assert(expected.exists(d => d._3 < rawByDay(d._1)), "no overlap ever collapsed")
+    assert(expected.exists(_._4 > 1L), "expected a day with multiple busy islands")
+  }
+
   test("timeWeighted matches a local step-integral recompute") {
     val expected = ev.groupBy(_._3).toSeq.flatMap { case (u, es) =>
       val sorted = es.sortBy(e => (e._2, e._1))

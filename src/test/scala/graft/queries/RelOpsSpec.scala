@@ -382,6 +382,27 @@ class RelOpsSpec extends AnyFunSuite {
     assert(got.size == cells.map(c => (c._1, c._2)).distinct.size + nf + ns + 1)
   }
 
+  test("gsetsRevenue == local three-set recompute; NOT a cube and NOT a rollup") {
+    val cells = li.map(l => (l._7, l._8, BigInt(q100(l._4)) * (100L - q100(l._5))))
+    def agg(f: ((String, String, BigInt)) => (String, String)) =
+      cells.groupBy(f).toSeq.map { case ((a, b), xs) =>
+        (a, b, xs.size.toLong, xs.map(_._3).sum.toLong)
+      }
+    val want = (agg(c => (c._1, c._2)) ++ agg(c => ("ALL", c._2)) ++
+      agg(_ => ("ALL", "ALL"))).sortBy(r => (r._1, r._2))
+    val got = RelOps.gsetsRevenue(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // the shape that distinguishes explicit sets from cube/rollup: the
+    // (flag)-only subtotal (flag != ALL, status = ALL) must NOT exist
+    assert(!got.exists(r => r._1 != "ALL" && r._2 == "ALL"))
+    // closure cardinality: detail + per-status + grand total
+    val ns = cells.map(_._2).distinct.size
+    assert(got.size == cells.map(c => (c._1, c._2)).distinct.size + ns + 1)
+    // every set's rows partition the fact table
+    assert(got.filter(r => r._1 == "ALL" && r._2 != "ALL").map(_._3).sum == cells.size.toLong)
+  }
+
   test("trailingRevenue == local range-frame recompute; day gaps make RANGE differ from ROWS") {
     val byDay = li.groupBy(l => l._9 / 86400000000L).toSeq.map { case (d, xs) =>
       (d, xs.map(l => BigInt(q100(l._4)) * (100L - q100(l._5))).sum.toLong)
