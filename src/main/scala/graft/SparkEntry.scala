@@ -725,6 +725,7 @@ object SparkEntry {
     "q_blur5" -> RasterOps.blur5,
     "q_watershed" -> HydroOps.watershed,
     "q_flow_accum" -> HydroOps.flowAccum,
+    "q_strahler" -> HydroOps.strahler,
     "q_flow_len" -> HydroOps.flowLength,
     "q_stream_power" -> HydroOps.streamPower,
     "q_convex_hull" -> HullOps.convexHull,

@@ -167,6 +167,74 @@ object HydroOps {
       .select(col("id"), coalesce(col("acc"), lit(0L)).as("acc"))
   }
 
+  /** STRAHLER STREAM ORDER over a D8 forest — the stream-classification
+    * number every hydrology package derives after flow accumulation
+    * (headwaters are order 1; a confluence of two equal-order streams
+    * steps the order up; unequal orders keep the max). The sequential
+    * definition looks topological-depth-bound, but the LEVEL SETS
+    * S_k = {v : order(v) >= k} admit a round-per-ORDER scheme (max order
+    * <= log2(#headwaters), not path length): S_1 = all nodes, and
+    * S_{k+1} = the downstream closure of {v : >= 2 upstream neighbours
+    * in S_k} — a node with one >= k+1 child is downstream of that
+    * child's seed, and order is non-decreasing downstream, so the
+    * closure is exactly the level set. Each round is one semi-join (mark
+    * S_k children), one count-filter (seeds), and one semi-join against
+    * the PRECOMPUTED downstream-pair set ([[downstreamPairs]], the
+    * flow-accum machinery reused verbatim) — per-round lineage
+    * truncation like the hash-min CC loop. The node domain is every cell
+    * with a successor row PLUS every successor target (terminal
+    * junctions on the tile rim participate, matching the oracle's node
+    * CTE). Orders are capped at the oracle's chained-CTE depth 8 — a
+    * deeper network raises loudly rather than truncating silently.
+    * Exact order = 1 + (number of level sets S_2..S_K containing the
+    * node), since the level sets are nested by construction.
+    */
+  private[graft] def strahlerOrders(succ: DataFrame): DataFrame = {
+    val edges = succ.filter(col("succ") >= 0L).localCheckpoint(true)
+    val nodes = succ.select(col("id"))
+      .unionByName(edges.select(col("succ").as("id")))
+      .distinct().localCheckpoint(true)
+    val pairs = downstreamPairs(succ).localCheckpoint(true)
+    val sets = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var cur = nodes
+    var k = 1
+    var n = 1L
+    while (n > 0 && k < 8) {
+      val inSk = edges.join(cur.select(col("id").as("sid")),
+        edges("id") === col("sid"), "left_semi")
+      val seeds = inSk.groupBy(col("succ").as("id"))
+        .agg(count(lit(1)).as("nc")).filter(col("nc") >= 2)
+        .select("id").localCheckpoint(true)
+      val next = seeds.unionByName(
+          pairs.join(seeds.select(col("id").as("sd")),
+            pairs("anc") === col("sd"), "left_semi")
+            .select(col("node").as("id")))
+        .distinct().localCheckpoint(true)
+      sets += next
+      cur = next
+      n = next.count()
+      k += 1
+    }
+    require(n == 0, "strahler: order exceeds the oracle-chained cap 8")
+    val ord = nodes.join(
+        sets.reduce(_ unionByName _).groupBy("id").agg(count(lit(1)).as("extra")),
+        Seq("id"), "left")
+      .select(col("id"), (lit(1L) + coalesce(col("extra"), lit(0L))).as("ord"))
+    val out = ord.groupBy("ord")
+      .agg(count(lit(1)).as("n_cells"), sum("id").as("id_sum"))
+      .orderBy("ord")
+    out
+  }
+
+  /** Contract output: the Strahler order census over the level-1 D8
+    * forest — (ord, n_cells, id_sum); oracle = the same level-set chain
+    * as NON-recursive CTEs whose closure comes from the linear recursive
+    * walk enumeration (the q_flow_accum walk), the independent
+    * formulation of both the pair set and the per-order membership.
+    */
+  val strahler: (SparkSession, String) => DataFrame = (spark, dir) =>
+    strahlerOrders(level1Succ(spark, dir))
+
   /** The level-1 D8 successor table — the feed shared by flowAccum and
     * streamPower (ONE definition of the overview + tiling choice).
     */
@@ -289,7 +357,56 @@ object HydroOps {
       val distSql = if (dxo != 0 && dyo != 0) "sqrt(2.0)" else "1.0"
       s"(floor((t.v - b$o.v) / $distSql * 1048576.0)::BIGINT * 16 + ${8 - o})"
     }.mkString(",\n    ")
+    // Strahler level-set chain: per order k, seeds = nodes with >= 2
+    // children in s{k-1}, s{k} = seeds UNION their downstream closure
+    // gathered from the walk enumeration. Every set is MATERIALIZED —
+    // each s{k} is referenced twice by level k+1, so inlined CTEs would
+    // re-plan the whole upstream pipeline 2^k times (the getis lesson)
+    val strahlerChain = (2 to 8).map { k =>
+      s"""sd$k AS MATERIALIZED (SELECT s.succ AS id FROM step s
+         |  WHERE s.succ IS NOT NULL AND s.id IN (SELECT id FROM s${k - 1})
+         |  GROUP BY 1 HAVING count(*) >= 2),
+         |s$k AS MATERIALIZED (SELECT DISTINCT id FROM (
+         |  SELECT id FROM sd$k
+         |  UNION ALL SELECT pr.node AS id FROM pr JOIN sd$k ON pr.anc = sd$k.id))""".stripMargin
+    }.mkString(",\n")
+    val strahlerOrd = (2 to 8)
+      .map(k => s"(n.id IN (SELECT id FROM s$k))::INT").mkString(" + ")
     Map(
+      // Strahler order census: the same level sets as chained
+      // NON-recursive CTEs, with every downstream closure gathered from
+      // the linear walk enumeration (vs the engine's doubled-composition
+      // pair set) and order = 1 + nested-membership count
+      "q_strahler" ->
+        s"""WITH RECURSIVE
+           |g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |${RasterOps.poolCte(1, 100)},
+           |p AS (SELECT t.x, t.y, greatest(
+           |    $terms) AS pmax
+           |  FROM g1 t
+           |  $slotJoins1
+           |  WHERE t.x BETWEEN 1 AND 48 AND t.y BETWEEN 1 AND (SELECT h FROM d) // 2 - 2),
+           |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+           |step AS MATERIALIZED (SELECT (y * 50 + x)::BIGINT AS id,
+           |  CASE WHEN dir >= 0
+           |       THEN ((y - (dir // 3 - 1)) * 50 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+           |  FROM dc),
+           |walk(anc, node) AS (
+           |  SELECT id, succ FROM step WHERE succ IS NOT NULL
+           |  UNION ALL
+           |  SELECT w.anc, s.succ FROM walk w
+           |  JOIN step s ON s.id = w.node AND s.succ IS NOT NULL),
+           |pr AS MATERIALIZED (SELECT anc, node FROM walk),
+           |nodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+           |  SELECT id FROM step
+           |  UNION ALL SELECT succ AS id FROM step WHERE succ IS NOT NULL)),
+           |s1 AS MATERIALIZED (SELECT id FROM nodes),
+           |$strahlerChain,
+           |m AS (SELECT n.id, (1 + $strahlerOrd)::BIGINT AS ord FROM nodes n)
+           |SELECT ord, count(*)::BIGINT AS n_cells, sum(id)::BIGINT AS id_sum
+           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
       // flow accumulation on the level-1 overview: the walk CTE enumerates
       // every (ancestor, downstream-node) pair step by step — the linear-
       // round independent algorithm vs the engine's doubled composition;

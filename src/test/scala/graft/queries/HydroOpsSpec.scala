@@ -143,6 +143,60 @@ class HydroOpsSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == ((w1 - 2).toLong * (h1 - 2)))
   }
 
+  /** Memoized sequential Strahler over a functional forest: children
+    * lists from the successor map, order(v) = max child order (+1 when
+    * >= 2 children attain the max), leaves order 1. The node domain is
+    * every key plus every successor target, matching the engine.
+    */
+  private def strahlerLocal(succ: Map[Long, Long]): Map[Long, Long] = {
+    val nodes = succ.keySet ++ succ.values.filter(_ >= 0L)
+    val children = succ.toSeq.filter(_._2 >= 0L).groupBy(_._2)
+      .view.mapValues(_.map(_._1)).toMap
+    val memo = scala.collection.mutable.Map.empty[Long, Long]
+    def ord(v: Long): Long = memo.getOrElseUpdate(v, {
+      val cs = children.getOrElse(v, Nil).map(ord)
+      if (cs.isEmpty) 1L
+      else {
+        val m = cs.max
+        if (cs.count(_ == m) >= 2) m + 1 else m
+      }
+    })
+    nodes.map(v => v -> ord(v)).toMap
+  }
+
+  test("strahlerOrders == memoized sequential Strahler on random forests") {
+    import spark.implicits._
+    val rng = new scala.util.Random(580580L)
+    var sawOrder3 = false
+    for (trial <- 0 until 8) {
+      val n = 30 + rng.nextInt(80)
+      val succ = (0L until n.toLong).map { i =>
+        val r = rng.nextDouble()
+        val s = if (i == 0 || r < 0.12) -1L
+        else if (r < 0.2) n.toLong + rng.nextInt(4)
+        else rng.nextLong(i)
+        i -> s
+      }.toMap
+      val want = strahlerLocal(succ).toSeq
+        .groupBy(_._2).map { case (o, vs) => (o, vs.size.toLong, vs.map(_._1).sum) }
+        .toSeq.sortBy(_._1)
+      val got = HydroOps.strahlerOrders(succ.toSeq.toDF("id", "succ").repartition(5))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"trial $trial")
+      if (want.exists(_._1 >= 3L)) sawOrder3 = true
+    }
+    assert(sawOrder3, "the trials must exercise a genuine order-3 confluence")
+  }
+
+  test("strahler long chain: a path graph is order 1 everywhere") {
+    import spark.implicits._
+    val n = 200L
+    val succ = (0L until n).map(i => i -> (if (i == n - 1) -1L else i + 1)).toMap
+    val got = HydroOps.strahlerOrders(succ.toSeq.toDF("id", "succ").repartition(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, n, n * (n - 1) / 2)))
+  }
+
   test("streamPower on sf0.001 == local slope x (acc + 1) recompute") {
     val dir = "/root/testdata/sf0.001"
     val (c1, w1, h1) = RasterOps.level1Cells(spark, dir)
