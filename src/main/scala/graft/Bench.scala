@@ -303,6 +303,15 @@ object Bench {
     Seq("q_blur5", "q_saddle_points", "q_doc_bm25", "q_doc_chi_terms",
       "q_evt_coverage", "q_rel_gsets")
 
+  /** Fifty-eighth/fifty-ninth waves: the Strahler level-set rounds over
+    * the D8 forest (the round-per-order graph scheme), the caliper
+    * diameter/width over the two-level distributed hull, and the
+    * multi-source BFS level census over the LSH pair graph (frontier +
+    * anti-join rounds).
+    */
+  private val Ops36Queries =
+    Seq("q_strahler", "q_hull_calipers", "q_doc_bfs_levels")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -317,7 +326,8 @@ object Bench {
     "ops22" -> Ops22Queries, "ops23" -> Ops23Queries,
     "ops24" -> Ops24Queries, "ops25" -> Ops25Queries,
     "ops27" -> Ops27Queries, "ops33" -> Ops33Queries,
-    "ops34" -> Ops34Queries, "ops35" -> Ops35Queries)
+    "ops34" -> Ops34Queries, "ops35" -> Ops35Queries,
+    "ops36" -> Ops36Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

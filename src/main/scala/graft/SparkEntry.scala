@@ -729,6 +729,8 @@ object SparkEntry {
     "q_flow_len" -> HydroOps.flowLength,
     "q_stream_power" -> HydroOps.streamPower,
     "q_convex_hull" -> HullOps.convexHull,
+    "q_hull_calipers" -> HullOps.hullCalipers,
+    "q_doc_bfs_levels" -> TrainingOps.docBfsLevels,
     "q_evt_sessionize" -> EventOps.sessionize,
     "q_evt_trend" -> EventOps.trend,
     "q_evt_autocov" -> EventOps.autocov,

@@ -973,6 +973,72 @@ object TrainingOps {
       .orderBy("cluster_id")
   }
 
+  // ---- multi-source BFS level census over the LSH pair graph ----
+
+  /** Backstop on BFS rounds: rounds needed = the seed set's eccentricity
+    * within reachable components; LSH duplicate components are unions of
+    * band-bucket cliques (tiny diameters), so hitting this cap is a loud
+    * failure, never a silent truncation of the census.
+    */
+  private val MaxBfsRounds = 12
+
+  /** Level-synchronous multi-source BFS over an undirected pair graph
+    * (`doc_a < doc_b` rows): seeds are the graph nodes with
+    * doc_id % 5 == 0, and each round expands the frontier by one
+    * src-keyed edge join plus one anti-join against the visited set (the
+    * standard distributed-BFS bookkeeping — frontier and visited are the
+    * ONLY state, both doc-keyed), with eager lineage truncation per round
+    * (the connectedComponents posture: each round's frames feed the next
+    * twice). Emits one row per NONEMPTY level — (level, n_docs, id_sum) —
+    * plus level -1 for graph nodes in components no seed can reach.
+    * Rounds are capped at [[MaxBfsRounds]] (= the oracle's chained-CTE
+    * depth); a deeper graph raises rather than truncating.
+    */
+  private[graft] def bfsLevels(cand: DataFrame): DataFrame = {
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("doc_id")).distinct().localCheckpoint(true)
+    val seeds = nodes.filter(col("doc_id") % 5 === 0).localCheckpoint(true)
+    val tagged = scala.collection.mutable.ArrayBuffer[DataFrame](
+      seeds.select(col("doc_id"), lit(0L).as("level")))
+    var visited = seeds
+    var frontier = seeds
+    var n = frontier.count()
+    var round = 0
+    while (n > 0 && round < MaxBfsRounds) {
+      val nbrs = edges
+        .join(frontier.select(col("doc_id").as("f")), edges("src") === col("f"), "left_semi")
+        .select(col("dst").as("doc_id")).distinct()
+      val next = nbrs.join(visited, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      round += 1
+      n = next.count()
+      if (n > 0) {
+        tagged += next.select(col("doc_id"), lit(round.toLong).as("level"))
+        visited = visited.unionByName(next).localCheckpoint(true)
+      }
+      frontier = next
+    }
+    require(n == 0, s"bfsLevels: frontier still live after $MaxBfsRounds rounds")
+    val unreached = nodes.join(visited, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(-1L).as("level"))
+    tagged.reduce(_ unionByName _).unionByName(unreached)
+      .groupBy("level")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+      .orderBy("level")
+  }
+
+  /** q_doc_bfs_levels: the BFS distance-from-seed census over the MinHash
+    * LSH candidate graph — how much of the duplicate structure a seeded
+    * crawl reaches per hop, and how much is in seed-free components
+    * (level -1). Oracle: the same level sets as chained NON-recursive
+    * CTEs over the q_doc_kcore cand construction — per level one
+    * neighbor gather minus the running visited union, the independent
+    * formulation of the engine's frontier/anti-join rounds.
+    */
+  val docBfsLevels: (SparkSession, String) => DataFrame = (spark, dir) =>
+    bfsLevels(bandCandidates(spark, dir))
+
   // ---- integer-exact PageRank over the LSH duplicate pair graph ----
 
   /** PageRank, 3 unrolled iterations, ENTIRELY in integer arithmetic so
@@ -2134,8 +2200,53 @@ object TrainingOps {
       .orderBy("source", "doc_id")
   }
 
+  // BFS level-set chain for the q_doc_bfs_levels oracle: per level k,
+  // l{k} = the e0-neighbors of l{k-1} not yet in the running visited
+  // union v{k-1}; every set MATERIALIZED (each is referenced twice by the
+  // next level — inlined CTEs would re-plan the upstream pipeline 2^k
+  // times, the getis lesson). Depth 12 = the engine's MaxBfsRounds.
+  private def bfsChainCte: String = (1 to MaxBfsRounds).map { k =>
+    s"""l$k AS MATERIALIZED (SELECT DISTINCT e.dst AS doc_id FROM e0 e
+       |  JOIN l${k - 1} f ON e.src = f.doc_id
+       |  WHERE e.dst NOT IN (SELECT doc_id FROM v${k - 1})),
+       |v$k AS MATERIALIZED (SELECT doc_id FROM v${k - 1}
+       |  UNION SELECT doc_id FROM l$k)""".stripMargin
+  }.mkString(",\n")
+
+  private def bfsLevelUnion: String = (0 to MaxBfsRounds)
+    .map(k => s"SELECT $k AS level, doc_id FROM l$k").mkString("\n  UNION ALL ")
+
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracleSql: Map[String, String] = Map(
+    // BFS distance census: the engine's frontier rounds re-expressed as
+    // the chained level-set CTEs over the q_doc_kcore cand construction,
+    // unreached = the node set minus the final visited union
+    "q_doc_bfs_levels" ->
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+         |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+         |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+         |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+         |sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS minhash
+         |         FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, (seed // 4)::INT AS band,
+         |                 string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, ',' ORDER BY seed) AS bkey
+         |          FROM sigs GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |e0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |      UNION ALL SELECT doc_b, doc_a FROM cand),
+         |nd AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM e0),
+         |l0 AS MATERIALIZED (SELECT doc_id FROM nd WHERE doc_id % 5 = 0),
+         |v0 AS MATERIALIZED (SELECT doc_id FROM l0),
+         |$bfsChainCte,
+         |lvl AS (
+         |  $bfsLevelUnion
+         |  UNION ALL SELECT -1 AS level, doc_id FROM nd
+         |    WHERE doc_id NOT IN (SELECT doc_id FROM v$MaxBfsRounds))
+         |SELECT level::BIGINT AS level, count(*)::BIGINT AS n_docs,
+         |  sum(doc_id)::BIGINT AS id_sum
+         |FROM lvl GROUP BY 1 ORDER BY 1""".stripMargin,
     // neighbor edit distance: the direct global lead() formulation (vs the
     // engine's bucketed distributed sort); DuckDB's levenshtein and
     // Spark's agree exactly on this ASCII corpus

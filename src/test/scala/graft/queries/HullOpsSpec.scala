@@ -94,6 +94,64 @@ class HullOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hullMetrics == brute-force definition over RAW points on random sets") {
+    val rng = new scala.util.Random(20260819L)
+    var sawWide = false
+    for (trial <- 0 until 40) {
+      val n = 1 + rng.nextInt(70)
+      val span = 1 + rng.nextInt(trial % 4 match { case 0 => 6; case _ => 40 })
+      val pts = Array.fill(n)((rng.nextInt(span).toLong, rng.nextInt(span).toLong))
+      val dpts = pts.distinct
+      val hull = HullOps.chainHull(pts)
+      val (gotDiam, gotWidth) = HullOps.hullMetrics(hull)
+      // diameter: max pairwise over ALL distinct raw points (the hull
+      // cannot lose it — this recomputes from the definition, not the hull)
+      val wantDiam =
+        if (dpts.length < 2) 0L
+        else (for (i <- dpts.indices; j <- dpts.indices if i < j)
+          yield d2(dpts(i), dpts(j))).max
+      assert(gotDiam == wantDiam, s"trial $trial diam")
+      // width: min over hull edges of the quantized slab height against
+      // ALL raw points (= against corners, since the hull contains them)
+      val wantWidth =
+        if (hull.length < 3) 0L
+        else hull.indices.map { i =>
+          val a = hull(i); val b = hull((i + 1) % hull.length)
+          val mc = dpts.map(p => math.abs(cross(a, b, p))).max
+          (BigInt(mc) * BigInt(mc) * BigInt(1048576) / BigInt(d2(a, b))).toLong
+        }.min
+      assert(gotWidth == wantWidth, s"trial $trial width")
+      assert(gotWidth <= gotDiam * 1048576, s"trial $trial width exceeds diameter")
+      if (gotWidth > 0) sawWide = true
+    }
+    assert(sawWide, "the trials must exercise a genuinely 2-D hull")
+  }
+
+  test("hullMetrics degenerate shapes: point, segment, collinear") {
+    assert(HullOps.hullMetrics(Array((3L, 4L))) == ((0L, 0L)))
+    assert(HullOps.hullMetrics(Array((0L, 0L), (3L, 4L))) == ((25L, 0L)))
+    val col = HullOps.chainHull(Array((0L, 0L), (2L, 2L), (5L, 5L), (3L, 3L)))
+    assert(HullOps.hullMetrics(col) == ((50L, 0L)))
+  }
+
+  test("hullCalipers end to end: segment metrics at sf0.001, slab at sf0.01") {
+    val tiny = HullOps.hullCalipers(spark, "/root/testdata/sf0.001").collect()
+    assert(tiny.length == 4)
+    tiny.foreach { r =>
+      assert(r.getLong(1) == 2 && r.getLong(2) > 0 && r.getLong(3) == 0)
+    }
+    val rows = HullOps.hullCalipers(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 3)
+      assert(r.getLong(3) > 0 && r.getLong(3) <= r.getLong(2) * 1048576)
+    }
+    // cross-check n_hull against convexHull (same hull, different stage-2)
+    val nh = HullOps.convexHull(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == nh(r.getDouble(0))))
+  }
+
   test("convexHull end to end: degenerate line hull at sf0.001, real hull at sf0.01") {
     // sf0.001 is a 100x10 grid -> every superpixel has py = 0: the hull of
     // each threshold's footprint is a SEGMENT (2 corners, zero area) — the

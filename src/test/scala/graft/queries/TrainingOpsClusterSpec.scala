@@ -508,4 +508,72 @@ class TrainingOpsClusterSpec extends AnyFunSuite {
     assert(got.forall(r => r._5 >= 0L && r._5 <= 16000L))
     assert(got.exists(_._4 > 0L), "some pair must differ in at least one bit")
   }
+
+  /** Queue BFS from the %5 seed set — the sequential reference for
+    * bfsLevels. Returns level per node, -1 for unreached graph nodes.
+    */
+  private def bfsLocal(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keySet
+    val level = scala.collection.mutable.Map[Long, Long]()
+    val q = scala.collection.mutable.Queue[Long]()
+    nodes.filter(_ % 5 == 0).foreach { s => level(s) = 0L; q += s }
+    while (q.nonEmpty) {
+      val v = q.dequeue()
+      adj(v).foreach { w =>
+        if (!level.contains(w)) { level(w) = level(v) + 1; q += w }
+      }
+    }
+    nodes.map(v => v -> level.getOrElse(v, -1L)).toMap
+  }
+
+  private def bfsCensus(pairs: Seq[(Long, Long)]): Seq[(Long, Long, Long)] = {
+    import spark.implicits._
+    TrainingOps.bfsLevels(pairs.toDF("doc_a", "doc_b").repartition(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  private def censusOf(lv: Map[Long, Long]): Seq[(Long, Long, Long)] =
+    lv.toSeq.groupBy(_._2).map { case (l, vs) =>
+      (l, vs.size.toLong, vs.map(_._1).sum)
+    }.toSeq.sortBy(_._1)
+
+  test("bfsLevels == queue BFS on seeded random graphs") {
+    val rng = new scala.util.Random(117L)
+    var sawDeep = false
+    var sawUnreached = false
+    for (trial <- 0 until 8) {
+      val n = 20 + rng.nextInt(60)
+      // sparse random graph: a mix of chains (depth) and random chords
+      val ids = (1L to n.toLong).map(_ * (rng.nextInt(3) + 1))
+      val pairs = (ids.sliding(2).collect {
+        case Seq(a, b) if a != b && rng.nextDouble() < 0.7 =>
+          (math.min(a, b), math.max(a, b))
+      }.toSeq ++ Seq.fill(n / 4) {
+        val a = ids(rng.nextInt(ids.size)); val b = ids(rng.nextInt(ids.size))
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2)).distinct
+      if (pairs.nonEmpty) {
+        val want = censusOf(bfsLocal(pairs))
+        assert(bfsCensus(pairs) == want, s"trial $trial")
+        if (want.exists(_._1 >= 2L)) sawDeep = true
+        if (want.exists(_._1 == -1L)) sawUnreached = true
+      }
+    }
+    assert(sawDeep, "the trials must exercise a level >= 2")
+    assert(sawUnreached, "the trials must exercise a seed-free component")
+  }
+
+  test("bfsLevels: a seed-free graph is entirely level -1") {
+    val pairs = Seq[(Long, Long)]((1L, 2L), (2L, 3L), (7L, 8L))
+    assert(bfsCensus(pairs) == Seq((-1L, 5L, 21L)))
+  }
+
+  test("bfsLevels: a chain from a single seed counts levels exactly") {
+    // 5 -> 6 -> 7 -> 8 -> 9: seed 5 only (6..9 are not % 5 == 0)
+    val pairs = Seq[(Long, Long)]((5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L))
+    assert(bfsCensus(pairs) == Seq((0L, 1L, 5L), (1L, 1L, 6L),
+      (2L, 1L, 7L), (3L, 1L, 8L), (4L, 1L, 9L)))
+  }
 }
