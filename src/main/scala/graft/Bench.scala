@@ -303,14 +303,28 @@ object Bench {
     Seq("q_blur5", "q_saddle_points", "q_doc_bm25", "q_doc_chi_terms",
       "q_evt_coverage", "q_rel_gsets")
 
-  /** Fifty-eighth/fifty-ninth waves: the Strahler level-set rounds over
-    * the D8 forest (the round-per-order graph scheme), the caliper
-    * diameter/width over the two-level distributed hull, and the
+  /** Fifty-eighth/fifty-ninth/sixtieth waves: the Strahler level-set
+    * rounds over the D8 forest (the round-per-order graph scheme), the
+    * caliper diameter/width over the two-level distributed hull, the
     * multi-source BFS level census over the LSH pair graph (frontier +
-    * anti-join rounds).
+    * anti-join rounds), and the integer Haar pyramid + its energy
+    * rollup over daily event counts (the chained-halving level loop).
     */
   private val Ops36Queries =
-    Seq("q_strahler", "q_hull_calipers", "q_doc_bfs_levels")
+    Seq("q_strahler", "q_hull_calipers", "q_doc_bfs_levels",
+      "q_evt_haar", "q_evt_haar_energy")
+
+  /** Sixty-first through sixty-third waves: the Mann–Kendall pairwise
+    * trend census + the ordinal-pattern census (both over the
+    * calendar-bounded daily frame), the cross-type lag CCF fan-out, the
+    * lake snapshot diff (two commits + a time-travel full-outer-join CDC
+    * census — write-path cost included by design, like ops33), the L1
+    * matrix-profile census, and the pole-of-inaccessibility argmax over
+    * the six-scan separable transform.
+    */
+  private val Ops37Queries =
+    Seq("q_evt_mann_kendall", "q_evt_ordpat", "q_evt_ccf", "q_lake_diff",
+      "q_evt_profile", "q_grid_pole", "q_grid_topology")
 
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(

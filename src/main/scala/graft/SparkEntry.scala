@@ -734,6 +734,15 @@ object SparkEntry {
     "q_evt_sessionize" -> EventOps.sessionize,
     "q_evt_trend" -> EventOps.trend,
     "q_evt_autocov" -> EventOps.autocov,
+    "q_evt_haar" -> EventOps.haar,
+    "q_evt_haar_energy" -> EventOps.haarEnergy,
+    "q_evt_mann_kendall" -> EventOps.mannKendall,
+    "q_evt_ordpat" -> EventOps.ordPatterns,
+    "q_evt_ccf" -> EventOps.ccf,
+    "q_lake_diff" -> EventOps.lakeDiff,
+    "q_evt_profile" -> EventOps.profile,
+    "q_grid_pole" -> RasterOps.gridPole,
+    "q_grid_topology" -> RasterOps.gridTopology,
     "q_evt_cusum" -> EventOps.cusum,
     "q_evt_spearman" -> EventOps.spearman,
     "q_evt_spike" -> EventOps.spike,

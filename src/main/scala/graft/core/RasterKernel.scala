@@ -457,6 +457,69 @@ object RasterKernel {
     else (0 until nT).map(i => (thresholds(i), nMask(i), nEro(i), nDil(i)))
   }
 
+  /** BIT-QUAD topology counts of the `v >= threshold` mask, one row per
+    * threshold: (threshold, n_mask, n_hpairs, n_vpairs, q1, q3, qd) —
+    * the Gray (1971) pattern census over every 2x2 quad of the EXTENDED
+    * lattice (anchors (x, y), x in [-1, w-1], y in [-1, h-1]; cells
+    * outside the grid count as background), from which Euler
+    * characteristics derive exactly: chi4 = (q1 - q3 + 2*qd) / 4
+    * (4-connected components minus 8-connected holes) and chi8 =
+    * (q1 - q3 - 2*qd) / 4, plus the boundary perimeter
+    * 4*n - 2*(n_hpairs + n_vpairs). Attribution is EXACT-ONCE with only
+    * the 1-cell halo: each owned cell (x, y) contributes the quad
+    * anchored at (x-1, y-1); the right/bottom border quads (whose
+    * off-grid cells are background anyway) ride the w-1 / h-1 owned
+    * cells. Adjacent pairs attribute to their right/bottom cell.
+    * Entirely boolean/integer — compares exact, nothing quantizes.
+    */
+  def topoCounts(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                 ox0: Int, oy0: Int, ow: Int, oh: Int,
+                 w: Int, h: Int, thresholds: Array[Double]): Seq[(Double, Long, Long, Long, Long, Long, Long)] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    val nT = thresholds.length
+    val n = new Array[Long](nT); val nh = new Array[Long](nT); val nv = new Array[Long](nT)
+    val q1 = new Array[Long](nT); val q3 = new Array[Long](nT); val qd = new Array[Long](nT)
+    var visited = 0L
+    var ty = oy0
+    val tyHi = oy0 + oh - 1; val txHi = ox0 + ow - 1
+    while (ty <= tyHi) {
+      var tx = ox0
+      while (tx <= txHi) {
+        visited += 1
+        var ti = 0
+        while (ti < nT) {
+          val t = thresholds(ti)
+          @inline def m(x: Int, y: Int): Boolean =
+            x >= 0 && x < w && y >= 0 && y < h && g(x, y) >= t
+          @inline def quad(ax: Int, ay: Int): Unit = {
+            val b00 = m(ax, ay); val b10 = m(ax + 1, ay)
+            val b01 = m(ax, ay + 1); val b11 = m(ax + 1, ay + 1)
+            val k = (if (b00) 1 else 0) + (if (b10) 1 else 0) +
+              (if (b01) 1 else 0) + (if (b11) 1 else 0)
+            if (k == 1) q1(ti) += 1
+            else if (k == 3) q3(ti) += 1
+            else if (k == 2 && b00 == b11 && b00 != b10) qd(ti) += 1
+          }
+          val c = m(tx, ty)
+          if (c) {
+            n(ti) += 1
+            if (m(tx - 1, ty)) nh(ti) += 1
+            if (m(tx, ty - 1)) nv(ti) += 1
+          }
+          quad(tx - 1, ty - 1)
+          if (tx == w - 1) quad(tx, ty - 1)
+          if (ty == h - 1) quad(tx - 1, ty)
+          if (tx == w - 1 && ty == h - 1) quad(tx, ty)
+          ti += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    if (visited == 0L) Seq.empty
+    else (0 until nT).map(i => (thresholds(i), n(i), nh(i), nv(i), q1(i), q3(i), qd(i)))
+  }
+
   /** D8 successor per interior cell — (cell id = y * w + x, successor id,
     * or -1 for pits/flats): the same packed-argmax as [[d8Dirs]] decoded
     * to the downstream NEIGHBOUR (direction slot o drains to

@@ -1019,7 +1019,481 @@ object EventOps {
       sum(col("event_id").cast("decimal(38,0)")).cast("long").as("sum_id"))
   }
 
+  /** Pyramid depth for [[haar]]/[[haarEnergy]] — a STATED decomposition
+    * depth (5 halvings), not a run-to-the-root loop: the engine emits the
+    * same fixed number of levels at any scale, and the oracle's chained
+    * CTEs mirror it level for level. On this corpus (30 observed days per
+    * type) level 5 is the single-root level; a longer-horizon corpus just
+    * yields more coefficients per level, never more rounds.
+    */
+  private val HaarLevels = 5
+
+  /** The shared Haar pyramid kernel for [[haar]] and [[haarEnergy]] (one
+    * definition — the coefficient census and the energy rollup cannot
+    * drift): raw events reduce FIRST to one row per (event_type, day)
+    * (map-side-combined count — the only pass that sees raw events), each
+    * type's days densify to ordinal positions idx = 0..n-1 via one
+    * event_type-keyed window, then each level k in 1..[[HaarLevels]] is a
+    * groupBy on (event_type, idx div 2): s = child sum (the smoothed
+    * signal), d = even-child minus odd-child (the detail coefficient),
+    * pair_n in {1, 2}. A RAGGED TAIL (odd child count) CARRIES: its lone
+    * parent keeps s = the child's s and pins d = 0 with pair_n = 1 (the
+    * stated sentinel — no NULLs cross the oracle compare), exactly the
+    * unnormalized lazy-wavelet convention, so every level's s column still
+    * sums to the type's total event count (conservation, specced).
+    * Integer-exact throughout: counts and their sums/differences only, no
+    * normalization by sqrt(2) — the classic integer Haar transform.
+    * Plan at 100 TB: the reduced frame is CALENDAR-BOUNDED (|types| x
+    * |days| rows — ten years is ~3,650 rows per type), so the one
+    * window exchange plus the [[HaarLevels]] tiny halving exchanges move
+    * kilobytes regardless of raw-event volume; nothing is collected.
+    */
+  private def haarLevels(spark: SparkSession, dir: String): Seq[DataFrame] = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    var cur = events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("s"))
+      .select(col("event_type"),
+        (row_number().over(w) - 1).cast("long").as("idx"), col("s"))
+    (1 to HaarLevels).map { lvl =>
+      val step = cur.groupBy(col("event_type"), expr("idx div 2").as("idx"))
+        .agg(count(lit(1)).as("pair_n"), sum("s").as("s"),
+          sum(when(col("idx") % 2 === 0, col("s")).otherwise(-col("s"))).as("draw"))
+        .select(col("event_type"), col("idx"), col("pair_n"), col("s"),
+          when(col("pair_n") === 2, col("draw")).otherwise(lit(0L)).as("d"))
+      cur = step.select(col("event_type"), col("idx"), col("s"))
+      step.select(col("event_type"), lit(lvl.toLong).as("lvl"), col("idx"),
+        col("pair_n"), col("s").as("s_sum"), col("d").as("d_diff"))
+    }
+  }
+
+  /** INTEGER HAAR PYRAMID over daily event counts per event type — the
+    * multi-resolution census of the arrival signal ([[autocov]]'s
+    * companion: autocovariance probes ONE lag, the pyramid localizes
+    * variation at every dyadic scale at once). Emits one row per
+    * coefficient: (event_type, lvl, idx, pair_n, s_sum, d_diff) for all
+    * [[HaarLevels]] levels — see [[haarLevels]] for the kernel, the
+    * ragged-tail carry contract, and the scale argument. Trailing sort is
+    * presentation-only.
+    */
+  val haar: (SparkSession, String) => DataFrame = (spark, dir) =>
+    haarLevels(spark, dir).reduce(_ unionByName _)
+      .orderBy("event_type", "lvl", "idx")
+
+  /** HAAR ENERGY COMPACTION profile — per (event_type, lvl): coefficient
+    * count, complete-pair count, and the exact sum of squares of the
+    * smooth (s_sum) and detail (d_diff) coefficients. The detail energy
+    * per level is the classic compaction diagnostic: a weekday-patterned
+    * signal concentrates d-energy at the ~week scale (specced via the
+    * per-level Parseval identity sum(child s^2) = sum over complete pairs
+    * of (s^2 + d^2)/2 + sum over carried parents of s^2). Squares
+    * accumulate in decimal(38,0) with the trend-idiom LOUD raise_error
+    * bound before the final BIGINT cast — on a corpus whose per-type
+    * total brushes 2^31.5 the energy genuinely overflows Long, and this
+    * operator refuses rather than wraps.
+    */
+  val haarEnergy: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val dec = "decimal(38,0)"
+    val bound = lit("9223372036854775807").cast(dec) // 2^63 - 1
+    haarLevels(spark, dir).reduce(_ unionByName _)
+      .groupBy("event_type", "lvl")
+      .agg(count(lit(1)).as("n_coef"),
+        sum(when(col("pair_n") === 2, 1L).otherwise(0L)).as("n_pairs"),
+        sum(col("s_sum").cast(dec) * col("s_sum")).as("s2dec"),
+        sum(col("d_diff").cast(dec) * col("d_diff")).as("d2dec"))
+      .filter(when(col("s2dec") > bound || col("d2dec") > bound,
+        raise_error(concat(lit("haarEnergy: type "), col("event_type"),
+          lit(" energy exceeds the < 2^63 Long contract"))))
+        .otherwise(lit(true)))
+      .select(col("event_type"), col("lvl"), col("n_coef"), col("n_pairs"),
+        col("s2dec").cast("long").as("s2_sum"),
+        col("d2dec").cast("long").as("d2_sum"))
+      .orderBy("event_type", "lvl")
+  }
+
+  /** MANN–KENDALL trend test over daily event counts per type — the
+    * rank-based monotone-trend statistic that needs NO distributional
+    * assumption (the robust companion of [[trend]]'s least squares and
+    * [[spearman]]'s rank correlation; MK is the standard for
+    * serially-observed counts). S = sum over day pairs i < j of
+    * sgn(x_j - x_i), plus the exact tie-corrected variance pieces:
+    * tie_sum = sum over tied value groups of t(t-1)(2t+5) and
+    * var_num = n(n-1)(2n+5) - tie_sum (18*Var(S) in the classic
+    * formula — kept as the integer numerator, no division). All
+    * integer-exact. Plan: raw events reduce FIRST to the per-(type, day)
+    * count frame, so the pairwise self-join is O(d^2) per type with d
+    * CALENDAR-BOUNDED (the [[haarLevels]] argument: ten years is ~3,650
+    * rows per type, ~6.7M pairs — trivial), and the join key is
+    * event_type so the pair generation never crosses types. Types whose
+    * whole history is one day have no pairs: s_stat = 0 via the left
+    * join's coalesce, var_num = 0 (stated). Long-safe unconditionally
+    * for any d below ~2 million days (5,000 years of daily data).
+    */
+  val mannKendall: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val daily = events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val s = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(when(col("b.x") > col("a.x"), 1L)
+        .when(col("b.x") < col("a.x"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = daily.groupBy("event_type", "x").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum("t").as("n_days"),
+        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tie_sum"))
+    ties.join(s, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"), col("tie_sum"),
+        (col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5)
+          - col("tie_sum")).as("var_num"))
+      .orderBy("event_type")
+  }
+
+  /** ORDINAL-PATTERN (permutation) census over daily event counts per
+    * type — Bandt–Pompe order-3 patterns: each window of three
+    * CONSECUTIVE OBSERVED positions (a, b, c) in day order classifies
+    * into one of the 6 rank permutations, ties broken by the STABLE rule
+    * (the earlier position ranks first — position i precedes j > i iff
+    * x_i <= x_j), so the classification is a total function with no
+    * dropped windows. pid encodes the ranks positionally:
+    * rank(a)*100 + rank(b)*10 + rank(c) (e.g. a strictly rising window is
+    * 012 = 12, strictly falling 210). The engine computes each rank as a
+    * SUM OF ORDER INDICATORS (rank of p = # of positions that precede p
+    * under the stable rule); the ORACLE classifies by the 6-branch CASE
+    * enumerating the sorted chains — two genuinely different
+    * formulations of the same total order, and the spec brute-forces
+    * their equivalence over all 27 triples of {0,1,2}. Plan: the
+    * calendar-bounded daily frame, one event_type-keyed window for the
+    * two leads, one tiny groupBy — nothing rawer than per-day counts
+    * moves.
+    */
+  val ordPatterns: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("a"))
+      .withColumn("b", lead("a", 1).over(w))
+      .withColumn("c", lead("a", 2).over(w))
+      .filter(col("c").isNotNull)
+      .withColumn("ra", when(col("b") < col("a"), 1L).otherwise(0L)
+        + when(col("c") < col("a"), 1L).otherwise(0L))
+      .withColumn("rb", when(col("a") <= col("b"), 1L).otherwise(0L)
+        + when(col("c") < col("b"), 1L).otherwise(0L))
+      .withColumn("rc", when(col("a") <= col("c"), 1L).otherwise(0L)
+        + when(col("b") <= col("c"), 1L).otherwise(0L))
+      .withColumn("pid", col("ra") * 100 + col("rb") * 10 + col("rc"))
+      .groupBy("event_type", "pid").agg(count(lit(1)).as("n_windows"))
+      .orderBy("event_type", "pid")
+  }
+
+  /** CROSS-CORRELATION census between event types at lags 0..7 days —
+    * the pairwise generalization of [[autocov]] (which probes one type
+    * against itself at lag 7): for every ORDERED type pair (type_a <
+    * type_b, the stated dedup) and every lag L in [0, 7], the pairs are
+    * days where type_a observed day d AND type_b observed day d + L
+    * (observed-days inner contract, as autocov), and the emitted
+    * n/sx/sy/sxy/cov_num = n*sxy - sx*sy are the exact integer
+    * cross-covariance pieces. A leading (signed!) cov_num at lag L > 0
+    * reads "type_a today co-moves with type_b L days later". Plan: raw
+    * events reduce FIRST to the calendar-bounded per-(type, day) frame;
+    * the lag fan-out is ONE narrow 8-way explode on the lead side
+    * (posexplode of the lag range), the join is day-keyed (|days| x
+    * |types|^2 x 8 pairs — calendar-bounded x small-squared), and the
+    * rollup is map-side combinable. The trend-idiom decimal guard keeps
+    * every Long product loud.
+    */
+  val ccf: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val dec = "decimal(38,0)"
+    val bound = lit("4611686018427387904").cast(dec) // 2^62
+    val daily = events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val lead = daily
+      .select(col("event_type").as("type_b"), col("day").as("bday"), col("x").as("y"))
+      .withColumn("lag", explode(array((0 to 7).map(l => lit(l.toLong)): _*)))
+      .withColumn("day", col("bday") - col("lag"))
+    daily.join(lead, Seq("day"))
+      .filter(col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        max("x").as("xmax"), max("y").as("ymax"))
+      .filter(when(
+        col("n_pairs").cast(dec) * col("n_pairs") * col("xmax") * col("ymax") >= bound,
+        raise_error(concat(lit("ccf: pair "), col("type_a"), lit("/"), col("type_b"),
+          lit(" exceeds the n^2*xmax*ymax < 2^62 Long-safety contract"))))
+        .otherwise(lit(true)))
+      .select(col("type_a"), col("type_b"), col("lag"), col("n_pairs"),
+        col("sx"), col("sy"), col("sxy"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("cov_num"))
+      .orderBy("type_a", "type_b", "lag")
+  }
+
+  /** LAKE SNAPSHOT DIFF — the CDC census between two committed snapshots
+    * of a keyed table: commit a base version of the events fact (key =
+    * event_id, payload = quantized value), commit a DETERMINISTICALLY
+    * mutated second version (DELETE event_id % 97 == 0; UPDATE qval + 1000
+    * where event_id % 91 == 0 among survivors; INSERT a shifted copy
+    * event_id + 10^12 where event_id % 101 == 0 — mutations arithmetic on
+    * the key, so the ORACLE replays both logical states from raw events
+    * without any lake machinery), then diff the two time-travel reads
+    * ([[graft.lake.Lake.readAt]]) with ONE event_id-keyed full outer
+    * join and classify each key: inserted / deleted / updated /
+    * unchanged. Emits the per-class census (row count, id checksum, and
+    * the SIGNED value delta dq = coalesce(new,0) - coalesce(old,0) whose
+    * cross-class total telescopes to total(v2) - total(v1) — the
+    * conservation the spec pins). Plan at scale: the diff is one
+    * key-partitioned join of two snapshot scans — no driver state, no
+    * collect; at a real deployment both sides bucket by the key and the
+    * join co-locates.
+    */
+  val lakeDiff: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val base = events(spark, dir).select(col("event_id"),
+      floor(col("value") * Q20).cast("long").as("qval"))
+    val mutated = base.filter(col("event_id") % 97 =!= 0L)
+      .select(col("event_id"),
+        when(col("event_id") % 91 === 0L, col("qval") + 1000L)
+          .otherwise(col("qval")).as("qval"))
+      .unionByName(base.filter(col("event_id") % 101 === 0L)
+        .select((col("event_id") + 1000000000000L).as("event_id"), col("qval")))
+    val table = java.nio.file.Files.createTempDirectory("graft-lake-diff").toString
+    val s1 = graft.lake.Lake.commit(spark, table, base.repartition(8), "base")
+    val s2 = graft.lake.Lake.commit(spark, table, mutated.repartition(8), "mutate")
+    val o = graft.lake.Lake.readAt(spark, table, s1.seq)
+      .select(col("event_id"), col("qval").as("oq"))
+    val n = graft.lake.Lake.readAt(spark, table, s2.seq)
+      .select(col("event_id"), col("qval").as("nq"))
+    o.join(n, Seq("event_id"), "full_outer")
+      .withColumn("change",
+        when(col("oq").isNull, lit("inserted"))
+          .when(col("nq").isNull, lit("deleted"))
+          .when(col("oq") =!= col("nq"), lit("updated"))
+          .otherwise(lit("unchanged")))
+      .groupBy("change")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("event_id").cast("decimal(38,0)")).cast("long").as("id_sum"),
+        sum(coalesce(col("nq"), lit(0L)) - coalesce(col("oq"), lit(0L))).as("dq_sum"))
+      .orderBy("change")
+  }
+
+  /** MATRIX-PROFILE census (L1, window 4) over daily event counts per
+    * type — for every length-4 window of the observed-day sequence, the
+    * minimum L1 distance to any OTHER window at least 2 positions away
+    * (the classic exclusion zone = window/2, so near-self trivial
+    * matches can't win) and the position of that nearest match (ties:
+    * smallest j — a stated total tie-break via one lexicographic struct
+    * min). The profile is the standard motif/discord detector: small
+    * min_dist = a repeated weekly shape, large = an anomaly. Windows are
+    * positions over OBSERVED days (the [[ordPatterns]] contract), and
+    * windows with no admissible partner (fewer than 6 observed days)
+    * drop. Integer-exact throughout. Plan: the calendar-bounded daily
+    * frame again — windows via two narrow leads, the O(W^2) pair join is
+    * type-keyed over W = days - 3 windows (ten years: ~13M pairs per
+    * type, map-side combinable straight into the per-i struct min;
+    * nothing rawer than per-day counts shuffles).
+    */
+  val profile: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val win = events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("a0"))
+      .withColumn("i", (row_number().over(w) - 1).cast("long"))
+      .withColumn("a1", lead("a0", 1).over(w))
+      .withColumn("a2", lead("a0", 2).over(w))
+      .withColumn("a3", lead("a0", 3).over(w))
+      .filter(col("a3").isNotNull)
+      .select(col("event_type"), col("i"), col("a0"), col("a1"), col("a2"), col("a3"))
+    val other = win.select(col("event_type"), col("i").as("j"), col("a0").as("b0"),
+      col("a1").as("b1"), col("a2").as("b2"), col("a3").as("b3"))
+    win.join(other, Seq("event_type"))
+      .filter(abs(col("i") - col("j")) >= 2)
+      .withColumn("dist", abs(col("a0") - col("b0")) + abs(col("a1") - col("b1"))
+        + abs(col("a2") - col("b2")) + abs(col("a3") - col("b3")))
+      .groupBy("event_type", "i")
+      .agg(min(struct(col("dist").as("d"), col("j").as("j"))).as("m"))
+      .select(col("event_type"), col("i"),
+        col("m.d").as("min_dist"), col("m.j").as("match_j"))
+      .orderBy("event_type", "i")
+  }
+
+  // Haar level chain for the q_evt_haar / q_evt_haar_energy oracles: each
+  // level halves the previous by parent index i // 2 with the identical
+  // pair_n/s/d arithmetic; the inner rename (pi AS i) keeps the child
+  // index and the parent alias distinct names, so no lateral-alias
+  // shadowing ambiguity exists anywhere in the chain. Every level is
+  // MATERIALIZED (referenced by the next level AND the final union).
+  private def haarChainCte: String = (1 to HaarLevels).map { k =>
+    val prev = if (k == 1) "c0" else s"l${k - 1}"
+    s"""l$k AS MATERIALIZED (
+       |  SELECT event_type, i // 2 AS pi, count(*)::BIGINT AS pair_n,
+       |    sum(s)::BIGINT AS s,
+       |    (CASE WHEN count(*) = 2
+       |          THEN sum(CASE WHEN i % 2 = 0 THEN s ELSE -s END)
+       |          ELSE 0 END)::BIGINT AS d
+       |  FROM (SELECT event_type, pi AS i, s FROM $prev) GROUP BY 1, 2)""".stripMargin
+  }.mkString(",\n")
+
+  private def haarLevelUnion: String = (1 to HaarLevels)
+    .map(k => s"SELECT event_type, $k AS lvl, pi, pair_n, s, d FROM l$k")
+    .mkString("\n  UNION ALL ")
+
+  // CCF lag fan-out for the q_evt_ccf oracle: eight INDEPENDENT per-lag
+  // self-joins unioned (vs the engine's single explode + one day-keyed
+  // join) — a genuinely different query shape for the same censuses.
+  private def ccfLagUnion: String = (0 to 7).map { l =>
+    s"""SELECT a.event_type AS type_a, b.event_type AS type_b, $l AS lag,
+       |  count(*) AS n_pairs, sum(a.x) AS sx, sum(b.x) AS sy,
+       |  sum(a.x * b.x) AS sxy
+       |FROM c a JOIN c b ON b.day = a.day + $l AND a.event_type < b.event_type
+       |GROUP BY 1, 2""".stripMargin
+  }.mkString("\n  UNION ALL ")
+
+  private def haarBaseCte: String =
+    s"""d0 AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |         count(*)::BIGINT AS s
+       |       FROM events GROUP BY 1, 2),
+       |c0 AS (SELECT event_type,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS pi,
+       |         s
+       |       FROM d0),
+       |$haarChainCte,
+       |u AS ($haarLevelUnion)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // Haar pyramid: the same chained halving levels as independent CTEs
+    // (DuckDB HUGEINT intermediates kept honest by the ::BIGINT casts)
+    "q_evt_haar" ->
+      s"""WITH $haarBaseCte
+         |SELECT event_type, lvl::BIGINT AS lvl, pi::BIGINT AS idx, pair_n,
+         |  s AS s_sum, d AS d_diff
+         |FROM u ORDER BY event_type, lvl, idx""".stripMargin,
+
+    // Haar energy: the per-level sum-of-squares rollup over the same
+    // chain; HUGEINT squares collapse to BIGINT inside the engine's
+    // stated bound (the ::BIGINT cast errors on overflow, mirroring the
+    // engine's raise_error)
+    "q_evt_haar_energy" ->
+      s"""WITH $haarBaseCte
+         |SELECT event_type, lvl::BIGINT AS lvl, count(*)::BIGINT AS n_coef,
+         |  sum(CASE WHEN pair_n = 2 THEN 1 ELSE 0 END)::BIGINT AS n_pairs,
+         |  sum(s * s)::BIGINT AS s2_sum, sum(d * d)::BIGINT AS d2_sum
+         |FROM u GROUP BY 1, 2 ORDER BY event_type, lvl""".stripMargin,
+
+    // Mann–Kendall: the GATHER formulation — per anchor day, correlated
+    // counts of earlier-smaller and earlier-larger days (vs the engine's
+    // scatter over pairs); the tie term from an independent value-group
+    // rollup
+    "q_evt_mann_kendall" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |             count(*)::BIGINT AS x
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, day, x,
+        |        (SELECT count(*) FROM d d2 WHERE d2.event_type = d.event_type
+        |           AND d2.day < d.day AND d2.x < d.x) AS nl,
+        |        (SELECT count(*) FROM d d2 WHERE d2.event_type = d.event_type
+        |           AND d2.day < d.day AND d2.x > d.x) AS ng
+        |      FROM d),
+        |t AS (SELECT event_type, x, count(*)::BIGINT AS t FROM d GROUP BY 1, 2),
+        |ts AS (SELECT event_type,
+        |         sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_sum
+        |       FROM t GROUP BY 1)
+        |SELECT g.event_type, count(*)::BIGINT AS n_days,
+        |  sum(nl - ng)::BIGINT AS s_stat, ts.tie_sum,
+        |  (count(*) * (count(*) - 1) * (2 * count(*) + 5) - ts.tie_sum)::BIGINT AS var_num
+        |FROM g JOIN ts ON ts.event_type = g.event_type
+        |GROUP BY 1, ts.tie_sum ORDER BY 1""".stripMargin,
+
+    // ordinal patterns: the same two leads, classified by the explicit
+    // 6-branch sorted-chain CASE (vs the engine's indicator-sum ranks) —
+    // the stable tie rule (earlier position <= later keeps order) appears
+    // as the <= / < asymmetry in every branch
+    "q_evt_ordpat" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |             count(*)::BIGINT AS a
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, a,
+        |        lead(a, 1) OVER (PARTITION BY event_type ORDER BY day) AS b,
+        |        lead(a, 2) OVER (PARTITION BY event_type ORDER BY day) AS c
+        |      FROM d),
+        |p AS (SELECT event_type,
+        |        CASE WHEN a <= b AND b <= c THEN 12
+        |             WHEN a <= c AND c < b THEN 21
+        |             WHEN b < a AND a <= c THEN 102
+        |             WHEN c < a AND a <= b THEN 120
+        |             WHEN b <= c AND c < a THEN 201
+        |             WHEN c < b AND b < a THEN 210
+        |        END AS pid
+        |      FROM s WHERE c IS NOT NULL)
+        |SELECT event_type, pid::BIGINT AS pid, count(*)::BIGINT AS n_windows
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // CCF: the eight per-lag joins unioned (independent shape — the
+    // engine explodes the lag range once and joins day-keyed)
+    "q_evt_ccf" ->
+      s"""WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |             count(*)::BIGINT AS x
+         |           FROM events GROUP BY 1, 2),
+         |u AS (
+         |  $ccfLagUnion)
+         |SELECT type_a, type_b, lag::BIGINT AS lag, n_pairs::BIGINT AS n_pairs,
+         |  sx::BIGINT AS sx, sy::BIGINT AS sy, sxy::BIGINT AS sxy,
+         |  (n_pairs * sxy - sx * sy)::BIGINT AS cov_num
+         |FROM u ORDER BY 1, 2, 3""".stripMargin,
+
+    // matrix profile: the same windows, but the argmin via row_number
+    // over (dist, j) — rank-based, vs the engine's lexicographic struct
+    // min fold
+    "q_evt_profile" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |             count(*)::BIGINT AS a
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i,
+        |        a AS a0,
+        |        lead(a, 1) OVER (PARTITION BY event_type ORDER BY day) AS a1,
+        |        lead(a, 2) OVER (PARTITION BY event_type ORDER BY day) AS a2,
+        |        lead(a, 3) OVER (PARTITION BY event_type ORDER BY day) AS a3
+        |      FROM d),
+        |wf AS (SELECT * FROM w WHERE a3 IS NOT NULL),
+        |p AS (SELECT a.event_type, a.i, b.i AS j,
+        |        abs(a.a0 - b.a0) + abs(a.a1 - b.a1)
+        |          + abs(a.a2 - b.a2) + abs(a.a3 - b.a3) AS dist
+        |      FROM wf a JOIN wf b ON b.event_type = a.event_type
+        |        AND abs(a.i - b.i) >= 2),
+        |r AS (SELECT event_type, i, j, dist,
+        |        row_number() OVER (PARTITION BY event_type, i
+        |                           ORDER BY dist, j) AS rn
+        |      FROM p)
+        |SELECT event_type, i::BIGINT AS i, dist::BIGINT AS min_dist,
+        |  j::BIGINT AS match_j
+        |FROM r WHERE rn = 1 ORDER BY event_type, i""".stripMargin,
+
+    // lake snapshot diff: the oracle replays BOTH logical table states
+    // from raw events via the mutation predicates alone (no lake, no
+    // join) — four arithmetic class censuses unioned; the engine's
+    // committed-snapshot full-outer-join diff must land on exactly these
+    "q_lake_diff" ->
+      """WITH e AS (SELECT event_id, floor(value * 1048576.0)::BIGINT AS q FROM events),
+        |u AS (
+        |  SELECT 'deleted' AS change, count(*) AS n_rows, sum(event_id) AS id_sum,
+        |    sum(-q) AS dq_sum
+        |  FROM e WHERE event_id % 97 = 0
+        |  UNION ALL SELECT 'inserted', count(*), sum(event_id + 1000000000000), sum(q)
+        |  FROM e WHERE event_id % 101 = 0
+        |  UNION ALL SELECT 'updated', count(*), sum(event_id), count(*) * 1000
+        |  FROM e WHERE event_id % 97 <> 0 AND event_id % 91 = 0
+        |  UNION ALL SELECT 'unchanged', count(*), sum(event_id), 0
+        |  FROM e WHERE event_id % 97 <> 0 AND event_id % 91 <> 0)
+        |SELECT change, n_rows::BIGINT AS n_rows, id_sum::BIGINT AS id_sum,
+        |  dq_sum::BIGINT AS dq_sum
+        |FROM u ORDER BY change""".stripMargin,
+
     "q_lake_zorder" ->
       """SELECT count(*)::BIGINT AS n_events,
         |  sum(floor(value * 1048576)::BIGINT)::BIGINT AS sum_qval,

@@ -1167,6 +1167,107 @@ object RasterOps {
     distTransformOf(c2.toDF("x", "y", "v"), EventsGrid.Thresholds)
   }
 
+  /** POLE OF INACCESSIBILITY (grid-resolution polylabel) of the
+    * `v >= threshold` mask — the deepest-interior cell per threshold: the
+    * mask cell maximizing the L1 distance to the nearest COMPLEMENT
+    * (`v < threshold`) cell, ties broken by smallest (y, x) (a stated
+    * total tie-break, so engine/oracle/spec agree on THE pole, not just
+    * its depth). Built by ROLE INVERSION of [[distTransformOf]]'s
+    * separable transform — the same six key-local window scans with the
+    * complement as the proximity target — then one argmax per threshold
+    * via a single lexicographic struct max (max d, then max -y, then
+    * max -x): no join, no collect, no quadratic pass anywhere in the
+    * engine (the ORACLE is the independent quadratic brute force over
+    * mask x complement). Thresholds whose complement is empty (all-mask:
+    * the pole is undefined — nothing bounds the depth) and thresholds
+    * whose mask is empty both DROP, exactly the sentinel-INF filter
+    * semantics. Emits per threshold: n_mask, pole_d, pole_y, pole_x.
+    * Interior-disk invariant (specced): every cell within L1 distance
+    * < pole_d of the pole is a mask cell.
+    */
+  private[graft] def poleOf(cells: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val inf = DtInf
+    val base = cells.select(col("x"), col("y"), col("v"))
+      .crossJoin(broadcast(thresholds.toDF("threshold")))
+      .withColumn("mask", col("v") < col("threshold")) // the COMPLEMENT
+    val rowF = Window.partitionBy("threshold", "y").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rowB = Window.partitionBy("threshold", "y").orderBy("x")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val colF = Window.partitionBy("threshold", "x").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val colB = Window.partitionBy("threshold", "x").orderBy("y")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    base
+      .withColumn("lastL", max(when(col("mask"), col("x"))).over(rowF))
+      .withColumn("firstR", min(when(col("mask"), col("x"))).over(rowB))
+      .withColumn("rd", least(
+        coalesce(col("x") - col("lastL"), lit(inf)),
+        coalesce(col("firstR") - col("x"), lit(inf))))
+      .withColumn("d", least(
+        col("y") + min(col("rd") - col("y")).over(colF),
+        min(col("rd") + col("y")).over(colB) - col("y")))
+      .filter(!col("mask") && col("d") < inf / 2)
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_mask"),
+        max(struct(col("d").as("d"), (-col("y")).as("ny"), (-col("x")).as("nx"))).as("p"))
+      .select(col("threshold"), col("n_mask"),
+        col("p.d").cast("long").as("pole_d"),
+        (-col("p.ny")).cast("long").as("pole_y"),
+        (-col("p.nx")).cast("long").as("pole_x"))
+      .orderBy("threshold")
+  }
+
+  val gridPole: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (c2, _, _) = level2Cells(spark, dir)
+    poleOf(c2.toDF("x", "y", "v"), EventsGrid.Thresholds)
+  }
+
+  /** MASK TOPOLOGY census per threshold — Euler characteristics + exact
+    * boundary perimeter of the `v >= threshold` mask via Gray's bit-quad
+    * counts through the ZERO-SHUFFLE tiled kernel
+    * ([[graft.core.RasterKernel.topoCounts]] — exact-once quad
+    * attribution with the 1-cell halo): chi4 = (Q1 - Q3 + 2*QD) / 4 =
+    * #(4-connected components) - #(8-connected holes), chi8 = the
+    * -2*QD twin, perimeter = 4*n - 2*(horizontal + vertical adjacent
+    * pairs). The divisibility of the quad numerators by 4 is a theorem;
+    * it is still guarded by a LOUD raise_error (a broken attribution
+    * would trip it long before an oracle mismatch). The spec pins chi
+    * against independent BFS component/hole counts on random grids — a
+    * cross-FORMULATION check, not a recompute. Only per-threshold
+    * integer count rows cross the wire (|thresholds| x |tiles| rows);
+    * the raster never shuffles.
+    */
+  private[graft] def topoTiledOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
+                                 thresholds: Seq[Double],
+                                 tileW: Int = 16, tileH: Int = 16): DataFrame = {
+    import cells.sparkSession.implicits._
+    haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+        graft.core.RasterKernel.topoCounts(t.values, t.bx0, t.by0, t.bw,
+          t.ox0, t.oy0, t.ow, t.oh, w, h, thresholds.toArray))
+      .toDF("threshold", "n", "nh", "nv", "q1", "q3", "qd")
+      .groupBy("threshold")
+      .agg(sum("n").as("n_cells"), sum("nh").as("nhs"), sum("nv").as("nvs"),
+        sum("q1").as("q1s"), sum("q3").as("q3s"), sum("qd").as("qds"))
+      .filter(when((col("q1s") - col("q3s") + lit(2L) * col("qds")) % 4 =!= 0L
+          || (col("q1s") - col("q3s") - lit(2L) * col("qds")) % 4 =!= 0L,
+        raise_error(concat(lit("topo: threshold "), col("threshold"),
+          lit(" breaks the bit-quad divisibility invariant"))))
+        .otherwise(lit(true)))
+      .select(col("threshold"), col("n_cells"),
+        (lit(4L) * col("n_cells") - lit(2L) * (col("nhs") + col("nvs"))).as("perimeter"),
+        expr("(q1s - q3s + 2 * qds) div 4").as("euler4"),
+        expr("(q1s - q3s - 2 * qds) div 4").as("euler8"))
+      .orderBy("threshold")
+  }
+
+  val gridTopology: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (c2, w2, h2) = level2Cells(spark, dir)
+    topoTiledOf(c2, w2, h2, EventsGrid.Thresholds)
+  }
+
   /** Global Moran's I — the classic spatial-autocorrelation statistic —
     * over the events grid with rook adjacency, EXACT end to end: cells
     * quantize to q = floor(v * 2^20), deviations are against the
@@ -2058,6 +2159,79 @@ object RasterOps {
            |SELECT threshold, y::BIGINT AS y, count(*)::BIGINT AS n_cells,
            |  sum(dist)::BIGINT AS dsum, max(dist)::BIGINT AS dmax
            |FROM dd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // pole of inaccessibility: the independent quadratic brute force —
+      // per mask cell, min L1 over ALL complement cells (vs the engine's
+      // six-scan separable transform), then the stated (dist DESC, y, x)
+      // tie-broken argmax via row_number; all-mask and all-complement
+      // thresholds drop via the inner join
+      "q_grid_pole" ->
+        s"""WITH g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |${poolCte(1, 100)},
+           |${poolCte(2, 50)},
+           |t(threshold) AS (VALUES (25.0::DOUBLE), (50.0::DOUBLE), (75.0::DOUBLE), (100.0::DOUBLE)),
+           |mk AS (SELECT t.threshold, x, y FROM g2 CROSS JOIN t WHERE v >= t.threshold),
+           |cp AS (SELECT t.threshold, x, y FROM g2 CROSS JOIN t WHERE v < t.threshold),
+           |dd AS (SELECT m.threshold, m.x, m.y,
+           |         min(abs(m.x - c.x) + abs(m.y - c.y)) AS dist
+           |       FROM mk m JOIN cp c ON c.threshold = m.threshold
+           |       GROUP BY 1, 2, 3),
+           |r AS (SELECT threshold, x, y, dist,
+           |        row_number() OVER (PARTITION BY threshold
+           |                           ORDER BY dist DESC, y, x) AS rn,
+           |        count(*) OVER (PARTITION BY threshold) AS nm
+           |      FROM dd)
+           |SELECT threshold, nm::BIGINT AS n_mask, dist::BIGINT AS pole_d,
+           |  y::BIGINT AS pole_y, x::BIGINT AS pole_x
+           |FROM r WHERE rn = 1 ORDER BY threshold""".stripMargin,
+
+      // mask topology: the independent GATHER formulation — the full
+      // anchor lattice (range(-1, ..) x range(-1, ..)) with four LEFT
+      // JOIN cell lookups classifying every quad, adjacency from +1
+      // self-joins, Euler/perimeter from the same published formulas
+      "q_grid_topology" ->
+        s"""WITH g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |${poolCte(1, 100)},
+           |${poolCte(2, 50)},
+           |t(threshold) AS (VALUES (25.0::DOUBLE), (50.0::DOUBLE), (75.0::DOUBLE), (100.0::DOUBLE)),
+           |ax AS (SELECT unnest(range(-1, 25)) AS qx),
+           |ay AS (SELECT unnest(range(-1, (SELECT ((h // 2) // 2) FROM d))) AS qy),
+           |q AS (SELECT t.threshold,
+           |        coalesce((m00.v >= t.threshold)::INT, 0) AS b00,
+           |        coalesce((m10.v >= t.threshold)::INT, 0) AS b10,
+           |        coalesce((m01.v >= t.threshold)::INT, 0) AS b01,
+           |        coalesce((m11.v >= t.threshold)::INT, 0) AS b11
+           |      FROM ax CROSS JOIN ay CROSS JOIN t
+           |      LEFT JOIN g2 m00 ON m00.x = ax.qx AND m00.y = ay.qy
+           |      LEFT JOIN g2 m10 ON m10.x = ax.qx + 1 AND m10.y = ay.qy
+           |      LEFT JOIN g2 m01 ON m01.x = ax.qx AND m01.y = ay.qy + 1
+           |      LEFT JOIN g2 m11 ON m11.x = ax.qx + 1 AND m11.y = ay.qy + 1),
+           |qc AS (SELECT threshold,
+           |         sum(CASE WHEN b00 + b10 + b01 + b11 = 1 THEN 1 ELSE 0 END) AS q1,
+           |         sum(CASE WHEN b00 + b10 + b01 + b11 = 3 THEN 1 ELSE 0 END) AS q3,
+           |         sum(CASE WHEN b00 + b10 + b01 + b11 = 2
+           |                   AND b00 = b11 AND b00 <> b10 THEN 1 ELSE 0 END) AS qd
+           |       FROM q GROUP BY 1),
+           |nc AS (SELECT t.threshold, count(*) FILTER (g2.v >= t.threshold) AS n
+           |       FROM g2 CROSS JOIN t GROUP BY 1),
+           |hp AS (SELECT t.threshold, count(*) AS np FROM g2 a
+           |       JOIN g2 b ON b.x = a.x + 1 AND b.y = a.y
+           |       CROSS JOIN t
+           |       WHERE a.v >= t.threshold AND b.v >= t.threshold GROUP BY 1),
+           |vp AS (SELECT t.threshold, count(*) AS np FROM g2 a
+           |       JOIN g2 b ON b.x = a.x AND b.y = a.y + 1
+           |       CROSS JOIN t
+           |       WHERE a.v >= t.threshold AND b.v >= t.threshold GROUP BY 1)
+           |SELECT qc.threshold, nc.n::BIGINT AS n_cells,
+           |  (4 * nc.n - 2 * (coalesce(hp.np, 0) + coalesce(vp.np, 0)))::BIGINT AS perimeter,
+           |  ((qc.q1 - qc.q3 + 2 * qc.qd) // 4)::BIGINT AS euler4,
+           |  ((qc.q1 - qc.q3 - 2 * qc.qd) // 4)::BIGINT AS euler8
+           |FROM qc JOIN nc ON nc.threshold = qc.threshold
+           |LEFT JOIN hp ON hp.threshold = qc.threshold
+           |LEFT JOIN vp ON vp.threshold = qc.threshold
+           |ORDER BY 1""".stripMargin,
 
       "q_grid_pyramid" ->
       s"""WITH g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),

@@ -743,4 +743,228 @@ class EventOpsSpec extends AnyFunSuite {
     assert(want.map(_._1).distinct.size == 5 && want.size == 20,
       "4 quartiles for each of the 5 event types")
   }
+
+  /** Per-type daily-count sequences in day order — the Haar pyramid's
+    * level-0 signal — and the exact sequential pyramid built from them
+    * (the single-threaded definition the distributed level loop must
+    * reproduce coefficient for coefficient).
+    */
+  private lazy val haarBase: Map[String, Array[Long]] = {
+    val counts = ev.groupBy(e => (e._4, e._2 / 86400000000L))
+      .map { case (k, es) => (k, es.length.toLong) }
+    counts.keys.map(_._1).toSeq.distinct.map { tpe =>
+      tpe -> counts.toSeq.collect { case ((t, d), x) if t == tpe => (d, x) }
+        .sortBy(_._1).map(_._2).toArray
+    }.toMap
+  }
+
+  private lazy val haarLocal: Seq[(String, Long, Long, Long, Long, Long)] =
+    haarBase.toSeq.flatMap { case (tpe, xs0) =>
+      var xs = xs0
+      (1 to 5).flatMap { lvl =>
+        val rows = xs.grouped(2).toArray.zipWithIndex.map { case (p, i) =>
+          if (p.length == 2) (tpe, lvl.toLong, i.toLong, 2L, p(0) + p(1), p(0) - p(1))
+          else (tpe, lvl.toLong, i.toLong, 1L, p(0), 0L)
+        }
+        xs = rows.map(_._5)
+        rows
+      }
+    }
+
+  test("haar == exact sequential pyramid; carry bites; per-level s conserves the total") {
+    val got = EventOps.haar(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.toSet == haarLocal.toSet)
+    assert(got == got.sortBy(r => (r._1, r._2, r._3)), "presentation order")
+    assert(haarLocal.exists(_._4 == 1L),
+      "no ragged tail at any level — the carry contract is untested")
+    assert(haarLocal.exists(r => r._6 != 0L) && haarLocal.exists(r => r._6 < 0L),
+      "detail coefficients must be non-degenerate, both signs")
+    // conservation: at EVERY level each type's s column sums to its total
+    // event count (carries included — the lazy-wavelet invariant)
+    for ((tpe, xs) <- haarBase; lvl <- 1 to 5) {
+      val s = haarLocal.filter(r => r._1 == tpe && r._2 == lvl).map(_._5).sum
+      assert(s == xs.sum, s"type $tpe level $lvl: s-sum $s != total ${xs.sum}")
+    }
+  }
+
+  test("haarEnergy == recompute; per-level Parseval identity holds in BigInt") {
+    val want = haarLocal.groupBy(r => (r._1, r._2)).toSeq.map { case ((tpe, lvl), rs) =>
+      (tpe, lvl, rs.size.toLong, rs.count(_._4 == 2L).toLong,
+        rs.map(r => BigInt(r._5) * r._5).sum.toLong,
+        rs.map(r => BigInt(r._6) * r._6).sum.toLong)
+    }.sortBy(r => (r._1, r._2))
+    val got = EventOps.haarEnergy(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // Parseval per level: sum of child s^2 == sum over complete-pair
+    // parents of (s^2 + d^2) / 2 + sum over carried parents of s^2
+    for ((tpe, xs) <- haarBase; lvl <- 1 to 5) {
+      val childSq =
+        if (lvl == 1) xs.map(x => BigInt(x) * x).sum
+        else haarLocal.filter(r => r._1 == tpe && r._2 == lvl - 1)
+          .map(r => BigInt(r._5) * r._5).sum
+      val parentSq = haarLocal.filter(r => r._1 == tpe && r._2 == lvl).map { r =>
+        if (r._4 == 2L) (BigInt(r._5) * r._5 + BigInt(r._6) * r._6) / 2
+        else BigInt(r._5) * r._5
+      }.sum
+      assert(childSq == parentSq, s"Parseval broken at type $tpe level $lvl")
+    }
+    assert(want.exists(r => r._6 > 0L), "detail energy must be nonzero somewhere")
+  }
+
+  test("mannKendall == BigInt pairwise recompute; ties bite; pair census closes") {
+    val want = haarBase.toSeq.map { case (tpe, xs) =>
+      val n = xs.length.toLong
+      val pairs = for (i <- xs.indices; j <- i + 1 until xs.length) yield (xs(i), xs(j))
+      val s = pairs.map { case (a, b) => java.lang.Long.signum(b - a).toLong }.sum
+      val tie = xs.groupBy(identity).values.map(_.length.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      (tpe, n, s, tie, n * (n - 1) * (2 * n + 5) - tie)
+    }.sortBy(_._1)
+    val got = EventOps.mannKendall(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    assert(want.exists(_._4 > 0L), "no tied daily counts anywhere — tie term untested")
+    assert(want.exists(_._3 != 0L), "S must be nonzero for some type")
+    // census closure: concordant + discordant + tied == n(n-1)/2 per type,
+    // with C - D == S (the identity the gather/scatter formulations share)
+    for ((tpe, xs) <- haarBase) {
+      val pairs = for (i <- xs.indices; j <- i + 1 until xs.length) yield (xs(i), xs(j))
+      val c = pairs.count { case (a, b) => a < b }
+      val d = pairs.count { case (a, b) => a > b }
+      val row = want.find(_._1 == tpe).get
+      assert(c - d == row._3 && c + d <= row._2 * (row._2 - 1) / 2)
+    }
+  }
+
+  /** The stable-rule rank of each position in a triple: position i
+    * precedes j > i iff x_i <= x_j — computed by SORTING (value,
+    * position), the definitional form the engine's indicator sums and the
+    * oracle's CASE chain must both reproduce.
+    */
+  private def ordPid(a: Long, b: Long, c: Long): Long = {
+    val order = Seq((a, 0), (b, 1), (c, 2)).sortBy(identity)
+    val rank = order.zipWithIndex.map { case ((_, pos), r) => pos -> r.toLong }.toMap
+    rank(0) * 100 + rank(1) * 10 + rank(2)
+  }
+
+  test("ordPatterns == stable-rule sort recompute; indicator ranks == sort ranks on all 27 triples") {
+    // the engine's indicator-sum arithmetic, replicated locally
+    def indPid(a: Long, b: Long, c: Long): Long = {
+      val ra = (if (b < a) 1L else 0L) + (if (c < a) 1L else 0L)
+      val rb = (if (a <= b) 1L else 0L) + (if (c < b) 1L else 0L)
+      val rc = (if (a <= c) 1L else 0L) + (if (b <= c) 1L else 0L)
+      ra * 100 + rb * 10 + rc
+    }
+    for (a <- 0L to 2L; b <- 0L to 2L; c <- 0L to 2L)
+      assert(indPid(a, b, c) == ordPid(a, b, c), s"triple ($a,$b,$c)")
+    val want = haarBase.toSeq.flatMap { case (tpe, xs) =>
+      xs.sliding(3).filter(_.length == 3)
+        .map(w => (tpe, ordPid(w(0), w(1), w(2)))).toSeq
+    }.groupBy(identity).map { case ((tpe, pid), ws) => (tpe, pid, ws.size.toLong) }
+      .toSeq.sortBy(r => (r._1, r._2))
+    val got = EventOps.ordPatterns(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(want.map(_._2).distinct.size >= 3,
+      "fewer than 3 distinct patterns — census degenerate")
+    // window-count closure: patterns per type sum to n - 2
+    for ((tpe, xs) <- haarBase)
+      assert(want.filter(_._1 == tpe).map(_._3).sum == xs.length - 2)
+  }
+
+  test("ccf == local per-lag pair recompute; lag-0 symmetry anchors the pair orientation") {
+    val counts = ev.groupBy(e => (e._4, e._2 / 86400000000L))
+      .map { case (k, es) => (k, es.length.toLong) }
+    val types = counts.keys.map(_._1).toSeq.distinct.sorted
+    val want = (for {
+      ta <- types; tb <- types if ta < tb; lag <- 0L to 7L
+    } yield {
+      val pairs = counts.toSeq.collect {
+        case ((t, d), x) if t == ta && counts.contains((tb, d + lag)) =>
+          (x, counts((tb, d + lag)))
+      }
+      val n = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      (ta, tb, lag, n, sx, sy, sxy, n * sxy - sx * sy)
+    }).filter(_._4 > 0L).sortBy(r => (r._1, r._2, r._3))
+    val got = EventOps.ccf(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == want)
+    assert(want.exists(_._8 != 0L), "cross-covariance must be non-degenerate")
+    // at lag 0 the census is symmetric in the pair: swapping roles only
+    // swaps sx/sy, so cov_num is identical — an internal consistency pin
+    for ((ta, tb, _, n, sx, sy, _, cov) <- want.filter(_._3 == 0L)) {
+      val swapped = counts.toSeq.collect {
+        case ((t, d), x) if t == tb && counts.contains((ta, d)) => (x, counts((ta, d)))
+      }
+      val sn = swapped.length.toLong
+      val ssx = swapped.map(_._1).sum; val ssy = swapped.map(_._2).sum
+      val ssxy = swapped.map(p => p._1 * p._2).sum
+      assert(sn == n && ssx == sy && ssy == sx && sn * ssxy - ssx * ssy == cov,
+        s"lag-0 symmetry broken for ($ta, $tb)")
+    }
+  }
+
+  test("lakeDiff == predicate replay; classes partition both snapshots; dq telescopes") {
+    def q20(x: Double): Long = math.floor(x * 1048576.0).toLong
+    val rows = ev.map(e => (e._1, q20(e._5))) // (event_id, qval)
+    val del = rows.filter(_._1 % 97 == 0)
+    val ins = rows.filter(_._1 % 101 == 0)
+    val upd = rows.filter(r => r._1 % 97 != 0 && r._1 % 91 == 0)
+    val unch = rows.filter(r => r._1 % 97 != 0 && r._1 % 91 != 0)
+    val want = Seq(
+      ("deleted", del.length.toLong, del.map(_._1).sum, -del.map(_._2).sum),
+      ("inserted", ins.length.toLong, ins.map(_._1 + 1000000000000L).sum, ins.map(_._2).sum),
+      ("unchanged", unch.length.toLong, unch.map(_._1).sum, 0L),
+      ("updated", upd.length.toLong, upd.map(_._1).sum, upd.length.toLong * 1000L))
+    val got = EventOps.lakeDiff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(Seq(del, ins, upd).forall(_.nonEmpty), "every mutation class must bite")
+    // conservation: the signed deltas telescope to total(v2) - total(v1)
+    val v1 = rows.map(_._2).sum
+    val v2 = rows.filter(_._1 % 97 != 0)
+      .map(r => if (r._1 % 91 == 0) r._2 + 1000L else r._2).sum + ins.map(_._2).sum
+    assert(want.map(_._4).sum == v2 - v1, "dq_sum must telescope across classes")
+    // the four classes partition the union of both snapshots' key sets
+    assert(del.length + upd.length + unch.length == rows.length)
+    assert(got.map(_._2).sum == rows.length + ins.length)
+  }
+
+  test("profile == brute windowed L1 argmin with exclusion; the exclusion zone bites") {
+    def l1(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+    val want = haarBase.toSeq.flatMap { case (tpe, xs) =>
+      val wins = xs.sliding(4).filter(_.length == 4).map(_.toArray).toArray
+      wins.indices.flatMap { i =>
+        val cands = wins.indices.filter(j => math.abs(i - j) >= 2)
+          .map(j => (l1(wins(i), wins(j)), j.toLong))
+        if (cands.isEmpty) None
+        else Some((tpe, i.toLong, cands.min._1, cands.min._2))
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = EventOps.profile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // the exclusion zone must matter somewhere: an adjacent (|i-j| = 1)
+    // window strictly beats the admissible minimum for some i
+    val bites = haarBase.exists { case (_, xs) =>
+      val wins = xs.sliding(4).filter(_.length == 4).map(_.toArray).toArray
+      wins.indices.exists { i =>
+        val admissible = wins.indices.filter(j => math.abs(i - j) >= 2)
+          .map(j => l1(wins(i), wins(j)))
+        admissible.nonEmpty && wins.indices.exists(j =>
+          math.abs(i - j) == 1 && l1(wins(i), wins(j)) < admissible.min)
+      }
+    }
+    assert(bites, "exclusion zone never bites — trivial-match contract untested")
+    assert(want.map(_._3).distinct.size > 3, "profile must be non-degenerate")
+  }
 }

@@ -283,6 +283,98 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(ths.exists(th => vals.count(_ >= th) < h), "a threshold must leave empty rows")
   }
 
+  test("gridPole == brute argmax of L1-to-complement; interior disk is all-mask") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val w = 17
+    val h = 9
+    val vals = Array.fill(h * w)(rnd.nextDouble() * 120.0)
+    // 0.0 makes an all-mask threshold (empty complement -> drops);
+    // 150 an all-complement one (empty mask -> drops)
+    val ths = Seq(0.0, 30.0, 60.0, 90.0, 150.0)
+    val brute = ths.flatMap { th =>
+      val mask = for (y <- 0 until h; x <- 0 until w if vals(y * w + x) >= th) yield (x, y)
+      val comp = for (y <- 0 until h; x <- 0 until w if vals(y * w + x) < th) yield (x, y)
+      if (mask.isEmpty || comp.isEmpty) None
+      else {
+        val ds = mask.map { case (x, y) =>
+          (comp.map(c => math.abs(x - c._1) + math.abs(y - c._2)).min.toLong, y.toLong, x.toLong)
+        }
+        val best = ds.minBy(d => (-d._1, d._2, d._3))
+        Some((th, mask.size.toLong, best._1, best._2, best._3))
+      }
+    }.sortBy(_._1)
+    val cells = spark.createDataset(
+      for (y <- 0 until h; x <- 0 until w) yield (x, y, vals(y * w + x)))
+      .toDF("x", "y", "v")
+    val got = RasterOps.poleOf(cells, ths).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == brute)
+    assert(got.size == 3, "the all-mask and all-complement thresholds must drop")
+    assert(got.exists(_._3 > 1L), "a pole strictly interior must occur")
+    // interior-disk invariant: every in-grid cell with L1 < pole_d of the
+    // pole is a mask cell (the definition of inaccessibility depth)
+    for ((th, _, d, py, px) <- got; y <- 0 until h; x <- 0 until w
+         if math.abs(x - px) + math.abs(y - py) < d)
+      assert(vals(y * w + x) >= th, s"disk cell ($x, $y) below threshold $th")
+  }
+
+  test("gridTopology: bit-quad Euler == BFS components minus holes; perimeter == exposed edges") {
+    import spark.implicits._
+    def comps(cells: Set[(Int, Int)], dirs: Seq[(Int, Int)]): Seq[Set[(Int, Int)]] = {
+      val seen = scala.collection.mutable.Set.empty[(Int, Int)]
+      cells.toSeq.sorted.flatMap { start =>
+        if (seen(start)) None
+        else {
+          val comp = scala.collection.mutable.Set(start)
+          val queue = scala.collection.mutable.Queue(start)
+          while (queue.nonEmpty) {
+            val (x, y) = queue.dequeue()
+            for ((dx, dy) <- dirs; nb = (x + dx, y + dy)
+                 if cells(nb) && !comp(nb)) { comp += nb; queue += nb }
+          }
+          seen ++= comp
+          Some(comp.toSet)
+        }
+      }
+    }
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 3) {
+      val w = 7 + rnd.nextInt(12)
+      val h = 5 + rnd.nextInt(8)
+      val vals = Array.fill(h * w)(rnd.nextDouble() * 100.0)
+      val ths = Seq(20.0, 50.0, 80.0)
+      val cells = spark.createDataset(
+        for (y <- 0 until h; x <- 0 until w) yield (x, y, vals(y * w + x)))
+      val got = RasterOps.topoTiledOf(cells, w, h, ths, 5, 4).collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(got.map(_._1) == ths, s"trial $trial: all thresholds must emit")
+      for ((th, n, perim, e4, e8) <- got) {
+        def m(x: Int, y: Int) = x >= 0 && x < w && y >= 0 && y < h && vals(y * w + x) >= th
+        val maskSet = (for (y <- 0 until h; x <- 0 until w if m(x, y)) yield (x, y)).toSet
+        assert(n == maskSet.size)
+        val pe = maskSet.toSeq.map { case (x, y) =>
+          Seq((x - 1, y), (x + 1, y), (x, y - 1), (x, y + 1))
+            .count { case (xx, yy) => !m(xx, yy) }.toLong
+        }.sum
+        assert(perim == pe, s"trial $trial th $th: perimeter")
+        // Euler via the INDEPENDENT formulation: BFS component and hole
+        // counts (complement padded by one background ring; a complement
+        // component not reaching the ring is a hole)
+        val compSet = (for (y <- -1 to h; x <- -1 to w if !m(x, y)) yield (x, y)).toSet
+        val d4 = Seq((1, 0), (-1, 0), (0, 1), (0, -1))
+        val d8 = d4 ++ Seq((1, 1), (1, -1), (-1, 1), (-1, -1))
+        val c4 = comps(maskSet, d4).size.toLong
+        val c8 = comps(maskSet, d8).size.toLong
+        val holes8 = comps(compSet, d8).count(c => !c.contains((-1, -1))).toLong
+        val holes4 = comps(compSet, d4).count(c => !c.contains((-1, -1))).toLong
+        assert(e4 == c4 - holes8, s"trial $trial th $th: chi4 $e4 != $c4 - $holes8")
+        assert(e8 == c8 - holes4, s"trial $trial th $th: chi8 $e8 != $c8 - $holes4")
+      }
+    }
+  }
+
   /** Brute-force local viewshed of one row of quantized elevations:
     * visible x's (x = 0 always; x >= 1 iff its angle strictly beats every
     * predecessor's by integer cross-product).
