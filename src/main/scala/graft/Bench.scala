@@ -326,6 +326,15 @@ object Bench {
     Seq("q_evt_mann_kendall", "q_evt_ordpat", "q_evt_ccf", "q_lake_diff",
       "q_evt_profile", "q_grid_pole", "q_grid_topology")
 
+  /** Sixty-fifth/sixty-sixth waves: RAKE keyphrase extraction (the
+    * positional text plan — segment windows + degree/freq rollup + the
+    * phrase regroup, all doc-keyed) and the depth-2 binary-segmentation
+    * change points (prefix-window CUSUM recursion, one user_id
+    * exchange).
+    */
+  private val Ops38Queries =
+    Seq("q_doc_keyphrase", "q_evt_changepoint")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -341,7 +350,8 @@ object Bench {
     "ops24" -> Ops24Queries, "ops25" -> Ops25Queries,
     "ops27" -> Ops27Queries, "ops33" -> Ops33Queries,
     "ops34" -> Ops34Queries, "ops35" -> Ops35Queries,
-    "ops36" -> Ops36Queries)
+    "ops36" -> Ops36Queries, "ops37" -> Ops37Queries,
+    "ops38" -> Ops38Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

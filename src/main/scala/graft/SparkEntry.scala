@@ -743,6 +743,8 @@ object SparkEntry {
     "q_evt_profile" -> EventOps.profile,
     "q_grid_pole" -> RasterOps.gridPole,
     "q_grid_topology" -> RasterOps.gridTopology,
+    "q_doc_keyphrase" -> TrainingOps.keyphrase,
+    "q_evt_changepoint" -> EventOps.changepoint,
     "q_evt_cusum" -> EventOps.cusum,
     "q_evt_spearman" -> EventOps.spearman,
     "q_evt_spike" -> EventOps.spike,

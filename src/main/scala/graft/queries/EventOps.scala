@@ -1322,6 +1322,72 @@ object EventOps {
       .orderBy("event_type", "i")
   }
 
+  /** BINARY-SEGMENTATION change points (depth 2) per user — the
+    * hierarchical extension of [[cusum]]: the level-1 split k1 is the
+    * (smallest) maximizer of the exact integer CUSUM statistic over the
+    * whole value sequence, then the SAME statistic runs independently on
+    * each side ([1, k1] and (k1, n]) to yield the level-2 splits — the
+    * classic recursive change-point scheme, truncated at a stated depth
+    * of 2 (rounds = depth, never data-dependent). Segment statistics
+    * come from the GLOBAL prefix sums alone (segment [l, r] split at k:
+    * |m*(P_k - P_{l-1}) - (k-l+1)*(P_r - P_{l-1})|, m = r-l+1), so no
+    * per-segment rescan exists. Sides too short for an interior split
+    * report the stated sentinel (k = -1, stat = 0; no NULLs cross the
+    * compare). Single-event users drop (no interior split at depth 1,
+    * the [[cusum]] contract). Ties everywhere break to the SMALLEST k
+    * via one lexicographic struct min over (-stat, k). Plan: ONE user_id
+    * exchange serves the ordered prefix window, the whole-partition
+    * aggregates, the level-1 argmax, the side join, and the level-2
+    * argmaxes — every key is user-prefixed. The [[cusum]] decimal guard
+    * (n^2 * qmax < 2^61) bounds every product on every segment.
+    */
+  val changepoint: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val dec = "decimal(38,0)"
+    val bound = lit("2305843009213693952").cast(dec) // 2^61
+    val wOrd = Window.partitionBy("user_id").orderBy("ts")
+    val wAll = Window.partitionBy("user_id")
+    val rows = events(spark, dir)
+      .select(col("user_id"), col("ts"), floor(col("value") * Q20).cast("long").as("q"))
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("pk", sum("q").over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum("q").over(wAll))
+      .withColumn("qmax", max(abs(col("q"))).over(wAll))
+      .filter(when(col("n").cast(dec) * col("n") * col("qmax") >= bound,
+        raise_error(concat(lit("changepoint: user "), col("user_id"),
+          lit(" exceeds the n^2*qmax < 2^61 Long-safety contract"))))
+        .otherwise(lit(true)))
+      .select("user_id", "k", "pk", "n", "s")
+    val lvl1 = rows.filter(col("k") < col("n"))
+      .withColumn("stat", abs(col("n") * col("pk") - col("k") * col("s")))
+      .groupBy("user_id")
+      .agg(max("n").as("n"), max("s").as("s"),
+        min(struct((-col("stat")).as("ns"), col("k").as("k"), col("pk").as("pk"))).as("b"))
+      .select(col("user_id"), col("n"), col("s"),
+        col("b.k").as("k1"), (-col("b.ns")).as("stat1"), col("b.pk").as("pk1"))
+    rows.select("user_id", "k", "pk")
+      .join(lvl1, Seq("user_id"))
+      .withColumn("statl",
+        when(col("k") < col("k1"),
+          abs(col("k1") * col("pk") - col("k") * col("pk1"))))
+      .withColumn("statr",
+        when(col("k") > col("k1") && col("k") < col("n"),
+          abs((col("n") - col("k1")) * (col("pk") - col("pk1"))
+            - (col("k") - col("k1")) * (col("s") - col("pk1")))))
+      .groupBy("user_id")
+      .agg(max("n").as("n_events"), max("k1").as("k1"), max("stat1").as("stat1"),
+        min(when(col("statl").isNotNull,
+          struct((-col("statl")).as("ns"), col("k").as("k")))).as("bl"),
+        min(when(col("statr").isNotNull,
+          struct((-col("statr")).as("ns"), col("k").as("k")))).as("br"))
+      .select(col("user_id"), col("n_events"), col("k1"), col("stat1"),
+        coalesce(col("bl.k"), lit(-1L)).as("k2l"),
+        coalesce(-col("bl.ns"), lit(0L)).as("stat2l"),
+        coalesce(col("br.k"), lit(-1L)).as("k2r"),
+        coalesce(-col("br.ns"), lit(0L)).as("stat2r"))
+      .orderBy("user_id")
+  }
+
   // Haar level chain for the q_evt_haar / q_evt_haar_energy oracles: each
   // level halves the previous by parent index i // 2 with the identical
   // pair_n/s/d arithmetic; the inner rename (pi AS i) keeps the child
@@ -1445,6 +1511,53 @@ object EventOps {
          |  sx::BIGINT AS sx, sy::BIGINT AS sy, sxy::BIGINT AS sxy,
          |  (n_pairs * sxy - sx * sy)::BIGINT AS cov_num
          |FROM u ORDER BY 1, 2, 3""".stripMargin,
+
+    // binary segmentation: the same prefix/total windows, level-1 best
+    // via max-join + arg_min (vs the engine's struct-min fold), side
+    // statistics from the same global prefixes, side bests via
+    // row_number rank
+    "q_evt_changepoint" ->
+      """WITH e AS (SELECT user_id, ts, floor(value * 1048576.0)::BIGINT AS q FROM events),
+        |p AS (SELECT user_id,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts) AS k,
+        |        sum(q) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS pk,
+        |        count(*) OVER (PARTITION BY user_id) AS n,
+        |        sum(q) OVER (PARTITION BY user_id) AS s
+        |      FROM e),
+        |st1 AS (SELECT user_id, n, s, k, pk, abs(n * pk - k * s) AS stat
+        |        FROM p WHERE k < n),
+        |m1 AS (SELECT user_id, max(stat) AS mx FROM st1 GROUP BY 1),
+        |b1 AS (SELECT st1.user_id, max(st1.n) AS n, max(st1.s) AS s,
+        |         min(st1.k) AS k1, arg_min(st1.pk, st1.k) AS pk1,
+        |         max(m1.mx) AS stat1
+        |       FROM st1 JOIN m1 ON m1.user_id = st1.user_id AND st1.stat = m1.mx
+        |       GROUP BY 1),
+        |lft AS (SELECT p.user_id, p.k,
+        |          abs(b1.k1 * p.pk - p.k * b1.pk1) AS stat
+        |        FROM p JOIN b1 ON b1.user_id = p.user_id WHERE p.k < b1.k1),
+        |lbest AS (SELECT user_id, k AS k2l, stat AS stat2l FROM (
+        |            SELECT user_id, k, stat, row_number() OVER (
+        |              PARTITION BY user_id ORDER BY stat DESC, k) AS rn
+        |            FROM lft) WHERE rn = 1),
+        |rgt AS (SELECT p.user_id, p.k,
+        |          abs((b1.n - b1.k1) * (p.pk - b1.pk1)
+        |              - (p.k - b1.k1) * (b1.s - b1.pk1)) AS stat
+        |        FROM p JOIN b1 ON b1.user_id = p.user_id
+        |        WHERE p.k > b1.k1 AND p.k < b1.n),
+        |rbest AS (SELECT user_id, k AS k2r, stat AS stat2r FROM (
+        |            SELECT user_id, k, stat, row_number() OVER (
+        |              PARTITION BY user_id ORDER BY stat DESC, k) AS rn
+        |            FROM rgt) WHERE rn = 1)
+        |SELECT b1.user_id, b1.n::BIGINT AS n_events, b1.k1::BIGINT AS k1,
+        |  b1.stat1::BIGINT AS stat1,
+        |  coalesce(lbest.k2l, -1)::BIGINT AS k2l,
+        |  coalesce(lbest.stat2l, 0)::BIGINT AS stat2l,
+        |  coalesce(rbest.k2r, -1)::BIGINT AS k2r,
+        |  coalesce(rbest.stat2r, 0)::BIGINT AS stat2r
+        |FROM b1 LEFT JOIN lbest ON lbest.user_id = b1.user_id
+        |LEFT JOIN rbest ON rbest.user_id = b1.user_id
+        |ORDER BY b1.user_id""".stripMargin,
 
     // matrix profile: the same windows, but the argmin via row_number
     // over (dist, j) — rank-based, vs the engine's lexicographic struct

@@ -575,6 +575,54 @@ object TrainingOps {
         expr("((n_shingles - n_distinct) * 1000L) div greatest(n_shingles, 1L)"))
       .orderBy("doc_id")
 
+  /** RAKE KEYPHRASE extraction per document — the classic stopword-
+    * delimited keyphrase scorer (Rose et al.), integer-exact end to end:
+    * phrases are MAXIMAL runs of non-stopword tokens (the shared
+    * [[StopWords]] list delimits, the shared `toks` contract tokenizes);
+    * within each document, word degree = sum of the lengths of the
+    * phrases each occurrence sits in (self included, duplicates counted
+    * per occurrence — a stated contract), word freq = occurrence count,
+    * word score = (degree * 10^6) div freq (one truncating division —
+    * the only non-sum), and a phrase's score is the sum of its member
+    * occurrences' word scores. Emitted per document: the TOP phrase by
+    * (score DESC, phrase ASC) — a total tie-break realized as ONE
+    * lexicographic struct min over (-score, phrase, len); duplicate
+    * phrase instances tie with identical payloads, so the winner row is
+    * deterministic either way — plus the phrase count. Documents whose
+    * tokens are all stopwords (no phrase) drop on both sides. Plan: one
+    * doc_id exchange serves the position window, the segment window,
+    * the per-(doc, token) rollup, AND the phrase regroup (every key is
+    * doc-prefixed); per-phrase collect_list is bounded by document
+    * length — the same per-doc-bounded contract as chunking. Long-safe
+    * while every document stays under ~3M tokens (degree < n_doc_toks,
+    * degree * 10^6 < 2^63).
+    */
+  val keyphrase: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val inList = StopWords.map(w => s"'$w'").mkString(", ")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("stop", expr(s"tok IN ($inList)"))
+      .withColumn("seg", sum(when(col("stop"), 1L).otherwise(0L)).over(w))
+      .filter(!col("stop"))
+      .withColumn("plen", count(lit(1)).over(Window.partitionBy("doc_id", "seg")))
+    val wordScores = tok.groupBy("doc_id", "tok")
+      .agg(sum("plen").as("deg"), count(lit(1)).as("freq"))
+      .select(col("doc_id"), col("tok"), expr("(deg * 1000000L) div freq").as("wscore"))
+    tok.join(wordScores, Seq("doc_id", "tok"))
+      .groupBy("doc_id", "seg")
+      .agg(sum("wscore").as("score"), count(lit(1)).as("plen2"),
+        expr("array_join(transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+          .as("phrase"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_phrases"),
+        min(struct((-col("score")).as("ns"), col("phrase").as("p"),
+          col("plen2").as("l"))).as("b"))
+      .select(col("doc_id"), col("n_phrases"), col("b.p").as("phrase"),
+        col("b.l").as("phrase_len"), (-col("b.ns")).as("score_x1e6"))
+      .orderBy("doc_id")
+  }
+
   /** Composite quality GATE — the keep/drop decision an ingestion pipeline
     * actually runs, composed from the individual signals above with a
     * DETERMINISTIC verdict precedence (first failing rule names the
@@ -2980,6 +3028,46 @@ object TrainingOps {
         |  ((sum(ns * (ns - 1)) * 1000000)
         |    // (sum(ns) * (sum(ns) - 1)))::BIGINT AS same_src_x1e6
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // RAKE keyphrase: the same stopword-delimited segmentation rebuilt
+    // positionally in SQL — segments via a running stopword count, word
+    // degree/freq, phrase score as the per-occurrence sum, the top
+    // phrase via row_number over (score DESC, phrase) vs the engine's
+    // struct-min fold
+    "q_doc_keyphrase" ->
+      """WITH tk AS (SELECT doc_id, u.i AS pos, ws[u.i] AS tok
+        |            FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |                  FROM documents) t,
+        |            unnest(range(1, len(ws) + 1)) AS u(i)),
+        |g AS (SELECT doc_id, pos, tok,
+        |        tok IN ('the', 'of', 'and', 'to', 'in', 'a', 'is', 'that',
+        |                'it', 'for', 'on', 'as', 'with', 'was', 'at', 'by',
+        |                'an', 'be', 'this', 'are') AS stop
+        |      FROM tk),
+        |sg AS (SELECT doc_id, pos, tok, stop,
+        |         sum(CASE WHEN stop THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+        |       FROM g),
+        |w AS (SELECT doc_id, seg, pos, tok,
+        |        count(*) OVER (PARTITION BY doc_id, seg) AS plen
+        |      FROM sg WHERE NOT stop),
+        |wsc AS (SELECT doc_id, tok,
+        |          (sum(plen) * 1000000) // count(*) AS wscore
+        |        FROM w GROUP BY 1, 2),
+        |ph AS (SELECT w.doc_id, w.seg,
+        |         string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+        |         count(*)::BIGINT AS plen,
+        |         sum(wsc.wscore)::BIGINT AS score
+        |       FROM w JOIN wsc ON wsc.doc_id = w.doc_id AND wsc.tok = w.tok
+        |       GROUP BY 1, 2),
+        |r AS (SELECT doc_id, phrase, plen, score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY score DESC, phrase) AS rn,
+        |        count(*) OVER (PARTITION BY doc_id) AS np
+        |      FROM ph)
+        |SELECT doc_id, np::BIGINT AS n_phrases, phrase,
+        |  plen AS phrase_len, score AS score_x1e6
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_doc_stopwords" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents)

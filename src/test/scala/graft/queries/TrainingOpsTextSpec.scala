@@ -674,4 +674,41 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     // zero counts crossing the equality above IS the regression guard
     assert(want.nonEmpty && want.map(_._3).sum > 0L)
   }
+
+  test("keyphrase == local RAKE recompute (segments, degree/freq, struct-min top phrase)") {
+    val stop = Set("the", "of", "and", "to", "in", "a", "is", "that", "it",
+      "for", "on", "as", "with", "was", "at", "by", "an", "be", "this", "are")
+    val want = docsLocal().flatMap { case (id, text) =>
+      val ts = toks(text)
+      // segment id = running stopword count; phrases = non-stop runs
+      var seg = 0L
+      val tagged = ts.map { t =>
+        if (stop(t)) { seg += 1; None } else Some((seg, t))
+      }.flatten
+      if (tagged.isEmpty) None
+      else {
+        val phrases = tagged.groupBy(_._1).view
+          .mapValues(_.map(_._2).toSeq).toSeq // insertion order within seg kept
+        val plenOf = phrases.map { case (s, ws) => s -> ws.length.toLong }.toMap
+        val wstats = tagged.groupBy(_._2).view.mapValues { occs =>
+          val deg = occs.map(o => plenOf(o._1)).sum
+          val freq = occs.size.toLong
+          deg * 1000000L / freq
+        }.toMap
+        val scored = phrases.map { case (_, ws) =>
+          (ws.map(wstats).sum, ws.mkString(" "), ws.length.toLong)
+        }
+        val top = scored.minBy { case (sc, p, _) => (-sc, p) }
+        Some((id, phrases.size.toLong, top._2, top._3, top._1))
+      }
+    }.sortBy(_._1)
+    val got = TrainingOps.keyphrase(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    assert(want.exists(_._4 > 1L), "a multi-word top phrase must occur")
+    assert(want.exists(_._2 > 1L), "multi-phrase documents must occur")
+    // the degree side of RAKE must matter: some top phrase is NOT the
+    // most frequent unigram run (score is degree-weighted, not count)
+    assert(want.map(_._5).distinct.size > 1, "scores must be non-degenerate")
+  }
 }
