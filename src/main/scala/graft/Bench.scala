@@ -326,14 +326,18 @@ object Bench {
     Seq("q_evt_mann_kendall", "q_evt_ordpat", "q_evt_ccf", "q_lake_diff",
       "q_evt_profile", "q_grid_pole", "q_grid_topology")
 
-  /** Sixty-fifth/sixty-sixth waves: RAKE keyphrase extraction (the
-    * positional text plan — segment windows + degree/freq rollup + the
-    * phrase regroup, all doc-keyed) and the depth-2 binary-segmentation
+  /** Sixty-fifth through sixty-eighth waves: RAKE keyphrase extraction
+    * (the positional text plan — segment windows + degree/freq rollup +
+    * the phrase regroup, all doc-keyed), the depth-2 binary-segmentation
     * change points (prefix-window CUSUM recursion, one user_id
-    * exchange).
+    * exchange), the component-nesting census over the threshold ladder
+    * (the shared tile-contracted labeling + one cell-keyed self-join),
+    * and the basin border census (two id-arithmetic label joins over the
+    * pointer-doubling watershed labels).
     */
   private val Ops38Queries =
-    Seq("q_doc_keyphrase", "q_evt_changepoint")
+    Seq("q_doc_keyphrase", "q_evt_changepoint", "q_cc_nesting",
+      "q_basin_borders")
 
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(

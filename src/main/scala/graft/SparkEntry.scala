@@ -745,6 +745,8 @@ object SparkEntry {
     "q_grid_topology" -> RasterOps.gridTopology,
     "q_doc_keyphrase" -> TrainingOps.keyphrase,
     "q_evt_changepoint" -> EventOps.changepoint,
+    "q_cc_nesting" -> RasterOps.ccNesting,
+    "q_basin_borders" -> HydroOps.basinBorders,
     "q_evt_cusum" -> EventOps.cusum,
     "q_evt_spearman" -> EventOps.spearman,
     "q_evt_spike" -> EventOps.spike,

@@ -86,6 +86,42 @@ object HydroOps {
       .orderBy("basin_size")
   }
 
+  /** BASIN BORDER census — the ridge-line structure of the watershed
+    * partition: every rook-adjacent pair of interior cells whose
+    * [[basinLabels]] sinks DIFFER is a border edge; the census emits the
+    * total adjacency count, the internal (same-basin) count, and over
+    * the distinct unordered basin pairs the pair count, total border
+    * edge count, the longest shared ridge (max edges for one pair), and
+    * the sink-id checksums pinning WHICH basins abut. Adjacency needs NO
+    * neighbor shuffle of the raster: interior cell ids are y*w + x, so
+    * the right/down neighbor joins are plain equi-joins on id-1 / id-w
+    * against the label frame (a neighbor outside the interior band is
+    * simply absent — ids can't wrap into the next row because x = w-1
+    * is never interior). internal + border = total is the closure the
+    * spec asserts against the grid dims. Plan: the pointer-doubling
+    * labeling dominates; the census adds two label-keyed equi-joins and
+    * two tiny rollups.
+    */
+  val basinBorders: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val succ = RasterOps.d8SuccCellsTiledOf(
+      RasterOps.baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+    val lbl = basinLabels(succ)
+    val a = lbl.select(col("id"), col("sink").as("sa"))
+    val right = a.join(lbl.select((col("id") - 1L).as("id"), col("sink").as("sb")), Seq("id"))
+    val down = a.join(lbl.select((col("id") - w.toLong).as("id"), col("sink").as("sb")), Seq("id"))
+    val allp = right.unionByName(down).select("sa", "sb").localCheckpoint(true)
+    val tot = allp.agg(count(lit(1)).as("n_adj_pairs"),
+      sum(when(col("sa") === col("sb"), 1L).otherwise(0L)).as("n_internal"))
+    val bp = allp.filter(col("sa") =!= col("sb"))
+      .select(least(col("sa"), col("sb")).as("lo"), greatest(col("sa"), col("sb")).as("hi"))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("ne"))
+      .agg(count(lit(1)).as("n_basin_pairs"), sum("ne").as("n_border_edges"),
+        max("ne").as("max_pair_edges"), sum("lo").as("lo_sum"), sum("hi").as("hi_sum"))
+    tot.crossJoin(bp)
+  }
+
   /** All transitive DOWNSTREAM pairs (anc, node) of the successor forest —
     * every (cell, strictly-downstream cell on its flow path) — by DOUBLED
     * COMPOSITION: the invariant after the round at stride s is "pairs
@@ -511,6 +547,45 @@ object HydroOps {
            |  sum(sl.qslope * (a.acc + 1))::BIGINT AS spi_sum,
            |  max(sl.qslope * (a.acc + 1))::BIGINT AS spi_max
            |FROM sl JOIN a USING (id) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // basin borders: the same recursive sink walk, then the two
+      // id-arithmetic neighbor joins and the unordered-pair rollup
+      "q_basin_borders" ->
+      s"""WITH RECURSIVE
+         |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |p AS (SELECT t.x, t.y, greatest(
+         |    $terms) AS pmax
+         |  FROM g t
+         |  $slotJoins
+         |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+         |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+         |step AS (SELECT (y * 100 + x)::BIGINT AS id,
+         |  CASE WHEN dir >= 0
+         |       THEN ((y - (dir // 3 - 1)) * 100 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+         |  FROM dc),
+         |walk(id, cur) AS (
+         |  SELECT id, COALESCE(succ, id) FROM step
+         |  UNION ALL
+         |  SELECT w.id, s.succ FROM walk w
+         |  JOIN step s ON s.id = w.cur AND s.succ IS NOT NULL),
+         |sinks AS (SELECT w.id, w.cur AS sink FROM walk w
+         |  WHERE NOT EXISTS (SELECT 1 FROM step s
+         |                    WHERE s.id = w.cur AND s.succ IS NOT NULL)),
+         |allp AS (SELECT a.sink AS sa, b.sink AS sb FROM sinks a
+         |         JOIN sinks b ON b.id = a.id + 1
+         |         UNION ALL
+         |         SELECT a.sink, b.sink FROM sinks a
+         |         JOIN sinks b ON b.id = a.id + 100),
+         |bp AS (SELECT least(sa, sb) AS lo, greatest(sa, sb) AS hi,
+         |         count(*)::BIGINT AS ne
+         |       FROM allp WHERE sa <> sb GROUP BY 1, 2)
+         |SELECT (SELECT count(*) FROM allp)::BIGINT AS n_adj_pairs,
+         |  (SELECT count(*) FROM allp WHERE sa = sb)::BIGINT AS n_internal,
+         |  count(*)::BIGINT AS n_basin_pairs, sum(ne)::BIGINT AS n_border_edges,
+         |  max(ne)::BIGINT AS max_pair_edges,
+         |  sum(lo)::BIGINT AS lo_sum, sum(hi)::BIGINT AS hi_sum
+         |FROM bp""".stripMargin,
 
       "q_watershed" ->
       s"""WITH RECURSIVE

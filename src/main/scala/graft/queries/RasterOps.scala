@@ -1024,6 +1024,27 @@ object RasterOps {
     */
   private[graft] def gridCcOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
                               tile: Int, thresholds: Seq[Double]): DataFrame = {
+    val thr = thresholds.toArray
+    val fin = ccCellLabels(cells, w, h, tile, thresholds)
+    val thrCol = thr.indices.foldRight(lit(Double.NaN)) { (ti, acc) =>
+      when(shiftright(col("flbl"), 40) === ti, lit(thr(ti))).otherwise(acc)
+    }
+    fin.groupBy("flbl").agg(count(lit(1)).as("csize"))
+      .groupBy(thrCol.as("threshold"))
+      .agg(sum("csize").as("n_cells"), count(lit(1)).as("n_components"),
+        max("csize").as("max_size"),
+        sum(col("flbl").bitwiseAND(lit((1L << 40) - 1))).as("lbl_sum"))
+      .orderBy("threshold")
+  }
+
+  /** The per-cell final component labels behind [[gridCcOf]] — (cell,
+    * flbl), both packed (threshold index in bits 40+, min-cell-id label
+    * in the low 40) — extracted so label-level compositions
+    * ([[ccNestingOf]]) share the exact tile-contracted hash-min pipeline
+    * with the census query (one definition, no drift).
+    */
+  private[graft] def ccCellLabels(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
+                                  tile: Int, thresholds: Seq[Double]): DataFrame = {
     import cells.sparkSession.implicits._
     require(w.toLong * h < (1L << 40), s"gridCc: cell ids need ${w}x$h < 2^40")
     require(thresholds.size < (1 << 20), "gridCc: threshold index packs into 20 bits")
@@ -1081,17 +1102,74 @@ object RasterOps {
     val labels = tagged.filter(col("kind") === 0).select(col("a").as("cell"), col("b").as("lbl"))
     val edges = tagged.filter(col("kind") === 1).select(col("a").as("doc_a"), col("b").as("doc_b"))
     val cc = TrainingOps.connectedComponents(edges)
-    val fin = labels.join(cc, labels("lbl") === cc("doc_id"), "left")
+    labels.join(cc, labels("lbl") === cc("doc_id"), "left")
       .select(col("cell"), coalesce(col("cluster_id"), col("lbl")).as("flbl"))
-    val thrCol = thr.indices.foldRight(lit(Double.NaN)) { (ti, acc) =>
-      when(shiftright(col("flbl"), 40) === ti, lit(thr(ti))).otherwise(acc)
-    }
-    fin.groupBy("flbl").agg(count(lit(1)).as("csize"))
-      .groupBy(thrCol.as("threshold"))
-      .agg(sum("csize").as("n_cells"), count(lit(1)).as("n_components"),
-        max("csize").as("max_size"),
-        sum(col("flbl").bitwiseAND(lit((1L << 40) - 1))).as("lbl_sum"))
-      .orderBy("threshold")
+  }
+
+  /** COMPONENT NESTING census across the threshold ladder — the merge-
+    * tree / persistence view of the mask pyramid: the `v >= t` masks are
+    * monotone (raising t only removes cells), so every component at the
+    * HIGHER threshold sits inside exactly ONE component at the lower —
+    * this operator measures that containment forest per consecutive
+    * pair: how many lower components survive (contain >= 1 child), how
+    * many split into several children (max_children > 1 = a saddle
+    * between the pair), and the label checksums of the distinct
+    * parent-child links. n_links = n_hi_comps is a THEOREM of mask
+    * monotonicity (each child has one parent) — emitted anyway and
+    * spec-asserted, a would-be labeling bug trips it before any oracle.
+    * Built ENTIRELY on [[ccCellLabels]] (the tile-contracted hash-min
+    * labeling, shared verbatim with q_grid_cc): one cell-keyed
+    * self-join pairs each cell's adjacent-level labels, distinct
+    * collapses to component links, and two tiny rollups finish — nothing
+    * heavier than the labeling itself, no quadratic pass. Pairs whose
+    * LOWER level has no components drop (monotonicity makes the upper
+    * empty too — the stated contract).
+    */
+  private[graft] def ccNestingOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
+                                 tile: Int, thresholds: Seq[Double]): DataFrame = {
+    val thr = thresholds.toArray
+    val low40 = lit((1L << 40) - 1)
+    val lbl = ccCellLabels(cells, w, h, tile, thresholds)
+      .select(shiftright(col("cell"), 40).as("ti"),
+        col("cell").bitwiseAND(low40).as("cid"),
+        col("flbl").bitwiseAND(low40).as("lbl"))
+      .localCheckpoint(true) // labels feed three consumers below
+    val perLevel = lbl.select("ti", "lbl").distinct()
+      .groupBy("ti").agg(count(lit(1)).as("n_comps"))
+    val links = lbl.select(col("ti"), col("cid"), col("lbl").as("plbl"))
+      .join(lbl.select((col("ti") - 1).as("ti"), col("cid"), col("lbl").as("clbl")),
+        Seq("ti", "cid"))
+      .select("ti", "plbl", "clbl").distinct()
+    val perParent = links.groupBy("ti", "plbl").agg(count(lit(1)).as("nch"))
+    val linkStats = perParent.groupBy("ti")
+      .agg(count(lit(1)).as("n_surviving"), sum("nch").as("n_links"),
+        max("nch").as("max_children"))
+    val linkSums = links.groupBy("ti")
+      .agg(sum("plbl").as("plbl_sum"), sum("clbl").as("clbl_sum"))
+    // native when-chain (the gridCcOf thrCol idiom — no UDF)
+    def thrOf(c: org.apache.spark.sql.Column) =
+      thr.indices.foldRight(lit(Double.NaN)) { (ti, acc) =>
+        when(c === ti, lit(thr(ti))).otherwise(acc)
+      }
+    perLevel.filter(col("ti") < thr.length - 1)
+      .join(perLevel.select((col("ti") - 1).as("ti"), col("n_comps").as("n_hi")),
+        Seq("ti"), "left")
+      .join(linkStats, Seq("ti"), "left")
+      .join(linkSums, Seq("ti"), "left")
+      .select(thrOf(col("ti")).as("t_lo"), thrOf(col("ti") + 1).as("t_hi"),
+        col("n_comps").as("n_lo_comps"),
+        coalesce(col("n_hi"), lit(0L)).as("n_hi_comps"),
+        coalesce(col("n_surviving"), lit(0L)).as("n_surviving"),
+        coalesce(col("n_links"), lit(0L)).as("n_links"),
+        coalesce(col("max_children"), lit(0L)).as("max_children"),
+        coalesce(col("plbl_sum"), lit(0L)).as("plbl_sum"),
+        coalesce(col("clbl_sum"), lit(0L)).as("clbl_sum"))
+      .orderBy("t_lo")
+  }
+
+  val ccNesting: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (c2, w2, h2) = level2Cells(spark, dir)
+    ccNestingOf(c2, w2, h2, 16, EventsGrid.Thresholds)
   }
 
   /** Level-2 pooled cells — the composition point shared by gridCc and
@@ -2139,6 +2217,56 @@ object RasterOps {
            |  max(sz.csize)::BIGINT AS max_size, sum(sz.flbl)::BIGINT AS lbl_sum
            |FROM sz JOIN (SELECT DISTINCT ti, threshold FROM m) m ON m.ti = sz.ti
            |GROUP BY sz.ti ORDER BY threshold""".stripMargin,
+
+      // component nesting: the same recursive reachability closure as
+      // q_grid_cc, then adjacent-level labels paired per CELL, distinct
+      // -> component links, and the containment census per pair
+      "q_cc_nesting" ->
+        s"""WITH RECURSIVE g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |${poolCte(1, 100)},
+           |${poolCte(2, 50)},
+           |m AS (SELECT t.ti, t.threshold, (y * 25 + x)::BIGINT AS id, x, y
+           |      FROM g2 CROSS JOIN (VALUES (0, 25.0::DOUBLE), (1, 50.0::DOUBLE),
+           |        (2, 75.0::DOUBLE), (3, 100.0::DOUBLE)) t(ti, threshold)
+           |      WHERE v >= t.threshold),
+           |e0 AS (SELECT a.ti, a.id AS src, b.id AS dst FROM m a JOIN m b
+           |       ON b.ti = a.ti AND ((b.x = a.x + 1 AND b.y = a.y)
+           |                        OR (b.x = a.x AND b.y = a.y + 1))),
+           |e AS (SELECT ti, src, dst FROM e0 UNION ALL SELECT ti, dst, src FROM e0),
+           |reach(ti, node, lbl) AS (
+           |  SELECT ti, id, id FROM m
+           |  UNION
+           |  SELECT e.ti, e.dst, r.lbl FROM reach r
+           |  JOIN e ON e.ti = r.ti AND e.src = r.node),
+           |cc AS (SELECT ti, node, min(lbl) AS flbl FROM reach GROUP BY 1, 2),
+           |lv AS (SELECT ti, count(DISTINCT flbl)::BIGINT AS n_comps FROM cc GROUP BY 1),
+           |lk AS (SELECT DISTINCT p.ti, p.flbl AS plbl, c.flbl AS clbl
+           |       FROM cc p JOIN cc c ON c.node = p.node AND c.ti = p.ti + 1),
+           |pp AS (SELECT ti, plbl, count(*)::BIGINT AS nch FROM lk GROUP BY 1, 2),
+           |ls AS (SELECT ti, count(*)::BIGINT AS n_surviving,
+           |         sum(nch)::BIGINT AS n_links, max(nch)::BIGINT AS max_children
+           |       FROM pp GROUP BY 1),
+           |lsum AS (SELECT ti, sum(plbl)::BIGINT AS plbl_sum,
+           |           sum(clbl)::BIGINT AS clbl_sum FROM lk GROUP BY 1),
+           |t(ti, threshold) AS (VALUES (0, 25.0::DOUBLE), (1, 50.0::DOUBLE),
+           |  (2, 75.0::DOUBLE), (3, 100.0::DOUBLE))
+           |SELECT tlo.threshold AS t_lo, thi.threshold AS t_hi,
+           |  lv.n_comps AS n_lo_comps,
+           |  coalesce(hv.n_comps, 0)::BIGINT AS n_hi_comps,
+           |  coalesce(ls.n_surviving, 0)::BIGINT AS n_surviving,
+           |  coalesce(ls.n_links, 0)::BIGINT AS n_links,
+           |  coalesce(ls.max_children, 0)::BIGINT AS max_children,
+           |  coalesce(lsum.plbl_sum, 0)::BIGINT AS plbl_sum,
+           |  coalesce(lsum.clbl_sum, 0)::BIGINT AS clbl_sum
+           |FROM lv
+           |JOIN t tlo ON tlo.ti = lv.ti
+           |JOIN t thi ON thi.ti = lv.ti + 1
+           |LEFT JOIN lv hv ON hv.ti = lv.ti + 1
+           |LEFT JOIN ls ON ls.ti = lv.ti
+           |LEFT JOIN lsum ON lsum.ti = lv.ti
+           |WHERE lv.ti < 3
+           |ORDER BY 1""".stripMargin,
 
       // distance transform: brute-force min over every mask cell — the
       // independent quadratic formulation of the engine's six-scan

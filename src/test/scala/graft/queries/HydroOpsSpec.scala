@@ -143,6 +143,56 @@ class HydroOpsSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == ((w1 - 2).toLong * (h1 - 2)))
   }
 
+  test("basinBorders on sf0.001 == local sink-walk + adjacency census; closure holds") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = RasterOps.baseCells(spark, dir).as[(Int, Int, Double)].collect()
+    val g = Array.ofDim[Double](w * h)
+    cells.foreach { case (x, y, v) => g(y * w + x) = v }
+    def v(y: Int, x: Int) = g(y * w + x)
+    val Q = 1048576.0
+    val succ = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+      val packed = (for (o <- Seq(0, 1, 2, 3, 5, 6, 7, 8)) yield {
+        val dxo = o % 3 - 1; val dyo = o / 3 - 1
+        val dist = if (dxo != 0 && dyo != 0) math.sqrt(2.0) else 1.0
+        math.floor((v(y, x) - v(y - dyo, x - dxo)) / dist * Q).toLong * 16L + (8L - o)
+      }).max
+      val id = y.toLong * w + x
+      if (packed >= 16L) {
+        val d = 8L - packed % 16L
+        id -> ((y - (d / 3 - 1)) * w + (x - (d % 3 - 1)))
+      } else id -> -1L
+    }).toMap
+    // a cell whose succ points OUTSIDE the interior keyset is terminal at
+    // that target (the engine's pointer walk stops there)
+    def sink(id: Long): Long = {
+      var cur = id
+      while (succ.get(cur).exists(_ >= 0L)) cur = succ(cur)
+      cur
+    }
+    val lbl = succ.keys.map(id => id -> sink(id)).toMap
+    val pairs = lbl.keys.toSeq.flatMap { id =>
+      Seq(id + 1L, id + w.toLong).filter(lbl.contains)
+        .map(nb => (lbl(id), lbl(nb)))
+    }
+    val border = pairs.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val want = (pairs.size.toLong, pairs.count(p => p._1 == p._2).toLong,
+      border.size.toLong, border.map(_._2).sum, border.map(_._2).max,
+      border.map(_._1._1).sum, border.map(_._1._2).sum)
+    val got = HydroOps.basinBorders(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).head
+    assert(got == want)
+    // closure: adjacency count is a pure function of the interior dims
+    val iw = (w - 2).toLong; val ih = (h - 2).toLong
+    assert(want._1 == (iw - 1) * ih + iw * (ih - 1), "adjacency closure")
+    assert(want._2 + want._4 == want._1, "internal + border == total")
+    assert(want._3 > 1L, "multiple basin pairs must exist on real terrain")
+  }
+
   /** Memoized sequential Strahler over a functional forest: children
     * lists from the successor map, order(v) = max child order (+1 when
     * >= 2 children attain the max), leaves order 1. The node domain is

@@ -375,6 +375,79 @@ class RasterOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** Local 4-connected min-cell-id labeling of the v >= th mask — the
+    * independent BFS formulation behind the nesting cross-check.
+    */
+  private def bfsLabels(vals: Array[Double], w: Int, h: Int, th: Double): Map[(Int, Int), Long] = {
+    def m(x: Int, y: Int) = x >= 0 && x < w && y >= 0 && y < h && vals(y * w + x) >= th
+    val seen = scala.collection.mutable.Set.empty[(Int, Int)]
+    val out = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    for (y <- 0 until h; x <- 0 until w if m(x, y) && !seen((x, y))) {
+      val comp = scala.collection.mutable.Set((x, y))
+      val queue = scala.collection.mutable.Queue((x, y))
+      while (queue.nonEmpty) {
+        val (cx, cy) = queue.dequeue()
+        for ((dx, dy) <- Seq((1, 0), (-1, 0), (0, 1), (0, -1));
+             nb = (cx + dx, cy + dy)
+             if m(nb._1, nb._2) && !comp(nb)) { comp += nb; queue += nb }
+      }
+      val lbl = comp.map { case (px, py) => py.toLong * w + px }.min
+      comp.foreach(c => out(c) = lbl)
+      seen ++= comp
+    }
+    out.toMap
+  }
+
+  private def nestingBrute(vals: Array[Double], w: Int, h: Int,
+                           ths: Seq[Double]): Seq[(Double, Double, Long, Long, Long, Long, Long, Long, Long)] = {
+    val labels = ths.map(th => bfsLabels(vals, w, h, th))
+    (0 until ths.size - 1).flatMap { ti =>
+      val lo = labels(ti); val hi = labels(ti + 1)
+      val nLo = lo.values.toSet.size.toLong
+      if (nLo == 0L) None
+      else {
+        val links = hi.keys.map(c => (lo(c), hi(c))).toSet // child cell is in BOTH masks
+        val perParent = links.groupBy(_._1).view.mapValues(_.size.toLong)
+        Some((ths(ti), ths(ti + 1), nLo, hi.values.toSet.size.toLong,
+          perParent.size.toLong, links.size.toLong,
+          if (perParent.isEmpty) 0L else perParent.values.max,
+          links.toSeq.map(_._1).sum, links.toSeq.map(_._2).sum))
+      }
+    }
+  }
+
+  test("ccNesting == BFS containment census on random + crafted grids; one-parent theorem") {
+    import spark.implicits._
+    def run(vals: Array[Double], w: Int, h: Int, ths: Seq[Double], tile: Int) = {
+      val cells = spark.createDataset(
+        for (y <- 0 until h; x <- 0 until w) yield (x, y, vals(y * w + x)))
+      RasterOps.ccNestingOf(cells, w, h, tile, ths).collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+    }
+    // crafted two-peak ridge: one component at 20 splits into two at 60
+    val w0 = 7; val h0 = 3
+    val crafted = Array.fill(h0 * w0)(10.0)
+    for (x <- 1 to 5) crafted(1 * w0 + x) = 50.0
+    crafted(1 * w0 + 1) = 90.0; crafted(1 * w0 + 5) = 90.0
+    val gotC = run(crafted, w0, h0, Seq(20.0, 60.0), 3)
+    assert(gotC == nestingBrute(crafted, w0, h0, Seq(20.0, 60.0)))
+    assert(gotC.head._3 == 1L && gotC.head._4 == 2L && gotC.head._7 == 2L,
+      s"crafted split not observed: $gotC")
+    // random grids, multi-threshold ladder, awkward tiling
+    val rnd = new scala.util.Random(37)
+    for (trial <- 0 until 2) {
+      val w = 9 + rnd.nextInt(10)
+      val h = 6 + rnd.nextInt(7)
+      val vals = Array.fill(h * w)(rnd.nextDouble() * 100.0)
+      val ths = Seq(30.0, 60.0, 90.0)
+      val got = run(vals, w, h, ths, 4)
+      assert(got == nestingBrute(vals, w, h, ths), s"trial $trial")
+      // each higher component nests in exactly one lower: links == n_hi
+      got.foreach(r => assert(r._6 == r._4, s"one-parent theorem broken: $r"))
+    }
+  }
+
   /** Brute-force local viewshed of one row of quantized elevations:
     * visible x's (x = 0 always; x >= 1 iff its angle strictly beats every
     * predecessor's by integer cross-product).
