@@ -339,6 +339,19 @@ object Bench {
     Seq("q_doc_keyphrase", "q_evt_changepoint", "q_cc_nesting",
       "q_basin_borders")
 
+  /** Sixty-ninth through seventy-first waves: the pour-point saddle
+    * census + the drainage-density histogram (both riding the pointer-
+    * doubling watershed labels), the hypsometric decile histogram (the
+    * per-basin elevation-mass rollup), the weekday-seasonal residual
+    * census + the Wald–Wolfowitz runs census (integer dow-profile and
+    * doubled-median over the calendar-bounded daily frame), and the
+    * riparian buffer census (Moore-shift set algebra over the channel
+    * network).
+    */
+  private val Ops39Queries =
+    Seq("q_basin_pour", "q_grid_drainage", "q_basin_hypso", "q_evt_weekday",
+      "q_evt_runs", "q_riparian")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -355,7 +368,7 @@ object Bench {
     "ops27" -> Ops27Queries, "ops33" -> Ops33Queries,
     "ops34" -> Ops34Queries, "ops35" -> Ops35Queries,
     "ops36" -> Ops36Queries, "ops37" -> Ops37Queries,
-    "ops38" -> Ops38Queries)
+    "ops38" -> Ops38Queries, "ops39" -> Ops39Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -747,6 +747,12 @@ object SparkEntry {
     "q_evt_changepoint" -> EventOps.changepoint,
     "q_cc_nesting" -> RasterOps.ccNesting,
     "q_basin_borders" -> HydroOps.basinBorders,
+    "q_basin_pour" -> HydroOps.basinPour,
+    "q_grid_drainage" -> HydroOps.gridDrainage,
+    "q_basin_hypso" -> HydroOps.basinHypso,
+    "q_evt_weekday" -> EventOps.weekday,
+    "q_evt_runs" -> EventOps.runs,
+    "q_riparian" -> HydroOps.riparian,
     "q_evt_cusum" -> EventOps.cusum,
     "q_evt_spearman" -> EventOps.spearman,
     "q_evt_spike" -> EventOps.spike,

@@ -1152,6 +1152,103 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** WALD–WOLFOWITZ RUNS census over daily event counts per type — the
+    * classic nonparametric randomness probe ([[mannKendall]]'s
+    * complement: MK scores monotone trend, runs score OSCILLATION): each
+    * day classifies above/below the type's MEDIAN daily count, equal
+    * days drop (the standard convention), and the day-ordered +/- signs
+    * fold into run statistics. Integer-exact median selection: qmed2 =
+    * x_((n+1)/2) + x_((n+2)/2) over the sorted counts (twice the median
+    * — the odd case doubles the middle, the even case sums the two
+    * straddlers), compared against 2*cnt so no halves exist anywhere.
+    * Emits per type: n_days, n_above, n_below, n_equal, qmed2, n_runs
+    * (1 + sign changes), longest_run, and first_day pinning the phase.
+    * Plan: every window runs on the CALENDAR-BOUNDED daily frame keyed
+    * by event_type — one raw map-side-combinable pass, then kilobytes.
+    */
+  val runs: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val byCnt = Window.partitionBy("event_type").orderBy("cnt", "day")
+    val daily = events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(byCnt))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val med = daily
+      // Column./ is FLOAT division — (n+1)/2 = 15.5 would silently skip
+      // the lower middle; div is the integer rank arithmetic
+      .filter(col("rk") === expr("(n + 1) div 2") || col("rk") === expr("(n + 2) div 2"))
+      .groupBy("event_type")
+      // odd n: the two rank selections coincide on ONE row — double it
+      .agg((sum("cnt") * when(count(lit(1)) === 1, 2L).otherwise(1L)).as("qmed2"))
+    val signed = daily.join(med, Seq("event_type"))
+      .withColumn("sgn", when(col("cnt") * 2 > col("qmed2"), 1)
+        .when(col("cnt") * 2 < col("qmed2"), -1).otherwise(0))
+    val rs = signed.filter(col("sgn") =!= 0)
+      .withColumn("chg",
+        when(lag("sgn", 1).over(byDay).isNull
+          || lag("sgn", 1).over(byDay) =!= col("sgn"), 1L).otherwise(0L))
+      .withColumn("run_id", sum("chg").over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("event_type", "run_id").agg(count(lit(1)).as("rl"))
+      .groupBy("event_type")
+      .agg(max("run_id").as("n_runs"), max("rl").as("longest_run"))
+    signed.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("sgn") === 0, 1L).otherwise(0L)).as("n_equal"),
+        min("qmed2").as("qmed2"), min("day").as("first_day"))
+      .join(rs, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"), col("n_above"), col("n_below"),
+        col("n_equal"), col("qmed2"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        col("first_day"))
+      .orderBy("event_type")
+  }
+
+  /** WEEKDAY-SEASONAL residual census over daily event counts per type —
+    * the classic seasonal-decomposition step (remove the day-of-week
+    * profile, study what's left): each (type, weekday-slot) gets its
+    * integer-exact quantized mean qmean = (sum * 2^20) div n_days, each
+    * day's residual is qres = cnt * 2^20 - qmean (signed, EXACT — no f64
+    * crosses the compare), and the per-type census emits the
+    * positive/negative day counts, the signed residual masses, and the
+    * PEAK day pinned by one lexicographic struct-max over (qres, day)
+    * (deterministic under ties). The weekday slot is day % 7 (epoch-day
+    * arithmetic — the profile only needs a consistent 7-phase, not named
+    * weekdays). Plan at 100 TB: ONE map-side-combinable pass reduces raw
+    * events to the calendar-bounded daily frame; the profile join is
+    * keyed on (type, dow) — |types| x 7 rows — and everything after
+    * moves kilobytes.
+    */
+  val weekday: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val Q = 1048576L
+    val daily = events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", col("day") % 7)
+    val prof = daily.groupBy("event_type", "dow")
+      .agg(expr(s"(sum(cnt) * $Q) div count(*)").as("qmean"))
+    daily.join(prof, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"),
+        (col("cnt") * Q - col("qmean")).as("qres"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("qres") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("qres") < 0, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("qres") > 0, col("qres")).otherwise(0L)).as("pos_sum"),
+        sum(when(col("qres") < 0, col("qres")).otherwise(0L)).as("neg_sum"),
+        max(struct(col("qres"), col("day"))).as("pk"))
+      .select(col("event_type"), col("n_days"), col("n_pos"), col("n_neg"),
+        col("pos_sum"), col("neg_sum"),
+        col("pk.qres").as("peak_qres"), col("pk.day").as("peak_day"))
+      .orderBy("event_type")
+  }
+
   /** ORDINAL-PATTERN (permutation) census over daily event counts per
     * type — Bandt–Pompe order-3 patterns: each window of three
     * CONSECUTIVE OBSERVED positions (a, b, c) in day order classifies
@@ -1455,6 +1552,77 @@ object EventOps {
     // counts of earlier-smaller and earlier-larger days (vs the engine's
     // scatter over pairs); the tie term from an independent value-group
     // rollup
+    // runs test: the same daily frame, the doubled-median selected by
+    // order statistics, signs folded into runs via the lag/cumsum island
+    // idiom — each stage the SQL formulation of the engine's windows
+    "q_evt_runs" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |             count(*)::BIGINT AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |                                    ORDER BY cnt, day) AS rk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |       FROM d),
+        |md AS (SELECT event_type,
+        |         (sum(cnt) * CASE WHEN count(*) = 1 THEN 2 ELSE 1 END)::BIGINT AS qmed2
+        |       FROM rk
+        |       WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+        |       GROUP BY 1),
+        |sg AS (SELECT d.event_type, d.day, md.qmed2,
+        |         CASE WHEN d.cnt * 2 > md.qmed2 THEN 1
+        |              WHEN d.cnt * 2 < md.qmed2 THEN -1 ELSE 0 END AS sgn
+        |       FROM d JOIN md USING (event_type)),
+        |nz AS (SELECT *, CASE WHEN lag(sgn) OVER w IS NULL
+        |                       OR lag(sgn) OVER w <> sgn THEN 1 ELSE 0 END AS chg
+        |       FROM sg WHERE sgn <> 0
+        |       WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |ri AS (SELECT *, sum(chg) OVER (PARTITION BY event_type ORDER BY day
+        |                                ROWS UNBOUNDED PRECEDING) AS run_id
+        |       FROM nz),
+        |rl AS (SELECT event_type, run_id, count(*)::BIGINT AS rl
+        |       FROM ri GROUP BY 1, 2),
+        |rs AS (SELECT event_type, max(run_id)::BIGINT AS n_runs,
+        |         max(rl)::BIGINT AS longest_run FROM rl GROUP BY 1)
+        |SELECT sg.event_type, count(*)::BIGINT AS n_days,
+        |  sum((sgn = 1)::INT)::BIGINT AS n_above,
+        |  sum((sgn = -1)::INT)::BIGINT AS n_below,
+        |  sum((sgn = 0)::INT)::BIGINT AS n_equal,
+        |  min(qmed2)::BIGINT AS qmed2,
+        |  coalesce(min(rs.n_runs), 0)::BIGINT AS n_runs,
+        |  coalesce(min(rs.longest_run), 0)::BIGINT AS longest_run,
+        |  min(day)::BIGINT AS first_day
+        |FROM sg LEFT JOIN rs USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // weekday residuals: the same daily frame, the integer-quantized
+    // dow profile, signed residual census, peak pinned by a
+    // row_number over (qres DESC, day DESC) — the window formulation of
+    // the engine's struct-max
+    "q_evt_weekday" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |             count(*)::BIGINT AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, day % 7 AS dow,
+        |        ((sum(cnt) * 1048576) // count(*))::BIGINT AS qmean
+        |      FROM d GROUP BY 1, 2),
+        |r AS (SELECT d.event_type, d.day, d.cnt * 1048576 - m.qmean AS qres
+        |      FROM d JOIN m ON m.event_type = d.event_type
+        |                   AND m.dow = d.day % 7),
+        |pk AS (SELECT event_type, qres, day,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY qres DESC, day DESC) AS rn
+        |       FROM r)
+        |SELECT r.event_type, count(*)::BIGINT AS n_days,
+        |  sum((qres > 0)::INT)::BIGINT AS n_pos,
+        |  sum((qres < 0)::INT)::BIGINT AS n_neg,
+        |  sum(CASE WHEN qres > 0 THEN qres ELSE 0 END)::BIGINT AS pos_sum,
+        |  sum(CASE WHEN qres < 0 THEN qres ELSE 0 END)::BIGINT AS neg_sum,
+        |  p.peak_qres, p.peak_day
+        |FROM r JOIN (SELECT event_type, qres::BIGINT AS peak_qres,
+        |               day::BIGINT AS peak_day
+        |             FROM pk WHERE rn = 1) p USING (event_type)
+        |GROUP BY 1, p.peak_qres, p.peak_day ORDER BY 1""".stripMargin,
+
     "q_evt_mann_kendall" ->
       """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |             count(*)::BIGINT AS x

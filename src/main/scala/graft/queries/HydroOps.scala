@@ -122,6 +122,150 @@ object HydroOps {
     tot.crossJoin(bp)
   }
 
+  /** POUR-POINT census over the basin borders — the watershed MERGE
+    * criterion: crossing from basin A to basin B costs the lower of the
+    * border's saddles, where each border edge's crossing height is
+    * max(elev_a, elev_b) (you must climb over the higher endpoint) and
+    * the pair's POUR elevation is the min crossing over its shared
+    * ridge. This is the quantity priority-flood / merge-tree watershed
+    * algorithms order basin merges by. Elevations ride the same
+    * id-arithmetic neighbor joins as [[basinBorders]] (quantized
+    * floor(v*2^20) so Spark and the oracle agree bit-for-bit), the
+    * per-pair min folds in one label-pair rollup, and the census pins
+    * the pair count, pour min/max/sum, and the lexicographic-argmin
+    * pair (pour, lo, hi) via one struct-min — deterministic under ties.
+    * Plan: identical shape to basinBorders plus one qv equi-join.
+    */
+  /** Quantized elevations keyed by cell id — floor(v*2^20) as a long, the
+    * repo-wide f64 quantization, shared by [[basinPour]]/[[basinHypso]].
+    */
+  private def qvCells(cells: org.apache.spark.sql.Dataset[(Int, Int, Double)],
+                      w: Int): DataFrame =
+    cells.toDF("x", "y", "v").select(
+      (col("y").cast("long") * w + col("x")).as("id"),
+      floor(col("v") * lit(1048576.0)).cast("long").as("qv"))
+
+  val basinPour: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = RasterOps.baseCells(spark, dir).as[(Int, Int, Double)]
+    val succ = RasterOps.d8SuccCellsTiledOf(cells, w, h)
+    val a = basinLabels(succ).join(qvCells(cells, w), Seq("id"))
+      .select(col("id"), col("sink").as("sa"), col("qv").as("qa"))
+      .localCheckpoint(true) // feeds both neighbor joins
+    def shifted(d: Long) = a.select((col("id") - d).as("id"),
+      col("sa").as("sb"), col("qa").as("qb"))
+    val edges = a.join(shifted(1L), Seq("id"))
+      .unionByName(a.join(shifted(w.toLong), Seq("id")))
+      .filter(col("sa") =!= col("sb"))
+      .select(least(col("sa"), col("sb")).as("lo"),
+        greatest(col("sa"), col("sb")).as("hi"),
+        greatest(col("qa"), col("qb")).as("cr"))
+    edges.groupBy("lo", "hi").agg(min("cr").as("pour"))
+      .agg(count(lit(1)).as("n_pairs"), min("pour").as("pour_min"),
+        max("pour").as("pour_max"), sum("pour").as("pour_sum"),
+        min(struct(col("pour"), col("lo"), col("hi"))).as("am"))
+      .select(col("n_pairs"), col("pour_min"), col("pour_max"),
+        col("pour_sum"), col("am.lo").as("min_lo"), col("am.hi").as("min_hi"))
+  }
+
+  /** DRAINAGE-DENSITY histogram over the level-1 basins — the composition
+    * of BOTH hydrology derivatives on the SHARED level-1 D8 feed
+    * ([[level1Succ]], one definition): a cell is CHANNEL when its flow
+    * accumulation reaches [[ChannelAcc]] (the standard accumulation-
+    * threshold channel-network extraction), and each basin reports how
+    * much of it is channelized. Basins fold to a histogram keyed by
+    * channel-cell count (n_channel, n_basins, cells_sum, sink_sum) —
+    * order-free integer aggregates, rows bounded by the distinct channel
+    * counts. One id equi-join of two per-cell long tables on top of the
+    * label/accumulation machinery; the pointer doubling dominates.
+    */
+  private[graft] val ChannelAcc = 4L
+
+  private[graft] def drainageCensus(succ: DataFrame): DataFrame =
+    basinLabels(succ).join(accCells(succ), Seq("id"))
+      .groupBy("sink")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("acc") >= ChannelAcc, 1L).otherwise(0L)).as("n_channel"))
+      .groupBy("n_channel")
+      .agg(count(lit(1)).as("n_basins"), sum("n_cells").as("cells_sum"),
+        sum("sink").as("sink_sum"))
+      .orderBy("n_channel")
+
+  val gridDrainage: (SparkSession, String) => DataFrame = (spark, dir) =>
+    drainageCensus(level1Succ(spark, dir).localCheckpoint(true))
+
+  /** RIPARIAN BUFFER census over the level-1 channel network — the
+    * stream-corridor classification GIS pipelines run after channel
+    * extraction: CHANNEL cells (flow accumulation >= [[ChannelAcc]], the
+    * [[gridDrainage]] criterion — one definition), BUFFER cells (non-
+    * channel cells 8-adjacent to a channel cell), FAR cells (the rest).
+    * The buffer needs NO raster stencil: channel ids shift by the eight
+    * neighbor offsets (pure id arithmetic — a shift off the interior
+    * band is never a valid interior id, so the domain semi-join is the
+    * exact Moore neighborhood), distinct-collapse, and one semi-join +
+    * one anti-join classify. Emits one row: n_channel, n_buffer, n_far,
+    * chan_id_sum, buf_id_sum (the id checksums pin WHICH cells, not just
+    * how many). Plan: the accumulation's doubled composition dominates;
+    * the census adds three id-keyed joins of long tables.
+    */
+  private[graft] def riparianOf(acc: DataFrame, w: Int): DataFrame = {
+    val chan = acc.filter(col("acc") >= ChannelAcc).select("id")
+      .localCheckpoint(true) // feeds the shifts, the anti-joins, and its own census
+    val offs = Seq(-w - 1, -w, -w + 1, -1, 1, w - 1, w, w + 1).map(_.toLong)
+    val near = offs.map(o => chan.select((col("id") + o).as("id")))
+      .reduce(_ unionByName _).distinct()
+      .join(acc.select("id"), Seq("id"), "left_semi")
+    val buf = near.join(chan, Seq("id"), "left_anti").localCheckpoint(true)
+    val a1 = chan.agg(count(lit(1)).as("n_channel"),
+      coalesce(sum("id"), lit(0L)).as("chan_id_sum"))
+    val a2 = buf.agg(count(lit(1)).as("n_buffer"),
+      coalesce(sum("id"), lit(0L)).as("buf_id_sum"))
+    val a3 = acc.select("id").join(chan, Seq("id"), "left_anti")
+      .join(buf, Seq("id"), "left_anti").agg(count(lit(1)).as("n_far"))
+    a1.crossJoin(a2).crossJoin(a3)
+  }
+
+  val riparian: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (c1, w1, h1) = RasterOps.level1Cells(spark, dir)
+    val succ = RasterOps.d8SuccCellsTiledOf(c1, w1, h1, 25, 25)
+      .localCheckpoint(true)
+    riparianOf(accCells(succ), w1)
+  }
+
+  /** HYPSOMETRIC-INDEX decile histogram per basin — the area-elevation
+    * summary hydrologists compute per watershed (Strahler's hypsometric
+    * integral, here its integer-exact mean-based estimator): per basin,
+    * idx = (mean - min) / (max - min) in [0, 1) locates the basin's mass
+    * between its lowest (the sink side) and highest (the ridge) cells —
+    * computed as the EXACT integer decile ((sumq - n*minq) * 10) div
+    * (n * (maxq - minq)) over the floor(v*2^20) quantized elevations, so
+    * no f64 division crosses the oracle compare. mean < max whenever
+    * min < max, so deciles land in 0..9; single-elevation basins (max =
+    * min, the degenerate denominator) pin the stated sentinel 10.
+    * Basins fold to (decile, n_basins, cells_sum, sink_sum). Long
+    * headroom: sumq <= n * 2^27ish and the *10 keeps products far under
+    * 2^62 at any real grid. Plan: one qv equi-join + one per-sink rollup
+    * on top of the pointer-doubling labels (which dominate).
+    */
+  val basinHypso: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = RasterOps.baseCells(spark, dir).as[(Int, Int, Double)]
+    val succ = RasterOps.d8SuccCellsTiledOf(cells, w, h)
+    basinLabels(succ).join(qvCells(cells, w), Seq("id"))
+      .groupBy("sink").agg(count(lit(1)).as("n"), sum("qv").as("sumq"),
+        min("qv").as("minq"), max("qv").as("maxq"))
+      .select(col("sink"), col("n"),
+        when(col("maxq") === col("minq"), lit(10L))
+          .otherwise(expr("((sumq - n * minq) * 10) div (n * (maxq - minq))"))
+          .as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_basins"), sum("n").as("cells_sum"),
+        sum("sink").as("sink_sum"))
+      .orderBy("decile")
+  }
+
   /** All transitive DOWNSTREAM pairs (anc, node) of the successor forest —
     * every (cell, strictly-downstream cell on its flow path) — by DOUBLED
     * COMPOSITION: the invariant after the round at stride s is "pairs
@@ -586,6 +730,164 @@ object HydroOps {
          |  max(ne)::BIGINT AS max_pair_edges,
          |  sum(lo)::BIGINT AS lo_sum, sum(hi)::BIGINT AS hi_sum
          |FROM bp""".stripMargin,
+
+      // pour points: the basin-borders walk with quantized elevations
+      // riding the neighbor joins; per unordered pair the min crossing,
+      // argmin pinned by an ORDER BY (pour, lo, hi) subselect
+      "q_basin_pour" ->
+      s"""WITH RECURSIVE
+         |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |p AS (SELECT t.x, t.y, greatest(
+         |    $terms) AS pmax
+         |  FROM g t
+         |  $slotJoins
+         |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+         |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+         |step AS (SELECT (y * 100 + x)::BIGINT AS id,
+         |  CASE WHEN dir >= 0
+         |       THEN ((y - (dir // 3 - 1)) * 100 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+         |  FROM dc),
+         |walk(id, cur) AS (
+         |  SELECT id, COALESCE(succ, id) FROM step
+         |  UNION ALL
+         |  SELECT w.id, s.succ FROM walk w
+         |  JOIN step s ON s.id = w.cur AND s.succ IS NOT NULL),
+         |sinks AS (SELECT w.id, w.cur AS sink FROM walk w
+         |  WHERE NOT EXISTS (SELECT 1 FROM step s
+         |                    WHERE s.id = w.cur AND s.succ IS NOT NULL)),
+         |qc AS (SELECT (y * 100 + x)::BIGINT AS id,
+         |         floor(v * 1048576.0)::BIGINT AS qv FROM g),
+         |allp AS (SELECT a.sink AS sa, b.sink AS sb, greatest(qa.qv, qb.qv) AS cr
+         |         FROM sinks a JOIN sinks b ON b.id = a.id + 1
+         |         JOIN qc qa ON qa.id = a.id JOIN qc qb ON qb.id = b.id
+         |         UNION ALL
+         |         SELECT a.sink, b.sink, greatest(qa.qv, qb.qv)
+         |         FROM sinks a JOIN sinks b ON b.id = a.id + 100
+         |         JOIN qc qa ON qa.id = a.id JOIN qc qb ON qb.id = b.id),
+         |bp AS (SELECT least(sa, sb) AS lo, greatest(sa, sb) AS hi,
+         |         min(cr) AS pour
+         |       FROM allp WHERE sa <> sb GROUP BY 1, 2)
+         |SELECT count(*)::BIGINT AS n_pairs, min(pour)::BIGINT AS pour_min,
+         |  max(pour)::BIGINT AS pour_max, sum(pour)::BIGINT AS pour_sum,
+         |  (SELECT lo FROM bp ORDER BY pour, lo, hi LIMIT 1)::BIGINT AS min_lo,
+         |  (SELECT hi FROM bp ORDER BY pour, lo, hi LIMIT 1)::BIGINT AS min_hi
+         |FROM bp""".stripMargin,
+
+      // hypsometric deciles: the sink walk joined to quantized
+      // elevations, per-basin integer decile, sentinel 10 on max = min
+      "q_basin_hypso" ->
+      s"""WITH RECURSIVE
+         |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |p AS (SELECT t.x, t.y, greatest(
+         |    $terms) AS pmax
+         |  FROM g t
+         |  $slotJoins
+         |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+         |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+         |step AS (SELECT (y * 100 + x)::BIGINT AS id,
+         |  CASE WHEN dir >= 0
+         |       THEN ((y - (dir // 3 - 1)) * 100 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+         |  FROM dc),
+         |walk(id, cur) AS (
+         |  SELECT id, COALESCE(succ, id) FROM step
+         |  UNION ALL
+         |  SELECT w.id, s.succ FROM walk w
+         |  JOIN step s ON s.id = w.cur AND s.succ IS NOT NULL),
+         |sinks AS (SELECT w.id, w.cur AS sink FROM walk w
+         |  WHERE NOT EXISTS (SELECT 1 FROM step s
+         |                    WHERE s.id = w.cur AND s.succ IS NOT NULL)),
+         |qc AS (SELECT (y * 100 + x)::BIGINT AS id,
+         |         floor(v * 1048576.0)::BIGINT AS qv FROM g),
+         |bas AS (SELECT s.sink, count(*)::BIGINT AS n, sum(qv)::BIGINT AS sumq,
+         |          min(qv)::BIGINT AS minq, max(qv)::BIGINT AS maxq
+         |        FROM sinks s JOIN qc ON qc.id = s.id GROUP BY 1),
+         |dec AS (SELECT sink, n,
+         |          CASE WHEN maxq = minq THEN 10
+         |               ELSE ((sumq - n * minq) * 10) // (n * (maxq - minq))
+         |          END AS decile
+         |        FROM bas)
+         |SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_basins,
+         |  sum(n)::BIGINT AS cells_sum, sum(sink)::BIGINT AS sink_sum
+         |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // riparian buffer: the flow-accum walk, channel = acc >= 4, the
+      // eight id-offset shifts as a VALUES cross join, NOT-IN set algebra
+      "q_riparian" ->
+      s"""WITH RECURSIVE
+         |g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |${RasterOps.poolCte(1, 100)},
+         |p AS (SELECT t.x, t.y, greatest(
+         |    $terms) AS pmax
+         |  FROM g1 t
+         |  $slotJoins1
+         |  WHERE t.x BETWEEN 1 AND 48 AND t.y BETWEEN 1 AND (SELECT h FROM d) // 2 - 2),
+         |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+         |step AS (SELECT (y * 50 + x)::BIGINT AS id,
+         |  CASE WHEN dir >= 0
+         |       THEN ((y - (dir // 3 - 1)) * 50 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+         |  FROM dc),
+         |walk(anc, node) AS (
+         |  SELECT id, succ FROM step WHERE succ IS NOT NULL
+         |  UNION ALL
+         |  SELECT w.anc, s.succ FROM walk w
+         |  JOIN step s ON s.id = w.node AND s.succ IS NOT NULL),
+         |a AS (SELECT s.id, count(w.anc) AS acc
+         |      FROM step s LEFT JOIN walk w ON w.node = s.id GROUP BY 1),
+         |ch AS (SELECT id FROM a WHERE acc >= 4),
+         |sh AS (SELECT DISTINCT ch.id + t.o AS id FROM ch
+         |       CROSS JOIN (VALUES (-51), (-50), (-49), (-1),
+         |                          (1), (49), (50), (51)) t(o)),
+         |bf AS (SELECT sh.id FROM sh JOIN a USING (id)
+         |       WHERE sh.id NOT IN (SELECT id FROM ch))
+         |SELECT (SELECT count(*) FROM ch)::BIGINT AS n_channel,
+         |  (SELECT coalesce(sum(id), 0) FROM ch)::BIGINT AS chan_id_sum,
+         |  (SELECT count(*) FROM bf)::BIGINT AS n_buffer,
+         |  (SELECT coalesce(sum(id), 0) FROM bf)::BIGINT AS buf_id_sum,
+         |  (SELECT count(*) FROM a WHERE id NOT IN (SELECT id FROM ch)
+         |     AND id NOT IN (SELECT id FROM bf))::BIGINT AS n_far""".stripMargin,
+
+      // drainage density: the flow-accum walk counts (channel = acc >= 4)
+      // joined per cell to the sink walk, folded per basin then into the
+      // channel-count histogram
+      "q_grid_drainage" ->
+      s"""WITH RECURSIVE
+         |g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |${RasterOps.poolCte(1, 100)},
+         |p AS (SELECT t.x, t.y, greatest(
+         |    $terms) AS pmax
+         |  FROM g1 t
+         |  $slotJoins1
+         |  WHERE t.x BETWEEN 1 AND 48 AND t.y BETWEEN 1 AND (SELECT h FROM d) // 2 - 2),
+         |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+         |step AS MATERIALIZED (SELECT (y * 50 + x)::BIGINT AS id,
+         |  CASE WHEN dir >= 0
+         |       THEN ((y - (dir // 3 - 1)) * 50 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+         |  FROM dc),
+         |walkp(anc, node) AS (
+         |  SELECT id, succ FROM step WHERE succ IS NOT NULL
+         |  UNION ALL
+         |  SELECT w.anc, s.succ FROM walkp w
+         |  JOIN step s ON s.id = w.node AND s.succ IS NOT NULL),
+         |a AS (SELECT s.id, count(w.anc) AS acc
+         |      FROM step s LEFT JOIN walkp w ON w.node = s.id GROUP BY 1),
+         |walks(id, cur) AS (
+         |  SELECT id, COALESCE(succ, id) FROM step
+         |  UNION ALL
+         |  SELECT w.id, s.succ FROM walks w
+         |  JOIN step s ON s.id = w.cur AND s.succ IS NOT NULL),
+         |sinks AS (SELECT w.id, w.cur AS sink FROM walks w
+         |  WHERE NOT EXISTS (SELECT 1 FROM step s
+         |                    WHERE s.id = w.cur AND s.succ IS NOT NULL)),
+         |bas AS (SELECT sk.sink, count(*)::BIGINT AS n_cells,
+         |          sum((a.acc >= 4)::INT)::BIGINT AS n_chan
+         |        FROM sinks sk JOIN a ON a.id = sk.id GROUP BY 1)
+         |SELECT n_chan AS n_channel, count(*)::BIGINT AS n_basins,
+         |  sum(n_cells)::BIGINT AS cells_sum, sum(sink)::BIGINT AS sink_sum
+         |FROM bas GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_watershed" ->
       s"""WITH RECURSIVE

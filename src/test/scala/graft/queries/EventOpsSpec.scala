@@ -841,6 +841,68 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("runs == local doubled-median runs recompute; oscillation observed") {
+    val byType = ev.groupBy(e => (e._4, e._2 / 86400000000L))
+      .map { case ((t, d), es) => (t, d, es.length.toLong) }
+      .toSeq.groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2).map(r => (r._2, r._3))
+      }
+    val want = byType.toSeq.map { case (tpe, pairs) =>
+      val xs = pairs.map(_._2)
+      val n = xs.length
+      val sorted = xs.sorted
+      val qmed2 = if (n % 2 == 1) 2 * sorted(n / 2)
+        else sorted(n / 2 - 1) + sorted(n / 2)
+      val sgns = xs.map(x => java.lang.Long.signum(2 * x - qmed2))
+      val nz = sgns.filter(_ != 0)
+      val nRuns = if (nz.isEmpty) 0L
+        else 1L + (1 until nz.length).count(i => nz(i) != nz(i - 1))
+      val longest = if (nz.isEmpty) 0L else {
+        var best = 1; var cur = 1
+        for (i <- 1 until nz.length) {
+          if (nz(i) == nz(i - 1)) cur += 1 else cur = 1
+          best = math.max(best, cur)
+        }
+        best.toLong
+      }
+      (tpe, n.toLong, sgns.count(_ > 0).toLong, sgns.count(_ < 0).toLong,
+        sgns.count(_ == 0).toLong, qmed2, nRuns, longest, pairs.head._1)
+    }.sortBy(_._1)
+    val got = EventOps.runs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+    assert(got == want)
+    assert(want.exists(_._7 > 1L), "some type must genuinely oscillate")
+    // above ~ below by the median's construction: |n_above - n_below| <=
+    // n_equal + 1 can fail only on heavy ties; assert the weak closure
+    want.foreach(r => assert(r._3 + r._4 + r._5 == r._2, s"sign closure ${r._1}"))
+  }
+
+  test("weekday == local integer dow-profile residual census; peak pinned") {
+    val Q = 1048576L
+    val daily = ev.groupBy(e => (e._4, e._2 / 86400000000L))
+      .map { case ((t, d), es) => (t, d, es.length.toLong) }.toSeq
+    val prof = daily.groupBy(r => (r._1, r._2 % 7))
+      .map { case (k, rs) => k -> (rs.map(_._3).sum * Q) / rs.size }
+    val res = daily.map { case (t, d, c) => (t, d, c * Q - prof((t, d % 7))) }
+    val want = res.groupBy(_._1).toSeq.map { case (t, rs) =>
+      val pk = rs.map(r => (r._3, r._2)).max
+      (t, rs.size.toLong, rs.count(_._3 > 0L).toLong, rs.count(_._3 < 0L).toLong,
+        rs.filter(_._3 > 0L).map(_._3).sum, rs.filter(_._3 < 0L).map(_._3).sum,
+        pk._1, pk._2)
+    }.sortBy(_._1)
+    val got = EventOps.weekday(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == want)
+    assert(want.exists(_._3 > 0L) && want.exists(_._4 > 0L),
+      "residuals must land on both sides of the profile")
+    // per type, residual mass balances only up to the div-flooring of
+    // qmean: |pos_sum + neg_sum| < n_days * 7 (each day's floor loss < 7)
+    want.foreach(r => assert(math.abs(r._5 + r._6) < r._2 * Q,
+      s"residual mass implausible for ${r._1}"))
+  }
+
   /** The stable-rule rank of each position in a triple: position i
     * precedes j > i iff x_i <= x_j — computed by SORTING (value,
     * position), the definitional form the engine's indicator sums and the

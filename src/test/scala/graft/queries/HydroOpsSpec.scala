@@ -193,6 +193,178 @@ class HydroOpsSpec extends AnyFunSuite {
     assert(want._3 > 1L, "multiple basin pairs must exist on real terrain")
   }
 
+  test("basinPour on sf0.001 == local sink-walk + saddle census; argmin pinned") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = RasterOps.baseCells(spark, dir).as[(Int, Int, Double)].collect()
+    val g = Array.ofDim[Double](w * h)
+    cells.foreach { case (x, y, v) => g(y * w + x) = v }
+    def v(y: Int, x: Int) = g(y * w + x)
+    val Q = 1048576.0
+    val succ = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+      val packed = (for (o <- Seq(0, 1, 2, 3, 5, 6, 7, 8)) yield {
+        val dxo = o % 3 - 1; val dyo = o / 3 - 1
+        val dist = if (dxo != 0 && dyo != 0) math.sqrt(2.0) else 1.0
+        math.floor((v(y, x) - v(y - dyo, x - dxo)) / dist * Q).toLong * 16L + (8L - o)
+      }).max
+      val id = y.toLong * w + x
+      if (packed >= 16L) {
+        val d = 8L - packed % 16L
+        id -> ((y - (d / 3 - 1)) * w + (x - (d % 3 - 1)))
+      } else id -> -1L
+    }).toMap
+    def sink(id: Long): Long = {
+      var cur = id
+      while (succ.get(cur).exists(_ >= 0L)) cur = succ(cur)
+      cur
+    }
+    val lbl = succ.keys.map(id => id -> sink(id)).toMap
+    def qv(id: Long) = math.floor(g(id.toInt) * Q).toLong
+    val pours = lbl.keys.toSeq.flatMap { id =>
+      Seq(id + 1L, id + w.toLong).filter(lbl.contains).flatMap { nb =>
+        if (lbl(id) == lbl(nb)) None
+        else Some(((math.min(lbl(id), lbl(nb)), math.max(lbl(id), lbl(nb))),
+          math.max(qv(id), qv(nb))))
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq
+    val amin = pours.map { case ((lo, hi), p) => (p, lo, hi) }.min
+    val want = (pours.size.toLong, pours.map(_._2).min, pours.map(_._2).max,
+      pours.map(_._2).sum, amin._2, amin._3)
+    val got = HydroOps.basinPour(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).head
+    assert(got == want)
+    assert(want._1 > 1L, "multiple basin pairs must exist on real terrain")
+    // cross-operator closure: same pair universe as basinBorders
+    val nbp = HydroOps.basinBorders(spark, dir).collect().head.getLong(2)
+    assert(got._1 == nbp, "pair count must match basinBorders")
+  }
+
+  test("riparianOf == local Moore-buffer set algebra; interior edge never wraps") {
+    import spark.implicits._
+    def run(w: Int, h: Int, accOf: (Int, Int) => Long): Unit = {
+      val dom = (for (y <- 1 until h - 1; x <- 1 until w - 1)
+        yield (y.toLong * w + x, accOf(x, y))).toSeq
+      val got = HydroOps.riparianOf(dom.toDF("id", "acc"), w).collect().head
+      val chan = dom.filter(_._2 >= HydroOps.ChannelAcc).map(_._1).toSet
+      val domSet = dom.map(_._1).toSet
+      val near = chan.flatMap(id =>
+        Seq(-w - 1, -w, -w + 1, -1, 1, w - 1, w, w + 1).map(o => id + o))
+        .intersect(domSet) -- chan
+      val want = (chan.size.toLong, chan.sum, near.size.toLong, near.sum,
+        (domSet.size - chan.size - near.size).toLong)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+        got.getLong(4)) == want, s"w=$w h=$h")
+    }
+    // channel hugging the right interior edge: id+1 shifts must fall OFF
+    // the domain, never wrap into the next row's left edge
+    run(8, 6, (x, _) => if (x == 6) 9L else 0L)
+    run(8, 6, (_, _) => 0L) // empty channel: coalesced zero sums
+    val rnd = new scala.util.Random(71)
+    for (_ <- 0 until 3) {
+      val vals = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      run(7 + rnd.nextInt(8), 6 + rnd.nextInt(6),
+        (x, y) => vals.getOrElseUpdate((x, y), rnd.nextLong(8)))
+    }
+  }
+
+  test("basinHypso on sf0.001 == local sink-walk + integer decile recompute") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = RasterOps.baseCells(spark, dir).as[(Int, Int, Double)].collect()
+    val g = Array.ofDim[Double](w * h)
+    cells.foreach { case (x, y, v) => g(y * w + x) = v }
+    def v(y: Int, x: Int) = g(y * w + x)
+    val Q = 1048576.0
+    val succ = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+      val packed = (for (o <- Seq(0, 1, 2, 3, 5, 6, 7, 8)) yield {
+        val dxo = o % 3 - 1; val dyo = o / 3 - 1
+        val dist = if (dxo != 0 && dyo != 0) math.sqrt(2.0) else 1.0
+        math.floor((v(y, x) - v(y - dyo, x - dxo)) / dist * Q).toLong * 16L + (8L - o)
+      }).max
+      val id = y.toLong * w + x
+      if (packed >= 16L) {
+        val d = 8L - packed % 16L
+        id -> ((y - (d / 3 - 1)) * w + (x - (d % 3 - 1)))
+      } else id -> -1L
+    }).toMap
+    def sink(id: Long): Long = {
+      var cur = id
+      while (succ.get(cur).exists(_ >= 0L)) cur = succ(cur)
+      cur
+    }
+    def qv(id: Long) = math.floor(g(id.toInt) * Q).toLong
+    val bas = succ.keys.toSeq.groupBy(sink).toSeq.map { case (s, ids) =>
+      val qs = ids.map(qv)
+      val n = ids.size.toLong
+      val dec = if (qs.max == qs.min) 10L
+        else ((qs.sum - n * qs.min) * 10L) / (n * (qs.max - qs.min))
+      (s, n, dec)
+    }
+    val want = bas.groupBy(_._3).toSeq.map { case (d, bs) =>
+      (d, bs.size.toLong, bs.map(_._2).sum, bs.map(_._1).sum)
+    }.sortBy(_._1)
+    val got = HydroOps.basinHypso(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(want.count(_._1 <= 9L) > 1, "real terrain must spread over deciles")
+  }
+
+  /** Local drainage recompute over a functional forest: sinks by path
+    * walk (terminal = pit or out-of-domain target), acc(v) = number of
+    * strict ancestors whose path passes v, basins folded into the
+    * channel-count histogram — the sequential formulation of
+    * drainageCensus's pointer-doubling + doubled-composition plan.
+    */
+  private def drainageLocal(succ: Map[Long, Long], k: Long): Seq[(Long, Long, Long, Long)] = {
+    def sink(id: Long): Long = {
+      var cur = id
+      while (succ.get(cur).exists(_ >= 0L)) cur = succ(cur)
+      cur
+    }
+    val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    succ.keys.foreach { id =>
+      var cur = succ(id)
+      while (cur >= 0L) {
+        acc(cur) += 1L
+        cur = succ.get(cur).getOrElse(-1L)
+      }
+    }
+    succ.keys.toSeq.map(id => (sink(id), id))
+      .groupBy(_._1).toSeq
+      .map { case (s, vs) =>
+        (s, vs.size.toLong, vs.count(v => acc(v._2) >= k).toLong)
+      }
+      .groupBy(_._3).toSeq
+      .map { case (nch, bs) =>
+        (nch, bs.size.toLong, bs.map(_._2).sum, bs.map(_._1).sum)
+      }.sortBy(_._1)
+  }
+
+  test("drainageCensus == local acc/sink recompute on random forests") {
+    import spark.implicits._
+    val rng = new scala.util.Random(690690L)
+    var sawChannel = false
+    for (trial <- 0 until 6) {
+      val n = 40 + rng.nextInt(80)
+      val succ = (0L until n.toLong).map { i =>
+        val r = rng.nextDouble()
+        val s = if (i == 0 || r < 0.15) -1L
+        else if (r < 0.22) n.toLong + rng.nextInt(4)
+        else rng.nextLong(i)
+        i -> s
+      }.toMap
+      val want = drainageLocal(succ, HydroOps.ChannelAcc)
+      val got = HydroOps.drainageCensus(succ.toSeq.toDF("id", "succ").repartition(5))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == want, s"trial $trial")
+      if (want.exists(_._1 > 0L)) sawChannel = true
+    }
+    assert(sawChannel, "the trials must exercise a genuine channel cell")
+  }
+
   /** Memoized sequential Strahler over a functional forest: children
     * lists from the successor map, order(v) = max child order (+1 when
     * >= 2 children attain the max), leaves order 1. The node domain is
