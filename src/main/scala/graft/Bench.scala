@@ -352,6 +352,17 @@ object Bench {
     Seq("q_basin_pour", "q_grid_drainage", "q_basin_hypso", "q_evt_weekday",
       "q_evt_runs", "q_riparian")
 
+  /** Seventy-second/seventy-third waves: the wetness matrix (digit-count
+    * log2 acc-bucket x slope-bucket 2D rollup on the stream-power join
+    * shape), the type-affinity user-set overlap matrix (distinct
+    * (user, type) frame self-joined per user), and the main-channel
+    * length histogram (flow-length x watershed labels composed on the
+    * shared level-1 feed).
+    */
+  private val Ops40Queries =
+    Seq("q_wetness", "q_evt_type_affinity", "q_basin_channel",
+      "q_band_adjacency", "q_rel_basket")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -368,7 +379,8 @@ object Bench {
     "ops27" -> Ops27Queries, "ops33" -> Ops33Queries,
     "ops34" -> Ops34Queries, "ops35" -> Ops35Queries,
     "ops36" -> Ops36Queries, "ops37" -> Ops37Queries,
-    "ops38" -> Ops38Queries, "ops39" -> Ops39Queries)
+    "ops38" -> Ops38Queries, "ops39" -> Ops39Queries,
+    "ops40" -> Ops40Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

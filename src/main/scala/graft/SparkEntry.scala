@@ -753,6 +753,11 @@ object SparkEntry {
     "q_evt_weekday" -> EventOps.weekday,
     "q_evt_runs" -> EventOps.runs,
     "q_riparian" -> HydroOps.riparian,
+    "q_wetness" -> HydroOps.wetness,
+    "q_evt_type_affinity" -> EventOps.typeAffinity,
+    "q_basin_channel" -> HydroOps.basinChannel,
+    "q_band_adjacency" -> RasterOps.bandAdjacency,
+    "q_rel_basket" -> RelOps.basket,
     "q_evt_cusum" -> EventOps.cusum,
     "q_evt_spearman" -> EventOps.spearman,
     "q_evt_spike" -> EventOps.spike,

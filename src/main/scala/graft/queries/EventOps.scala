@@ -1152,6 +1152,39 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** TYPE-AFFINITY matrix — the pairwise user-set overlap census
+    * between event types (the audience-overlap question every funnel
+    * analysis starts from): for each ordered type pair (type_a < type_b,
+    * co-observed pairs only — the stated inner contract), the EXACT
+    * |A ∩ B|, |A|, |B| and |A ∪ B| of the two types' distinct user
+    * sets — the integer pieces of Jaccard/overlap/lift, emitted raw so
+    * no f64 ratio crosses the compare. Plan at 100 TB: ONE distinct pass
+    * reduces raw events to the (user, type) frame (map-side
+    * combinable); the self-join is user-keyed and each user contributes
+    * at most |types|^2 pairs — linear in users, never quadratic in
+    * events; the |types|^2-row rollup and the size join are metadata-
+    * sized. The distinct frame is checkpoint-shared by both consumers.
+    */
+  val typeAffinity: (SparkSession, String) => DataFrame = (spark, dir) =>
+    typeAffinityOf(events(spark, dir).select("user_id", "event_type"))
+
+  private[graft] def typeAffinityOf(raw: DataFrame): DataFrame = {
+    val ut = raw.distinct()
+      .localCheckpoint(true) // feeds the sizes rollup AND the self-join
+    val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("nu"))
+    ut.as("a").join(ut.as("b"), col("a.user_id") === col("b.user_id")
+        && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(sizes.select(col("event_type").as("type_a"), col("nu").as("n_a")),
+        Seq("type_a"))
+      .join(sizes.select(col("event_type").as("type_b"), col("nu").as("n_b")),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"), (col("n_a") + col("n_b") - col("n_both")).as("n_union"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** WALD–WOLFOWITZ RUNS census over daily event counts per type — the
     * classic nonparametric randomness probe ([[mannKendall]]'s
     * complement: MK scores monotone trend, runs score OSCILLATION): each
@@ -1552,6 +1585,23 @@ object EventOps {
     // counts of earlier-smaller and earlier-larger days (vs the engine's
     // scatter over pairs); the tie term from an independent value-group
     // rollup
+    // type affinity: the distinct (user, type) frame self-joined per
+    // user under type_a < type_b, sizes joined back, union by
+    // inclusion-exclusion
+    "q_evt_type_affinity" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |s AS (SELECT event_type, count(*)::BIGINT AS nu FROM ut GROUP BY 1),
+        |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        count(*)::BIGINT AS n_both
+        |      FROM ut a JOIN ut b ON b.user_id = a.user_id
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.nu AS n_a, sb.nu AS n_b, n_both,
+        |  (sa.nu + sb.nu - n_both)::BIGINT AS n_union
+        |FROM i JOIN s sa ON sa.event_type = i.type_a
+        |JOIN s sb ON sb.event_type = i.type_b
+        |ORDER BY 1, 2""".stripMargin,
+
     // runs test: the same daily frame, the doubled-median selected by
     // order statistics, signs folded into runs via the lag/cumsum island
     // idiom — each stage the SQL formulation of the engine's windows

@@ -233,6 +233,65 @@ object HydroOps {
     riparianOf(accCells(succ), w1)
   }
 
+  /** MAIN-CHANNEL LENGTH histogram per basin — the "longest flow path"
+    * every basin report leads with: per basin, the maximum flow-path
+    * step count over its cells (the main channel's head is the cell
+    * attaining it; its full path IS the main channel since all paths
+    * funnel to the one sink), folded into a histogram keyed by that
+    * maximum. The head cell pins deterministically via one
+    * lexicographic struct-max over (steps, id); the histogram emits
+    * (max_steps, n_basins, cells_sum, sink_sum, head_id_sum). Both
+    * per-cell tables ([[flowLengths]] payload-carrying doubling,
+    * [[basinLabels]] pointer doubling) ride the SHARED level-1 succ
+    * feed; the composition adds one id equi-join and two rollups.
+    */
+  private[graft] def channelCensus(succ: DataFrame, w: Int): DataFrame =
+    basinLabels(succ)
+      .join(flowLengths(succ, w)
+        .select(col("id"), (col("nc") + col("nd")).as("steps")), Seq("id"))
+      .groupBy("sink")
+      .agg(count(lit(1)).as("n"), max(struct(col("steps"), col("id"))).as("hd"))
+      .select(col("sink"), col("n"), col("hd.steps").as("max_steps"),
+        col("hd.id").as("head_id"))
+      .groupBy("max_steps")
+      .agg(count(lit(1)).as("n_basins"), sum("n").as("cells_sum"),
+        sum("sink").as("sink_sum"), sum("head_id").as("head_id_sum"))
+      .orderBy("max_steps")
+
+  val basinChannel: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (c1, w1, h1) = RasterOps.level1Cells(spark, dir)
+    channelCensus(
+      RasterOps.d8SuccCellsTiledOf(c1, w1, h1, 25, 25).localCheckpoint(true), w1)
+  }
+
+  /** WETNESS MATRIX — the integer-exact surrogate of the topographic
+    * wetness index ln((acc+1)/tan(slope)): instead of crossing an f64
+    * log/tan through the oracle compare, the census bins each level-1
+    * interior cell into the 2D (acc_bucket, slope_bucket) lattice with
+    * acc_bucket = floor(log2(acc+1)) computed EXACTLY as the binary
+    * digit count (length(bin(acc+1)) - 1 — string arithmetic, no
+    * floating log near power-of-two boundaries) and slope_bucket =
+    * qslope div 2^19 (half-unit-wide buckets of the q20 Horn slope).
+    * High acc_bucket + low slope_bucket = the wet corner, the TWI
+    * ordering, recoverable by any monotone scoring downstream. Emits
+    * (acc_bucket, slope_bucket, n_cells, id_sum) — rows bounded by
+    * ~log2(cells) x max-slope/0.5, data-size-free. Plan: [[streamPower]]'s
+    * exact join shape (two per-cell long tables on id), different fold.
+    */
+  val wetness: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (c1, w1, h1) = RasterOps.level1Cells(spark, dir)
+    val slope = RasterOps.slopeCellsTiledOf(c1, w1, h1, 25, 25)
+      .select(col("point_id").as("id"), col("qv").as("qslope"))
+    val acc = accCells(RasterOps.d8SuccCellsTiledOf(c1, w1, h1, 25, 25))
+    slope.join(acc, Seq("id"))
+      .select(col("id"),
+        (length(bin(col("acc") + 1)) - 1).cast("long").as("acc_bucket"),
+        expr("qslope div 524288").as("slope_bucket"))
+      .groupBy("acc_bucket", "slope_bucket")
+      .agg(count(lit(1)).as("n_cells"), sum("id").as("id_sum"))
+      .orderBy("acc_bucket", "slope_bucket")
+  }
+
   /** HYPSOMETRIC-INDEX decile histogram per basin — the area-elevation
     * summary hydrologists compute per watershed (Strahler's hypsometric
     * integral, here its integer-exact mean-based estimator): per basin,
@@ -811,6 +870,94 @@ object HydroOps {
          |SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_basins,
          |  sum(n)::BIGINT AS cells_sum, sum(sink)::BIGINT AS sink_sum
          |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // main channel: the flow-length walk joined per cell to the sink
+      // walk, per-basin argmax via row_number (steps DESC, id DESC) —
+      // the window formulation of the engine's struct-max
+      "q_basin_channel" ->
+      s"""WITH RECURSIVE
+         |g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |${RasterOps.poolCte(1, 100)},
+         |p AS (SELECT t.x, t.y, greatest(
+         |    $terms) AS pmax
+         |  FROM g1 t
+         |  $slotJoins1
+         |  WHERE t.x BETWEEN 1 AND 48 AND t.y BETWEEN 1 AND (SELECT h FROM d) // 2 - 2),
+         |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+         |step AS MATERIALIZED (SELECT (y * 50 + x)::BIGINT AS id,
+         |  CASE WHEN dir >= 0
+         |       THEN ((y - (dir // 3 - 1)) * 50 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+         |  FROM dc),
+         |walkl(id, cur, nc, nd) AS (
+         |  SELECT id, succ,
+         |    CASE WHEN succ % 50 <> id % 50 AND succ // 50 <> id // 50 THEN 0 ELSE 1 END,
+         |    CASE WHEN succ % 50 <> id % 50 AND succ // 50 <> id // 50 THEN 1 ELSE 0 END
+         |  FROM step WHERE succ IS NOT NULL
+         |  UNION ALL
+         |  SELECT w.id, s.succ,
+         |    w.nc + CASE WHEN s.succ % 50 <> s.id % 50 AND s.succ // 50 <> s.id // 50 THEN 0 ELSE 1 END,
+         |    w.nd + CASE WHEN s.succ % 50 <> s.id % 50 AND s.succ // 50 <> s.id // 50 THEN 1 ELSE 0 END
+         |  FROM walkl w JOIN step s ON s.id = w.cur AND s.succ IS NOT NULL),
+         |fin AS (
+         |  SELECT w.id, w.nc + w.nd AS steps FROM walkl w
+         |  WHERE NOT EXISTS (SELECT 1 FROM step s
+         |                    WHERE s.id = w.cur AND s.succ IS NOT NULL)
+         |  UNION ALL
+         |  SELECT id, 0 FROM step WHERE succ IS NULL),
+         |walks(id, cur) AS (
+         |  SELECT id, COALESCE(succ, id) FROM step
+         |  UNION ALL
+         |  SELECT w.id, s.succ FROM walks w
+         |  JOIN step s ON s.id = w.cur AND s.succ IS NOT NULL),
+         |sinks AS (SELECT w.id, w.cur AS sink FROM walks w
+         |  WHERE NOT EXISTS (SELECT 1 FROM step s
+         |                    WHERE s.id = w.cur AND s.succ IS NOT NULL)),
+         |bas AS (SELECT s.sink, f.id, f.steps,
+         |          row_number() OVER (PARTITION BY s.sink
+         |                             ORDER BY f.steps DESC, f.id DESC) AS rn,
+         |          count(*) OVER (PARTITION BY s.sink) AS n
+         |        FROM sinks s JOIN fin f ON f.id = s.id),
+         |hd AS (SELECT sink, n, steps AS max_steps, id AS head_id
+         |       FROM bas WHERE rn = 1)
+         |SELECT max_steps::BIGINT AS max_steps, count(*)::BIGINT AS n_basins,
+         |  sum(n)::BIGINT AS cells_sum, sum(sink)::BIGINT AS sink_sum,
+         |  sum(head_id)::BIGINT AS head_id_sum
+         |FROM hd GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // wetness matrix: the stream-power slope/acc reconstruction, the
+      // digit-count log2 bucket (length(bin(acc+1))-1), the 2D rollup
+      "q_wetness" ->
+      s"""WITH RECURSIVE
+         |g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |${RasterOps.poolCte(1, 100)},
+         |p AS (SELECT t.x, t.y,
+         |  (((b0.v + b3.v * 2.0) + b6.v) - ((b2.v + b5.v * 2.0) + b8.v)) / 8.0 AS gx,
+         |  (((b0.v + b1.v * 2.0) + b2.v) - ((b6.v + b7.v * 2.0) + b8.v)) / 8.0 AS gy,
+         |  greatest(
+         |    $terms) AS pmax
+         |  FROM g1 t
+         |  $slotJoins1
+         |  WHERE t.x BETWEEN 1 AND 48 AND t.y BETWEEN 1 AND (SELECT h FROM d) // 2 - 2),
+         |sl AS (SELECT (y * 50 + x)::BIGINT AS id,
+         |  floor(sqrt(gx * gx + gy * gy) * 1048576.0)::BIGINT AS qslope FROM p),
+         |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+         |step AS (SELECT (y * 50 + x)::BIGINT AS id,
+         |  CASE WHEN dir >= 0
+         |       THEN ((y - (dir // 3 - 1)) * 50 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+         |  FROM dc),
+         |walk(anc, node) AS (
+         |  SELECT id, succ FROM step WHERE succ IS NOT NULL
+         |  UNION ALL
+         |  SELECT w.anc, s.succ FROM walk w
+         |  JOIN step s ON s.id = w.node AND s.succ IS NOT NULL),
+         |a AS (SELECT s.id, count(w.anc) AS acc
+         |      FROM step s LEFT JOIN walk w ON w.node = s.id GROUP BY 1)
+         |SELECT (length(bin(a.acc + 1)) - 1)::BIGINT AS acc_bucket,
+         |  (sl.qslope // 524288)::BIGINT AS slope_bucket,
+         |  count(*)::BIGINT AS n_cells, sum(sl.id)::BIGINT AS id_sum
+         |FROM sl JOIN a USING (id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // riparian buffer: the flow-accum walk, channel = acc >= 4, the
       // eight id-offset shifts as a VALUES cross join, NOT-IN set algebra

@@ -1182,6 +1182,44 @@ object RasterOps {
     (pool(c1.toDF("x", "y", "v"), w1, h1).as[(Int, Int, Double)], w1 / 2, h1 / 2)
   }
 
+  /** BAND-ADJACENCY transition matrix — which contour BANDS abut, and
+    * how much: each cell's band index = |{t : v >= t}| over the ladder
+    * (0 = below all, |T| = above all), and every rook-adjacent cell pair
+    * votes its unordered (band_lo, band_hi) into the census with the
+    * left/top cell's id checksummed. Equal-band mass sits on the
+    * diagonal; |hi - lo| >= 2 rows are CLIFFS — adjacencies marching
+    * squares renders as stacked contour lines through one cell edge.
+    * Adjacency is id arithmetic (right = id+1 guarded by x < w-1 so the
+    * row end never wraps to the next row's start — the FULL grid is in
+    * play here, unlike the interior-band hydro censuses; down = id+w,
+    * which cannot wrap) — no raster stencil, two equi-joins, one rollup.
+    */
+  private[graft] def bandAdjacencyOf(cells: Dataset[(Int, Int, Double)], w: Int,
+                                     thresholds: Seq[Double]): DataFrame = {
+    val band = thresholds.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(col("v") >= t, 1).otherwise(0)
+    }
+    val a = cells.toDF("x", "y", "v")
+      .select(col("x"), (col("y").cast("long") * w + col("x")).as("id"),
+        band.cast("long").as("b"))
+      .localCheckpoint(true) // feeds both shift joins
+    val right = a.filter(col("x") < w - 1).select(col("id"), col("b").as("ba"))
+      .join(a.select((col("id") - 1L).as("id"), col("b").as("bb")), Seq("id"))
+    val down = a.select(col("id"), col("b").as("ba"))
+      .join(a.select((col("id") - w.toLong).as("id"), col("b").as("bb")), Seq("id"))
+    right.unionByName(down)
+      .select(least(col("ba"), col("bb")).as("band_lo"),
+        greatest(col("ba"), col("bb")).as("band_hi"), col("id"))
+      .groupBy("band_lo", "band_hi")
+      .agg(count(lit(1)).as("n_pairs"), sum("id").as("id_sum"))
+      .orderBy("band_lo", "band_hi")
+  }
+
+  val bandAdjacency: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (c2, w2, _) = level2Cells(spark, dir)
+    bandAdjacencyOf(c2, w2, EventsGrid.Thresholds)
+  }
+
   /** q_grid_cc: CC labeling over the level-2 overview grid at the
     * standard threshold ladder.
     */
@@ -2217,6 +2255,28 @@ object RasterOps {
            |  max(sz.csize)::BIGINT AS max_size, sum(sz.flbl)::BIGINT AS lbl_sum
            |FROM sz JOIN (SELECT DISTINCT ti, threshold FROM m) m ON m.ti = sz.ti
            |GROUP BY sz.ti ORDER BY threshold""".stripMargin,
+
+      // band adjacency: the level-2 pooling, band = indicator sum over
+      // the ladder, rook pairs by coordinate joins (the x/y formulation
+      // of the engine's guarded id arithmetic)
+      "q_band_adjacency" ->
+        s"""WITH g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |${poolCte(1, 100)},
+           |${poolCte(2, 50)},
+           |b AS (SELECT x, y, (y * 25 + x)::BIGINT AS id,
+           |        ((v >= 25.0)::INT + (v >= 50.0)::INT + (v >= 75.0)::INT
+           |          + (v >= 100.0)::INT)::BIGINT AS bd
+           |      FROM g2),
+           |pr AS (SELECT a.id, least(a.bd, c.bd) AS band_lo,
+           |         greatest(a.bd, c.bd) AS band_hi
+           |       FROM b a JOIN b c ON c.x = a.x + 1 AND c.y = a.y
+           |       UNION ALL
+           |       SELECT a.id, least(a.bd, c.bd), greatest(a.bd, c.bd)
+           |       FROM b a JOIN b c ON c.x = a.x AND c.y = a.y + 1)
+           |SELECT band_lo, band_hi, count(*)::BIGINT AS n_pairs,
+           |  sum(id)::BIGINT AS id_sum
+           |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // component nesting: the same recursive reachability closure as
       // q_grid_cc, then adjacent-level labels paired per CELL, distinct

@@ -1050,7 +1050,42 @@ object RelOps {
       .orderBy("n_name", "o_year")
   }
 
+  /** MARKET-BASKET brand co-occurrence — the association-mining census
+    * over the warehouse: for every unordered brand pair, in how many
+    * ORDERS both brands appear (the support count of the 2-itemset, the
+    * Apriori first rung) plus the order-key checksum pinning WHICH
+    * orders. Per-order brand sets come from one broadcast dimension join
+    * (part is registry-bounded) and one distinct; the self-join is
+    * ORDER-KEYED, so each order contributes at most |brands-per-order|^2
+    * pairs — linear in orders, never quadratic in lineitems; the rollup
+    * output is bounded by |brands|^2 rows regardless of scale.
+    */
+  val basket: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val ob = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+      .join(broadcast(t(spark, dir, "part")
+        .select(col("p_partkey").as("pkey"), col("p_brand").as("brand"))),
+        Seq("pkey"))
+      .select("okey", "brand").distinct()
+      .localCheckpoint(true) // feeds both sides of the pair join
+    ob.as("a").join(ob.as("b"), col("a.okey") === col("b.okey")
+        && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("a.okey")).as("okey_sum"))
+      .orderBy("brand_a", "brand_b")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // basket: the same distinct (order, brand) frame self-joined under
+    // brand_a < brand_b
+    "q_rel_basket" ->
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        |            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+        |SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |  count(*)::BIGINT AS n_orders, sum(a.okey)::BIGINT AS okey_sum
+        |FROM ob a JOIN ob b ON b.okey = a.okey AND a.brand < b.brand
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_rel_market_share" ->
       """WITH facts AS (
         |  SELECT year(o.o_orderdate)::BIGINT AS o_year,

@@ -841,6 +841,38 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("typeAffinity == local set-algebra recompute; inclusion-exclusion closes") {
+    val sets = ev.groupBy(_._4).map { case (t, es) => t -> es.map(_._3).toSet }
+    val types = sets.keys.toSeq.sorted
+    val want = (for (i <- types.indices; j <- i + 1 until types.length) yield {
+      val (a, b) = (types(i), types(j))
+      val both = sets(a).intersect(sets(b)).size.toLong
+      (a, b, sets(a).size.toLong, sets(b).size.toLong, both,
+        sets(a).union(sets(b)).size.toLong)
+    }).filter(_._5 > 0L).sortBy(r => (r._1, r._2))
+    val got = EventOps.typeAffinity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // inclusion-exclusion is definitional locally; assert it survived the
+    // engine's join arithmetic too
+    got.foreach(r => assert(r._3 + r._4 - r._5 == r._6, s"IE broken ${r._1}/${r._2}"))
+  }
+
+  test("typeAffinityOf on crafted frames: partial overlap, disjoint pairs drop, dup events collapse") {
+    import spark.implicits._
+    // a: {1,2,3}  b: {3,4}  c: {7}  (disjoint from a and b)  d: {} absent
+    val raw = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (1L, "a"), // duplicate event
+      (3L, "b"), (4L, "b"),
+      (7L, "c")).toDF("user_id", "event_type")
+    val got = EventOps.typeAffinityOf(raw).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // only (a, b) co-observes: |A|=3 |B|=2 both=1 union=4
+    assert(got == Seq(("a", "b", 3L, 2L, 1L, 4L)))
+  }
+
   test("runs == local doubled-median runs recompute; oscillation observed") {
     val byType = ev.groupBy(e => (e._4, e._2 / 86400000000L))
       .map { case ((t, d), es) => (t, d, es.length.toLong) }

@@ -419,6 +419,86 @@ class HydroOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, n, n * (n - 1) / 2)))
   }
 
+  test("channelCensus == local longest-path recompute on random forests") {
+    import spark.implicits._
+    val rng = new scala.util.Random(730730L)
+    var sawDeep = false
+    for (trial <- 0 until 6) {
+      val n = 40 + rng.nextInt(80)
+      val succ = (0L until n.toLong).map { i =>
+        val r = rng.nextDouble()
+        val s = if (i == 0 || r < 0.15) -1L
+        else if (r < 0.22) n.toLong + rng.nextInt(4)
+        else rng.nextLong(i)
+        i -> s
+      }.toMap
+      def sink(id: Long): Long = {
+        var c = id; while (succ.get(c).exists(_ >= 0L)) c = succ(c); c
+      }
+      def steps(id: Long): Long = {
+        var c = id; var k = 0L
+        while (succ.get(c).exists(_ >= 0L)) { k += 1; c = succ(c) }
+        k
+      }
+      val bas = succ.keys.toSeq.groupBy(sink).toSeq.map { case (s, ids) =>
+        val hd = ids.map(id => (steps(id), id)).max
+        (s, ids.size.toLong, hd._1, hd._2)
+      }
+      val want = bas.groupBy(_._3).toSeq.map { case (ms, bs) =>
+        (ms, bs.size.toLong, bs.map(_._2).sum, bs.map(_._1).sum, bs.map(_._4).sum)
+      }.sortBy(_._1)
+      val got = HydroOps.channelCensus(
+          succ.toSeq.toDF("id", "succ").repartition(5), 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(got == want, s"trial $trial")
+      if (want.exists(_._1 >= 3L)) sawDeep = true
+    }
+    assert(sawDeep, "the trials must exercise a genuinely deep main channel")
+  }
+
+  test("wetness on sf0.001 == local digit-count log2 x slope-bucket matrix") {
+    val dir = "/root/testdata/sf0.001"
+    val (c1, w1, h1) = RasterOps.level1Cells(spark, dir)
+    val cells = c1.collect()
+    val g = Array.ofDim[Double](w1 * h1)
+    cells.foreach { case (x, y, v) => g(y * w1 + x) = v }
+    def v(y: Int, x: Int) = g(y * w1 + x)
+    val Q = 1048576.0
+    def slot(y: Int, x: Int, o: Int) = v(y - (o / 3 - 1), x - (o % 3 - 1))
+    val succ = (for (y <- 1 to h1 - 2; x <- 1 to w1 - 2) yield {
+      val packed = (for (o <- Seq(0, 1, 2, 3, 5, 6, 7, 8)) yield {
+        val dxo = o % 3 - 1; val dyo = o / 3 - 1
+        val dist = if (dxo != 0 && dyo != 0) math.sqrt(2.0) else 1.0
+        math.floor((v(y, x) - v(y - dyo, x - dxo)) / dist * Q).toLong * 16L + (8L - o)
+      }).max
+      val id = y.toLong * w1 + x
+      if (packed >= 16L) {
+        val d = 8L - packed % 16L
+        id -> ((y - (d / 3 - 1)) * w1 + (x - (d % 3 - 1)))
+      } else id -> -1L
+    }).toMap
+    val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    pairsOf(succ).foreach { case (_, node) => if (succ.contains(node)) acc(node) += 1L }
+    val want = (for (y <- 1 to h1 - 2; x <- 1 to w1 - 2) yield {
+      def s(o: Int) = slot(y, x, o)
+      val gx = (((s(0) + s(3) * 2.0) + s(6)) - ((s(2) + s(5) * 2.0) + s(8))) / 8.0
+      val gy = (((s(0) + s(1) * 2.0) + s(2)) - ((s(6) + s(7) * 2.0) + s(8))) / 8.0
+      val q = math.floor(math.sqrt(gx * gx + gy * gy) * Q).toLong
+      val id = y.toLong * w1 + x
+      // digit count = floor(log2) + 1, exactly
+      ((63 - java.lang.Long.numberOfLeadingZeros(acc(id) + 1)).toLong,
+        q / 524288L, id)
+    }).groupBy(t => (t._1, t._2)).map { case ((ab, sb), rs) =>
+      (ab, sb, rs.size.toLong, rs.map(_._3).sum)
+    }.toSeq.sorted
+    val got = HydroOps.wetness(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(want.map(_._1).distinct.size > 1, "acc buckets must spread")
+    assert(want.map(_._2).distinct.size > 1, "slope buckets must spread")
+  }
+
   test("streamPower on sf0.001 == local slope x (acc + 1) recompute") {
     val dir = "/root/testdata/sf0.001"
     val (c1, w1, h1) = RasterOps.level1Cells(spark, dir)

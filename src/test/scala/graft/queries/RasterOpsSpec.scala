@@ -448,6 +448,41 @@ class RasterOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bandAdjacencyOf == brute-force rook census; cliffs and row ends pinned") {
+    import spark.implicits._
+    def brute(vals: Array[Double], w: Int, h: Int, ths: Seq[Double]) = {
+      def bd(x: Int, y: Int) = ths.count(vals(y * w + x) >= _).toLong
+      (for (y <- 0 until h; x <- 0 until w;
+            (nx, ny) <- Seq((x + 1, y), (x, y + 1)) if nx < w && ny < h) yield {
+        val (a, b) = (bd(x, y), bd(nx, ny))
+        ((math.min(a, b), math.max(a, b)), y.toLong * w + x)
+      }).groupBy(_._1).toSeq.map { case ((lo, hi), rs) =>
+        (lo, hi, rs.size.toLong, rs.map(_._2).sum)
+      }.sorted
+    }
+    def run(vals: Array[Double], w: Int, h: Int, ths: Seq[Double]) = {
+      val cells = spark.createDataset(
+        for (y <- 0 until h; x <- 0 until w) yield (x, y, vals(y * w + x)))
+      RasterOps.bandAdjacencyOf(cells, w, ths).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    }
+    // crafted cliff at a row END: band 0 at x = w-1 next to band 2 row
+    // start below — the id+1 wrap would fabricate a (0,2) horizontal pair
+    val w0 = 4; val h0 = 2
+    val cliff = Array(5.0, 5.0, 5.0, 5.0, 80.0, 80.0, 80.0, 80.0)
+    val gotC = run(cliff, w0, h0, Seq(20.0, 60.0))
+    assert(gotC == brute(cliff, w0, h0, Seq(20.0, 60.0)))
+    assert(gotC == Seq((0L, 0L, 3L, 0L + 1L + 2L), (0L, 2L, 4L, 0L + 1L + 2L + 3L),
+      (2L, 2L, 3L, 4L + 5L + 6L)), s"cliff census wrong: $gotC")
+    val rnd = new scala.util.Random(74)
+    for (trial <- 0 until 3) {
+      val w = 5 + rnd.nextInt(10); val h = 4 + rnd.nextInt(8)
+      val vals = Array.fill(h * w)(rnd.nextDouble() * 120.0)
+      val ths = Seq(30.0, 60.0, 90.0)
+      assert(run(vals, w, h, ths) == brute(vals, w, h, ths), s"trial $trial")
+    }
+  }
+
   /** Brute-force local viewshed of one row of quantized elevations:
     * visible x's (x = 0 always; x >= 1 iff its angle strictly beats every
     * predecessor's by integer cross-product).

@@ -22,6 +22,28 @@ class RelOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Double, Double, Double, String, String, Long)].collect().toSeq
   }
 
+  test("basket == local per-order brand-set pair recompute; support bounded") {
+    import spark.implicits._
+    val lp = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+    val brandOf = spark.read.parquet(s"$sf/part.parquet")
+      .selectExpr("p_partkey", "p_brand").as[(Long, String)].collect().toMap
+    val sets = lp.map { case (o, p) => (o, brandOf(p)) }.distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq
+    val want = sets.flatMap { case (o, bs) =>
+      for (i <- bs.indices; j <- i + 1 until bs.length) yield ((bs(i), bs(j)), o)
+    }.groupBy(_._1).toSeq.map { case ((a, b), rs) =>
+      (a, b, rs.size.toLong, rs.map(_._2).sum)
+    }.sortBy(r => (r._1, r._2))
+    val got = RelOps.basket(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(want.nonEmpty, "some order must span two brands")
+    // support can never exceed the order count
+    val nOrders = lp.map(_._1).distinct.length.toLong
+    got.foreach(r => assert(r._3 <= nOrders))
+  }
+
   test("pricing == local fixed-point Q1 recompute") {
     val cut = li.map(_._9).max - 90L * 86400000000L
     val want = li.filter(_._9 <= cut).groupBy(l => (l._7, l._8)).toSeq.map {
