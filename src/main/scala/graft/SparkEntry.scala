@@ -758,6 +758,7 @@ object SparkEntry {
     "q_basin_channel" -> HydroOps.basinChannel,
     "q_band_adjacency" -> RasterOps.bandAdjacency,
     "q_rel_basket" -> RelOps.basket,
+    "q_basin_depth" -> HydroOps.basinDepth,
     "q_evt_cusum" -> EventOps.cusum,
     "q_evt_spearman" -> EventOps.spearman,
     "q_evt_spike" -> EventOps.spike,

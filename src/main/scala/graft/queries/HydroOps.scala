@@ -169,6 +169,51 @@ object HydroOps {
         col("pour_sum"), col("am.lo").as("min_lo"), col("am.hi").as("min_hi"))
   }
 
+  /** DEPRESSION FILL-DEPTH census — the quantity priority-flood
+    * depression filling computes per pit: a pit basin holds water up to
+    * its SPILL elevation (the min border-crossing over ALL its border
+    * edges — [[basinPour]]'s per-pair min, folded per basin instead),
+    * so depth = spill - qv(sink) is how deep the filled lake at the pit
+    * would be. Only PIT sinks participate (succ = -1; basins whose sink
+    * is a boundary cell drain off-grid — stated drop, as are pits whose
+    * basin touches no other, which cannot happen on a connected interior
+    * with >= 2 basins). Depth is signed: the D8 steepest-QUANTIZED-drop
+    * assignment can route a cell to a pit above some border cell, so no
+    * clamp — exact arithmetic either way. Emits one row: n_pits,
+    * depth min/max/sum, and the deepest pit pinned by a lexicographic
+    * struct-max over (depth, sink). Plan: [[basinPour]]'s exact shape
+    * plus one per-sink fold and one pit semi-join.
+    */
+  val basinDepth: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = RasterOps.baseCells(spark, dir).as[(Int, Int, Double)]
+    val succ = RasterOps.d8SuccCellsTiledOf(cells, w, h).localCheckpoint(true)
+    val qv = qvCells(cells, w).localCheckpoint(true)
+    val a = basinLabels(succ).join(qv, Seq("id"))
+      .select(col("id"), col("sink").as("sa"), col("qv").as("qa"))
+      .localCheckpoint(true) // feeds both neighbor joins
+    def shifted(d: Long) = a.select((col("id") - d).as("id"),
+      col("sa").as("sb"), col("qa").as("qb"))
+    val edges = a.join(shifted(1L), Seq("id"))
+      .unionByName(a.join(shifted(w.toLong), Seq("id")))
+      .filter(col("sa") =!= col("sb"))
+      .select(col("sa"), col("sb"), greatest(col("qa"), col("qb")).as("cr"))
+    val spill = edges.select(col("sa").as("sink"), col("cr"))
+      .unionByName(edges.select(col("sb").as("sink"), col("cr")))
+      .groupBy("sink").agg(min("cr").as("spill"))
+    succ.filter(col("succ") === -1L).select(col("id").as("sink"))
+      .join(qv.select(col("id").as("sink"), col("qv").as("qsink")), Seq("sink"))
+      .join(spill, Seq("sink"))
+      .select(col("sink"), (col("spill") - col("qsink")).as("depth"))
+      .agg(count(lit(1)).as("n_pits"), min("depth").as("depth_min"),
+        max("depth").as("depth_max"), sum("depth").as("depth_sum"),
+        max(struct(col("depth"), col("sink"))).as("dm"))
+      .select(col("n_pits"), col("depth_min"), col("depth_max"),
+        col("depth_sum"), col("dm.depth").as("max_depth"),
+        col("dm.sink").as("max_sink"))
+  }
+
   /** DRAINAGE-DENSITY histogram over the level-1 basins — the composition
     * of BOTH hydrology derivatives on the SHARED level-1 D8 feed
     * ([[level1Succ]], one definition): a cell is CHANNEL when its flow
@@ -832,6 +877,53 @@ object HydroOps {
          |  (SELECT lo FROM bp ORDER BY pour, lo, hi LIMIT 1)::BIGINT AS min_lo,
          |  (SELECT hi FROM bp ORDER BY pour, lo, hi LIMIT 1)::BIGINT AS min_hi
          |FROM bp""".stripMargin,
+
+      // fill depth: the pour-point walk and edge set, the per-basin min
+      // crossing over BOTH edge sides, pits only, the deepest pit via an
+      // ORDER BY (depth, sink) DESC subselect
+      "q_basin_depth" ->
+      s"""WITH RECURSIVE
+         |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |p AS (SELECT t.x, t.y, greatest(
+         |    $terms) AS pmax
+         |  FROM g t
+         |  $slotJoins
+         |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+         |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+         |step AS (SELECT (y * 100 + x)::BIGINT AS id,
+         |  CASE WHEN dir >= 0
+         |       THEN ((y - (dir // 3 - 1)) * 100 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+         |  FROM dc),
+         |walk(id, cur) AS (
+         |  SELECT id, COALESCE(succ, id) FROM step
+         |  UNION ALL
+         |  SELECT w.id, s.succ FROM walk w
+         |  JOIN step s ON s.id = w.cur AND s.succ IS NOT NULL),
+         |sinks AS (SELECT w.id, w.cur AS sink FROM walk w
+         |  WHERE NOT EXISTS (SELECT 1 FROM step s
+         |                    WHERE s.id = w.cur AND s.succ IS NOT NULL)),
+         |qc AS (SELECT (y * 100 + x)::BIGINT AS id,
+         |         floor(v * 1048576.0)::BIGINT AS qv FROM g),
+         |allp AS (SELECT a.sink AS sa, b.sink AS sb, greatest(qa.qv, qb.qv) AS cr
+         |         FROM sinks a JOIN sinks b ON b.id = a.id + 1
+         |         JOIN qc qa ON qa.id = a.id JOIN qc qb ON qb.id = b.id
+         |         UNION ALL
+         |         SELECT a.sink, b.sink, greatest(qa.qv, qb.qv)
+         |         FROM sinks a JOIN sinks b ON b.id = a.id + 100
+         |         JOIN qc qa ON qa.id = a.id JOIN qc qb ON qb.id = b.id),
+         |sp AS (SELECT sink, min(cr) AS spill FROM (
+         |         SELECT sa AS sink, cr FROM allp WHERE sa <> sb
+         |         UNION ALL SELECT sb, cr FROM allp WHERE sa <> sb)
+         |       GROUP BY 1),
+         |dd AS (SELECT p2.sink, sp.spill - qc.qv AS depth
+         |       FROM (SELECT id AS sink FROM step WHERE succ IS NULL) p2
+         |       JOIN sp USING (sink) JOIN qc ON qc.id = p2.sink)
+         |SELECT count(*)::BIGINT AS n_pits, min(depth)::BIGINT AS depth_min,
+         |  max(depth)::BIGINT AS depth_max, sum(depth)::BIGINT AS depth_sum,
+         |  (SELECT depth FROM dd ORDER BY depth DESC, sink DESC LIMIT 1)::BIGINT AS max_depth,
+         |  (SELECT sink FROM dd ORDER BY depth DESC, sink DESC LIMIT 1)::BIGINT AS max_sink
+         |FROM dd""".stripMargin,
 
       // hypsometric deciles: the sink walk joined to quantized
       // elevations, per-basin integer decile, sentinel 10 on max = min

@@ -312,6 +312,61 @@ class HydroOpsSpec extends AnyFunSuite {
     assert(want.count(_._1 <= 9L) > 1, "real terrain must spread over deciles")
   }
 
+  test("basinDepth on sf0.001 == local spill - pit elevation census") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = RasterOps.baseCells(spark, dir).as[(Int, Int, Double)].collect()
+    val g = Array.ofDim[Double](w * h)
+    cells.foreach { case (x, y, v) => g(y * w + x) = v }
+    def v(y: Int, x: Int) = g(y * w + x)
+    val Q = 1048576.0
+    val succ = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+      val packed = (for (o <- Seq(0, 1, 2, 3, 5, 6, 7, 8)) yield {
+        val dxo = o % 3 - 1; val dyo = o / 3 - 1
+        val dist = if (dxo != 0 && dyo != 0) math.sqrt(2.0) else 1.0
+        math.floor((v(y, x) - v(y - dyo, x - dxo)) / dist * Q).toLong * 16L + (8L - o)
+      }).max
+      val id = y.toLong * w + x
+      if (packed >= 16L) {
+        val d = 8L - packed % 16L
+        id -> ((y - (d / 3 - 1)) * w + (x - (d % 3 - 1)))
+      } else id -> -1L
+    }).toMap
+    def sink(id: Long): Long = {
+      var cur = id
+      while (succ.get(cur).exists(_ >= 0L)) cur = succ(cur)
+      cur
+    }
+    val lbl = succ.keys.map(id => id -> sink(id)).toMap
+    def qv(id: Long) = math.floor(g(id.toInt) * Q).toLong
+    val spill = scala.collection.mutable.Map.empty[Long, Long]
+    lbl.keys.foreach { id =>
+      Seq(id + 1L, id + w.toLong).filter(lbl.contains).foreach { nb =>
+        if (lbl(id) != lbl(nb)) {
+          val cr = math.max(qv(id), qv(nb))
+          Seq(lbl(id), lbl(nb)).foreach { s =>
+            spill(s) = math.min(spill.getOrElse(s, Long.MaxValue), cr)
+          }
+        }
+      }
+    }
+    // .toSeq BEFORE collect: collecting pairs out of a Map would rebuild
+    // a Map keyed by depth and silently collapse equal-depth pits
+    val depths = succ.toSeq.collect { case (id, -1L) if spill.contains(id) =>
+      (spill(id) - qv(id), id)
+    }
+    val dm = depths.max
+    val want = (depths.size.toLong, depths.map(_._1).min, depths.map(_._1).max,
+      depths.map(_._1).sum, dm._1, dm._2)
+    val got = HydroOps.basinDepth(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).head
+    assert(got == want)
+    assert(want._1 > 1L, "real terrain must hold several pits")
+    assert(want._3 > 0L, "the deepest pit must hold water")
+  }
+
   /** Local drainage recompute over a functional forest: sinks by path
     * walk (terminal = pit or out-of-domain target), acc(v) = number of
     * strict ancestors whose path passes v, basins folded into the
