@@ -361,7 +361,7 @@ object Bench {
     */
   private val Ops40Queries =
     Seq("q_wetness", "q_evt_type_affinity", "q_basin_channel",
-      "q_band_adjacency", "q_rel_basket", "q_basin_depth")
+      "q_band_adjacency", "q_rel_basket", "q_basin_depth", "q_percolation")
 
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(

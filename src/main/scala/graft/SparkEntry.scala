@@ -759,6 +759,7 @@ object SparkEntry {
     "q_band_adjacency" -> RasterOps.bandAdjacency,
     "q_rel_basket" -> RelOps.basket,
     "q_basin_depth" -> HydroOps.basinDepth,
+    "q_percolation" -> RasterOps.percolation,
     "q_evt_cusum" -> EventOps.cusum,
     "q_evt_spearman" -> EventOps.spearman,
     "q_evt_spike" -> EventOps.spike,

@@ -1106,6 +1106,51 @@ object RasterOps {
       .select(col("cell"), coalesce(col("cluster_id"), col("lbl")).as("flbl"))
   }
 
+  /** PERCOLATION census across the threshold ladder — does the mask
+    * still SPAN the grid? Per threshold, every component's bounding box
+    * (min/max of cid%w and cid div w — pure id arithmetic inside the
+    * same per-label fold that sizes it) classifies it spanning-horizontal
+    * (touches column 0 AND column w-1) and/or spanning-vertical; the
+    * census emits per threshold the component count, the spanning counts
+    * both ways, the largest spanning component's size (0 when none — the
+    * percolation transition reads directly off where this column dies),
+    * and the spanning label checksum. Built on [[ccCellLabels]] (the
+    * tile-contracted hash-min labeling shared with q_grid_cc and
+    * q_cc_nesting — one definition); the census adds one per-label fold
+    * and one per-threshold rollup, nothing rawer than labels moves.
+    */
+  private[graft] def percolationOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
+                                   tile: Int, thresholds: Seq[Double]): DataFrame = {
+    val thr = thresholds.toArray
+    val low40 = lit((1L << 40) - 1)
+    val per = ccCellLabels(cells, w, h, tile, thresholds)
+      .select(shiftright(col("cell"), 40).as("ti"),
+        col("cell").bitwiseAND(low40).as("cid"), col("flbl"))
+      .groupBy("ti", "flbl")
+      .agg(count(lit(1)).as("sz"),
+        min(col("cid") % w).as("mnx"), max(col("cid") % w).as("mxx"),
+        min(expr(s"cid div $w")).as("mny"), max(expr(s"cid div $w")).as("mxy"))
+      .select(col("ti"), col("flbl"), col("sz"),
+        (col("mnx") === 0 && col("mxx") === w - 1).as("sh"),
+        (col("mny") === 0 && col("mxy") === h - 1).as("sv"))
+    val thrCol = thr.indices.foldRight(lit(Double.NaN)) { (ti, acc) =>
+      when(col("ti") === ti, lit(thr(ti))).otherwise(acc)
+    }
+    per.groupBy(thrCol.as("threshold"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(when(col("sh"), 1L).otherwise(0L)).as("n_span_h"),
+        sum(when(col("sv"), 1L).otherwise(0L)).as("n_span_v"),
+        max(when(col("sh") || col("sv"), col("sz")).otherwise(0L)).as("span_max_size"),
+        sum(when(col("sh") || col("sv"),
+          col("flbl").bitwiseAND(low40)).otherwise(0L)).as("span_lbl_sum"))
+      .orderBy("threshold")
+  }
+
+  val percolation: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val (c2, w2, h2) = level2Cells(spark, dir)
+    percolationOf(c2, w2, h2, 16, EventsGrid.Thresholds)
+  }
+
   /** COMPONENT NESTING census across the threshold ladder — the merge-
     * tree / persistence view of the mask pyramid: the `v >= t` masks are
     * monotone (raising t only removes cells), so every component at the
@@ -2277,6 +2322,43 @@ object RasterOps {
            |SELECT band_lo, band_hi, count(*)::BIGINT AS n_pairs,
            |  sum(id)::BIGINT AS id_sum
            |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // percolation: the same recursive reachability closure as
+      // q_grid_cc, per-label bounding boxes by id arithmetic, spanning
+      // classification against the level-2 extents
+      "q_percolation" ->
+        s"""WITH RECURSIVE g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |${poolCte(1, 100)},
+           |${poolCte(2, 50)},
+           |hm AS (SELECT max(y) AS my FROM g2),
+           |m AS (SELECT t.ti, t.threshold, (y * 25 + x)::BIGINT AS id, x, y
+           |      FROM g2 CROSS JOIN (VALUES (0, 25.0::DOUBLE), (1, 50.0::DOUBLE),
+           |        (2, 75.0::DOUBLE), (3, 100.0::DOUBLE)) t(ti, threshold)
+           |      WHERE v >= t.threshold),
+           |e0 AS (SELECT a.ti, a.id AS src, b.id AS dst FROM m a JOIN m b
+           |       ON b.ti = a.ti AND ((b.x = a.x + 1 AND b.y = a.y)
+           |                        OR (b.x = a.x AND b.y = a.y + 1))),
+           |e AS (SELECT ti, src, dst FROM e0 UNION ALL SELECT ti, dst, src FROM e0),
+           |reach(ti, node, lbl) AS (
+           |  SELECT ti, id, id FROM m
+           |  UNION
+           |  SELECT e.ti, e.dst, r.lbl FROM reach r
+           |  JOIN e ON e.ti = r.ti AND e.src = r.node),
+           |cc AS (SELECT ti, node, min(lbl) AS flbl FROM reach GROUP BY 1, 2),
+           |per AS (SELECT ti, flbl, count(*)::BIGINT AS sz,
+           |          min(node % 25) = 0 AND max(node % 25) = 24 AS sh,
+           |          min(node // 25) = 0
+           |            AND max(node // 25) = (SELECT my FROM hm) AS sv
+           |        FROM cc GROUP BY 1, 2),
+           |t(ti, threshold) AS (VALUES (0, 25.0::DOUBLE), (1, 50.0::DOUBLE),
+           |  (2, 75.0::DOUBLE), (3, 100.0::DOUBLE))
+           |SELECT t.threshold, count(*)::BIGINT AS n_components,
+           |  sum(sh::INT)::BIGINT AS n_span_h,
+           |  sum(sv::INT)::BIGINT AS n_span_v,
+           |  max(CASE WHEN sh OR sv THEN sz ELSE 0 END)::BIGINT AS span_max_size,
+           |  sum(CASE WHEN sh OR sv THEN flbl ELSE 0 END)::BIGINT AS span_lbl_sum
+           |FROM per JOIN t USING (ti) GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // component nesting: the same recursive reachability closure as
       // q_grid_cc, then adjacent-level labels paired per CELL, distinct

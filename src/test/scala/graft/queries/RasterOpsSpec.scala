@@ -416,6 +416,54 @@ class RasterOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("percolationOf == BFS spanning census on crafted strips + random grids") {
+    import spark.implicits._
+    def brute(vals: Array[Double], w: Int, h: Int, ths: Seq[Double]) =
+      ths.flatMap { th =>
+        val labels = bfsLabels(vals, w, h, th)
+        if (labels.isEmpty) None
+        else {
+          val per = labels.toSeq.groupBy(_._2).toSeq.map { case (lbl, cs) =>
+            val xs = cs.map(_._1._1); val ys = cs.map(_._1._2)
+            (lbl, cs.size.toLong, xs.min == 0 && xs.max == w - 1,
+              ys.min == 0 && ys.max == h - 1)
+          }
+          val sp = per.filter(p => p._3 || p._4)
+          Some((th, per.size.toLong, per.count(_._3).toLong,
+            per.count(_._4).toLong,
+            if (sp.isEmpty) 0L else sp.map(_._2).max, sp.map(_._1).sum))
+        }
+      }
+    def run(vals: Array[Double], w: Int, h: Int, ths: Seq[Double], tile: Int) = {
+      val cells = spark.createDataset(
+        for (y <- 0 until h; x <- 0 until w) yield (x, y, vals(y * w + x)))
+      RasterOps.percolationOf(cells, w, h, tile, ths).collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+    }
+    // crafted: a horizontal strip spans h-wise only at the low threshold;
+    // nothing spans at the high one
+    val w0 = 9; val h0 = 5
+    val strip = Array.fill(h0 * w0)(5.0)
+    for (x <- 0 until w0) strip(2 * w0 + x) = 50.0
+    strip(2 * w0 + 4) = 90.0
+    val gotS = run(strip, w0, h0, Seq(20.0, 60.0), 3)
+    assert(gotS == brute(strip, w0, h0, Seq(20.0, 60.0)))
+    assert(gotS.head._3 == 1L && gotS.head._4 == 0L && gotS.head._5 == w0.toLong,
+      s"strip must span horizontally only: $gotS")
+    assert(gotS(1)._3 == 0L && gotS(1)._4 == 0L && gotS(1)._5 == 0L,
+      s"nothing spans at 60: $gotS")
+    val rnd = new scala.util.Random(77)
+    for (trial <- 0 until 2) {
+      val w = 8 + rnd.nextInt(9)
+      val h = 6 + rnd.nextInt(6)
+      // dense-ish so spanning actually occurs sometimes
+      val vals = Array.fill(h * w)(rnd.nextDouble() * 100.0)
+      val ths = Seq(20.0, 55.0, 85.0)
+      assert(run(vals, w, h, ths, 4) == brute(vals, w, h, ths), s"trial $trial")
+    }
+  }
+
   test("ccNesting == BFS containment census on random + crafted grids; one-parent theorem") {
     import spark.implicits._
     def run(vals: Array[Double], w: Int, h: Int, ths: Seq[Double], tile: Int) = {
