@@ -363,6 +363,14 @@ object Bench {
     Seq("q_wetness", "q_evt_type_affinity", "q_basin_channel",
       "q_band_adjacency", "q_rel_basket", "q_basin_depth", "q_percolation")
 
+  /** Seventy-eighth wave onward: the Melton ruggedness census (per-basin
+    * relief^2/area on the pointer-doubling watershed labels, digit-count
+    * log2 buckets) and the per-doc corpus-hapax decile census (tf frame
+    * -> token-keyed hapax semi-join -> doc rollup).
+    */
+  private val Ops41Queries =
+    Seq("q_basin_melton", "q_doc_hapax")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -380,7 +388,7 @@ object Bench {
     "ops34" -> Ops34Queries, "ops35" -> Ops35Queries,
     "ops36" -> Ops36Queries, "ops37" -> Ops37Queries,
     "ops38" -> Ops38Queries, "ops39" -> Ops39Queries,
-    "ops40" -> Ops40Queries)
+    "ops40" -> Ops40Queries, "ops41" -> Ops41Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -649,6 +649,7 @@ object SparkEntry {
     "q_doc_source_stats" -> TrainingOps.sourceStats,
     "q_doc_top_terms" -> TrainingOps.topTerms,
     "q_doc_token_spectrum" -> TrainingOps.tokenSpectrum,
+    "q_doc_hapax" -> TrainingOps.docHapax,
     "q_doc_collocations" -> TrainingOps.collocations,
     "q_doc_char_terms" -> TrainingOps.charTerms,
     "q_doc_bm25" -> TrainingOps.bm25,
@@ -759,6 +760,7 @@ object SparkEntry {
     "q_band_adjacency" -> RasterOps.bandAdjacency,
     "q_rel_basket" -> RelOps.basket,
     "q_basin_depth" -> HydroOps.basinDepth,
+    "q_basin_melton" -> HydroOps.basinMelton,
     "q_percolation" -> RasterOps.percolation,
     "q_evt_cusum" -> EventOps.cusum,
     "q_evt_spearman" -> EventOps.spearman,

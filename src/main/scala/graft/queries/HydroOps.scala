@@ -370,6 +370,39 @@ object HydroOps {
       .orderBy("decile")
   }
 
+  /** MELTON RUGGEDNESS census per basin — the relief/area ratio
+    * geomorphologists use to classify debris-flow vs fluvial basins
+    * (Melton 1965: MR = relief / sqrt(area)). Its SQUARE is integer-exact
+    * over the floor(v*2^20) quantized elevations: mr2 = (maxq - minq)^2
+    * div n — no sqrt, no f64 division crosses the oracle compare. Basins
+    * bucket by floor(log2(mr2 + 1)) computed as the binary DIGIT COUNT
+    * length(bin(mr2+1)) - 1 ([[wetness]]'s trick — exact at power-of-two
+    * boundaries where a floating log2 wobbles), then fold to (bucket,
+    * n_basins, cells_sum, sink_sum, mr2_max). Long headroom: qv < 2^27ish
+    * on this data, so (maxq-minq)^2 < 2^56 — far under 2^62 before the
+    * div. Single-cell and flat basins land in bucket 0 (mr2 = 0). Plan:
+    * identical to [[basinHypso]] — one qv equi-join + one per-sink rollup
+    * on top of the pointer-doubling labels (which dominate), then a
+    * bucket-bounded fold.
+    */
+  val basinMelton: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = RasterOps.baseCells(spark, dir).as[(Int, Int, Double)]
+    val succ = RasterOps.d8SuccCellsTiledOf(cells, w, h)
+    basinLabels(succ).join(qvCells(cells, w), Seq("id"))
+      .groupBy("sink").agg(count(lit(1)).as("n"),
+        min("qv").as("minq"), max("qv").as("maxq"))
+      .select(col("sink"), col("n"),
+        expr("((maxq - minq) * (maxq - minq)) div n").as("mr2"))
+      .select(col("sink"), col("n"), col("mr2"),
+        (length(bin(col("mr2") + 1)) - 1).cast("long").as("mr_bucket"))
+      .groupBy("mr_bucket")
+      .agg(count(lit(1)).as("n_basins"), sum("n").as("cells_sum"),
+        sum("sink").as("sink_sum"), max("mr2").as("mr2_max"))
+      .orderBy("mr_bucket")
+  }
+
   /** All transitive DOWNSTREAM pairs (anc, node) of the successor forest —
     * every (cell, strictly-downstream cell on its flow path) — by DOUBLED
     * COMPOSITION: the invariant after the round at stride s is "pairs
@@ -962,6 +995,44 @@ object HydroOps {
          |SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_basins,
          |  sum(n)::BIGINT AS cells_sum, sum(sink)::BIGINT AS sink_sum
          |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Melton ruggedness: the same sink walk + quantized elevations,
+      // mr2 = (maxq - minq)^2 // n per basin, log2 bucket via the binary
+      // digit count (bin string length), per-bucket fold
+      "q_basin_melton" ->
+      s"""WITH RECURSIVE
+         |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |p AS (SELECT t.x, t.y, greatest(
+         |    $terms) AS pmax
+         |  FROM g t
+         |  $slotJoins
+         |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+         |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+         |step AS (SELECT (y * 100 + x)::BIGINT AS id,
+         |  CASE WHEN dir >= 0
+         |       THEN ((y - (dir // 3 - 1)) * 100 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+         |  FROM dc),
+         |walk(id, cur) AS (
+         |  SELECT id, COALESCE(succ, id) FROM step
+         |  UNION ALL
+         |  SELECT w.id, s.succ FROM walk w
+         |  JOIN step s ON s.id = w.cur AND s.succ IS NOT NULL),
+         |sinks AS (SELECT w.id, w.cur AS sink FROM walk w
+         |  WHERE NOT EXISTS (SELECT 1 FROM step s
+         |                    WHERE s.id = w.cur AND s.succ IS NOT NULL)),
+         |qc AS (SELECT (y * 100 + x)::BIGINT AS id,
+         |         floor(v * 1048576.0)::BIGINT AS qv FROM g),
+         |bas AS (SELECT s.sink, count(*)::BIGINT AS n,
+         |          min(qv)::BIGINT AS minq, max(qv)::BIGINT AS maxq
+         |        FROM sinks s JOIN qc ON qc.id = s.id GROUP BY 1),
+         |m AS (SELECT sink, n,
+         |        (((maxq - minq) * (maxq - minq)) // n)::BIGINT AS mr2
+         |      FROM bas)
+         |SELECT (length(bin(mr2 + 1)) - 1)::BIGINT AS mr_bucket,
+         |  count(*)::BIGINT AS n_basins, sum(n)::BIGINT AS cells_sum,
+         |  sum(sink)::BIGINT AS sink_sum, max(mr2)::BIGINT AS mr2_max
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // main channel: the flow-length walk joined per cell to the sink
       // walk, per-basin argmax via row_number (steps DESC, id DESC) —

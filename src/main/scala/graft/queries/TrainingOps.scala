@@ -43,6 +43,55 @@ object TrainingOps {
           .cast("long").as("n_token_chars"))
       .orderBy("doc_id")
 
+  // ---- per-doc corpus-hapax SHINGLE census: how much of each document
+  //      is made of 3-token shingles that occur EXACTLY ONCE in the whole
+  //      corpus — the novelty/noise signal a filtering pipeline reads
+  //      next to TTR (high hapax share = genuinely novel text or OCR
+  //      junk; near-zero = boilerplate). The unit is the [[novelty]]
+  //      shingle (same transform/slice construction — one definition of
+  //      "shingle" across the two ops), counted by OCCURRENCE, not
+  //      distinct: hapax = corpus occurrence count 1, so its single
+  //      occurrence sits in one doc with c = 1 and count(*) over the
+  //      semi-join IS the occurrence count. WORD-level hapax is
+  //      degenerate on this synthetic corpus (the small vocabulary
+  //      repeats every token; zero hapax at every sf — the typeAffinity
+  //      lesson), while the shingle space is sparse enough to carry a
+  //      real tail (~57% of shingle types corpus-wide). decile =
+  //      (n_hapax * 10) div n_sh in 0..10 (10 = all-hapax), sentinel 11
+  //      for docs under 3 tokens (no shingles — the repNgramStats
+  //      contract, but kept in the census rather than dropped). Scale
+  //      shape: the (doc, shingle) tf frame is map-side combinable;
+  //      corpus counts are ONE shingle-keyed rollup of tf partials
+  //      (never raw occurrences); hapax membership is a shingle-keyed
+  //      semi-join (NOT broadcast — the hapax set is about half the
+  //      shingle vocabulary, far too big to ship); the census is
+  //      doc-bounded then decile-bounded. ----
+  val docHapax: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val base = docs(spark, dir).withColumn("ts", toks)
+      .select(col("doc_id"), col("ts"))
+      .localCheckpoint(true) // feeds both the explode and the n_sh frame
+    val tf = base.filter(size(col("ts")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(ts) - 2), i -> concat_ws(' ', slice(ts, i, 3)))")).as("s"))
+      .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+    val hap = tf.groupBy("s").agg(sum("c").as("f"))
+      .filter(col("f") === 1L).select("s")
+    val perDoc = tf.join(hap, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("h"))
+    base.select(col("doc_id"),
+        greatest(size(col("ts")) - 2, lit(0)).cast("long").as("n_sh"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("h"), lit(0L)).as("n_hapax"))
+      .withColumn("decile",
+        when(col("n_sh") === 0L, lit(11L))
+          .otherwise(expr("(n_hapax * 10) div n_sh")))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("doc_sum"),
+        sum("n_hapax").as("hapax_sum"), sum("n_sh").as("sh_sum"))
+      .orderBy("decile")
+  }
+
   // ---- quality scoring: integer-exact signals ----
   val qualityScore: (SparkSession, String) => DataFrame = (spark, dir) =>
     docs(spark, dir)
@@ -3268,6 +3317,30 @@ object TrainingOps {
 
     // Same two-stage count-of-counts; DuckDB's unnest path vs the engine's
     // explode is the only (cosmetic) difference.
+    // Per-doc corpus-hapax shingle census: independent 1-based index
+    // gather of the 3-shingles (ws[i] || ws[i+1] || ws[i+2] vs the
+    // engine's transform/slice scatter), then tf -> corpus counts ->
+    // hapax join -> per-doc rollup -> decile fold, stage for stage
+    "q_doc_hapax" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |           FROM documents),
+        |s AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        |      FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)),
+        |tf AS (SELECT doc_id, sh, count(*)::BIGINT AS c FROM s GROUP BY 1, 2),
+        |hap AS (SELECT sh FROM tf GROUP BY sh HAVING sum(c) = 1),
+        |pd AS (SELECT tf.doc_id, count(*)::BIGINT AS n_hapax
+        |       FROM tf JOIN hap USING (sh) GROUP BY 1),
+        |nt AS (SELECT doc_id, greatest(len(ws) - 2, 0)::BIGINT AS n_sh FROM w),
+        |a AS (SELECT nt.doc_id, nt.n_sh, COALESCE(pd.n_hapax, 0)::BIGINT AS n_hapax
+        |      FROM nt LEFT JOIN pd USING (doc_id)),
+        |b AS (SELECT doc_id, n_sh, n_hapax,
+        |        CASE WHEN n_sh = 0 THEN 11 ELSE (n_hapax * 10) // n_sh END AS decile
+        |      FROM a)
+        |SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+        |  sum(doc_id)::BIGINT AS doc_sum, sum(n_hapax)::BIGINT AS hapax_sum,
+        |  sum(n_sh)::BIGINT AS sh_sum
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_doc_token_spectrum" ->
       """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
         |           FROM documents),

@@ -312,6 +312,48 @@ class HydroOpsSpec extends AnyFunSuite {
     assert(want.count(_._1 <= 9L) > 1, "real terrain must spread over deciles")
   }
 
+  test("basinMelton on sf0.001 == local sink-walk + integer mr2 recompute") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = RasterOps.baseCells(spark, dir).as[(Int, Int, Double)].collect()
+    val g = Array.ofDim[Double](w * h)
+    cells.foreach { case (x, y, v) => g(y * w + x) = v }
+    def v(y: Int, x: Int) = g(y * w + x)
+    val Q = 1048576.0
+    val succ = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+      val packed = (for (o <- Seq(0, 1, 2, 3, 5, 6, 7, 8)) yield {
+        val dxo = o % 3 - 1; val dyo = o / 3 - 1
+        val dist = if (dxo != 0 && dyo != 0) math.sqrt(2.0) else 1.0
+        math.floor((v(y, x) - v(y - dyo, x - dxo)) / dist * Q).toLong * 16L + (8L - o)
+      }).max
+      val id = y.toLong * w + x
+      if (packed >= 16L) {
+        val d = 8L - packed % 16L
+        id -> ((y - (d / 3 - 1)) * w + (x - (d % 3 - 1)))
+      } else id -> -1L
+    }).toMap
+    def sink(id: Long): Long = {
+      var cur = id
+      while (succ.get(cur).exists(_ >= 0L)) cur = succ(cur)
+      cur
+    }
+    def qv(id: Long) = math.floor(g(id.toInt) * Q).toLong
+    def bucket(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x + 1L)
+    val bas = succ.keys.toSeq.groupBy(sink).toSeq.map { case (s, ids) =>
+      val qs = ids.map(qv)
+      val rel = qs.max - qs.min
+      (s, ids.size.toLong, rel * rel / ids.size)
+    }
+    val want = bas.groupBy(b => bucket(b._3).toLong).toSeq.map { case (b, bs) =>
+      (b, bs.size.toLong, bs.map(_._2).sum, bs.map(_._1).sum, bs.map(_._3).max)
+    }.sortBy(_._1)
+    val got = HydroOps.basinMelton(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    assert(want.size > 2, "real terrain must spread over mr2 buckets")
+  }
+
   test("basinDepth on sf0.001 == local spill - pit elevation census") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

@@ -313,6 +313,47 @@ class TrainingOpsTextSpec extends AnyFunSuite {
       s"gate must split the corpus: $verdicts")
   }
 
+  test("docHapax == local corpus-hapax shingle decile recompute") {
+    val ds = docsLocal()
+    def shingles(text: String): Seq[String] =
+      toks(text).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+    val corpus = scala.collection.mutable.Map.empty[String, Long]
+    ds.foreach { case (_, text) =>
+      shingles(text).foreach(s => corpus(s) = corpus.getOrElse(s, 0L) + 1L)
+    }
+    val hapax = corpus.collect { case (s, 1L) => s }.toSet
+    val perDoc = ds.map { case (id, text) =>
+      val ss = shingles(text)
+      val nh = ss.count(hapax.contains).toLong
+      val n = ss.length.toLong
+      (id, n, nh, if (n == 0L) 11L else nh * 10L / n)
+    }
+    val want = perDoc.groupBy(_._4).toSeq.map { case (d, rows) =>
+      (d, rows.size.toLong, rows.map(_._1).sum, rows.map(_._3).sum, rows.map(_._2).sum)
+    }.sortBy(_._1)
+    val got = TrainingOps.docHapax(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    assert(want.map(_._4).sum > 0, "corpus must have a shingle-hapax tail")
+    assert(want.count(_._1 <= 10L) > 1, "shares must spread over deciles")
+    // a crafted frame pins exact partial-share deciles and the sentinel
+    // independent of the synthetic corpus's distribution: doc 1's "x x x"
+    // repeats (f=3 with doc 3's), doc 2 is all-hapax, doc 3 mixes 3/4,
+    // doc 4 has no shingles at all
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "x x x x"),           // shingles: "x x x" twice -> 0 hapax of 2 -> decile 0
+      (2L, "p q r s"),           // both shingles unique -> decile 10
+      (3L, "x x x u v w"),       // "x x x" f=3; other 3 unique -> 30 div 4 = 7
+      (4L, "a b"))               // < 3 tokens -> sentinel 11
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("hapax").toString
+    crafted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got2 = TrainingOps.docHapax(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == Seq((0L, 1L), (7L, 1L), (10L, 1L), (11L, 1L)))
+  }
+
   test("tokenSpectrum and collocations == local recomputes") {
     val docs = docsLocal()
     val allToks = docs.flatMap { case (_, text) => toks(text) }
