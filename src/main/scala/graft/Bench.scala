@@ -371,6 +371,14 @@ object Bench {
   private val Ops41Queries =
     Seq("q_basin_melton", "q_doc_hapax")
 
+  /** Eightieth wave onward: the basin shape census (per-basin bbox fill
+    * decile + milli-scaled aspect ratio, pure id arithmetic on the
+    * watershed labels) and the D8 in-degree census (inflow counts by one
+    * map-side-combinable groupBy on succ).
+    */
+  private val Ops42Queries =
+    Seq("q_basin_elong", "q_flow_indegree")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -388,7 +396,8 @@ object Bench {
     "ops34" -> Ops34Queries, "ops35" -> Ops35Queries,
     "ops36" -> Ops36Queries, "ops37" -> Ops37Queries,
     "ops38" -> Ops38Queries, "ops39" -> Ops39Queries,
-    "ops40" -> Ops40Queries, "ops41" -> Ops41Queries)
+    "ops40" -> Ops40Queries, "ops41" -> Ops41Queries,
+    "ops42" -> Ops42Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

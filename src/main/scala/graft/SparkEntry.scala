@@ -761,6 +761,8 @@ object SparkEntry {
     "q_rel_basket" -> RelOps.basket,
     "q_basin_depth" -> HydroOps.basinDepth,
     "q_basin_melton" -> HydroOps.basinMelton,
+    "q_basin_elong" -> HydroOps.basinElong,
+    "q_flow_indegree" -> HydroOps.flowIndegree,
     "q_percolation" -> RasterOps.percolation,
     "q_evt_cusum" -> EventOps.cusum,
     "q_evt_spearman" -> EventOps.spearman,

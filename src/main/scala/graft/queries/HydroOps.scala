@@ -403,6 +403,77 @@ object HydroOps {
       .orderBy("mr_bucket")
   }
 
+  /** BASIN SHAPE census — bounding-box fill and elongation per watershed
+    * basin, the planform metrics (Horton's form factor genus) read next to
+    * Melton's ruggedness: compact equant basins vs long thin ones. Both
+    * are integer-exact and need NO elevation join — the bbox folds out of
+    * id arithmetic alone (x = id mod w, y = id div w — the percolation
+    * census trick), inside the same per-sink rollup every basin op uses.
+    * fill_decile = (n * 10) div (bw * bh) in 0..10 (n <= bw*bh always;
+    * 10 iff the basin tiles its bbox exactly — all single-cell basins),
+    * elongq = (max(bw,bh) * 1000) div min(bw,bh) >= 1000 (the aspect
+    * ratio, milli-scaled — no f64 division crosses the oracle compare).
+    * Basins fold to (fill_decile, n_basins, cells_sum, sink_sum,
+    * bbox_sum, elongq_max). Long headroom: n * 10 and bw * bh are far
+    * under 2^62 at any real grid; elongq <= w * 1000. Plan: the
+    * pointer-doubling labeling dominates; the census adds one per-sink
+    * rollup (map-side combinable) and a decile-bounded fold — no qv join,
+    * strictly cheaper than [[basinHypso]].
+    */
+  val basinElong: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = RasterOps.baseCells(spark, dir).as[(Int, Int, Double)]
+    val succ = RasterOps.d8SuccCellsTiledOf(cells, w, h)
+    basinLabels(succ)
+      .select(col("sink"), (col("id") % w).as("x"), expr(s"id div $w").as("y"))
+      .groupBy("sink").agg(count(lit(1)).as("n"),
+        min("x").as("minx"), max("x").as("maxx"),
+        min("y").as("miny"), max("y").as("maxy"))
+      .select(col("sink"), col("n"),
+        (col("maxx") - col("minx") + 1L).as("bw"),
+        (col("maxy") - col("miny") + 1L).as("bh"))
+      .select(col("sink"), col("n"), (col("bw") * col("bh")).as("bbox"),
+        expr("(n * 10) div (bw * bh)").as("fill_decile"),
+        expr("(greatest(bw, bh) * 1000) div least(bw, bh)").as("elongq"))
+      .groupBy("fill_decile")
+      .agg(count(lit(1)).as("n_basins"), sum("n").as("cells_sum"),
+        sum("sink").as("sink_sum"), sum("bbox").as("bbox_sum"),
+        max("elongq").as("elongq_max"))
+      .orderBy("fill_decile")
+  }
+
+  /** D8 IN-DEGREE census — the confluence structure of the flow forest:
+    * per interior cell, how many interior cells flow DIRECTLY into it
+    * (0..8), split by whether the cell is itself a pit (succ = -1). Cells
+    * with in-degree >= 2 are the network's junctions; in-degree 0 cells
+    * are ridge sources — the census is the degree histogram hydrologists
+    * read before channel extraction (cf. [[gridDrainage]]'s accumulation
+    * criterion — this is the LOCAL inflow count, accumulation is the
+    * transitive one). Edges INTO boundary cells fall outside the interior
+    * id set and are excluded by construction (stated: the census is over
+    * interior->interior edges only). Fold: (indeg, is_pit, n_cells,
+    * id_sum) — the id checksum pins WHICH cells carry each degree. Plan:
+    * one map-side-combinable groupBy on succ + one id-keyed left join
+    * back to the cell set + a degree-bounded fold; no labeling, no
+    * doubling — the cheapest op in the family.
+    */
+  val flowIndegree: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = RasterOps.baseCells(spark, dir).as[(Int, Int, Double)]
+    val succ = RasterOps.d8SuccCellsTiledOf(cells, w, h)
+    val infl = succ.filter(col("succ") >= 0L)
+      .groupBy(col("succ").as("id")).agg(count(lit(1)).as("indeg"))
+    succ.select(col("id"),
+        when(col("succ") === -1L, 1L).otherwise(0L).as("is_pit"))
+      .join(infl, Seq("id"), "left")
+      .na.fill(0L, Seq("indeg"))
+      .groupBy("indeg", "is_pit")
+      .agg(count(lit(1)).as("n_cells"), sum("id").as("id_sum"))
+      .orderBy("indeg", "is_pit")
+  }
+
   /** All transitive DOWNSTREAM pairs (anc, node) of the successor forest —
     * every (cell, strictly-downstream cell on its flow path) — by DOUBLED
     * COMPOSITION: the invariant after the round at stride s is "pairs
@@ -1033,6 +1104,69 @@ object HydroOps {
          |  count(*)::BIGINT AS n_basins, sum(n)::BIGINT AS cells_sum,
          |  sum(sink)::BIGINT AS sink_sum, max(mr2)::BIGINT AS mr2_max
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // basin shape: the same sink walk, bbox by min/max of id%100 and
+      // id//100 per basin, integer fill decile + milli-scaled aspect ratio
+      "q_basin_elong" ->
+      s"""WITH RECURSIVE
+         |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |p AS (SELECT t.x, t.y, greatest(
+         |    $terms) AS pmax
+         |  FROM g t
+         |  $slotJoins
+         |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+         |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+         |step AS (SELECT (y * 100 + x)::BIGINT AS id,
+         |  CASE WHEN dir >= 0
+         |       THEN ((y - (dir // 3 - 1)) * 100 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+         |  FROM dc),
+         |walk(id, cur) AS (
+         |  SELECT id, COALESCE(succ, id) FROM step
+         |  UNION ALL
+         |  SELECT w.id, s.succ FROM walk w
+         |  JOIN step s ON s.id = w.cur AND s.succ IS NOT NULL),
+         |sinks AS (SELECT w.id, w.cur AS sink FROM walk w
+         |  WHERE NOT EXISTS (SELECT 1 FROM step s
+         |                    WHERE s.id = w.cur AND s.succ IS NOT NULL)),
+         |bb AS (SELECT s.sink, count(*)::BIGINT AS n,
+         |         (max(s.id % 100) - min(s.id % 100) + 1)::BIGINT AS bw,
+         |         (max(s.id // 100) - min(s.id // 100) + 1)::BIGINT AS bh
+         |       FROM sinks s GROUP BY 1),
+         |f AS (SELECT sink, n, bw * bh AS bbox,
+         |        (n * 10) // (bw * bh) AS fill_decile,
+         |        (greatest(bw, bh) * 1000) // least(bw, bh) AS elongq
+         |      FROM bb)
+         |SELECT fill_decile::BIGINT AS fill_decile, count(*)::BIGINT AS n_basins,
+         |  sum(n)::BIGINT AS cells_sum, sum(sink)::BIGINT AS sink_sum,
+         |  sum(bbox)::BIGINT AS bbox_sum, max(elongq)::BIGINT AS elongq_max
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // in-degree census: the packed-argmax step table, inflow counts by
+      // one GROUP BY succ, left-joined back over the interior cell set
+      "q_flow_indegree" ->
+      s"""WITH
+         |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |p AS (SELECT t.x, t.y, greatest(
+         |    $terms) AS pmax
+         |  FROM g t
+         |  $slotJoins
+         |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+         |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+         |step AS (SELECT (y * 100 + x)::BIGINT AS id,
+         |  CASE WHEN dir >= 0
+         |       THEN ((y - (dir // 3 - 1)) * 100 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+         |  FROM dc),
+         |cnt AS (SELECT succ AS id, count(*)::BIGINT AS indeg
+         |        FROM step WHERE succ IS NOT NULL GROUP BY 1),
+         |ind AS (SELECT s.id,
+         |          CASE WHEN s.succ IS NULL THEN 1 ELSE 0 END AS is_pit,
+         |          COALESCE(c.indeg, 0) AS indeg
+         |        FROM step s LEFT JOIN cnt c ON c.id = s.id)
+         |SELECT indeg::BIGINT AS indeg, is_pit::BIGINT AS is_pit,
+         |  count(*)::BIGINT AS n_cells, sum(id)::BIGINT AS id_sum
+         |FROM ind GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // main channel: the flow-length walk joined per cell to the sink
       // walk, per-basin argmax via row_number (steps DESC, id DESC) —

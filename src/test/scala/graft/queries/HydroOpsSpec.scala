@@ -409,6 +409,88 @@ class HydroOpsSpec extends AnyFunSuite {
     assert(want._3 > 0L, "the deepest pit must hold water")
   }
 
+  test("basinElong on sf0.001 == local sink-walk + integer bbox recompute") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = RasterOps.baseCells(spark, dir).as[(Int, Int, Double)].collect()
+    val g = Array.ofDim[Double](w * h)
+    cells.foreach { case (x, y, v) => g(y * w + x) = v }
+    def v(y: Int, x: Int) = g(y * w + x)
+    val Q = 1048576.0
+    val succ = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+      val packed = (for (o <- Seq(0, 1, 2, 3, 5, 6, 7, 8)) yield {
+        val dxo = o % 3 - 1; val dyo = o / 3 - 1
+        val dist = if (dxo != 0 && dyo != 0) math.sqrt(2.0) else 1.0
+        math.floor((v(y, x) - v(y - dyo, x - dxo)) / dist * Q).toLong * 16L + (8L - o)
+      }).max
+      val id = y.toLong * w + x
+      if (packed >= 16L) {
+        val d = 8L - packed % 16L
+        id -> ((y - (d / 3 - 1)) * w + (x - (d % 3 - 1)))
+      } else id -> -1L
+    }).toMap
+    def sink(id: Long): Long = {
+      var cur = id
+      while (succ.get(cur).exists(_ >= 0L)) cur = succ(cur)
+      cur
+    }
+    val bas = succ.keys.toSeq.groupBy(sink).toSeq.map { case (s, ids) =>
+      val xs = ids.map(_ % w); val ys = ids.map(_ / w)
+      val bw = xs.max - xs.min + 1L; val bh = ys.max - ys.min + 1L
+      val n = ids.size.toLong
+      (s, n, bw * bh, (n * 10L) / (bw * bh),
+        (math.max(bw, bh) * 1000L) / math.min(bw, bh))
+    }
+    val want = bas.groupBy(_._4).toSeq.map { case (d, bs) =>
+      (d, bs.size.toLong, bs.map(_._2).sum, bs.map(_._1).sum,
+        bs.map(_._3).sum, bs.map(_._5).max)
+    }.sortBy(_._1)
+    val got = HydroOps.basinElong(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    assert(want.exists(_._1 == 10L), "single-cell basins must pin decile 10")
+    assert(want.count(_._1 < 10L) > 1, "real basins must spread below full fill")
+  }
+
+  test("flowIndegree on sf0.001 == local inflow-count recompute") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = RasterOps.baseCells(spark, dir).as[(Int, Int, Double)].collect()
+    val g = Array.ofDim[Double](w * h)
+    cells.foreach { case (x, y, v) => g(y * w + x) = v }
+    def v(y: Int, x: Int) = g(y * w + x)
+    val Q = 1048576.0
+    val succ = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+      val packed = (for (o <- Seq(0, 1, 2, 3, 5, 6, 7, 8)) yield {
+        val dxo = o % 3 - 1; val dyo = o / 3 - 1
+        val dist = if (dxo != 0 && dyo != 0) math.sqrt(2.0) else 1.0
+        math.floor((v(y, x) - v(y - dyo, x - dxo)) / dist * Q).toLong * 16L + (8L - o)
+      }).max
+      val id = y.toLong * w + x
+      if (packed >= 16L) {
+        val d = 8L - packed % 16L
+        id -> ((y - (d / 3 - 1)) * w + (x - (d % 3 - 1)))
+      } else id -> -1L
+    }).toMap
+    // interior->interior inflow counts only: edges into boundary cells
+    // target ids outside the succ key set and drop (the stated contract)
+    val indeg = succ.toSeq.collect { case (_, s) if succ.contains(s) => s }
+      .groupBy(identity).map { case (id, hits) => id -> hits.size.toLong }
+    val want = succ.keys.toSeq
+      .map(id => (indeg.getOrElse(id, 0L), if (succ(id) == -1L) 1L else 0L, id))
+      .groupBy(t => (t._1, t._2)).toSeq.map { case ((d, p), cs) =>
+        (d, p, cs.size.toLong, cs.map(_._3).sum)
+      }.sortBy(t => (t._1, t._2))
+    val got = HydroOps.flowIndegree(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(want.exists(t => t._1 >= 2L), "real terrain must hold junctions")
+    assert(want.exists(t => t._1 == 0L), "ridge sources must exist")
+  }
+
   /** Local drainage recompute over a functional forest: sinks by path
     * walk (terminal = pit or out-of-domain target), acc(v) = number of
     * strict ancestors whose path passes v, basins folded into the
