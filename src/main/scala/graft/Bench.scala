@@ -379,6 +379,22 @@ object Bench {
   private val Ops42Queries =
     Seq("q_basin_elong", "q_flow_indegree")
 
+  /** Eighty-first/-second waves: the Zevenbergen-Thorne curvature pair
+    * (two second-derivative stats through one tiled kernel pass) and the
+    * flow-path sinuosity census (payload doubling with the sink carried,
+    * then a joinless integer bucket fold).
+    */
+  private val Ops43Queries =
+    Seq("q_curvature", "q_flow_sinuosity")
+
+  /** Eighty-third/-fourth waves: the integer simplified-silhouette census
+    * (both k-means distances from one broadcast packed-key sort) and the
+    * basin dominant-direction census (modal D8 step per watershed by one
+    * packed count-major argmax).
+    */
+  private val Ops44Queries =
+    Seq("q_kmeans_silhouette", "q_basin_domdir")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -397,7 +413,8 @@ object Bench {
     "ops36" -> Ops36Queries, "ops37" -> Ops37Queries,
     "ops38" -> Ops38Queries, "ops39" -> Ops39Queries,
     "ops40" -> Ops40Queries, "ops41" -> Ops41Queries,
-    "ops42" -> Ops42Queries)
+    "ops42" -> Ops42Queries, "ops43" -> Ops43Queries,
+    "ops44" -> Ops44Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

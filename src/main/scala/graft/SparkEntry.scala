@@ -663,6 +663,7 @@ object SparkEntry {
     "q_doc_token_runs" -> TrainingOps.tokenRuns,
     "q_vocab_growth" -> TrainingOps.vocabGrowth,
     "q_kmeans_assign" -> TrainingOps.kmeansAssign,
+    "q_kmeans_silhouette" -> TrainingOps.kmeansSilhouette,
     "q_doc_lm_score" -> TrainingOps.docLmScore,
     "q_doc_keep_list" -> TrainingOps.keepList,
     "q_doc_pack" -> TrainingOps.packDocs,
@@ -696,6 +697,7 @@ object SparkEntry {
     "q_grid_slope" -> RasterOps.hornSlope,
     "q_grid_tri" -> RasterOps.gridTri,
     "q_grid_aspect" -> RasterOps.gridAspect,
+    "q_curvature" -> RasterOps.curvature,
     "q_hillshade" -> RasterOps.hillshade,
     "q_grid_upsample" -> RasterOps.gridUpsample,
     "q_flow_dir" -> RasterOps.d8FlowDir,
@@ -763,6 +765,8 @@ object SparkEntry {
     "q_basin_melton" -> HydroOps.basinMelton,
     "q_basin_elong" -> HydroOps.basinElong,
     "q_flow_indegree" -> HydroOps.flowIndegree,
+    "q_flow_sinuosity" -> HydroOps.flowSinuosity,
+    "q_basin_domdir" -> HydroOps.basinDomdir,
     "q_percolation" -> RasterOps.percolation,
     "q_evt_cusum" -> EventOps.cusum,
     "q_evt_spearman" -> EventOps.spearman,

@@ -145,6 +145,68 @@ object RasterKernel {
     out.toSeq
   }
 
+  /** Per-row integer partials carrying TWO quantized stats:
+    * (y, n, s1sum, s1min, s1max, s2sum, s2min, s2max). */
+  type RowStat2 = (Long, Long, Long, Long, Long, Long, Long, Long)
+
+  /** Zevenbergen & Thorne (1987) curvature pair over the same interior —
+    * per-row partials of PLAN curvature (curvature of the contour line
+    * through the cell: ridge/valley planform convergence) and PROFILE
+    * curvature (curvature along the slope line: acceleration of flow),
+    * the two second-derivative terrain classifiers read next to slope and
+    * aspect. Quadratic-surface coefficients over the 3x3 window (unit cell
+    * size):
+    *   d = (v5 + v3)/2 - v4, e = (v7 + v1)/2 - v4,
+    *   f = ((v0 - v2) + (v8 - v6))/4, g = (v3 - v5)/2, h = (v1 - v7)/2;
+    *   den = g^2 + h^2;
+    *   plan    =  2 * ((d*h^2 + e*g^2) - f*g*h) / den  (0 when den = 0)
+    *   profile = -2 * ((d*g^2 + e*h^2) + f*g*h) / den  (0 when den = 0)
+    * Every operation is a fixed-association f64 +,-,*,/ (all correctly
+    * rounded, no libm), the flat-cell guard compares exactly against
+    * +0.0 (den >= 0 always), and both values quantize per cell
+    * (floor(v * 2^20)) before the order-free integer row sums — the same
+    * exactness contract as the slope family.
+    */
+  def curvatureRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                    ox0: Int, oy0: Int, ow: Int, oh: Int,
+                    w: Int, h: Int): Seq[RowStat2] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val out = new scala.collection.mutable.ArrayBuffer[RowStat2](math.max(tyHi - tyLo + 1, 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var n = 0L
+      var plSum = 0L; var plMin = Long.MaxValue; var plMax = Long.MinValue
+      var prSum = 0L; var prMin = Long.MaxValue; var prMax = Long.MinValue
+      var tx = txLo
+      while (tx <= txHi) {
+        val v0 = g(tx + 1, ty + 1); val v1 = g(tx, ty + 1); val v2 = g(tx - 1, ty + 1)
+        val v5 = g(tx - 1, ty); val v4 = g(tx, ty); val v3 = g(tx + 1, ty)
+        val v6 = g(tx + 1, ty - 1); val v7 = g(tx, ty - 1); val v8 = g(tx - 1, ty - 1)
+        val dd = (v5 + v3) / 2.0 - v4
+        val ee = (v7 + v1) / 2.0 - v4
+        val ff = ((v0 - v2) + (v8 - v6)) / 4.0
+        val gg = (v3 - v5) / 2.0
+        val hh = (v1 - v7) / 2.0
+        val den = gg * gg + hh * hh
+        val pl = if (den == 0.0) 0.0
+          else 2.0 * ((dd * (hh * hh) + ee * (gg * gg)) - (ff * gg) * hh) / den
+        val pr = if (den == 0.0) 0.0
+          else -2.0 * ((dd * (gg * gg) + ee * (hh * hh)) + (ff * gg) * hh) / den
+        val qpl = math.floor(pl * Q20).toLong
+        val qpr = math.floor(pr * Q20).toLong
+        n += 1
+        plSum += qpl; if (qpl < plMin) plMin = qpl; if (qpl > plMax) plMax = qpl
+        prSum += qpr; if (qpr < prMin) prMin = qpr; if (qpr > prMax) prMax = qpr
+        tx += 1
+      }
+      if (n > 0) out += ((ty.toLong, n, plSum, plMin, plMax, prSum, prMin, prMax))
+      ty += 1
+    }
+    out.toSeq
+  }
+
   /** Horn slope over the same interior, emitted PER CELL as (cell id =
     * y * w + x, floor(slope * 2^20)) — the feed for compositions that need
     * the slope raster itself (e.g. zonal statistics of slope inside

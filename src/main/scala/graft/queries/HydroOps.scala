@@ -443,6 +443,43 @@ object HydroOps {
       .orderBy("fill_decile")
   }
 
+  /** BASIN DOMINANT-DIRECTION census — the drainage-orientation summary
+    * per watershed basin: each flowing cell's D8 step decodes from id
+    * arithmetic (d8 = (dy+1)*3 + (dx+1) in 0..8, never 4 for a flowing
+    * cell; pits take the 4 = "no move" slot so every basin member
+    * counts), the basin's modal direction pins by ONE packed integer
+    * argmax (pk = cnt*16 + d8 — count-major, ties to the LARGER
+    * direction code, zero extra passes), and basins fold by (dom_dir,
+    * share_decile) where share_decile = (domcnt*10) div n in 1..10 (10
+    * iff every member steps the same way — all single-cell basins land
+    * on (4, 10)). The anisotropy dashboard: a dominant share near 10
+    * over a big basin means parallel drainage (structural control), near
+    * 1-2 means dendritic. Plan: the pointer-doubling labels dominate;
+    * the census adds one id equi-join of two succ-derived tables + two
+    * map-side-combinable rollups (per-(sink, d8), then per-sink) and a
+    * <= 99-key fold.
+    */
+  val basinDomdir: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = RasterOps.baseCells(spark, dir).as[(Int, Int, Double)]
+    val succ = RasterOps.d8SuccCellsTiledOf(cells, w, h)
+    val dirs = succ.select(col("id"),
+      when(col("succ") === -1L, 4L)
+        .otherwise((expr(s"succ div ${w}L") - expr(s"id div ${w}L") + 1L) * 3L
+          + (col("succ") % w - col("id") % w + 1L)).as("d8"))
+    basinLabels(succ).join(dirs, Seq("id"))
+      .groupBy("sink", "d8").agg(count(lit(1)).as("cnt"))
+      .groupBy("sink").agg(max(col("cnt") * 16L + col("d8")).as("pk"),
+        sum("cnt").as("n"))
+      .select(col("sink"), col("n"), (col("pk") % 16L).as("dom_dir"),
+        expr("((pk div 16) * 10) div n").as("share_decile"))
+      .groupBy("dom_dir", "share_decile")
+      .agg(count(lit(1)).as("n_basins"), sum("n").as("cells_sum"),
+        sum("sink").as("sink_sum"))
+      .orderBy("dom_dir", "share_decile")
+  }
+
   /** D8 IN-DEGREE census — the confluence structure of the flow forest:
     * per interior cell, how many interior cells flow DIRECTLY into it
     * (0..8), split by whether the cell is itself a pit (succ = -1). Cells
@@ -647,7 +684,10 @@ object HydroOps {
     * from id to cur", and composing a.cur = b.id sums the two compressed
     * path segments — O(log longest flow path) rounds, same lineage
     * truncation and static-key convergence count as [[basinLabels]].
-    * Pits report (0, 0) through the union domain.
+    * Pits report (0, 0) through the union domain. The converged cur IS
+    * the terminal sink, so it rides out as a trailing `sink` column for
+    * free (pits: sink = id) — the feed for path-vs-chord compositions
+    * ([[flowSinuosity]]) without a second doubling pass.
     */
   private[graft] def flowLengths(succ: DataFrame, w: Int): DataFrame = {
     val step = succ.filter(col("succ") >= 0L)
@@ -682,8 +722,10 @@ object HydroOps {
     require(left == 0, s"flowLengths: unresolved pointers after $MaxRounds doubling rounds")
     keys.unpersist(blocking = false)
     val pits = succ.filter(col("succ") === -1L)
-      .select(col("id"), lit(0L).as("nc"), lit(0L).as("nd"))
-    ptr.select(col("id"), col("nc"), col("nd")).unionByName(pits)
+      .select(col("id"), lit(0L).as("nc"), lit(0L).as("nd"),
+        col("id").as("sink"))
+    ptr.select(col("id"), col("nc"), col("nd"), col("cur").as("sink"))
+      .unionByName(pits)
   }
 
   /** Contract output: the path-length histogram over the level-1 overview
@@ -699,6 +741,43 @@ object HydroOps {
       .agg(count(lit(1)).as("n_cells"), sum("nd").as("diag_sum"),
         sum("id").as("id_sum"))
       .orderBy("steps")
+  }
+
+  /** FLOW-PATH SINUOSITY census — the meander metric per cell: how much
+    * longer is the D8 flow path from a cell to its sink than the straight
+    * chord between them, entirely in exact integers. Path length
+    * milli-quantizes from the (nc, nd) step pair as pq = nc*1000 +
+    * nd*1414 (1414 is the stated milli-sqrt(2) convention — a fixed
+    * integer weight, not a float); the chord stays SQUARED (dist2 =
+    * dx^2 + dy^2 from id arithmetic, never a sqrt), and the census key is
+    * sin2q = pq^2 div (dist2 * 1000) ~ 1000 * sinuosity^2 — straight
+    * cardinal paths land exactly on 1000, straight diagonals on 999 (the
+    * 1414 truncation), meanders above. Pits drop (no path); non-pits
+    * always have sink != id so dist2 >= 1. Long headroom: pq <= 1414 *
+    * (w*h), pq^2 needs w*h < ~2^26 per GRID — the stated per-grid bound,
+    * far above any tile this engine routes. Fold: log2 buckets via the
+    * binary digit count ([[basinMelton]]'s trick) with n_cells, id_sum,
+    * sin2q_sum, sin2q_max. Plan: ONE payload-doubling pass
+    * ([[flowLengths]], which now carries the sink for free) + a
+    * map-side-combinable bucket fold — no join at all.
+    */
+  val flowSinuosity: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = RasterOps.baseCells(spark, dir).as[(Int, Int, Double)]
+    val succ = RasterOps.d8SuccCellsTiledOf(cells, w, h)
+    flowLengths(succ, w)
+      .filter(col("nc") + col("nd") > 0L)
+      .select(col("id"),
+        (col("nc") * 1000L + col("nd") * 1414L).as("pq"),
+        ((col("sink") % w - col("id") % w) * (col("sink") % w - col("id") % w)
+          + (expr(s"sink div ${w}L") - expr(s"id div ${w}L"))
+            * (expr(s"sink div ${w}L") - expr(s"id div ${w}L"))).as("dist2"))
+      .select(col("id"), expr("(pq * pq) div (dist2 * 1000)").as("sin2q"))
+      .groupBy(length(bin(col("sin2q"))).cast("long").as("sin_bucket"))
+      .agg(count(lit(1)).as("n_cells"), sum("id").as("id_sum"),
+        sum("sin2q").as("sin2q_sum"), max("sin2q").as("sin2q_max"))
+      .orderBy("sin_bucket")
   }
 
   /** Stream-power index — the hydrology composition on top of BOTH level-1
@@ -1167,6 +1246,89 @@ object HydroOps {
          |SELECT indeg::BIGINT AS indeg, is_pit::BIGINT AS is_pit,
          |  count(*)::BIGINT AS n_cells, sum(id)::BIGINT AS id_sum
          |FROM ind GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // basin dominant direction: the sink walk joined to per-cell D8
+      // codes decoded from the step table's id arithmetic (pits -> 4),
+      // modal direction by the packed count-major argmax, decile fold
+      "q_basin_domdir" ->
+      s"""WITH RECURSIVE
+         |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |p AS (SELECT t.x, t.y, greatest(
+         |    $terms) AS pmax
+         |  FROM g t
+         |  $slotJoins
+         |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+         |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+         |step AS (SELECT (y * 100 + x)::BIGINT AS id,
+         |  CASE WHEN dir >= 0
+         |       THEN ((y - (dir // 3 - 1)) * 100 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+         |  FROM dc),
+         |walk(id, cur) AS (
+         |  SELECT id, COALESCE(succ, id) FROM step
+         |  UNION ALL
+         |  SELECT w.id, s.succ FROM walk w
+         |  JOIN step s ON s.id = w.cur AND s.succ IS NOT NULL),
+         |sinks AS (SELECT w.id, w.cur AS sink FROM walk w
+         |  WHERE NOT EXISTS (SELECT 1 FROM step s
+         |                    WHERE s.id = w.cur AND s.succ IS NOT NULL)),
+         |dirs AS (SELECT s.id,
+         |    CASE WHEN s.succ IS NULL THEN 4
+         |         ELSE (s.succ // 100 - s.id // 100 + 1) * 3
+         |              + (s.succ % 100 - s.id % 100 + 1) END AS d8
+         |  FROM step s),
+         |per AS (SELECT k.sink, dr.d8, count(*)::BIGINT AS cnt
+         |        FROM sinks k JOIN dirs dr ON dr.id = k.id GROUP BY 1, 2),
+         |dom AS (SELECT sink, max(cnt * 16 + d8) AS pk, sum(cnt) AS n
+         |        FROM per GROUP BY 1),
+         |f AS (SELECT sink, n, pk % 16 AS dom_dir,
+         |        ((pk // 16) * 10) // n AS share_decile FROM dom)
+         |SELECT dom_dir::BIGINT AS dom_dir, share_decile::BIGINT AS share_decile,
+         |  count(*)::BIGINT AS n_basins, sum(n)::BIGINT AS cells_sum,
+         |  sum(sink)::BIGINT AS sink_sum
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // flow-path sinuosity: the recursive walk WITH the (nc, nd) step
+      // payload at full resolution AND the terminal kept as sink; pq =
+      // nc*1000 + nd*1414 (the stated milli-sqrt(2) integer weight),
+      // chord SQUARED from id arithmetic, census key (pq*pq) //
+      // (dist2*1000), log2 buckets by the binary digit count
+      "q_flow_sinuosity" ->
+      s"""WITH RECURSIVE
+         |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |p AS (SELECT t.x, t.y, greatest(
+         |    $terms) AS pmax
+         |  FROM g t
+         |  $slotJoins
+         |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+         |dc AS (SELECT x, y, CASE WHEN pmax >= 16 THEN 8 - pmax % 16 ELSE -1 END AS dir FROM p),
+         |step AS (SELECT (y * 100 + x)::BIGINT AS id,
+         |  CASE WHEN dir >= 0
+         |       THEN ((y - (dir // 3 - 1)) * 100 + (x - (dir % 3 - 1)))::BIGINT END AS succ
+         |  FROM dc),
+         |walk(id, cur, nc, nd) AS (
+         |  SELECT id, succ,
+         |    CASE WHEN succ % 100 <> id % 100 AND succ // 100 <> id // 100 THEN 0 ELSE 1 END,
+         |    CASE WHEN succ % 100 <> id % 100 AND succ // 100 <> id // 100 THEN 1 ELSE 0 END
+         |  FROM step WHERE succ IS NOT NULL
+         |  UNION ALL
+         |  SELECT w.id, s.succ,
+         |    w.nc + CASE WHEN s.succ % 100 <> s.id % 100 AND s.succ // 100 <> s.id // 100 THEN 0 ELSE 1 END,
+         |    w.nd + CASE WHEN s.succ % 100 <> s.id % 100 AND s.succ // 100 <> s.id // 100 THEN 1 ELSE 0 END
+         |  FROM walk w JOIN step s ON s.id = w.cur AND s.succ IS NOT NULL),
+         |fin AS (SELECT w.id, w.cur AS sink, w.nc, w.nd FROM walk w
+         |  WHERE NOT EXISTS (SELECT 1 FROM step s
+         |                    WHERE s.id = w.cur AND s.succ IS NOT NULL)),
+         |sq AS (SELECT id, nc * 1000 + nd * 1414 AS pq,
+         |         (sink % 100 - id % 100) * (sink % 100 - id % 100)
+         |         + (sink // 100 - id // 100) * (sink // 100 - id // 100) AS dist2
+         |       FROM fin),
+         |k AS (SELECT id, (pq * pq) // (dist2 * 1000) AS sin2q FROM sq)
+         |SELECT length(bin(sin2q))::BIGINT AS sin_bucket, count(*)::BIGINT AS n_cells,
+         |  sum(id)::BIGINT AS id_sum, sum(sin2q)::BIGINT AS sin2q_sum,
+         |  max(sin2q)::BIGINT AS sin2q_max
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // main channel: the flow-length walk joined per cell to the sink
       // walk, per-basin argmax via row_number (steps DESC, id DESC) —

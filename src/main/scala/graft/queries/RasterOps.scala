@@ -231,6 +231,43 @@ object RasterOps {
     rowStats(pivoted3x3Of(cells, w, h), floor(tri * Q20))
   }
 
+  /** Zevenbergen & Thorne curvature pair — plan (contour-line) and
+    * profile (slope-line) curvature per interior cell, the second-
+    * derivative terrain classifiers, folded to per-row integer summaries
+    * of BOTH stats: (y, n_cells, plsum, plmin, plmax, prsum, prmin,
+    * prmax). Quadratic-surface coefficients and the exact expression trees
+    * are documented on [[graft.core.RasterKernel.curvatureRows]]; the
+    * flat-cell guard (den = g^2 + h^2 = 0 -> 0) compares exactly. CROSS-
+    * CHECK formulation (scatter/pivot); curvatureTiledOf is the engine
+    * path.
+    */
+  private[graft] def curvatureOf(cells: DataFrame, w: Int, h: Int): DataFrame = {
+    val dd = (col("v5") + col("v3")) / 2.0 - col("v4")
+    val ee = (col("v7") + col("v1")) / 2.0 - col("v4")
+    val ff = ((col("v0") - col("v2")) + (col("v8") - col("v6"))) / 4.0
+    val gg = (col("v3") - col("v5")) / 2.0
+    val hh = (col("v1") - col("v7")) / 2.0
+    val den = gg * gg + hh * hh
+    val pl = when(den === 0.0, lit(0.0))
+      .otherwise(lit(2.0) * ((dd * (hh * hh) + ee * (gg * gg)) - (ff * gg) * hh) / den)
+    val pr = when(den === 0.0, lit(0.0))
+      .otherwise(lit(-2.0) * ((dd * (gg * gg) + ee * (hh * hh)) + (ff * gg) * hh) / den)
+    pivoted3x3Of(cells, w, h)
+      .select(col("ty").cast("long").as("y"),
+        floor(pl * Q20).as("qpl"), floor(pr * Q20).as("qpr"))
+      .groupBy("y")
+      .agg(count(lit(1)).as("n_cells"),
+        sum("qpl").as("plsum"), min("qpl").as("plmin"), max("qpl").as("plmax"),
+        sum("qpr").as("prsum"), min("qpr").as("prmin"), max("qpr").as("prmax"))
+      .orderBy("y")
+  }
+
+  val curvature: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    curvatureTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
   /** 8-way aspect classification histogram — aspect without atan2: octant
     * membership of the downslope vector (-gx, -gy) by exact comparisons
     * against T = sqrt(2) - 1 (see core.RasterKernel.aspectClasses for the
@@ -757,6 +794,28 @@ object RasterOps {
     import cells.sparkSession.implicits._
     mergeRowStats(haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
       graft.core.RasterKernel.hillshadeRows(t.values, t.bx0, t.by0, t.bw,
+        t.ox0, t.oy0, t.ow, t.oh, w, h)))
+  }
+
+  /** Merge the curvature kernel's two-stat per-row partials — same tiny
+    * merge shuffle as [[mergeRowStats]], eight integer columns.
+    */
+  private def mergeCurvRows(
+      rows: Dataset[(Long, Long, Long, Long, Long, Long, Long, Long)]): DataFrame =
+    rows.toDF("y", "n", "pls", "pln", "plx", "prs", "prn", "prx")
+      .groupBy("y")
+      .agg(sum(col("n")).as("n_cells"),
+        sum(col("pls")).as("plsum"), min(col("pln")).as("plmin"),
+        max(col("plx")).as("plmax"),
+        sum(col("prs")).as("prsum"), min(col("prn")).as("prmin"),
+        max(col("prx")).as("prmax"))
+      .orderBy("y")
+
+  private[graft] def curvatureTiledOf(cells: Dataset[(Int, Int, Double)],
+                                      w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    mergeCurvRows(haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+      graft.core.RasterKernel.curvatureRows(t.values, t.bx0, t.by0, t.bw,
         t.ox0, t.oy0, t.ow, t.oh, w, h)))
   }
 
@@ -2612,6 +2671,41 @@ object RasterOps {
            |  sum(floor(tri * 1048576.0)::BIGINT)::BIGINT AS qsum,
            |  min(floor(tri * 1048576.0)::BIGINT) AS qmin,
            |  max(floor(tri * 1048576.0)::BIGINT) AS qmax
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Zevenbergen-Thorne curvature: coefficients d/e/f/g/h mirror the
+      // kernel token for token (center = t.v), flat-cell CASE compares
+      // exactly against 0.0 (den = g^2 + h^2 >= 0 always), both curvature
+      // expressions share the kernel's association tree; every op is a
+      // correctly-rounded f64 +,-,*,/ — no libm anywhere
+      "q_curvature" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |f1 AS (SELECT t.y,
+           |  (b5.v + b3.v) / 2.0 - t.v AS dd,
+           |  (b7.v + b1.v) / 2.0 - t.v AS ee,
+           |  ((b0.v - b2.v) + (b8.v - b6.v)) / 4.0 AS ff,
+           |  (b3.v - b5.v) / 2.0 AS gg,
+           |  (b1.v - b7.v) / 2.0 AS hh
+           |  FROM g t
+           |  $slotJoins
+           |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+           |f2 AS (SELECT y, dd, ee, ff, gg, hh, gg * gg + hh * hh AS den FROM f1),
+           |f AS (SELECT y,
+           |  CASE WHEN den = 0.0 THEN 0.0
+           |       ELSE 2.0 * ((dd * (hh * hh) + ee * (gg * gg)) - (ff * gg) * hh) / den
+           |  END AS pl,
+           |  CASE WHEN den = 0.0 THEN 0.0
+           |       ELSE -2.0 * ((dd * (gg * gg) + ee * (hh * hh)) + (ff * gg) * hh) / den
+           |  END AS pr
+           |  FROM f2)
+           |SELECT y::BIGINT AS y, count(*)::BIGINT AS n_cells,
+           |  sum(floor(pl * 1048576.0)::BIGINT)::BIGINT AS plsum,
+           |  min(floor(pl * 1048576.0)::BIGINT) AS plmin,
+           |  max(floor(pl * 1048576.0)::BIGINT) AS plmax,
+           |  sum(floor(pr * 1048576.0)::BIGINT)::BIGINT AS prsum,
+           |  min(floor(pr * 1048576.0)::BIGINT) AS prmin,
+           |  max(floor(pr * 1048576.0)::BIGINT) AS prmax
            |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // hillshade: gx/gy mirror the Horn joins; the sun components are the

@@ -1966,6 +1966,45 @@ object TrainingOps {
         min(col("qd")).as("qd_min"), max(col("qd")).as("qd_max"))
       .orderBy("centroid_id")
 
+  /** SIMPLIFIED-SILHOUETTE census — the per-vector clustering-quality
+    * score every k-means dashboard reads, in exact integers: with qa =
+    * quantized squared distance to the ASSIGNED (nearest) centroid and
+    * qb = the second-nearest, silq = ((qb - qa) * 1000) div
+    * greatest(qa, qb, 1) in [0, 1000] (the simplified silhouette of
+    * Hruschka et al. — centroid distances instead of the O(n^2)
+    * all-pairs mean, WITH the squared-distance convention stated; 1000 =
+    * perfectly separated, 0 = on the midline). Both distances come from
+    * the SAME packed-argmin frame as [[kmeansAssign]] (pk = qd * 16 +
+    * cid, unique per centroid because the low bits differ): sort the
+    * vector's 8 packed keys and read slots 0 and 1 — ties on qd break to
+    * the smaller cid exactly like kmeansAssign, zero float compares.
+    * Fold: per (assigned centroid, silq decile) with n_vecs, vec_id
+    * checksum, silq sum + max. Scale shape: the centroid table is
+    * constant-sized and explicitly broadcast, the 8-key sort is per-row
+    * work inside one vec_id rollup, and the census fold is map-side
+    * combinable on <= 8 * 11 keys.
+    */
+  val kmeansSilhouette: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val e = vectors(spark, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val d2 = expr("aggregate(zip_with(cv, v, (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p)")
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (floor(d2 * 1048576.0).cast("long") * 16L + col("cid")).as("pk"))
+      .groupBy("vec_id").agg(sort_array(collect_list(col("pk"))).as("pks"))
+      .select(col("vec_id"),
+        expr("pks[0] % 16").as("centroid_id"),
+        expr("pks[0] div 16").as("qa"),
+        expr("pks[1] div 16").as("qb"))
+      .select(col("vec_id"), col("centroid_id"),
+        expr("((qb - qa) * 1000) div greatest(qa, qb, 1L)").as("silq"))
+      .groupBy(col("centroid_id"), expr("silq div 100").as("sil_decile"))
+      .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("vid_sum"),
+        sum("silq").as("silq_sum"), max("silq").as("silq_max"))
+      .orderBy("centroid_id", "sil_decile")
+  }
+
   /** PRODUCT-QUANTIZATION assignment census (the PQ/IVF-PQ compression
     * step every billion-vector ANN index actually runs): the 64-dim
     * vector splits into M = 4 contiguous 16-dim subspaces, each subspace
@@ -2466,6 +2505,30 @@ object TrainingOps {
         |  sum(pmin // 16)::BIGINT AS qd_sum, min(pmin // 16)::BIGINT AS qd_min,
         |  max(pmin // 16)::BIGINT AS qd_max
         |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // simplified silhouette: the q_kmeans_assign packed keys kept PER
+    // (vec, centroid), nearest = min(pk), second-nearest = min(pk) above
+    // it (unique keys: the cid low bits differ), then the integer
+    // silhouette and the (centroid, decile) fold
+    "q_kmeans_silhouette" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |pk AS (SELECT e.vec_id,
+        |  floor(list_sum(list_transform(range(1, 65),
+        |      i -> (cv[i] - v[i]) * (cv[i] - v[i]))) * 1048576.0)::BIGINT * 16 + cid AS pk
+        |  FROM e CROSS JOIN c),
+        |p1 AS (SELECT vec_id, min(pk) AS p1 FROM pk GROUP BY 1),
+        |p2 AS (SELECT pk.vec_id, min(pk.pk) AS p2 FROM pk
+        |       JOIN p1 ON p1.vec_id = pk.vec_id AND pk.pk > p1.p1 GROUP BY 1),
+        |s AS (SELECT p1.vec_id, (p1.p1 % 16) AS centroid_id,
+        |        (p1.p1 // 16) AS qa, (p2.p2 // 16) AS qb
+        |      FROM p1 JOIN p2 USING (vec_id)),
+        |k AS (SELECT vec_id, centroid_id,
+        |        ((qb - qa) * 1000) // greatest(qa, qb, 1) AS silq FROM s)
+        |SELECT centroid_id::BIGINT AS centroid_id, (silq // 100)::BIGINT AS sil_decile,
+        |  count(*)::BIGINT AS n_vecs, sum(vec_id)::BIGINT AS vid_sum,
+        |  sum(silq)::BIGINT AS silq_sum, max(silq)::BIGINT AS silq_max
+        |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // LSH recall audit: BOTH sides recomputed independently — the
     // brute-force exact >= 0.5 pairs and the band replication — then the

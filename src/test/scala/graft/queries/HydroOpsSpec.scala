@@ -79,11 +79,12 @@ class HydroOpsSpec extends AnyFunSuite {
             cur = nxt
           }
         }
-        (id, nc, nd)
+        // pits carry sink = id through the union domain
+        (id, nc, nd, if (succ(id) >= 0) cur else id)
       }.toSet
       val df = succ.toSeq.toDF("id", "succ").repartition(5)
       val got = HydroOps.flowLengths(df, w).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(got == want, s"trial $trial")
     }
   }
@@ -452,6 +453,105 @@ class HydroOpsSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.exists(_._1 == 10L), "single-cell basins must pin decile 10")
     assert(want.count(_._1 < 10L) > 1, "real basins must spread below full fill")
+  }
+
+  test("basinDomdir on sf0.001 == local modal-direction recompute") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = RasterOps.baseCells(spark, dir).as[(Int, Int, Double)].collect()
+    val g = Array.ofDim[Double](w * h)
+    cells.foreach { case (x, y, v) => g(y * w + x) = v }
+    def v(y: Int, x: Int) = g(y * w + x)
+    val Q = 1048576.0
+    val succ = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+      val packed = (for (o <- Seq(0, 1, 2, 3, 5, 6, 7, 8)) yield {
+        val dxo = o % 3 - 1; val dyo = o / 3 - 1
+        val dist = if (dxo != 0 && dyo != 0) math.sqrt(2.0) else 1.0
+        math.floor((v(y, x) - v(y - dyo, x - dxo)) / dist * Q).toLong * 16L + (8L - o)
+      }).max
+      val id = y.toLong * w + x
+      if (packed >= 16L) {
+        val d = 8L - packed % 16L
+        id -> ((y - (d / 3 - 1)) * w + (x - (d % 3 - 1)))
+      } else id -> -1L
+    }).toMap
+    def sink(id: Long): Long = {
+      var cur = id
+      while (succ.get(cur).exists(_ >= 0L)) cur = succ(cur)
+      cur
+    }
+    def d8(id: Long): Long = {
+      val s = succ(id)
+      if (s < 0L) 4L else (s / w - id / w + 1L) * 3L + (s % w - id % w + 1L)
+    }
+    val bas = succ.keys.toSeq.groupBy(sink).toSeq.map { case (s, ids) =>
+      val byDir = ids.groupBy(d8).toSeq.map { case (dd, cs) => cs.size.toLong * 16L + dd }
+      val pk = byDir.max
+      val n = ids.size.toLong
+      (s, n, pk % 16L, ((pk / 16L) * 10L) / n)
+    }
+    val want = bas.groupBy(b => (b._3, b._4)).toSeq.map { case ((dd, sd), bs) =>
+      (dd, sd, bs.size.toLong, bs.map(_._2).sum, bs.map(_._1).sum)
+    }.sortBy(r => (r._1, r._2))
+    val got = HydroOps.basinDomdir(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // (4, 10) would need a single-cell PIT basin — sf0.001's single-cell
+    // basins all drain off-grid, so assert the robust shape instead
+    assert(want.map(_._1).distinct.size > 2, "modal directions must spread")
+    assert(want.exists(_._2 == 10L), "unanimous basins must exist")
+    assert(want.exists(b => b._1 != 4L && b._2 < 10L),
+      "multi-cell basins must spread below full share")
+  }
+
+  test("flowSinuosity on sf0.001 == local path-vs-chord integer recompute") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = RasterOps.baseCells(spark, dir).as[(Int, Int, Double)].collect()
+    val g = Array.ofDim[Double](w * h)
+    cells.foreach { case (x, y, v) => g(y * w + x) = v }
+    def v(y: Int, x: Int) = g(y * w + x)
+    val Q = 1048576.0
+    val succ = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+      val packed = (for (o <- Seq(0, 1, 2, 3, 5, 6, 7, 8)) yield {
+        val dxo = o % 3 - 1; val dyo = o / 3 - 1
+        val dist = if (dxo != 0 && dyo != 0) math.sqrt(2.0) else 1.0
+        math.floor((v(y, x) - v(y - dyo, x - dxo)) / dist * Q).toLong * 16L + (8L - o)
+      }).max
+      val id = y.toLong * w + x
+      if (packed >= 16L) {
+        val d = 8L - packed % 16L
+        id -> ((y - (d / 3 - 1)) * w + (x - (d % 3 - 1)))
+      } else id -> -1L
+    }).toMap
+    def diag(a: Long, b: Long): Boolean = b % w != a % w && b / w != a / w
+    val perCell = succ.toSeq.filter(_._2 >= 0L).map { case (id, first) =>
+      var cur = first; var nc = 0L; var nd = 0L
+      if (diag(id, cur)) nd += 1 else nc += 1
+      while (succ.get(cur).exists(_ >= 0L)) {
+        val nxt = succ(cur)
+        if (diag(cur, nxt)) nd += 1 else nc += 1
+        cur = nxt
+      }
+      val pq = nc * 1000L + nd * 1414L
+      val dx = cur % w - id % w; val dy = cur / w - id / w
+      val dist2 = dx * dx + dy * dy
+      (id, (pq * pq) / (dist2 * 1000L))
+    }
+    val want = perCell.groupBy(c => java.lang.Long.toBinaryString(c._2).length.toLong)
+      .toSeq.map { case (b, cs) =>
+        (b, cs.size.toLong, cs.map(_._1).sum, cs.map(_._2).sum, cs.map(_._2).max)
+      }.sortBy(_._1)
+    val got = HydroOps.flowSinuosity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // the census must see both near-straight paths and real meanders
+    assert(perCell.exists(_._2 <= 1000L), "no straight path in the census")
+    assert(perCell.exists(_._2 > 2000L), "no meandering path in the census")
   }
 
   test("flowIndegree on sf0.001 == local inflow-count recompute") {

@@ -114,6 +114,43 @@ class RasterRandomSpec extends AnyFunSuite {
     }
   }
 
+  test("curvature on random dims == local Zevenbergen-Thorne recompute") {
+    val rng = new scala.util.Random(81818181L)
+    var sawNonzero = false
+    for (_ <- 0 until 8) {
+      val w = 1 + rng.nextInt(9)
+      val h = 1 + rng.nextInt(9)
+      val g = randGrid(rng, w, h)
+      def v(y: Int, x: Int) = g(y * w + x)
+      val cells = cellsDf(g, w, h)
+      val perCell = for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+        def s(o: Int) = v(y - (o / 3 - 1), x - (o % 3 - 1))
+        val dd = (s(5) + s(3)) / 2.0 - s(4)
+        val ee = (s(7) + s(1)) / 2.0 - s(4)
+        val ff = ((s(0) - s(2)) + (s(8) - s(6))) / 4.0
+        val gg = (s(3) - s(5)) / 2.0
+        val hh = (s(1) - s(7)) / 2.0
+        val den = gg * gg + hh * hh
+        val pl = if (den == 0.0) 0.0
+          else 2.0 * ((dd * (hh * hh) + ee * (gg * gg)) - (ff * gg) * hh) / den
+        val pr = if (den == 0.0) 0.0
+          else -2.0 * ((dd * (gg * gg) + ee * (hh * hh)) + (ff * gg) * hh) / den
+        (y.toLong, math.floor(pl * Q).toLong, math.floor(pr * Q).toLong)
+      }
+      if (perCell.exists(c => c._2 != 0L || c._3 != 0L)) sawNonzero = true
+      val want = perCell.groupBy(_._1).map { case (y, qs) =>
+        (y, qs.length.toLong, qs.map(_._2).sum, qs.map(_._2).min, qs.map(_._2).max,
+          qs.map(_._3).sum, qs.map(_._3).min, qs.map(_._3).max)
+      }.toSeq.sortBy(_._1)
+      val got = RasterOps.curvatureOf(cells, w, h).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+      assert(got == want, s"curvature ${w}x$h")
+    }
+    // degenerate-guard: the trials must actually exercise curved cells
+    assert(sawNonzero, "every trial produced flat-only curvature — broken test data")
+  }
+
   test("halo-tiled kernels == cell-level scatter/pivot bit-for-bit on random grids and tilings") {
     import spark.implicits._
     val rng = new scala.util.Random(505050L)
@@ -144,6 +181,11 @@ class RasterRandomSpec extends AnyFunSuite {
         == collect5(RasterOps.hillshadeOf(cells, w, h)), s"hillshade $label")
       assert(collect5(RasterOps.triTiledOf(typed, w, h, tw, th))
         == collect5(RasterOps.triOf(cells, w, h)), s"tri $label")
+      def collect8(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+      assert(collect8(RasterOps.curvatureTiledOf(typed, w, h, tw, th))
+        == collect8(RasterOps.curvatureOf(cells, w, h)), s"curvature $label")
       assert(collect2(RasterOps.aspectTiledOf(typed, w, h, tw, th))
         == collect2(RasterOps.aspectOf(cells, w, h)), s"aspect $label")
       assert(collect5(RasterOps.gridUpsampleTiledOf(typed, w, h, tw, th))

@@ -195,6 +195,41 @@ class TrainingOpsClusterSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(600))
   }
 
+  test("kmeansSilhouette == local sorted-packed-key recompute") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>)")
+      .as[(Long, Array[Double])].collect()
+    val cents = vecs.filter(_._1 < 8).sortBy(_._1)
+    val perVec = vecs.map { case (vid, v) =>
+      val pks = cents.map { case (cid, cv) =>
+        var acc = 0.0
+        var i = 0
+        while (i < cv.length) { acc += (cv(i) - v(i)) * (cv(i) - v(i)); i += 1 }
+        math.floor(acc * 1048576.0).toLong * 16L + cid
+      }.sorted
+      val qa = pks(0) / 16L; val qb = pks(1) / 16L
+      (vid, pks(0) % 16L, ((qb - qa) * 1000L) / math.max(math.max(qa, qb), 1L))
+    }
+    val want = perVec.groupBy(c => (c._2, c._3 / 100L)).map { case ((cid, d), cs) =>
+      (cid, d, cs.length.toLong, cs.map(_._1).sum, cs.map(_._3).sum, cs.map(_._3).max)
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = TrainingOps.kmeansSilhouette(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // the 8 seed vectors ARE centroids: qa = 0, silq = 1000, decile 10 —
+    // and real vectors must spread below it
+    assert(want.exists(_._2 == 10L), "centroid self-rows must pin decile 10")
+    assert(perVec.count(_._3 < 1000L) > vecs.length / 2,
+      "most vectors must sit strictly between centroids")
+    // same scale contract as kmeansAssign: broadcast, never cartesian
+    val plan = TrainingOps.kmeansSilhouette(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
   test("pagerank == local 3-round integer message passing over the LSH pairs") {
     val pairs = TrainingOps.minhashDupPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
