@@ -395,6 +395,20 @@ object Bench {
   private val Ops44Queries =
     Seq("q_kmeans_silhouette", "q_basin_domdir")
 
+  /** Eighty-fifth/-sixth waves: the doc-pair containment census (Broder
+    * max-containment over the LSH candidates) and the cross-source
+    * shingle-containment matrix.
+    */
+  private val Ops45Queries =
+    Seq("q_doc_containment", "q_source_containment")
+
+  /** Eighty-seventh/-eighth waves: the JL norm-distortion census (integer
+    * sign projections from md5 bits, one posexplode + one rollup) and the
+    * Haralick GLCM texture census (16 gray levels, two shift joins).
+    */
+  private val Ops46Queries =
+    Seq("q_emb_jl", "q_glcm")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -414,7 +428,8 @@ object Bench {
     "ops38" -> Ops38Queries, "ops39" -> Ops39Queries,
     "ops40" -> Ops40Queries, "ops41" -> Ops41Queries,
     "ops42" -> Ops42Queries, "ops43" -> Ops43Queries,
-    "ops44" -> Ops44Queries)
+    "ops44" -> Ops44Queries, "ops45" -> Ops45Queries,
+    "ops46" -> Ops46Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -644,6 +644,7 @@ object SparkEntry {
     "q_doc_minhash" -> TrainingOps.minhashSignatures,
     "q_doc_minhash_pairs" -> TrainingOps.minhashDupPairs,
     "q_doc_jaccard_pairs" -> TrainingOps.jaccardPairs,
+    "q_doc_containment" -> TrainingOps.containmentCensus,
     "q_doc_dup_clusters" -> TrainingOps.dupClusters,
     "q_doc_stratified_sample" -> TrainingOps.stratifiedSample,
     "q_doc_source_stats" -> TrainingOps.sourceStats,
@@ -658,12 +659,14 @@ object SparkEntry {
     "q_doc_stopwords" -> TrainingOps.stopwordStats,
     "q_doc_quality_gate" -> TrainingOps.qualityGate,
     "q_source_overlap" -> TrainingOps.sourceOverlap,
+    "q_source_containment" -> TrainingOps.sourceContainment,
     "q_doc_rep_ngrams" -> TrainingOps.repNgramStats,
     "q_doc_decontam" -> TrainingOps.decontam,
     "q_doc_token_runs" -> TrainingOps.tokenRuns,
     "q_vocab_growth" -> TrainingOps.vocabGrowth,
     "q_kmeans_assign" -> TrainingOps.kmeansAssign,
     "q_kmeans_silhouette" -> TrainingOps.kmeansSilhouette,
+    "q_emb_jl" -> TrainingOps.embJlDistortion,
     "q_doc_lm_score" -> TrainingOps.docLmScore,
     "q_doc_keep_list" -> TrainingOps.keepList,
     "q_doc_pack" -> TrainingOps.packDocs,
@@ -698,6 +701,7 @@ object SparkEntry {
     "q_grid_tri" -> RasterOps.gridTri,
     "q_grid_aspect" -> RasterOps.gridAspect,
     "q_curvature" -> RasterOps.curvature,
+    "q_glcm" -> RasterOps.glcm,
     "q_hillshade" -> RasterOps.hillshade,
     "q_grid_upsample" -> RasterOps.gridUpsample,
     "q_flow_dir" -> RasterOps.d8FlowDir,

@@ -1324,6 +1324,51 @@ object RasterOps {
     bandAdjacencyOf(c2, w2, EventsGrid.Thresholds)
   }
 
+  /** GLCM — the Haralick GRAY-LEVEL CO-OCCURRENCE matrix at offsets
+    * (1,0) and (0,1), unordered (the symmetric GLCM), over 16 gray
+    * levels: the classic texture operator read before any segmentation.
+    * Gray level = ((qv - minq) * 16) div (maxq - minq + 1) in 0..15 over
+    * the floor(v*2^20) quantized values — the global (minq, maxq) is one
+    * scalar aggregate broadcast back (exact integers; div truncation
+    * keeps level 15 closed at v = max). Every rook-adjacent pair votes
+    * its (g_lo, g_hi) into the census with the left/top id checksummed,
+    * plus the per-cell-pair CONTRAST contribution (g_hi - g_lo)^2 *
+    * n_pairs — sum over rows = the Haralick contrast numerator, exact.
+    * Adjacency is id arithmetic exactly like [[bandAdjacencyOf]] (right
+    * = id+1 guarded at the row end, down = id+w which cannot wrap); two
+    * equi-joins + one <= 136-key rollup, no raster stencil, nothing
+    * collected.
+    */
+  private[graft] def glcmOf(cells: Dataset[(Int, Int, Double)], w: Int): DataFrame = {
+    val q = cells.toDF("x", "y", "v")
+      .select(col("x"), (col("y").cast("long") * w + col("x")).as("id"),
+        floor(col("v") * Q20).cast("long").as("qv"))
+    val mm = q.agg(min("qv").as("mn"), max("qv").as("mx"))
+    val a = q.crossJoin(broadcast(mm))
+      .select(col("x"), col("id"),
+        expr("((qv - mn) * 16) div (mx - mn + 1)").as("gl"))
+      .localCheckpoint(true) // feeds both shift joins
+    val right = a.filter(col("x") < w - 1).select(col("id"), col("gl").as("ga"))
+      .join(a.select((col("id") - 1L).as("id"), col("gl").as("gb")), Seq("id"))
+    val down = a.select(col("id"), col("gl").as("ga"))
+      .join(a.select((col("id") - w.toLong).as("id"), col("gl").as("gb")), Seq("id"))
+    right.unionByName(down)
+      .select(least(col("ga"), col("gb")).as("g_lo"),
+        greatest(col("ga"), col("gb")).as("g_hi"), col("id"))
+      .groupBy("g_lo", "g_hi")
+      .agg(count(lit(1)).as("n_pairs"), sum("id").as("id_sum"))
+      .select(col("g_lo"), col("g_hi"), col("n_pairs"), col("id_sum"),
+        ((col("g_hi") - col("g_lo")) * (col("g_hi") - col("g_lo"))
+          * col("n_pairs")).as("contrast"))
+      .orderBy("g_lo", "g_hi")
+  }
+
+  val glcm: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, _) = EventsGrid.dims(spark, dir)
+    glcmOf(baseCells(spark, dir).as[(Int, Int, Double)], w)
+  }
+
   /** q_grid_cc: CC labeling over the level-2 overview grid at the
     * standard threshold ladder.
     */
@@ -2363,6 +2408,27 @@ object RasterOps {
       // band adjacency: the level-2 pooling, band = indicator sum over
       // the ladder, rook pairs by coordinate joins (the x/y formulation
       // of the engine's guarded id arithmetic)
+      // GLCM: quantized values, global min/max scalar, 16 integer gray
+      // levels, the two shift joins (right guarded at the row end, down
+      // wrap-free), unordered pair fold + the exact contrast column
+      "q_glcm" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |q AS (SELECT x, (y * 100 + x)::BIGINT AS id,
+           |        floor(v * 1048576.0)::BIGINT AS qv FROM g),
+           |mm AS (SELECT min(qv) AS mn, max(qv) AS mx FROM q),
+           |a AS (SELECT x, id, ((qv - mn) * 16) // (mx - mn + 1) AS gl
+           |      FROM q CROSS JOIN mm),
+           |pairs AS (
+           |  SELECT least(l.gl, r.gl) AS g_lo, greatest(l.gl, r.gl) AS g_hi, l.id
+           |  FROM a l JOIN a r ON r.id = l.id + 1 WHERE l.x < 99
+           |  UNION ALL
+           |  SELECT least(l.gl, d.gl), greatest(l.gl, d.gl), l.id
+           |  FROM a l JOIN a d ON d.id = l.id + 100)
+           |SELECT g_lo::BIGINT AS g_lo, g_hi::BIGINT AS g_hi,
+           |  count(*)::BIGINT AS n_pairs, sum(id)::BIGINT AS id_sum,
+           |  ((g_hi - g_lo) * (g_hi - g_lo) * count(*))::BIGINT AS contrast
+           |FROM pairs GROUP BY g_lo, g_hi ORDER BY 1, 2""".stripMargin,
+
       "q_band_adjacency" ->
         s"""WITH g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
            |d AS (SELECT (count(*) // 100)::INT AS h FROM events),

@@ -334,6 +334,46 @@ object TrainingOps {
         min("e").as("e_min"), max("e").as("e_max"))
       .orderBy("label")
 
+  /** JOHNSON-LINDENSTRAUSS DISTORTION census — the audit run before
+    * trusting any random-projection index (sign-LSH, random-projection
+    * trees): project every embedding onto k = 8 dimensions with a
+    * deterministic +-1 sign matrix ENTIRELY IN THE INTEGER DOMAIN
+    * (per-coordinate quantization qx = floor(x * 2^10) first — the
+    * [[embEnergy]] convention — then p_j = sum_i s(i,j) * qx_i with
+    * s(i,j) = +1 iff the first hex char of md5("j:i") is in 0..7, an
+    * unbiased deterministic bit both engines compute identically), and
+    * census the norm-preservation ratio rq = (sum_j p_j^2 * 1000) div
+    * (8 * sum_i qx_i^2) — E[sum p_j^2] = k * |qx|^2 for +-1 signs, so a
+    * JL-faithful projection reads ~1000; the bucket histogram's spread IS
+    * the distortion (Achlioptas 2003's database-friendly projection,
+    * audited without a single float). Fold per rq div 100 bucket with
+    * n_vecs, vec_id checksum, rq sum + min/max. Scale shape: ONE narrow
+    * posexplode, all 8 projections as map-side-combinable sums in ONE
+    * vec_id rollup (the sign is an arithmetic function of (i, j) — no
+    * matrix is materialized, let alone shuffled), census fold on a
+    * handful of keys. Long headroom: |qx_i| < 2^11ish, |p_j| < 64 * 2^11
+    * = 2^17, p_j^2 * 1000 < 2^44.
+    */
+  val embJlDistortion: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        expr("cast(floor(x * 1024.0d) as bigint)").as("q"))
+    def proj(j: Int) = sum(expr(
+      s"case when substring(md5(concat('$j:', cast(i as string))), 1, 1) " +
+        "in ('0','1','2','3','4','5','6','7') then q else -q end")).as(s"p$j")
+    val aggs = sum(expr("q * q")).as("nrm2") +: (0 until 8).map(proj)
+    d.groupBy("vec_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"),
+        expr("((((p0*p0 + p1*p1) + (p2*p2 + p3*p3)) + ((p4*p4 + p5*p5) + " +
+          "(p6*p6 + p7*p7))) * 1000) div greatest(8 * nrm2, 1)").as("rq"))
+      .groupBy(expr("rq div 100").as("rq_bucket"))
+      .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("vid_sum"),
+        sum("rq").as("rq_sum"), min("rq").as("rq_min"), max("rq").as("rq_max"))
+      .orderBy("rq_bucket")
+  }
+
   /** Per-label SEPARATION MATRIX over the embedding space — the
     * cluster-quality diagnostic an embedding pipeline reads before
     * trusting labels for stratification: off-diagonal rows (a < b) carry
@@ -1630,6 +1670,80 @@ object TrainingOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** CONTAINMENT census over the LSH candidate pairs — the quote/subset
+    * detector Jaccard structurally misses: a document fully contained in
+    * a 10x larger one has Jaccard ~0.09 but max-containment C = |A n B| /
+    * min(|A|, |B|) = 1.0 (Broder's second resemblance measure — THE
+    * signal for excerpt/boilerplate-wrapping dedup in training corpora).
+    * Pairs come from the SAME band-bucketed LSH join [[jaccardPairs]]
+    * rides (stated recall < 1, lossy by contract exactly like it);
+    * per pair cont_x1000 = (inter * 1000) div least(sza, szb) in
+    * [1, 1000] over distinct-shingle sets, folded per containment decile
+    * with n_pairs, inter_sum, least-size sum and cont_max — the decile
+    * histogram separates near-identical pairs (decile 10) from shared-
+    * boilerplate pairs (middle) at one glance. Scale shape: identical to
+    * jaccardPairs — the shingle intersect is an equi-join ON the
+    * candidate pairs (never all-pairs), sizes are one map-side-combinable
+    * rollup, and the final fold has <= 11 keys.
+    */
+  val containmentCensus: (SparkSession, String) => DataFrame = (spark, dir) =>
+    containmentOf(spark, bandCandidates(spark, dir), dir)
+
+  /** The containment decile fold for an explicit (doc_a < doc_b) candidate
+    * set — [[jaccardOf]]'s genus; lets specs pin the mid deciles with
+    * crafted pairs independent of the LSH collision behavior.
+    */
+  private[graft] def containmentOf(spark: SparkSession, cand: DataFrame,
+                                   dir: String): DataFrame = {
+    val sh = shingled(spark, dir).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    cand
+      .join(sh.as("a"), col("a.doc_id") === col("doc_a"))
+      .join(sh.as("b"), col("b.doc_id") === col("doc_b") && col("a.s") === col("b.s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+      .select(col("inter"), least(col("sza"), col("szb")).as("lsz"),
+        expr("(inter * 1000) div least(sza, szb)").as("cont_x1000"))
+      .groupBy(expr("cont_x1000 div 100").as("cont_decile"))
+      .agg(count(lit(1)).as("n_pairs"), sum("inter").as("inter_sum"),
+        sum("lsz").as("lsz_sum"), max("cont_x1000").as("cont_max"))
+      .orderBy("cont_decile")
+  }
+
+  /** Cross-source SHINGLE-CONTAINMENT matrix — [[sourceOverlap]]'s
+    * phrase-level sibling: distinct 3-token shingles per source (phrasing,
+    * not vocabulary — shared words are unavoidable, shared shingles mean
+    * copied text), then per source pair BOTH the Jaccard and the
+    * max-containment at x10^6 — the cross-source contamination dashboard
+    * (a small source fully excerpted inside a big one reads containment
+    * 10^6 while its Jaccard stays noise-level). Scale shape: one
+    * map-side-combinable (source, shingle) distinct, the common-shingle
+    * count is a shingle-keyed equi-join (sources^2 output rows — tiny),
+    * sizes one rollup; nothing broadcast (the shingle vocabulary is
+    * corpus-sized).
+    */
+  val sourceContainment: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val st = docs(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("shingles",
+        when(size(col("toks")) < 3, array().cast("array<string>"))
+          .otherwise(expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")))
+      .select(col("source"), explode(col("shingles")).as("s")).distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+    st.as("a").join(st.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+        expr("(n_common * 1000000L) div ((n_a + n_b) - n_common)").as("jac_x1e6"),
+        expr("(n_common * 1000000L) div least(n_a, n_b)").as("cont_x1e6"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** The unpruned full shingle self-join (reference plan for the recall
     * assertion; not wired as a contract query).
     */
@@ -2883,6 +2997,74 @@ object TrainingOps {
         |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |WHERE (i * 1000) // (sa.c + sb.c - i) >= 100
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // JL distortion: per-coordinate integer quantization, the md5 sign
+    // bit recomputed per (j, i) — engine i is 0-based so the oracle keys
+    // on (i - 1) — all-integer projections and ratio
+    "q_emb_jl" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id, i, floor(v[i] * 1024.0)::BIGINT AS q
+        |      FROM e, unnest(range(1, 65)) AS u(i)),
+        |p AS (SELECT vec_id, j,
+        |        sum(CASE WHEN substring(md5(j::VARCHAR || ':' || (i - 1)::VARCHAR), 1, 1)
+        |                 IN ('0','1','2','3','4','5','6','7') THEN q ELSE -q END) AS pj
+        |      FROM q CROSS JOIN unnest(range(0, 8)) AS t(j) GROUP BY 1, 2),
+        |num AS (SELECT vec_id, sum(pj * pj) AS num FROM p GROUP BY 1),
+        |n AS (SELECT vec_id, sum(q * q) AS nrm2 FROM q GROUP BY 1),
+        |k AS (SELECT num.vec_id, (num.num * 1000) // greatest(8 * n.nrm2, 1) AS rq
+        |      FROM num JOIN n USING (vec_id))
+        |SELECT (rq // 100)::BIGINT AS rq_bucket, count(*)::BIGINT AS n_vecs,
+        |  sum(vec_id)::BIGINT AS vid_sum, sum(rq)::BIGINT AS rq_sum,
+        |  min(rq)::BIGINT AS rq_min, max(rq)::BIGINT AS rq_max
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // containment census: the q_doc_jaccard_pairs band/cand CTEs verbatim,
+    // then max-containment (i * 1000) // least(sza, szb) and the decile fold
+    "q_doc_containment" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+        |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+        |sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS minhash
+        |         FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, (seed // 4)::INT AS band,
+        |                 string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, ',' ORDER BY seed) AS bkey
+        |          FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS i
+        |          FROM cand
+        |          JOIN shd a ON a.doc_id = doc_a
+        |          JOIN shd b ON b.doc_id = doc_b AND a.s = b.s
+        |          GROUP BY 1, 2),
+        |k AS (SELECT i, least(sa.c, sb.c) AS lsz,
+        |        (i * 1000) // least(sa.c, sb.c) AS cont
+        |      FROM inter JOIN sz sa ON sa.doc_id = doc_a
+        |      JOIN sz sb ON sb.doc_id = doc_b)
+        |SELECT (cont // 100)::BIGINT AS cont_decile, count(*)::BIGINT AS n_pairs,
+        |  sum(i)::BIGINT AS inter_sum, sum(lsz)::BIGINT AS lsz_sum,
+        |  max(cont)::BIGINT AS cont_max
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // cross-source shingle containment: distinct (source, shingle), the
+    // common count by one shingle equi-join, Jaccard AND containment x1e6
+    "q_source_containment" ->
+      """WITH t AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+        |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        |com AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        |        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |        GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common::BIGINT AS n_common,
+        |  sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+        |  ((n_common * 1000000) // ((sa.n + sb.n) - n_common))::BIGINT AS jac_x1e6,
+        |  ((n_common * 1000000) // least(sa.n, sb.n))::BIGINT AS cont_x1e6
+        |FROM com JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // similarity inlined as the engine's exact fold (sequential dot product
     // / (norm_a * norm_b), norms as sequential sum-of-squares) — the same

@@ -151,6 +151,38 @@ class RasterRandomSpec extends AnyFunSuite {
     assert(sawNonzero, "every trial produced flat-only curvature — broken test data")
   }
 
+  test("glcm on random dims == local co-occurrence recompute") {
+    import spark.implicits._
+    val rng = new scala.util.Random(88888888L)
+    var sawOffDiag = false
+    for (_ <- 0 until 8) {
+      val w = 2 + rng.nextInt(10)
+      val h = 2 + rng.nextInt(10)
+      val g = randGrid(rng, w, h)
+      val qv = g.map(v => math.floor(v * Q).toLong)
+      val (mn, mx) = (qv.min, qv.max)
+      val gl = qv.map(q => ((q - mn) * 16L) / (mx - mn + 1L))
+      def id(i: Int) = i.toLong
+      val pairs = (0 until w * h).flatMap { i =>
+        val r = if (i % w < w - 1)
+          Seq((math.min(gl(i), gl(i + 1)), math.max(gl(i), gl(i + 1)), id(i))) else Nil
+        val d = if (i / w < h - 1)
+          Seq((math.min(gl(i), gl(i + w)), math.max(gl(i), gl(i + w)), id(i))) else Nil
+        r ++ d
+      }
+      val want = pairs.groupBy(p => (p._1, p._2)).toSeq.map { case ((lo, hi), ps) =>
+        (lo, hi, ps.size.toLong, ps.map(_._3).sum, (hi - lo) * (hi - lo) * ps.size)
+      }.sortBy(p => (p._1, p._2))
+      if (want.exists(p => p._1 != p._2)) sawOffDiag = true
+      val typed = (0 until w * h).map(i => (i % w, i / w, g(i))).toDS()
+      val got = RasterOps.glcmOf(typed, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(got == want, s"glcm ${w}x$h")
+    }
+    assert(sawOffDiag, "every trial was single-level — broken test data")
+  }
+
   test("halo-tiled kernels == cell-level scatter/pivot bit-for-bit on random grids and tilings") {
     import spark.implicits._
     val rng = new scala.util.Random(505050L)

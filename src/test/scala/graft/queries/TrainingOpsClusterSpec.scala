@@ -230,6 +230,37 @@ class TrainingOpsClusterSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(600))
   }
 
+  test("embJlDistortion == local integer sign-projection recompute") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val perVec = vecs.map { case (vid, v) =>
+      val q = v.map(x => math.floor(x * 1024.0).toLong)
+      val nrm2 = q.map(x => x * x).sum
+      val num = (0 until 8).map { j =>
+        val p = q.indices.map { i =>
+          if (md5hex(s"$j:$i").charAt(0) <= '7') q(i) else -q(i)
+        }.sum
+        p * p
+      }.sum
+      (vid, num * 1000L / math.max(8L * nrm2, 1L))
+    }
+    val want = perVec.groupBy(_._2 / 100L).toSeq.map { case (b, cs) =>
+      (b, cs.length.toLong, cs.map(_._1).sum, cs.map(_._2).sum,
+        cs.map(_._2).min, cs.map(_._2).max)
+    }.sortBy(_._1)
+    val got = TrainingOps.embJlDistortion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // 64 -> 8 dims: the ratio must center near 1000 and genuinely spread
+    assert(perVec.exists(_._2 < 900L), "under-preserved vectors must exist")
+    assert(perVec.exists(_._2 > 1100L), "over-preserved vectors must exist")
+    assert(want.map(_._2).sum == vecs.length.toLong)
+  }
+
   test("pagerank == local 3-round integer message passing over the LSH pairs") {
     val pairs = TrainingOps.minhashDupPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq

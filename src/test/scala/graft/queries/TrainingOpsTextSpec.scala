@@ -59,6 +59,79 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(got == Seq(want))
   }
 
+  test("containmentCensus == local set recompute over the LSH pairs") {
+    val ds = docsLocal()
+    val sets = ds.map { case (id, text) =>
+      id -> toks(text).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val pairs = TrainingOps.minhashDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty, "the corpus must produce LSH candidates")
+    val perPair = pairs.map { case (a, b) =>
+      val sa = sets(a); val sb = sets(b)
+      val i = (sa & sb).size.toLong
+      val lsz = math.min(sa.size, sb.size).toLong
+      (i, lsz, i * 1000L / lsz)
+    }
+    val want = perPair.groupBy(_._3 / 100L).toSeq.map { case (d, ps) =>
+      (d, ps.size.toLong, ps.map(_._1).sum, ps.map(_._2).sum, ps.map(_._3).max)
+    }.sortBy(_._1)
+    val got = TrainingOps.containmentCensus(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // exact duplicates exist in this corpus -> a containment-1000 pair
+    assert(want.exists(_._5 == 1000L), "a fully contained pair must exist")
+  }
+
+  test("containmentOf pins deciles 0/3/10 on a crafted excerpt corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cont-adv").toString
+    def words(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq[(Long, String)](
+      (1L, words("w", 100)),                       // 98 shingles
+      (2L, words("w", 10)),                        // 8 shingles, all inside doc 1
+      (3L, words("w", 5) + " " + words("x", 5)),   // 8 shingles, 3 inside doc 1
+      (4L, words("y", 10))                         // 8 shingles, disjoint
+    )
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val got = TrainingOps.containmentOf(spark, cand, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // full excerpt -> 1000 (decile 10); partial overlap 3/8 -> 375
+    // (decile 3); the disjoint pair DROPS at the intersect join (an LSH
+    // candidate with zero shared shingles cannot exist in the wired op)
+    assert(got == Seq((3L, 1L, 3L, 8L, 375L), (10L, 1L, 8L, 8L, 1000L)))
+  }
+
+  test("sourceContainment == local distinct-shingle set algebra per source pair") {
+    import spark.implicits._
+    val bySource = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "text").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.flatMap { case (_, t) =>
+        toks(t).sliding(3).filter(_.length == 3).map(_.mkString(" "))
+      }.toSet).toMap
+    val srcs = bySource.keys.toSeq.sorted
+    val want = (for {
+      i <- srcs.indices; j <- i + 1 until srcs.size
+      (a, b) = (srcs(i), srcs(j))
+      common = (bySource(a) & bySource(b)).size.toLong if common > 0
+    } yield {
+      val na = bySource(a).size.toLong; val nb = bySource(b).size.toLong
+      (a, b, common, na, nb, common * 1000000L / (na + nb - common),
+        common * 1000000L / math.min(na, nb))
+    }).sortBy(r => (r._1, r._2))
+    val got = TrainingOps.sourceContainment(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want)
+    assert(want.nonEmpty, "sources must share some phrasing")
+    assert(want.forall(r => r._7 >= r._6),
+      "containment dominates Jaccard by construction")
+  }
+
   private def lcpLocal(ds: Seq[(Long, String)]): Seq[(Long, Long, Long)] = {
     val sorted = ds.sortBy { case (id, t) => (t, id) }
     sorted.zip(sorted.tail).map { case ((id, a), (nid, b)) =>
