@@ -409,6 +409,19 @@ object Bench {
   private val Ops46Queries =
     Seq("q_emb_jl", "q_glcm")
 
+  /** Eighty-ninth/ninetieth waves: the Fano-factor burstiness census
+    * (global-span binning + per-user count dispersion, all integer) and
+    * the per-user event-type Simpson concentration census.
+    */
+  private val Ops47Queries =
+    Seq("q_evt_fano", "q_evt_simpson")
+
+  /** Ninety-first wave: low-pass contouring — the full distributed
+    * contour pipeline composed over the tiled focal-mean field.
+    */
+  private val Ops48Queries =
+    Seq("q_fm_contours")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -429,7 +442,8 @@ object Bench {
     "ops40" -> Ops40Queries, "ops41" -> Ops41Queries,
     "ops42" -> Ops42Queries, "ops43" -> Ops43Queries,
     "ops44" -> Ops44Queries, "ops45" -> Ops45Queries,
-    "ops46" -> Ops46Queries)
+    "ops46" -> Ops46Queries, "ops47" -> Ops47Queries,
+    "ops48" -> Ops48Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -221,6 +221,20 @@ object SparkEntry {
       contourChecksumDf(spark, engine(spark).contours(tiles))
     }),
 
+    // ---- low-pass contouring: the full contour pipeline over the 3x3
+    //      focal-mean filtered field (smoothed vector tiles — the standard
+    //      pre-filter before contouring noisy rasters); the filtered grid
+    //      re-origins to (w-2) x (h-2) through the zero-shuffle tiled
+    //      kernel, RAW f64, then routes into the unchanged engine ----
+    "q_fm_contours" -> ((spark, dir) => {
+      import spark.implicits._
+      val (w, h) = EventsGrid.dims(spark, dir)
+      val fm = RasterOps.focalCellsTiledOf(
+        RasterOps.baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+      val tiles = EventsGrid.tilesFromCells(spark, fm, "fm", w - 2, h - 2, 25, 25)
+      contourChecksumDf(spark, engine(spark).contours(tiles))
+    }),
+
     // ---- isochrone contours: the full contour pipeline COMPOSED over the
     //      8-hop cost-distance field (weighted travel-cost rings — the
     //      drive-time-polygon product); the cost field is exact integers
@@ -776,6 +790,8 @@ object SparkEntry {
     "q_evt_spearman" -> EventOps.spearman,
     "q_evt_spike" -> EventOps.spike,
     "q_evt_gaps" -> EventOps.gaps,
+    "q_evt_fano" -> EventOps.fano,
+    "q_evt_simpson" -> EventOps.userSimpson,
     "q_evt_dau7" -> EventOps.dau7,
     "q_evt_lifespan" -> EventOps.lifespan,
     "q_evt_growth" -> EventOps.growth,
@@ -1230,6 +1246,25 @@ object SparkEntry {
       "SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events",
       autoThresholdsSql),
     "q_pyramid_contours" -> pyramidContoursSql,
+    // low-pass contours: the focal-mean field derived in SQL (the
+    // q_focal_mean slot joins, the kernel's exact association tree, NO
+    // quantization — raw f64 feeds the unchanged marching-squares +
+    // smoothing reconstruction), re-origined to (w-2) x (h-2)
+    "q_fm_contours" -> smoothChecksumOver(
+      s"""g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d0 AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |fm AS (SELECT t.x - 1 AS x, t.y - 1 AS y,
+         |  ((((b0.v + b1.v) + b2.v) + ((b3.v + t.v) + b5.v))
+         |    + ((b6.v + b7.v) + b8.v)) / 9.0 AS v
+         |  FROM g0 t
+         |  ${(0 to 8).filter(_ != 4).map { o =>
+              val dx = o % 3 - 1; val dy = o / 3 - 1
+              s"JOIN g0 b$o ON b$o.x = t.x - ($dx) AND b$o.y = t.y - ($dy)"
+            }.mkString("\n  ")}
+         |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d0) - 2),
+         |""".stripMargin,
+      "SELECT 98::INT AS w, ((count(*) / 100) - 2)::INT AS h FROM events",
+      "SELECT x, y, v FROM fm"),
     "q_lines_stats" -> smoothChecksumSql,
     "q_geojson" -> ringWalkSql(tsAllSql),
     "q_clip_rings" -> clipRingsSql(tsAllSql),

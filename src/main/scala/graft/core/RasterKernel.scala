@@ -62,6 +62,39 @@ object RasterKernel {
     out.toSeq
   }
 
+  /** 3x3 focal mean emitted PER CELL as the RAW f64 value (identical
+    * expression tree to [[focalRows]] — NO quantization: this is the
+    * grid-valued form that feeds downstream f64 consumers, e.g. the
+    * contour pipeline over the low-pass-filtered field), RE-ORIGINED to
+    * the filtered grid's own frame: the interior cell (x, y) of the
+    * w x h input becomes cell (x - 1, y - 1) of a (w-2) x (h-2) output
+    * grid. Each owned interior cell is emitted exactly once across
+    * tiles.
+    */
+  def focalCells(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                 ox0: Int, oy0: Int, ow: Int, oh: Int,
+                 w: Int, h: Int): Seq[(Int, Int, Double)] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Int, Double)](
+      math.max((tyHi - tyLo + 1) * (txHi - txLo + 1), 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var tx = txLo
+      while (tx <= txHi) {
+        val v0 = g(tx + 1, ty + 1); val v1 = g(tx, ty + 1); val v2 = g(tx - 1, ty + 1)
+        val v3 = g(tx + 1, ty); val v4 = g(tx, ty); val v5 = g(tx - 1, ty)
+        val v6 = g(tx + 1, ty - 1); val v7 = g(tx, ty - 1); val v8 = g(tx - 1, ty - 1)
+        val mean = ((((v0 + v1) + v2) + ((v3 + v4) + v5)) + ((v6 + v7) + v8)) / 9.0
+        out += ((tx - 1, ty - 1, mean))
+        tx += 1
+      }
+      ty += 1
+    }
+    out.toSeq
+  }
+
   /** Horn slope (sqrt(gx^2 + gy^2), correctly-rounded sqrt) over the same
     * interior — per-row partials.
     */

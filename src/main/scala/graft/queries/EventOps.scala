@@ -1561,7 +1561,93 @@ object EventOps {
        |$haarChainCte,
        |u AS ($haarLevelUnion)""".stripMargin
 
+  /** FANO-FACTOR census — per-user burstiness of event ARRIVALS (the
+    * dispersion-of-counts diagnostic, complementary to the gap censuses
+    * which read inter-arrival SIZE): the global time span splits into
+    * B = 64 equal micro-second bins (global (mn, mx) = one broadcast
+    * scalar aggregate, bin = ((us - mn) * 64) div (mx - mn + 1) — the
+    * [[graft.queries.RasterOps.glcmOf]] leveling idiom on the time
+    * axis), and per user F_x1000 = ((B * sum c^2 - N^2) * 1000) div
+    * (B * N) over its per-bin counts c (empty bins contribute zero to
+    * both sums, so only NONEMPTY (user, bin) rows are ever materialized;
+    * N = the user's event total). Poisson arrivals read ~1000, clumped
+    * arrivals above, metronomic below; F >= 0 always (Cauchy-Schwarz,
+    * equality iff perfectly uniform) so the binary-digit-count bucket of
+    * F + 1 is total. Long headroom: B * sum c^2 <= B * N^2 needs
+    * N < ~3.8e8 events PER USER at the x1000 scale — stated bound, ANSI
+    * makes an overflow loud. Plan: one map-side-combinable (user, bin)
+    * rollup, one per-user fold, a bucket-bounded census — no window, no
+    * sort, nothing collected beyond the two scalars.
+    */
+  val fano: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val e = events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+    val mm = e.agg(min("us").as("mn"), max("us").as("mx"))
+    e.crossJoin(broadcast(mm))
+      .select(col("user_id"), expr("((us - mn) * 64) div (mx - mn + 1)").as("bin"))
+      .groupBy("user_id", "bin").agg(count(lit(1)).as("c"))
+      .groupBy("user_id").agg(sum(expr("c * c")).as("s2"), sum("c").as("n"))
+      .select(col("user_id"), col("n"),
+        expr("((64 * s2 - n * n) * 1000) div (64 * n)").as("f"))
+      .groupBy((length(bin(col("f") + 1)) - 1).cast("long").as("fano_bucket"))
+      .agg(count(lit(1)).as("n_users"), sum("n").as("events_sum"),
+        sum("user_id").as("uid_sum"), max("f").as("f_max"))
+      .orderBy("fano_bucket")
+  }
+
+  /** Per-user EVENT-TYPE SIMPSON concentration census — the probability
+    * two of the user's events (drawn without replacement) share a type,
+    * as the exact rational (sum c(c-1)) / (N(N-1)) at x10^6 (the
+    * [[TrainingOps]] sourceSimpson genus on the behavioral axis: log-free
+    * where Shannon entropy would drag libm onto the compare). Single-
+    * event users have an undefined index and DROP (stated; they carry no
+    * pair). Fold per index decile (idx div 10^5 in 0..10) with n_users,
+    * events and uid checksums, idx_max. Long headroom: num * 10^6 needs
+    * N < ~3e6 events per user — stated, ANSI-loud. Plan: one
+    * map-side-combinable (user, type) rollup + one per-user fold + an
+    * 11-key census.
+    */
+  val userSimpson: (SparkSession, String) => DataFrame = (spark, dir) =>
+    events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("user_id").agg(sum(expr("c * (c - 1)")).as("num"), sum("c").as("n"))
+      .filter(col("n") >= 2L)
+      .select(col("user_id"), col("n"),
+        expr("(num * 1000000) div (n * (n - 1))").as("idx"))
+      .groupBy(expr("idx div 100000").as("idx_decile"))
+      .agg(count(lit(1)).as("n_users"), sum("n").as("events_sum"),
+        sum("user_id").as("uid_sum"), max("idx").as("idx_max"))
+      .orderBy("idx_decile")
+
   val oracleSql: Map[String, String] = Map(
+    // Fano: the same global-span binning, per-user count dispersion,
+    // digit-count bucket fold
+    "q_evt_fano" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |mm AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+        |b AS (SELECT user_id, ((us - mn) * 64) // (mx - mn + 1) AS bin
+        |      FROM e CROSS JOIN mm),
+        |c AS (SELECT user_id, bin, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+        |u AS (SELECT user_id, sum(c * c) AS s2, sum(c) AS n FROM c GROUP BY 1),
+        |f AS (SELECT user_id, n,
+        |        ((64 * s2 - n * n) * 1000) // (64 * n) AS f FROM u)
+        |SELECT (length(bin(f + 1)) - 1)::BIGINT AS fano_bucket,
+        |  count(*)::BIGINT AS n_users, sum(n)::BIGINT AS events_sum,
+        |  sum(user_id)::BIGINT AS uid_sum, max(f)::BIGINT AS f_max
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-user type Simpson: exact rational x1e6, single-event users drop
+    "q_evt_simpson" ->
+      """WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+        |           FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, sum(c * (c - 1)) AS num, sum(c) AS n
+        |      FROM c GROUP BY 1 HAVING sum(c) >= 2),
+        |k AS (SELECT user_id, n, (num * 1000000) // (n * (n - 1)) AS idx FROM u)
+        |SELECT (idx // 100000)::BIGINT AS idx_decile, count(*)::BIGINT AS n_users,
+        |  sum(n)::BIGINT AS events_sum, sum(user_id)::BIGINT AS uid_sum,
+        |  max(idx)::BIGINT AS idx_max
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Haar pyramid: the same chained halving levels as independent CTEs
     // (DuckDB HUGEINT intermediates kept honest by the ::BIGINT casts)
     "q_evt_haar" ->

@@ -750,6 +750,18 @@ object RasterOps {
         t.ox0, t.oy0, t.ow, t.oh, w, h)))
   }
 
+  /** Per-cell RAW f64 focal mean through the tiled path, re-origined to
+    * the (w-2) x (h-2) filtered frame — the grid-valued feed for
+    * compositions that contour or re-analyze the low-pass field.
+    */
+  private[graft] def focalCellsTiledOf(cells: Dataset[(Int, Int, Double)],
+                                       w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): Dataset[(Int, Int, Double)] = {
+    import cells.sparkSession.implicits._
+    haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+      graft.core.RasterKernel.focalCells(t.values, t.bx0, t.by0, t.bw,
+        t.ox0, t.oy0, t.ow, t.oh, w, h))
+  }
+
   private[graft] def hornSlopeTiledOf(cells: Dataset[(Int, Int, Double)],
                                       w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
     import cells.sparkSession.implicits._

@@ -27,6 +27,49 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fano matches a local dispersion recompute") {
+    val mn = ev.map(_._2).min
+    val mx = ev.map(_._2).max
+    val perUser = ev.groupBy(_._3).toSeq.map { case (user, es) =>
+      val counts = es.groupBy(e => ((e._2 - mn) * 64L) / (mx - mn + 1L))
+        .map(_._2.size.toLong)
+      val n = counts.sum
+      val s2 = counts.map(c => c * c).sum
+      (user, n, ((64L * s2 - n * n) * 1000L) / (64L * n))
+    }
+    val want = perUser
+      .groupBy(c => java.lang.Long.toBinaryString(c._3 + 1).length.toLong - 1)
+      .toSeq.map { case (b, cs) =>
+        (b, cs.size.toLong, cs.map(_._2).sum, cs.map(_._1).sum, cs.map(_._3).max)
+      }.sortBy(_._1)
+    val got = EventOps.fano(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    assert(perUser.forall(_._3 >= 0L), "Fano is non-negative by Cauchy-Schwarz")
+    assert(perUser.map(_._3).distinct.size > 1, "dispersion must spread across users")
+  }
+
+  test("userSimpson matches a local exact-rational recompute") {
+    val perUser = ev.groupBy(_._3).toSeq
+      .map { case (user, es) =>
+        val counts = es.groupBy(_._4).map(_._2.size.toLong)
+        val n = counts.sum
+        (user, n, counts.map(c => c * (c - 1L)).sum)
+      }
+      .filter(_._2 >= 2L)
+      .map { case (user, n, num) => (user, n, num * 1000000L / (n * (n - 1L))) }
+    val want = perUser.groupBy(_._3 / 100000L).toSeq.map { case (d, cs) =>
+      (d, cs.size.toLong, cs.map(_._2).sum, cs.map(_._1).sum, cs.map(_._3).max)
+    }.sortBy(_._1)
+    val got = EventOps.userSimpson(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // the synthetic type mix must give a non-degenerate concentration
+    assert(perUser.map(_._3).distinct.size > 1, "index must spread across users")
+  }
+
   test("sessionize matches a local recompute") {
     val expected = ev.groupBy(_._3).toSeq.flatMap { case (user, es) =>
       val sorted = es.sortBy(e => (e._2, e._1))

@@ -146,6 +146,45 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(expected.exists(_._2 > 0))
   }
 
+  test("distributed focal-mean contours equal single-process core on the filtered grid") {
+    import spark.implicits._
+    import graft.core.{ContourConfig, CoreContour}
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val (w, h) = (100, ev.length / 100)
+    def v(y: Int, x: Int) = ev(y * w + x)._2
+    val (fw, fh) = (w - 2, h - 2)
+    val filtered = Array.tabulate(fh * fw) { i =>
+      val (y, x) = (i / fw + 1, i % fw + 1)
+      val (v0, v1, v2) = (v(y + 1, x + 1), v(y + 1, x), v(y + 1, x - 1))
+      val (v3, v4, v5) = (v(y, x + 1), v(y, x), v(y, x - 1))
+      val (v6, v7, v8) = (v(y - 1, x + 1), v(y - 1, x), v(y - 1, x - 1))
+      ((((v0 + v1) + v2) + ((v3 + v4) + v5)) + ((v6 + v7) + v8)) / 9.0
+    }
+    val core = new CoreContour(ContourConfig(fw, fh, smooth = true))
+      .contours(filtered, graft.queries.EventsGrid.Thresholds.toArray)
+    def checksum(polys: Seq[graft.core.Poly]): (Long, Long, Long) = {
+      var n = 0L; var qx = 0L; var qy = 0L
+      polys.iterator.flatMap(p => Iterator.single(p.exterior) ++ p.holes.iterator)
+        .foreach { ring =>
+          var i = 0
+          val m = ring.length - 2
+          while (i < m) {
+            qx += math.floor(ring(i) * 1048576.0).toLong
+            qy += math.floor(ring(i + 1) * 1048576.0).toLong
+            n += 1; i += 2
+          }
+        }
+      (n, qx, qy)
+    }
+    val expected = core.map(c => { val (n, qx, qy) = checksum(c.polygons); (c.threshold, n, qx, qy) })
+      .sortBy(_._1)
+    val got = graft.SparkEntry.queries("q_fm_contours")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._2 > 0))
+  }
+
   test("d8FlowDir matches a local packed-argmax recompute; pits reported as -1") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$sf/events.parquet")

@@ -151,6 +151,32 @@ class RasterRandomSpec extends AnyFunSuite {
     assert(sawNonzero, "every trial produced flat-only curvature — broken test data")
   }
 
+  test("focalCellsTiledOf on random dims and tilings == local recompute, each cell once") {
+    import spark.implicits._
+    val rng = new scala.util.Random(91919191L)
+    for (trial <- 0 until 8) {
+      val w = 1 + rng.nextInt(24)
+      val h = 1 + rng.nextInt(24)
+      val tw = 1 + rng.nextInt(9)
+      val th = 1 + rng.nextInt(9)
+      val g = randGrid(rng, w, h)
+      def v(y: Int, x: Int) = g(y * w + x)
+      val typed = (0 until w * h).map(i => (i % w, i / w, g(i))).toDS()
+      val want = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+        def s(o: Int) = v(y - (o / 3 - 1), x - (o % 3 - 1))
+        ((x - 1, y - 1),
+          ((((s(0) + s(1)) + s(2)) + ((s(3) + s(4)) + s(5)))
+            + ((s(6) + s(7)) + s(8))) / 9.0)
+      }).toMap
+      val got = RasterOps.focalCellsTiledOf(typed, w, h, tw, th).collect()
+      assert(got.length == want.size, s"trial $trial: ${w}x$h tiles ${tw}x$th")
+      // bit-exact values, each re-origined cell exactly once
+      assert(got.map { case (x, y, m) => ((x, y), m) }.toMap == want,
+        s"trial $trial: ${w}x$h tiles ${tw}x$th")
+      assert(got.map(c => (c._1, c._2)).distinct.length == got.length)
+    }
+  }
+
   test("glcm on random dims == local co-occurrence recompute") {
     import spark.implicits._
     val rng = new scala.util.Random(88888888L)
