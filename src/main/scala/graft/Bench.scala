@@ -422,6 +422,12 @@ object Bench {
   private val Ops48Queries =
     Seq("q_fm_contours")
 
+  /** Ninety-second/-third waves: Church-Gale token burstiness and the
+    * sentence-length census.
+    */
+  private val Ops49Queries =
+    Seq("q_doc_burstiness", "q_doc_sentences")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -443,7 +449,7 @@ object Bench {
     "ops42" -> Ops42Queries, "ops43" -> Ops43Queries,
     "ops44" -> Ops44Queries, "ops45" -> Ops45Queries,
     "ops46" -> Ops46Queries, "ops47" -> Ops47Queries,
-    "ops48" -> Ops48Queries)
+    "ops48" -> Ops48Queries, "ops49" -> Ops49Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

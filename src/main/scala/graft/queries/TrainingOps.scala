@@ -92,6 +92,55 @@ object TrainingOps {
       .orderBy("decile")
   }
 
+  /** TOKEN BURSTINESS census (Church & Gale 1995): per token TYPE, the
+    * ratio of total occurrences to document frequency — b_x1000 =
+    * (tf * 1000) div df >= 1000, exactly 1000 for tokens that never
+    * repeat within a document ("sprinkled" function-word behavior), high
+    * for content words that CLUMP where they appear — the lexical
+    * statistic behind every adaptive-LM cache and topical-term detector.
+    * Types fold by the binary-digit-count bucket of the EXCESS
+    * (b - 999, so non-repeating types land in bucket 0) with n_tokens
+    * (type count), tf/df checksums and b_max. Plan: one
+    * map-side-combinable (doc, token) rollup (the explode ships partial
+    * counts, never raw text), one token-keyed fold over the
+    * vocabulary-sized table, a bucket-bounded census — the
+    * [[sourceSimpson]] plan genus on the type axis.
+    */
+  val tokenBurstiness: (SparkSession, String) => DataFrame = (spark, dir) =>
+    docs(spark, dir).withColumn("toks", toks)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("tok").agg(sum("c").as("tf"), count(lit(1)).as("df"))
+      .select(expr("(tf * 1000) div df").as("b"), col("tf"), col("df"))
+      .groupBy((length(bin(col("b") - 999L)) - 1).cast("long").as("b_bucket"))
+      .agg(count(lit(1)).as("n_tokens"), sum("tf").as("tf_sum"),
+        sum("df").as("df_sum"), max("b").as("b_max"))
+      .orderBy("b_bucket")
+
+  /** SENTENCE-LENGTH census — the words-per-sentence distribution behind
+    * every readability score (Flesch's W/S term, kept integer-exact and
+    * libm-free): text splits on '[.!?]+' runs (Java regex and RE2 agree
+    * on this class), each fragment re-tokenizes with the shared
+    * '[a-z0-9]+' contract, and fragments with ZERO tokens drop on both
+    * sides (stated — leading/trailing splits and punctuation-only
+    * fragments vanish identically, which makes the engine/oracle
+    * empty-handling differences moot by construction). Sentences fold by
+    * the binary-digit-count bucket of their token count with
+    * n_sentences, token and doc-id checksums. Plan: one narrow explode
+    * and one bucket-bounded map-side-combinable fold — no joins at all.
+    */
+  val sentenceCensus: (SparkSession, String) => DataFrame = (spark, dir) =>
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "[.!?]+")).as("sent"))
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(lower(sent), '[a-z0-9]+', 0)"))
+          .cast("long").as("wps"))
+      .filter(col("wps") >= 1L)
+      .groupBy((length(bin(col("wps"))) - 1).cast("long").as("wps_bucket"))
+      .agg(count(lit(1)).as("n_sentences"), sum("wps").as("tok_sum"),
+        sum("doc_id").as("doc_sum"), max("wps").as("wps_max"))
+      .orderBy("wps_bucket")
+
   // ---- quality scoring: integer-exact signals ----
   val qualityScore: (SparkSession, String) => DataFrame = (spark, dir) =>
     docs(spark, dir)
@@ -3619,6 +3668,33 @@ object TrainingOps {
         |      FROM c)
         |SELECT source, rank::BIGINT AS rank, tok, n
         |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+
+    // sentence census: regexp_split on the same punctuation class, the
+    // shared tokenizer per fragment, zero-token fragments drop
+    "q_doc_sentences" ->
+      """WITH s AS (SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+')) AS sent
+        |           FROM documents),
+        |w AS (SELECT doc_id,
+        |        len(regexp_extract_all(lower(sent), '[a-z0-9]+'))::BIGINT AS wps
+        |      FROM s),
+        |k AS (SELECT doc_id, wps FROM w WHERE wps >= 1)
+        |SELECT (length(bin(wps)) - 1)::BIGINT AS wps_bucket,
+        |  count(*)::BIGINT AS n_sentences, sum(wps)::BIGINT AS tok_sum,
+        |  sum(doc_id)::BIGINT AS doc_sum, max(wps)::BIGINT AS wps_max
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // token burstiness: per-type tf/df from the same token explosion,
+    // excess-digit-count bucket fold
+    "q_doc_burstiness" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+        |f AS (SELECT tok, sum(c) AS tf, count(*)::BIGINT AS df FROM c GROUP BY 1),
+        |k AS (SELECT (tf * 1000) // df AS b, tf, df FROM f)
+        |SELECT (length(bin(b - 999)) - 1)::BIGINT AS b_bucket,
+        |  count(*)::BIGINT AS n_tokens, sum(tf)::BIGINT AS tf_sum,
+        |  sum(df)::BIGINT AS df_sum, max(b)::BIGINT AS b_max
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // head coverage: the same per-source rank CTE as q_doc_top_terms,
     // summed against the occurrence totals

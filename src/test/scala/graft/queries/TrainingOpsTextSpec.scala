@@ -132,6 +132,48 @@ class TrainingOpsTextSpec extends AnyFunSuite {
       "containment dominates Jaccard by construction")
   }
 
+  test("tokenBurstiness == local tf/df recompute") {
+    val ds = docsLocal()
+    val perType = ds.flatMap { case (id, text) =>
+      toks(text).groupBy(identity).map { case (tok, occ) => (tok, id, occ.length.toLong) }
+    }.groupBy(_._1).toSeq.map { case (_, rows) =>
+      val tf = rows.map(_._3).sum
+      val df = rows.length.toLong
+      (tf, df, tf * 1000L / df)
+    }
+    val want = perType
+      .groupBy(t => java.lang.Long.toBinaryString(t._3 - 999L).length.toLong - 1L)
+      .toSeq.map { case (b, ts) =>
+        (b, ts.size.toLong, ts.map(_._1).sum, ts.map(_._2).sum, ts.map(_._3).max)
+      }.sortBy(_._1)
+    val got = TrainingOps.tokenBurstiness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // the synthetic corpus has a tiny vocabulary where every type
+    // repeats within some doc (no b = 1000 types exist in the data) —
+    // guard for spread and clumping instead of sprinkled types
+    assert(want.map(_._1).distinct.size > 1, "buckets must spread")
+    assert(perType.exists(_._3 >= 2000L), "bursty types must exist")
+  }
+
+  test("sentenceCensus == local split + tokenize recompute") {
+    val ds = docsLocal()
+    val sents = ds.flatMap { case (id, text) =>
+      text.split("[.!?]+", -1).map(s => (id, toks(s).length.toLong))
+    }.filter(_._2 >= 1L)
+    val want = sents
+      .groupBy(s => java.lang.Long.toBinaryString(s._2).length.toLong - 1L)
+      .toSeq.map { case (b, ss) =>
+        (b, ss.size.toLong, ss.map(_._2).sum, ss.map(_._1).sum, ss.map(_._2).max)
+      }.sortBy(_._1)
+    val got = TrainingOps.sentenceCensus(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    assert(want.size > 1, "sentence lengths must spread across buckets")
+  }
+
   private def lcpLocal(ds: Seq[(Long, String)]): Seq[(Long, Long, Long)] = {
     val sorted = ds.sortBy { case (id, t) => (t, id) }
     sorted.zip(sorted.tail).map { case ((id, a), (nid, b)) =>
