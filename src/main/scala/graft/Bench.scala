@@ -428,6 +428,12 @@ object Bench {
   private val Ops49Queries =
     Seq("q_doc_burstiness", "q_doc_sentences")
 
+  /** Ninety-fourth wave: Flesch reading-ease band census and Yule's K
+    * vocabulary-richness census — both joinless integer-exact folds.
+    */
+  private val Ops50Queries =
+    Seq("q_doc_readability", "q_doc_yule")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -449,7 +455,8 @@ object Bench {
     "ops42" -> Ops42Queries, "ops43" -> Ops43Queries,
     "ops44" -> Ops44Queries, "ops45" -> Ops45Queries,
     "ops46" -> Ops46Queries, "ops47" -> Ops47Queries,
-    "ops48" -> Ops48Queries, "ops49" -> Ops49Queries)
+    "ops48" -> Ops48Queries, "ops49" -> Ops49Queries,
+    "ops50" -> Ops50Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -661,6 +661,8 @@ object SparkEntry {
     "q_doc_containment" -> TrainingOps.containmentCensus,
     "q_doc_burstiness" -> TrainingOps.tokenBurstiness,
     "q_doc_sentences" -> TrainingOps.sentenceCensus,
+    "q_doc_readability" -> TrainingOps.readability,
+    "q_doc_yule" -> TrainingOps.yuleK,
     "q_doc_dup_clusters" -> TrainingOps.dupClusters,
     "q_doc_stratified_sample" -> TrainingOps.stratifiedSample,
     "q_doc_source_stats" -> TrainingOps.sourceStats,

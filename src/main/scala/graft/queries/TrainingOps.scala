@@ -141,6 +141,68 @@ object TrainingOps {
         sum("doc_id").as("doc_sum"), max("wps").as("wps_max"))
       .orderBy("wps_bucket")
 
+  /** FLESCH READING-EASE band census — the classic readability score
+    * kept integer-exact in milli-units: fre_m = 206835
+    * - (1015*W) div S - (84600*Syl) div W, where W = tokens (shared
+    * '[a-z0-9]+' contract), S = sentences (fragments of the '[.!?]+'
+    * split that contain at least one token character — the
+    * [[sentenceCensus]] contract restated as a lambda filter, no
+    * explode), and Syl = the vowel-run syllable proxy
+    * (count of '[aeiou]+' matches; every vowel lives inside a token so
+    * whole-text runs equal the per-token sum by construction). Both
+    * divisions are over positive integers, so Spark's truncating div
+    * and DuckDB's flooring // agree; fre_m itself may go negative but
+    * is never divided. Docs fold into Flesch's published bands
+    * (>=90 very easy .. <0 clamped into band 0) via CASE compares —
+    * no negative division anywhere. Plan: ONE narrow projection per
+    * doc (three regexp aggregates, no explode, no join) and a
+    * six-key fold — entirely map-side-combinable.
+    */
+  val readability: (SparkSession, String) => DataFrame = (spark, dir) =>
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "[.!?]+"),
+          s => lower(s).rlike("[a-z0-9]"))).cast("long").as("s_cnt"),
+        size(toks).cast("long").as("w"),
+        size(expr("regexp_extract_all(lower(text), '[aeiou]+', 0)"))
+          .cast("long").as("syl"))
+      .filter(col("w") >= 1L && col("s_cnt") >= 1L)
+      .withColumn("fre_m",
+        lit(206835L) - expr("(1015 * w) div s_cnt") - expr("(84600 * syl) div w"))
+      .groupBy(when(col("fre_m") >= 90000L, 5L)
+        .when(col("fre_m") >= 70000L, 4L).when(col("fre_m") >= 50000L, 3L)
+        .when(col("fre_m") >= 30000L, 2L).when(col("fre_m") >= 0L, 1L)
+        .otherwise(0L).as("band"))
+      .agg(count(lit(1)).as("n_docs"), min("fre_m").as("fre_min"),
+        max("fre_m").as("fre_max"), sum("w").as("w_sum"),
+        sum("s_cnt").as("s_sum"), sum("syl").as("syl_sum"))
+      .orderBy("band")
+
+  /** YULE'S K vocabulary-richness census — the repeat-rate statistic
+    * K = 10^4 * (S2 - S1) / S1^2 over each document's token frequency
+    * spectrum (S1 = token count N, S2 = sum of squared type counts),
+    * kept exact: yk = (10000 * (s2 - n)) div (n * n) >= 0 since
+    * S2 >= N termwise. K is length-insensitive where TTR is not — the
+    * standard lexical-diversity signal next to a quality gate. Docs
+    * with n < 2 drop (stated — K needs a possible repeat). Fold by
+    * binary digit count of yk + 1 (yk = 0 = all-distinct docs land in
+    * bucket 0) with n/s2 checksums. Plan: the [[tokenBurstiness]]
+    * (doc, token) map-side-combinable rollup folded per doc instead of
+    * per type — one explode, no joins, bucket-bounded output.
+    */
+  val yuleK: (SparkSession, String) => DataFrame = (spark, dir) =>
+    docs(spark, dir).withColumn("toks", toks)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n"), sum(col("c") * col("c")).as("s2"))
+      .filter(col("n") >= 2L)
+      .select(expr("(10000 * (s2 - n)) div (n * n)").as("yk"),
+        col("n"), col("s2"))
+      .groupBy((length(bin(col("yk") + 1L)) - 1).cast("long").as("yk_bucket"))
+      .agg(count(lit(1)).as("n_docs"), min("yk").as("yk_min"),
+        max("yk").as("yk_max"), sum("n").as("n_sum"), sum("s2").as("s2_sum"))
+      .orderBy("yk_bucket")
+
   // ---- quality scoring: integer-exact signals ----
   val qualityScore: (SparkSession, String) => DataFrame = (spark, dir) =>
     docs(spark, dir)
@@ -3694,6 +3756,40 @@ object TrainingOps {
         |SELECT (length(bin(b - 999)) - 1)::BIGINT AS b_bucket,
         |  count(*)::BIGINT AS n_tokens, sum(tf)::BIGINT AS tf_sum,
         |  sum(df)::BIGINT AS df_sum, max(b)::BIGINT AS b_max
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // readability: the sentence filter as a list lambda, vowel-run
+    // syllable proxy, positive-only divisions (// == div), CASE bands
+    "q_doc_readability" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+        |        s -> regexp_matches(lower(s), '[a-z0-9]')))::BIGINT AS s_cnt,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS w,
+        |    len(regexp_extract_all(lower(text), '[aeiou]+'))::BIGINT AS syl
+        |  FROM documents),
+        |k AS (SELECT doc_id, w, s_cnt, syl,
+        |        206835 - (1015 * w) // s_cnt - (84600 * syl) // w AS fre_m
+        |      FROM d WHERE w >= 1 AND s_cnt >= 1)
+        |SELECT CASE WHEN fre_m >= 90000 THEN 5 WHEN fre_m >= 70000 THEN 4
+        |            WHEN fre_m >= 50000 THEN 3 WHEN fre_m >= 30000 THEN 2
+        |            WHEN fre_m >= 0 THEN 1 ELSE 0 END::BIGINT AS band,
+        |  count(*)::BIGINT AS n_docs, min(fre_m)::BIGINT AS fre_min,
+        |  max(fre_m)::BIGINT AS fre_max, sum(w)::BIGINT AS w_sum,
+        |  sum(s_cnt)::BIGINT AS s_sum, sum(syl)::BIGINT AS syl_sum
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Yule's K: the burstiness (doc, token) rollup folded per doc,
+    // exact rational, digit-count bucket on yk + 1
+    "q_doc_yule" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+        |d AS (SELECT doc_id, sum(c)::BIGINT AS n, sum(c*c)::BIGINT AS s2 FROM c GROUP BY 1),
+        |k AS (SELECT (10000 * (s2 - n)) // (n * n) AS yk, n, s2 FROM d WHERE n >= 2)
+        |SELECT (length(bin(yk + 1)) - 1)::BIGINT AS yk_bucket,
+        |  count(*)::BIGINT AS n_docs, min(yk)::BIGINT AS yk_min,
+        |  max(yk)::BIGINT AS yk_max, sum(n)::BIGINT AS n_sum,
+        |  sum(s2)::BIGINT AS s2_sum
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // head coverage: the same per-source rank CTE as q_doc_top_terms,

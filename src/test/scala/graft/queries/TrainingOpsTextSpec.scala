@@ -174,6 +174,58 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(want.size > 1, "sentence lengths must spread across buckets")
   }
 
+  test("readability == local Flesch milli-score recompute") {
+    val ds = docsLocal()
+    val scored = ds.map { case (_, text) =>
+      val sCnt = text.split("[.!?]+", -1)
+        .count(s => toks(s).nonEmpty).toLong
+      val w = toks(text).length.toLong
+      val syl = "[aeiou]+".r.findAllIn(text.toLowerCase).length.toLong
+      (sCnt, w, syl)
+    }.filter(t => t._2 >= 1L && t._1 >= 1L)
+    val want = scored.map { case (s, w, syl) =>
+      val fre = 206835L - (1015L * w) / s - (84600L * syl) / w
+      val band =
+        if (fre >= 90000L) 5L else if (fre >= 70000L) 4L
+        else if (fre >= 50000L) 3L else if (fre >= 30000L) 2L
+        else if (fre >= 0L) 1L else 0L
+      (band, fre, w, s, syl)
+    }.groupBy(_._1).toSeq.map { case (b, rs) =>
+      (b, rs.size.toLong, rs.map(_._2).min, rs.map(_._2).max,
+        rs.map(_._3).sum, rs.map(_._4).sum, rs.map(_._5).sum)
+    }.sortBy(_._1)
+    val got = TrainingOps.readability(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want)
+    // positive-only divisions: fre_m itself may dip negative, but the
+    // two truncating divs must never see a negative operand
+    assert(scored.forall(t => t._1 >= 1L && t._2 >= 1L))
+  }
+
+  test("yuleK == local token-spectrum recompute") {
+    val ds = docsLocal()
+    val perDoc = ds.map { case (_, text) =>
+      val counts = toks(text).groupBy(identity).map(_._2.length.toLong)
+      (counts.sum, counts.map(c => c * c).sum)
+    }.filter(_._1 >= 2L)
+    val want = perDoc.map { case (n, s2) =>
+      (10000L * (s2 - n) / (n * n), n, s2)
+    }.groupBy(t => java.lang.Long.toBinaryString(t._1 + 1L).length.toLong - 1L)
+      .toSeq.map { case (b, rs) =>
+        (b, rs.size.toLong, rs.map(_._1).min, rs.map(_._1).max,
+          rs.map(_._2).sum, rs.map(_._3).sum)
+      }.sortBy(_._1)
+    val got = TrainingOps.yuleK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // K = 0 iff every token in the doc is distinct; the synthetic
+    // corpus repeats words, so repeat-rate mass must exist
+    assert(perDoc.exists(t => t._2 > t._1), "repeating docs must exist")
+    assert(want.nonEmpty)
+  }
+
   private def lcpLocal(ds: Seq[(Long, String)]): Seq[(Long, Long, Long)] = {
     val sorted = ds.sortBy { case (id, t) => (t, id) }
     sorted.zip(sorted.tail).map { case ((id, a), (nid, b)) =>
