@@ -434,6 +434,13 @@ object Bench {
   private val Ops50Queries =
     Seq("q_doc_readability", "q_doc_yule")
 
+  /** Ninety-fifth wave: Ripley's K point-pattern census (9x bucket
+    * fan-out pair joins at three radii) and the per-dimension embedding
+    * health census (one posexplode, dims-sized output).
+    */
+  private val Ops51Queries =
+    Seq("q_evt_ripley", "q_emb_dimstats")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -456,7 +463,7 @@ object Bench {
     "ops44" -> Ops44Queries, "ops45" -> Ops45Queries,
     "ops46" -> Ops46Queries, "ops47" -> Ops47Queries,
     "ops48" -> Ops48Queries, "ops49" -> Ops49Queries,
-    "ops50" -> Ops50Queries)
+    "ops50" -> Ops50Queries, "ops51" -> Ops51Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -685,6 +685,8 @@ object SparkEntry {
     "q_kmeans_assign" -> TrainingOps.kmeansAssign,
     "q_kmeans_silhouette" -> TrainingOps.kmeansSilhouette,
     "q_emb_jl" -> TrainingOps.embJlDistortion,
+    "q_emb_dimstats" -> TrainingOps.embDimStats,
+    "q_evt_ripley" -> EventOps.ripleyK,
     "q_doc_lm_score" -> TrainingOps.docLmScore,
     "q_doc_keep_list" -> TrainingOps.keepList,
     "q_doc_pack" -> TrainingOps.packDocs,

@@ -1619,6 +1619,70 @@ object EventOps {
         sum("user_id").as("uid_sum"), max("idx").as("idx_max"))
       .orderBy("idx_decile")
 
+  /** Pair radii for [[ripleyK]] — fixed constants so each radius's
+    * bucket width is a literal in both engine and oracle.
+    */
+  private[graft] val RipleyRadii = Seq(2L, 5L, 10L)
+
+  /** RIPLEY'S K point-pattern census — the second-order spatial
+    * statistic a point-pattern analysis runs after first-order density
+    * ([[graft.SparkEntry]]'s q_point_density): for each radius r in
+    * [[RipleyRadii]], the number of ORDERED point pairs within Euclidean
+    * distance r (self excluded) over the click sites of the event
+    * lattice (x = event_id mod W, y = event_id div W — the
+    * q_point_density convention; 'click' picks the ~20% irregular site
+    * subset, the full lattice being degenerate for a pattern statistic).
+    * khat_x1000 = (n_pairs * area * 1000) div (n * (n-1)) is the naive
+    * (uncorrected — stated; no edge correction) K-hat estimator in cell²
+    * units, ~ pi*r²*1000 under CSR, with area = the full lattice size
+    * (every event_id is a site by construction) carried as a broadcast
+    * scalar — never a driver collect. All arithmetic is exact integer on
+    * lattice coordinates: d² = dx² + dy² compares against r² with no
+    * sqrt anywhere. Long headroom: n_pairs * area * 1000 needs
+    * n_pairs * area < 2^53ish — stated, ANSI-loud at web scale (the
+    * decimal(38,0) widening is the documented escape hatch).
+    *
+    * Plan shape: per radius, points bucket into r-sized cells and each
+    * LEFT point fans out to its 9 neighbor buckets (fixed 9x fan-out,
+    * the q_contour_hausdorff genus) into one bucket-keyed equi-join —
+    * a pair within Chebyshev distance r lands in EXACTLY one offset, so
+    * nothing dedups; candidate volume is density-bounded per bucket
+    * (never all-pairs), dense buckets are the documented skew (AQE
+    * splits them). Three radii = three independent joins unioned; the
+    * two scalar aggregates broadcast.
+    */
+  val ripleyK: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val w = EventsGrid.W
+    val all = events(spark, dir)
+    val p = all.filter(col("event_type") === "click")
+      .select(col("event_id").as("id"),
+        expr(s"event_id % $w").as("x"), expr(s"event_id div $w").as("y"))
+    val n = p.agg(count(lit(1)).as("n"))
+    val area = all.agg(count(lit(1)).as("area"))
+    val perR = RipleyRadii.map { r =>
+      val a = p.select(col("id").as("ida"), col("x").as("xa"), col("y").as("ya"))
+        .crossJoin(spark.range(9).select(
+          expr("cast(id % 3 as int) - 1").as("ox"),
+          expr("cast(id div 3 as int) - 1").as("oy")))
+        .select(col("ida"), col("xa"), col("ya"),
+          expr(s"xa div $r + ox").as("bx"), expr(s"ya div $r + oy").as("by"))
+      val b = p.select(col("id").as("idb"),
+        col("x").as("xb"), col("y").as("yb"),
+        expr(s"x div $r").as("bx"), expr(s"y div $r").as("by"))
+      a.join(b, Seq("bx", "by"))
+        .filter(col("ida") =!= col("idb") &&
+          expr(s"(xb - xa) * (xb - xa) + (yb - ya) * (yb - ya) <= ${r * r}"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("(xb - xa) * (xb - xa) + (yb - ya) * (yb - ya)")).as("d2_sum"))
+        .select(lit(r).as("r"), col("n_pairs"), col("d2_sum"))
+    }
+    perR.reduce(_ unionByName _)
+      .crossJoin(broadcast(n)).crossJoin(broadcast(area))
+      .select(col("r"), col("n_pairs"), col("d2_sum"), col("n").as("n_pts"),
+        expr("(n_pairs * area * 1000) div (n * (n - 1))").as("khat_x1000"))
+      .orderBy("r")
+  }
+
   val oracleSql: Map[String, String] = Map(
     // Fano: the same global-span binning, per-user count dispersion,
     // digit-count bucket fold
@@ -1647,6 +1711,32 @@ object EventOps {
         |  sum(n)::BIGINT AS events_sum, sum(user_id)::BIGINT AS uid_sum,
         |  max(idx)::BIGINT AS idx_max
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Ripley's K: the same 9-offset bucket equi-join per radius (a pair
+    // lands in exactly one offset, so the blocks count each ordered pair
+    // once), scalar n/area CTEs, exact-integer d2 compare
+    "q_evt_ripley" -> {
+      def block(r: Long) =
+        s"""SELECT $r AS r, count(*)::BIGINT AS n_pairs,
+           |  sum((b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y))::BIGINT AS d2_sum
+           |FROM p a CROSS JOIN o JOIN p b
+           |  ON b.x // $r = a.x // $r + o.ox AND b.y // $r = a.y // $r + o.oy
+           | AND b.event_id != a.event_id
+           | AND (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) <= ${r * r}""".stripMargin
+      s"""WITH p AS (SELECT event_id, (event_id % 100)::BIGINT AS x,
+         |             (event_id // 100)::BIGINT AS y
+         |           FROM events WHERE event_type = 'click'),
+         |s AS (SELECT count(*)::BIGINT AS n FROM p),
+         |t AS (SELECT count(*)::BIGINT AS area FROM events),
+         |o AS (SELECT ox, oy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+         |        (0,1),(1,-1),(1,0),(1,1)) v(ox, oy)),
+         |pr AS (${block(2L)}
+         |UNION ALL ${block(5L)}
+         |UNION ALL ${block(10L)})
+         |SELECT pr.r::BIGINT AS r, n_pairs, d2_sum, s.n AS n_pts,
+         |  ((n_pairs * t.area * 1000) // (s.n * (s.n - 1)))::BIGINT AS khat_x1000
+         |FROM pr, s, t ORDER BY r""".stripMargin
+    },
 
     // Haar pyramid: the same chained halving levels as independent CTEs
     // (DuckDB HUGEINT intermediates kept honest by the ::BIGINT casts)

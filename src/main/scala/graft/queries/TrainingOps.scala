@@ -485,6 +485,36 @@ object TrainingOps {
       .orderBy("rq_bucket")
   }
 
+  /** Per-DIMENSION embedding health census — the first diagnostic an
+    * embedding pipeline reads before trusting a space: per dimension the
+    * count, quantized sum / sum-of-squares / min / max (q = floor(x *
+    * 1024), a power-of-2 multiplier so the float->double product is
+    * EXACT and Spark/DuckDB floor the same value), and the truncated
+    * population variance var_q = (n*S2 - S1^2) div n^2 in q^2 units —
+    * dead dimensions read var_q = 0, dominant ones stick out, and a
+    * mean offset shows in s1 without a single float crossing the
+    * compare. The variance product widens through decimal(38,0) (n*S2
+    * overflows a Long past ~1.5M vectors; decimal carries ~10^12
+    * vectors x 2^22 q^2 with room) and truncates back to BIGINT —
+    * numerator >= 0 termwise (Cauchy-Schwarz), so truncating div ==
+    * floor on both sides. Plan: ONE narrow posexplode to (dim, q)
+    * partials, entirely map-side-combinable into a dims-sized table —
+    * no join, no window, output = 64 rows at any corpus size.
+    */
+  val embDimStats: (SparkSession, String) => DataFrame = (spark, dir) =>
+    embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("i").cast("long").as("dim"),
+        expr("cast(floor(x * 1024.0d) as bigint)").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("s1"),
+        sum(expr("q * q")).as("s2"), min("q").as("q_min"), max("q").as("q_max"))
+      .select(col("dim"), col("n"), col("s1"), col("s2"), col("q_min"),
+        col("q_max"),
+        expr("cast((cast(n as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1)" +
+          " div (cast(n as decimal(38,0)) * n) as bigint)").as("var_q"))
+      .orderBy("dim")
+
   /** Per-label SEPARATION MATRIX over the embedding space — the
     * cluster-quality diagnostic an embedding pipeline reads before
     * trusting labels for stratification: off-diagonal rows (a < b) carry
@@ -3112,6 +3142,20 @@ object TrainingOps {
     // JL distortion: per-coordinate integer quantization, the md5 sign
     // bit recomputed per (j, i) — engine i is 0-based so the oracle keys
     // on (i - 1) — all-integer projections and ratio
+    // per-dimension census: the same unnest-with-range gather as q_emb_jl,
+    // HUGEINT variance product truncated back to BIGINT
+    "q_emb_dimstats" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT (i - 1)::BIGINT AS dim, floor(v[i] * 1024.0)::BIGINT AS q
+        |      FROM e, unnest(range(1, 65)) AS u(i)),
+        |d AS (SELECT dim, count(*)::BIGINT AS n, sum(q)::BIGINT AS s1,
+        |        sum(q * q)::BIGINT AS s2, min(q)::BIGINT AS q_min,
+        |        max(q)::BIGINT AS q_max
+        |      FROM q GROUP BY 1)
+        |SELECT dim, n, s1, s2, q_min, q_max,
+        |  ((n::HUGEINT * s2 - s1::HUGEINT * s1) // (n::HUGEINT * n))::BIGINT AS var_q
+        |FROM d ORDER BY dim""".stripMargin,
+
     "q_emb_jl" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id, i, floor(v[i] * 1024.0)::BIGINT AS q

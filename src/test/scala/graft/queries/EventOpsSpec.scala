@@ -27,6 +27,35 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ripleyK matches a local all-pairs recompute at every radius") {
+    val pts = ev.filter(_._4 == "click")
+      .map(e => (e._1, e._1 % 100, e._1 / 100))
+    val n = pts.length.toLong
+    val area = ev.length.toLong
+    val want = EventOps.RipleyRadii.map { r =>
+      var np = 0L; var d2s = 0L
+      for (a <- pts; b <- pts if a._1 != b._1) {
+        val d2 = (b._2 - a._2) * (b._2 - a._2) + (b._3 - a._3) * (b._3 - a._3)
+        if (d2 <= r * r) { np += 1; d2s += d2 }
+      }
+      (r, np, d2s, n, np * area * 1000L / (n * (n - 1)))
+    }
+    val got = EventOps.ripleyK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // the estimator must be monotone in r and nondegenerate: pairs exist
+    // at the smallest radius, and khat grows with the disc
+    assert(want.head._2 > 0L, "pairs must exist at r=2")
+    assert(want.map(_._5) == want.map(_._5).sorted, "khat monotone in r")
+    // plan contract: the pair joins are bucket-keyed EQUI hash joins
+    // (never a point-pair cartesian); the only nested-loop crosses are
+    // the bounded broadcasts (9-row offsets, 1-row scalars)
+    val plan = EventOps.ripleyK(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "no cartesian pair join")
+    assert(plan.contains("HashJoin [bx"), "bucket equi-join expected")
+  }
+
   test("fano matches a local dispersion recompute") {
     val mn = ev.map(_._2).min
     val mx = ev.map(_._2).max

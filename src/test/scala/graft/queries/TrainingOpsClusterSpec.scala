@@ -230,6 +230,29 @@ class TrainingOpsClusterSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(600))
   }
 
+  test("embDimStats == local per-dimension quantized moment recompute") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val dims = vecs.head._2.length
+    val want = (0 until dims).map { d =>
+      val qs = vecs.map { case (_, v) => math.floor(v(d) * 1024.0).toLong }
+      val n = qs.length.toLong
+      val s1 = qs.sum; val s2 = qs.map(q => q * q).sum
+      val varQ = ((BigInt(n) * s2 - BigInt(s1) * s1) / (BigInt(n) * n)).toLong
+      (d.toLong, n, s1, s2, qs.min, qs.max, varQ)
+    }
+    val got = TrainingOps.embDimStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want)
+    assert(want.size == 64)
+    // the space must be nondegenerate: no dead dimension in the synthetic
+    // corpus, and the variances must genuinely spread
+    assert(want.forall(_._7 > 0L), "no dead dims expected here")
+    assert(want.map(_._7).distinct.size > 1, "variances must spread")
+  }
+
   test("embJlDistortion == local integer sign-projection recompute") {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
