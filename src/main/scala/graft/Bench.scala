@@ -441,6 +441,12 @@ object Bench {
   private val Ops51Queries =
     Seq("q_evt_ripley", "q_emb_dimstats")
 
+  /** Ninety-sixth wave: MATTR lexical-diversity windows (zero-shuffle
+    * until the fold) and the nearest-neighbor-distance G census.
+    */
+  private val Ops52Queries =
+    Seq("q_doc_mattr", "q_evt_nnd")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -463,7 +469,8 @@ object Bench {
     "ops44" -> Ops44Queries, "ops45" -> Ops45Queries,
     "ops46" -> Ops46Queries, "ops47" -> Ops47Queries,
     "ops48" -> Ops48Queries, "ops49" -> Ops49Queries,
-    "ops50" -> Ops50Queries, "ops51" -> Ops51Queries)
+    "ops50" -> Ops50Queries, "ops51" -> Ops51Queries,
+    "ops52" -> Ops52Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

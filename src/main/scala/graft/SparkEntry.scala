@@ -687,6 +687,8 @@ object SparkEntry {
     "q_emb_jl" -> TrainingOps.embJlDistortion,
     "q_emb_dimstats" -> TrainingOps.embDimStats,
     "q_evt_ripley" -> EventOps.ripleyK,
+    "q_evt_nnd" -> EventOps.nndCensus,
+    "q_doc_mattr" -> TrainingOps.mattr,
     "q_doc_lm_score" -> TrainingOps.docLmScore,
     "q_doc_keep_list" -> TrainingOps.keepList,
     "q_doc_pack" -> TrainingOps.packDocs,

@@ -1651,29 +1651,47 @@ object EventOps {
     * splits them). Three radii = three independent joins unioned; the
     * two scalar aggregates broadcast.
     */
-  val ripleyK: (SparkSession, String) => DataFrame = (spark, dir) => {
+  /** The click sites of the event lattice (x = event_id mod W,
+    * y = event_id div W — the q_point_density convention): the point set
+    * both pattern censuses read.
+    */
+  private def clickPoints(spark: SparkSession, dir: String): DataFrame = {
     val w = EventsGrid.W
-    val all = events(spark, dir)
-    val p = all.filter(col("event_type") === "click")
+    events(spark, dir).filter(col("event_type") === "click")
       .select(col("event_id").as("id"),
         expr(s"event_id % $w").as("x"), expr(s"event_id div $w").as("y"))
+  }
+
+  /** Ordered neighbor pairs of `p` within Euclidean distance r: points
+    * bucket into r-sized cells, the left side fans to its 9 neighbor
+    * buckets (a pair lands in exactly ONE offset, so nothing dedups),
+    * one bucket-keyed equi hash join, exact-integer d² filter. The core
+    * both [[ripleyK]] and [[nndCensus]] ride.
+    */
+  private def neighborPairs(spark: SparkSession, p: DataFrame, r: Long): DataFrame = {
+    val a = p.select(col("id").as("ida"), col("x").as("xa"), col("y").as("ya"))
+      .crossJoin(spark.range(9).select(
+        expr("cast(id % 3 as int) - 1").as("ox"),
+        expr("cast(id div 3 as int) - 1").as("oy")))
+      .select(col("ida"), col("xa"), col("ya"),
+        expr(s"xa div $r + ox").as("bx"), expr(s"ya div $r + oy").as("by"))
+    val b = p.select(col("id").as("idb"),
+      col("x").as("xb"), col("y").as("yb"),
+      expr(s"x div $r").as("bx"), expr(s"y div $r").as("by"))
+    a.join(b, Seq("bx", "by"))
+      .filter(col("ida") =!= col("idb"))
+      .withColumn("d2", expr("(xb - xa) * (xb - xa) + (yb - ya) * (yb - ya)"))
+      .filter(col("d2") <= lit(r * r))
+  }
+
+  val ripleyK: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val all = events(spark, dir)
+    val p = clickPoints(spark, dir)
     val n = p.agg(count(lit(1)).as("n"))
     val area = all.agg(count(lit(1)).as("area"))
     val perR = RipleyRadii.map { r =>
-      val a = p.select(col("id").as("ida"), col("x").as("xa"), col("y").as("ya"))
-        .crossJoin(spark.range(9).select(
-          expr("cast(id % 3 as int) - 1").as("ox"),
-          expr("cast(id div 3 as int) - 1").as("oy")))
-        .select(col("ida"), col("xa"), col("ya"),
-          expr(s"xa div $r + ox").as("bx"), expr(s"ya div $r + oy").as("by"))
-      val b = p.select(col("id").as("idb"),
-        col("x").as("xb"), col("y").as("yb"),
-        expr(s"x div $r").as("bx"), expr(s"y div $r").as("by"))
-      a.join(b, Seq("bx", "by"))
-        .filter(col("ida") =!= col("idb") &&
-          expr(s"(xb - xa) * (xb - xa) + (yb - ya) * (yb - ya) <= ${r * r}"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(expr("(xb - xa) * (xb - xa) + (yb - ya) * (yb - ya)")).as("d2_sum"))
+      neighborPairs(spark, p, r)
+        .agg(count(lit(1)).as("n_pairs"), sum("d2").as("d2_sum"))
         .select(lit(r).as("r"), col("n_pairs"), col("d2_sum"))
     }
     perR.reduce(_ unionByName _)
@@ -1681,6 +1699,36 @@ object EventOps {
       .select(col("r"), col("n_pairs"), col("d2_sum"), col("n").as("n_pts"),
         expr("(n_pairs * area * 1000) div (n * (n - 1))").as("khat_x1000"))
       .orderBy("r")
+  }
+
+  /** Search cap for [[nndCensus]] — nearest neighbors beyond Euclidean
+    * 10 are CENSORED into bucket -1 (stated), the contour-Hausdorff
+    * clip idiom: the window bound is what keeps the join
+    * density-bounded instead of all-pairs.
+    */
+  private[graft] val NndRadius = 10L
+
+  /** NEAREST-NEIGHBOR-DISTANCE census — the G-function reading next to
+    * [[ripleyK]]'s K: per click site the exact squared Euclidean
+    * distance to its nearest other click within [[NndRadius]], folded by
+    * binary digit count of nnd² (distinct lattice sites make d² >= 1, so
+    * buckets run 0..6 at the cap); sites with NO neighbor inside the
+    * window land in the censored bucket -1 with a NULL max and a zero
+    * sum contribution (both sides stated). One [[neighborPairs]] join +
+    * one id-keyed min + one left join back to the point set — the same
+    * density-bounded candidate volume as K, never all-pairs.
+    */
+  val nndCensus: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val p = clickPoints(spark, dir)
+    val nn = neighborPairs(spark, p, NndRadius)
+      .groupBy("ida").agg(min("d2").as("nnd2"))
+    p.select(col("id").as("ida")).join(nn, Seq("ida"), "left")
+      .groupBy(when(col("nnd2").isNull, -1L)
+        .otherwise((length(bin(col("nnd2"))) - 1).cast("long")).as("nnd_bucket"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(coalesce(col("nnd2"), lit(0L))).as("nnd2_sum"),
+        sum("ida").as("id_sum"), max("nnd2").as("nnd2_max"))
+      .orderBy("nnd_bucket")
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -1737,6 +1785,29 @@ object EventOps {
          |  ((n_pairs * t.area * 1000) // (s.n * (s.n - 1)))::BIGINT AS khat_x1000
          |FROM pr, s, t ORDER BY r""".stripMargin
     },
+
+    // NND G-function: the r=10 bucket join, per-point min, LEFT join back
+    // so censored points survive into bucket -1 (zero sum, NULL max)
+    "q_evt_nnd" ->
+      """WITH p AS (SELECT event_id, (event_id % 100)::BIGINT AS x,
+        |             (event_id // 100)::BIGINT AS y
+        |           FROM events WHERE event_type = 'click'),
+        |o AS (SELECT ox, oy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+        |        (0,1),(1,-1),(1,0),(1,1)) v(ox, oy)),
+        |nn AS (SELECT a.event_id AS ida,
+        |         min((b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y)) AS nnd2
+        |       FROM p a CROSS JOIN o JOIN p b
+        |         ON b.x // 10 = a.x // 10 + o.ox AND b.y // 10 = a.y // 10 + o.oy
+        |        AND b.event_id != a.event_id
+        |        AND (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) <= 100
+        |       GROUP BY 1),
+        |k AS (SELECT p.event_id AS ida, nn.nnd2
+        |      FROM p LEFT JOIN nn ON nn.ida = p.event_id)
+        |SELECT CASE WHEN nnd2 IS NULL THEN -1
+        |            ELSE length(bin(nnd2)) - 1 END::BIGINT AS nnd_bucket,
+        |  count(*)::BIGINT AS n_pts, sum(coalesce(nnd2, 0))::BIGINT AS nnd2_sum,
+        |  sum(ida)::BIGINT AS id_sum, max(nnd2)::BIGINT AS nnd2_max
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Haar pyramid: the same chained halving levels as independent CTEs
     // (DuckDB HUGEINT intermediates kept honest by the ::BIGINT casts)

@@ -759,6 +759,37 @@ object TrainingOps {
         md5(concat_ws(" ", col("chunk"))).as("fp"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** MOVING-AVERAGE TTR census (Covington & McFall's MATTR windows) —
+    * the lexical-diversity statistic that fixes plain TTR's length
+    * sensitivity by scoring fixed 50-token windows at stride 25: per
+    * complete window, ttr_x1000 = distinct_types * 20 (the *1000 div 50
+    * collapsed — exact by construction), folded per decile with window
+    * counts and doc/type-mass checksums. Docs under 50 tokens carry no
+    * complete window and DROP (stated). Complementary to [[yuleK]]
+    * (whole-doc repeat rate) — this reads LOCAL diversity, the signal
+    * that catches mid-document boilerplate runs a global statistic
+    * averages away. Plan: entirely NARROW until the final fold — the
+    * window enumeration is a per-row sequence explode and the distinct
+    * count is array arithmetic on a slice (no (doc, window, token)
+    * shuffle ever materializes), then one decile-keyed
+    * map-side-combinable census. The explode's fan-out is n/25 rows per
+    * doc — linear in corpus tokens with a 1/25 constant.
+    */
+  val mattr: (SparkSession, String) => DataFrame = (spark, dir) =>
+    docs(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 50L)
+      .withColumn("w", explode(expr("sequence(0L, (n - 50) div 25)")))
+      .select(col("doc_id"),
+        (size(array_distinct(expr("slice(toks, cast(w * 25 + 1 as int), 50)")))
+          .cast("long") * 20L).as("ttr"))
+      .groupBy(expr("ttr div 100").as("ttr_decile"))
+      .agg(count(lit(1)).as("n_windows"), sum("doc_id").as("doc_sum"),
+        min("ttr").as("ttr_min"), max("ttr").as("ttr_max"),
+        sum("ttr").as("ttr_sum"))
+      .orderBy("ttr_decile")
+
   // ---- MinHash signatures: word 3-gram shingles, 16 md5-derived hashes ----
   private val NumHashes = 16
 
@@ -3800,6 +3831,22 @@ object TrainingOps {
         |SELECT (length(bin(b - 999)) - 1)::BIGINT AS b_bucket,
         |  count(*)::BIGINT AS n_tokens, sum(tf)::BIGINT AS tf_sum,
         |  sum(df)::BIGINT AS df_sum, max(b)::BIGINT AS b_max
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // MATTR: the same stride-25 window enumeration via range, list_slice
+    // (1-based inclusive = Spark's slice(start, 50)), list_distinct
+    "q_doc_mattr" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |           FROM documents),
+        |d AS (SELECT doc_id, len(ws)::BIGINT AS n, ws FROM t WHERE len(ws) >= 50),
+        |w AS (SELECT doc_id, ws, unnest(range(0, (n - 50) // 25 + 1)) AS w FROM d),
+        |k AS (SELECT doc_id,
+        |        len(list_distinct(list_slice(ws, (25 * w + 1)::INT,
+        |            (25 * w + 50)::INT)))::BIGINT * 20 AS ttr
+        |      FROM w)
+        |SELECT (ttr // 100)::BIGINT AS ttr_decile, count(*)::BIGINT AS n_windows,
+        |  sum(doc_id)::BIGINT AS doc_sum, min(ttr)::BIGINT AS ttr_min,
+        |  max(ttr)::BIGINT AS ttr_max, sum(ttr)::BIGINT AS ttr_sum
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // readability: the sentence filter as a list lambda, vowel-run

@@ -56,6 +56,43 @@ class EventOpsSpec extends AnyFunSuite {
     assert(plan.contains("HashJoin [bx"), "bucket equi-join expected")
   }
 
+  test("nndCensus matches a local nearest-neighbor recompute with the r=10 censor") {
+    val pts = ev.filter(_._4 == "click")
+      .map(e => (e._1, e._1 % 100, e._1 / 100))
+    val perPoint = pts.map { a =>
+      val ds = pts.iterator.filter(_._1 != a._1)
+        .map(b => (b._2 - a._2) * (b._2 - a._2) + (b._3 - a._3) * (b._3 - a._3))
+        .filter(_ <= 100L)
+      (a._1, if (ds.isEmpty) None else Some(ds.min))
+    }
+    val want = perPoint.groupBy {
+      case (_, None) => -1L
+      case (_, Some(d2)) => java.lang.Long.toBinaryString(d2).length.toLong - 1L
+    }.toSeq.map { case (b, ps) =>
+      val d2s = ps.flatMap(_._2)
+      (b, ps.size.toLong, d2s.sum, ps.map(_._1).sum,
+        if (d2s.isEmpty) null else java.lang.Long.valueOf(d2s.max))
+    }.sortBy(_._1)
+    val got = EventOps.nndCensus(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)))).toSeq
+    assert(got == want)
+    assert(want.map(_._2).sum == pts.length.toLong, "every click site folds")
+  }
+
+  test("nndCensus censors isolated points into bucket -1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nnd-cens").toString
+    // three clicks pairwise farther than 10 apart (ids 0, 50, 5000 ->
+    // sites (0,0), (50,0), (0,50)) plus a non-click that must not count
+    Seq((0L, "click"), (50L, "click"), (5000L, "click"), (1L, "view"))
+      .toDF("event_id", "event_type").write.parquet(s"$dir/events.parquet")
+    val got = EventOps.nndCensus(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)))).toSeq
+    assert(got == Seq((-1L, 3L, 0L, 5050L, null)))
+  }
+
   test("fano matches a local dispersion recompute") {
     val mn = ev.map(_._2).min
     val mx = ev.map(_._2).max

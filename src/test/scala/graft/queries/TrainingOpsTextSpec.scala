@@ -174,6 +174,29 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(want.size > 1, "sentence lengths must spread across buckets")
   }
 
+  test("mattr == local stride-25 window recompute") {
+    val ds = docsLocal()
+    val wins = ds.flatMap { case (id, text) =>
+      val ts = toks(text)
+      if (ts.length < 50) Seq.empty
+      else (0 to (ts.length - 50) / 25).map { w =>
+        (id, ts.slice(25 * w, 25 * w + 50).distinct.length.toLong * 20L)
+      }
+    }
+    val want = wins.groupBy(_._2 / 100L).toSeq.map { case (b, ws) =>
+      (b, ws.size.toLong, ws.map(_._1).sum, ws.map(_._2).min,
+        ws.map(_._2).max, ws.map(_._2).sum)
+    }.sortBy(_._1)
+    val got = TrainingOps.mattr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    assert(wins.nonEmpty, "complete windows must exist")
+    assert(want.map(_._1).distinct.size >= 1)
+    // local diversity must genuinely vary across windows
+    assert(wins.map(_._2).distinct.size > 1, "window TTRs must spread")
+  }
+
   test("readability == local Flesch milli-score recompute") {
     val ds = docsLocal()
     val scored = ds.map { case (_, text) =>
