@@ -447,6 +447,13 @@ object Bench {
   private val Ops52Queries =
     Seq("q_doc_mattr", "q_evt_nnd")
 
+  /** Ninety-seventh wave: Morisita quadrat-dispersion and Cliff-Ord
+    * join-count censuses — the quadrat and adjacency views of the
+    * point-pattern family.
+    */
+  private val Ops53Queries =
+    Seq("q_evt_morisita", "q_evt_joincount")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -470,7 +477,7 @@ object Bench {
     "ops46" -> Ops46Queries, "ops47" -> Ops47Queries,
     "ops48" -> Ops48Queries, "ops49" -> Ops49Queries,
     "ops50" -> Ops50Queries, "ops51" -> Ops51Queries,
-    "ops52" -> Ops52Queries)
+    "ops52" -> Ops52Queries, "ops53" -> Ops53Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -688,6 +688,8 @@ object SparkEntry {
     "q_emb_dimstats" -> TrainingOps.embDimStats,
     "q_evt_ripley" -> EventOps.ripleyK,
     "q_evt_nnd" -> EventOps.nndCensus,
+    "q_evt_morisita" -> EventOps.morisita,
+    "q_evt_joincount" -> EventOps.joinCount,
     "q_doc_mattr" -> TrainingOps.mattr,
     "q_doc_lm_score" -> TrainingOps.docLmScore,
     "q_doc_keep_list" -> TrainingOps.keepList,

@@ -1731,6 +1731,74 @@ object EventOps {
       .orderBy("nnd_bucket")
   }
 
+  /** MORISITA INDEX census — the quadrat view of the point-pattern
+    * family ([[ripleyK]] = second-order distances, [[nndCensus]] =
+    * nearest-neighbor, this = dispersion over fixed quadrats): clicks
+    * bin into the 10x10 superpixels q_point_density uses, and
+    * I_x1000 = (Q * sum n_i(n_i-1) * 1000) div (N(N-1)) — ~1000 under
+    * CSR, >1000 clumped, <1000 uniform — with Q = TOTAL quadrats
+    * including empty ones (= area div 100; the lattice is full by
+    * construction, so the event count IS the area — no separate
+    * extent scan). Alongside the one-row index, the per-quadrat
+    * occupancy census folds n_i by binary digit count — the full
+    * occupancy spectrum, not just its second moment. Exact rational
+    * throughout; N < 2 would be degenerate and cannot happen at any SF
+    * (stated). Plan: one map-side-combinable quadrat rollup + one
+    * digit-count fold + two broadcast scalars.
+    */
+  val morisita: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val w = EventsGrid.W
+    val all = events(spark, dir)
+    val q = all.filter(col("event_type") === "click")
+      .select(expr(s"(event_id % $w) div 10").as("qx"),
+        expr(s"(event_id div $w) div 10").as("qy"))
+      .groupBy("qx", "qy").agg(count(lit(1)).as("c"))
+    val sums = q.agg(sum("c").as("n"), sum(expr("c * (c - 1)")).as("pairs"),
+      count(lit(1)).as("occupied"))
+    val area = all.agg(count(lit(1)).as("area"))
+    q.groupBy((length(bin(col("c"))) - 1).cast("long").as("c_bucket"))
+      .agg(count(lit(1)).as("n_quadrats"), sum("c").as("c_sum"),
+        max("c").as("c_max"))
+      .crossJoin(broadcast(sums)).crossJoin(broadcast(area))
+      .select(col("c_bucket"), col("n_quadrats"), col("c_sum"), col("c_max"),
+        col("occupied"), expr("area div 100").as("q_total"),
+        expr("((area div 100) * pairs * 1000) div (n * (n - 1))").as("morisita_x1000"))
+      .orderBy("c_bucket")
+  }
+
+  /** JOIN-COUNT statistics — the Cliff–Ord spatial-autocorrelation read
+    * for a BINARY lattice marking (site black iff its event is a
+    * click): over all rook-adjacent site pairs (right and down
+    * neighbors by id arithmetic — each undirected edge counted exactly
+    * once), the BB / BW / WW counts keyed by za + zb in {2, 1, 0},
+    * with the global black count and edge totals carried per row for
+    * the E[BB] = m(m-1)/(n(n-1)) comparison a reader makes. The
+    * adjacency is the bandAdjacency shift-join idiom: a right edge
+    * joins id -> id+1 (guarded off the row seam by x < W-1), a down
+    * edge id -> id+W — two equi joins on the site id, no windows, no
+    * sort. Exact integers end to end.
+    */
+  val joinCount: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val w = EventsGrid.W
+    val s = events(spark, dir)
+      .select(col("event_id").as("id"),
+        expr("cast(event_type = 'click' as bigint)").as("z"),
+        expr(s"event_id % $w").as("x"))
+    val right = s.filter(col("x") < w - 1)
+      .select((col("id") + 1L).as("nid"), col("z").as("za"))
+      .join(s.select(col("id").as("nid"), col("z").as("zb")), "nid")
+    val down = s
+      .select((col("id") + w.toLong).as("nid"), col("z").as("za"))
+      .join(s.select(col("id").as("nid"), col("z").as("zb")), "nid")
+    val blacks = s.agg(sum("z").as("n_black"), count(lit(1)).as("n_sites"))
+    right.unionByName(down)
+      .groupBy((col("za") + col("zb")).as("jc_key"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(blacks))
+      .select(col("jc_key"), col("n_pairs"), col("n_black"), col("n_sites"))
+      .orderBy("jc_key")
+  }
+
   val oracleSql: Map[String, String] = Map(
     // Fano: the same global-span binning, per-user count dispersion,
     // digit-count bucket fold
@@ -1785,6 +1853,36 @@ object EventOps {
          |  ((n_pairs * t.area * 1000) // (s.n * (s.n - 1)))::BIGINT AS khat_x1000
          |FROM pr, s, t ORDER BY r""".stripMargin
     },
+
+    // Morisita: the q_point_density 10x10 quadrats, exact rational index
+    // with Q = area//100 including empties, digit-count occupancy fold
+    "q_evt_morisita" ->
+      """WITH q AS (SELECT (event_id % 100) // 10 AS qx, (event_id // 100) // 10 AS qy,
+        |             count(*)::BIGINT AS c
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |s AS (SELECT sum(c) AS n, sum(c * (c - 1)) AS pairs,
+        |        count(*)::BIGINT AS occupied FROM q),
+        |t AS (SELECT count(*)::BIGINT AS area FROM events)
+        |SELECT (length(bin(c)) - 1)::BIGINT AS c_bucket,
+        |  count(*)::BIGINT AS n_quadrats, sum(c)::BIGINT AS c_sum,
+        |  max(c)::BIGINT AS c_max, s.occupied,
+        |  (t.area // 100)::BIGINT AS q_total,
+        |  (((t.area // 100) * s.pairs * 1000) // (s.n * (s.n - 1)))::BIGINT AS morisita_x1000
+        |FROM q, s, t GROUP BY 1, 5, 6, 7 ORDER BY 1""".stripMargin,
+
+    // join-count: right/down rook edges by id arithmetic, za+zb key
+    "q_evt_joincount" ->
+      """WITH s AS (SELECT event_id AS id, (event_type = 'click')::BIGINT AS z,
+        |             event_id % 100 AS x
+        |           FROM events),
+        |e AS (SELECT a.z AS za, b.z AS zb FROM s a JOIN s b ON b.id = a.id + 1
+        |      WHERE a.x < 99
+        |      UNION ALL
+        |      SELECT a.z AS za, b.z AS zb FROM s a JOIN s b ON b.id = a.id + 100),
+        |m AS (SELECT sum(z)::BIGINT AS n_black, count(*)::BIGINT AS n_sites FROM s)
+        |SELECT (za + zb)::BIGINT AS jc_key, count(*)::BIGINT AS n_pairs,
+        |  m.n_black, m.n_sites
+        |FROM e, m GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin,
 
     // NND G-function: the r=10 bucket join, per-point min, LEFT join back
     // so censored points survive into bucket -1 (zero sum, NULL max)

@@ -93,6 +93,46 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got == Seq((-1L, 3L, 0L, 5050L, null)))
   }
 
+  test("morisita matches a local quadrat recompute") {
+    val clicks = ev.filter(_._4 == "click").map(_._1)
+    val byQuad = clicks.groupBy(id => ((id % 100) / 10, id / 100 / 10))
+      .map(_._2.length.toLong).toSeq
+    val n = byQuad.sum
+    val pairs = byQuad.map(c => c * (c - 1)).sum
+    val qTotal = ev.length.toLong / 100
+    val mor = qTotal * pairs * 1000L / (n * (n - 1))
+    val want = byQuad.groupBy(c => java.lang.Long.toBinaryString(c).length.toLong - 1L)
+      .toSeq.map { case (b, cs) =>
+        (b, cs.size.toLong, cs.sum, cs.max, byQuad.size.toLong, qTotal, mor)
+      }.sortBy(_._1)
+    val got = EventOps.morisita(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want)
+    // a CSR-ish synthetic scatter: the index must land in a sane band
+    // around 1000, not collapse to a degenerate 0
+    assert(mor > 500L && mor < 2000L, s"morisita=$mor out of band")
+  }
+
+  test("joinCount matches a local rook-adjacency recompute") {
+    val z = ev.map(e => e._1 -> (if (e._4 == "click") 1L else 0L)).toMap
+    val ids = ev.map(_._1)
+    val edges = ids.flatMap { id =>
+      val right = if (id % 100 < 99 && z.contains(id + 1)) Seq((z(id), z(id + 1))) else Seq.empty
+      val down = if (z.contains(id + 100)) Seq((z(id), z(id + 100))) else Seq.empty
+      right ++ down
+    }
+    val nBlack = z.values.sum
+    val want = edges.groupBy(e => e._1 + e._2).toSeq.map { case (k, es) =>
+      (k, es.length.toLong, nBlack, ids.length.toLong)
+    }.sortBy(_._1)
+    val got = EventOps.joinCount(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // all three keys must appear (black and white sites both exist and mix)
+    assert(want.map(_._1) == Seq(0L, 1L, 2L))
+  }
+
   test("fano matches a local dispersion recompute") {
     val mn = ev.map(_._2).min
     val mx = ev.map(_._2).max
