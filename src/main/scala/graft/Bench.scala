@@ -454,6 +454,12 @@ object Bench {
   private val Ops53Queries =
     Seq("q_evt_morisita", "q_evt_joincount")
 
+  /** Ninety-eighth wave: white top-hat (K=2 composed-morphology tiled
+    * kernel) and the Haralick GLCM scalar rollup.
+    */
+  private val Ops54Queries =
+    Seq("q_tophat", "q_glcm_stats")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -477,7 +483,8 @@ object Bench {
     "ops46" -> Ops46Queries, "ops47" -> Ops47Queries,
     "ops48" -> Ops48Queries, "ops49" -> Ops49Queries,
     "ops50" -> Ops50Queries, "ops51" -> Ops51Queries,
-    "ops52" -> Ops52Queries, "ops53" -> Ops53Queries)
+    "ops52" -> Ops52Queries, "ops53" -> Ops53Queries,
+    "ops54" -> Ops54Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -733,6 +733,8 @@ object SparkEntry {
     "q_focal_median" -> RasterOps.focalMedian,
     "q_focal_majority" -> RasterOps.focalMajority,
     "q_morphology" -> RasterOps.morphology,
+    "q_tophat" -> RasterOps.tophat,
+    "q_glcm_stats" -> RasterOps.glcmStats,
     "q_row_prefix" -> RasterOps.rowPrefix,
     "q_viewshed" -> RasterOps.viewshed,
     "q_grid_cc" -> RasterOps.gridCc,

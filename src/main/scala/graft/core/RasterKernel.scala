@@ -1184,6 +1184,67 @@ object RasterKernel {
     out.toSeq
   }
 
+  /** WHITE TOP-HAT census partials over the tile's owned 5x5-interior
+    * (cells at distance >= 2 from the grid border — the opening's full
+    * support): th = q(c) - opening(c) >= 0 with opening = max over the
+    * 3x3 neighborhood of each neighbor's 3x3 min, ALL on quantized longs
+    * (floor(v * 2^20) per access, the shared convention — quantize THEN
+    * morph, so tiled == the oracle's two-stage least/greatest gather
+    * bit-for-bit; anti-extensivity of the opening holds termwise in the
+    * integer domain, hence th >= 0 exactly). Runs inside one K = 2 halo
+    * tiling — the blur5 footprint — with zero raster shuffle; emits
+    * per-bucket partials (bucket = binary digit count of th + 1, flat
+    * cells in bucket 0) with count, th sum and a global-id checksum.
+    * The 81 window reads per cell are tile-local array indexing.
+    */
+  def tophatRows(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                 ox0: Int, oy0: Int, ow: Int, oh: Int,
+                 w: Int, h: Int): Seq[(Long, Long, Long, Long)] = {
+    @inline def q(x: Int, y: Int): Long =
+      math.floor(vals((y - by0) * bw + (x - bx0)) * Q20).toLong
+    val txLo = math.max(ox0, 2); val txHi = math.min(ox0 + ow - 1, w - 3)
+    val tyLo = math.max(oy0, 2); val tyHi = math.min(oy0 + oh - 1, h - 3)
+    val nB = 64
+    val cnt = new Array[Long](nB); val ths = new Array[Long](nB)
+    val ids = new Array[Long](nB)
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var tx = txLo
+      while (tx <= txHi) {
+        var open = Long.MinValue
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            var mn = Long.MaxValue
+            var ddy = -1
+            while (ddy <= 1) {
+              var ddx = -1
+              while (ddx <= 1) {
+                val v = q(tx + dx + ddx, ty + dy + ddy)
+                if (v < mn) mn = v
+                ddx += 1
+              }
+              ddy += 1
+            }
+            if (mn > open) open = mn
+            dx += 1
+          }
+          dy += 1
+        }
+        val th = q(tx, ty) - open
+        val b = 63 - java.lang.Long.numberOfLeadingZeros(th + 1L)
+        cnt(b) += 1
+        ths(b) = Math.addExact(ths(b), th)
+        ids(b) = Math.addExact(ids(b), ty.toLong * w + tx)
+        tx += 1
+      }
+      ty += 1
+    }
+    (0 until nB).withFilter(cnt(_) > 0L)
+      .map(b => (b.toLong, cnt(b), ths(b), ids(b)))
+  }
+
   /** Local-binary-pattern texture codes over the tile's owned interior:
     * each of the eight non-center window slots compares QUANTIZED
     * (floor(v * 2^20), the shared per-cell quantization) against the

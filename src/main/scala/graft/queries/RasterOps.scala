@@ -1381,6 +1381,60 @@ object RasterOps {
     glcmOf(baseCells(spark, dir).as[(Int, Int, Double)], w)
   }
 
+  /** GLCM scalar-statistic rollup — the Haralick summary read off the
+    * [[glcmOf]] co-occurrence table (256-bounded, so this is a second
+    * fold over an already-tiny frame, not a new raster pass): total
+    * pairs, occupied level-pair count, energy numerator sum c² (energy
+    * = that over T² — kept as the exact integer numerator), homogeneity
+    * in milli-units as sum over occupied pairs of (c*1000) div (1+d)
+    * with d = g_hi - g_lo (truncating div applied per PAIR CELL on both
+    * sides — stated convention), and the exact contrast sum d²c. One
+    * row out; everything BIGINT.
+    */
+  private[graft] def glcmStatsOf(cells: Dataset[(Int, Int, Double)], w: Int): DataFrame =
+    glcmOf(cells, w)
+      .select(col("n_pairs"), (col("g_hi") - col("g_lo")).as("d"))
+      .agg(sum("n_pairs").as("t_pairs"), count(lit(1)).as("n_levels"),
+        sum(expr("n_pairs * n_pairs")).as("energy_num"),
+        sum(expr("(n_pairs * 1000) div (1 + d)")).as("hom_milli"),
+        sum(expr("d * d * n_pairs")).as("contrast_sum"))
+
+  val glcmStats: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, _) = EventsGrid.dims(spark, dir)
+    glcmStatsOf(baseCells(spark, dir).as[(Int, Int, Double)], w)
+  }
+
+  /** White TOP-HAT texture census — the residual v - opening(v) that
+    * extracts bright detail smaller than the 3x3 structuring element
+    * (the morphological sibling of [[morphTiledOf]]'s erode/dilate
+    * counts, COMPOSED: opening = dilate(erode(v))). The composition
+    * needs a 5x5 support per cell, so it runs as ONE K = 2 halo tiled
+    * kernel pass ([[graft.core.RasterKernel.tophatRows]] — the blur5
+    * footprint, zero raster shuffle) on quantized longs
+    * (quantize-then-morph, so the tiled pass equals the oracle's
+    * two-stage least/greatest gather bit-for-bit), folded by binary
+    * digit count of th + 1 with count / th-sum / global-id checksums.
+    */
+  private[graft] def tophatTiledOf(cells: Dataset[(Int, Int, Double)],
+                                   w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
+    import cells.sparkSession.implicits._
+    haloTilesFromCells(cells, w, h, tileW, tileH, halo = 2).flatMap(t =>
+        graft.core.RasterKernel.tophatRows(t.values, t.bx0, t.by0, t.bw,
+          t.ox0, t.oy0, t.ow, t.oh, w, h))
+      .toDF("th_bucket", "n", "ths", "ids")
+      .groupBy("th_bucket")
+      .agg(sum(col("n")).as("n_cells"), sum(col("ths")).as("th_sum"),
+        sum(col("ids")).as("id_sum"))
+      .orderBy("th_bucket")
+  }
+
+  val tophat: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = EventsGrid.dims(spark, dir)
+    tophatTiledOf(baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+  }
+
   /** q_grid_cc: CC labeling over the level-2 overview grid at the
     * standard threshold ladder.
     */
@@ -2440,6 +2494,58 @@ object RasterOps {
            |  count(*)::BIGINT AS n_pairs, sum(id)::BIGINT AS id_sum,
            |  ((g_hi - g_lo) * (g_hi - g_lo) * count(*))::BIGINT AS contrast
            |FROM pairs GROUP BY g_lo, g_hi ORDER BY 1, 2""".stripMargin,
+
+      // GLCM scalar rollup: the q_glcm CTE chain folded once more —
+      // energy numerator, per-pair-cell truncated homogeneity, contrast
+      "q_glcm_stats" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |q AS (SELECT x, (y * 100 + x)::BIGINT AS id,
+           |        floor(v * 1048576.0)::BIGINT AS qv FROM g),
+           |mm AS (SELECT min(qv) AS mn, max(qv) AS mx FROM q),
+           |a AS (SELECT x, id, ((qv - mn) * 16) // (mx - mn + 1) AS gl
+           |      FROM q CROSS JOIN mm),
+           |pairs AS (
+           |  SELECT least(l.gl, r.gl) AS g_lo, greatest(l.gl, r.gl) AS g_hi
+           |  FROM a l JOIN a r ON r.id = l.id + 1 WHERE l.x < 99
+           |  UNION ALL
+           |  SELECT least(l.gl, d.gl), greatest(l.gl, d.gl)
+           |  FROM a l JOIN a d ON d.id = l.id + 100),
+           |c AS (SELECT g_lo, g_hi, count(*)::BIGINT AS n_pairs,
+           |        (g_hi - g_lo)::BIGINT AS d
+           |      FROM pairs GROUP BY 1, 2)
+           |SELECT sum(n_pairs)::BIGINT AS t_pairs, count(*)::BIGINT AS n_levels,
+           |  sum(n_pairs * n_pairs)::BIGINT AS energy_num,
+           |  sum((n_pairs * 1000) // (1 + d))::BIGINT AS hom_milli,
+           |  sum(d * d * n_pairs)::BIGINT AS contrast_sum
+           |FROM c""".stripMargin,
+
+      // white top-hat: quantize, two-stage least/greatest gather (erode
+      // then dilate of the eroded field), digit-count fold on q - opening
+      "q_tophat" ->
+        s"""WITH g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+           |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+           |q AS (SELECT x, y, floor(v * 1048576.0)::BIGINT AS q FROM g),
+           |e AS (SELECT t.x, t.y,
+           |  least(b0.q, b1.q, b2.q, b3.q, t.q, b5.q, b6.q, b7.q, b8.q) AS e
+           |  FROM q t
+           |  ${(0 to 8).filter(_ != 4).map { o =>
+                val dx = o % 3 - 1; val dy = o / 3 - 1
+                s"JOIN q b$o ON b$o.x = t.x - ($dx) AND b$o.y = t.y - ($dy)"
+              }.mkString("\n  ")}
+           |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d) - 2),
+           |f AS (SELECT t.x, t.y, t.q,
+           |  greatest(c0.e, c1.e, c2.e, c3.e, c4.e, c5.e, c6.e, c7.e, c8.e) AS o
+           |  FROM q t
+           |  ${(0 to 8).map { o =>
+                val dx = o % 3 - 1; val dy = o / 3 - 1
+                s"JOIN e c$o ON c$o.x = t.x - ($dx) AND c$o.y = t.y - ($dy)"
+              }.mkString("\n  ")}
+           |  WHERE t.x BETWEEN 2 AND 97 AND t.y BETWEEN 2 AND (SELECT h FROM d) - 3),
+           |k AS (SELECT (y * 100 + x)::BIGINT AS id, q - o AS th FROM f)
+           |SELECT (length(bin(th + 1)) - 1)::BIGINT AS th_bucket,
+           |  count(*)::BIGINT AS n_cells, sum(th)::BIGINT AS th_sum,
+           |  sum(id)::BIGINT AS id_sum
+           |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_band_adjacency" ->
         s"""WITH g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),

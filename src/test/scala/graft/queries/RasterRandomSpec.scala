@@ -375,6 +375,59 @@ class RasterRandomSpec extends AnyFunSuite {
     }
   }
 
+  test("tophat on random dims and tilings == local two-stage morphology recompute") {
+    import spark.implicits._
+    val rng = new scala.util.Random(989898L)
+    for (trial <- 0 until 10) {
+      val w = 1 + rng.nextInt(24)
+      val h = 1 + rng.nextInt(24)
+      val g = randGrid(rng, w, h)
+      def q(y: Int, x: Int) = math.floor(g(y * w + x) * Q).toLong
+      // local reference is the staged composition (per-cell erode field,
+      // then dilate of it) — the kernel computes the fused 5x5 directly,
+      // so this pins the opening = dilate(erode) identity the oracle
+      // also rests on
+      def erode(y: Int, x: Int) =
+        (for (dy <- -1 to 1; dx <- -1 to 1) yield q(y + dy, x + dx)).min
+      val cells = (for (y <- 2 to h - 3; x <- 2 to w - 3) yield {
+        val open = (for (dy <- -1 to 1; dx <- -1 to 1) yield erode(y + dy, x + dx)).max
+        val th = q(y, x) - open
+        (java.lang.Long.toBinaryString(th + 1L).length.toLong - 1L, th, y.toLong * w + x)
+      })
+      val want = cells.groupBy(_._1).map { case (b, cs) =>
+        (b, cs.length.toLong, cs.map(_._2).sum, cs.map(_._3).sum)
+      }.toSeq.sortBy(_._1)
+      val typed = (0 until w * h).map(i => (i % w, i / w, g(i))).toDS()
+      val tw = 2 + rng.nextInt(8); val th2 = 2 + rng.nextInt(8)
+      def got(a: Int, b: Int) =
+        RasterOps.tophatTiledOf(typed, w, h, a, b).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got(tw, th2) == want, s"tophat trial $trial ${w}x$h tiles ${tw}x$th2")
+      assert(got(50, 50) == want, s"tophat trial $trial ${w}x$h single tile")
+      if (cells.nonEmpty)
+        assert(cells.forall(_._2 >= 0L), "anti-extensivity: th >= 0")
+    }
+  }
+
+  test("glcmStats == fold of the glcm co-occurrence table") {
+    import spark.implicits._
+    val rng = new scala.util.Random(777333L)
+    val w = 3 + rng.nextInt(10); val h = 3 + rng.nextInt(10)
+    val g = randGrid(rng, w, h)
+    val typed = (0 until w * h).map(i => (i % w, i / w, g(i))).toDS()
+    val pairs = RasterOps.glcmOf(typed, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = (pairs.map(_._3).sum, pairs.size.toLong,
+      pairs.map(p => p._3 * p._3).sum,
+      pairs.map(p => p._3 * 1000L / (1L + p._2 - p._1)).sum,
+      pairs.map(p => (p._2 - p._1) * (p._2 - p._1) * p._3).sum)
+    val got = RasterOps.glcmStatsOf(typed, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).head
+    assert(got == want)
+    assert(want._1 > 0L)
+  }
+
   test("rowPrefix scan on random dims and segment widths == local in-order recompute") {
     import spark.implicits._
     val rng = new scala.util.Random(909090L)
