@@ -460,6 +460,12 @@ object Bench {
   private val Ops54Queries =
     Seq("q_tophat", "q_glcm_stats")
 
+  /** Ninety-ninth wave: temporal Ripley (1-D 3-offset bin joins) and the
+    * Zipf rank-mass census.
+    */
+  private val Ops55Queries =
+    Seq("q_evt_tripley", "q_doc_zipf")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -484,7 +490,7 @@ object Bench {
     "ops48" -> Ops48Queries, "ops49" -> Ops49Queries,
     "ops50" -> Ops50Queries, "ops51" -> Ops51Queries,
     "ops52" -> Ops52Queries, "ops53" -> Ops53Queries,
-    "ops54" -> Ops54Queries)
+    "ops54" -> Ops54Queries, "ops55" -> Ops55Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -691,6 +691,8 @@ object SparkEntry {
     "q_evt_morisita" -> EventOps.morisita,
     "q_evt_joincount" -> EventOps.joinCount,
     "q_doc_mattr" -> TrainingOps.mattr,
+    "q_doc_zipf" -> TrainingOps.zipfRanks,
+    "q_evt_tripley" -> EventOps.temporalRipley,
     "q_doc_lm_score" -> TrainingOps.docLmScore,
     "q_doc_keep_list" -> TrainingOps.keepList,
     "q_doc_pack" -> TrainingOps.packDocs,

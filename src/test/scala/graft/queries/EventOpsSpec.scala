@@ -93,6 +93,36 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got == Seq((-1L, 3L, 0L, 5050L, null)))
   }
 
+  test("temporalRipley matches a local all-pairs recompute at every tau") {
+    val span = ev.map(_._2).max - ev.map(_._2).min + 1L
+    val byType = ev.groupBy(_._4)
+    val want = (for {
+      (etype, es) <- byType.toSeq
+      tauS <- Seq(60L, 600L, 3600L)
+    } yield {
+      val tau = tauS * 1000000L
+      var np = 0L; var dts = 0L
+      for (a <- es; b <- es if a._1 != b._1) {
+        val dt = math.abs(b._2 - a._2)
+        if (dt <= tau) { np += 1; dts += dt }
+      }
+      val n = es.length.toLong
+      val ratio = (BigInt(np) * span * 1000 /
+        (BigInt(n) * (n - 1) * (2000000L * tauS))).toLong
+      (etype, tauS, np, dts, n, ratio)
+    }).filter(_._3 > 0L) // zero-pair (type, tau) rows DROP (stated)
+      .sortBy(r => (r._1, r._2))
+    val got = EventOps.temporalRipley(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // pairs must exist at the smallest window and grow with tau per type
+    assert(want.filter(_._2 == 60L).exists(_._3 > 0L))
+    for ((_, rows) <- want.groupBy(_._1))
+      assert(rows.sortBy(_._2).map(_._3) == rows.map(_._3).sorted,
+        "pair counts monotone in tau")
+  }
+
   test("morisita matches a local quadrat recompute") {
     val clicks = ev.filter(_._4 == "click").map(_._1)
     val byQuad = clicks.groupBy(id => ((id % 100) / 10, id / 100 / 10))

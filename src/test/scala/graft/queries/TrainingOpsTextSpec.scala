@@ -174,6 +174,28 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(want.size > 1, "sentence lengths must spread across buckets")
   }
 
+  test("zipfRanks == local sorted rank-mass recompute") {
+    val counts = docsLocal().flatMap { case (_, t) => toks(t) }
+      .groupBy(identity).map { case (tok, os) => (tok, os.length.toLong) }
+    val ranked = counts.toSeq.sortBy { case (tok, c) => (-c, tok) }
+      .zipWithIndex.map { case ((_, c), i) => (i + 1L, c) }
+    val want = ranked
+      .groupBy(r => java.lang.Long.toBinaryString(r._1).length.toLong - 1L)
+      .toSeq.map { case (b, rs) =>
+        (b, rs.size.toLong, rs.map(_._2).sum, rs.map(_._2).max, rs.map(_._2).min)
+      }.sortBy(_._1)
+    val got = TrainingOps.zipfRanks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // rank-bucket structure: bucket 0 is exactly rank 1 (the modal type,
+    // carrying the global max count), and per-bucket count ceilings are
+    // non-increasing down the ranks
+    assert(want.head._1 == 0L && want.head._2 == 1L && want.size > 1)
+    assert(want.head._4 == counts.values.max)
+    assert(want.map(_._4) == want.map(_._4).sorted.reverse, "c_max monotone")
+  }
+
   test("mattr == local stride-25 window recompute") {
     val ds = docsLocal()
     val wins = ds.flatMap { case (id, text) =>
