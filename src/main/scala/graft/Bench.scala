@@ -466,6 +466,13 @@ object Bench {
   private val Ops55Queries =
     Seq("q_evt_tripley", "q_doc_zipf")
 
+  /** Hundredth wave: median-filtered isolines — the nonlinear-filter
+    * composition through the full distributed pipeline (lines path;
+    * see the SparkEntry comment for the plateau rationale).
+    */
+  private val Ops56Queries =
+    Seq("q_med_contours")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -490,7 +497,8 @@ object Bench {
     "ops48" -> Ops48Queries, "ops49" -> Ops49Queries,
     "ops50" -> Ops50Queries, "ops51" -> Ops51Queries,
     "ops52" -> Ops52Queries, "ops53" -> Ops53Queries,
-    "ops54" -> Ops54Queries, "ops55" -> Ops55Queries)
+    "ops54" -> Ops54Queries, "ops55" -> Ops55Queries,
+    "ops56" -> Ops56Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

@@ -235,6 +235,38 @@ object SparkEntry {
       contourChecksumDf(spark, engine(spark).contours(tiles))
     }),
 
+    // ---- median-filtered isolines: the fm_contours genus with the
+    //      NONLINEAR pre-filter (speckle suppression — impulse noise
+    //      never smears into neighbors); the median is order statistics,
+    //      so the filtered field is bit-exact against the oracle's
+    //      list_sort pick with no association-tree contract needed.
+    //      Deliberately the LINES path, not contours: the median passes
+    //      raw samples through, so the field can equal a threshold
+    //      EXACTLY and rings can collapse to zero area under smoothing —
+    //      the contours path then drops collapsed rings no exterior
+    //      contains (the reference's unmatched-hole rule,
+    //      contourbuilder.rs:199-213; the engine handles it, verified
+    //      bit-equal to CoreContour.contours on this very field at
+    //      sf0.1), a ring-grouping + containment decision the checksum
+    //      oracle cannot express without the full ring-walk. lines()
+    //      keeps every smoothed ring — no assembly, no data-dependent
+    //      drop — so the start-only reconstruction stays EXACT on
+    //      plateau fields ----
+    "q_med_contours" -> ((spark, dir) => {
+      import spark.implicits._
+      val (w, h) = EventsGrid.dims(spark, dir)
+      val md = RasterOps.medianCellsTiledOf(
+        RasterOps.baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+      val tiles = EventsGrid.tilesFromCells(spark, md, "md", w - 2, h - 2, 25, 25)
+      engine(spark).lines(tiles)
+        .map { l =>
+          val (n, qx, qy) = ringChecksum(l.lines.iterator)
+          (l.threshold, n, qx, qy)
+        }
+        .toDF("threshold", "n_points", "qx_sum", "qy_sum")
+        .orderBy("threshold")
+    }),
+
     // ---- isochrone contours: the full contour pipeline COMPOSED over the
     //      8-hop cost-distance field (weighted travel-cost rings — the
     //      drive-time-polygon product); the cost field is exact integers
@@ -994,8 +1026,15 @@ object SparkEntry {
     * silently collided at ~5*10^5 y cells.
     */
   private def startsAndEndsCte(thresholdsSql: String): String =
-    s"""dims AS (SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events),
-       |g AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+    startsAndEndsCteOver(
+      "SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events",
+      "SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events",
+      thresholdsSql)
+
+  private def startsAndEndsCteOver(dimsSql: String, gSql: String,
+                                   thresholdsSql: String): String =
+    s"""dims AS ($dimsSql),
+       |g AS ($gSql),
        |cells AS (
        |  SELECT t.threshold, cx.cx, cy.cy,
        |    b0.v AS v0, b1.v AS v1, b2.v AS v2, b3.v AS v3,
@@ -1279,6 +1318,28 @@ object SparkEntry {
          |""".stripMargin,
       "SELECT 98::INT AS w, ((count(*) / 100) - 2)::INT AS h FROM events",
       "SELECT x, y, v FROM fm"),
+    // median-filtered isolines: the median field derived in SQL by pure
+    // order statistics (list_sort over the nine slots, 5th pick — RAW
+    // f64, no arithmetic touches the values), re-origined to
+    // (w-2) x (h-2). The LINES path keeps every smoothed ring, so the
+    // start-only reconstruction stays exact even where the field equals
+    // a threshold exactly (see the engine-side comment on why the
+    // contours path would not be SQL-expressible here)
+    "q_med_contours" -> smoothChecksumOver(
+      s"""g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d0 AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |md AS (SELECT t.x - 1 AS x, t.y - 1 AS y,
+         |  list_sort([b0.v, b1.v, b2.v, b3.v, t.v, b5.v, b6.v, b7.v, b8.v])[5] AS v
+         |  FROM g0 t
+         |  ${(0 to 8).filter(_ != 4).map { o =>
+              val dx = o % 3 - 1; val dy = o / 3 - 1
+              s"JOIN g0 b$o ON b$o.x = t.x - ($dx) AND b$o.y = t.y - ($dy)"
+            }.mkString("\n  ")}
+         |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d0) - 2),
+         |""".stripMargin,
+      "SELECT 98::INT AS w, ((count(*) / 100) - 2)::INT AS h FROM events",
+      "SELECT x, y, v FROM md"),
+
     "q_lines_stats" -> smoothChecksumSql,
     "q_geojson" -> ringWalkSql(tsAllSql),
     "q_clip_rings" -> clipRingsSql(tsAllSql),

@@ -410,6 +410,46 @@ object RasterKernel {
       .map(i => ((i - 1).toLong, n(i), mx(i))).toSeq
   }
 
+  /** Per-cell 3x3 focal MEDIAN values re-origined to the (w-2) x (h-2)
+    * filtered frame — [[focalCells]]' nonlinear sibling and
+    * [[medianRows]]' cell-emitting form, the feed for contouring a
+    * median-filtered field (speckle suppression before vectorization,
+    * where the mean filter would smear impulse noise into neighbors).
+    * The median is pure order statistics: the emitted value IS one of
+    * the nine window samples, untouched by arithmetic, so the filtered
+    * field is bit-exact against ANY correct 9-element sort (the oracle's
+    * list_sort pick included; -0.0/0.0 ties are value-identical in every
+    * downstream compare and sum).
+    */
+  def medianCells(vals: Array[Double], bx0: Int, by0: Int, bw: Int,
+                  ox0: Int, oy0: Int, ow: Int, oh: Int,
+                  w: Int, h: Int): Seq[(Int, Int, Double)] = {
+    @inline def g(x: Int, y: Int): Double = vals((y - by0) * bw + (x - bx0))
+    val txLo = math.max(ox0, 1); val txHi = math.min(ox0 + ow - 1, w - 2)
+    val tyLo = math.max(oy0, 1); val tyHi = math.min(oy0 + oh - 1, h - 2)
+    val a = new Array[Double](9)
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Int, Double)](
+      math.max((tyHi - tyLo + 1) * (txHi - txLo + 1), 0))
+    var ty = tyLo
+    while (ty <= tyHi) {
+      var tx = txLo
+      while (tx <= txHi) {
+        var o = 0
+        while (o < 9) { a(o) = g(tx - (o % 3 - 1), ty - (o / 3 - 1)); o += 1 }
+        var i = 1
+        while (i < 9) {
+          val x = a(i); var j = i - 1
+          while (j >= 0 && a(j) > x) { a(j + 1) = a(j); j -= 1 }
+          a(j + 1) = x; i += 1
+        }
+        out += ((tx - 1, ty - 1, a(4)))
+        tx += 1
+      }
+      ty += 1
+    }
+    out.toSeq
+  }
+
   /** 3x3 focal MEDIAN over the same interior — per-row partials. The
     * median is pure ORDER STATISTICS: an insertion sort of the 9 window
     * values and a pick of the 5th — no arithmetic touches the values at

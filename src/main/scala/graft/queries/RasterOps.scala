@@ -762,6 +762,18 @@ object RasterOps {
         t.ox0, t.oy0, t.ow, t.oh, w, h))
   }
 
+  /** Per-cell median-filtered field through the halo-tiled path — the
+    * q_med_contours feed ([[focalCellsTiledOf]]'s genus with the order-
+    * statistics kernel).
+    */
+  private[graft] def medianCellsTiledOf(cells: Dataset[(Int, Int, Double)],
+                                        w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): Dataset[(Int, Int, Double)] = {
+    import cells.sparkSession.implicits._
+    haloTilesFromCells(cells, w, h, tileW, tileH).flatMap(t =>
+      graft.core.RasterKernel.medianCells(t.values, t.bx0, t.by0, t.bw,
+        t.ox0, t.oy0, t.ow, t.oh, w, h))
+  }
+
   private[graft] def hornSlopeTiledOf(cells: Dataset[(Int, Int, Double)],
                                       w: Int, h: Int, tileW: Int = 50, tileH: Int = 50): DataFrame = {
     import cells.sparkSession.implicits._

@@ -146,6 +146,45 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(expected.exists(_._2 > 0))
   }
 
+  test("distributed median-filtered isolines equal single-process core on the filtered grid") {
+    import spark.implicits._
+    import graft.core.{ContourConfig, CoreContour}
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val (w, h) = (100, ev.length / 100)
+    def v(y: Int, x: Int) = ev(y * w + x)._2
+    val (fw, fh) = (w - 2, h - 2)
+    val filtered = Array.tabulate(fh * fw) { i =>
+      val (y, x) = (i / fw + 1, i % fw + 1)
+      val win = for (dy <- -1 to 1; dx <- -1 to 1) yield v(y + dy, x + dx)
+      win.sorted.apply(4)
+    }
+    val core = new CoreContour(ContourConfig(fw, fh, smooth = true))
+      .lines(filtered, graft.queries.EventsGrid.Thresholds.toArray)
+    // the engine-side ringChecksum convention: drop the closing duplicate
+    // when present (conditionally — plateau collapse can remove it)
+    def checksum(rings: Seq[Array[Double]]): (Long, Long, Long) = {
+      var n = 0L; var qx = 0L; var qy = 0L
+      rings.foreach { ring =>
+        val m0 = ring.length
+        val m = if (m0 >= 4 && ring(0) == ring(m0 - 2) && ring(1) == ring(m0 - 1)) m0 - 2 else m0
+        var i = 0
+        while (i < m) {
+          qx += math.floor(ring(i) * 1048576.0).toLong
+          qy += math.floor(ring(i + 1) * 1048576.0).toLong
+          n += 1; i += 2
+        }
+      }
+      (n, qx, qy)
+    }
+    val expected = core.map(c => { val (n, qx, qy) = checksum(c.lines.map(_.toArray)); (c.threshold, n, qx, qy) })
+      .sortBy(_._1)
+    val got = graft.SparkEntry.queries("q_med_contours")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._2 > 0))
+  }
+
   test("distributed focal-mean contours equal single-process core on the filtered grid") {
     import spark.implicits._
     import graft.core.{ContourConfig, CoreContour}

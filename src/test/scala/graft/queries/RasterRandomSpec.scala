@@ -177,6 +177,29 @@ class RasterRandomSpec extends AnyFunSuite {
     }
   }
 
+  test("medianCellsTiledOf on random dims and tilings == local sorted pick, each cell once") {
+    import spark.implicits._
+    val rng = new scala.util.Random(60606060L)
+    for (trial <- 0 until 8) {
+      val w = 1 + rng.nextInt(24)
+      val h = 1 + rng.nextInt(24)
+      val tw = 1 + rng.nextInt(9)
+      val th = 1 + rng.nextInt(9)
+      val g = randGrid(rng, w, h)
+      def v(y: Int, x: Int) = g(y * w + x)
+      val typed = (0 until w * h).map(i => (i % w, i / w, g(i))).toDS()
+      val want = (for (y <- 1 to h - 2; x <- 1 to w - 2) yield {
+        val win = for (dy <- -1 to 1; dx <- -1 to 1) yield v(y + dy, x + dx)
+        ((x - 1, y - 1), win.sorted.apply(4))
+      }).toMap
+      val got = RasterOps.medianCellsTiledOf(typed, w, h, tw, th).collect()
+      assert(got.length == want.size, s"trial $trial: ${w}x$h tiles ${tw}x$th")
+      assert(got.map { case (x, y, m) => ((x, y), m) }.toMap == want,
+        s"trial $trial: ${w}x$h tiles ${tw}x$th")
+      assert(got.map(c => (c._1, c._2)).distinct.length == got.length)
+    }
+  }
+
   test("glcm on random dims == local co-occurrence recompute") {
     import spark.implicits._
     val rng = new scala.util.Random(88888888L)
