@@ -473,6 +473,12 @@ object Bench {
   private val Ops56Queries =
     Seq("q_med_contours")
 
+  /** Hundred-first wave: isobands over the focal-mean field — the band
+    * path composed behind the low-pass filter.
+    */
+  private val Ops57Queries =
+    Seq("q_fm_isobands")
+
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(
     "ops" -> OpsQueries, "ops2" -> Ops2Queries, "ops3" -> Ops3Queries,
@@ -498,7 +504,7 @@ object Bench {
     "ops50" -> Ops50Queries, "ops51" -> Ops51Queries,
     "ops52" -> Ops52Queries, "ops53" -> Ops53Queries,
     "ops54" -> Ops54Queries, "ops55" -> Ops55Queries,
-    "ops56" -> Ops56Queries)
+    "ops56" -> Ops56Queries, "ops57" -> Ops57Queries)
 
   private def runQueriesOnce(spark: SparkSession, sfDir: String, qs: Seq[String]): Long =
     try qs.map(q => SparkEntry.queries(q)(spark, sfDir).count()).sum

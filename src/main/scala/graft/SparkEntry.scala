@@ -376,6 +376,26 @@ object SparkEntry {
         .orderBy("min_v")
     }),
 
+    // ---- isobands over the focal-mean field: the fm_contours
+    //      composition through the BAND path (chunked band shuffle,
+    //      dedup, even-odd assembly) — smoothed vector-tile bands ----
+    "q_fm_isobands" -> ((spark, dir) => {
+      import spark.implicits._
+      val (w, h) = EventsGrid.dims(spark, dir)
+      val fm = RasterOps.focalCellsTiledOf(
+        RasterOps.baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+      val tiles = EventsGrid.tilesFromCells(spark, fm, "fmb", w - 2, h - 2, 25, 25)
+      engine(spark).isobands(tiles)
+        .map { b =>
+          val rings = b.polygons.iterator
+            .flatMap(p => Iterator.single(p.exterior) ++ p.holes.iterator)
+          val (n, qx, qy) = ringChecksum(rings)
+          (b.minV, b.maxV, n, qx, qy)
+        }
+        .toDF("min_v", "max_v", "n_points", "qx_sum", "qy_sum")
+        .orderBy("min_v")
+    }),
+
     // ---- contour topology: ring nesting-depth histogram over the raw
     //      ring graph (y-bucketed crossing join; oracle derives rings,
     //      canonical vertices AND edge coords purely from the packed
@@ -1245,6 +1265,46 @@ object SparkEntry {
       |JOIN (SELECT value, row_number() OVER (ORDER BY value)::BIGINT AS rn
       |      FROM events) r ON r.rn = k.k""".stripMargin
 
+  /** The isoband checksum reconstruction parameterized over the field
+    * (the [[smoothChecksumOver]] genus for BANDS): both smoothed
+    * endpoints per directed segment, the band path's dedup-collapse drop
+    * (a point is removed exactly when its segment collapsed — smoothed
+    * start == smoothed end), and the lower++upper band pairing. Carries
+    * the isoband oracle's stated data assumption: no band ring dedups to
+    * <= 3 points on the oracle field (gate-verified per field, loud on
+    * violation).
+    */
+  private def isobandsChecksumOver(prefixCtes: String, dimsSql: String,
+                                   gSql: String): String =
+    s"""WITH $prefixCtes${startsAndEndsCteOver(dimsSql, gSql, tsAllSql)},
+       |segs2 AS (
+       |  SELECT s.threshold, s.px AS spx, s.py AS spy, e.px AS epx, e.py AS epy
+       |  FROM pts s JOIN pts e
+       |    ON e.threshold = s.threshold AND e.cx = s.cx AND e.cy = s.cy
+       |   AND e.segid = s.segid AND s.role = 0 AND e.role = 1),
+       |kept AS (SELECT threshold, spx AS px, spy AS py FROM segs2
+       |         WHERE NOT (spx = epx AND spy = epy)),
+       |bandmap(minv, maxv, threshold) AS (VALUES
+       |  (25.0::DOUBLE, 50.0::DOUBLE, 25.0::DOUBLE),
+       |  (25.0::DOUBLE, 50.0::DOUBLE, 50.0::DOUBLE),
+       |  (50.0::DOUBLE, 75.0::DOUBLE, 50.0::DOUBLE),
+       |  (50.0::DOUBLE, 75.0::DOUBLE, 75.0::DOUBLE),
+       |  (75.0::DOUBLE, 100.0::DOUBLE, 75.0::DOUBLE),
+       |  (75.0::DOUBLE, 100.0::DOUBLE, 100.0::DOUBLE)),
+       |agg AS (SELECT minv, maxv, count(*)::BIGINT AS n_points,
+       |  SUM(floor(px * 1048576.0)::BIGINT)::BIGINT AS qx_sum,
+       |  SUM(floor(py * 1048576.0)::BIGINT)::BIGINT AS qy_sum
+       |  FROM kept JOIN bandmap ON bandmap.threshold = kept.threshold
+       |  GROUP BY 1, 2)
+       |SELECT b.minv AS min_v, b.maxv AS max_v,
+       |  COALESCE(agg.n_points, 0)::BIGINT AS n_points,
+       |  COALESCE(agg.qx_sum, 0)::BIGINT AS qx_sum,
+       |  COALESCE(agg.qy_sum, 0)::BIGINT AS qy_sum
+       |FROM (VALUES (25.0::DOUBLE, 50.0::DOUBLE), (50.0::DOUBLE, 75.0::DOUBLE),
+       |      (75.0::DOUBLE, 100.0::DOUBLE)) b(minv, maxv)
+       |LEFT JOIN agg ON agg.minv = b.minv AND agg.maxv = b.maxv
+       |ORDER BY min_v""".stripMargin
+
   private val smoothChecksumSql: String = smoothChecksumOver("",
     "SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events",
     "SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events")
@@ -1403,35 +1463,29 @@ object SparkEntry {
     // exactly-threshold-valued sample — verified absent at sf0.01 and
     // sf0.1 (oracle green at both). If the data ever changes, a mismatch
     // here flags it loudly rather than passing silently.
-    "q_isobands_stats" ->
-      s"""WITH ${startsAndEndsCte(tsAllSql)},
-         |segs2 AS (
-         |  SELECT s.threshold, s.px AS spx, s.py AS spy, e.px AS epx, e.py AS epy
-         |  FROM pts s JOIN pts e
-         |    ON e.threshold = s.threshold AND e.cx = s.cx AND e.cy = s.cy
-         |   AND e.segid = s.segid AND s.role = 0 AND e.role = 1),
-         |kept AS (SELECT threshold, spx AS px, spy AS py FROM segs2
-         |         WHERE NOT (spx = epx AND spy = epy)),
-         |bandmap(minv, maxv, threshold) AS (VALUES
-         |  (25.0::DOUBLE, 50.0::DOUBLE, 25.0::DOUBLE),
-         |  (25.0::DOUBLE, 50.0::DOUBLE, 50.0::DOUBLE),
-         |  (50.0::DOUBLE, 75.0::DOUBLE, 50.0::DOUBLE),
-         |  (50.0::DOUBLE, 75.0::DOUBLE, 75.0::DOUBLE),
-         |  (75.0::DOUBLE, 100.0::DOUBLE, 75.0::DOUBLE),
-         |  (75.0::DOUBLE, 100.0::DOUBLE, 100.0::DOUBLE)),
-         |agg AS (SELECT minv, maxv, count(*)::BIGINT AS n_points,
-         |  SUM(floor(px * 1048576.0)::BIGINT)::BIGINT AS qx_sum,
-         |  SUM(floor(py * 1048576.0)::BIGINT)::BIGINT AS qy_sum
-         |  FROM kept JOIN bandmap ON bandmap.threshold = kept.threshold
-         |  GROUP BY 1, 2)
-         |SELECT b.minv AS min_v, b.maxv AS max_v,
-         |  COALESCE(agg.n_points, 0)::BIGINT AS n_points,
-         |  COALESCE(agg.qx_sum, 0)::BIGINT AS qx_sum,
-         |  COALESCE(agg.qy_sum, 0)::BIGINT AS qy_sum
-         |FROM (VALUES (25.0::DOUBLE, 50.0::DOUBLE), (50.0::DOUBLE, 75.0::DOUBLE),
-         |      (75.0::DOUBLE, 100.0::DOUBLE)) b(minv, maxv)
-         |LEFT JOIN agg ON agg.minv = b.minv AND agg.maxv = b.maxv
-         |ORDER BY min_v""".stripMargin,
+    "q_isobands_stats" -> isobandsChecksumOver("",
+      "SELECT 100::INT AS w, (count(*) / 100)::INT AS h FROM events",
+      "SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events"),
+
+    // isobands over the focal-mean field: the q_fm_contours field CTE
+    // feeding the unchanged band reconstruction (dedup-collapse drop,
+    // band pairing) at the (w-2) x (h-2) frame — smoothed vector-tile
+    // BANDS, the product shape a noisy-raster choropleth ships
+    "q_fm_isobands" -> isobandsChecksumOver(
+      s"""g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d0 AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |fm AS (SELECT t.x - 1 AS x, t.y - 1 AS y,
+         |  ((((b0.v + b1.v) + b2.v) + ((b3.v + t.v) + b5.v))
+         |    + ((b6.v + b7.v) + b8.v)) / 9.0 AS v
+         |  FROM g0 t
+         |  ${(0 to 8).filter(_ != 4).map { o =>
+              val dx = o % 3 - 1; val dy = o / 3 - 1
+              s"JOIN g0 b$o ON b$o.x = t.x - ($dx) AND b$o.y = t.y - ($dy)"
+            }.mkString("\n  ")}
+         |  WHERE t.x BETWEEN 1 AND 98 AND t.y BETWEEN 1 AND (SELECT h FROM d0) - 2),
+         |""".stripMargin,
+      "SELECT 98::INT AS w, ((count(*) / 100) - 2)::INT AS h FROM events",
+      "SELECT x, y, v FROM fm"),
 
     // both smoothed endpoints of every directed segment (the same segs2
     // join the isoband oracle uses); per-segment f64 length quantizes

@@ -146,6 +146,46 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(expected.exists(_._2 > 0))
   }
 
+  test("distributed focal-mean isobands equal single-process core on the filtered grid") {
+    import spark.implicits._
+    import graft.core.{ContourConfig, CoreContour}
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val (w, h) = (100, ev.length / 100)
+    def v(y: Int, x: Int) = ev(y * w + x)._2
+    val (fw, fh) = (w - 2, h - 2)
+    val filtered = Array.tabulate(fh * fw) { i =>
+      val (y, x) = (i / fw + 1, i % fw + 1)
+      val (v0, v1, v2) = (v(y + 1, x + 1), v(y + 1, x), v(y + 1, x - 1))
+      val (v3, v4, v5) = (v(y, x + 1), v(y, x), v(y, x - 1))
+      val (v6, v7, v8) = (v(y - 1, x + 1), v(y - 1, x), v(y - 1, x - 1))
+      ((((v0 + v1) + v2) + ((v3 + v4) + v5)) + ((v6 + v7) + v8)) / 9.0
+    }
+    val core = new CoreContour(ContourConfig(fw, fh, smooth = true))
+      .isobands(filtered, graft.queries.EventsGrid.Thresholds.toArray)
+    def checksum(polys: Seq[graft.core.Poly]): (Long, Long, Long) = {
+      var n = 0L; var qx = 0L; var qy = 0L
+      polys.iterator.flatMap(p => Iterator.single(p.exterior) ++ p.holes.iterator)
+        .foreach { ring =>
+          val m0 = ring.length
+          val m = if (m0 >= 4 && ring(0) == ring(m0 - 2) && ring(1) == ring(m0 - 1)) m0 - 2 else m0
+          var i = 0
+          while (i < m) {
+            qx += math.floor(ring(i) * 1048576.0).toLong
+            qy += math.floor(ring(i + 1) * 1048576.0).toLong
+            n += 1; i += 2
+          }
+        }
+      (n, qx, qy)
+    }
+    val expected = core.map(b => { val (n, qx, qy) = checksum(b.polygons); (b.minV, b.maxV, n, qx, qy) })
+      .sortBy(_._1)
+    val got = graft.SparkEntry.queries("q_fm_isobands")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._3 > 0))
+  }
+
   test("distributed median-filtered isolines equal single-process core on the filtered grid") {
     import spark.implicits._
     import graft.core.{ContourConfig, CoreContour}
