@@ -473,11 +473,12 @@ object Bench {
   private val Ops56Queries =
     Seq("q_med_contours")
 
-  /** Hundred-first wave: isobands over the focal-mean field — the band
-    * path composed behind the low-pass filter.
+  /** Hundred-first/-second waves: isobands over the focal-mean field and
+    * over the pyramid's level-1 overview — the band path composed behind
+    * the low-pass filter and the 2x2 pooling.
     */
   private val Ops57Queries =
-    Seq("q_fm_isobands")
+    Seq("q_fm_isobands", "q_pyramid_isobands")
 
   /** All ops legs, in bench order: (json key prefix, queries). */
   private val OpsLegs = Seq(

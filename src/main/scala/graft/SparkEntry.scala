@@ -221,6 +221,24 @@ object SparkEntry {
       contourChecksumDf(spark, engine(spark).contours(tiles))
     }),
 
+    // ---- isobands over the pyramid's level-1 overview grid: the
+    //      zoom-out counterpart of q_fm_isobands — the band path
+    //      (dedup, even-odd assembly) behind the 2x2 mean pooling ----
+    "q_pyramid_isobands" -> ((spark, dir) => {
+      import spark.implicits._
+      val (cells, w, h) = RasterOps.level1Cells(spark, dir)
+      val tiles = EventsGrid.tilesFromCells(spark, cells, "pyrb", w, h, 25, 25)
+      engine(spark).isobands(tiles)
+        .map { b =>
+          val rings = b.polygons.iterator
+            .flatMap(p => Iterator.single(p.exterior) ++ p.holes.iterator)
+          val (n, qx, qy) = ringChecksum(rings)
+          (b.minV, b.maxV, n, qx, qy)
+        }
+        .toDF("min_v", "max_v", "n_points", "qx_sum", "qy_sum")
+        .orderBy("min_v")
+    }),
+
     // ---- low-pass contouring: the full contour pipeline over the 3x3
     //      focal-mean filtered field (smoothed vector tiles — the standard
     //      pre-filter before contouring noisy rasters); the filtered grid
@@ -1326,6 +1344,21 @@ object SparkEntry {
       "SELECT x, y, v FROM g1")
   }
 
+  /** Bands over the level-1 overview: the pool CTE feeding the
+    * parameterized band reconstruction — the zoom-out counterpart of
+    * q_fm_isobands' filtered-field bands.
+    */
+  private val pyramidIsobandsSql: String = {
+    val prefix =
+      s"""g0 AS (SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events),
+         |d AS (SELECT (count(*) // 100)::INT AS h FROM events),
+         |${RasterOps.poolCte(1, 100)},
+         |""".stripMargin
+    isobandsChecksumOver(prefix,
+      "SELECT 50::INT AS w, ((SELECT h FROM d) // 2)::INT AS h",
+      "SELECT x, y, v FROM g1")
+  }
+
   /** The isochrone oracle: the q_cost_horizon relaxation CTEs (renamed to
     * avoid the contour reconstruction's own g/cells/starts names) derive
     * the cost grid in SQL — unreached cells COALESCE to the CostInf level
@@ -1359,6 +1392,7 @@ object SparkEntry {
       "SELECT (event_id % 100)::INT AS x, (event_id // 100)::INT AS y, value AS v FROM events",
       autoThresholdsSql),
     "q_pyramid_contours" -> pyramidContoursSql,
+    "q_pyramid_isobands" -> pyramidIsobandsSql,
     // low-pass contours: the focal-mean field derived in SQL (the
     // q_focal_mean slot joins, the kernel's exact association tree, NO
     // quantization — raw f64 feeds the unchanged marching-squares +

@@ -146,6 +146,44 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(expected.exists(_._2 > 0))
   }
 
+  test("distributed pyramid level-1 isobands equal single-process core on the pooled grid") {
+    import spark.implicits._
+    import graft.core.{ContourConfig, CoreContour}
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    val (w, h) = (100, ev.length / 100)
+    val (pw, ph) = (w / 2, h / 2)
+    val pooled = Array.tabulate(ph * pw) { i =>
+      val (y, x) = (i / pw, i % pw)
+      def v(yy: Int, xx: Int) = ev(yy * w + xx)._2
+      ((v(2 * y, 2 * x) + v(2 * y, 2 * x + 1))
+        + (v(2 * y + 1, 2 * x) + v(2 * y + 1, 2 * x + 1))) / 4.0
+    }
+    val core = new CoreContour(ContourConfig(pw, ph, smooth = true))
+      .isobands(pooled, graft.queries.EventsGrid.Thresholds.toArray)
+    def checksum(polys: Seq[graft.core.Poly]): (Long, Long, Long) = {
+      var n = 0L; var qx = 0L; var qy = 0L
+      polys.iterator.flatMap(p => Iterator.single(p.exterior) ++ p.holes.iterator)
+        .foreach { ring =>
+          val m0 = ring.length
+          val m = if (m0 >= 4 && ring(0) == ring(m0 - 2) && ring(1) == ring(m0 - 1)) m0 - 2 else m0
+          var i = 0
+          while (i < m) {
+            qx += math.floor(ring(i) * 1048576.0).toLong
+            qy += math.floor(ring(i + 1) * 1048576.0).toLong
+            n += 1; i += 2
+          }
+        }
+      (n, qx, qy)
+    }
+    val expected = core.map(b => { val (n, qx, qy) = checksum(b.polygons); (b.minV, b.maxV, n, qx, qy) })
+      .sortBy(_._1)
+    val got = graft.SparkEntry.queries("q_pyramid_isobands")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._3 > 0))
+  }
+
   test("distributed focal-mean isobands equal single-process core on the filtered grid") {
     import spark.implicits._
     import graft.core.{ContourConfig, CoreContour}
