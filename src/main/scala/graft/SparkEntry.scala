@@ -414,6 +414,17 @@ object SparkEntry {
         .orderBy("min_v")
     }),
 
+    // NOTE deliberately ABSENT: isobands over the MEDIAN field. Tried
+    // and declined: on the sf0.1 plateau field (median passes raw
+    // samples through, and raw values collide with the 25/50/75 ladder)
+    // a band ring dedups below 4 points, tripping the engine's
+    // reference-mandated `len > 3` drop (ContourEngine.isobandsFrom) —
+    // the oracle's per-segment collapse model verified the remaining
+    // mismatch is EXACTLY one dropped ring per affected band (4 points),
+    // and modeling the drop in SQL needs per-ring kept-point counts,
+    // i.e. the full ring-walk grouping. Mean/pyramid fields never
+    // plateau, so their band compositions stay exactly oracled above.
+
     // ---- contour topology: ring nesting-depth histogram over the raw
     //      ring graph (y-bucketed crossing join; oracle derives rings,
     //      canonical vertices AND edge coords purely from the packed
