@@ -464,7 +464,7 @@ object Bench {
     * Zipf rank-mass census.
     */
   private val Ops55Queries =
-    Seq("q_evt_tripley", "q_doc_zipf")
+    Seq("q_evt_tripley", "q_doc_zipf", "q_evt_crossk")
 
   /** Hundredth wave: median-filtered isolines — the nonlinear-filter
     * composition through the full distributed pipeline (lines path;

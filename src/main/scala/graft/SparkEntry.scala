@@ -774,6 +774,7 @@ object SparkEntry {
     "q_doc_mattr" -> TrainingOps.mattr,
     "q_doc_zipf" -> TrainingOps.zipfRanks,
     "q_evt_tripley" -> EventOps.temporalRipley,
+    "q_evt_crossk" -> EventOps.crossK,
     "q_doc_lm_score" -> TrainingOps.docLmScore,
     "q_doc_keep_list" -> TrainingOps.keepList,
     "q_doc_pack" -> TrainingOps.packDocs,

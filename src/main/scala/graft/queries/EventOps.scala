@@ -1857,6 +1857,41 @@ object EventOps {
       .orderBy("event_type", "tau_s")
   }
 
+  /** BIVARIATE temporal CROSS-K census — [[temporalRipley]]'s machinery
+    * across two marks: for tau in {600, 3600} s, the ordered (click,
+    * purchase) pairs within |dt| <= tau, split into LEAD (purchase
+    * strictly after the click — the conversion-direction signal) vs the
+    * rest, with exact |dt| sums. Same-timestamp pairs count as non-lead
+    * (stated; dt = 0 is not "after"). Under independence lead ~ half of
+    * n_pairs; an excess reads click->purchase causation the symmetric
+    * statistics can't see. Plan: per tau, clicks fan to 3 neighbor
+    * tau-bins and equi-join purchases' bins (the 1-D offset trick — a
+    * pair lands in exactly one offset), candidate volume rate-bounded;
+    * no self-pair concern across distinct marks. Zero-pair taus drop
+    * (stated, the temporalRipley convention).
+    */
+  val crossK: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val e = events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts").cast("timestamp")).as("us"))
+    val a = e.filter(col("event_type") === "click").select(col("us").as("usa"))
+    val b = e.filter(col("event_type") === "purchase").select(col("us").as("usb"))
+    val perTau = Seq(600L, 3600L).map { tauS =>
+      val tau = tauS * 1000000L
+      val af = a.crossJoin(spark.range(3).select((col("id") - 1L).as("o")))
+        .select(col("usa"), expr(s"usa div $tau + o").as("bin"))
+      val bf = b.select(col("usb"), expr(s"usb div $tau").as("bin"))
+      af.join(bf, "bin")
+        .filter(abs(col("usb") - col("usa")) <= tau)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("cast(usb > usa as bigint)")).as("n_lead"),
+          sum(abs(col("usb") - col("usa"))).as("dt_sum"))
+        .select(lit(tauS).as("tau_s"), col("n_pairs"), col("n_lead"), col("dt_sum"))
+    }
+    perTau.reduce(_ unionByName _)
+      .filter(col("n_pairs") > 0L)
+      .orderBy("tau_s")
+  }
+
   val oracleSql: Map[String, String] = Map(
     // Fano: the same global-span binning, per-user count dispersion,
     // digit-count bucket fold
@@ -1937,6 +1972,29 @@ object EventOps {
          |   (n.n::HUGEINT * (n.n - 1) * (2000000::BIGINT * pr.tau_s)))::BIGINT AS ratio_x1000
          |FROM pr JOIN n ON n.etype = pr.etype CROSS JOIN mm
          |ORDER BY 1, 2""".stripMargin
+    },
+
+    // cross-K: the 1-D 3-offset bin join across the two marks per tau,
+    // lead split on strict usb > usa
+    "q_evt_crossk" -> {
+      def block(tauS: Long) = {
+        val tau = tauS * 1000000L
+        s"""SELECT $tauS AS tau_s, count(*)::BIGINT AS n_pairs,
+           |  sum((b.us > a.us)::INT)::BIGINT AS n_lead,
+           |  sum(abs(b.us - a.us))::BIGINT AS dt_sum
+           |FROM a CROSS JOIN o JOIN b
+           |  ON b.us // $tau = a.us // $tau + o.o
+           | AND abs(b.us - a.us) <= $tau
+           |HAVING count(*) > 0""".stripMargin
+      }
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+         |a AS (SELECT us FROM e WHERE event_type = 'click'),
+         |b AS (SELECT us FROM e WHERE event_type = 'purchase'),
+         |o AS (SELECT unnest([-1, 0, 1]) AS o),
+         |pr AS (${block(600L)}
+         |UNION ALL ${block(3600L)})
+         |SELECT tau_s::BIGINT AS tau_s, n_pairs, n_lead, dt_sum
+         |FROM pr ORDER BY tau_s""".stripMargin
     },
 
     // Morisita: the q_point_density 10x10 quadrats, exact rational index

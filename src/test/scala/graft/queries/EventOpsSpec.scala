@@ -123,6 +123,26 @@ class EventOpsSpec extends AnyFunSuite {
         "pair counts monotone in tau")
   }
 
+  test("crossK matches a local cross-type all-pairs recompute") {
+    val clicks = ev.filter(_._4 == "click").map(_._2)
+    val buys = ev.filter(_._4 == "purchase").map(_._2)
+    val want = Seq(600L, 3600L).flatMap { tauS =>
+      val tau = tauS * 1000000L
+      var np = 0L; var lead = 0L; var dts = 0L
+      for (a <- clicks; b <- buys) {
+        val dt = math.abs(b - a)
+        if (dt <= tau) { np += 1; if (b > a) lead += 1; dts += dt }
+      }
+      if (np > 0) Seq((tauS, np, lead, dts)) else Seq.empty
+    }
+    val got = EventOps.crossK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // pairs exist at the bigger window, and lead stays a proper subset
+    assert(want.exists(_._2 > 0L))
+    assert(want.forall(r => r._3 <= r._2))
+  }
+
   test("morisita matches a local quadrat recompute") {
     val clicks = ev.filter(_._4 == "click").map(_._1)
     val byQuad = clicks.groupBy(id => ((id % 100) / 10, id / 100 / 10))
