@@ -36,6 +36,56 @@ object SparkEntry {
     DocCodec.decode(DocCodec.encode(EventsGrid.tiles(spark, dir)))
   }
 
+  // ---- shared contour feeds (optimization guide §2.4 / round-5 verdict
+  //      item #1): the decoded tile set and the two assembled-contour
+  //      variants are each ONE deterministic function of the parquet
+  //      inputs, rebuilt before this round by ~15 contract queries.
+  //      Feeds.shared computes each once per (session, dir); the first
+  //      consumer pays the build inside its own timed region, and every
+  //      frame is bit-identical to the per-query construction. ----
+
+  /** The decoded event-grid tiles as a shared feed. */
+  private def eventTilesF(spark: SparkSession, dir: String): Dataset[TileRow] = {
+    import spark.implicits._
+    graft.queries.Feeds.shared(spark, dir, "event_tiles") {
+      eventTiles(spark, dir).toDF()
+    }.as[TileRow]
+  }
+
+  /** The 3x3 focal-mean filtered field — shared by the fm contour and
+    * fm isoband compositions.
+    */
+  private def fmCells(spark: SparkSession, dir: String)
+      : Dataset[(Int, Int, Double)] = {
+    import spark.implicits._
+    graft.queries.Feeds.shared(spark, dir, "fm_cells") {
+      val (w, h) = EventsGrid.dims(spark, dir)
+      RasterOps.focalCellsTiledOf(
+        RasterOps.baseCells(spark, dir).as[(Int, Int, Double)], w, h).toDF()
+    }.as[(Int, Int, Double)]
+  }
+
+  /** Assembled SMOOTHED contours over the event grid (the default-config
+    * pipeline shared by the moments/box/compactness/crossings/distance/
+    * hausdorff/turning/clip consumers).
+    */
+  private def smoothContours(spark: SparkSession, dir: String): Dataset[ContourRow] = {
+    import spark.implicits._
+    graft.queries.Feeds.shared(spark, dir, "contours_smooth") {
+      engine(spark).contours(eventTilesF(spark, dir)).toDF()
+    }.as[ContourRow]
+  }
+
+  /** Assembled UNSMOOTHED contours (the pixel-center-exact variant shared
+    * by the PIP/zonal/knn/rasterize consumers).
+    */
+  private def rawContours(spark: SparkSession, dir: String): Dataset[ContourRow] = {
+    import spark.implicits._
+    graft.queries.Feeds.shared(spark, dir, "contours_raw") {
+      engine(spark, smooth = false).contours(eventTilesF(spark, dir)).toDF()
+    }.as[ContourRow]
+  }
+
   private def thresholdsDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     EventsGrid.Thresholds.toDF("threshold")
@@ -104,7 +154,7 @@ object SparkEntry {
     // ---- threshold classification: count of samples >= t (oracle: SQL) ----
     "q_threshold_class" -> ((spark, dir) => {
       import spark.implicits._
-      val tiles = eventTiles(spark, dir)
+      val tiles = eventTilesF(spark, dir)
       val ts = EventsGrid.Thresholds
       val counts = tiles.flatMap { t =>
         // owned samples only (exclude halo)
@@ -132,7 +182,7 @@ object SparkEntry {
     // ---- marching-squares cell-case histogram incl. virtual border ----
     "q_cell_case_hist" -> ((spark, dir) => {
       import spark.implicits._
-      val tiles = eventTiles(spark, dir)
+      val tiles = eventTilesF(spark, dir)
       val ts = EventsGrid.Thresholds
       tiles.flatMap { t =>
         val s = Tiling.TileSpec(t.tileX, t.tileY, t.sx0, t.sy0, t.tw, t.th,
@@ -156,7 +206,7 @@ object SparkEntry {
     //      counts summed in SQL) ----
     "q_segment_count" -> ((spark, dir) => {
       import spark.implicits._
-      val tiles = eventTiles(spark, dir)
+      val tiles = eventTilesF(spark, dir)
       val eng = engine(spark, smooth = false)
       val closed = eng.closedRingRows(tiles)
       val ts = EventsGrid.Thresholds
@@ -173,7 +223,7 @@ object SparkEntry {
     // ---- full contour pipeline (smooth=true): exact quantized vertex
     //      checksum over assembled polygons (exteriors + holes) ----
     "q_contours_stats" -> ((spark, dir) =>
-      contourChecksumDf(spark, engine(spark).contours(eventTiles(spark, dir)))),
+      contourChecksumDf(spark, smoothContours(spark, dir))),
 
     // ---- contour length (smooth=true): total polyline length per
     //      threshold as an order-free integer sum of per-segment quantized
@@ -181,21 +231,21 @@ object SparkEntry {
     //      length is deterministic on both sides of the compare) ----
     "q_contour_length" -> ((spark, dir) =>
       graft.engine.SpatialOps.contourLengthStats(
-        spark, engine(spark).contours(eventTiles(spark, dir)))),
+        spark, smoothContours(spark, dir))),
 
     // ---- shoelace moments (smooth=true): doubled signed area + centroid
     //      numerators per threshold as order-free integer sums of per-edge
     //      quantized f64 terms; degenerate edges contribute exactly 0 ----
     "q_contour_moments" -> ((spark, dir) =>
       graft.engine.SpatialOps.contourMomentStats(
-        spark, engine(spark).contours(eventTiles(spark, dir)), EventsGrid.Thresholds)),
+        spark, smoothContours(spark, dir), EventsGrid.Thresholds)),
 
     // ---- box counting (smooth=true): occupied boxes at sides 1/2/4 over
     //      the ring vertex cloud; floor of power-of-two divisions keeps
     //      every box key exact on both compare sides ----
     "q_box_count" -> ((spark, dir) =>
       graft.engine.SpatialOps.boxCountStats(
-        spark, engine(spark).contours(eventTiles(spark, dir)), EventsGrid.Thresholds)),
+        spark, smoothContours(spark, dir), EventsGrid.Thresholds)),
 
     // ---- isoperimetric compactness (smooth=true): A/P^2 per threshold
     //      as one fused pass over the ring edges — area cross terms and
@@ -203,14 +253,14 @@ object SparkEntry {
     //      operators, one truncating decimal division at the end ----
     "q_compactness" -> ((spark, dir) =>
       graft.engine.SpatialOps.compactnessStats(
-        spark, engine(spark).contours(eventTiles(spark, dir)), EventsGrid.Thresholds)),
+        spark, smoothContours(spark, dir), EventsGrid.Thresholds)),
 
     // ---- one-pass Visvalingam simplification (smooth=true): per-vertex
     //      effective triangle area vs its ring neighbours, KEEP decided in
     //      the quantized integer domain (tolerance = SimplifyEps2Q) ----
     "q_simplify_stats" -> ((spark, dir) =>
       graft.engine.SpatialOps.simplifyStats(
-        spark, engine(spark).contours(eventTiles(spark, dir)),
+        spark, smoothContours(spark, dir),
         EventsGrid.Thresholds, SimplifyEps2Q)),
 
     // ---- overview contouring: the full contour pipeline over the
@@ -247,8 +297,7 @@ object SparkEntry {
     "q_fm_contours" -> ((spark, dir) => {
       import spark.implicits._
       val (w, h) = EventsGrid.dims(spark, dir)
-      val fm = RasterOps.focalCellsTiledOf(
-        RasterOps.baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+      val fm = fmCells(spark, dir)
       val tiles = EventsGrid.tilesFromCells(spark, fm, "fm", w - 2, h - 2, 25, 25)
       contourChecksumDf(spark, engine(spark).contours(tiles))
     }),
@@ -306,7 +355,7 @@ object SparkEntry {
     //      SimplifySpec's property suite + the in-order-subset contract) ----
     "q_simplify_dp" -> ((spark, dir) => {
       import spark.implicits._
-      val cts = engine(spark).contours(eventTiles(spark, dir))
+      val cts = smoothContours(spark, dir)
       val simplified = graft.engine.SpatialOps.simplifyContours(cts, eps = 0.05)
       // join on the FULL ContourRow key (gridId, threshold): the contract
       // input is single-grid, but a multi-grid composition through this
@@ -330,7 +379,7 @@ object SparkEntry {
     //      order-free); thresholds with no rings emit no row on either side ----
     "q_contour_extent" -> ((spark, dir) => {
       import spark.implicits._
-      engine(spark).contours(eventTiles(spark, dir))
+      smoothContours(spark, dir)
         .flatMap { c =>
           var n = 0L
           var mnx = Long.MaxValue; var mxx = Long.MinValue
@@ -371,7 +420,7 @@ object SparkEntry {
     // ---- isolines (smooth=true): same checksum through the lines path ----
     "q_lines_stats" -> ((spark, dir) => {
       import spark.implicits._
-      engine(spark).lines(eventTiles(spark, dir))
+      engine(spark).lines(eventTilesF(spark, dir))
         .map { l =>
           val (n, qx, qy) = ringChecksum(l.lines.iterator)
           (l.threshold, n, qx, qy)
@@ -383,7 +432,7 @@ object SparkEntry {
     // ---- isobands (smooth=true): per-band quantized vertex checksum ----
     "q_isobands_stats" -> ((spark, dir) => {
       import spark.implicits._
-      engine(spark).isobands(eventTiles(spark, dir))
+      engine(spark).isobands(eventTilesF(spark, dir))
         .map { b =>
           val rings = b.polygons.iterator
             .flatMap(p => Iterator.single(p.exterior) ++ p.holes.iterator)
@@ -400,8 +449,7 @@ object SparkEntry {
     "q_fm_isobands" -> ((spark, dir) => {
       import spark.implicits._
       val (w, h) = EventsGrid.dims(spark, dir)
-      val fm = RasterOps.focalCellsTiledOf(
-        RasterOps.baseCells(spark, dir).as[(Int, Int, Double)], w, h)
+      val fm = fmCells(spark, dir)
       val tiles = EventsGrid.tilesFromCells(spark, fm, "fmb", w - 2, h - 2, 25, 25)
       engine(spark).isobands(tiles)
         .map { b =>
@@ -431,13 +479,13 @@ object SparkEntry {
     //      segment keys — no smoothing CTE at all) ----
     "q_ring_depth" -> ((spark, dir) =>
       graft.engine.SpatialOps.ringDepthHist(
-        engine(spark).contourRings(eventTiles(spark, dir)))),
+        engine(spark).contourRings(eventTilesF(spark, dir)))),
 
     // ---- raw contour_rings (grid coords, no smoothing): exact integer
     //      doubled-coordinate sums (plus a cross moment) ----
     "q_contour_rings_stats" -> ((spark, dir) => {
       import spark.implicits._
-      engine(spark).contourRings(eventTiles(spark, dir))
+      engine(spark).contourRings(eventTilesF(spark, dir))
         .map { r =>
           var n = 0L; var sx = 0L; var sy = 0L; var sxy = 0L
           r.rings.foreach { ring =>
@@ -470,7 +518,7 @@ object SparkEntry {
     //      ring, reordered coordinates) fails the oracle compare. ----
     "q_geojson" -> ((spark, dir) => {
       import spark.implicits._
-      val cts = engine(spark).contours(eventTiles(spark, dir))
+      val cts = smoothContours(spark, dir)
       cts.flatMap { c =>
         val feat = GeoJson.contourFeature(ContourResult(c.threshold,
           c.polygons.map(p => Poly(p.exterior.toArray, p.holes.map(_.toArray)))))
@@ -494,7 +542,7 @@ object SparkEntry {
     //      segment graph and replays the same four stages in window SQL ----
     "q_clip_rings" -> ((spark, dir) => {
       import spark.implicits._
-      val cts = engine(spark).contours(eventTiles(spark, dir))
+      val cts = smoothContours(spark, dir)
       cts.flatMap { c =>
         c.polygons.iterator
           .flatMap(p => Iterator.single(p.exterior) ++ p.holes.iterator)
@@ -537,7 +585,7 @@ object SparkEntry {
     // value(x, y) >= t — which is what the DuckDB oracle checks relationally.
     "q_pip_tag" -> ((spark, dir) => {
       import spark.implicits._
-      val cts = engine(spark, smooth = false).contours(eventTiles(spark, dir))
+      val cts = rawContours(spark, dir)
       val (w, _) = EventsGrid.dims(spark, dir)
       val points = spark.read.parquet(s"$dir/events.parquet")
         .selectExpr("event_id", s"cast(event_id % $w as double) + 0.5 as x",
@@ -558,7 +606,7 @@ object SparkEntry {
     //      checked relationally. ----
     "q_zonal_stats" -> ((spark, dir) => {
       import spark.implicits._
-      val cts = engine(spark, smooth = false).contours(eventTiles(spark, dir))
+      val cts = rawContours(spark, dir)
       val (w, _) = EventsGrid.dims(spark, dir)
       val events = spark.read.parquet(s"$dir/events.parquet")
       val points = events
@@ -579,7 +627,7 @@ object SparkEntry {
     //      identity over the slot-join slope reconstruction. ----
     "q_zonal_slope" -> ((spark, dir) => {
       import spark.implicits._
-      val cts = engine(spark, smooth = false).contours(eventTiles(spark, dir))
+      val cts = rawContours(spark, dir)
       val (w, h) = EventsGrid.dims(spark, dir)
       val points = spark.read.parquet(s"$dir/events.parquet")
         .selectExpr("event_id", s"cast(event_id % $w as int) as ix",
@@ -605,13 +653,13 @@ object SparkEntry {
     //      threshold with an exact integer orientation predicate (oracle:
     //      brute force behind the sound |start delta| <= 4 prune) ----
     "q_seg_crossings" -> ((spark, dir) => {
-      val cts = engine(spark).contours(eventTiles(spark, dir))
+      val cts = smoothContours(spark, dir)
       graft.engine.SpatialOps.segCrossings(spark, cts, 0.5, 0.25)
     }),
 
     "q_contour_near_dist" -> ((spark, dir) => {
       import spark.implicits._
-      val cts = engine(spark).contours(eventTiles(spark, dir))
+      val cts = smoothContours(spark, dir)
       val (w, _) = EventsGrid.dims(spark, dir)
       val points = spark.read.parquet(s"$dir/events.parquet")
         .filter(expr("event_id % 101 = 0"))
@@ -623,20 +671,20 @@ object SparkEntry {
 
     // ---- R-clipped Hausdorff between consecutive-threshold contours ----
     "q_contour_hausdorff" -> ((spark, dir) => {
-      val cts = engine(spark).contours(eventTiles(spark, dir))
+      val cts = smoothContours(spark, dir)
       graft.engine.SpatialOps.contourHausdorff(spark, cts, EventsGrid.Thresholds)
     }),
 
     // ---- turning (convexity) census over the contour rings ----
     "q_contour_turning" -> ((spark, dir) => {
-      val cts = engine(spark).contours(eventTiles(spark, dir))
+      val cts = smoothContours(spark, dir)
       graft.engine.SpatialOps.turningCensus(spark, cts, EventsGrid.Thresholds)
     }),
 
     // ---- kNN join against emitted contour vertices ----
     "q_knn_vertices" -> ((spark, dir) => {
       import spark.implicits._
-      val cts = engine(spark, smooth = false).contours(eventTiles(spark, dir))
+      val cts = rawContours(spark, dir)
       val verts = graft.engine.SpatialOps.contourVertices(spark, cts)
         .filter(col("threshold") === 50.0)
       val (w, _) = EventsGrid.dims(spark, dir)
@@ -692,7 +740,7 @@ object SparkEntry {
     //      thresholds <= value, grouped by block. ----
     "q_rasterize" -> ((spark, dir) => {
       import spark.implicits._
-      val cts = engine(spark, smooth = false).contours(eventTiles(spark, dir))
+      val cts = rawContours(spark, dir)
       val (w, _) = EventsGrid.dims(spark, dir)
       val points = spark.read.parquet(s"$dir/events.parquet")
         .selectExpr("event_id", s"cast(event_id % $w as double) + 0.5 as x",
@@ -960,7 +1008,7 @@ object SparkEntry {
       val ths = StatsOps.autoThresholds(spark, dir)
         .select("threshold").as[Double].collect().toSeq.distinct
       val eng = new ContourEngine(spark, JobConfig(ths, smooth = true))
-      contourChecksumDf(spark, eng.contours(eventTiles(spark, dir)))
+      contourChecksumDf(spark, eng.contours(eventTilesF(spark, dir)))
     }),
     "q_emb_near_dup" -> TrainingOps.embNearDup,
     "q_doc_winnow" -> TrainingOps.winnowFingerprints,

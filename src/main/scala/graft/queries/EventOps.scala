@@ -1739,7 +1739,11 @@ object EventOps {
     * CSR, >1000 clumped, <1000 uniform — with Q = TOTAL quadrats
     * including empty ones (= area div 100; the lattice is full by
     * construction, so the event count IS the area — no separate
-    * extent scan). Alongside the one-row index, the per-quadrat
+    * extent scan). DATA ASSUMPTION (ADVICE r05): area div 100 equals
+    * the true 10x10 quadrat count only because the grid height is a
+    * multiple of 10 at every SF (h = n/100 with n a multiple of 1000);
+    * a ragged-height grid would need Q = ceil(w/10) * ceil(h/10) on
+    * both compare sides. Alongside the one-row index, the per-quadrat
     * occupancy census folds n_i by binary digit count — the full
     * occupancy spectrum, not just its second moment. Exact rational
     * throughout; N < 2 would be degenerate and cannot happen at any SF

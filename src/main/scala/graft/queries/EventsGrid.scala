@@ -19,7 +19,12 @@ object EventsGrid {
   val Thresholds: Seq[Double] = Seq(25.0, 50.0, 75.0, 100.0)
 
   def dims(spark: SparkSession, dir: String): (Int, Int) = {
-    val n = spark.read.parquet(s"$dir/events.parquet").count()
+    // the row count rides a shared one-row feed (Feeds.shared): dozens of
+    // queries derive dims, and each re-count was one full-scan job
+    val n = Feeds.shared(spark, dir, "events_count") {
+      import org.apache.spark.sql.functions.{count, lit}
+      spark.read.parquet(s"$dir/events.parquet").agg(count(lit(1)).as("n"))
+    }.head().getLong(0)
     require(n % W == 0, s"events count $n not divisible by W=$W")
     (W, (n / W).toInt)
   }

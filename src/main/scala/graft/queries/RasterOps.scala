@@ -98,7 +98,13 @@ object RasterOps {
       : (org.apache.spark.sql.Dataset[(Int, Int, Double)], Int, Int) = {
     import spark.implicits._
     val (w, h) = EventsGrid.dims(spark, dir)
-    (pool(baseCells(spark, dir), w, h).as[(Int, Int, Double)], w / 2, h / 2)
+    // shared feed: the level-1 overview is consumed by the pyramid
+    // contour/band/slope queries, the hydrology level-1 feeds and the
+    // level-2 pool — one pooling pass per (session, dir)
+    val cells = Feeds.shared(spark, dir, "level1_cells") {
+      pool(baseCells(spark, dir), w, h)
+    }.as[(Int, Int, Double)]
+    (cells, w / 2, h / 2)
   }
 
   /** 3x3 focal (neighborhood) mean — the classic raster focal-statistics
@@ -1106,9 +1112,11 @@ object RasterOps {
     * and the sum of component labels (min cell ids) — all exact integers.
     */
   private[graft] def gridCcOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
-                              tile: Int, thresholds: Seq[Double]): DataFrame = {
+                              tile: Int, thresholds: Seq[Double]): DataFrame =
+    gridCcOfLabels(ccCellLabels(cells, w, h, tile, thresholds), thresholds)
+
+  private[graft] def gridCcOfLabels(fin: DataFrame, thresholds: Seq[Double]): DataFrame = {
     val thr = thresholds.toArray
-    val fin = ccCellLabels(cells, w, h, tile, thresholds)
     val thrCol = thr.indices.foldRight(lit(Double.NaN)) { (ti, acc) =>
       when(shiftright(col("flbl"), 40) === ti, lit(thr(ti))).otherwise(acc)
     }
@@ -1203,10 +1211,14 @@ object RasterOps {
     * and one per-threshold rollup, nothing rawer than labels moves.
     */
   private[graft] def percolationOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
-                                   tile: Int, thresholds: Seq[Double]): DataFrame = {
+                                   tile: Int, thresholds: Seq[Double]): DataFrame =
+    percolationOfLabels(ccCellLabels(cells, w, h, tile, thresholds), w, h, thresholds)
+
+  private[graft] def percolationOfLabels(labels: DataFrame, w: Int, h: Int,
+                                         thresholds: Seq[Double]): DataFrame = {
     val thr = thresholds.toArray
     val low40 = lit((1L << 40) - 1)
-    val per = ccCellLabels(cells, w, h, tile, thresholds)
+    val per = labels
       .select(shiftright(col("cell"), 40).as("ti"),
         col("cell").bitwiseAND(low40).as("cid"), col("flbl"))
       .groupBy("ti", "flbl")
@@ -1229,9 +1241,19 @@ object RasterOps {
       .orderBy("threshold")
   }
 
+  /** Level-2 tile-contracted hash-min component labels — the shared feed
+    * behind q_grid_cc / q_percolation / q_cc_nesting (identical arguments
+    * in all three; one hash-min CC pass per session instead of three).
+    */
+  private def ccLabels2(spark: SparkSession, dir: String): DataFrame =
+    Feeds.shared(spark, dir, "cc_labels2") {
+      val (c2, w2, h2) = level2Cells(spark, dir)
+      ccCellLabels(c2, w2, h2, 16, EventsGrid.Thresholds)
+    }
+
   val percolation: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val (c2, w2, h2) = level2Cells(spark, dir)
-    percolationOf(c2, w2, h2, 16, EventsGrid.Thresholds)
+    val (_, w2, h2) = level2Cells(spark, dir)
+    percolationOfLabels(ccLabels2(spark, dir), w2, h2, EventsGrid.Thresholds)
   }
 
   /** COMPONENT NESTING census across the threshold ladder — the merge-
@@ -1254,10 +1276,14 @@ object RasterOps {
     * empty too — the stated contract).
     */
   private[graft] def ccNestingOf(cells: Dataset[(Int, Int, Double)], w: Int, h: Int,
-                                 tile: Int, thresholds: Seq[Double]): DataFrame = {
+                                 tile: Int, thresholds: Seq[Double]): DataFrame =
+    ccNestingOfLabels(ccCellLabels(cells, w, h, tile, thresholds), thresholds)
+
+  private[graft] def ccNestingOfLabels(labels: DataFrame,
+                                       thresholds: Seq[Double]): DataFrame = {
     val thr = thresholds.toArray
     val low40 = lit((1L << 40) - 1)
-    val lbl = ccCellLabels(cells, w, h, tile, thresholds)
+    val lbl = labels
       .select(shiftright(col("cell"), 40).as("ti"),
         col("cell").bitwiseAND(low40).as("cid"),
         col("flbl").bitwiseAND(low40).as("lbl"))
@@ -1295,10 +1321,8 @@ object RasterOps {
       .orderBy("t_lo")
   }
 
-  val ccNesting: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val (c2, w2, h2) = level2Cells(spark, dir)
-    ccNestingOf(c2, w2, h2, 16, EventsGrid.Thresholds)
-  }
+  val ccNesting: (SparkSession, String) => DataFrame = (spark, dir) =>
+    ccNestingOfLabels(ccLabels2(spark, dir), EventsGrid.Thresholds)
 
   /** Level-2 pooled cells — the composition point shared by gridCc and
     * distTransform (level 2 keeps their quadratic ORACLES bounded).
@@ -1306,8 +1330,12 @@ object RasterOps {
   private[graft] def level2Cells(spark: SparkSession, dir: String)
       : (Dataset[(Int, Int, Double)], Int, Int) = {
     import spark.implicits._
-    val (c1, w1, h1) = level1Cells(spark, dir)
-    (pool(c1.toDF("x", "y", "v"), w1, h1).as[(Int, Int, Double)], w1 / 2, h1 / 2)
+    val (w, h) = EventsGrid.dims(spark, dir)
+    val cells = Feeds.shared(spark, dir, "level2_cells") {
+      val (c1, w1, h1) = level1Cells(spark, dir)
+      pool(c1.toDF("x", "y", "v"), w1, h1)
+    }.as[(Int, Int, Double)]
+    (cells, w / 4, h / 4)
   }
 
   /** BAND-ADJACENCY transition matrix — which contour BANDS abut, and
@@ -1450,10 +1478,8 @@ object RasterOps {
   /** q_grid_cc: CC labeling over the level-2 overview grid at the
     * standard threshold ladder.
     */
-  val gridCc: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val (c2, w2, h2) = level2Cells(spark, dir)
-    gridCcOf(c2, w2, h2, 16, EventsGrid.Thresholds)
-  }
+  val gridCc: (SparkSession, String) => DataFrame = (spark, dir) =>
+    gridCcOfLabels(ccLabels2(spark, dir), EventsGrid.Thresholds)
 
   /** Sentinel "no mask seen" distance — far above any reachable w + h,
     * far below overflow; shared semantics with the final < INF/2 filter.

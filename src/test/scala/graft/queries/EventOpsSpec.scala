@@ -53,7 +53,10 @@ class EventOpsSpec extends AnyFunSuite {
     // the bounded broadcasts (9-row offsets, 1-row scalars)
     val plan = EventOps.ripleyK(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "no cartesian pair join")
-    assert(plan.contains("HashJoin [bx"), "bucket equi-join expected")
+    // stable pattern (ADVICE r05): any HashJoin variant keyed on the
+    // bucket columns, not a literal plan-string prefix
+    assert("HashJoin.*\\[?bx".r.findFirstIn(plan).isDefined,
+      "bucket equi-join expected")
   }
 
   test("nndCensus matches a local nearest-neighbor recompute with the r=10 censor") {

@@ -311,6 +311,31 @@ class TrainingOpsTextSpec extends AnyFunSuite {
     assert(!byDoc.contains(9L), "the corpus maximum has no successor")
   }
 
+  test("lcpNeighbors adversarial skew: 95% of docs share one 4-char prefix; " +
+    "plan range-partitions the sort instead of hashing prefix buckets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lcp-skew").toString
+    // template-heavy corpus: 190 of 200 docs share the prefix "tmpl" — the
+    // former substring(text, 1, 4) bucketing would funnel them into ONE
+    // window partition (the verdict's skewed-key full-shuffle finding)
+    val docs = (1L to 190L).map(i => (i, f"tmplate page $i%04d body")) ++
+      (191L to 200L).map(i => (i, f"v$i%04d unique"))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = TrainingOps.lcpNeighbors(spark, dir)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == lcpLocal(docs))
+    // plan contract: the sort is realized by sampled RANGE partitioning on
+    // (text, doc_id) — balanced under any prefix concentration — with no
+    // hash partitioning on a text-prefix bucket anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"expected a range repartition of (text, doc_id) in:\n$plan")
+    assert(!plan.contains("substring(text, 1, 4)"),
+      "prefix-bucket hashing must be gone — it collapses template corpora " +
+        "into one hot window partition")
+  }
+
   private def levenshtein(a: String, b: String): Int = {
     val prev = Array.tabulate(b.length + 1)(identity)
     val cur = new Array[Int](b.length + 1)
