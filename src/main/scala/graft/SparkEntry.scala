@@ -126,7 +126,15 @@ object SparkEntry {
     */
   private def ringChecksum(rings: Iterator[Seq[Double]]): (Long, Long, Long) = {
     var n = 0L; var qx = 0L; var qy = 0L
-    rings.foreach { ring =>
+    rings.foreach { ringSeq =>
+      // indexed access over a LINKED Seq (the encoder's post-shuffle /
+      // post-checkpoint representation) is O(i) per hop — copy to a
+      // primitive array first (one O(n) pass; see SpatialOps.ringArr)
+      val ring: Array[Double] = ringSeq match {
+        case w: scala.collection.mutable.WrappedArray[_] =>
+          w.array.asInstanceOf[Array[Double]]
+        case _ => ringSeq.toArray
+      }
       // drop the closing duplicate — conditionally, because the reference's
       // band-ring dedup can remove it (wrap segment collapsed by smoothing);
       // value-wise the trailing point then equals the first anyway, so the
@@ -384,7 +392,8 @@ object SparkEntry {
           var n = 0L
           var mnx = Long.MaxValue; var mxx = Long.MinValue
           var mny = Long.MaxValue; var mxy = Long.MinValue
-          c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).foreach { ring =>
+          c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).foreach { ringSeq =>
+            val ring = ringSeq.toArray // linked-Seq indexed access is O(i)
             var i = 0
             val m = ring.length - 2 // closing duplicate
             while (i < m) {
@@ -488,7 +497,8 @@ object SparkEntry {
       engine(spark).contourRings(eventTilesF(spark, dir))
         .map { r =>
           var n = 0L; var sx = 0L; var sy = 0L; var sxy = 0L
-          r.rings.foreach { ring =>
+          r.rings.foreach { ringSeq =>
+            val ring = ringSeq.toArray // linked-Seq indexed access is O(i)
             val m = ring.length - 2 // drop the closing duplicate
             var i = 0
             while (i < m) {

@@ -322,7 +322,8 @@ object SpatialOps {
                     thresholds: Seq[Double]): DataFrame = {
     import spark.implicits._
     val verts = contours.flatMap { c =>
-      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
+      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ringSeq =>
+        val ring = ringArr(ringSeq)
         val n = ring.length / 2 - 1
         (0 until n).iterator.map(i => (c.threshold, ring(2 * i), ring(2 * i + 1)))
       }
@@ -363,7 +364,8 @@ object SpatialOps {
                     thresholds: Seq[Double], eps2q: Long): DataFrame = {
     import spark.implicits._
     val verts = contours.flatMap { c =>
-      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
+      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ringSeq =>
+        val ring = ringArr(ringSeq)
         val n = ring.length / 2 - 1 // closing duplicate dropped; neighbours cyclic
         (0 until n).iterator.map { i =>
           val ip = (i + n - 1) % n; val in = (i + 1) % n
@@ -404,6 +406,19 @@ object SpatialOps {
     }
   }
 
+  /** Rings deserialized from a checkpointed/exchanged ContourRow frame
+    * arrive as LINKED Seqs (List) in Scala 2.13 — indexed `ring(i)` access
+    * is then O(i) and a per-ring walk turns quadratic (a 50k-point ring
+    * costs ~10^9 element hops; the r06 optimization round measured the
+    * segment explode at 12s for this reason). Every indexed walk below
+    * converts to a primitive array first — O(n), one copy.
+    */
+  @inline private def ringArr(ring: Seq[Double]): Array[Double] = ring match {
+    case w: scala.collection.mutable.WrappedArray[_] =>
+      w.array.asInstanceOf[Array[Double]]
+    case _ => ring.toArray
+  }
+
   /** Every directed edge (a -> b) of every ring (exteriors + holes) of a
     * contour row: rings close explicitly ([v0..vn-1, v0]), so consecutive
     * pairs cover each directed segment of the cycle exactly once. The ONE
@@ -412,7 +427,8 @@ object SpatialOps {
     * independently).
     */
   private def ringEdges(c: ContourRow): Iterator[(Double, Double, Double, Double)] =
-    c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
+    c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ringSeq =>
+      val ring = ringArr(ringSeq)
       (0 until ring.length / 2 - 1).iterator.map { i =>
         (ring(2 * i), ring(2 * i + 1), ring(2 * i + 2), ring(2 * i + 3))
       }
@@ -442,12 +458,28 @@ object SpatialOps {
     * order-free integer sum of each pair's first orientation term (the
     * discriminator pinning WHICH pairs crossed).
     */
+  /** Below this many segments the un-fanned side broadcasts (a few tens
+    * of MB built); above, the join degrades to the shuffled path — the
+    * deliberate strategy choice (guide §3.1) that a checkpointed input
+    * (whose LogicalRDD carries no size estimate) would otherwise never
+    * get from the planner.
+    */
+  private val BroadcastSegLimit = 500000L
+
   def segCrossings(spark: SparkSession, contours: Dataset[ContourRow],
                    dx: Double, dy: Double): DataFrame = {
     import spark.implicits._
+    // one segment row per ring edge, SPREAD across the cores: the contour
+    // set is a handful of fat rows (one per threshold), so without the
+    // repartition the whole probe+predicate pipeline fuses into as many
+    // tasks as there are contour rows (3-way parallelism on a 16-core
+    // host — the round-1 measurement's stall)
     val segs = contours.flatMap { c =>
       ringEdges(c).map { case (ax, ay, bx, by) => (c.threshold, ax, ay, bx, by) }
     }.toDF("threshold", "ax", "ay", "bx", "by")
+      .repartition(math.max(8, spark.sparkContext.defaultParallelism))
+      .localCheckpoint(eager = true) // feeds BOTH layers (A and translated B)
+    val nSegs = segs.count()
     def q(c: org.apache.spark.sql.Column) = floor(c * RasterQ20).cast("long")
     val s = 4.0
     val a = segs.select(col("threshold"),
@@ -470,7 +502,11 @@ object SpatialOps {
       (qx - px) * (ry - py) - (rx - px) * (qy - py)
     def opposite(o1: org.apache.spark.sql.Column, o2: org.apache.spark.sql.Column) =
       (o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)
-    a.join(b, Seq("threshold", "cx", "cy"))
+    // broadcast the UN-FANNED layer when it fits: the 9x-replicated probe
+    // side then never shuffles at all; a contour layer too big to build
+    // hashes falls back to the key-equality shuffle join unchanged
+    val bSide = if (nSegs <= BroadcastSegLimit) broadcast(b) else b
+    a.join(bSide, Seq("threshold", "cx", "cy"))
       .withColumn("oa1", orient(col("a1x"), col("a1y"), col("a2x"), col("a2y"),
         col("b1x"), col("b1y")))
       .withColumn("oa2", orient(col("a1x"), col("a1y"), col("a2x"), col("a2y"),
@@ -491,7 +527,8 @@ object SpatialOps {
   def contourVertices(spark: SparkSession, contours: Dataset[ContourRow]): DataFrame = {
     import spark.implicits._
     contours.flatMap { c =>
-      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
+      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ringSeq =>
+        val ring = ringArr(ringSeq)
         // drop the closing duplicate point
         (0 until ring.length / 2 - 1).iterator.map(i => (c.threshold, ring(2 * i), ring(2 * i + 1)))
       }
@@ -777,19 +814,30 @@ object SpatialOps {
     val segs = contours.flatMap { c =>
       ringEdges(c).map { case (ax, ay, bx, by) => (c.threshold, ax, ay, bx, by) }
     }.toDF("threshold", "spx", "spy", "epx", "epy")
+      // spread the probe pipeline: the contour set is one fat row per
+      // threshold, so the broadcast-probe stage would otherwise run at
+      // |thresholds|-way parallelism (see segCrossings)
+      .repartition(math.max(8, spark.sparkContext.defaultParallelism))
     val s = radius + 2.0
     val sb = segs.select(col("threshold"), col("spx"), col("spy"),
       col("epx"), col("epy"),
       floor(col("spx") / s).cast("long").as("cx"),
       floor(col("spy") / s).cast("long").as("cy"))
     val offsets = (0 until 9).toArray
-    val tg = points.toDF("point_id", "px", "py")
+    val pts = points.toDF("point_id", "px", "py").localCheckpoint(eager = true)
+    val nPts = pts.count()
+    val tg = pts
       .withColumn("o", explode(lit(offsets)))
       .select(col("point_id"), col("px"), col("py"),
         (floor(col("px") / s).cast("long") + col("o") % 3 - 1).as("cx"),
         (floor(col("py") / s).cast("long")
           + col("o").divide(3).cast("int") - 1).as("cy"))
-    tg.join(sb, Seq("cx", "cy"))
+    // broadcast the (sampled) probe side when it fits — the segment layer
+    // then never shuffles; a large probe set keeps the key-equality
+    // shuffle join (deliberate strategy choice, guide §3.1: the
+    // checkpointed contour feed carries no size estimate for the planner)
+    val tgSide = if (nPts <= 1000000L) broadcast(tg) else tg
+    tgSide.join(sb, Seq("cx", "cy"))
       .withColumn("dx", col("epx") - col("spx"))
       .withColumn("dy", col("epy") - col("spy"))
       .withColumn("len2", col("dx") * col("dx") + col("dy") * col("dy"))
@@ -1023,7 +1071,8 @@ object SpatialOps {
                     thresholds: Seq[Double]): DataFrame = {
     import spark.implicits._
     val t = contours.flatMap { c =>
-      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ring =>
+      c.polygons.iterator.flatMap(p => (p.exterior +: p.holes).iterator).flatMap { ringSeq =>
+        val ring = ringArr(ringSeq)
         val n = ring.length / 2 - 1 // closing duplicate dropped; cyclic
         (0 until n).iterator.map { i =>
           val ip = (i + n - 1) % n; val in = (i + 1) % n

@@ -668,6 +668,7 @@ object RelOps {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("ship_us") > col("ord_us") + lit(60L * 86400000000L)).as("late"))
+      .localCheckpoint(true) // feeds the per-order rollup AND the candidates
     val perOrder = li.groupBy("l_orderkey")
       .agg(countDistinct(col("l_suppkey")).as("n_supp"),
         countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
@@ -1067,11 +1068,17 @@ object RelOps {
         .select(col("p_partkey").as("pkey"), col("p_brand").as("brand"))),
         Seq("pkey"))
       .select("okey", "brand").distinct()
-      .localCheckpoint(true) // feeds both sides of the pair join
-    ob.as("a").join(ob.as("b"), col("a.okey") === col("b.okey")
-        && col("a.brand") < col("b.brand"))
-      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
-      .agg(count(lit(1)).as("n_orders"), sum(col("a.okey")).as("okey_sum"))
+    // r06: the order-keyed self-join became one groupBy emitting each
+    // order's sorted brand-pair combinations — the same (brand_a <
+    // brand_b) pair multiset (sort_array and `<` share Spark's binary
+    // UTF8 ordering), per-order fan-out still |brands-per-order|^2, one
+    // shuffle instead of a two-sided join exchange
+    ob.groupBy("okey").agg(sort_array(collect_set(col("brand"))).as("bs"))
+      .select(col("okey"), explode(expr(
+        "flatten(transform(bs, (a, i) -> transform(slice(bs, i + 2, size(bs)), " +
+          "b -> struct(a AS brand_a, b AS brand_b))))")).as("p"))
+      .groupBy(col("p.brand_a").as("brand_a"), col("p.brand_b").as("brand_b"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("okey")).as("okey_sum"))
       .orderBy("brand_a", "brand_b")
   }
 

@@ -67,7 +67,8 @@ object TrainingOps {
   //      shingle vocabulary, far too big to ship); the census is
   //      doc-bounded then decile-bounded. ----
   val docHapax: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val base = docs(spark, dir).withColumn("ts", toks)
+    val base = docsSpread(spark, dir)
+      .withColumn("ts", toks)
       .select(col("doc_id"), col("ts"))
       .localCheckpoint(true) // feeds both the explode and the n_sh frame
     val tf = base.filter(size(col("ts")) >= 3)
@@ -385,7 +386,7 @@ object TrainingOps {
     */
   val topTerms: (SparkSession, String) => DataFrame = (spark, dir) => {
     val k = 10
-    val counts = docs(spark, dir)
+    val counts = docsSpread(spark, dir)
       .select(col("source"), explode(toks).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("n"))
     val cutoffs = counts.groupBy("source")
@@ -617,7 +618,7 @@ object TrainingOps {
     */
   val charTerms: (SparkSession, String) => DataFrame = (spark, dir) => {
     val k = 3
-    val tf = docs(spark, dir)
+    val tf = docsSpread(spark, dir)
       .select(col("doc_id"), explode(toks).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -654,7 +655,7 @@ object TrainingOps {
     * scanned twice (dl + tf) and nothing vocabulary-sized shuffles.
     */
   val bm25: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val base = docs(spark, dir).select(col("doc_id"), toks.as("tk"))
+    val base = docsSpread(spark, dir).select(col("doc_id"), toks.as("tk"))
     val dl = base.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
     val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tokens"))
     val tf = base
@@ -699,13 +700,13 @@ object TrainingOps {
     * hidden; a web-scale caller pre-filters by df).
     */
   val chiTerms: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val pres = docs(spark, dir)
+    val pres = docsSpread(spark, dir)
       .select(col("source"), col("doc_id"), explode(toks).as("tok"))
       .distinct()
     val a = pres.groupBy("source", "tok").agg(count(lit(1)).as("a"))
     val dfTot = a.groupBy("tok").agg(sum(col("a")).as("df_t"))
-    val nSrc = docs(spark, dir).groupBy("source").agg(count(lit(1)).as("n_s"))
-    val nAll = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val nSrc = docsSpread(spark, dir).groupBy("source").agg(count(lit(1)).as("n_s"))
+    val nAll = docsSpread(spark, dir).agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("chi2_x1e6").desc, col("tok").asc)
     a.join(dfTot, "tok")
@@ -886,7 +887,7 @@ object TrainingOps {
   val keyphrase: (SparkSession, String) => DataFrame = (spark, dir) => {
     val inList = StopWords.map(w => s"'$w'").mkString(", ")
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val tok = docs(spark, dir)
+    val tok = docsSpread(spark, dir)
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
       .withColumn("stop", expr(s"tok IN ($inList)"))
       .withColumn("seg", sum(when(col("stop"), 1L).otherwise(0L)).over(w))
@@ -1106,7 +1107,7 @@ object TrainingOps {
     * (same documented-contract genus as StatsOps' O(range) histogram).
     */
   val collocations: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val t = docs(spark, dir).select(toks.as("toks"))
+    val t = docsSpread(spark, dir).select(toks.as("toks"))
     val uni = t.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val big = t.filter(size(col("toks")) >= 2)
@@ -1149,7 +1150,7 @@ object TrainingOps {
     // the gram frame feeds BOTH the eval side and the train side: without
     // materialization each branch re-runs the tokenize + 5-gram explode
     // (the plan's two scans of one subtree — guide §2.4)
-    val grams = docs(spark, dir)
+    val grams = docsSpread(spark, dir)
       .withColumn("toks", toks)
       .withColumn("grams",
         when(size(col("toks")) < 5, array().cast("array<string>"))
@@ -1164,8 +1165,24 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** The documents table spread across the cores and MATERIALIZED: the
+    * parquet is a single split at contract scale, so a tokenize/explode
+    * directly over the scan runs as ONE task — and a bare repartition
+    * does not fix it, because Catalyst pushes the deterministic
+    * projection back below the round-robin exchange (measured: the gram
+    * explode stayed a 6 s single-task stage). The checkpoint is an RDD
+    * boundary the optimizer cannot cross, so every tokenizer above it
+    * runs at the spread width; the frame is doc-table-sized (tiny) and
+    * shared per session. At web scale the scan has many splits and this
+    * merely rebalances.
+    */
+  private def docsSpread(spark: SparkSession, dir: String): DataFrame =
+    Feeds.shared(spark, dir, "docs_spread") {
+      docs(spark, dir).repartition(math.max(8, spark.sparkContext.defaultParallelism))
+    }
+
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    docsSpread(spark, dir)
       .withColumn("toks", toks)
       .withColumn("shingles",
         when(size(col("toks")) < 3, array().cast("array<string>"))
@@ -1583,7 +1600,7 @@ object TrainingOps {
     * all-pairs, no driver state.
     */
   val novelty: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val sh = docs(spark, dir)
+    val sh = docsSpread(spark, dir)
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
@@ -2121,6 +2138,7 @@ object TrainingOps {
     val a1 = kmeansAssignments(e).select(col("vec_id"), col("centroid_id").as("c1"))
     val q = e.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
       .select(col("vec_id"), col("i"), floor(col("x") * 1024.0).cast("long").as("qx"))
+      .localCheckpoint(true) // feeds the M-step rollup AND the re-score join
     val cents2 = a1.join(q, "vec_id")
       .groupBy(col("c1").as("cid"), col("i"))
       .agg(expr("sum(qx) div count(1)").as("cq"))
