@@ -417,7 +417,7 @@ object SparkEntry {
     //      count + order-free quantized value sum per bin ----
     "q_point_density" -> ((spark, dir) => {
       val (w, _) = EventsGrid.dims(spark, dir)
-      spark.read.parquet(s"$dir/events.parquet")
+      graft.queries.Feeds.table(spark, dir, "events.parquet")
         .selectExpr(s"cast((event_id % $w) div 10 as long) as bx",
           s"cast((event_id div $w) div 10 as long) as by",
           "floor(value * 1048576.0) as qv")
@@ -597,7 +597,7 @@ object SparkEntry {
       import spark.implicits._
       val cts = rawContours(spark, dir)
       val (w, _) = EventsGrid.dims(spark, dir)
-      val points = spark.read.parquet(s"$dir/events.parquet")
+      val points = graft.queries.Feeds.table(spark, dir, "events.parquet")
         .selectExpr("event_id", s"cast(event_id % $w as double) + 0.5 as x",
           s"cast(event_id div $w as double) + 0.5 as y")
         .as[(Long, Double, Double)]
@@ -618,7 +618,7 @@ object SparkEntry {
       import spark.implicits._
       val cts = rawContours(spark, dir)
       val (w, _) = EventsGrid.dims(spark, dir)
-      val events = spark.read.parquet(s"$dir/events.parquet")
+      val events = graft.queries.Feeds.table(spark, dir, "events.parquet")
       val points = events
         .selectExpr("event_id", s"cast(event_id % $w as double) + 0.5 as x",
           s"cast(event_id div $w as double) + 0.5 as y")
@@ -639,7 +639,7 @@ object SparkEntry {
       import spark.implicits._
       val cts = rawContours(spark, dir)
       val (w, h) = EventsGrid.dims(spark, dir)
-      val points = spark.read.parquet(s"$dir/events.parquet")
+      val points = graft.queries.Feeds.table(spark, dir, "events.parquet")
         .selectExpr("event_id", s"cast(event_id % $w as int) as ix",
           s"cast(event_id div $w as int) as iy")
         .filter(col("ix") >= 1 && col("ix") <= w - 2
@@ -671,7 +671,7 @@ object SparkEntry {
       import spark.implicits._
       val cts = smoothContours(spark, dir)
       val (w, _) = EventsGrid.dims(spark, dir)
-      val points = spark.read.parquet(s"$dir/events.parquet")
+      val points = graft.queries.Feeds.table(spark, dir, "events.parquet")
         .filter(expr("event_id % 101 = 0"))
         .selectExpr("event_id", s"cast(event_id % $w as double) + 0.5 as x",
           s"cast(event_id div $w as double) + 0.5 as y")
@@ -698,7 +698,7 @@ object SparkEntry {
       val verts = graft.engine.SpatialOps.contourVertices(spark, cts)
         .filter(col("threshold") === 50.0)
       val (w, _) = EventsGrid.dims(spark, dir)
-      val queries = spark.read.parquet(s"$dir/events.parquet")
+      val queries = graft.queries.Feeds.table(spark, dir, "events.parquet")
         .filter(col("event_id") < 50)
         .selectExpr("event_id", s"cast(event_id % $w as double) + 0.25 as x",
           s"cast(event_id div $w as double) + 0.25 as y")
@@ -714,7 +714,7 @@ object SparkEntry {
       import spark.implicits._
       val (w, _) = EventsGrid.dims(spark, dir)
       val tile = 50
-      spark.read.parquet(s"$dir/events.parquet")
+      graft.queries.Feeds.table(spark, dir, "events.parquet")
         .selectExpr("event_id", s"cast(event_id % $w as int) as x",
           s"cast(event_id div $w as int) as y")
         .as[(Long, Int, Int)]
@@ -736,7 +736,7 @@ object SparkEntry {
     //      bit-spread cascade as q_tile_assignment. ----
     "q_cell_rollup" -> ((spark, dir) => {
       val w = EventsGrid.W
-      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val ev = graft.queries.Feeds.table(spark, dir, "events.parquet")
         .selectExpr(s"cast(event_id % $w as int) as x",
           s"cast(event_id div $w as int) as y",
           "cast(floor(value * 1048576.0) as bigint) as qv")
@@ -752,7 +752,7 @@ object SparkEntry {
       import spark.implicits._
       val cts = rawContours(spark, dir)
       val (w, _) = EventsGrid.dims(spark, dir)
-      val points = spark.read.parquet(s"$dir/events.parquet")
+      val points = graft.queries.Feeds.table(spark, dir, "events.parquet")
         .selectExpr("event_id", s"cast(event_id % $w as double) + 0.5 as x",
           s"cast(event_id div $w as double) + 0.5 as y")
         .as[(Long, Double, Double)]
@@ -768,7 +768,7 @@ object SparkEntry {
     "q_idw_grid" -> ((spark, dir) => {
       val w = EventsGrid.W
       val (_, h) = EventsGrid.dims(spark, dir)
-      val st = spark.read.parquet(s"$dir/events.parquet")
+      val st = graft.queries.Feeds.table(spark, dir, "events.parquet")
         .filter(expr("event_id % 37 = 0"))
         .selectExpr(s"cast(event_id % $w as double) + 0.5 as sx",
           s"cast(event_id div $w as double) + 0.5 as sy", "value as v")

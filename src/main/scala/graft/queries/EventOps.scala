@@ -28,7 +28,7 @@ object EventOps {
   private val Q20 = 1048576.0
 
   private def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    Feeds.table(spark, dir, "events.parquet") // size-guarded shared decode
 
   /** Gap-based sessionization: one window pass per user ordered by
     * (ts, event_id) — a session-start marker from lag(), a running sum for

@@ -23,7 +23,7 @@ object EventsGrid {
     // queries derive dims, and each re-count was one full-scan job
     val n = Feeds.shared(spark, dir, "events_count") {
       import org.apache.spark.sql.functions.{count, lit}
-      spark.read.parquet(s"$dir/events.parquet").agg(count(lit(1)).as("n"))
+      Feeds.table(spark, dir, "events.parquet").agg(count(lit(1)).as("n"))
     }.head().getLong(0)
     require(n % W == 0, s"events count $n not divisible by W=$W")
     (W, (n / W).toInt)
@@ -34,7 +34,7 @@ object EventsGrid {
     import spark.implicits._
     val (w, h) = dims(spark, dir)
     val wl = w
-    val cells = spark.read.parquet(s"$dir/events.parquet")
+    val cells = Feeds.table(spark, dir, "events.parquet")
       .selectExpr("event_id", "value").as[(Long, Double)]
       .map { case (id, v) => ((id % wl).toInt, (id / wl).toInt, v) }
     tilesFromCells(spark, cells, "events", w, h, tileW, tileH)

@@ -59,6 +59,30 @@ object Feeds {
     rdds.nonEmpty && rdds.forall(_.getStorageLevel != StorageLevel.NONE)
   }
 
+  /** Below this on-disk size a base table is decoded once per session and
+    * shared (guide §6: the contract tables are single-split parquet, so
+    * every query otherwise pays a serial decode); at or above it, readers
+    * keep the raw parquet scan so column pruning and predicate pushdown
+    * stay on the scan path — the deliberate, size-adaptive trade (a
+    * 100 TB fact table must never be materialized wholesale).
+    */
+  private val TableFeedMaxBytes = 256L << 20
+
+  /** A base parquet table as a shared feed when it is small enough to
+    * decode once, else the raw scan. The spread to `defaultParallelism`
+    * partitions also fixes the single-split serial-decode bottleneck for
+    * every consumer.
+    */
+  def table(spark: SparkSession, dir: String, file: String): DataFrame = {
+    val f = new java.io.File(s"$dir/$file")
+    if (f.isFile && f.length < TableFeedMaxBytes)
+      shared(spark, dir, "tbl_" + file.replaceAll("[^A-Za-z0-9]", "_")) {
+        spark.read.parquet(s"$dir/$file")
+          .repartition(math.max(8, spark.sparkContext.defaultParallelism))
+      }
+    else spark.read.parquet(s"$dir/$file")
+  }
+
   /** Run `f` with `spark.sql.shuffle.partitions` temporarily set to a
     * value DERIVED FROM DATA SIZE (guide §2.2/§2.5: scale-adaptive
     * partitioning instead of a constant tuned for one deployment). The

@@ -39,7 +39,7 @@ object RasterOps {
     * (and mirrored by the `g0` CTE in the oracles).
     */
   private[graft] def baseCells(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    Feeds.table(spark, dir, "events.parquet") // size-guarded shared decode
       .select((col("event_id") % EventsGrid.W).cast("int").as("x"),
         (col("event_id") / EventsGrid.W).cast("int").as("y"),
         col("value").as("v"))

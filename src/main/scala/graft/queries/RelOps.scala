@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
 object RelOps {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    // deliberately a RAW scan, not a shared decode: the relational family
+    // filters the fact table per query, so the pruned/pushed parquet scan
+    // is the right shape at every size (a materialized full-width feed
+    // was tried in r06 — it shifted ~1 s of build onto the first consumer
+    // for ~0.1 s per later query, and forfeits pushdown at scale)
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** floor(x * 100) — fixed-point cents, shared with the oracles. */

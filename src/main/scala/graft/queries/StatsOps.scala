@@ -89,7 +89,7 @@ object StatsOps {
 
   val autoThresholds: (SparkSession, String) => DataFrame = (spark, dir) => {
     import spark.implicits._
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = Feeds.table(spark, dir, "events.parquet")
       .select(col("value"), bucketCol.as("bkt"))
     val hist = bucketHistogram(ev)
     val located = locateLadder(hist)
@@ -115,7 +115,7 @@ object StatsOps {
   val TopK = 1000
 
   val topEvents: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = Feeds.table(spark, dir, "events.parquet")
       .select(col("event_id"), col("value"), bucketCol.as("bkt"))
     val hist = bucketHistogram(ev).reverse // descending buckets
     require(hist.nonEmpty, "topEvents: empty events table")
@@ -157,7 +157,7 @@ object StatsOps {
     * (row_number per source), an independent formulation.
     */
   val groupQuantiles: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val hist = spark.read.parquet(s"$dir/documents.parquet")
+    val hist = Feeds.table(spark, dir, "documents.parquet")
       .groupBy("source", "n_chars").agg(count(lit(1)).as("n"))
     val wCum = Window.partitionBy("source").orderBy("n_chars")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -189,7 +189,7 @@ object StatsOps {
     * formulation of the same order statistics.
     */
   val madStats: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = Feeds.table(spark, dir, "events.parquet")
       .select(col("event_type"), floor(col("value") * 1048576.0).cast("long").as("q"))
     // low median of df's `v` per event_type, plus the group's row count
     def lowMedian(df: DataFrame, v: String, out: String): DataFrame = {
@@ -249,7 +249,7 @@ object StatsOps {
   }
 
   val hllRegisters: (SparkSession, String) => DataFrame = (spark, dir) =>
-    hllRegisterTable(spark.read.parquet(s"$dir/events.parquet")
+    hllRegisterTable(Feeds.table(spark, dir, "events.parquet")
       .select(col("user_id").as("uid")))
       .orderBy("bucket")
 
@@ -281,7 +281,7 @@ object StatsOps {
   }
 
   val cmsSketch: (SparkSession, String) => DataFrame = (spark, dir) =>
-    cmsCellTable(spark.read.parquet(s"$dir/events.parquet"))
+    cmsCellTable(Feeds.table(spark, dir, "events.parquet"))
       .orderBy("sketch_row", "sketch_col")
 
   val oracleSql: Map[String, String] = Map(

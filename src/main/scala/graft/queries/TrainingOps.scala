@@ -14,10 +14,10 @@ import org.apache.spark.sql.expressions.Window
 object TrainingOps {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Feeds.table(spark, dir, "documents.parquet") // size-guarded shared decode
 
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    Feeds.table(spark, dir, "embeddings.parquet") // size-guarded shared decode
 
   /** ASCII word tokens, lowercased — semantics shared with the DuckDB oracle
     * (regexp_extract_all on lower()).
@@ -1165,21 +1165,17 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
-  /** The documents table spread across the cores and MATERIALIZED: the
+  /** The documents table spread across the cores and MATERIALIZED — the
     * parquet is a single split at contract scale, so a tokenize/explode
-    * directly over the scan runs as ONE task — and a bare repartition
-    * does not fix it, because Catalyst pushes the deterministic
-    * projection back below the round-robin exchange (measured: the gram
-    * explode stayed a 6 s single-task stage). The checkpoint is an RDD
-    * boundary the optimizer cannot cross, so every tokenizer above it
-    * runs at the spread width; the frame is doc-table-sized (tiny) and
-    * shared per session. At web scale the scan has many splits and this
-    * merely rebalances.
+    * directly over the scan runs as ONE task, and a bare repartition
+    * does not fix it (Catalyst pushes the deterministic projection back
+    * below the round-robin exchange; measured as a 6 s single-task gram
+    * explode). [[Feeds.table]] now provides exactly this (size-guarded
+    * spread + checkpoint), so this is an alias kept for the call sites'
+    * intent.
     */
   private def docsSpread(spark: SparkSession, dir: String): DataFrame =
-    Feeds.shared(spark, dir, "docs_spread") {
-      docs(spark, dir).repartition(math.max(8, spark.sparkContext.defaultParallelism))
-    }
+    docs(spark, dir)
 
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     docsSpread(spark, dir)

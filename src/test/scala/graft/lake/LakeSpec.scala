@@ -518,7 +518,12 @@ class LakeSpec extends AnyFunSuite {
     assert(Lake.minMaxAt(spark, table, 0L, "nope").isEmpty)
     val res = Lake.deleteRange(spark, table, "k", 1000L, 1999L).get
     assert(res.snapshot.op == "delete" && res.snapshot.seq == 1L)
-    assert(res.rewroteFiles + res.carriedFiles == 8 && res.carriedFiles >= 6,
+    // >= 5, not >= 6: the range partitioner's sampling seed derives from
+    // the GLOBAL rdd id, so the 8 file boundaries drift a percent or two
+    // with session history and the 1000-wide delete can straddle two
+    // boundaries (3 rewrites) instead of one — pruning is proven either
+    // way (most files untouched vs a naive rewrite-all)
+    assert(res.rewroteFiles + res.carriedFiles == 8 && res.carriedFiles >= 5,
       s"narrow delete must carry most files, carried ${res.carriedFiles}")
     val got = Lake.readAt(spark, table, 1L).as[(Long, Long)].collect().toSeq.sorted
     val want = (0L until 8000L).filterNot(i => i >= 1000L && i <= 1999L).map(i => (i, i * 3L))
